@@ -1,0 +1,179 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text/scalar function library (SURVEY.md §2.8 F1–F10 and §2.7 chunker).
+ *
+ * Everything here is a composition of built-in `org.apache.spark.sql.functions`
+ * — no UDFs — so the whole library stays inside whole-stage codegen and every
+ * function has a portable ANSI-SQL spelling for the DuckDB oracle.
+ *
+ * Reference semantics being re-expressed (cited, not copied):
+ *  - clean_text / join_content: reference `src/coldata/crawler/utils.py:5-36`
+ *  - sha256 identity:           reference `src/coldata/crawler/uci.py:51`
+ *  - chunker (size/overlap):    reference `src/coldata/vdb/vdb.py:41-43,66-74`
+ *  - chunk id make/split:       reference `src/coldata/vdb/vdb.py:70,188-190`
+ */
+object TextFns {
+
+  // ---------------------------------------------------------------- F1 clean
+  /** Strip control chars, collapse whitespace runs to one space, trim.
+    * Mirrors `clean_text` (reference crawler/utils.py:5-18). Pattern kept to
+    * explicit byte classes so Java regex (Spark) and RE2 (DuckDB) agree. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "), "\\s+", " "))
+
+  /** DuckDB spelling of [[cleanText]] for oracle SQL. */
+  def cleanTextSql(col: String): String =
+    s"trim(regexp_replace(regexp_replace($col, '[\\x00-\\x1F\\x7F]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  // ------------------------------------------------------------ F2 join_content
+  /** Clean each fragment, add a trailing '.' when no terminal punctuation,
+    * join with a single space (reference crawler/utils.py:21-36). */
+  def joinContent(fragments: Column): Column = {
+    val cleaned = transform(fragments, s => {
+      val c = cleanText(s)
+      when(c.rlike("[\\p{Punct}]$") || length(c) === 0, c).otherwise(concat(c, lit(".")))
+    })
+    concat_ws(" ", cleaned)
+  }
+
+  // ---------------------------------------------------------------- F3 sha id
+  /** sha256-hex identity of a URL/string (reference uci.py:51, crawler.py:40). */
+  def sha256Id(c: Column): Column = sha2(c, 256)
+
+  // ---------------------------------------------------------------- F5 chunk id
+  /** chunk id `{parent}_{pos}` (reference vdb.py:70). */
+  def chunkId(parent: Column, pos: Column): Column = concat_ws("_", parent, pos)
+
+  /** Recover parent id from a chunk id (reference vdb.py:188-190). */
+  def parentId(chunkId: Column): Column = substring_index(chunkId, "_", 1)
+
+  // ---------------------------------------------------------------- chunker
+  /**
+   * Overlapping character chunker (reference vdb.py:41-43: chunk_size /
+   * chunk_overlap / add_start_index). Deterministic sliding window:
+   * stride = size - overlap; chunk i covers [i*stride, i*stride + size);
+   * nChunks = max(ceil((len - overlap) / stride), 1); empty text -> no chunks.
+   *
+   * Pure built-ins (`sequence` + `transform` + `substr`) so it is codegen'd
+   * and exactly reproducible in DuckDB via generate_series + substring.
+   */
+  def chunk(text: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size, s"bad chunk params ($size,$overlap)")
+    val stride = size - overlap
+    val len = length(text)
+    val n = greatest(
+      (floor((len - lit(overlap) - 1).cast(DoubleType) / lit(stride)) + 1).cast(IntegerType),
+      lit(1))
+    when(text.isNull || len === 0, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(0), n - 1),
+        i => text.substr(i * stride + 1, lit(size))))
+  }
+
+  /** Scala mirror of [[chunk]] for unit/property tests. */
+  def chunkText(text: String, size: Int, overlap: Int): Seq[String] = {
+    require(size > 0 && overlap >= 0 && overlap < size)
+    if (text == null || text.isEmpty) Seq.empty
+    else {
+      val stride = size - overlap
+      val n = math.max((math.floor((text.length - overlap - 1).toDouble / stride) + 1).toInt, 1)
+      (0 until n).map(i => text.substring(i * stride, math.min(i * stride + size, text.length)))
+    }
+  }
+
+  // ---------------------------------------------------------------- tokens
+  /** Whitespace tokens of cleaned text; empty text -> empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles over whitespace tokens (element_at is 1-based in
+    * both Spark and DuckDB, keeping the oracle spelling identical). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+  }
+
+  // ---------------------------------------------------------------- analytics
+  /** Count of punctuation chars, via the length-difference trick (portable —
+    * DuckDB lacks regexp_count in 1.0). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.!?,;:]", ""))
+
+  private val enStop = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** Fraction of tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => t.isin(enStop: _*))).cast(DoubleType) /
+        size(toks).cast(DoubleType))
+  }
+
+  /**
+   * Heuristic document quality score in [0,1] — the text-analysis op mandated
+   * by BASELINE.json (length saturation + punctuation sanity + stopword
+   * presence), deterministic and oracle-portable.
+   */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast(DoubleType)
+    val lenScore = least(nTok / lit(64.0), lit(1.0))
+    val punctRatio = when(length(text) === 0, lit(0.0))
+      .otherwise(punctCount(text).cast(DoubleType) / length(text).cast(DoubleType))
+    val punctScore = greatest(lit(1.0) - punctRatio * 10.0, lit(0.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    // floor(x*1e4 + 0.5)/1e4 instead of round(): the formula lands on exact
+    // .00005 boundaries constantly, where Spark's BigDecimal.valueOf round
+    // (shortest-decimal re-parse) and the oracle's raw-double round disagree
+    floor((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3) * 10000.0 + 0.5) / 10000.0
+  }
+
+  private val deStop = Seq("der", "die", "das", "und", "nicht", "ist", "ein")
+  private val esStop = Seq("el", "la", "los", "las", "que", "y", "es", "un")
+  private val frStop = Seq("le", "les", "et", "une", "est", "dans")
+
+  /** n-gram/stopword language-ID heuristic (BASELINE.json text-analysis op):
+    * CJK codepoints -> zh, else argmax stopword hits, default en. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    def hits(ws: Seq[String]) = size(filter(toks, t => t.isin(ws: _*)))
+    val (en, de, es, fr) = (hits(enStop), hits(deStop), hits(esStop), hits(frStop))
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
+      .when(de > en && de >= es && de >= fr, lit("de"))
+      .when(es > en && es > de && es >= fr, lit("es"))
+      .when(fr > en && fr > de && fr > es, lit("fr"))
+      .otherwise(lit("en"))
+  }
+
+  // ---------------------------------------------------------------- fingerprint
+  private val FpPrime = 1000000007L
+
+  /** Stable 64-bit-ish token hash: first 8 hex chars of sha256, mod prime.
+    * Portable: DuckDB `cast(('0x'||substr(sha256(t),1,8)) as bigint)`. */
+  def tokenHash(t: Column): Column =
+    conv(substring(sha2(t, 256), 1, 8), 16, 10).cast(LongType) % FpPrime
+
+  /**
+   * Rolling-hash document fingerprint over whitespace tokens
+   * (BASELINE.json text-analysis op). foldl1 over token hashes with
+   * h = (h*31 + v) mod p — matches DuckDB list_reduce (which seeds from the
+   * first element, hence the slice).
+   */
+  def fingerprint(text: Column): Column = {
+    val hs = transform(tokens(text), t => tokenHash(t))
+    when(size(hs) === 0, lit(null).cast(LongType))
+      .otherwise(aggregate(
+        slice(hs, lit(2), greatest(size(hs) - 1, lit(0))),
+        element_at(hs, 1),
+        (acc, v) => (acc * 31L + v) % FpPrime))
+  }
+}

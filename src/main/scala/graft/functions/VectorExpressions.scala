@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for vector similarity (SURVEY.md §2.9 V4).
+ *
+ * The reference delegates similarity scoring to its vector store
+ * (`src/coldata/vdb/vdb.py:90-100`, metric selection vdb.py:155-166); here the
+ * score is a first-class codegen'd expression over `ARRAY<FLOAT>` (or
+ * `ARRAY<DOUBLE>`) so it runs inside whole-stage codegen in the scan/join
+ * stage — the perf lever for brute-force and IVF ANN at scale (SURVEY §4 P6).
+ *
+ * Accumulation is double-precision, sequential over the array — the same
+ * evaluation order as the DuckDB oracle's list_cosine_similarity.
+ */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def elemIsDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _)  => false
+    case other => throw new IllegalArgumentException(
+      s"$prettyName expects ARRAY<FLOAT>/ARRAY<DOUBLE>, got $other")
+  }
+
+  /** Read element i of `a` as double, honoring the child's element type. */
+  protected final def elem(e: Expression, a: ArrayData, i: Int): Double =
+    if (elemIsDouble(e)) a.getDouble(i) else a.getFloat(i).toDouble
+
+  /** Codegen accessor fragment for element i of variable `v`. */
+  protected final def elemCode(e: Expression, v: String, i: String): String =
+    if (elemIsDouble(e)) s"$v.getDouble($i)" else s"(double) $v.getFloat($i)"
+}
+
+/** cosine(a,b) = dot(a,b) / (|a|*|b|); 0.0 when either norm is 0. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = elem(left, x, i); val yi = elem(right, y, i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double dot = 0.0, nx = 0.0, ny = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xi = ${elemCode(left, x, "i")};
+         |  double yi = ${elemCode(right, y, "i")};
+         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |}
+         |${ev.value} = (nx == 0.0 || ny == 0.0) ? 0.0 : dot / java.lang.Math.sqrt(nx * ny);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** dot(a,b), double accumulation. */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += elem(left, x, i) * elem(right, y, i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double dot = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  dot += ${elemCode(left, x, "i")} * ${elemCode(right, y, "i")};
+         |}
+         |${ev.value} = dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Euclidean distance (metric 'L2' in the reference config —
+  * vdb.py:162-166 compares with 'less' for L2). */
+case class L2Distance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def prettyName: String = "l2_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { val d = elem(left, x, i) - elem(right, y, i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double d = ${elemCode(left, x, "i")} - ${elemCode(right, y, "i")};
+         |  s += d * d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt(s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Column-level vector API (SURVEY.md §2.9 V1–V4).
+ *
+ * Vectors are plain `ARRAY<FLOAT>` (the shape of the reference's Milvus
+ * collection, vdb.py:203-208, and of testdata embeddings.parquet) — no UDT.
+ *
+ * The codegen'd expressions are exposed through the session function
+ * registry (Spark 4 keeps the Column↔Expression bridge private), so
+ * [[register]] is called lazily on the active session before use.
+ */
+object VectorFns {
+
+  /** Codegen'd cosine similarity (see [[CosineSimilarity]]). */
+  def cosineSim(a: Column, b: Column): Column = fn("cosine_sim", a, b)
+
+  /** Codegen'd dot product. */
+  def dotProduct(a: Column, b: Column): Column = fn("dot_product", a, b)
+
+  /** Codegen'd L2 distance. */
+  def l2Dist(a: Column, b: Column): Column = fn("l2_dist", a, b)
+
+  private def fn(name: String, a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    call_function(name, a, b)
+  }
+
+  /** L2 norm via built-ins (reference embed.py:34-35 normalize_embeddings). */
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+
+  /** L2-normalize an ARRAY<FLOAT> column; zero vector stays zero. */
+  def l2Normalize(v: Column): Column = {
+    val n = l2Norm(v)
+    when(n === 0.0, v).otherwise(
+      transform(v, x => (x.cast(DoubleType) / n).cast(FloatType)))
+  }
+
+  /** Register SQL-callable forms: cosine_sim / dot_product / l2_dist.
+    * Idempotent; cheap enough to call before every use. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      (es: Seq[Expression]) => DotProduct(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("l2_dist",
+      (es: Seq[Expression]) => L2Distance(es.head, es(1)), "built-in")
+  }
+
+  // ------------------------------------------------------------- embedding V1
+  /**
+   * Deterministic feature-hash embedding (SURVEY.md §2.9 V1 harness slot).
+   *
+   * Stands in for the reference's transformer embedding
+   * (`src/coldata/vdb/embed.py:21-39` — tokenize → forward → mean-pool →
+   * normalize): whitespace tokens are hashed into `dim` buckets with a
+   * sha256-derived sign, then L2-normalized. Deterministic across engines and
+   * runs (FIXTURES.md §3 bans live model inference in tests). The production
+   * slot for a real model is [[embedPartitions]].
+   */
+  def hashEmbedUdf(dim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String => hashEmbed(text, dim) }
+
+  /** Scala-side deterministic hash embedding (unit-testable core). */
+  def hashEmbed(text: String, dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    if (text != null) {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      toks.foreach { t =>
+        val md = java.security.MessageDigest.getInstance("SHA-256").digest(t.getBytes("UTF-8"))
+        val h = java.nio.ByteBuffer.wrap(md, 0, 8).getLong
+        val bucket = ((h % dim) + dim) % dim
+        val sign = if (((h >>> 62) & 1L) == 0L) 1.0f else -1.0f
+        v(bucket.toInt) += sign
+      }
+    }
+    var norm = 0.0
+    var i = 0
+    while (i < v.length) { norm += v(i).toDouble * v(i).toDouble; i += 1 }
+    if (norm > 0) {
+      val inv = 1.0 / math.sqrt(norm)
+      i = 0
+      while (i < v.length) { v(i) = (v(i) * inv).toFloat; i += 1 }
+    }
+    v
+  }
+
+  /**
+   * Batched per-partition embedding — the production shape for real model
+   * inference (mirrors the reference's batch_size=128 buffering at
+   * vdb.py:76-79): one model handle per partition, texts fed in fixed-size
+   * batches. Here the "model" is the deterministic hash embedder; an
+   * ONNX/JNI transformer drops into `embedBatch` without touching the plan.
+   */
+  def embedPartitions(df: DataFrame, textCol: String, outCol: String,
+                      dim: Int = 64, batchSize: Int = 128): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(StructField(outCol, ArrayType(FloatType, containsNull = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(textCol)
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map(hashEmbed(_, dim))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val vecs = embedBatch(batch.map(r => r.getString(idx)))
+        batch.iterator.zip(vecs.iterator).map { case (r, v) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v.toSeq)
+        }
+      }
+    }(enc)
+  }
+}

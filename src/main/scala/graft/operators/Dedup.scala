@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Deduplication suite for large text corpora (BASELINE.json LLM-pipeline
+ * mandate; generalizes the reference's identity dedup at
+ * `src/coldata/crawler/crawler.py:39-50` from exact-URL to content-level).
+ *
+ * All stages are set-oriented (explode → shuffle-on-key → group) — the
+ * shape that scales: no pairwise O(n²) work ever happens outside an LSH /
+ * blocking bucket.
+ */
+object Dedup {
+
+  /** Exact content dedup: groups rows by sha256 of a column, keeps the
+    * smallest id as canonical (SURVEY §2.5 A4 at content level). */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
+
+  /** First-writer-wins exact dedup (keeps row with min id per content hash). */
+  def dropExactDups(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Portable seeded shingle hash: first 15 hex chars of sha256("seed:shingle")
+    * as a positive long — reproducible in any engine with sha256. */
+  def seededHash(shingle: Column, seed: Column): Column =
+    conv(substring(sha2(concat_ws(":", seed, shingle), 256), 1, 15), 16, 10).cast(LongType)
+
+  /** Distinct word n-gram shingles per doc: (id, shingle). */
+  def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(TextFns.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+
+  /**
+   * MinHash signatures: minhash_s(doc) = min over shingles of H_s(shingle),
+   * one row per (doc, seed). Map-side combining `min` keeps the shuffle at
+   * numHashes rows per doc regardless of doc length.
+   */
+  def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val seeds = explode(sequence(lit(0), lit(numHashes - 1))).as("seed")
+    shingles.select(col(idCol), col("shingle"), seeds)
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(seededHash(col("shingle"), col("seed"))).as("minhash"))
+  }
+
+  /**
+   * LSH banding: split the signature into `bands` bands of
+   * numHashes/bands rows; docs sharing any (band, band-signature) bucket
+   * become candidate pairs. Self-join happens only inside buckets.
+   */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String, numHashes: Int,
+                        bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val bandSigs = signatures
+      .withColumn("band", (col("seed") / rowsPerBand).cast(IntegerType))
+      .groupBy(col(idCol), col("band"))
+      .agg(sha2(concat_ws(",", sort_array(collect_list(
+        concat_ws(":", col("seed"), col("minhash"))))), 256).as("band_sig"))
+    val a = bandSigs.select(col("band"), col("band_sig"), col(idCol).as("id_a"))
+    val b = bandSigs.select(col("band"), col("band_sig"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs via the inverted shingle table —
+    * |A∩B| from a key join, never a full cross product. */
+  def jaccardForPairs(pairs: DataFrame, shingles: DataFrame, idCol: String): DataFrame = {
+    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val sa = shingles.select(col(idCol).as("id_a"), col("shingle"))
+    val sb = shingles.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = pairs.join(sa, "id_a").join(sb, Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType), 4))
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+  }
+
+  /** Full near-dup pipeline: shingle → minhash → LSH candidates → exact
+    * Jaccard verify ≥ threshold. */
+  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    val sh = shingleTable(df, textCol, idCol, shingleSize)
+    val sig = minhashSignatures(sh, idCol, numHashes)
+    val cand = lshCandidatePairs(sig, idCol, numHashes, bands)
+    jaccardForPairs(cand, sh, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------------ SimHash
+  /**
+   * 64-bit SimHash as a typed aggregate over token hashes (SURVEY §2.11 —
+   * the custom-UDAF demonstration slot): per bit, majority vote of token
+   * hash bits; near-dups have small Hamming distance.
+   */
+  class SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    override def zero: Array[Int] = new Array[Int](64)
+    override def reduce(b: Array[Int], h: Long): Array[Int] = {
+      var j = 0
+      while (j < 64) { b(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1); j += 1 }
+      b
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var j = 0
+      while (j < 64) { a(j) += b(j); j += 1 }
+      a
+    }
+    override def finish(b: Array[Int]): Long = {
+      var v = 0L; var j = 0
+      while (j < 64) { if (b(j) > 0) v |= (1L << j); j += 1 }
+      v
+    }
+    override def bufferEncoder = org.apache.spark.sql.Encoders.javaSerialization[Array[Int]]
+    override def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** 64-bit token hash from sha256 prefix (xxhash64 would be faster but is
+    * Spark-specific; sha256 keeps the whole pipeline engine-portable). */
+  def tokenHash64(t: Column): Column =
+    unhex(substring(sha2(t, 256), 1, 16)).cast(BinaryType) // 8 bytes
+
+  /** SimHash per document over whitespace tokens. */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val agg = udaf(new SimHashAgg)
+    val toks = df.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("tok"))
+      .withColumn("h", conv(substring(sha2(col("tok"), 256), 1, 15), 16, 10).cast(LongType))
+    toks.groupBy(col(idCol)).agg(agg(col("h")).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

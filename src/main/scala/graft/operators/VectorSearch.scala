@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search (SURVEY.md §2.9 V7 / §2.6 TK2 / §4 P6).
+ *
+ * Re-expresses the reference's Milvus ANN search (`src/coldata/vdb/vdb.py:88-122`:
+ * embed query → IVF top-k by metric → per-parent best hit → hydrate) as Spark
+ * plans over an `ARRAY<FLOAT>` embedding column:
+ *
+ *  - [[topK]]: brute-force exact top-k — broadcast the (small) query side,
+ *    score in the scan stage via the codegen'd cosine, rank per query.
+ *  - [[topKAgg]]: same semantics with a map-side-combining top-k aggregate —
+ *    the shuffle carries only k rows per (partition, query) instead of every
+ *    scored row; this is the 100 TB shape.
+ *  - [[IvfIndex]]: KMeans-cell layout + nprobe pruning — the scale path
+ *    mirroring IVF_FLAT (vdb.py:209-211; nlist/nprobe config.yml:81-82).
+ */
+object VectorSearch {
+
+  /** Exact brute-force top-k by cosine. `queries(queryIdCol, queryVecCol)` is
+    * expected to be small → broadcast nested-loop join; corpus side streams. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding",
+           queryIdCol: String = "query_id", queryVecCol: String = "query_vec",
+           scoreScale: Int = 4): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("score", round(VectorFns.cosineSim(col(vecCol), col(queryVecCol)), scoreScale))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("score").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Typed top-k aggregator: partial aggregation keeps only k candidates per
+    * partition, so the shuffle after scoring is O(partitions·k), not O(N).
+    * Deterministic order: score desc, id asc. */
+  class TopKAgg(k: Int) extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+    private val ord: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
+    override def zero: List[(Double, Long)] = Nil
+    override def reduce(b: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] =
+      (a :: b).sorted(ord).take(k)
+    override def merge(b1: List[(Double, Long)], b2: List[(Double, Long)]): List[(Double, Long)] =
+      (b1 ++ b2).sorted(ord).take(k)
+    override def finish(r: List[(Double, Long)]): Seq[(Double, Long)] = r.sorted(ord)
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** [[topK]] semantics via the map-side-combining aggregate. */
+  def topKAgg(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id", queryVecCol: String = "query_vec",
+              scoreScale: Int = 4): DataFrame = {
+    val agg = udaf(new TopKAgg(k))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("score", round(VectorFns.cosineSim(col(vecCol), col(queryVecCol)), scoreScale))
+    scored
+      .groupBy(col(queryIdCol))
+      .agg(agg(col("score"), col(idCol).cast("long")).as("hits"))
+      .select(col(queryIdCol), posexplode(col("hits")).as(Seq("i", "hit")))
+      .select(col(queryIdCol), col("hit._2").as(idCol), col("hit._1").as("score"),
+        (col("i") + 1).cast("int").as("rank"))
+  }
+
+  /**
+   * Per-parent best-hit reduction (SURVEY §2.5 A2 + §2.4 J5): chunk-level hits
+   * → parent key (reference vdb.py:104-110,188-190) keeping the best score.
+   */
+  def bestHitPerParent(hits: DataFrame, chunkIdCol: String, scoreCol: String,
+                       ascending: Boolean = false): DataFrame = {
+    val parent = graft.functions.TextFns.parentId(col(chunkIdCol))
+    val agg = if (ascending) min(col(scoreCol)) else max(col(scoreCol))
+    hits.groupBy(parent.as("parent")).agg(agg.as(scoreCol))
+  }
+
+  // ------------------------------------------------------------------- IVF
+  /**
+   * IVF layout over an embedding table (SURVEY §4 P6): `nlist` KMeans
+   * centroids; every vector is assigned its nearest cell. Search scores the
+   * query against centroids (tiny, broadcast), keeps `nprobe` cells, and runs
+   * exact scoring only inside those cells — at scale the cell column is the
+   * partition key, so pruning skips whole partitions.
+   *
+   * `nprobe == nlist` reproduces exact search (the reference's own config:
+   * nlist=128, nprobe=128 — config.yml:81-82).
+   */
+  final case class IvfIndex(cells: DataFrame, centroids: DataFrame,
+                            idCol: String, vecCol: String) {
+
+    def search(queries: DataFrame, k: Int, nprobe: Int,
+               queryIdCol: String = "query_id", queryVecCol: String = "query_vec",
+               scoreScale: Int = 4): DataFrame = {
+      // rank centroids per query; keep nprobe cells
+      val cw = Window.partitionBy(col(queryIdCol))
+        .orderBy(VectorFns.cosineSim(col(queryVecCol), col("centroid")).desc, col("cell").asc)
+      val probed = queries.crossJoin(broadcast(centroids))
+        .withColumn("crank", row_number().over(cw))
+        .filter(col("crank") <= nprobe)
+        .select(col(queryIdCol), col(queryVecCol), col("cell"))
+      // equi-join on cell prunes the corpus to the probed cells
+      val candidates = cells.join(probed, "cell")
+        .withColumn("score", round(VectorFns.cosineSim(col(vecCol), col(queryVecCol)), scoreScale))
+      val w = Window.partitionBy(col(queryIdCol)).orderBy(col("score").desc, col(idCol).asc)
+      candidates
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
+    }
+  }
+
+  /** Build the IVF layout: KMeans on the embedding column (fixed seed →
+    * deterministic), cell id attached to every row. */
+  def buildIvf(corpus: DataFrame, nlist: Int, idCol: String = "vec_id",
+               vecCol: String = "embedding", seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = corpus.withColumn("features", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20).fit(featured)
+    val cells = model.transform(featured)
+      .withColumnRenamed("prediction", "cell")
+      .drop("features")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+      .toDF("cell", "centroid")
+    IvfIndex(cells, centroids, idCol, vecCol)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.operators.Events
+import org.apache.spark.sql.functions._
+import QHelpers._
+
+/**
+ * Event-time / streaming-shaped queries over `events` (SURVEY §2.10 —
+ * beyond-reference extension surface; the reference's only incrementality is
+ * a daily batch re-crawl, scheduler.py:10-33). All shapes are
+ * batch-equivalent so the DuckDB oracle can check them; the same plans lift
+ * to Structured Streaming (see graft.streaming.StreamOps).
+ */
+object EventQueries {
+
+  val queries: Map[String, Q] = Map(
+    // tumbling event-time window aggregation
+    "q26_events_hourly" -> ((s, dir) =>
+      Events.tumblingCounts(t(s, dir, "events"), "1 hour")
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // sessionization — gaps-and-islands spelling
+    "q27_sessionize" -> ((s, dir) =>
+      Events.sessionize(t(s, dir, "events"), gapMinutes = 30)
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // sessionization — native session_window spelling (same semantics)
+    "q28_session_window" -> ((s, dir) =>
+      Events.sessionWindows(t(s, dir, "events"), "30 minutes")
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // per-user event-type profile (conditional counts)
+    "q29_user_profile" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "view", 1)).as("n_view"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          count(when(col("event_type") === "signup", 1)).as("n_signup"),
+          count(when(col("event_type") === "error", 1)).as("n_error"),
+          count(lit(1)).as("n_total"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"))),
+
+    // as-of join: each purchase matched to the user's latest prior signup —
+    // Spark-side union+running-window plan, DuckDB-side native ASOF JOIN
+    "q30_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Events.asofJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "signup"),
+          keyCol = "user_id", tsCol = "ts", leftCols = Seq("event_id"))
+        .select("event_id", "user_id", "ts", "asof_ts")
+        .orderBy(col("event_id"))
+    }),
+
+    // F-string ops on the JSON-ish props column
+    "q33_props_keys" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(regexp_extract(col("props"), "\"([a-z]+)\":", 1).as("key"),
+          regexp_extract(col("props"), ":\\s*([0-9]+)", 1).cast("long").as("v"))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+        .orderBy(col("key"))))
+
+  private val islandsSql =
+    s"""WITH x AS (
+       |  SELECT user_id, ts, value,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+       |  FROM events),
+       |y AS (
+       |  SELECT *, CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0
+       |            THEN 1 ELSE 0 END AS new_session FROM x),
+       |z AS (
+       |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |    ROWS UNBOUNDED PRECEDING) AS sid FROM y)
+       |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       |  count(*) AS n_events, ${dsumSql("value")} AS sum_value
+       |FROM z GROUP BY user_id, sid""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q26_events_hourly" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |  count(*) AS n_events, ${dsumSql("value")} AS sum_value
+         |FROM events
+         |GROUP BY date_trunc('hour', ts), event_type
+         |ORDER BY window_start, event_type""".stripMargin,
+
+    "q27_sessionize" -> (islandsSql + "\nORDER BY user_id, session_start"),
+
+    "q28_session_window" -> (islandsSql + "\nORDER BY user_id, session_start"),
+
+    "q29_user_profile" ->
+      s"""SELECT user_id,
+         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+         |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+         |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+         |  count(*) AS n_total,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q30_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.ts AS asof_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q33_props_keys" ->
+      """SELECT regexp_extract(props, '"([a-z]+)":', 1) AS key,
+        |  count(*) AS n,
+        |  sum(cast(regexp_extract(props, ':\s*([0-9]+)', 1) as bigint)) AS sum_v
+        |FROM events
+        |GROUP BY regexp_extract(props, '"([a-z]+)":', 1)
+        |ORDER BY key""".stripMargin)
+}

@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.operators.Ingest
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QHelpers._
+
+/**
+ * Relational spine (SURVEY §2.3–§2.6): the join/filter/agg/window/sort
+ * repertoire the reference exercises imperatively (Meta-Kaggle join chain
+ * `kaggle.py:50-61`, anti-join ingest `crawler.py:39-50`, `$in` hydration
+ * `vdb.py:114`), expressed over the TPC-H-ish testdata tables.
+ *
+ * Scale notes: dimension joins (region/nation/customer/supplier) are
+ * broadcast; fact-side aggregations are partial-aggregated map-side before
+ * the shuffle; filters and projections sit directly on the parquet scan.
+ */
+object RelationalQueries {
+
+  val queries: Map[String, Q] = Map(
+    // A1/A5 + §2.5 — full-scan aggregation with exact decimal sums
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // §2.3 P3/P7 — projection + predicate, pushed into the parquet scan
+    "q02_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-06-01").cast(TimestampType) &&
+          col("l_quantity") > 45)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
+        .orderBy(col("l_orderkey"), col("l_partkey"), col("l_shipdate"),
+          col("l_quantity"), col("l_extendedprice"))
+    }),
+
+    // J1 join chain (kaggle.py:50-61 shape): fact ⋈ broadcast dims + agg
+    "q03_revenue_by_nation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // J4/K1 — set-oriented anti join (replaces per-row find_one, crawler.py:40)
+    "q04_ingest_antijoin" -> ((s, dir) => {
+      Ingest.newRows(t(s, dir, "customer"),
+          t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+            .withColumnRenamed("o_custkey", "c_custkey"), "c_custkey")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // semi join (EXISTS) + group count
+    "q05_semijoin_segments" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // TK2 idiom — per-group top-k via ranking window
+    "q06_topk_per_customer" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
+
+    // A4 distinct
+    "q07_distinct_segments" -> ((s, dir) =>
+      t(s, dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")),
+
+    // J2 — row-wise COALESCE after an outer join (kaggle.py:64-71 resolve_owner)
+    "q08_owner_coalesce" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      o.join(broadcast(c),
+          o("o_custkey") === c("c_custkey") && c("c_acctbal") > 5000, "left")
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("c_name"), lit("UNKNOWN")).as("owner"),
+          coalesce(col("n_name"), lit("NONE")).as("nation_name"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // beyond-reference corpus stats: rollup
+    "q09_rollup_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // beyond-reference corpus stats: cube
+    "q10_cube_lineitem" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_partkey, l_shipdate, l_quantity, l_extendedprice""".stripMargin,
+
+    "q03_revenue_by_nation" ->
+      s"""SELECT r_name, n_name,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_ingest_antijoin" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q05_semijoin_segments" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q06_topk_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  cast(row_number() OVER (PARTITION BY o_custkey
+        |       ORDER BY o_totalprice DESC, o_orderkey ASC) as int) AS rank
+        |FROM orders
+        |QUALIFY rank <= 3
+        |ORDER BY o_custkey, rank""".stripMargin,
+
+    "q07_distinct_segments" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+
+    "q08_owner_coalesce" ->
+      """SELECT o_orderkey,
+        |  coalesce(c_name, 'UNKNOWN') AS owner,
+        |  coalesce(n_name, 'NONE') AS nation_name
+        |FROM orders
+        |LEFT JOIN customer ON o_custkey = c_custkey AND c_acctbal > 5000
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q09_rollup_orders" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  count(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders
+         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q10_cube_lineitem" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  count(*) AS n_items, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+}

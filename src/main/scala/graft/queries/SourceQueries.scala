@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QHelpers._
+
+/**
+ * Source/sink coverage (SURVEY §2.1 S5 CSV scan — kaggle.py:44-47; §2.2 K4
+ * parquet checkpoint — utils.py:16-28): round-trip the data through the
+ * format and prove identity against the oracle's direct view of the table.
+ */
+object SourceQueries {
+
+  private def tmp(dir: String, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_" +
+      Integer.toHexString(dir.hashCode)
+
+  val queries: Map[String, Q] = Map(
+    // S5: CSV write + schema'd read-back (pd.read_csv equivalent)
+    "q31_csv_roundtrip" -> ((s, dir) => {
+      val path = tmp(dir, "csv_region")
+      t(s, dir, "region").coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema(StructType(Seq(
+          StructField("r_regionkey", IntegerType),
+          StructField("r_name", StringType))))
+        .csv(path)
+        .orderBy(col("r_regionkey"))
+    }),
+
+    // K4: parquet checkpoint round-trip
+    "q32_parquet_roundtrip" -> ((s, dir) => {
+      val path = tmp(dir, "pq_nation")
+      t(s, dir, "nation").write.mode("overwrite").parquet(path)
+      s.read.parquet(path).orderBy(col("n_nationkey"))
+    }),
+
+    // F4/P1 record→text serialization and back (to_json/from_json; the
+    // reference flattens docs to "key: value" text at vdb.py:139-145)
+    "q34_json_roundtrip" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("source", StringType)))
+      t(s, dir, "documents")
+        .select(to_json(struct(col("doc_id"), col("lang"), col("source"))).as("j"))
+        .select(from_json(col("j"), schema).as("p"))
+        .select(col("p.doc_id").as("doc_id"), col("p.lang").as("lang"),
+          col("p.source").as("source"))
+        .orderBy(col("doc_id"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q31_csv_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q32_parquet_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q34_json_roundtrip" ->
+      "SELECT doc_id, lang, source FROM documents ORDER BY doc_id")
+}

@@ -1,0 +1,247 @@
+package graft.queries
+
+import graft.functions.TextFns
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QHelpers._
+
+/**
+ * Document/text pipeline (SURVEY §2.7 chunker, §2.8 scalar fns, plus the
+ * BASELINE.json text-analysis and dedup mandates) over `documents`.
+ */
+object TextQueries {
+
+  /** documents ∪ exact copies (doc_id+10000 for doc_id%10=0) — simulates the
+    * re-crawl corpus the reference dedups by `index` (crawler.py:39-50). */
+  private def dupCorpus(df: DataFrame): DataFrame =
+    df.select("doc_id", "text").unionAll(
+      df.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+
+  /** documents ∪ truncated near-copies (for the near-dup detectors). */
+  private def nearDupCorpus(df: DataFrame): DataFrame =
+    df.select("doc_id", "text").unionAll(
+      df.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          col("text").substr(lit(1), greatest(length(col("text")) - 30, lit(1))).as("text")))
+
+  private val dupCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  private val nearDupCorpusSql =
+    """SELECT doc_id AS id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000 AS id,
+      |       substring(text, 1, cast(greatest(length(text) - 30, 1) as int)) AS text
+      |FROM documents WHERE doc_id % 25 = 0""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // A3-style corpus histogram
+    "q11_lang_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(sum(col("n_chars")).cast(DoubleType) / count(lit(1)), 2).as("avg_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // F3 sha256 identity + F9 preview + F10 path-style concat
+    "q12_doc_identity" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          sha2(concat(col("source"), lit("/"), col("doc_id")), 256).as("index"),
+          substring(col("text"), 1, 64).as("preview"),
+          length(col("text")).as("n"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // F1 clean_text + token/punct counting
+    "q13_clean_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFns.cleanText(col("text")).as("cleaned"),
+          TextFns.tokenCount(col("text")).as("n_tokens"),
+          TextFns.punctCount(col("text")).as("n_punct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // quality scoring + language-ID heuristic (BASELINE.json text analysis)
+    "q14_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFns.qualityScore(col("text")).as("quality"),
+          TextFns.langId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // §2.7 chunker + F5 chunk ids (vdb.py:66-74)
+    "q15_chunks" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TextFns.chunk(col("text"), 128, 64)).as(Seq("pos", "chunk")))
+        .select(col("doc_id"), col("pos"),
+          TextFns.chunkId(col("doc_id"), col("pos")).as("chunk_id"), col("chunk"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // A2 + J5: chunk hits → parent key → best-score reduce (vdb.py:104-110)
+    "q16_chunk_best" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TextFns.chunk(col("text"), 128, 64)).as(Seq("pos", "chunk")))
+        .select(TextFns.chunkId(col("doc_id"), col("pos")).as("chunk_id"), col("chunk"))
+        .withColumn("score", TextFns.tokenHash(col("chunk")))
+        .groupBy(TextFns.parentId(col("chunk_id")).as("parent"))
+        .agg(max(col("score")).as("best_score"), count(lit(1)).as("n_chunks"))
+        .orderBy(col("parent"))
+    }),
+
+    // exact content dedup (hash-groupBy)
+    "q17_exact_dedup" -> ((s, dir) => {
+      Dedup.exactGroups(dupCorpus(t(s, dir, "documents")), "text", "doc_id")
+        .filter(col("n_dups") > 1)
+        .orderBy(col("content_hash"))
+    }),
+
+    // MinHash + LSH near-dup pairs, verified with exact n-gram Jaccard
+    "q18_neardup_lsh" -> ((s, dir) => {
+      Dedup.nearDupPairs(
+          nearDupCorpus(t(s, dir, "documents")).withColumnRenamed("doc_id", "id"),
+          "text", "id", shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // rolling-hash document fingerprint
+    "q19_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SimHash via custom typed aggregate (no portable oracle → rows-only)
+    "q20_simhash" -> ((s, dir) => {
+      Dedup.simhash(t(s, dir, "documents"), "text", "doc_id").orderBy(col("doc_id"))
+    }))
+
+  private val toksSql = """regexp_split_to_array(trim(text), '\s+')"""
+  private val lowToksSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  private val enListSql = "['the','a','an','and','of','to','in','is','it','that']"
+
+  val oracle: Map[String, String] = Map(
+    "q11_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        |  round(cast(sum(n_chars) as double) / count(*), 2) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q12_doc_identity" ->
+      """SELECT doc_id, sha256(source || '/' || doc_id) AS index,
+        |  substring(text, 1, 64) AS preview, length(text) AS n
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q13_clean_tokens" ->
+      s"""SELECT doc_id,
+         |  ${TextFns.cleanTextSql("text")} AS cleaned,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS n_tokens,
+         |  length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q14_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS ntok,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE cast(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) as double)
+         |              / cast(length(text) as double) END AS pratio,
+         |    len(list_filter($lowToksSql, x -> list_contains($enListSql, x))) AS en_hits,
+         |    len(list_filter($lowToksSql, x -> list_contains(['der','die','das','und','nicht','ist','ein'], x))) AS de_hits,
+         |    len(list_filter($lowToksSql, x -> list_contains(['el','la','los','las','que','y','es','un'], x))) AS es_hits,
+         |    len(list_filter($lowToksSql, x -> list_contains(['le','les','et','une','est','dans'], x))) AS fr_hits
+         |  FROM documents)
+         |SELECT doc_id,
+         |  floor((least(cast(ntok as double) / 64.0, 1.0) * 0.4
+         |      + greatest(1.0 - pratio * 10.0, 0.0) * 0.3
+         |      + least((CASE WHEN ntok = 0 THEN 0.0 ELSE cast(en_hits as double)/cast(ntok as double) END) * 4.0, 1.0) * 0.3)
+         |      * 10000.0 + 0.5) / 10000.0 AS quality,
+         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |       WHEN de_hits > en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+         |       WHEN es_hits > en_hits AND es_hits > de_hits AND es_hits >= fr_hits THEN 'es'
+         |       WHEN fr_hits > en_hits AND fr_hits > de_hits AND fr_hits > es_hits THEN 'fr'
+         |       ELSE 'en' END AS lang_guess
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q15_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, cast(pos as int) AS pos, doc_id || '_' || pos AS chunk_id,
+        |  substring(text, cast(pos*64+1 as int), 128) AS chunk
+        |FROM c ORDER BY doc_id, pos""".stripMargin,
+
+    "q16_chunk_best" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
+        |  FROM documents WHERE length(text) > 0),
+        |ch AS (
+        |  SELECT doc_id || '_' || pos AS chunk_id,
+        |    substring(text, cast(pos*64+1 as int), 128) AS chunk
+        |  FROM c)
+        |SELECT split_part(chunk_id, '_', 1) AS parent,
+        |  max(cast(('0x' || substr(sha256(chunk), 1, 8)) as bigint) % 1000000007) AS best_score,
+        |  count(*) AS n_chunks
+        |FROM ch GROUP BY parent ORDER BY parent""".stripMargin,
+
+    "q17_exact_dedup" ->
+      s"""WITH corpus AS ($dupCorpusSql)
+         |SELECT sha256(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
+         |FROM corpus GROUP BY content_hash HAVING count(*) > 1
+         |ORDER BY content_hash""".stripMargin,
+
+    "q18_neardup_lsh" ->
+      s"""WITH corpus AS ($nearDupCorpusSql),
+         |toks AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         |         FROM corpus WHERE length(trim(text)) > 0),
+         |sh AS (SELECT DISTINCT id, sh FROM (
+         |  SELECT id, unnest(list_transform(generate_series(1, cast(greatest(len(tk)-2, 0) as bigint)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |  FROM toks) u),
+         |sig AS (
+         |  SELECT id, seed, min(cast(('0x' || substr(sha256(seed || ':' || sh), 1, 15)) as bigint)) AS mh
+         |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+         |  GROUP BY id, seed),
+         |bands AS (
+         |  SELECT id, cast(floor(seed/4.0) as int) AS band,
+         |    sha256(string_agg(seed || ':' || mh, ',' ORDER BY seed || ':' || mh)) AS band_sig
+         |  FROM sig GROUP BY id, cast(floor(seed/4.0) as int)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM cand c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+         |  GROUP BY c.id_a, c.id_b),
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)
+         |SELECT c.id_a, c.id_b, coalesce(i.inter, 0) AS inter, za.sz AS sz_a, zb.sz AS sz_b,
+         |  round(cast(coalesce(i.inter, 0) as double)
+         |      / cast(za.sz + zb.sz - coalesce(i.inter, 0) as double), 4) AS jaccard
+         |FROM cand c
+         |LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+         |JOIN sizes za ON za.id = c.id_a
+         |JOIN sizes zb ON zb.id = c.id_b
+         |WHERE round(cast(coalesce(i.inter, 0) as double)
+         |      / cast(za.sz + zb.sz - coalesce(i.inter, 0) as double), 4) >= 0.3
+         |ORDER BY c.id_a, c.id_b""".stripMargin,
+
+    "q19_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> cast(('0x' || substr(sha256(t), 1, 8)) as bigint) % 1000000007),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents WHERE length(trim(text)) > 0
+        |ORDER BY doc_id""".stripMargin)
+}

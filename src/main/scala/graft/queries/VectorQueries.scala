@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.operators.VectorSearch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QHelpers._
+
+/**
+ * Vector / ANN search (SURVEY §2.9) over `embeddings` (the stand-in for the
+ * reference's Milvus collection, vdb.py:203-208). k = 4 mirrors the
+ * reference's `limit` (config.yml:83).
+ *
+ * The brute-force, aggregate, and IVF(nprobe=nlist) variants all have the
+ * SAME exact-top-k oracle — the reference's own config (nlist=128,
+ * nprobe=128, config.yml:81-82) makes IVF exhaustive, which gives the
+ * approximate path a well-defined correctness gate.
+ */
+object VectorQueries {
+
+  private def queriesDf(s: SparkSession, dir: String, lo: Int, hi: Int): DataFrame =
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  /** Exact top-k oracle for query ids in [lo, hi). */
+  private def bruteSql(lo: Int, hi: Int): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, cast(embedding as double[]) AS qv
+       |  FROM embeddings WHERE vec_id >= $lo AND vec_id < $hi)
+       |SELECT q.query_id, e.vec_id,
+       |  round(list_cosine_similarity(cast(e.embedding as double[]), q.qv), 4) AS score,
+       |  cast(row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY round(list_cosine_similarity(cast(e.embedding as double[]), q.qv), 4) DESC,
+       |             e.vec_id ASC) as int) AS rank
+       |FROM embeddings e, q
+       |QUALIFY rank <= 4
+       |ORDER BY query_id, rank""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // TK2 exact brute-force top-k (window ranking)
+    "q21_ann_topk" -> ((s, dir) =>
+      VectorSearch.topK(t(s, dir, "embeddings"), queriesDf(s, dir, 0, 5), k = 4)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // same semantics via the map-side-combining top-k aggregate (100 TB shape)
+    "q22_ann_topk_agg" -> ((s, dir) =>
+      VectorSearch.topKAgg(t(s, dir, "embeddings"), queriesDf(s, dir, 5, 10), k = 4)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // IVF with nprobe = nlist ⇒ exact (the reference's own configuration)
+    "q23_ann_ivf_exact" -> ((s, dir) =>
+      VectorSearch.buildIvf(t(s, dir, "embeddings"), nlist = 16)
+        .search(queriesDf(s, dir, 10, 15), k = 4, nprobe = 16)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // IVF with nprobe < nlist — the pruned scale path (approximate → rows-only)
+    "q24_ann_ivf_probe" -> ((s, dir) =>
+      VectorSearch.buildIvf(t(s, dir, "embeddings"), nlist = 16)
+        .search(queriesDf(s, dir, 10, 15), k = 4, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // J3/S8 hydration join: top-k hits stitched onto the document corpus
+    // (vdb.py:105-119) — hits side is tiny ⇒ broadcast
+    "q25_search_hydrate" -> ((s, dir) => {
+      val hits = VectorSearch.topK(t(s, dir, "embeddings"), queriesDf(s, dir, 0, 3), k = 4)
+      val docs = t(s, dir, "documents")
+      docs.join(broadcast(hits), docs("doc_id") === hits("vec_id"))
+        .select(col("query_id"), col("doc_id"), col("score"), col("rank"),
+          col("lang"), col("source"), substring(col("text"), 1, 40).as("preview"))
+        .orderBy(col("query_id"), col("rank"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q21_ann_topk" -> bruteSql(0, 5),
+    "q22_ann_topk_agg" -> bruteSql(5, 10),
+    "q23_ann_ivf_exact" -> bruteSql(10, 15),
+    "q25_search_hydrate" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, cast(embedding as double[]) AS qv
+        |  FROM embeddings WHERE vec_id >= 0 AND vec_id < 3),
+        |hits AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(cast(e.embedding as double[]), q.qv), 4) AS score,
+        |    cast(row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY round(list_cosine_similarity(cast(e.embedding as double[]), q.qv), 4) DESC,
+        |               e.vec_id ASC) as int) AS rank
+        |  FROM embeddings e, q
+        |  QUALIFY rank <= 4)
+        |SELECT h.query_id, d.doc_id, h.score, h.rank, d.lang, d.source,
+        |  substring(d.text, 1, 40) AS preview
+        |FROM documents d JOIN hits h ON d.doc_id = h.vec_id
+        |ORDER BY query_id, rank""".stripMargin)
+}

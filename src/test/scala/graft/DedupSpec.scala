@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Dedup, Ingest}
+import org.apache.spark.sql.functions._
+
+/** Dedup-suite invariants (SURVEY §5.3: dedup idempotence is the I2 contract). */
+class DedupSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("exactGroups finds planted exact duplicates") {
+    val corpus = docs.select("doc_id", "text").unionAll(
+      docs.limit(10).select((col("doc_id") + 5000).as("doc_id"), col("text")))
+    val dups = Dedup.exactGroups(corpus, "text", "doc_id").filter(col("n_dups") > 1)
+    assert(dups.count() == 10)
+    assert(dups.agg(max("n_dups")).collect().head.getLong(0) == 2)
+  }
+
+  test("dropExactDups is idempotent and keeps min id") {
+    val corpus = docs.select("doc_id", "text").unionAll(
+      docs.limit(5).select((col("doc_id") + 5000).as("doc_id"), col("text")))
+    val once = Dedup.dropExactDups(corpus, "text", "doc_id")
+    val twice = Dedup.dropExactDups(once, "text", "doc_id")
+    assert(once.count() == docs.count())
+    assert(once.count() == twice.count())
+    assert(once.filter(col("doc_id") >= 5000).count() == 0)
+  }
+
+  test("anti-join ingest is idempotent (I2 contract)") {
+    val existing = docs.filter(col("doc_id") < 100)
+    val incoming = docs
+    val fresh = Ingest.newRows(incoming, existing, "doc_id")
+    assert(fresh.count() == docs.count() - 100)
+    // re-ingesting everything against the full store inserts nothing
+    assert(Ingest.newRows(incoming, incoming, "doc_id").count() == 0)
+  }
+
+  test("minhash LSH surfaces planted near-duplicates with high jaccard") {
+    val near = docs.limit(8).select((col("doc_id") + 5000).as("doc_id"),
+      col("text").substr(lit(1), greatest(length(col("text")) - 20, lit(1))).as("text"))
+    val corpus = docs.select("doc_id", "text").unionAll(near)
+    val pairs = Dedup.nearDupPairs(corpus, "text", "doc_id",
+      shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5).collect()
+    // every planted pair that survives banding must link id and id+5000
+    val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 5000)
+    assert(planted.length >= 4, s"found ${planted.length} planted pairs")
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("simhash: identical docs share a signature; hamming to self is 0") {
+    val corpus = docs.limit(20).select("doc_id", "text").unionAll(
+      docs.limit(20).select((col("doc_id") + 5000).as("doc_id"), col("text")))
+    val sig = Dedup.simhash(corpus, "text", "doc_id")
+    val joined = sig.as("a").join(sig.as("b"),
+        col("a.doc_id") + 5000 === col("b.doc_id"))
+      .select(Dedup.hamming(col("a.simhash"), col("b.simhash")).as("d"))
+      .collect()
+    assert(joined.length == 20)
+    assert(joined.forall(_.getInt(0) == 0))
+  }
+}

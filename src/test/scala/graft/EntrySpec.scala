@@ -1,0 +1,27 @@
+package graft
+
+/** Flagship end-to-end smoke (t1 contract: rows > 0 on sf0.001). */
+class EntrySpec extends SparkSpec {
+
+  test("entry returns ranked hydrated search hits") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    assert(rows.length <= 4) // k=4, reference config.yml:83
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sorted.reverse), "ordered by score desc")
+  }
+
+  test("every declared query returns a readable non-degenerate plan") {
+    // cheap structural smoke on sf0.001 — full value check is the duckdb gate
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.schema.fields.nonEmpty, s"$name has empty schema")
+    }
+  }
+
+  test("oracle SQL exists for every query except declared rows-only ops") {
+    val rowsOnly = Set("q20_simhash", "q24_ann_ivf_probe")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+/** Scalar text-function semantics (parity with crawler/utils.py:5-36). */
+class TextFnsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    Seq(1).toDF("x").select(c).collect().head
+
+  test("cleanText strips control chars and collapses whitespace") {
+    val got = one(TextFns.cleanText(lit("  ab\n\nc\t d  "))).getString(0)
+    assert(got == "a b c d")
+  }
+
+  test("cleanText of empty/whitespace is empty") {
+    assert(one(TextFns.cleanText(lit("  \n\t "))).getString(0) == "")
+  }
+
+  test("joinContent appends periods and joins (utils.py:21-36)") {
+    val got = one(TextFns.joinContent(array(lit("hello"), lit("world!"), lit("x \n y"))))
+      .getString(0)
+    assert(got == "hello. world! x y.")
+  }
+
+  test("chunk id round-trip (F5: vdb.py:70 / vdb.py:188-190)") {
+    val df = Seq(("doc9", 3)).toDF("idx", "pos")
+    val got = df.select(
+        TextFns.parentId(TextFns.chunkId(col("idx"), col("pos"))).as("p"))
+      .collect().head.getString(0)
+    assert(got == "doc9")
+  }
+
+  test("tokenCount and punctCount") {
+    assert(one(TextFns.tokenCount(lit("a b  c"))).getInt(0) == 3)
+    assert(one(TextFns.tokenCount(lit(""))).getInt(0) == 0)
+    assert(one(TextFns.punctCount(lit("a, b. c!"))).getInt(0) == 3)
+  }
+
+  test("langId heuristic picks stopword-dominant language and CJK") {
+    assert(one(TextFns.langId(lit("der hund und die katze ist nicht das"))).getString(0) == "de")
+    assert(one(TextFns.langId(lit("el perro y la casa que es un"))).getString(0) == "es")
+    assert(one(TextFns.langId(lit("the cat and the dog of a house"))).getString(0) == "en")
+    assert(one(TextFns.langId(lit("数据集搜索引擎"))).getString(0) == "zh")
+  }
+
+  test("qualityScore is in [0,1] on real docs") {
+    val q = spark.read.parquet(s"$sf/documents.parquet")
+      .select(TextFns.qualityScore(col("text")).as("q")).collect().map(_.getDouble(0))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("fingerprint: deterministic, order-sensitive") {
+    val a = one(TextFns.fingerprint(lit("alpha beta gamma"))).getLong(0)
+    val b = one(TextFns.fingerprint(lit("alpha beta gamma"))).getLong(0)
+    val c = one(TextFns.fingerprint(lit("gamma beta alpha"))).getLong(0)
+    assert(a == b)
+    assert(a != c)
+  }
+}

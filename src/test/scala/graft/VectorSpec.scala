@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.VectorFns
+import graft.operators.VectorSearch
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+/** Vector expression + search invariants (SURVEY §5.2/§5.3). */
+class VectorSpec extends SparkSpec {
+
+  private def check(prop: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("cosine: self-similarity is 1, range is [-1,1], symmetric") {
+    val rows = emb.limit(20)
+      .select(VectorFns.cosineSim(col("embedding"), col("embedding")).as("self"))
+      .collect().map(_.getDouble(0))
+    assert(rows.forall(v => math.abs(v - 1.0) < 1e-9))
+
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va")).limit(10)
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("vb")).limit(10)
+    val sym = a.crossJoin(b)
+      .select(VectorFns.cosineSim(col("va"), col("vb")).as("ab"),
+        VectorFns.cosineSim(col("vb"), col("va")).as("ba"))
+      .collect()
+    assert(sym.forall(r => r.getDouble(0) == r.getDouble(1)))
+    assert(sym.forall(r => r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9))
+  }
+
+  test("cosine expression matches a plain Scala implementation") {
+    val rows = emb.limit(5).collect().map(_.getSeq[Float](1).toArray)
+    val q = rows.head
+    import spark.implicits._
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("id", "v")
+    val got = df.select(col("id"), VectorFns.cosineSim(col("v"), lit(q)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def ref(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) {
+        dot += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i)
+      }
+      dot / math.sqrt(nx * ny)
+    }
+    rows.zipWithIndex.foreach { case (v, i) =>
+      assert(math.abs(got(i.toLong) - ref(v, q)) < 1e-12)
+    }
+  }
+
+  test("hashEmbed is deterministic and L2-normalized") {
+    val v1 = VectorFns.hashEmbed("spark window join table", 64)
+    val v2 = VectorFns.hashEmbed("spark window join table", 64)
+    assert(v1.toSeq == v2.toSeq)
+    val norm = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
+    assert(VectorFns.hashEmbed("", 64).forall(_ == 0.0f))
+  }
+
+  test("property: hashEmbed stable under token order for bag-of-words sums") {
+    val gen = Gen.listOfN(6, Gen.alphaStr.suchThat(_.nonEmpty))
+    check(Prop.forAll(gen) { toks =>
+      val a = VectorFns.hashEmbed(toks.mkString(" "), 32)
+      val b = VectorFns.hashEmbed(scala.util.Random.shuffle(toks).mkString(" "), 32)
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-6f }
+    })
+  }
+
+  test("topKAgg matches window topK exactly") {
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val a = VectorSearch.topK(emb, queries, k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val b = VectorSearch.topKAgg(emb, queries, k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(a.sameElements(b))
+  }
+
+  test("IVF with nprobe == nlist equals exact search; pruned probe has sane recall") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = VectorSearch.topK(emb, queries, k = 4)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorSearch.buildIvf(emb, nlist = 8)
+    val full = ivf.search(queries, k = 4, nprobe = 8)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+    val pruned = ivf.search(queries, k = 4, nprobe = 2)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pruned intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF nprobe=2 recall $recall")
+  }
+}
