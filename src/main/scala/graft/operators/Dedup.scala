@@ -35,6 +35,24 @@ object Dedup {
   def seededHash(shingle: Column, seed: Column): Column =
     conv(substring(sha2(concat_ws(":", seed, shingle), 256), 1, 15), 16, 10).cast(LongType)
 
+  private val MhP = 1000000007L
+
+  /** Base content hash for the minhash family: one sha256 per shingle
+    * (first 15 hex chars → long, mod p). */
+  def baseHash(shingle: Column): Column =
+    conv(substring(sha2(shingle, 256), 1, 15), 16, 10).cast(LongType) % MhP
+
+  /** Universal-hash family over the base hash: h_s(x) = (a_s·x + b_s) mod p
+    * with a_s, b_s < 2^31 derived from the seed — one sha256 per shingle
+    * total instead of one per (shingle, seed), 16× less hashing at equal
+    * minhash quality. a·x < 2^31·2^30 < 2^62 so the arithmetic is exact in
+    * any 64-bit engine (portable to the DuckDB oracle). */
+  def familyHash(base: Column, seed: Column): Column = {
+    val a = (seed * 1103515245L + 12345L) % MhP + 1L
+    val b = (seed * 69069L + 1L) % MhP
+    (a * base + b) % MhP
+  }
+
   /** Distinct word n-gram shingles per doc: (id, shingle). */
   def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     df.select(col(idCol), explode(TextFns.shingles(col(textCol), n)).as("shingle"))
@@ -42,14 +60,16 @@ object Dedup {
 
   /**
    * MinHash signatures: minhash_s(doc) = min over shingles of H_s(shingle),
-   * one row per (doc, seed). Map-side combining `min` keeps the shuffle at
-   * numHashes rows per doc regardless of doc length.
+   * one row per (doc, seed). One sha256 per shingle ([[baseHash]]), then the
+   * arithmetic [[familyHash]] per seed; map-side combining `min` keeps the
+   * shuffle at numHashes rows per doc regardless of doc length.
    */
   def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val seeds = explode(sequence(lit(0), lit(numHashes - 1))).as("seed")
-    shingles.select(col(idCol), col("shingle"), seeds)
+    shingles.withColumn("h0", baseHash(col("shingle")))
+      .select(col(idCol), col("h0"), seeds)
       .groupBy(col(idCol), col("seed"))
-      .agg(min(seededHash(col("shingle"), col("seed"))).as("minhash"))
+      .agg(min(familyHash(col("h0"), col("seed"))).as("minhash"))
   }
 
   /**

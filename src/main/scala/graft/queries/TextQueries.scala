@@ -209,9 +209,14 @@ object TextQueries {
          |  SELECT id, unnest(list_transform(generate_series(1, cast(greatest(len(tk)-2, 0) as bigint)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
          |  FROM toks) u),
+         |based AS (
+         |  SELECT id, cast(('0x' || substr(sha256(sh), 1, 15)) as bigint) % 1000000007 AS h0
+         |  FROM sh),
          |sig AS (
-         |  SELECT id, seed, min(cast(('0x' || substr(sha256(seed || ':' || sh), 1, 15)) as bigint)) AS mh
-         |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+         |  SELECT id, seed,
+         |    min((((seed * 1103515245 + 12345) % 1000000007 + 1) * h0
+         |         + (seed * 69069 + 1) % 1000000007) % 1000000007) AS mh
+         |  FROM based, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
          |  GROUP BY id, seed),
          |bands AS (
          |  SELECT id, cast(floor(seed/4.0) as int) AS band,
