@@ -48,12 +48,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
-      EventQueries.queries ++ SourceQueries.queries
+      EventQueries.queries ++ SourceQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted for non-SQL-expressible ops (q20 simhash UDAF,
     * q24 approximate IVF probe) → driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++
-      EventQueries.oracle ++ SourceQueries.oracle
+      EventQueries.oracle ++ SourceQueries.oracle ++ MultimodalQueries.oracle
 }

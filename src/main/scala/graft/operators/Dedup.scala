@@ -165,4 +165,65 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // -------------------------------------------- embedding-cosine near-dup
+  /** Deterministic random hyperplanes for sign-LSH (one per signature bit),
+    * generated driver-side from a fixed seed — index metadata, like IVF
+    * centroids (VectorSearch.buildIvf). */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /** Band signatures under sign-LSH: bit b = sign(v · h_b); bits are packed
+    * per band into an Int, giving `bands` bucket keys per vector. Vectors
+    * whose angle is small agree on most signs, so true near-dups collide in
+    * at least one band with overwhelming probability. */
+  def lshBandSigs(bands: Int, bitsPerBand: Int, planes: Array[Array[Float]]):
+      org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { v: Seq[Float] =>
+      Array.tabulate(bands) { b =>
+        var sig = 0
+        var j = 0
+        while (j < bitsPerBand) {
+          val h = planes(b * bitsPerBand + j)
+          var dot = 0.0
+          var i = 0
+          while (i < h.length) { dot += v(i).toDouble * h(i); i += 1 }
+          if (dot >= 0) sig |= (1 << j)
+          j += 1
+        }
+        sig
+      }
+    }
+
+  /**
+   * Embedding-cosine near-dup pairs: sign-LSH banding bounds the candidate
+   * set (the only pairwise work happens inside (band, signature) buckets),
+   * then exact cosine over the re-joined vectors verifies ≥ threshold.
+   * Two shuffles on ids + one bucket self-join; the vectors are NOT carried
+   * through the band explode (8× duplication avoided) — they re-join onto
+   * the surviving candidate pairs only.
+   */
+  def embedNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, bands: Int = 8, bitsPerBand: Int = 8,
+                        threshold: Double = 0.9, seed: Long = 42L,
+                        scoreScale: Int = 4): DataFrame = {
+    val planes = hyperplanes(dim, bands * bitsPerBand, seed)
+    val sigs = vecs
+      .select(col(idCol), posexplode(lshBandSigs(bands, bitsPerBand, planes)(col(vecCol)))
+        .as(Seq("band", "sig")))
+    val a = sigs.select(col("band"), col("sig"), col(idCol).as("id_a"))
+    val b = sigs.select(col("band"), col("sig"), col(idCol).as("id_b"))
+    val cand = a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("score",
+        round(graft.functions.VectorFns.cosineSim(col("__va"), col("__vb")), scoreScale))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
 }

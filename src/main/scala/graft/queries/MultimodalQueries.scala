@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QHelpers._
+
+/**
+ * Multimodal-column queries (BASELINE.json mandate): binary payloads with
+ * typed metadata, a batched decode stub (`mapPartitions`, real plumbing /
+ * fake codec — see graft.operators.Multimodal), and frame sampling. The
+ * media table is derived deterministically from `documents` so every stage
+ * stays DuckDB-checkable (the payload is the UTF-8 encoding of `text`, and
+ * DuckDB's sha256(VARCHAR) hashes exactly those bytes).
+ */
+object MultimodalQueries {
+
+  private val mediaSql =
+    """SELECT doc_id, encode(text) AS payload, text,
+      |  ['png','jpeg','wav'][cast(doc_id % 3 + 1 as int)] AS format,
+      |  cast(n_chars % 640 + 16 as int) AS width,
+      |  cast(n_chars % 480 + 16 as int) AS height
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // metadata-only scan: column pruning must skip the payload pages
+    "q35_media_meta" -> ((s, dir) => {
+      Multimodal.mediaTable(t(s, dir, "documents"))
+        .groupBy(col("meta.format").as("format"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("payload"))).as("total_bytes"),
+          round(avg(col("meta.width").cast(DoubleType)), 2).as("avg_width"),
+          round(avg(col("meta.height").cast(DoubleType)), 2).as("avg_height"))
+        .orderBy(col("format"))
+    }),
+
+    // batched decode stub over the binary payload (vdb.py:76-79 batch shape)
+    "q36_media_decode" -> ((s, dir) => {
+      Multimodal.decodeFeatures(Multimodal.mediaTable(t(s, dir, "documents")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // frame sampling: bounded explode of fixed-width signal windows
+    "q37_frame_sample" -> ((s, dir) => {
+      Multimodal.frameSample(Multimodal.mediaTable(t(s, dir, "documents")),
+          frameChars = 64, stride = 48, maxFrames = 8)
+        .orderBy(col("doc_id"), col("frame_no"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q35_media_meta" ->
+      s"""WITH media AS ($mediaSql)
+         |SELECT format, count(*) AS n,
+         |  sum(octet_length(payload)) AS total_bytes,
+         |  round(avg(cast(width as double)), 2) AS avg_width,
+         |  round(avg(cast(height as double)), 2) AS avg_height
+         |FROM media GROUP BY format ORDER BY format""".stripMargin,
+
+    "q36_media_decode" ->
+      """SELECT doc_id,
+        |  cast(octet_length(encode(text)) as bigint) AS n_bytes,
+        |  sha256(text) AS digest,
+        |  list_transform(generate_series(0, 7), j ->
+        |    (cast('0x' || substr(sha256(text), j*8+1, 8) as bigint) % 1000) / 1000.0) AS feat
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q37_frame_sample" ->
+      """WITH media AS (SELECT doc_id, text AS signal FROM documents WHERE length(text) >= 64),
+        |f AS (
+        |  SELECT doc_id, signal,
+        |    unnest(generate_series(0,
+        |      least(8, cast(floor((length(signal) - 64) / 48.0) as int) + 1) - 1)) AS frame_no
+        |  FROM media)
+        |SELECT doc_id, cast(frame_no as int) AS frame_no,
+        |  sha256(substring(signal, cast(frame_no * 48 + 1 as int), 64)) AS frame_hash
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin)
+}

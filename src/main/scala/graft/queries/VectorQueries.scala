@@ -32,6 +32,29 @@ object VectorQueries {
       cached
     })
 
+  /** embeddings ∪ perturbed near-copies (vec_id+10000 for vec_id%25==0):
+    * coordinate i gets + ((vec_id + i) % 7 - 3)·1e-4, computed in double and
+    * cast back to float — bit-identical in Spark and DuckDB, cosine ≈ 0.9999
+    * vs a noise ceiling of ~0.51 on this corpus. */
+  private def nearDupVecs(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val planted = e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + ((col("vec_id") + i) % 7 - 3) * 1e-4).cast("float"))
+          .as("embedding"))
+    e.unionAll(planted)
+  }
+
+  private val nearDupVecsSql =
+    """SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 10000 AS vec_id,
+      |  cast(list_transform(generate_series(1, len(embedding)), i ->
+      |    cast(cast(embedding[i] as double)
+      |         + ((vec_id + i - 1) % 7 - 3) * 0.0001 as float)) as double[]) AS v
+      |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin
+
   private def queriesDf(s: SparkSession, dir: String, lo: Int, hi: Int): DataFrame =
     t(s, dir, "embeddings")
       .filter(col("vec_id") >= lo && col("vec_id") < hi)
@@ -74,6 +97,17 @@ object VectorQueries {
         .search(queriesDf(s, dir, 10, 15), k = 4, nprobe = 4)
         .orderBy(col("query_id"), col("rank"))),
 
+    // embedding-cosine near-dup (BASELINE.json dedup mandate): sign-LSH
+    // bucketing bounds the pairwise work; exact cosine verifies. Planted
+    // near-copies (tiny deterministic perturbation) are the ground truth —
+    // the brute-force oracle must agree exactly.
+    "q38_embed_neardup" -> ((s, dir) => {
+      graft.operators.Dedup.embedNearDupPairs(
+          nearDupVecs(s, dir), "vec_id", "embedding",
+          dim = 64, bands = 8, bitsPerBand = 8, threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // J3/S8 hydration join: top-k hits stitched onto the document corpus
     // (vdb.py:105-119) — hits side is tiny ⇒ broadcast
     "q25_search_hydrate" -> ((s, dir) => {
@@ -89,6 +123,13 @@ object VectorQueries {
     "q21_ann_topk" -> bruteSql(0, 5),
     "q22_ann_topk_agg" -> bruteSql(5, 10),
     "q23_ann_ivf_exact" -> bruteSql(10, 15),
+    "q38_embed_neardup" ->
+      s"""WITH corpus AS ($nearDupVecsSql)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_cosine_similarity(a.v, b.v), 4) AS score
+         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
     "q25_search_hydrate" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, cast(embedding as double[]) AS qv

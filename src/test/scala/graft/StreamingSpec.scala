@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.Events
+import graft.queries.QHelpers
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/**
+ * Structured Streaming correctness: every streaming operator must produce
+ * exactly the batch result on the same data once all input is processed —
+ * that batch equivalence is the oracle (the declared-query suite checks the
+ * batch side against DuckDB, so transitively the streaming side too).
+ */
+/** Top-level so the Dataset encoder can instantiate it without an outer pointer. */
+case class Ev(ts: java.sql.Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+
+  private def sampleEvents(n: Int): Seq[Ev] = {
+    val rows = QHelpers.t(spark, sf, "events")
+      .select("ts", "user_id", "event_type", "value")
+      .orderBy("event_id").limit(n).collect()
+    rows.toSeq.map(r => Ev(r.getTimestamp(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+  }
+
+  test("streaming windowed counts equal the batch aggregation") {
+    val s = spark
+    import s.implicits._
+    val data = sampleEvents(500)
+    val mem = MemoryStream[Ev](s)
+    val q = StreamOps.windowedCounts(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      // two batches: watermark advances between them, late-ish rows still land
+      mem.addData(data.take(250)); q.processAllAvailable()
+      mem.addData(data.drop(250)); q.processAllAvailable()
+      val streamed = s.table("wc")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = Events.tumblingCounts(data.toDF(), "1 hour")
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming session windows equal the batch session aggregation") {
+    val s = spark
+    import s.implicits._
+    val data = sampleEvents(400)
+    val mem = MemoryStream[Ev](s)
+    val q = StreamOps.sessionCounts(mem.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sc").outputMode("complete").start()
+    try {
+      mem.addData(data); q.processAllAvailable()
+      val streamed = s.table("sc").orderBy("user_id", "session_start").collect().toSeq
+      val batch = Events.sessionWindows(data.toDF(), "30 minutes")
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start").collect().toSeq
+      // session_window end = last event + gap; both spellings must agree on
+      // (user, start, count); end differs by construction (max ts vs ts+gap)
+      assert(streamed.map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3)))
+        == batch.map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))))
+    } finally q.stop()
+  }
+
+  test("foreachBatch ingest is idempotent under re-delivery (I2 contract)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val store = s"$dir/store"
+    val data = sampleEvents(100)
+    val mem = MemoryStream[Ev](s)
+    val q = StreamOps.ingestAppend(mem.toDF().withColumn("k", col("user_id")),
+      store, "k", s"$dir/ckpt").start()
+    try {
+      mem.addData(data.take(60)); q.processAllAvailable()
+      mem.addData(data) // full re-delivery: only genuinely new keys may land
+      q.processAllAvailable()
+      val stored = s.read.parquet(store)
+      assert(stored.count() == stored.select("k").distinct().count())
+      assert(stored.select("k").distinct().count()
+        == data.map(_.user_id).distinct.size)
+    } finally q.stop()
+  }
+}
