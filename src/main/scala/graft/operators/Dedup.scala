@@ -58,34 +58,43 @@ object Dedup {
     df.select(col(idCol), explode(TextFns.shingles(col(textCol), n)).as("shingle"))
       .distinct()
 
-  /**
-   * MinHash signatures: minhash_s(doc) = min over shingles of H_s(shingle),
-   * one row per (doc, seed). One sha256 per shingle ([[baseHash]]), then the
-   * arithmetic [[familyHash]] per seed; map-side combining `min` keeps the
-   * shuffle at numHashes rows per doc regardless of doc length.
-   */
-  def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val seeds = explode(sequence(lit(0), lit(numHashes - 1))).as("seed")
-    shingles.withColumn("h0", baseHash(col("shingle")))
-      .select(col(idCol), col("h0"), seeds)
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(familyHash(col("h0"), col("seed"))).as("minhash"))
+  /** [[familyHash]] with a plan-time seed (a, b folded to literals). */
+  def familyHashAt(base: Column, seed: Int): Column = {
+    val a = (seed * 1103515245L + 12345L) % MhP + 1L
+    val b = (seed * 69069L + 1L) % MhP
+    (lit(a) * base + lit(b)) % MhP
   }
 
   /**
-   * LSH banding: split the signature into `bands` bands of
-   * numHashes/bands rows; docs sharing any (band, band-signature) bucket
-   * become candidate pairs. Self-join happens only inside buckets.
+   * MinHash signature in WIDE form: one row per doc with columns mh0..mh{n-1},
+   * minhash_s(doc) = min over shingles of h_s(shingle). All `numHashes`
+   * minima come out of ONE groupBy pass with map-side partial aggregation —
+   * no seed explode, so the shuffle carries one row per (partition, doc)
+   * instead of numHashes rows per shingle (16× less at numHashes=16).
    */
-  def lshCandidatePairs(signatures: DataFrame, idCol: String, numHashes: Int,
+  def minhashWide(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val withH0 = shingles.withColumn("h0", baseHash(col("shingle")))
+    val aggs = (0 until numHashes).map(sd => min(familyHashAt(col("h0"), sd)).as(s"mh$sd"))
+    withH0.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * LSH banding over the wide signature: band b's bucket key is the sha256
+   * of its minhashes joined in seed order — computed row-at-a-time from the
+   * wide columns (no collect_list aggregation), then unpivoted to
+   * (id, band, band_sig). Docs sharing any bucket become candidate pairs;
+   * the self-join happens only inside buckets.
+   */
+  def lshCandidatePairs(wideSigs: DataFrame, idCol: String, numHashes: Int,
                         bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    val bandSigs = signatures
-      .withColumn("band", (col("seed") / rowsPerBand).cast(IntegerType))
-      .groupBy(col(idCol), col("band"))
-      .agg(sha2(concat_ws(",", sort_array(collect_list(
-        concat_ws(":", col("seed"), col("minhash"))))), 256).as("band_sig"))
+    val bandSigCols = (0 until bands).map { b =>
+      sha2(concat_ws(",",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*), 256)
+    }
+    val bandSigs = wideSigs.select(col(idCol),
+      posexplode(array(bandSigCols: _*)).as(Seq("band", "band_sig")))
     val a = bandSigs.select(col("band"), col("band_sig"), col(idCol).as("id_a"))
     val b = bandSigs.select(col("band"), col("band_sig"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "band_sig"))
@@ -113,12 +122,16 @@ object Dedup {
   }
 
   /** Full near-dup pipeline: shingle → minhash → LSH candidates → exact
-    * Jaccard verify ≥ threshold. */
+    * Jaccard verify ≥ threshold. The shingle table feeds four DAG branches
+    * (signatures, both sides of the intersection join, sizes), so it is
+    * persisted — at corpus scale this is the materialize-the-inverted-index
+    * step, spilling to disk when it outgrows memory. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     val sh = shingleTable(df, textCol, idCol, shingleSize)
-    val sig = minhashSignatures(sh, idCol, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashWide(sh, idCol, numHashes)
     val cand = lshCandidatePairs(sig, idCol, numHashes, bands)
     jaccardForPairs(cand, sh, idCol).filter(col("jaccard") >= threshold)
   }

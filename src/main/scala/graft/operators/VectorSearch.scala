@@ -123,7 +123,10 @@ object VectorSearch {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val featured = corpus.withColumn("features", array_to_vector(col(vecCol)))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20).fit(featured)
+    // few iterations suffice: cell quality only affects pruned-probe recall,
+    // never correctness (nprobe = nlist is exhaustive regardless), and each
+    // iteration is a full pass over the corpus
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5).fit(featured)
     val cells = model.transform(featured)
       .withColumnRenamed("prediction", "cell")
       .drop("features")

@@ -220,7 +220,7 @@ object TextQueries {
          |  GROUP BY id, seed),
          |bands AS (
          |  SELECT id, cast(floor(seed/4.0) as int) AS band,
-         |    sha256(string_agg(seed || ':' || mh, ',' ORDER BY seed || ':' || mh)) AS band_sig
+         |    sha256(string_agg(cast(mh as varchar), ',' ORDER BY seed)) AS band_sig
          |  FROM sig GROUP BY id, cast(floor(seed/4.0) as int)),
          |cand AS (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
