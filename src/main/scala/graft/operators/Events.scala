@@ -63,6 +63,33 @@ object Events {
         col("n_events"), col("sum_value"))
 
   /**
+   * Bucketed range join: for each left row, count right rows with the same
+   * key whose timestamp falls in [left.ts - windowSec, left.ts). A naive
+   * theta join degenerates to per-key nested loops; instead both sides
+   * bucket time into `windowSec`-wide cells and the left probes its own and
+   * the preceding cell — every qualifying pair lands in exactly one of the
+   * two equi-join arms, so the join stays a hash join on (key, bucket) and
+   * the range predicate only post-filters. Epoch arithmetic in double keeps
+   * microseconds exact (52-bit mantissa ≥ 51 bits needed).
+   */
+  def rangeCountPreceding(left: DataFrame, right: DataFrame, keyCol: String,
+                          tsCol: String, windowSec: Long,
+                          leftIdCol: String): DataFrame = {
+    val lb = left
+      .withColumn("__b", floor(col(tsCol).cast("double") / windowSec).cast("long"))
+      .withColumn("__probe", explode(array(col("__b"), col("__b") - 1)))
+    val rb = right.select(col(keyCol).as("__rk"), col(tsCol).as("__rts"))
+      .withColumn("__probe", floor(col("__rts").cast("double") / windowSec).cast("long"))
+    lb.join(rb,
+        lb(keyCol) === rb("__rk") && lb("__probe") === rb("__probe") &&
+          rb("__rts").cast("double") >= lb(tsCol).cast("double") - windowSec &&
+          rb("__rts").cast("double") < lb(tsCol).cast("double"),
+        "left")
+      .groupBy(col(leftIdCol), col(keyCol), col(tsCol))
+      .agg(count(col("__rk")).as("n_in_range"))
+  }
+
+  /**
    * As-of join (LEFT ASOF: for each left row, the latest right row with
    * right.ts <= left.ts and same key). Spark has no built-in; the scalable
    * plan is the union trick — tag both sides, sort within user by time, and

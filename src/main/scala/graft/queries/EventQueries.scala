@@ -56,6 +56,19 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // bucketed range join: clicks in the hour before each purchase — the
+    // hash-join spelling of an interval join (no theta-join explosion)
+    "q39_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Events.rangeCountPreceding(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          keyCol = "user_id", tsCol = "ts", windowSec = 3600L,
+          leftIdCol = "event_id")
+        .select(col("event_id"), col("user_id"), col("n_in_range").as("n_clicks"))
+        .orderBy(col("event_id"))
+    }),
+
     // F-string ops on the JSON-ish props column
     "q33_props_keys" -> ((s, dir) =>
       t(s, dir, "events")
@@ -109,6 +122,15 @@ object EventQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "q39_range_join" ->
+      """SELECT p.event_id, p.user_id, count(c.user_id) AS n_clicks
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        |  AND epoch(c.ts) >= epoch(p.ts) - 3600.0 AND epoch(c.ts) < epoch(p.ts)
+        |GROUP BY p.event_id, p.user_id
+        |ORDER BY p.event_id""".stripMargin,
 
     "q33_props_keys" ->
       """SELECT regexp_extract(props, '"([a-z]+)":', 1) AS key,

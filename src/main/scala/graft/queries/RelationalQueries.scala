@@ -121,6 +121,18 @@ object RelationalQueries {
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // skew-safe salted join: row-identical to the plain equi-join (the
+    // oracle proves it), but the hot key's rows spread over `salts` reducers
+    "q40_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "okey")
+      val o = t(s, dir, "orders").withColumnRenamed("o_orderkey", "okey")
+      graft.operators.Joins.saltedJoin(li, o, "okey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("o_orderpriority"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -199,5 +211,12 @@ object RelationalQueries {
          |  count(*) AS n_items, ${dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem
          |GROUP BY CUBE (l_returnflag, l_linestatus)
-         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q40_salted_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin)
 }

@@ -36,6 +36,19 @@ object SourceQueries {
       s.read.parquet(path).orderBy(col("n_nationkey"))
     }),
 
+    // hive-style partitioned layout + partition pruning: the filter on the
+    // partition column must skip whole directories, not just row groups
+    "q41_partitioned_write" -> ((s, dir) => {
+      val path = tmp(dir, "events_bytype")
+      t(s, dir, "events").write.mode("overwrite")
+        .partitionBy("event_type").parquet(path)
+      s.read.parquet(path)
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_clicks"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("hour"))
+    }),
+
     // F4/P1 record→text serialization and back (to_json/from_json; the
     // reference flattens docs to "key: value" text at vdb.py:139-145)
     "q34_json_roundtrip" -> ((s, dir) => {
@@ -57,5 +70,11 @@ object SourceQueries {
     "q32_parquet_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q34_json_roundtrip" ->
-      "SELECT doc_id, lang, source FROM documents ORDER BY doc_id")
+      "SELECT doc_id, lang, source FROM documents ORDER BY doc_id",
+    "q41_partitioned_write" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, count(*) AS n_clicks,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events WHERE event_type = 'click'
+         |GROUP BY date_trunc('hour', ts)
+         |ORDER BY hour""".stripMargin)
 }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.queries.QHelpers
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-plan shape assertions: correctness tests prove WHAT the queries
+ * compute; these prove the plans stay scale-worthy — filters reach the
+ * parquet scan, projections prune the read schema, dimension joins
+ * broadcast, partition filters skip directories. A regression here is a
+ * 100 TB regression that sf0.01 timing would never show.
+ */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02: predicate and projection are pushed into the parquet scan") {
+    val plan = formatted(SparkEntry.queries("q02_filter_pushdown")(spark, sf))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan(OrEqual)?\\(l_shipdate.*"), plan)
+    // projection pruning: the scan must not read all 11 lineitem columns
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("q03: all three dimension joins broadcast; fact side never shuffles for them") {
+    val plan = formatted(SparkEntry.queries("q03_revenue_by_nation")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+  }
+
+  test("q41: partition filter prunes event_type directories at the source") {
+    val df = SparkEntry.queries("q41_partitioned_write")(spark, sf)
+    val plan = formatted(df)
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*event_type.*"), plan)
+  }
+
+  test("q21: brute-force ANN broadcasts the query side (no corpus shuffle)") {
+    val plan = formatted(SparkEntry.queries("q21_ann_topk")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("whole-stage codegen covers the scan+filter+project pipeline of q02") {
+    val df = SparkEntry.queries("q02_filter_pushdown")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' marks a whole-stage-codegen span in the executed plan
+    assert(plan.contains("*(1)"), plan.take(2000))
+  }
+
+  test("range join stays an equi hash/sort-merge join, never a nested loop") {
+    val plan = formatted(SparkEntry.queries("q39_range_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("events scan reads only referenced columns (column pruning)") {
+    val df = QHelpers.t(spark, sf, "events").select("user_id").distinct()
+    val readSchema = formatted(df).linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("props"), readSchema)
+  }
+}
