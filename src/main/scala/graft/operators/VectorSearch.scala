@@ -116,25 +116,97 @@ object VectorSearch {
     }
   }
 
-  /** Build the IVF layout: KMeans on the embedding column (fixed seed →
-    * deterministic), cell id attached to every row. */
+  /**
+   * Build the IVF layout. The coarse quantizer is trained on a BOUNDED
+   * deterministic sample collected to the driver (at 100 TB you never run
+   * KMeans over the full corpus — FAISS/Milvus train IVF on ~10⁴–10⁶
+   * sampled vectors too), then the centroids broadcast back and every row
+   * is assigned its nearest cell in one narrow map stage. Replaces
+   * Spark-ML KMeans, whose per-iteration job launch dominates at harness
+   * scale and whose full-corpus passes are wrong at target scale.
+   */
   def buildIvf(corpus: DataFrame, nlist: Int, idCol: String = "vec_id",
-               vecCol: String = "embedding", seed: Long = 42L): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val featured = corpus.withColumn("features", array_to_vector(col(vecCol)))
-    // few iterations suffice: cell quality only affects pruned-probe recall,
-    // never correctness (nprobe = nlist is exhaustive regardless), and each
-    // iteration is a full pass over the corpus
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5).fit(featured)
-    val cells = model.transform(featured)
-      .withColumnRenamed("prediction", "cell")
-      .drop("features")
+               vecCol: String = "embedding", seed: Long = 42L,
+               sampleSize: Int = 20000): IvfIndex = {
     val spark = corpus.sparkSession
+    // deterministic hash-sample: keeps ~sampleSize rows independent of
+    // partitioning/row order, then a driver-side sort pins the exact set
+    val n = corpus.count()
+    val sampled = corpus
+      .filter(pmod(hash(col(idCol)), lit(math.max(1L, n / sampleSize.toLong))) === 0)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .sortBy(_.getLong(0))
+      .take(sampleSize)
+      .map(_.getSeq[Float](1).toArray)
+    val centroids = lloyd(sampled, nlist, seed, iters = 10)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assign = udf { v: Seq[Float] =>
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        val cv = cs(c)
+        while (i < cv.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val cells = corpus.withColumn("cell", assign(col(vecCol)))
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
-      .toDF("cell", "centroid")
-    IvfIndex(cells, centroids, idCol, vecCol)
+    val centroidDf = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+      .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
+    IvfIndex(cells, centroidDf, idCol, vecCol)
+  }
+
+  /** Seeded in-memory Lloyd's KMeans (deterministic): k-distinct init from a
+    * seeded shuffle, fixed iteration count, empty clusters keep their old
+    * centroid. Good enough for a coarse quantizer — cell quality only
+    * affects pruned-probe recall, never nprobe = nlist correctness. */
+  private[operators] def lloyd(points: Array[Array[Float]], k: Int, seed: Long,
+                               iters: Int): Array[Array[Float]] = {
+    require(points.nonEmpty, "empty IVF training sample")
+    val dim = points.head.length
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(points.indices.toVector).take(k).map(points(_))
+    var centroids = init.map(_.clone).toArray
+    val assignment = new Array[Int](points.length)
+    var it = 0
+    while (it < iters) {
+      var p = 0
+      while (p < points.length) {
+        val v = points(p)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var i = 0
+          val cv = centroids(c)
+          while (i < dim) { val t = v(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assignment(p) = best
+        p += 1
+      }
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      p = 0
+      while (p < points.length) {
+        val s = sums(assignment(p)); val v = points(p)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(assignment(p)) += 1
+        p += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+      it += 1
+    }
+    centroids
   }
 }
