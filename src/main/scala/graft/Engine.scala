@@ -1,0 +1,120 @@
+package graft
+
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Ingest, VectorSearch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Knobs mirroring the reference's `config.yml` surface: chunking
+ * (`config.yml:89-90`), embedding batch (`config.yml:86`), IVF + top-k
+ * (`config.yml:81-83`). Store/index paths play the roles of the MongoDB
+ * collection and Milvus collection respectively.
+ */
+final case class EngineConfig(
+    storePath: String,
+    indexPath: String,
+    chunkSize: Int = 128,
+    chunkOverlap: Int = 64,
+    embedDim: Int = 64,
+    batchSize: Int = 128,
+    nlist: Int = 128,
+    nprobe: Int = 128,
+    limit: Int = 4)
+
+/**
+ * The user-facing lifecycle of the reference, Spark-native — a user of
+ * coldata's `main.py` flow (crawl→store, `vdb.update`, `vdb.search`;
+ * `src/main.py:5-58`) drives the same three verbs here:
+ *
+ *  - [[ingest]]  — idempotent dedup-append to the document store
+ *                  (replaces the crawler's per-row find-then-insert,
+ *                  `crawler.py:39-50`)
+ *  - [[update]]  — chunk + batched embed + write the vector index
+ *                  (`vdb.py:57-86`), optionally IVF-cell-partitioned
+ *  - [[search]]  — embed queries, chunk-level top-k, per-document best
+ *                  hit, hydration join, metric-ordered results
+ *                  (`vdb.py:88-122`)
+ *
+ * Every verb is a plain DataFrame pipeline: ingest is one anti join,
+ * update is one narrow chunk/embed stage plus a parquet write, search is
+ * a broadcast score + window top-k + one hydration join.
+ */
+class Engine(spark: SparkSession, cfg: EngineConfig) {
+
+  /** Dedup-append documents (must carry `doc_id` and `text`). Re-ingesting
+    * the same batch is a no-op. */
+  def ingest(docs: DataFrame, keyCol: String = "doc_id"): Unit =
+    Ingest.dedupAppend(docs, cfg.storePath, keyCol)
+
+  /** The document store as a DataFrame. */
+  def store(): DataFrame = spark.read.parquet(cfg.storePath)
+
+  /**
+   * (Re)build the vector index from the store: overlapping chunks
+   * (`vdb.py:66-74`), chunk ids `doc_id_pos` (`vdb.py:70`), per-partition
+   * batched embedding (`vdb.py:76-79`; deterministic hash embedder in the
+   * harness, a real model drops into VectorFns.embedPartitions), overwrite
+   * write — the reference's `renew` collection lifecycle (`vdb.py:196-212`).
+   */
+  def update(): Unit = {
+    val chunks = store()
+      .select(col("doc_id"),
+        posexplode(TextFns.chunk(col("text"), cfg.chunkSize, cfg.chunkOverlap))
+          .as(Seq("pos", "chunk")))
+      .select(col("doc_id"),
+        TextFns.chunkId(col("doc_id"), col("pos")).as("chunk_id"), col("chunk"))
+    VectorFns.embedPartitions(chunks, "chunk", "vec", cfg.embedDim, cfg.batchSize)
+      .select("doc_id", "chunk_id", "vec")
+      .write.mode("overwrite").parquet(cfg.indexPath)
+  }
+
+  /** The vector index as a DataFrame. */
+  def index(): DataFrame = spark.read.parquet(cfg.indexPath)
+
+  /**
+   * Semantic search: returns up to `cfg.limit` documents per query, best
+   * chunk score per document, hydrated with the document row, ordered by
+   * score descending (the COSINE/IP direction, `vdb.py:155-160`).
+   */
+  def search(queries: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val qdf = queries.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toDF("query_id", "query")
+      .withColumn("query_vec", VectorFns.hashEmbedUdf(cfg.embedDim)(col("query")))
+    // chunk-level scoring against the broadcast query side, then the
+    // per-parent best-hit reduce (vdb.py:104-110) and top-k per query
+    val scored = index().crossJoin(broadcast(qdf))
+      .withColumn("score", round(VectorFns.cosineSim(col("vec"), col("query_vec")), 4))
+    val best = scored.groupBy(col("query_id"), col("query"), col("doc_id"))
+      .agg(max(col("score")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val topk = best
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cfg.limit)
+    // hydration join (vdb.py:113-119): hits side is tiny ⇒ broadcast
+    store().join(broadcast(topk), "doc_id")
+      .select(col("query_id"), col("query"), col("doc_id"), col("score"),
+        col("rank"), substring(col("text"), 1, 200).as("preview"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF variant of [[search]] for corpus scale: build the cell layout once
+    * via [[VectorSearch.buildIvf]] and probe `cfg.nprobe` of `cfg.nlist`
+    * cells. With nprobe = nlist (the reference's own configuration) results
+    * equal [[search]]. */
+  def searchIvf(queries: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val qdf = queries.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toDF("query_id", "query")
+      .withColumn("query_vec", VectorFns.hashEmbedUdf(cfg.embedDim)(col("query")))
+    val ivf = VectorSearch.buildIvf(index(), cfg.nlist, idCol = "chunk_id", vecCol = "vec")
+    val hits = ivf.search(qdf, cfg.limit, cfg.nprobe)
+      .withColumn("doc_id", TextFns.parentId(col("chunk_id")).cast("long"))
+    store().join(broadcast(hits), "doc_id")
+      .select(col("query_id"), col("doc_id"), col("chunk_id"), col("score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -134,9 +134,9 @@ object VectorSearch {
     val n = corpus.count()
     val sampled = corpus
       .filter(pmod(hash(col(idCol)), lit(math.max(1L, n / sampleSize.toLong))) === 0)
-      .select(col(idCol).cast("long"), col(vecCol))
+      .select(col(idCol).cast("string"), col(vecCol))
       .collect()
-      .sortBy(_.getLong(0))
+      .sortBy(_.getString(0))
       .take(sampleSize)
       .map(_.getSeq[Float](1).toArray)
     val centroids = lloyd(sampled, nlist, seed, iters = 10)

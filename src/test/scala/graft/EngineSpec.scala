@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end lifecycle of the Engine facade: ingest → update → search —
+  * the reference's `main.py` flow (crawl-all → vdb.update → vdb.search)
+  * as three DataFrame verbs. */
+class EngineSpec extends SparkSpec {
+
+  private def freshEngine(): Engine = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-engine").toString
+    new Engine(spark, EngineConfig(
+      storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8))
+  }
+
+  test("ingest is idempotent; update builds one vector per chunk; search ranks k docs") {
+    val eng = freshEngine()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+
+    eng.ingest(docs)
+    eng.ingest(docs) // second ingest must be a no-op
+    assert(eng.store().count() == docs.count())
+
+    eng.update()
+    val idx = eng.index()
+    assert(idx.count() > docs.count()) // chunking fans out
+    assert(idx.select("chunk_id").distinct().count() == idx.count())
+
+    val hits = eng.search(Seq("data processing pipeline", "machine learning"))
+    val byQuery = hits.groupBy("query_id").agg(count(lit(1)).as("n")).collect()
+    assert(byQuery.length == 2)
+    assert(byQuery.forall(_.getLong(1) <= 4))
+    // ranked descending within each query
+    val q0 = hits.filter(col("query_id") === 0).orderBy("rank")
+      .select("score").collect().map(_.getDouble(0))
+    assert(q0.sameElements(q0.sorted(Ordering[Double].reverse)))
+  }
+
+  test("searchIvf with nprobe == nlist matches exact search doc set") {
+    val eng = freshEngine()
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text"))
+    eng.update()
+    val q = Seq("statistical analysis of results")
+    val exact = SparkEntryTestHelpers.docIds(eng.search(q))
+    val ivf = SparkEntryTestHelpers.docIds(eng.searchIvf(q))
+    assert(ivf == exact)
+  }
+}
+
+object SparkEntryTestHelpers {
+  def docIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+}
