@@ -112,6 +112,18 @@ object TextFns {
     }
 
   // ---------------------------------------------------------------- analytics
+  /** BPE-ish sub-word segmentation regex: letter runs, digit runs, and
+    * single non-alphanumeric marks — the pre-tokenization split GPT-style
+    * BPE vocabularies start from (CJK text degrades to one mark per
+    * character, matching byte-level BPE behavior). Portable to DuckDB
+    * (`regexp_extract_all`). */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token count under [[BpePattern]] — the "BPE-ish regex" counter of the
+    * token-counting mandate; pairs with the whitespace [[tokenCount]]. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** Count of punctuation chars, via the length-difference trick (portable —
     * DuckDB lacks regexp_count in 1.0). */
   def punctCount(text: Column): Column =

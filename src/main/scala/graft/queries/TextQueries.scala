@@ -124,6 +124,32 @@ object TextQueries {
     // SimHash via custom typed aggregate (no portable oracle → rows-only)
     "q20_simhash" -> ((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id").orderBy(col("doc_id"))
+    }),
+
+    // token-count mandate: whitespace + BPE-ish regex counters, with exact
+    // length quantiles per language (at 100 TB: approx_percentile — the
+    // exact spelling here is the oracle-checkable form)
+    "q42_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          sum(TextFns.tokenCount(col("text"))).as("n_ws_tokens"),
+          sum(TextFns.bpeTokenCount(col("text"))).as("n_bpe_tokens"),
+          round(percentile(col("n_chars"), lit(0.5)), 2).as("median_chars"),
+          round(percentile(col("n_chars"), lit(0.9)), 2).as("p90_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // sketch vs exact: approx_count_distinct must land within its 5% rsd —
+    // the 100 TB spelling of COUNT(DISTINCT), graded against the exact value
+    "q43_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_exact"),
+          (abs(approx_count_distinct(col("doc_id")) - countDistinct(col("doc_id")))
+            <= countDistinct(col("doc_id")).cast(DoubleType) * 0.05).as("sketch_ok"))
+        .orderBy(col("source"))
     }))
 
   private val toksSql = """regexp_split_to_array(trim(text), '\s+')"""
@@ -240,6 +266,18 @@ object TextQueries {
          |WHERE round(cast(coalesce(i.inter, 0) as double)
          |      / cast(za.sz + zb.sz - coalesce(i.inter, 0) as double), 4) >= 0.3
          |ORDER BY c.id_a, c.id_b""".stripMargin,
+
+    "q42_token_stats" ->
+      s"""SELECT lang,
+         |  sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END) AS n_ws_tokens,
+         |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS n_bpe_tokens,
+         |  round(quantile_cont(n_chars, 0.5), 2) AS median_chars,
+         |  round(quantile_cont(n_chars, 0.9), 2) AS p90_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q43_approx_distinct" ->
+      """SELECT source, count(DISTINCT doc_id) AS n_exact, true AS sketch_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q19_fingerprint" ->
       """SELECT doc_id,

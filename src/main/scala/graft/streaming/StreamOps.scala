@@ -2,6 +2,16 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Open-session accumulator carried in GroupState by
+  * [[StreamOps.sessionizeStateful]] (epoch microseconds). */
+final case class OpenSession(startUs: Long, endUs: Long, n: Long, sum: Double)
+
+/** A closed session emitted by [[StreamOps.sessionizeStateful]]. */
+final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                               session_end: java.sql.Timestamp, n_events: Long,
+                               sum_value: Double)
 
 /**
  * Structured Streaming surface (SURVEY §2.10): the reference has no
@@ -47,6 +57,74 @@ object StreamOps {
   def dedupByKey(events: DataFrame, keyCol: String, tsCol: String,
                  watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicates(keyCol, tsCol)
+
+  /**
+   * Custom-state sessionization via `flatMapGroupsWithState` with an
+   * event-time timeout — the API for session semantics `session_window`
+   * can't express (e.g. per-session running aggregates, session caps).
+   * State per user is ONE open-session accumulator, closed and emitted
+   * either when a new event arrives past the gap or when the watermark
+   * passes end + gap (the timeout). Events are processed in event-time
+   * order within each batch; cross-batch late data within the watermark
+   * re-opens nothing (documented trade-off vs `session_window`, which
+   * merges late events — use [[sessionCounts]] when that matters).
+   */
+  def sessionizeStateful(events: DataFrame, gapMinutes: Int, watermark: String,
+                         userCol: String = "user_id", tsCol: String = "ts",
+                         valueCol: String = "value"): org.apache.spark.sql.Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    // java.sql.Timestamp.getTime is milliseconds — microseconds live in
+    // getNanos; round-trip through epoch-µs must preserve them
+    def toUs(ts: java.sql.Timestamp): Long =
+      ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000000 * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+
+    events
+      .select(col(userCol).cast("long"), col(tsCol).cast("timestamp"),
+        col(valueCol).cast("double"))
+      .withWatermark(tsCol, watermark)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[OpenSession]) =>
+          if (!rows.hasNext) {
+            // watermark passed end + gap: close and emit the open session
+            val out = state.getOption.map(s =>
+              ClosedSession(user, toTs(s.startUs), toTs(s.endUs), s.n, s.sum))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(r => toUs(r._2))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open = state.getOption
+            sorted.foreach { case (_, ts, v) =>
+              val us = toUs(ts)
+              open match {
+                case Some(s) if us - s.endUs <= gapUs =>
+                  open = Some(s.copy(endUs = math.max(s.endUs, us), n = s.n + 1, sum = s.sum + v))
+                case Some(s) =>
+                  closed += ClosedSession(user, toTs(s.startUs), toTs(s.endUs), s.n, s.sum)
+                  open = Some(OpenSession(us, us, 1, v))
+                case None =>
+                  open = Some(OpenSession(us, us, 1, v))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000 + gapMinutes * 60L * 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
 
   /**
    * Idempotent micro-batch ingest (reference `_upload_data`, crawler.py:39-50,

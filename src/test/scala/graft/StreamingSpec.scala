@@ -65,6 +65,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessions equal the batch gaps-and-islands result") {
+    val s = spark
+    import s.implicits._
+    val data = sampleEvents(300)
+    val maxTs = data.map(_.ts.getTime).max
+    // sentinel events push the watermark far past every real session's
+    // end + gap so all open state times out and is emitted
+    val sentinel1 = Ev(new java.sql.Timestamp(maxTs + 86400000L), -1L, "x", 0.0)
+    val sentinel2 = Ev(new java.sql.Timestamp(maxTs + 2 * 86400000L), -1L, "x", 0.0)
+    val mem = MemoryStream[Ev](s)
+    val q = StreamOps.sessionizeStateful(mem.toDF(), gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("fs").outputMode("append").start()
+    try {
+      mem.addData(data); q.processAllAvailable()
+      mem.addData(sentinel1); q.processAllAvailable()
+      mem.addData(sentinel2); q.processAllAvailable()
+      val streamed = s.table("fs").filter(col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .orderBy("user_id", "session_start").collect().toSeq
+      val batch = Events.sessionize(data.toDF(), gapMinutes = 30)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("user_id", "session_start").collect().toSeq
+      val streamedCmp = streamed.map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3), math.round(r.getDouble(4) * 1e6)))
+      val batchCmp = batch.map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3), math.round(r.getDouble(4) * 1e6)))
+      assert(streamedCmp == batchCmp)
+    } finally q.stop()
+  }
+
   test("foreachBatch ingest is idempotent under re-delivery (I2 contract)") {
     val s = spark
     import s.implicits._
