@@ -49,6 +49,16 @@ object SourceQueries {
         .orderBy(col("hour"))
     }),
 
+    // DataSource V2 synthetic corpus scan (graft.sources — deterministic
+    // generation, column pruning; no DuckDB oracle possible → rows-only)
+    "q44_dsv2_corpus" -> ((s, dir) => {
+      s.read.format("graft-corpus")
+        .option("rows", 2000).option("partitions", 8).load()
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
+    }),
+
     // F4/P1 record→text serialization and back (to_json/from_json; the
     // reference flattens docs to "key: value" text at vdb.py:139-145)
     "q34_json_roundtrip" -> ((s, dir) => {
