@@ -105,8 +105,11 @@ object VectorSearch {
         .withColumn("crank", row_number().over(cw))
         .filter(col("crank") <= nprobe)
         .select(col(queryIdCol), col(queryVecCol), col("cell"))
-      // equi-join on cell prunes the corpus to the probed cells
-      val candidates = cells.join(probed, "cell")
+      // equi-join on cell prunes the corpus to the probed cells; the probe
+      // side is tiny ⇒ broadcast, which also lets dynamic partition pruning
+      // turn the join into a partition filter on a cell-partitioned layout
+      // (see writeIvf) — unprobed cells never touch IO
+      val candidates = cells.join(broadcast(probed), "cell")
         .withColumn("score", round(VectorFns.cosineSim(col(vecCol), col(queryVecCol)), scoreScale))
       val w = Window.partitionBy(col(queryIdCol)).orderBy(col("score").desc, col(idCol).asc)
       candidates
@@ -161,6 +164,24 @@ object VectorSearch {
       .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
     IvfIndex(cells, centroidDf, idCol, vecCol)
   }
+
+  /**
+   * Persist the IVF layout hive-partitioned by cell: `path/cell=<c>/…`.
+   * A pruned probe then becomes a PARTITION filter — nprobe of nlist
+   * directories are read, the rest never touch IO (the on-disk realization
+   * of Milvus' IVF cell skip, vdb.py:90-100). Centroids ride along as one
+   * tiny parquet.
+   */
+  def writeIvf(index: IvfIndex, path: String): Unit = {
+    index.cells.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted IVF layout; `search` on it prunes cell partitions. */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+              idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$path/cells"),
+      spark.read.parquet(s"$path/centroids"), idCol, vecCol)
 
   /** Seeded in-memory Lloyd's KMeans (deterministic): k-distinct init from a
     * seeded shuffle, fixed iteration count, empty clusters keep their old

@@ -97,4 +97,27 @@ class VectorSpec extends SparkSpec {
     val recall = (pruned intersect exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF nprobe=2 recall $recall")
   }
+
+  test("persisted IVF layout: pruned probe reads only probed cell partitions") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("query_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    VectorSearch.writeIvf(VectorSearch.buildIvf(emb, nlist = 8), dir)
+    val loaded = VectorSearch.loadIvf(spark, dir)
+    // exhaustive probe on the persisted layout still equals exact search
+    val exact = VectorSearch.topK(emb, queries, k = 4)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val persisted = loaded.search(queries, k = 4, nprobe = 8)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(persisted == exact)
+    // pruned probe: the cell-partitioned scan must carry a dynamic
+    // partition-pruning filter (unprobed directories are never read)
+    val prunedDf = loaded.search(queries, k = 4, nprobe = 2)
+    prunedDf.collect()
+    val plan = prunedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cell"),
+      plan.take(2000))
+  }
 }
