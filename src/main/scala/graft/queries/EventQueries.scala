@@ -69,6 +69,25 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // pivot: hour-of-day × event-type value matrix
+    "q45_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(hour(col("ts")).as("hh"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(dsum(col("value")))
+        .orderBy(col("hh"))),
+
+    // window frame: 7-row trailing moving average per user
+    "q46_moving_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(avg(col("value")).over(w), 4).as("mavg7"))
+        .orderBy(col("event_id"))
+    }),
+
     // F-string ops on the JSON-ish props column
     "q33_props_keys" -> ((s, dir) =>
       t(s, dir, "events")
@@ -122,6 +141,20 @@ object EventQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "q45_pivot" -> {
+      def c(t: String) =
+        s"cast(sum(cast(CASE WHEN event_type = '$t' THEN value END as decimal(18,2))) as double) AS $t"
+      s"""SELECT hour(ts) AS hh, ${c("click")}, ${c("view")}, ${c("purchase")},
+         |  ${c("signup")}, ${c("error")}
+         |FROM events GROUP BY hour(ts) ORDER BY hh""".stripMargin
+    },
+
+    "q46_moving_avg" ->
+      """SELECT event_id, user_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mavg7
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q39_range_join" ->
       """SELECT p.event_id, p.user_id, count(c.user_id) AS n_clicks

@@ -123,6 +123,17 @@ object RelationalQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // set operators: INTERSECT / EXCEPT (distinct semantics both engines)
+    "q47_setops" -> ((s, dir) => {
+      val withOrders = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      val positive = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 0).select(col("c_custkey").as("custkey"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      positive.intersect(withOrders).except(urgent).orderBy(col("custkey"))
+    }),
+
     // skew-safe salted join: row-identical to the plain equi-join (the
     // oracle proves it), but the hot key's rows spread over `salts` reducers
     "q40_salted_join" -> ((s, dir) => {
@@ -212,6 +223,15 @@ object RelationalQueries {
          |FROM lineitem
          |GROUP BY CUBE (l_returnflag, l_linestatus)
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q47_setops" ->
+      """SELECT custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+        |  INTERSECT
+        |  SELECT o_custkey AS custkey FROM orders)
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY custkey""".stripMargin,
 
     "q40_salted_join" ->
       s"""SELECT o_orderpriority, count(*) AS n_items,
