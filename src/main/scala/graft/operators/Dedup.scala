@@ -179,7 +179,39 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  // -------------------------------------------- embedding-cosine near-dup
+  // ------------------------------------------------- dedup cluster formation
+  /**
+   * Connected components over a near-dup pair graph — the step that turns
+   * pairwise matches into dedup clusters (keep min-id per component as the
+   * canonical document). Iterative min-label propagation: each round every
+   * node adopts the smallest label among itself and its neighbors; `iters`
+   * must cover the graph diameter (near-dup clusters are shallow — chains
+   * longer than a few hops are rare). Each round is one join + one
+   * aggregation; intermediate label tables are persisted so the lineage
+   * doesn't recompute exponentially.
+   */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          iters: Int): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    while (i < iters) {
+      val viaNeighbor = sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("label"))
+      val next = labels.unionAll(viaNeighbor)
+        .groupBy("node").agg(min("label").as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before dropping the previous round
+      labels.unpersist(blocking = false)
+      labels = next
+      i += 1
+    }
+    labels
+  }
   /** Deterministic random hyperplanes for sign-LSH (one per signature bit),
     * generated driver-side from a fixed seed — index metadata, like IVF
     * centroids (VectorSearch.buildIvf). */

@@ -126,6 +126,17 @@ object TextQueries {
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id").orderBy(col("doc_id"))
     }),
 
+    // dedup cluster formation: near-dup pairs → connected components →
+    // cluster sizes (min-id label is the canonical doc per cluster)
+    "q48_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs.filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      Dedup.connectedComponents(edges, "src", "dst", iters = 4)
+        .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("label"))
+    }),
+
     // token-count mandate: whitespace + BPE-ish regex counters, with exact
     // length quantiles per language (at 100 TB: approx_percentile — the
     // exact spelling here is the oracle-checkable form)
@@ -266,6 +277,17 @@ object TextQueries {
          |WHERE round(cast(coalesce(i.inter, 0) as double)
          |      / cast(za.sz + zb.sz - coalesce(i.inter, 0) as double), 4) >= 0.3
          |ORDER BY c.id_a, c.id_b""".stripMargin,
+
+    "q48_dedup_clusters" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 10 < 3),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |reach(node, label) AS (
+        |  SELECT DISTINCT src AS node, src AS label FROM sym
+        |  UNION
+        |  SELECT s.src AS node, r.label FROM sym s JOIN reach r ON s.dst = r.node),
+        |comp AS (SELECT node, min(label) AS label FROM reach GROUP BY node)
+        |SELECT label, count(*) AS n_nodes FROM comp GROUP BY label ORDER BY label""".stripMargin,
 
     "q42_token_stats" ->
       s"""SELECT lang,

@@ -58,4 +58,17 @@ class DedupSpec extends SparkSpec {
     assert(joined.length == 20)
     assert(joined.forall(_.getInt(0) == 0))
   }
+
+  test("connectedComponents merges chains and keeps min-id labels") {
+    val s = spark
+    import s.implicits._
+    // two components: {1,2,3,4} (chain), {10,11} — plus 20 isolated via self-edge
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))
+      .toDF("src", "dst")
+    val cc = Dedup.connectedComponents(edges, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L && cc(4L) == 1L)
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc(20L) == 20L)
+  }
 }
