@@ -159,7 +159,8 @@ object Dedup {
       while (j < 64) { if (b(j) > 0) v |= (1L << j); j += 1 }
       v
     }
-    override def bufferEncoder = org.apache.spark.sql.Encoders.javaSerialization[Array[Int]]
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
     override def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
   }
 
@@ -202,12 +203,12 @@ object Dedup {
     while (i < iters) {
       val viaNeighbor = sym.join(labels.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("label"))
-      val next = labels.unionAll(viaNeighbor)
+      // persist marks keep the lineage linear (each level is computed once,
+      // on first use, within the final job) without forcing a synchronous
+      // materialization per round
+      labels = labels.unionAll(viaNeighbor)
         .groupBy("node").agg(min("label").as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before dropping the previous round
-      labels.unpersist(blocking = false)
-      labels = next
       i += 1
     }
     labels

@@ -132,7 +132,7 @@ object TextQueries {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val edges = docs.filter(col("doc_id") % 10 < 3)
         .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
-      Dedup.connectedComponents(edges, "src", "dst", iters = 4)
+      Dedup.connectedComponents(edges, "src", "dst", iters = 3)
         .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("label"))
     }),
