@@ -139,7 +139,7 @@ object RelationalQueries {
     "q40_salted_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "okey")
       val o = t(s, dir, "orders").withColumnRenamed("o_orderkey", "okey")
-      graft.operators.Joins.saltedJoin(li, o, "okey", salts = 8)
+      graft.operators.Joins.saltedJoin(li, o, "okey", salts = 4)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))

@@ -137,6 +137,25 @@ object TextQueries {
         .orderBy(col("label"))
     }),
 
+    // fuzzy match with blocking: edit distance only inside (source,
+    // prefix-length) blocks — the entity-resolution shape (never all-pairs)
+    "q49_fuzzy_match" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          substring(col("text"), 1, 24).as("pfx"))
+        .withColumn("plen", length(col("pfx")))
+      val a = d.select(col("doc_id").as("id_a"), col("source"),
+        col("pfx").as("pfx_a"), col("plen"))
+      val b = d.select(col("doc_id").as("id_b"), col("source"),
+        col("pfx").as("pfx_b"), col("plen"))
+      a.join(b, Seq("source", "plen"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")))
+        .filter(col("dist") <= 8)
+        .select("id_a", "id_b", "dist")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // token-count mandate: whitespace + BPE-ish regex counters, with exact
     // length quantiles per language (at 100 TB: approx_percentile — the
     // exact spelling here is the oracle-checkable form)
@@ -277,6 +296,16 @@ object TextQueries {
          |WHERE round(cast(coalesce(i.inter, 0) as double)
          |      / cast(za.sz + zb.sz - coalesce(i.inter, 0) as double), 4) >= 0.3
          |ORDER BY c.id_a, c.id_b""".stripMargin,
+
+    "q49_fuzzy_match" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, substring(text, 1, 24) AS pfx FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.pfx, b.pfx) AS dist
+        |  FROM d a JOIN d b ON a.source = b.source
+        |    AND length(a.pfx) = length(b.pfx) AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, dist FROM pairs WHERE dist <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q48_dedup_clusters" ->
       """WITH RECURSIVE e AS (

@@ -115,4 +115,27 @@ class StreamingSpec extends SparkSpec {
         == data.map(_.user_id).distinct.size)
     } finally q.stop()
   }
+
+  test("file-source streaming: AvailableNow over a parquet directory equals batch") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    val events = graft.queries.QHelpers.t(s, sf, "events")
+      .select("ts", "user_id", "event_type", "value")
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = s.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = StreamOps.windowedCounts(stream, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("fsw").outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = s.table("fsw")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = Events.tumblingCounts(events, "1 hour")
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
