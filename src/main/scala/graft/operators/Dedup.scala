@@ -252,7 +252,7 @@ object Dedup {
    * the surviving candidate pairs only.
    */
   def embedNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
-                        dim: Int, bands: Int = 8, bitsPerBand: Int = 8,
+                        dim: Int, bands: Int = 6, bitsPerBand: Int = 16,
                         threshold: Double = 0.9, seed: Long = 42L,
                         scoreScale: Int = 4): DataFrame = {
     val planes = hyperplanes(dim, bands * bitsPerBand, seed)

@@ -104,7 +104,7 @@ object VectorQueries {
     "q38_embed_neardup" -> ((s, dir) => {
       graft.operators.Dedup.embedNearDupPairs(
           nearDupVecs(s, dir), "vec_id", "embedding",
-          dim = 64, bands = 8, bitsPerBand = 8, threshold = 0.9)
+          dim = 64, bands = 6, bitsPerBand = 16, threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -49,7 +49,7 @@ class MultimodalSpec extends SparkSpec {
           .as("embedding"))
     val nPlanted = planted.count()
     val pairs = Dedup.embedNearDupPairs(e.unionAll(planted), "vec_id", "embedding",
-      dim = 64, bands = 8, bitsPerBand = 8, threshold = 0.9).collect()
+      dim = 64, bands = 6, bitsPerBand = 16, threshold = 0.9).collect()
     assert(pairs.length == nPlanted)
     assert(pairs.forall(r => r.getLong(1) == r.getLong(0) + 10000))
     assert(pairs.forall(_.getDouble(2) >= 0.99))
