@@ -170,6 +170,19 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // sketch vs exact: approx_percentile must land within 5% of the exact
+    // interpolated quantile (the 100 TB percentile spelling)
+    "q50_approx_quantile" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          round(percentile(col("n_chars"), lit(0.5)), 2).as("median_exact"),
+          (abs(percentile_approx(col("n_chars"), lit(0.5), lit(10000))
+               - percentile(col("n_chars"), lit(0.5)))
+            <= percentile(col("n_chars"), lit(0.5)) * 0.05).as("sketch_ok"))
+        .orderBy(col("lang"))
+    }),
+
     // sketch vs exact: approx_count_distinct must land within its 5% rsd —
     // the 100 TB spelling of COUNT(DISTINCT), graded against the exact value
     "q43_approx_distinct" -> ((s, dir) => {
@@ -329,6 +342,11 @@ object TextQueries {
     "q43_approx_distinct" ->
       """SELECT source, count(DISTINCT doc_id) AS n_exact, true AS sketch_ok
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q50_approx_quantile" ->
+      """SELECT lang, round(quantile_cont(n_chars, 0.5), 2) AS median_exact,
+        |  true AS sketch_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q19_fingerprint" ->
       """SELECT doc_id,
