@@ -71,4 +71,30 @@ class DedupSpec extends SparkSpec {
     assert(cc(10L) == 10L && cc(11L) == 10L)
     assert(cc(20L) == 20L)
   }
+
+  test("connectedComponents is idempotent: labels as edges reproduce themselves") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("src", "dst")
+    val cc1 = Dedup.connectedComponents(edges, "src", "dst", iters = 3)
+    // feed (node -> label) back in as edges: components must not change
+    val cc2 = Dedup.connectedComponents(cc1, "node", "label", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m1 = cc1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc2 == m1)
+  }
+
+  test("identical documents produce identical minhash signatures") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(10)
+      .select(col("doc_id"), col("text"))
+    val twice = docs.unionAll(docs.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+    val sh = Dedup.shingleTable(twice, "text", "doc_id", 3)
+    val sig = Dedup.minhashWide(sh, "doc_id", 16).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i)).toVector).toMap
+    sig.keys.filter(_ < 1000).foreach { id =>
+      if (sig.contains(id + 1000)) assert(sig(id) == sig(id + 1000))
+    }
+  }
 }
