@@ -53,10 +53,36 @@ object Dedup {
     (a * base + b) % MhP
   }
 
-  /** Distinct word n-gram shingles per doc: (id, shingle). */
+  /**
+   * Distinct word n-gram shingles per doc as 60-bit content hashes:
+   * (id, shingle: long). Hashing inside the tokenizer UDF (sha256 prefix,
+   * the exact value DuckDB's `sha256(shingle)` yields) means the
+   * distinct/join/aggregate pipeline shuffles 8-byte longs instead of
+   * ~30-byte strings, and no separate hash pass runs later. 60 bits keeps
+   * Jaccard intersection counts collision-free at corpus scale
+   * (birthday bound ≈ n²/2⁶¹).
+   */
   def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(TextFns.shingles(col(textCol), n)).as("shingle"))
+    df.select(col(idCol), explode(hashedShinglesUdf(n)(col(textCol))).as("shingle"))
       .distinct()
+
+  private def hashedShinglesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      if (text == null) Array.empty[Long]
+      else {
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < n) Array.empty[Long]
+        else {
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          Array.tabulate(toks.length - n + 1) { i =>
+            md.reset()
+            val d = md.digest(toks.slice(i, i + n).mkString(" ").getBytes("UTF-8"))
+            // first 15 hex chars == top 60 bits of the first 8 digest bytes
+            java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
+          }
+        }
+      }
+    }
 
   /** [[familyHash]] with a plan-time seed (a, b folded to literals). */
   def familyHashAt(base: Column, seed: Int): Column = {
@@ -73,7 +99,8 @@ object Dedup {
    * instead of numHashes rows per shingle (16× less at numHashes=16).
    */
   def minhashWide(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val withH0 = shingles.withColumn("h0", baseHash(col("shingle")))
+    // shingle is already the 60-bit content hash (shingleTable); reduce mod p
+    val withH0 = shingles.withColumn("h0", col("shingle") % MhP)
     val aggs = (0 until numHashes).map(sd => min(familyHashAt(col("h0"), sd)).as(s"mh$sd"))
     withH0.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }

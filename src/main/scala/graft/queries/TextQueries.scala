@@ -274,12 +274,13 @@ object TextQueries {
       s"""WITH corpus AS ($nearDupCorpusSql),
          |toks AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS tk
          |         FROM corpus WHERE length(trim(text)) > 0),
-         |sh AS (SELECT DISTINCT id, sh FROM (
+         |sh AS (SELECT DISTINCT id,
+         |  cast(('0x' || substr(sha256(sh), 1, 15)) as bigint) AS sh FROM (
          |  SELECT id, unnest(list_transform(generate_series(1, cast(greatest(len(tk)-2, 0) as bigint)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
          |  FROM toks) u),
          |based AS (
-         |  SELECT id, cast(('0x' || substr(sha256(sh), 1, 15)) as bigint) % 1000000007 AS h0
+         |  SELECT id, sh % 1000000007 AS h0
          |  FROM sh),
          |sig AS (
          |  SELECT id, seed,
