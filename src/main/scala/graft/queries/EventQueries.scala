@@ -77,6 +77,19 @@ object EventQueries {
         .agg(dsum(col("value")))
         .orderBy(col("hh"))),
 
+    // unpivot: the wide pivot matrix melted back to long form
+    "q51_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "events")
+        .groupBy(hour(col("ts")).as("hh"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(dsum(col("value")))
+      wide.unpivot(Array(col("hh")),
+          Array(col("click"), col("view"), col("purchase"), col("signup"), col("error")),
+          "event_type", "sum_value")
+        .filter(col("sum_value").isNotNull)
+        .orderBy(col("hh"), col("event_type"))
+    }),
+
     // window frame: 7-row trailing moving average per user
     "q46_moving_avg" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -149,6 +162,13 @@ object EventQueries {
          |  ${c("signup")}, ${c("error")}
          |FROM events GROUP BY hour(ts) ORDER BY hh""".stripMargin
     },
+
+    "q51_unpivot" ->
+      s"""SELECT hour(ts) AS hh, event_type, ${dsumSql("value")} AS sum_value
+         |FROM events
+         |WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+         |GROUP BY hour(ts), event_type
+         |ORDER BY hh, event_type""".stripMargin,
 
     "q46_moving_avg" ->
       """SELECT event_id, user_id,
