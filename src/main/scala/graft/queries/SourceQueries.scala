@@ -49,6 +49,26 @@ object SourceQueries {
         .orderBy(col("hour"))
     }),
 
+    // ORC round-trip (columnar sibling of parquet; same pushdown story)
+    "q52_orc_roundtrip" -> ((s, dir) => {
+      val path = tmp(dir, "orc_supplier")
+      t(s, dir, "supplier").write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .filter(col("s_acctbal") > 0)
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // JSON-lines round-trip with an explicit read schema (schema-on-read
+    // without nondeterministic inference)
+    "q53_jsonl_roundtrip" -> ((s, dir) => {
+      val path = tmp(dir, "jsonl_part")
+      val p0 = t(s, dir, "part").select("p_partkey", "p_name", "p_brand", "p_retailprice")
+      p0.write.mode("overwrite").json(path)
+      s.read.schema(p0.schema).json(path)
+        .filter(col("p_retailprice") > 1500)
+        .orderBy(col("p_partkey"))
+    }),
+
     // DataSource V2 synthetic corpus scan (graft.sources — deterministic
     // generation, column pruning; no DuckDB oracle possible → rows-only)
     "q44_dsv2_corpus" -> ((s, dir) => {
@@ -81,6 +101,14 @@ object SourceQueries {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q34_json_roundtrip" ->
       "SELECT doc_id, lang, source FROM documents ORDER BY doc_id",
+    "q52_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |WHERE s_acctbal > 0 ORDER BY s_suppkey""".stripMargin,
+
+    "q53_jsonl_roundtrip" ->
+      """SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+        |WHERE p_retailprice > 1500 ORDER BY p_partkey""".stripMargin,
+
     "q41_partitioned_write" ->
       s"""SELECT date_trunc('hour', ts) AS hour, count(*) AS n_clicks,
          |  ${dsumSql("value")} AS sum_value
