@@ -190,7 +190,9 @@ object TextQueries {
         .groupBy(col("source"))
         .agg(
           countDistinct(col("doc_id")).as("n_exact"),
-          (abs(approx_count_distinct(col("doc_id")) - countDistinct(col("doc_id")))
+          // rsd 0.01 ⇒ the 5% gate sits five standard deviations out —
+          // stable at every scale factor (default rsd 0.05 failed at sf0.1)
+          (abs(approx_count_distinct(col("doc_id"), 0.01) - countDistinct(col("doc_id")))
             <= countDistinct(col("doc_id")).cast(DoubleType) * 0.05).as("sketch_ok"))
         .orderBy(col("source"))
     }))
