@@ -80,6 +80,25 @@ object Multimodal {
   }
 
   /**
+   * Resize: deterministic 1-in-`factor` downsample of the decoded signal
+   * (the stub codec's "thumbnail" — keep the first sample of every block),
+   * with the metadata dimensions scaled to match. A real image resampler
+   * replaces the regex with a kernel; the Spark shape (narrow map over the
+   * payload + struct rewrite, no shuffle) is the real thing.
+   */
+  def resize(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 2, "resize factor must be >= 2")
+    val keepOneInFactor = "(.)" + ("." * (factor - 1))
+    media.select(
+      col("doc_id"),
+      regexp_replace(col("payload").cast(StringType), keepOneInFactor, "$1").as("thumb"),
+      struct(
+        col("meta.format").as("format"),
+        floor(col("meta.width") / factor).cast(IntegerType).as("width"),
+        floor(col("meta.height") / factor).cast(IntegerType).as("height")).as("meta"))
+  }
+
+  /**
    * Frame sampling: slice the decoded signal into fixed-width frames at a
    * stride (video frame-sample / audio windowing shape), keeping at most
    * `maxFrames` per item — an explode whose fan-out is bounded by plan

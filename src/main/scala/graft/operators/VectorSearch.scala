@@ -81,6 +81,38 @@ object VectorSearch {
     hits.groupBy(parent.as("parent")).agg(agg.as(scoreCol))
   }
 
+  /**
+   * LSH-bucketed approximate top-k — the second scale path besides IVF:
+   * corpus and queries get sign-LSH band signatures (Dedup.lshBandSigs);
+   * a vector is a candidate for a query iff they share ≥1 (band, signature)
+   * bucket; exact cosine ranks only the candidates. No training step (vs
+   * IVF's quantizer) and the bucket join is a plain equi-join — the right
+   * trade when the corpus churns faster than a quantizer can be retrained.
+   * Recall is probabilistic (near vectors agree on most signs) → rows-only
+   * in the oracle harness, like the pruned IVF probe.
+   */
+  def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              bands: Int = 6, bitsPerBand: Int = 8, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id", queryVecCol: String = "query_vec",
+              scoreScale: Int = 4): DataFrame = {
+    val planes = Dedup.hyperplanes(dim, bands * bitsPerBand, seed)
+    val sig = Dedup.lshBandSigs(bands, bitsPerBand, planes)
+    val csig = corpus.select(col(idCol), col(vecCol),
+      posexplode(sig(col(vecCol))).as(Seq("band", "bsig")))
+    val qsig = queries.select(col(queryIdCol), col(queryVecCol),
+      posexplode(sig(col(queryVecCol))).as(Seq("band", "bsig")))
+    val candidates = csig.join(broadcast(qsig), Seq("band", "bsig"))
+      .select(col(queryIdCol), col(queryVecCol), col(idCol), col(vecCol))
+      .dropDuplicates(queryIdCol, idCol)
+      .withColumn("score", round(VectorFns.cosineSim(col(vecCol), col(queryVecCol)), scoreScale))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("score").desc, col(idCol).asc)
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
+  }
+
   // ------------------------------------------------------------------- IVF
   /**
    * IVF layout over an embedding table (SURVEY §4 P6): `nlist` KMeans

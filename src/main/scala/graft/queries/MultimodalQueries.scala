@@ -40,6 +40,15 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // resize stub: 1-in-4 signal downsample + scaled metadata
+    "q54_media_resize" -> ((s, dir) => {
+      Multimodal.resize(Multimodal.mediaTable(t(s, dir, "documents")), factor = 4)
+        .select(col("doc_id"), length(col("thumb")).as("n_thumb_chars"),
+          sha2(col("thumb"), 256).as("thumb_hash"),
+          col("meta.width").as("w"), col("meta.height").as("h"))
+        .orderBy(col("doc_id"))
+    }),
+
     // frame sampling: bounded explode of fixed-width signal windows
     "q37_frame_sample" -> ((s, dir) => {
       Multimodal.frameSample(Multimodal.mediaTable(t(s, dir, "documents")),
@@ -63,6 +72,15 @@ object MultimodalQueries {
         |  list_transform(generate_series(0, 7), j ->
         |    (cast('0x' || substr(sha256(text), j*8+1, 8) as bigint) % 1000) / 1000.0) AS feat
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q54_media_resize" ->
+      """WITH r AS (
+        |  SELECT doc_id, regexp_replace(text, '(.)...', '\1', 'g') AS thumb,
+        |    cast(floor((n_chars % 640 + 16) / 4.0) as int) AS w,
+        |    cast(floor((n_chars % 480 + 16) / 4.0) as int) AS h
+        |  FROM documents)
+        |SELECT doc_id, length(thumb) AS n_thumb_chars, sha256(thumb) AS thumb_hash, w, h
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q37_frame_sample" ->
       """WITH media AS (SELECT doc_id, text AS signal FROM documents WHERE length(text) >= 64),

@@ -97,6 +97,13 @@ object VectorQueries {
         .search(queriesDf(s, dir, 10, 15), k = 4, nprobe = 4)
         .orderBy(col("query_id"), col("rank"))),
 
+    // LSH-bucketed ANN — the training-free scale path (approximate →
+    // rows-only, like the pruned IVF probe q24)
+    "q55_ann_lsh" -> ((s, dir) =>
+      VectorSearch.topKLsh(t(s, dir, "embeddings"), queriesDf(s, dir, 15, 20),
+          k = 4, dim = 64)
+        .orderBy(col("query_id"), col("rank"))),
+
     // embedding-cosine near-dup (BASELINE.json dedup mandate): sign-LSH
     // bucketing bounds the pairwise work; exact cosine verifies. Planted
     // near-copies (tiny deterministic perturbation) are the ground truth —

@@ -20,7 +20,7 @@ class EntrySpec extends SparkSpec {
   }
 
   test("oracle SQL exists for every query except declared rows-only ops") {
-    val rowsOnly = Set("q20_simhash", "q24_ann_ivf_probe", "q44_dsv2_corpus")
+    val rowsOnly = Set("q20_simhash", "q24_ann_ivf_probe", "q44_dsv2_corpus", "q55_ann_lsh")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }

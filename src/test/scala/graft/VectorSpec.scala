@@ -120,4 +120,20 @@ class VectorSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cell"),
       plan.take(2000))
   }
+
+  test("LSH-bucketed top-k has sane recall against exact search") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("query_vec"))
+    val exact = VectorSearch.topK(emb, queries, k = 4)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorSearch.topKLsh(emb, queries, k = 4, dim = 64)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the query vector itself always shares every bucket with itself, so
+    // each query must at least find itself at rank 1
+    assert((0L until 5L).forall(q => lsh.contains((q, q))))
+    val recall = (lsh intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.25, s"LSH recall $recall")
+  }
 }
