@@ -97,4 +97,13 @@ class DedupSpec extends SparkSpec {
       if (sig.contains(id + 1000)) assert(sig(id) == sig(id + 1000))
     }
   }
+
+  test("ingest insert-count via Observation - metrics without a second action (A5)") {
+    val obs = org.apache.spark.sql.Observation("ingest")
+    val docsAll = docs
+    val fresh = Ingest.newRows(docsAll, docsAll.filter(col("doc_id") < 100), "doc_id")
+      .observe(obs, count(lit(1)).as("n_inserted"))
+    fresh.write.format("noop").mode("overwrite").save()
+    assert(obs.get("n_inserted") == docsAll.count() - 100)
+  }
 }
