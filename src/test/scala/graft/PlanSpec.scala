@@ -61,4 +61,26 @@ class PlanSpec extends SparkSpec {
     val readSchema = formatted(df).linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(!readSchema.contains("props"), readSchema)
   }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
+  test("q04: the ingest dedup plans as a real anti join, never a cartesian") {
+    val plan = formatted(SparkEntry.queries("q04_ingest_antijoin")(spark, sf))
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q44: DSv2 corpus scan schema is pruned to the referenced columns") {
+    val df = spark.read.format("graft-corpus")
+      .option("rows", 100).option("partitions", 4).load()
+      .select("doc_id", "source")
+    val plan = formatted(df)
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("text"), readSchema)
+  }
 }
