@@ -138,4 +138,20 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming dedupByKey drops re-delivered keys within the watermark") {
+    val s = spark
+    import s.implicits._
+    val data = sampleEvents(100)
+    val mem = MemoryStream[Ev](s)
+    val q = StreamOps.dedupByKey(mem.toDF().withColumn("k", col("user_id")), "k", "ts", "1 hour")
+      .writeStream.format("memory").queryName("dk").outputMode("append").start()
+    try {
+      mem.addData(data); q.processAllAvailable()
+      mem.addData(data) // exact re-delivery: every (k, ts) already seen
+      q.processAllAvailable()
+      val out = s.table("dk")
+      assert(out.count() == out.select("k", "ts").distinct().count())
+    } finally q.stop()
+  }
 }
