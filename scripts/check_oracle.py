@@ -4,47 +4,45 @@
 Usage: check_oracle.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
-SQL from oracle_sql.json in DuckDB over the sfDir tables, and compares:
-row count, schema (column names), and cell values (columns sorted by name,
-rows in result order).
+SQL from oracle_sql.json in DuckDB over the sfDir tables, and compares the
+way the driver does: both sides through pandas (.df()), columns sorted by
+name, rows sorted by all columns, values hashed EXACTLY (no float
+canonicalization). This surfaces the failure modes a lenient string compare
+hides: DuckDB HUGEINT sums arriving as float64, list/array columns that
+pandas cannot sort, dtype drift.
 """
-import json, math, sys
+import hashlib
+import sys
+
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.10g}"
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    if isinstance(v, (bytes, bytearray)):
-        return v.hex()
-    try:  # Decimal → canonical float-ish string
-        import decimal
-        if isinstance(v, decimal.Decimal):
-            return f"{float(v):.10g}"
-    except Exception:
-        pass
-    return str(v)
+def frame_of(rel):
+    df = rel.df()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    # the driver sorts by all columns before hashing — list-typed columns
+    # raise TypeError here exactly as they do driver-side
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
 
 
-def table_of(con, sql):
-    rel = con.sql(sql)
-    cols = [c.lower() for c in rel.columns]
-    rows = rel.fetchall()
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return [cols[i] for i in order], [[canon(r[i]) for i in order] for r in rows]
+def row_hash(df):
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        for v in row:
+            h.update(repr(v).encode())
+        h.update(b"\n")
+    return h.hexdigest()
 
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    import json
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -52,36 +50,49 @@ def main():
     failed = []
     for name, sql in sorted(oracle.items()):
         try:
-            ocols, orows = table_of(con, sql)
+            odf = frame_of(con.sql(sql))
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
+            print(f"FAIL {name}: oracle side: {type(e).__name__}: {e}")
             failed.append(name)
             continue
         try:
-            scols, srows = table_of(con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            sdf = frame_of(con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
         except Exception as e:
-            print(f"FAIL {name}: spark result unreadable: {e}")
+            print(f"FAIL {name}: spark side: {type(e).__name__}: {e}")
             failed.append(name)
             continue
-        if scols != ocols:
-            print(f"FAIL {name}: schema mismatch spark={scols} oracle={ocols}")
+        if list(sdf.columns) != list(odf.columns):
+            print(f"FAIL {name}: schema spark={list(sdf.columns)} oracle={list(odf.columns)}")
             failed.append(name)
             continue
-        if len(srows) != len(orows):
-            print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
+        if len(sdf) != len(odf):
+            print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
             failed.append(name)
             continue
-        bad = None
-        for i, (a, b) in enumerate(zip(srows, orows)):
-            if a != b:
-                bad = (i, a, b)
-                break
-        if bad:
-            i, a, b = bad
-            print(f"FAIL {name}: row {i} differs\n  spark : {a}\n  oracle: {b}")
-            failed.append(name)
+        if row_hash(sdf) != row_hash(odf):
+            diff_cols = [c for c in sdf.columns
+                         if not sdf[c].equals(odf[c])]
+            detail = []
+            for c in diff_cols[:4]:
+                neq = sdf[c] != odf[c]
+                # NaN != NaN: treat both-NaN as equal for the report
+                neq &= ~(sdf[c].isna() & odf[c].isna())
+                if not neq.any():
+                    if str(sdf[c].dtype) != str(odf[c].dtype):
+                        detail.append(f"{c}: dtype {sdf[c].dtype} vs {odf[c].dtype}")
+                    continue
+                i = neq.idxmax()
+                detail.append(
+                    f"{c}[{i}]: spark={sdf[c][i]!r} ({sdf[c].dtype}) "
+                    f"oracle={odf[c][i]!r} ({odf[c].dtype})")
+            if detail:
+                print(f"FAIL {name}: hash mismatch — " + "; ".join(detail))
+                failed.append(name)
+            else:
+                print(f"OK   {name}: {len(sdf)} rows (repr-hash diff only, values equal)")
         else:
-            print(f"OK   {name}: {len(srows)} rows")
+            print(f"OK   {name}: {len(sdf)} rows")
     print(f"\n{len(oracle) - len(failed)}/{len(oracle)} oracle queries match")
     sys.exit(1 if failed else 0)
 

@@ -35,6 +35,25 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   /** Codegen accessor fragment for element i of variable `v`. */
   protected final def elemCode(e: Expression, v: String, i: String): String =
     if (elemIsDouble(e)) s"$v.getDouble($i)" else s"(double) $v.getFloat($i)"
+
+  /** Dimension check: mismatched lengths are an error, never a silent
+    * truncation — a plausible-looking score over a prefix would mask
+    * embedding-dimension bugs (DuckDB's list_cosine_similarity, which the
+    * oracle uses, errors the same way). */
+  protected final def checkDims(x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements()
+    if (y.numElements() != n) throw new IllegalArgumentException(
+      s"$prettyName: mismatched vector dimensions $n vs ${y.numElements()}")
+    n
+  }
+
+  /** Codegen form of [[checkDims]]; declares `int n`. */
+  protected final def dimCheckCode(x: String, y: String): String =
+    s"""int n = $x.numElements();
+       |if ($y.numElements() != n) {
+       |  throw new IllegalArgumentException("$prettyName: mismatched vector dimensions "
+       |    + n + " vs " + $y.numElements());
+       |}""".stripMargin
 }
 
 /** cosine(a,b) = dot(a,b) / (|a|*|b|); 0.0 when either norm is 0. */
@@ -46,7 +65,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkDims(x, y)
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
       val xi = elem(left, x, i); val yi = elem(right, y, i)
@@ -58,7 +77,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |${dimCheckCode(x, y)}
          |double dot = 0.0, nx = 0.0, ny = 0.0;
          |for (int i = 0; i < n; i++) {
          |  double xi = ${elemCode(left, x, "i")};
@@ -82,7 +101,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkDims(x, y)
     var dot = 0.0; var i = 0
     while (i < n) { dot += elem(left, x, i) * elem(right, y, i); i += 1 }
     dot
@@ -91,7 +110,7 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |${dimCheckCode(x, y)}
          |double dot = 0.0;
          |for (int i = 0; i < n; i++) {
          |  dot += ${elemCode(left, x, "i")} * ${elemCode(right, y, "i")};
@@ -114,7 +133,7 @@ case class L2Distance(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkDims(x, y)
     var s = 0.0; var i = 0
     while (i < n) { val d = elem(left, x, i) - elem(right, y, i); s += d * d; i += 1 }
     math.sqrt(s)
@@ -123,7 +142,7 @@ case class L2Distance(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |${dimCheckCode(x, y)}
          |double s = 0.0;
          |for (int i = 0; i < n; i++) {
          |  double d = ${elemCode(left, x, "i")} - ${elemCode(right, y, "i")};

@@ -191,10 +191,12 @@ object Dedup {
     override def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
   }
 
-  /** 64-bit token hash from sha256 prefix (xxhash64 would be faster but is
-    * Spark-specific; sha256 keeps the whole pipeline engine-portable). */
+  /** 60-bit token hash as LONG from a sha256 prefix, so it composes with
+    * [[hamming]] (bitwiseXOR/bit_count need an integral type). 15 hex chars
+    * keep the value non-negative and inside a 64-bit long; sha256 (vs the
+    * faster xxhash64) keeps the pipeline engine-portable for the oracle. */
   def tokenHash64(t: Column): Column =
-    unhex(substring(sha2(t, 256), 1, 16)).cast(BinaryType) // 8 bytes
+    conv(substring(sha2(t, 256), 1, 15), 16, 10).cast(LongType)
 
   /** SimHash per document over whitespace tokens. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {

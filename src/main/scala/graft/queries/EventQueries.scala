@@ -188,7 +188,7 @@ object EventQueries {
     "q33_props_keys" ->
       """SELECT regexp_extract(props, '"([a-z]+)":', 1) AS key,
         |  count(*) AS n,
-        |  sum(cast(regexp_extract(props, ':\s*([0-9]+)', 1) as bigint)) AS sum_v
+        |  cast(sum(cast(regexp_extract(props, ':\s*([0-9]+)', 1) as bigint)) as bigint) AS sum_v
         |FROM events
         |GROUP BY regexp_extract(props, '"([a-z]+)":', 1)
         |ORDER BY key""".stripMargin)

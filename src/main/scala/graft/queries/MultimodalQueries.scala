@@ -34,9 +34,14 @@ object MultimodalQueries {
         .orderBy(col("format"))
     }),
 
-    // batched decode stub over the binary payload (vdb.py:76-79 batch shape)
+    // batched decode stub over the binary payload (vdb.py:76-79 batch shape).
+    // The feature vector is projected to scalar columns for the oracle
+    // compare (list-typed outputs are not hashable by the driver); the
+    // array-valued form is covered by MultimodalSpec.
     "q36_media_decode" -> ((s, dir) => {
+      val feats = (0 until 8).map(j => element_at(col("feat"), j + 1).as(s"f$j"))
       Multimodal.decodeFeatures(Multimodal.mediaTable(t(s, dir, "documents")))
+        .select(col("doc_id") +: col("n_bytes") +: col("digest") +: feats: _*)
         .orderBy(col("doc_id"))
     }),
 
@@ -60,18 +65,21 @@ object MultimodalQueries {
     "q35_media_meta" ->
       s"""WITH media AS ($mediaSql)
          |SELECT format, count(*) AS n,
-         |  sum(octet_length(payload)) AS total_bytes,
+         |  cast(sum(octet_length(payload)) as bigint) AS total_bytes,
          |  round(avg(cast(width as double)), 2) AS avg_width,
          |  round(avg(cast(height as double)), 2) AS avg_height
          |FROM media GROUP BY format ORDER BY format""".stripMargin,
 
-    "q36_media_decode" ->
-      """SELECT doc_id,
-        |  cast(octet_length(encode(text)) as bigint) AS n_bytes,
-        |  sha256(text) AS digest,
-        |  list_transform(generate_series(0, 7), j ->
-        |    (cast('0x' || substr(sha256(text), j*8+1, 8) as bigint) % 1000) / 1000.0) AS feat
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q36_media_decode" -> {
+      val feats = (0 until 8).map(j =>
+        s"(cast('0x' || substr(sha256(text), ${j * 8 + 1}, 8) as bigint) % 1000) / 1000.0 AS f$j")
+        .mkString(",\n        |  ")
+      s"""SELECT doc_id,
+         |  cast(octet_length(encode(text)) as bigint) AS n_bytes,
+         |  sha256(text) AS digest,
+         |  $feats
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q54_media_resize" ->
       """WITH r AS (

@@ -203,7 +203,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q11_lang_stats" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      """SELECT lang, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS total_chars,
         |  round(cast(sum(n_chars) as double) / count(*), 2) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -336,8 +336,8 @@ object TextQueries {
 
     "q42_token_stats" ->
       s"""SELECT lang,
-         |  sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END) AS n_ws_tokens,
-         |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS n_bpe_tokens,
+         |  cast(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END) as bigint) AS n_ws_tokens,
+         |  cast(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) as bigint) AS n_bpe_tokens,
          |  round(quantile_cont(n_chars, 0.5), 2) AS median_chars,
          |  round(quantile_cont(n_chars, 0.9), 2) AS p90_chars
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

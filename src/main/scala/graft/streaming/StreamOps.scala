@@ -53,10 +53,15 @@ object StreamOps {
         col("w.end").as("session_end"), col("n_events"))
 
   /** Streaming key dedup (the I2 contract): exactly-once per `keyCol`
-    * within the watermark horizon. */
+    * within the watermark horizon — a re-delivered key is suppressed even
+    * when it arrives with a DIFFERENT event time (the reference's ingest
+    * dedups purely on `index`, crawler.py:39-50).
+    * `dropDuplicatesWithinWatermark` keys state on `keyCol` alone and
+    * expires each entry once the watermark passes its first-seen event
+    * time + the delay, so state stays bounded. */
   def dedupByKey(events: DataFrame, keyCol: String, tsCol: String,
                  watermark: String): DataFrame =
-    events.withWatermark(tsCol, watermark).dropDuplicates(keyCol, tsCol)
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCol)
 
   /**
    * Custom-state sessionization via `flatMapGroupsWithState` with an
@@ -139,8 +144,10 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val deduped = batch.dropDuplicates(keyCol)
+        // Hadoop-FS existence probe (works on HDFS/S3/local); a java.io.File
+        // check would always be false on a cluster store and skip the dedup
         val novel =
-          if (new java.io.File(storePath).exists()) {
+          if (graft.operators.Ingest.storeExists(spark, storePath)) {
             val existing = spark.read.parquet(storePath).select(col(keyCol))
             deduped.join(existing, Seq(keyCol), "left_anti")
           } else deduped

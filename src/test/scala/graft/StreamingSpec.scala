@@ -144,14 +144,21 @@ class StreamingSpec extends SparkSpec {
     import s.implicits._
     val data = sampleEvents(100)
     val mem = MemoryStream[Ev](s)
-    val q = StreamOps.dedupByKey(mem.toDF().withColumn("k", col("user_id")), "k", "ts", "1 hour")
+    // the watermark horizon must cover the whole sample's event-time span:
+    // dedup is guaranteed only for re-deliveries inside the horizon
+    val q = StreamOps.dedupByKey(mem.toDF().withColumn("k", col("user_id")), "k", "ts", "30 days")
       .writeStream.format("memory").queryName("dk").outputMode("append").start()
     try {
       mem.addData(data); q.processAllAvailable()
       mem.addData(data) // exact re-delivery: every (k, ts) already seen
       q.processAllAvailable()
+      // re-delivery with a DIFFERENT event time (+1 min, inside the
+      // watermark): still the same key, must also be suppressed
+      val shifted = data.map(e =>
+        e.copy(ts = new java.sql.Timestamp(e.ts.getTime + 60000)))
+      mem.addData(shifted); q.processAllAvailable()
       val out = s.table("dk")
-      assert(out.count() == out.select("k", "ts").distinct().count())
+      assert(out.count() == data.map(_.user_id).distinct.size)
     } finally q.stop()
   }
 }
