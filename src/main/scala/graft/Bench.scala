@@ -22,18 +22,30 @@ object Bench {
     // two timed runs per query, keep the min: this VM shows ±20-30% noisy-
     // neighbor variance, and the minimum is the stable estimate of what the
     // engine actually costs
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a crashing query must NEVER bench as a plausible timing: record the
+    // elapsed time AND the error, and surface errors in the output JSON
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
+        (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val (t1, e1) = timeOnce(fn)
+      val (t2, e2) = timeOnce(fn)
+      name -> (math.min(t1, t2), e1.orElse(e2))
+    }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
+    val errs = results.collect { case (k, (_, Some(e))) => s"\"" + k + "\":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -67,6 +67,9 @@ class Engine(spark: SparkSession, cfg: EngineConfig) {
     VectorFns.embedPartitions(chunks, "chunk", "vec", cfg.embedDim, cfg.batchSize)
       .select("doc_id", "chunk_id", "vec")
       .write.mode("overwrite").parquet(cfg.indexPath)
+    // the vector index changed: drop the memoized IVF layout
+    ivfMemo.foreach(_.cells.unpersist())
+    ivfMemo = None
   }
 
   /** The vector index as a DataFrame. */
@@ -101,17 +104,31 @@ class Engine(spark: SparkSession, cfg: EngineConfig) {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF variant of [[search]] for corpus scale: build the cell layout once
-    * via [[VectorSearch.buildIvf]] and probe `cfg.nprobe` of `cfg.nlist`
-    * cells. With nprobe = nlist (the reference's own configuration) results
-    * equal [[search]]. */
+  /** Memoized IVF layout over the current index — building the quantizer is
+    * an OFFLINE step (the reference's create_index, vdb.py:209-211), never
+    * part of a search. Invalidated by [[update]] (the index changed). */
+  @volatile private var ivfMemo: Option[VectorSearch.IvfIndex] = None
+
+  /** The IVF layout for the current index, built at most once per [[update]].
+    * The cell assignment is cached (it feeds every subsequent search). */
+  def ivfIndex(): VectorSearch.IvfIndex = ivfMemo.getOrElse(synchronized {
+    ivfMemo.getOrElse {
+      val built = VectorSearch.buildIvf(index(), cfg.nlist, idCol = "chunk_id", vecCol = "vec")
+      val cached = built.copy(cells = built.cells.cache())
+      ivfMemo = Some(cached)
+      cached
+    }
+  })
+
+  /** IVF variant of [[search]] for corpus scale: probe `cfg.nprobe` of
+    * `cfg.nlist` cells of the memoized [[ivfIndex]]. With nprobe = nlist
+    * (the reference's own configuration) results equal [[search]]. */
   def searchIvf(queries: Seq[String]): DataFrame = {
     import spark.implicits._
     val qdf = queries.zipWithIndex
       .map { case (q, i) => (i.toLong, q) }.toDF("query_id", "query")
       .withColumn("query_vec", VectorFns.hashEmbedUdf(cfg.embedDim)(col("query")))
-    val ivf = VectorSearch.buildIvf(index(), cfg.nlist, idCol = "chunk_id", vecCol = "vec")
-    val hits = ivf.search(qdf, cfg.limit, cfg.nprobe)
+    val hits = ivfIndex().search(qdf, cfg.limit, cfg.nprobe)
       .withColumn("doc_id", TextFns.parentId(col("chunk_id")).cast("long"))
     store().join(broadcast(hits), "doc_id")
       .select(col("query_id"), col("doc_id"), col("chunk_id"), col("score"), col("rank"))

@@ -42,6 +42,31 @@ object VectorFns {
       transform(v, x => (x.cast(DoubleType) / n).cast(FloatType)))
   }
 
+  /**
+   * Masked mean-pooling over per-token embeddings (SURVEY §2.9 V2 — the
+   * reference's sentence-embedding pool, embed.py:44-49: `sum(token_emb *
+   * mask) / sum(mask)`), as pure vectorized array ops: no UDF, no explode.
+   * `tokVecs`: ARRAY<ARRAY<DOUBLE>> (tokens × dim); `mask`: ARRAY<DOUBLE>
+   * of 0/1 attention weights, one per token. Returns the ARRAY<DOUBLE>
+   * pooled vector. At scale this is a narrow per-row map — no shuffle.
+   */
+  def maskedMeanPool(tokVecs: Column, mask: Column): Column = {
+    val n = aggregate(mask, lit(0.0), (acc, m) => acc + m)
+    val zero = transform(element_at(tokVecs, 1), _ => lit(0.0))
+    val summed = aggregate(
+      zip_with(tokVecs, mask, (v, m) => transform(v, x => x * m)),
+      zero,
+      (acc, v) => zip_with(acc, v, (a, b) => a + b))
+    transform(summed, x => x / n)
+  }
+
+  /** L2-normalize an ARRAY<DOUBLE> column (double-precision sibling of
+    * [[l2Normalize]] — mean-pooled vectors stay in double for the oracle). */
+  def l2NormalizeD(v: Column): Column = {
+    val n = l2Norm(v)
+    when(n === 0.0, v).otherwise(transform(v, x => x / n))
+  }
+
   /** Register SQL-callable forms: cosine_sim / dot_product / l2_dist.
     * Idempotent; cheap enough to call before every use. */
   def register(spark: SparkSession): Unit = {

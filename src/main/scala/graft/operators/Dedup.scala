@@ -97,28 +97,37 @@ object Dedup {
    * minima come out of ONE groupBy pass with map-side partial aggregation —
    * no seed explode, so the shuffle carries one row per (partition, doc)
    * instead of numHashes rows per shingle (16× less at numHashes=16).
+   * The shingle-set size `sz` (|A| for the Jaccard denominator) rides along
+   * as a LAST column out of the same pass — the verify stage needs it, and
+   * computing it here saves a whole extra aggregation branch over the
+   * shingle table.
    */
   def minhashWide(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     // shingle is already the 60-bit content hash (shingleTable); reduce mod p
     val withH0 = shingles.withColumn("h0", col("shingle") % MhP)
-    val aggs = (0 until numHashes).map(sd => min(familyHashAt(col("h0"), sd)).as(s"mh$sd"))
+    val aggs = (0 until numHashes).map(sd => min(familyHashAt(col("h0"), sd)).as(s"mh$sd")) :+
+      count(lit(1)).as("sz")
     withH0.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /**
-   * LSH banding over the wide signature: band b's bucket key is the sha256
-   * of its minhashes joined in seed order — computed row-at-a-time from the
-   * wide columns (no collect_list aggregation), then unpivoted to
+   * LSH banding over the wide signature: band b's bucket key is an xxhash64
+   * fingerprint of its minhashes in seed order — computed row-at-a-time from
+   * the wide columns (no collect_list aggregation), then unpivoted to
    * (id, band, band_sig). Docs sharing any bucket become candidate pairs;
    * the self-join happens only inside buckets.
+   *
+   * The fingerprint function does not need to match the oracle's (sha256):
+   * band-sig equality is equality of the underlying minhash TUPLE in either
+   * engine (collisions are ~n²/2⁶⁴ — negligible), and an 8-byte codegen'd
+   * xxhash64 join key beats a 64-char sha256 string through the shuffle.
    */
   def lshCandidatePairs(wideSigs: DataFrame, idCol: String, numHashes: Int,
                         bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     val bandSigCols = (0 until bands).map { b =>
-      sha2(concat_ws(",",
-        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*), 256)
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)
     }
     val bandSigs = wideSigs.select(col(idCol),
       posexplode(array(bandSigCols: _*)).as(Seq("band", "band_sig")))
@@ -130,9 +139,11 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for candidate pairs via the inverted shingle table —
-    * |A∩B| from a key join, never a full cross product. */
-  def jaccardForPairs(pairs: DataFrame, shingles: DataFrame, idCol: String): DataFrame = {
-    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    * |A∩B| from a key join, never a full cross product. `sizes` carries
+    * (idCol, sz) = |shingle set| per doc; [[minhashWide]] produces it for
+    * free out of the signature pass. */
+  def jaccardForPairs(pairs: DataFrame, shingles: DataFrame, sizes: DataFrame,
+                      idCol: String): DataFrame = {
     val sa = shingles.select(col(idCol).as("id_a"), col("shingle"))
     val sb = shingles.select(col(idCol).as("id_b"), col("shingle"))
     val inter = pairs.join(sa, "id_a").join(sb, Seq("id_b", "shingle"))
@@ -140,27 +151,36 @@ object Dedup {
     pairs
       .join(inter, Seq("id_a", "id_b"), "left")
       .na.fill(0L, Seq("inter"))
-      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard",
         round(col("inter").cast(DoubleType) /
           (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType), 4))
       .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
   }
 
+  /** [[jaccardForPairs]] computing sizes from the shingle table itself (an
+    * extra aggregation branch — prefer the sizes-from-signature overload). */
+  def jaccardForPairs(pairs: DataFrame, shingles: DataFrame, idCol: String): DataFrame =
+    jaccardForPairs(pairs, shingles,
+      shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz")), idCol)
+
   /** Full near-dup pipeline: shingle → minhash → LSH candidates → exact
-    * Jaccard verify ≥ threshold. The shingle table feeds four DAG branches
-    * (signatures, both sides of the intersection join, sizes), so it is
-    * persisted — at corpus scale this is the materialize-the-inverted-index
-    * step, spilling to disk when it outgrows memory. */
+    * Jaccard verify ≥ threshold. The shingle table feeds three DAG branches
+    * (signatures+sizes in one pass, both sides of the intersection join), so
+    * it is persisted — at corpus scale this is the
+    * materialize-the-inverted-index step, spilling to disk when it outgrows
+    * memory. The signature table feeds banding AND the Jaccard denominators,
+    * so the verify stage adds no extra pass over the shingles. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
-    val sh = shingleTable(df, textCol, idCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashWide(sh, idCol, numHashes)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = shingleTable(df, textCol, idCol, shingleSize).persist(lvl)
+    val sig = minhashWide(sh, idCol, numHashes).persist(lvl)
     val cand = lshCandidatePairs(sig, idCol, numHashes, bands)
-    jaccardForPairs(cand, sh, idCol).filter(col("jaccard") >= threshold)
+    jaccardForPairs(cand, sh, sig.select(col(idCol), col("sz")), idCol)
+      .filter(col("jaccard") >= threshold)
   }
 
   // ------------------------------------------------------------------ SimHash
@@ -213,33 +233,50 @@ object Dedup {
   /**
    * Connected components over a near-dup pair graph — the step that turns
    * pairwise matches into dedup clusters (keep min-id per component as the
-   * canonical document). Iterative min-label propagation: each round every
-   * node adopts the smallest label among itself and its neighbors; `iters`
-   * must cover the graph diameter (near-dup clusters are shallow — chains
-   * longer than a few hops are rare). Each round is one join + one
-   * aggregation; intermediate label tables are persisted so the lineage
-   * doesn't recompute exponentially.
+   * canonical document). Iterative min-label propagation TO CONVERGENCE:
+   * each round every node adopts the smallest label among itself and its
+   * neighbors, and the loop stops when a round changes ZERO labels (one
+   * cheap count per round on the changed-label diff — the labels table is
+   * materialized by that count anyway, so convergence detection is free).
+   * A fixed iteration cap would silently split any component whose diameter
+   * exceeds it; `maxIters` here is only a runaway-graph safety net (min-label
+   * propagation converges in O(diameter) rounds, and near-dup clusters are
+   * shallow — a 100 TB corpus hits tens of rounds only under adversarial
+   * chain topologies, for which large-star/small-star is the next step).
    */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          iters: Int): DataFrame = {
+                          maxIters: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
+    // localCheckpoint (not just persist) each level: `labels` feeds the next
+    // round THREE times (union, neighbor join, convergence diff), so without
+    // lineage TRUNCATION the logical plan grows ~3× per round — exponential
+    // plan-tree blowup that stalls the driver long before the data does.
+    // Checkpointed levels keep the plan O(1) per round; the blocks live in
+    // executor storage (at production scale swap in a reliable checkpoint
+    // dir for executor-loss tolerance).
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var i = 0
-    while (i < iters) {
+    var changed = 1L
+    while (changed > 0 && i < maxIters) {
       val viaNeighbor = sym.join(labels.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("label"))
-      // persist marks keep the lineage linear (each level is computed once,
-      // on first use, within the final job) without forcing a synchronous
-      // materialization per round
-      labels = labels.unionAll(viaNeighbor)
+      val next = labels.unionAll(viaNeighbor)
         .groupBy("node").agg(min("label").as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true) // materializes: the convergence diff below is cheap
+      // convergence check: rows whose label shrank this round — node-keyed
+      // join between two checkpointed level tables, one count per round.
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") =!= col("prev"))
+        .count()
+      labels = next
       i += 1
     }
+    sym.unpersist()
     labels
   }
   /** Deterministic random hyperplanes for sign-LSH (one per signature bit),

@@ -5,6 +5,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
+/** Bounded top-k buffer: parallel primitive arrays in (score desc, id asc)
+  * order. Top-level case class so `Encoders.product` needs no outer pointer. */
+final case class TopKBuf(scores: Array[Double], ids: Array[Long])
+
 /**
  * Similarity search (SURVEY.md §2.9 V7 / §2.6 TK2 / §4 P6).
  *
@@ -39,17 +43,67 @@ object VectorSearch {
 
   /** Typed top-k aggregator: partial aggregation keeps only k candidates per
     * partition, so the shuffle after scoring is O(partitions·k), not O(N).
-    * Deterministic order: score desc, id asc. */
-  class TopKAgg(k: Int) extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
-    private val ord: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
-    override def zero: List[(Double, Long)] = Nil
-    override def reduce(b: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] =
-      (a :: b).sorted(ord).take(k)
-    override def merge(b1: List[(Double, Long)], b2: List[(Double, Long)]): List[(Double, Long)] =
-      (b1 ++ b2).sorted(ord).take(k)
-    override def finish(r: List[(Double, Long)]): Seq[(Double, Long)] = r.sorted(ord)
-    override def bufferEncoder =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+    * Deterministic order: score desc, id asc.
+    *
+    * The buffer is a pair of PRIMITIVE arrays kept in (score desc, id asc)
+    * order — each update is one binary search + bounded arraycopy, and the
+    * encoder writes two flat UnsafeArrayData blobs. The previous
+    * `List[(Double, Long)]` buffer re-sorted per row and made the encoder
+    * serialize a boxed cons-list per update, which benched 4-5× slower at
+    * sf0.1 (BENCH_r2 q22 regression). */
+  class TopKAgg(k: Int) extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long)]] {
+    override def zero: TopKBuf = TopKBuf(Array.emptyDoubleArray, Array.emptyLongArray)
+
+    // insertion point for (s, id) in the (score desc, id asc) order
+    private def insertAt(b: TopKBuf, s: Double, id: Long): Int = {
+      var lo = 0; var hi = b.scores.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val cmp = if (b.scores(mid) > s) -1
+          else if (b.scores(mid) < s) 1
+          else java.lang.Long.compare(b.ids(mid), id)
+        if (cmp < 0) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+
+    override def reduce(b: TopKBuf, a: (Double, Long)): TopKBuf = {
+      val n = b.scores.length
+      val pos = insertAt(b, a._1, a._2)
+      if (pos >= k) b
+      else {
+        val m = math.min(n + 1, k)
+        val ns = new Array[Double](m); val ni = new Array[Long](m)
+        System.arraycopy(b.scores, 0, ns, 0, pos)
+        System.arraycopy(b.ids, 0, ni, 0, pos)
+        ns(pos) = a._1; ni(pos) = a._2
+        val tail = m - pos - 1
+        if (tail > 0) {
+          System.arraycopy(b.scores, pos, ns, pos + 1, tail)
+          System.arraycopy(b.ids, pos, ni, pos + 1, tail)
+        }
+        TopKBuf(ns, ni)
+      }
+    }
+
+    override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
+      val m = math.min(b1.scores.length + b2.scores.length, k)
+      val ns = new Array[Double](m); val ni = new Array[Long](m)
+      var i = 0; var j = 0; var o = 0
+      while (o < m) {
+        val takeLeft = j >= b2.scores.length || (i < b1.scores.length &&
+          (b1.scores(i) > b2.scores(j) ||
+            (b1.scores(i) == b2.scores(j) && b1.ids(i) <= b2.ids(j))))
+        if (takeLeft) { ns(o) = b1.scores(i); ni(o) = b1.ids(i); i += 1 }
+        else { ns(o) = b2.scores(j); ni(o) = b2.ids(j); j += 1 }
+        o += 1
+      }
+      TopKBuf(ns, ni)
+    }
+
+    override def finish(r: TopKBuf): Seq[(Double, Long)] =
+      Array.tabulate(r.scores.length)(i => (r.scores(i), r.ids(i))).toSeq
+    override def bufferEncoder = org.apache.spark.sql.Encoders.product[TopKBuf]
     override def outputEncoder =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }

@@ -65,7 +65,7 @@ object SourceQueries {
       val p0 = t(s, dir, "part").select("p_partkey", "p_name", "p_brand", "p_retailprice")
       p0.write.mode("overwrite").json(path)
       s.read.schema(p0.schema).json(path)
-        .filter(col("p_retailprice") > 1500)
+        .filter(col("p_retailprice") > 900)
         .orderBy(col("p_partkey"))
     }),
 
@@ -77,6 +77,34 @@ object SourceQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("source"))
+    }),
+
+    // A3 schema sampler (reference mongodb.py:29-41: sample N docs → per
+    // key → set of observed type names): documents become dynamic
+    // MAP<STRING,STRING> records, a bounded deterministic sample (the
+    // mongo `.limit(100)` analog) explodes to key/value, values classify
+    // into type names by shape, and the per-key type inventory aggregates
+    // with collect_set. array_join(array_sort(...)) renders the set
+    // portably (F7).
+    "q56_schema_sample" -> ((s, dir) => {
+      val sample = t(s, dir, "documents")
+        .filter(col("doc_id") < 100) // deterministic 100-doc sample
+        .select(map(
+          lit("doc_id"), col("doc_id").cast("string"),
+          lit("lang"), col("lang"),
+          lit("n_chars"), col("n_chars").cast("string"),
+          lit("ratio"), round(col("n_chars") / 100.0, 2).cast("string"),
+          lit("flag"), (col("doc_id") % 2 === 0).cast("string")).as("rec"))
+      sample.select(explode(col("rec")).as(Seq("key", "value")))
+        .withColumn("vtype",
+          when(col("value").rlike("^(true|false)$"), "boolean")
+            .when(col("value").rlike("^-?[0-9]+$"), "bigint")
+            .when(col("value").rlike("^-?[0-9]+\\.[0-9]+$"), "double")
+            .otherwise("varchar"))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_values"),
+          array_join(array_sort(collect_set(col("vtype"))), ",").as("types"))
+        .orderBy(col("key"))
     }),
 
     // F4/P1 record→text serialization and back (to_json/from_json; the
@@ -95,6 +123,23 @@ object SourceQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q56_schema_sample" ->
+      """WITH sample AS (SELECT * FROM documents WHERE doc_id < 100),
+        |kv AS (
+        |  SELECT 'doc_id' AS key, cast(doc_id as varchar) AS value FROM sample
+        |  UNION ALL SELECT 'lang', lang FROM sample
+        |  UNION ALL SELECT 'n_chars', cast(n_chars as varchar) FROM sample
+        |  UNION ALL SELECT 'ratio', cast(round(n_chars / 100.0, 2) as varchar) FROM sample
+        |  UNION ALL SELECT 'flag', cast(doc_id % 2 = 0 as varchar) FROM sample),
+        |typed AS (
+        |  SELECT key, CASE WHEN regexp_matches(value, '^(true|false)$') THEN 'boolean'
+        |    WHEN regexp_matches(value, '^-?[0-9]+$') THEN 'bigint'
+        |    WHEN regexp_matches(value, '^-?[0-9]+\.[0-9]+$') THEN 'double'
+        |    ELSE 'varchar' END AS vtype
+        |  FROM kv)
+        |SELECT key, count(*) AS n_values,
+        |  array_to_string(list_sort(list(DISTINCT vtype)), ',') AS types
+        |FROM typed GROUP BY key ORDER BY key""".stripMargin,
     "q31_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q32_parquet_roundtrip" ->
@@ -107,7 +152,7 @@ object SourceQueries {
 
     "q53_jsonl_roundtrip" ->
       """SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
-        |WHERE p_retailprice > 1500 ORDER BY p_partkey""".stripMargin,
+        |WHERE p_retailprice > 900 ORDER BY p_partkey""".stripMargin,
 
     "q41_partitioned_write" ->
       s"""SELECT date_trunc('hour', ts) AS hour, count(*) AS n_clicks,

@@ -39,6 +39,34 @@ object TextQueries {
       |       substring(text, 1, cast(greatest(length(text) - 30, 1) as int)) AS text
       |FROM documents WHERE doc_id % 25 = 0""".stripMargin
 
+  /** Blocked fuzzy match over text prefixes (exposed for the candidate-bound
+    * spec): candidates = same source AND same first-8-char block key; verify
+    * = levenshtein over the 24-char prefixes ≤ 8. */
+  private[graft] def fuzzyMatchBlocked(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"),
+        substring(col("text"), 1, 24).as("pfx"))
+      .withColumn("blk", substring(col("pfx"), 1, 8))
+    val a = d.select(col("doc_id").as("id_a"), col("source"),
+      col("pfx").as("pfx_a"), col("blk"))
+    val b = d.select(col("doc_id").as("id_b"), col("source"),
+      col("pfx").as("pfx_b"), col("blk"))
+    a.join(b, Seq("source", "blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")))
+      .filter(col("dist") <= 8)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** Candidate pairs the block key admits (pre-verify) — what the spec bounds. */
+  private[graft] def fuzzyCandidates(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"),
+      substring(col("text"), 1, 8).as("blk"))
+    val a = d.select(col("doc_id").as("id_a"), col("source"), col("blk"))
+    val b = d.select(col("doc_id").as("id_b"), col("source"), col("blk"))
+    a.join(b, Seq("source", "blk")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     // A3-style corpus histogram
     "q11_lang_stats" -> ((s, dir) => {
@@ -127,33 +155,40 @@ object TextQueries {
     }),
 
     // dedup cluster formation: near-dup pairs → connected components →
-    // cluster sizes (min-id label is the canonical doc per cluster)
+    // cluster sizes (min-id label is the canonical doc per cluster);
+    // label propagation runs to convergence, whatever the chain diameter
     "q48_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val edges = docs.filter(col("doc_id") % 10 < 3)
         .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
-      Dedup.connectedComponents(edges, "src", "dst", iters = 3)
+      Dedup.connectedComponents(edges, "src", "dst")
         .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("label"))
     }),
 
     // fuzzy match with blocking: edit distance only inside (source,
-    // prefix-length) blocks — the entity-resolution shape (never all-pairs)
-    "q49_fuzzy_match" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          substring(col("text"), 1, 24).as("pfx"))
-        .withColumn("plen", length(col("pfx")))
-      val a = d.select(col("doc_id").as("id_a"), col("source"),
-        col("pfx").as("pfx_a"), col("plen"))
-      val b = d.select(col("doc_id").as("id_b"), col("source"),
-        col("pfx").as("pfx_b"), col("plen"))
-      a.join(b, Seq("source", "plen"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")))
-        .filter(col("dist") <= 8)
-        .select("id_a", "id_b", "dist")
-        .orderBy(col("id_a"), col("id_b"))
+    // exact-8-char-prefix) blocks — the entity-resolution shape. The block
+    // key is CONTENT-derived, so block size is bounded by how many documents
+    // genuinely share an opening, not by the number of sources: the
+    // levenshtein self-join never degenerates to per-source all-pairs.
+    "q49_fuzzy_match" -> ((s, dir) =>
+      fuzzyMatchBlocked(t(s, dir, "documents"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // F7 array_join + F8 date_format + TK3 URL-basename sort (uci.py:46's
+    // `substring_index(url,'/',-1)` ordering) in one documents query:
+    // synthesize the crawl URL, sort by its basename, render a token slice
+    // and a derived crawl date
+    "q58_doc_urls" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/"), col("doc_id"), lit(".txt")))
+        .select(col("doc_id"), col("url"),
+          substring_index(col("url"), "/", -1).as("basename"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 3), " ").as("first_words"),
+          date_format(date_add(to_date(lit("2024-01-01")),
+            (col("doc_id") % 365).cast("int")), "yyyy-MM-dd E").as("day"))
+        .orderBy(col("basename"), col("doc_id"))
     }),
 
     // token-count mandate: whitespace + BPE-ish regex counters, with exact
@@ -315,11 +350,12 @@ object TextQueries {
 
     "q49_fuzzy_match" ->
       """WITH d AS (
-        |  SELECT doc_id, source, substring(text, 1, 24) AS pfx FROM documents),
+        |  SELECT doc_id, source, substring(text, 1, 24) AS pfx,
+        |         substring(text, 1, 8) AS blk FROM documents),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.pfx, b.pfx) AS dist
         |  FROM d a JOIN d b ON a.source = b.source
-        |    AND length(a.pfx) = length(b.pfx) AND a.doc_id < b.doc_id)
+        |    AND a.blk = b.blk AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, dist FROM pairs WHERE dist <= 8
         |ORDER BY id_a, id_b""".stripMargin,
 
@@ -333,6 +369,14 @@ object TextQueries {
         |  SELECT s.src AS node, r.label FROM sym s JOIN reach r ON s.dst = r.node),
         |comp AS (SELECT node, min(label) AS label FROM reach GROUP BY node)
         |SELECT label, count(*) AS n_nodes FROM comp GROUP BY label ORDER BY label""".stripMargin,
+
+    "q58_doc_urls" ->
+      """SELECT doc_id,
+        |  'https://' || source || '.example.com/' || lang || '/' || doc_id || '.txt' AS url,
+        |  doc_id || '.txt' AS basename,
+        |  array_to_string(regexp_split_to_array(trim(text), '\s+')[1:3], ' ') AS first_words,
+        |  strftime(DATE '2024-01-01' + INTERVAL (doc_id % 365) DAY, '%Y-%m-%d %a') AS day
+        |FROM documents ORDER BY basename, doc_id""".stripMargin,
 
     "q42_token_stats" ->
       s"""SELECT lang,

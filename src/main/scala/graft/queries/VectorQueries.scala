@@ -115,6 +115,31 @@ object VectorQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // V2 masked mean-pool (embed.py:44-49: sum(token_emb·mask)/sum(mask),
+    // then L2-normalize) as pure vectorized array ops — no UDF, no explode
+    // in the pooling itself. Token embeddings are four deterministic
+    // transforms of the document embedding; the mask knocks one token out
+    // per vec_id residue class. Result exploded to (vec_id, i, v) scalars
+    // so the oracle hash-checks every dimension.
+    "q57_mean_pool" -> ((s, dir) => {
+      import graft.functions.VectorFns
+      val e = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 200)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val tokVecs = array(
+        col("v"),
+        transform(col("v"), x => x * 0.5 + 0.25),
+        transform(col("v"), x => -x),
+        transform(col("v"), x => x + 0.1))
+      val mask = array((1 to 4).map(tk =>
+        when((col("vec_id") + tk) % 3 === 0, 0.0).otherwise(1.0)): _*)
+      e.withColumn("pooled",
+          VectorFns.l2NormalizeD(VectorFns.maskedMeanPool(tokVecs, mask)))
+        .select(col("vec_id"), posexplode(col("pooled")).as(Seq("i", "v")))
+        .select(col("vec_id"), col("i").cast("int").as("i"), round(col("v"), 4).as("v"))
+        .orderBy(col("vec_id"), col("i"))
+    }),
+
     // J3/S8 hydration join: top-k hits stitched onto the document corpus
     // (vdb.py:105-119) — hits side is tiny ⇒ broadcast
     "q25_search_hydrate" -> ((s, dir) => {
@@ -127,6 +152,28 @@ object VectorQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q57_mean_pool" ->
+      """WITH e AS (
+        |  SELECT vec_id, cast(embedding as double[]) AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |m AS (SELECT vec_id, v,
+        |  CASE WHEN (vec_id + 1) % 3 = 0 THEN 0.0 ELSE 1.0 END AS m1,
+        |  CASE WHEN (vec_id + 2) % 3 = 0 THEN 0.0 ELSE 1.0 END AS m2,
+        |  CASE WHEN (vec_id + 3) % 3 = 0 THEN 0.0 ELSE 1.0 END AS m3,
+        |  CASE WHEN (vec_id + 4) % 3 = 0 THEN 0.0 ELSE 1.0 END AS m4
+        |  FROM e),
+        |pooled AS (SELECT vec_id,
+        |  list_transform(generate_series(1, len(v)), j ->
+        |    (m1 * v[j] + m2 * (v[j]*0.5 + 0.25) + m3 * (-v[j]) + m4 * (v[j] + 0.1))
+        |    / (m1 + m2 + m3 + m4)) AS p
+        |  FROM m),
+        |norm AS (SELECT vec_id, p,
+        |  sqrt(list_reduce(list_transform(p, x -> x*x), (a,b) -> a+b)) AS nrm
+        |  FROM pooled),
+        |flat AS (SELECT vec_id, unnest(generate_series(1, len(p))) AS j, p, nrm
+        |  FROM norm)
+        |SELECT vec_id, cast(j - 1 as int) AS i, round(p[j] / nrm, 4) AS v
+        |FROM flat ORDER BY vec_id, i""".stripMargin,
     "q21_ann_topk" -> bruteSql(0, 5),
     "q22_ann_topk_agg" -> bruteSql(5, 10),
     "q23_ann_ivf_exact" -> bruteSql(10, 15),

@@ -134,7 +134,11 @@ private class CorpusReaderFactory(seed: Long, required: StructType)
       override def next(): Boolean = { id += 1; id < r.end }
       override def get(): InternalRow = {
         val g = if (needsGen) SyntheticCorpusSource.generate(seed, id) else null
-        InternalRow.fromSeq(fields.toSeq.map(_.apply(id, g)))
+        // fill a fresh values array directly — no per-row Seq wrapper/map
+        val values = new Array[Any](fields.length)
+        var i = 0
+        while (i < fields.length) { values(i) = fields(i)(id, g); i += 1 }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
       }
       override def close(): Unit = ()
     }

@@ -65,20 +65,32 @@ class DedupSpec extends SparkSpec {
     // two components: {1,2,3,4} (chain), {10,11} — plus 20 isolated via self-edge
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))
       .toDF("src", "dst")
-    val cc = Dedup.connectedComponents(edges, "src", "dst", iters = 4)
+    val cc = Dedup.connectedComponents(edges, "src", "dst")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L && cc(4L) == 1L)
     assert(cc(10L) == 10L && cc(11L) == 10L)
     assert(cc(20L) == 20L)
   }
 
+  test("connectedComponents converges on chains longer than any fixed iteration count") {
+    val s = spark
+    import s.implicits._
+    // a single 13-node path 0-1-2-...-12: diameter 12 — a fixed iters=3
+    // would leave it split into several labels; convergence must not
+    val edges = (0L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = Dedup.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 13)
+    assert(cc.values.forall(_ == 0L), s"split clusters: $cc")
+  }
+
   test("connectedComponents is idempotent: labels as edges reproduce themselves") {
     val s = spark
     import s.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("src", "dst")
-    val cc1 = Dedup.connectedComponents(edges, "src", "dst", iters = 3)
+    val cc1 = Dedup.connectedComponents(edges, "src", "dst")
     // feed (node -> label) back in as edges: components must not change
-    val cc2 = Dedup.connectedComponents(cc1, "node", "label", iters = 3)
+    val cc2 = Dedup.connectedComponents(cc1, "node", "label")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val m1 = cc1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc2 == m1)
@@ -96,6 +108,21 @@ class DedupSpec extends SparkSpec {
     sig.keys.filter(_ < 1000).foreach { id =>
       if (sig.contains(id + 1000)) assert(sig(id) == sig(id + 1000))
     }
+  }
+
+  test("fuzzy-match blocking is content-bounded, not per-source all-pairs") {
+    val d = docs
+    val n = d.count()
+    val candidates = graft.queries.TextQueries.fuzzyCandidates(d).count()
+    // per-source all-pairs would admit ~n²/(2·|sources|) candidate pairs;
+    // the content-derived 8-char block key must stay well under 1% of that
+    val sources = d.select("source").distinct().count()
+    val allPairs = n * n / (2 * math.max(sources, 1))
+    assert(candidates < allPairs / 100,
+      s"blocking degenerated: $candidates candidates vs all-pairs $allPairs")
+    // and the blocked result equals brute force restricted to the block key
+    val res = graft.queries.TextQueries.fuzzyMatchBlocked(d).count()
+    assert(res <= candidates)
   }
 
   test("ingest insert-count via Observation - metrics without a second action (A5)") {

@@ -48,6 +48,21 @@ class EngineSpec extends SparkSpec {
     val ivf = SparkEntryTestHelpers.docIds(eng.searchIvf(q))
     assert(ivf == exact)
   }
+
+  test("searchIvf reuses one built IVF index across calls; update invalidates it") {
+    val eng = freshEngine()
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text"))
+    eng.update()
+    eng.searchIvf(Seq("first query")).count()
+    val built = eng.ivfIndex()
+    eng.searchIvf(Seq("a different query")).count()
+    // the search path must NOT rebuild: same memoized instance
+    assert(eng.ivfIndex() eq built)
+    // rebuilding the vector index drops the memo
+    eng.update()
+    assert(!(eng.ivfIndex() eq built))
+  }
 }
 
 object SparkEntryTestHelpers {

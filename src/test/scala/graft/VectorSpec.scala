@@ -83,6 +83,23 @@ class VectorSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("maskedMeanPool: sum(token·mask)/sum(mask) as array ops (V2, embed.py:44-49)") {
+    val s = spark
+    import s.implicits._
+    // 3 tokens, dim 2; mask drops the third token
+    val df = Seq((Seq(Seq(1.0, 2.0), Seq(3.0, 4.0), Seq(100.0, 100.0)),
+      Seq(1.0, 1.0, 0.0))).toDF("toks", "mask")
+    val out = df.select(VectorFns.maskedMeanPool(col("toks"), col("mask")).as("p"))
+      .collect().head.getSeq[Double](0)
+    assert(out == Seq(2.0, 3.0)) // (1+3)/2, (2+4)/2 — masked token excluded
+    // all-ones mask is the plain mean
+    val full = df.select(VectorFns.maskedMeanPool(col("toks"),
+        array(lit(1.0), lit(1.0), lit(1.0))).as("p"))
+      .collect().head.getSeq[Double](0)
+    assert(full.map(v => math.rint(v * 1e9) / 1e9) == Seq(104.0 / 3, 106.0 / 3)
+      .map(v => math.rint(v * 1e9) / 1e9))
+  }
+
   test("IVF with nprobe == nlist equals exact search; pruned probe has sane recall") {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
