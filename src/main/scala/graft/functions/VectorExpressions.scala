@@ -47,12 +47,16 @@ abstract class VectorBinaryExpression extends BinaryExpression {
     n
   }
 
-  /** Codegen form of [[checkDims]]; declares `int n`. */
-  protected final def dimCheckCode(x: String, y: String): String =
-    s"""int n = $x.numElements();
-       |if ($y.numElements() != n) {
+  /** Codegen form of [[checkDims]]; declares the length variable `n`.
+    * Every local comes from `ctx.freshName` — a fixed name would collide
+    * (janino "redefinition of local variable") when two vector expressions
+    * land in the same generated function, silently demoting the whole
+    * projection to interpreted mode. */
+  protected final def dimCheckCode(x: String, y: String, n: String): String =
+    s"""int $n = $x.numElements();
+       |if ($y.numElements() != $n) {
        |  throw new IllegalArgumentException("$prettyName: mismatched vector dimensions "
-       |    + n + " vs " + $y.numElements());
+       |    + $n + " vs " + $y.numElements());
        |}""".stripMargin
 }
 
@@ -76,15 +80,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
       s"""
-         |${dimCheckCode(x, y)}
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = ${elemCode(left, x, "i")};
-         |  double yi = ${elemCode(right, y, "i")};
-         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |${dimCheckCode(x, y, n)}
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xi = ${elemCode(left, x, i)};
+         |  double yi = ${elemCode(right, y, i)};
+         |  $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
          |}
-         |${ev.value} = (nx == 0.0 || ny == 0.0) ? 0.0 : dot / java.lang.Math.sqrt(nx * ny);
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($nx * $ny);
        """.stripMargin
     })
 
@@ -109,13 +116,15 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
       s"""
-         |${dimCheckCode(x, y)}
-         |double dot = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  dot += ${elemCode(left, x, "i")} * ${elemCode(right, y, "i")};
+         |${dimCheckCode(x, y, n)}
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ${elemCode(left, x, i)} * ${elemCode(right, y, i)};
          |}
-         |${ev.value} = dot;
+         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -141,14 +150,16 @@ case class L2Distance(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
       s"""
-         |${dimCheckCode(x, y)}
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double d = ${elemCode(left, x, "i")} - ${elemCode(right, y, "i")};
-         |  s += d * d;
+         |${dimCheckCode(x, y, n)}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double d = ${elemCode(left, x, i)} - ${elemCode(right, y, i)};
+         |  $acc += d * d;
          |}
-         |${ev.value} = java.lang.Math.sqrt(s);
+         |${ev.value} = java.lang.Math.sqrt($acc);
        """.stripMargin
     })
 

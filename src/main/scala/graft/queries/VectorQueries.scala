@@ -133,9 +133,15 @@ object VectorQueries {
         transform(col("v"), x => x + 0.1))
       val mask = array((1 to 4).map(tk =>
         when((col("vec_id") + tk) % 3 === 0, 0.0).otherwise(1.0)): _*)
-      e.withColumn("pooled",
-          VectorFns.l2NormalizeD(VectorFns.maskedMeanPool(tokVecs, mask)))
-        .select(col("vec_id"), posexplode(col("pooled")).as(Seq("i", "v")))
+      // staged projections: each alias is referenced twice downstream, so
+      // CollapseProject leaves the stages separate and every array is
+      // computed ONCE per row — folding pool+normalize into one expression
+      // tree re-evaluates the nested lambdas combinatorially (no CSE inside
+      // interpreted higher-order functions; this was a 25× slowdown)
+      e.select(col("vec_id"), VectorFns.maskedMeanPool(tokVecs, mask).as("pooled"))
+        .select(col("vec_id"), col("pooled"), VectorFns.l2Norm(col("pooled")).as("nrm"))
+        .select(col("vec_id"),
+          posexplode(transform(col("pooled"), x => x / col("nrm"))).as(Seq("i", "v")))
         .select(col("vec_id"), col("i").cast("int").as("i"), round(col("v"), 4).as("v"))
         .orderBy(col("vec_id"), col("i"))
     }),
