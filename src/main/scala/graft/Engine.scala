@@ -22,6 +22,41 @@ final case class EngineConfig(
     nprobe: Int = 128,
     limit: Int = 4)
 
+object EngineConfig {
+  /**
+   * Load from a minimal `key: value` file — the flat shape of the
+   * reference's `config.yml` (chunk_size/chunk_overlap config.yml:89-90,
+   * batch_size :86, nlist/nprobe/limit :81-83) without a YAML dependency:
+   * `#` comments and blank lines ignored, unknown keys ignored, absent
+   * keys keep the case-class defaults. store_path/index_path are required.
+   */
+  def load(path: String): EngineConfig = {
+    val src = scala.io.Source.fromFile(path)
+    val kv = try {
+      src.getLines()
+        .map(_.takeWhile(_ != '#').trim)
+        .filter(_.nonEmpty)
+        .flatMap(_.split(":", 2) match {
+          case Array(k, v) => Some(k.trim -> v.trim)
+          case _ => None
+        }).toMap
+    } finally src.close()
+    def int(key: String, dflt: Int): Int = kv.get(key).map(_.toInt).getOrElse(dflt)
+    def req(key: String): String = kv.getOrElse(key,
+      throw new IllegalArgumentException(s"EngineConfig: missing required key '$key' in $path"))
+    EngineConfig(
+      storePath = req("store_path"),
+      indexPath = req("index_path"),
+      chunkSize = int("chunk_size", 128),
+      chunkOverlap = int("chunk_overlap", 64),
+      embedDim = int("embed_dim", 64),
+      batchSize = int("batch_size", 128),
+      nlist = int("nlist", 128),
+      nprobe = int("nprobe", 128),
+      limit = int("limit", 4))
+  }
+}
+
 /**
  * The user-facing lifecycle of the reference, Spark-native — a user of
  * coldata's `main.py` flow (crawl→store, `vdb.update`, `vdb.search`;

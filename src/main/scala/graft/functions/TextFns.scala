@@ -174,6 +174,59 @@ object TextFns {
       .otherwise(lit("en"))
   }
 
+  // ---------------------------------------------------------------- F6 html→md
+  /**
+   * HTML→markdown extraction (SURVEY §2.8 F6 — the reference's trafilatura
+   * call at uci.py:56, re-expressed as a deterministic ordered
+   * regexp_replace chain so it stays inside codegen AND has an exact DuckDB
+   * spelling). Handles the common structural tags (headings, paragraphs,
+   * lists, links, emphasis), drops script/style, strips the rest, decodes
+   * the basic entities. Lowercase-tag HTML; a full parser lives behind the
+   * same Column signature if fidelity ever demands it.
+   *
+   * Patterns avoid backreferences and use only (?s)/lazy quantifiers —
+   * the RE2 subset, so Java regex (Spark) and RE2 (DuckDB) agree.
+   */
+  def htmlToMarkdown(html: Column): Column =
+    trim(htmlChain.foldLeft(html) { case (c, (pat, repl, _)) =>
+      regexp_replace(c, pat, repl)
+    })
+
+  /** DuckDB spelling of [[htmlToMarkdown]] — same chain, same order. */
+  def htmlToMarkdownSql(expr: String): String = {
+    val inner = htmlChain.foldLeft(expr) { case (e, (pat, _, duckRepl)) =>
+      val p = pat.replace("'", "''")
+      s"regexp_replace($e, '$p', $duckRepl, 'g')"
+    }
+    s"trim($inner)"
+  }
+
+  /** (pattern, Spark replacement, DuckDB replacement SQL expr), in order.
+    * Dotall is the inline `(?s)` flag — the spelling both engines share. */
+  private val htmlChain: Seq[(String, String, String)] = Seq(
+    ("(?s)<script[^>]*>.*?</script>", "", "''"),
+    ("(?s)<style[^>]*>.*?</style>", "", "''"),
+    ("<br[^>]*>", "\n", "chr(10)"),
+    ("</p>", "\n\n", "chr(10) || chr(10)"),
+    ("<p[^>]*>", "", "''"),
+    ("<h1[^>]*>", "# ", "'# '"),
+    ("<h2[^>]*>", "## ", "'## '"),
+    ("<h3[^>]*>", "### ", "'### '"),
+    ("</h[1-6]>", "\n\n", "chr(10) || chr(10)"),
+    ("<h[4-6][^>]*>", "", "''"),
+    ("<li[^>]*>", "- ", "'- '"),
+    ("</li>", "\n", "chr(10)"),
+    ("<a href=\"([^\"]*)\"[^>]*>([^<]*)</a>", "[$2]($1)", "'[\\2](\\1)'"),
+    ("</?(b|strong)\\b[^>]*>", "**", "'**'"),
+    ("</?(i|em)\\b[^>]*>", "*", "'*'"),
+    ("<[^>]+>", "", "''"),
+    ("&amp;", "&", "'&'"),
+    ("&lt;", "<", "'<'"),
+    ("&gt;", ">", "'>'"),
+    ("&quot;", "\"", "'\"'"),
+    ("&nbsp;", " ", "' '"),
+    ("\n{3,}", "\n\n", "chr(10) || chr(10)"))
+
   // ---------------------------------------------------------------- fingerprint
   private val FpPrime = 1000000007L
 

@@ -175,6 +175,24 @@ object TextQueries {
       fuzzyMatchBlocked(t(s, dir, "documents"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // F6 HTML→markdown extraction (uci.py:56's trafilatura slot): synthesize
+    // an HTML page per document, extract structured markdown back via the
+    // mirrored regexp chain — headings, emphasis, list, link, entity,
+    // script-drop all exercised
+    "q59_html_markdown" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("html", concat(
+          lit("<html><body><h1>Doc "), col("doc_id"), lit("</h1>"),
+          lit("<p>Lang: <b>"), col("lang"), lit("</b> &amp; source <i>"),
+          col("source"), lit("</i></p>"),
+          lit("<ul><li><a href=\"https://"), col("source"), lit(".example.com/"),
+          col("doc_id"), lit("\">visit</a></li><li>chars: "), col("n_chars"),
+          lit("</li></ul><p>"), substring(col("text"), 1, 60),
+          lit("</p><script>var x = 1;</script></body></html>")))
+        .select(col("doc_id"), TextFns.htmlToMarkdown(col("html")).as("md"))
+        .orderBy(col("doc_id"))
+    }),
+
     // F7 array_join + F8 date_format + TK3 URL-basename sort (uci.py:46's
     // `substring_index(url,'/',-1)` ordering) in one documents query:
     // synthesize the crawl URL, sort by its basename, render a token slice
@@ -369,6 +387,18 @@ object TextQueries {
         |  SELECT s.src AS node, r.label FROM sym s JOIN reach r ON s.dst = r.node),
         |comp AS (SELECT node, min(label) AS label FROM reach GROUP BY node)
         |SELECT label, count(*) AS n_nodes FROM comp GROUP BY label ORDER BY label""".stripMargin,
+
+    "q59_html_markdown" -> {
+      val htmlSql =
+        """'<html><body><h1>Doc ' || doc_id || '</h1>' ||
+          |'<p>Lang: <b>' || lang || '</b> &amp; source <i>' || source || '</i></p>' ||
+          |'<ul><li><a href="https://' || source || '.example.com/' || doc_id ||
+          |'">visit</a></li><li>chars: ' || n_chars || '</li></ul><p>' ||
+          |substring(text, 1, 60) || '</p><script>var x = 1;</script></body></html>'"""
+          .stripMargin.replace("\n", " ")
+      s"""SELECT doc_id, ${TextFns.htmlToMarkdownSql(s"($htmlSql)")} AS md
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q58_doc_urls" ->
       """SELECT doc_id,

@@ -49,6 +49,29 @@ class EngineSpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("EngineConfig.load parses key:value config with comments and defaults") {
+    val f = java.nio.file.Files.createTempFile("graft-cfg", ".yml")
+    java.nio.file.Files.writeString(f,
+      """# engine config (reference config.yml shape)
+        |store_path: /tmp/graft/store
+        |index_path: /tmp/graft/index   # inline comment
+        |chunk_size: 256
+        |nprobe: 16
+        |unknown_key: ignored
+        |""".stripMargin)
+    val cfg = EngineConfig.load(f.toString)
+    assert(cfg.storePath == "/tmp/graft/store")
+    assert(cfg.indexPath == "/tmp/graft/index")
+    assert(cfg.chunkSize == 256)
+    assert(cfg.nprobe == 16)
+    assert(cfg.chunkOverlap == 64 && cfg.limit == 4) // defaults survive
+    intercept[IllegalArgumentException] {
+      val g = java.nio.file.Files.createTempFile("graft-cfg-bad", ".yml")
+      java.nio.file.Files.writeString(g, "chunk_size: 1\n")
+      EngineConfig.load(g.toString)
+    }
+  }
+
   test("searchIvf reuses one built IVF index across calls; update invalidates it") {
     val eng = freshEngine()
     eng.ingest(spark.read.parquet(s"$sf/documents.parquet")

@@ -60,4 +60,17 @@ class TextFnsSpec extends SparkSpec {
     assert(a == b)
     assert(a != c)
   }
+
+  test("htmlToMarkdown: headings, lists, links, emphasis, entities, script-drop (F6)") {
+    val html = "<html><body><h1>Title</h1><p>Hello <b>bold</b> &amp; " +
+      "<i>italic</i></p><ul><li><a href=\"https://x.y/z\">link</a></li>" +
+      "<li>plain</li></ul><script>var a = 1;\nvar b = 2;</script></body></html>"
+    val md = one(TextFns.htmlToMarkdown(lit(html))).getString(0)
+    assert(md.startsWith("# Title"))
+    assert(md.contains("**bold** & *italic*"))
+    assert(md.contains("- [link](https://x.y/z)"))
+    assert(md.contains("- plain"))
+    assert(!md.contains("var a"), "script content must be dropped")
+    assert(!md.contains("<"), "no tags survive")
+  }
 }
