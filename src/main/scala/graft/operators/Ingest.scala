@@ -1,7 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Transient catalog/SDK failure — the retryable class ([[Ingest.fetchCatalog]]). */
+final class TransientFetchError(msg: String) extends RuntimeException(msg)
 
 /**
  * Set-oriented ingest (SURVEY §2.2 K1, §2.4 J4, §2.10 I2).
@@ -26,6 +30,61 @@ object Ingest {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(hPath)
+  }
+
+  /**
+   * SDK/REST catalog scan (SURVEY §2.1 S4) with bounded retry/backoff
+   * (§2.10 I4) and per-partition rate limiting (§2.10 I5) — the reference's
+   * `list_datasets` SDK loop (kaggle.py:23-33) and its implicit API-limit
+   * handling, distributed the only way that scales: ONE client per
+   * partition (`clientFor`, created inside mapPartitions — never
+   * serialized from the driver), ids streamed through it, each call
+   * retried up to `maxRetries` times on [[TransientFetchError]] with
+   * exponential backoff, and a fixed inter-call pacing of
+   * `minCallIntervalMs` (a token-bucket degenerate: 1 token per interval)
+   * so P partitions stay under P·(1000/interval) calls/sec.
+   *
+   * Permanent errors (anything not [[TransientFetchError]]) propagate —
+   * retrying them would hide data loss.
+   *
+   * Returns (idCol, payload). The fake deterministic client in the specs
+   * stands in for a real SDK exactly like the multimodal decode stub.
+   */
+  def fetchCatalog(ids: DataFrame, idCol: String,
+                   clientFor: Int => Long => String,
+                   maxRetries: Int = 3, backoffMs: Long = 1,
+                   minCallIntervalMs: Long = 0): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("payload", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = ids.schema.fieldIndex(idCol)
+    ids.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val client = clientFor(pid) // one SDK handle per partition
+      var lastCall = 0L
+      rows.map { r =>
+        val id = r.getLong(idx)
+        // I5: pace calls within this partition
+        if (minCallIntervalMs > 0) {
+          val wait = lastCall + minCallIntervalMs - System.currentTimeMillis()
+          if (wait > 0) Thread.sleep(wait)
+          lastCall = System.currentTimeMillis()
+        }
+        // I4: bounded retry with exponential backoff on transient errors
+        var attempt = 0
+        var out: String = null
+        var done = false
+        while (!done) {
+          try { out = client(id); done = true } catch {
+            case e: TransientFetchError =>
+              attempt += 1
+              if (attempt > maxRetries) throw e
+              Thread.sleep(backoffMs << (attempt - 1))
+          }
+        }
+        Row(id, out)
+      }
+    }(enc)
   }
 
   /** Idempotent append: write only unseen keys. Appending the same batch

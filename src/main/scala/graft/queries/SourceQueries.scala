@@ -79,6 +79,27 @@ object SourceQueries {
         .orderBy(col("source"))
     }),
 
+    // S4 SDK/catalog scan through the per-partition-client operator
+    // (Ingest.fetchCatalog: one client per partition, bounded retry with
+    // backoff on transient errors — I4 — and call pacing — I5). The fake
+    // client is deterministic ('cat-' || id) with a planted transient
+    // failure on every 7th id, so the RETRY PATH executes inside the query
+    // while the data contract stays exactly oracle-checkable.
+    "q60_catalog_fetch" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val clientFor = (pid: Int) => {
+        val failedOnce = scala.collection.mutable.Set.empty[Long]
+        (id: Long) => {
+          if (id % 7 == 0 && failedOnce.add(id))
+            throw new graft.operators.TransientFetchError(s"transient on $id")
+          "cat-" + id
+        }
+      }
+      graft.operators.Ingest
+        .fetchCatalog(ids, "doc_id", clientFor, maxRetries = 3, backoffMs = 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // A3 schema sampler (reference mongodb.py:29-41: sample N docs → per
     // key → set of observed type names): documents become dynamic
     // MAP<STRING,STRING> records, a bounded deterministic sample (the
@@ -123,6 +144,9 @@ object SourceQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q60_catalog_fetch" ->
+      """SELECT doc_id, 'cat-' || doc_id AS payload
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q56_schema_sample" ->
       """WITH sample AS (SELECT * FROM documents WHERE doc_id < 100),
         |kv AS (

@@ -1,7 +1,13 @@
 package graft
 
-import graft.operators.{Dedup, Ingest}
+import graft.operators.{Dedup, Ingest, TransientFetchError}
 import org.apache.spark.sql.functions._
+
+/** Executor-shared attempt counter for the fetchCatalog spec (local mode:
+  * one JVM, so a static map observes every partition's calls). */
+object FetchCounters {
+  val attempts = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+}
 
 /** Dedup-suite invariants (SURVEY §5.3: dedup idempotence is the I2 contract). */
 class DedupSpec extends SparkSpec {
@@ -123,6 +129,30 @@ class DedupSpec extends SparkSpec {
     // and the blocked result equals brute force restricted to the block key
     val res = graft.queries.TextQueries.fuzzyMatchBlocked(d).count()
     assert(res <= candidates)
+  }
+
+  test("fetchCatalog: per-partition client, transient retry, permanent error propagates (S4/I4/I5)") {
+    val s = spark
+    import s.implicits._
+    FetchCounters.attempts.clear()
+    val ids = (0L until 100L).toDF("id").repartition(4)
+    val client = (pid: Int) => (id: Long) => {
+      val n: Int = FetchCounters.attempts.merge(id, 1, (a, b) => a + b)
+      if (id % 5 == 0 && n == 1) throw new TransientFetchError(s"flaky $id")
+      s"payload-$id"
+    }
+    val out = Ingest.fetchCatalog(ids, "id", client).collect()
+    assert(out.length == 100)
+    assert(out.forall(r => r.getString(1) == s"payload-${r.getLong(0)}"))
+    // every flaky id was retried exactly once; the rest called once
+    assert((0L until 100L).forall { id =>
+      FetchCounters.attempts.get(id) == (if (id % 5 == 0) 2 else 1)
+    })
+    // a permanent (non-transient) error must NOT be retried away
+    val bad = (_: Int) => (_: Long) => throw new RuntimeException("permanent")
+    intercept[org.apache.spark.SparkException] {
+      Ingest.fetchCatalog(ids, "id", bad).collect()
+    }
   }
 
   test("ingest insert-count via Observation - metrics without a second action (A5)") {
