@@ -279,6 +279,73 @@ object Dedup {
     sym.unpersist()
     labels
   }
+  /**
+   * Connected components via alternating large-star / small-star rounds
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   * SoCC'14) — the adversarial-topology scale path: converges in
+   * O(log n) rounds regardless of component DIAMETER, where min-label
+   * propagation ([[connectedComponents]]) needs O(diameter) rounds. Use
+   * this when dedup graphs may contain long chains (crawl-chain dups,
+   * transitive near-dup paths).
+   *
+   *  - large-star: every node links its LARGER neighbors to the minimum
+   *    of its closed neighborhood;
+   *  - small-star: after orienting edges large→small, every node links
+   *    its smaller neighbors (and itself) to that minimum.
+   *
+   * Both are one groupBy + one join per round — same shuffle shape as a
+   * propagation round — and each level is localCheckpoint'd (see
+   * [[connectedComponents]] for why truncation, not caching, is the
+   * point). Fixpoint = a round that changes nothing (exact exceptAll
+   * diff, not an edge-count heuristic). Returns (node, label).
+   */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+                              maxIters: Int = 50): DataFrame = {
+    val nodes = edges.select(col(srcCol).as("node"))
+      .unionAll(edges.select(col(dstCol).as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    var cur = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var i = 0
+    var changed = 1L
+    while (changed > 0 && i < maxIters) {
+      // large-star over the symmetric view: m(u) = min(N(u) ∪ {u});
+      // link strictly-larger neighbors to m
+      val sym = cur.unionAll(cur.select(col("v").as("u"), col("u").as("v")))
+      val mL = sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      val afterLarge = sym.join(mL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star on the large→small orientation: m(u) = min(N⁻(u) ∪ {u});
+      // link each smaller neighbor and u itself to m
+      val o = afterLarge
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mS = o.groupBy("u").agg(min(col("v")).as("m"))
+      val next = o.join(mS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mS.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      changed = next.exceptAll(cur).count() + cur.exceptAll(next).count()
+      cur = next
+      i += 1
+    }
+    // fixpoint is a union of stars rooted at component minima: every
+    // non-root carries exactly (node, root); roots and isolated nodes
+    // label themselves
+    nodes.join(cur.select(col("u").as("node"), col("v").as("label")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+  }
+
   /** Deterministic random hyperplanes for sign-LSH (one per signature bit),
     * generated driver-side from a fixed seed — index metadata, like IVF
     * centroids (VectorSearch.buildIvf). */
@@ -322,9 +389,15 @@ object Dedup {
                         threshold: Double = 0.9, seed: Long = 42L,
                         scoreScale: Int = 4): DataFrame = {
     val planes = hyperplanes(dim, bands * bitsPerBand, seed)
+    // the (id, band, sig) table feeds BOTH sides of the bucket self-join —
+    // persist it so the hyperplane UDF runs once per vector, not twice
+    // (~16 bytes × bands per vector: this is the materialized sign-LSH
+    // index, the same role the persisted shingle table plays in
+    // nearDupPairs; the VECTORS are never persisted or exploded)
     val sigs = vecs
       .select(col(idCol), posexplode(lshBandSigs(bands, bitsPerBand, planes)(col(vecCol)))
         .as(Seq("band", "sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.select(col("band"), col("sig"), col(idCol).as("id_a"))
     val b = sigs.select(col("band"), col("sig"), col(idCol).as("id_b"))
     val cand = a.join(b, Seq("band", "sig"))

@@ -166,6 +166,18 @@ object TextQueries {
         .orderBy(col("label"))
     }),
 
+    // dedup clusters via large-star/small-star — the O(log n)-round scale
+    // path — over LONG chains (25 consecutive doc_ids per cluster), the
+    // topology where fixed-round propagation silently splits components
+    "q61_dedup_clusters_star" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs.filter(col("doc_id") % 50 < 24)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      Dedup.connectedComponentsStar(edges, "src", "dst")
+        .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("label"))
+    }),
+
     // fuzzy match with blocking: edit distance only inside (source,
     // exact-8-char-prefix) blocks — the entity-resolution shape. The block
     // key is CONTENT-derived, so block size is bounded by how many documents
@@ -376,6 +388,17 @@ object TextQueries {
         |    AND a.blk = b.blk AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, dist FROM pairs WHERE dist <= 8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q61_dedup_clusters_star" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 50 < 24),
+        |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |reach(node, label) AS (
+        |  SELECT DISTINCT src AS node, src AS label FROM sym
+        |  UNION
+        |  SELECT s.src AS node, r.label FROM sym s JOIN reach r ON s.dst = r.node),
+        |comp AS (SELECT node, min(label) AS label FROM reach GROUP BY node)
+        |SELECT label, count(*) AS n_nodes FROM comp GROUP BY label ORDER BY label""".stripMargin,
 
     "q48_dedup_clusters" ->
       """WITH RECURSIVE e AS (

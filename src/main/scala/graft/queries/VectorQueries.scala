@@ -20,7 +20,9 @@ object VectorQueries {
   /** IVF index memo: the index build (KMeans + cell assignment) is an
     * offline step — like the reference's create_index (vdb.py:209-211) —
     * not part of a query; build it once per (dir, nlist) and cache the
-    * cell-assigned layout. */
+    * cell-assigned layout. Never unpersisted by design: the memo lives for
+    * the harness process exactly like a vector store's resident index; a
+    * long-lived service would evict via Engine.update()'s invalidation. */
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), VectorSearch.IvfIndex]
 

@@ -116,6 +116,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsStar matches label propagation on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // 30 random graphs: n nodes, ~n edges drawn uniformly — mixes chains,
+    // cycles, stars, isolates (self-edges)
+    (1 to 30).foreach { trial =>
+      val n = 2 + rnd.nextInt(20)
+      val edges = Seq.fill(1 + rnd.nextInt(2 * n))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toDF("src", "dst")
+      def partition(df: org.apache.spark.sql.DataFrame): Set[Set[Long]] =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1))
+          .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+      val lp = partition(Dedup.connectedComponents(edges, "src", "dst"))
+      val star = partition(Dedup.connectedComponentsStar(edges, "src", "dst"))
+      assert(star == lp, s"trial $trial (n=$n) star=$star lp=$lp")
+    }
+  }
+
+  test("connectedComponentsStar labels a long chain in O(log n) rounds") {
+    val s = spark
+    import s.implicits._
+    val edges = (0L until 32L).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = Dedup.connectedComponentsStar(edges, "src", "dst", maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 33)
+    assert(cc.values.forall(_ == 0L), s"split: $cc")
+  }
+
   test("fuzzy-match blocking is content-bounded, not per-source all-pairs") {
     val d = docs
     val n = d.count()
