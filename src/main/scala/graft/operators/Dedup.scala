@@ -312,16 +312,18 @@ object Dedup {
       .localCheckpoint(true)
     var i = 0
     var changed = 1L
+    var curCount = cur.count()
     while (changed > 0 && i < maxIters) {
       // large-star over the symmetric view: m(u) = min(N(u) ∪ {u});
       // link strictly-larger neighbors to m
       val sym = cur.unionAll(cur.select(col("v").as("u"), col("u").as("v")))
       val mL = sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      // no distinct here: small-star's min is duplicate-proof and `next`
+      // dedups — one less shuffle per round
       val afterLarge = sym.join(mL, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
       // small-star on the large→small orientation: m(u) = min(N⁻(u) ∪ {u});
       // link each smaller neighbor and u itself to m
       val o = afterLarge
@@ -334,8 +336,13 @@ object Dedup {
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .distinct()
         .localCheckpoint(true)
-      changed = next.exceptAll(cur).count() + cur.exceptAll(next).count()
+      // exact fixpoint on two DISTINCT sets: equal counts + empty one-way
+      // difference ⟺ equality (one diff job per round, not two)
+      val nextCount = next.count()
+      changed =
+        if (nextCount != curCount) 1L else next.exceptAll(cur).count()
       cur = next
+      curCount = nextCount
       i += 1
     }
     // fixpoint is a union of stars rooted at component minima: every

@@ -167,11 +167,11 @@ object TextQueries {
     }),
 
     // dedup clusters via large-star/small-star — the O(log n)-round scale
-    // path — over LONG chains (25 consecutive doc_ids per cluster), the
+    // path — over LONG chains (12 consecutive doc_ids per cluster), the
     // topology where fixed-round propagation silently splits components
     "q61_dedup_clusters_star" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
-      val edges = docs.filter(col("doc_id") % 50 < 24)
+      val edges = docs.filter(col("doc_id") % 25 < 11)
         .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
       Dedup.connectedComponentsStar(edges, "src", "dst")
         .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
@@ -391,7 +391,7 @@ object TextQueries {
 
     "q61_dedup_clusters_star" ->
       """WITH RECURSIVE e AS (
-        |  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 50 < 24),
+        |  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 25 < 11),
         |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
         |reach(node, label) AS (
         |  SELECT DISTINCT src AS node, src AS label FROM sym
