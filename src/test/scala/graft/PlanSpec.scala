@@ -75,6 +75,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("q49: fuzzy match plans as an equi join on the block key, never a cartesian") {
+    val plan = formatted(SparkEntry.queries("q49_fuzzy_match")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    // the levenshtein verify must sit ABOVE the join, not inside a join
+    // condition that would force a nested-loop evaluation
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("q57: mean-pool stages stay separate projections (no fused lambda tree)") {
+    val df = SparkEntry.queries("q57_mean_pool")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the norm is computed from the pooled ATTRIBUTE, not re-derived from a
+    // nested copy of the pooling expression: if CollapseProject fused the
+    // stages, the aggregate(...) pooling lambda would appear many times
+    val poolCount = "aggregate\\(zip_with".r.findAllIn(optimized).size
+    assert(poolCount <= 2, s"pooling expression duplicated $poolCount times:\n" +
+      optimized.take(2000))
+  }
+
   test("q44: DSv2 corpus scan schema is pruned to the referenced columns") {
     val df = spark.read.format("graft-corpus")
       .option("rows", 100).option("partitions", 4).load()
