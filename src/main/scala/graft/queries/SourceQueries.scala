@@ -128,6 +128,28 @@ object SourceQueries {
         .orderBy(col("key"))
     }),
 
+    // K5 co-located join on bucketed tables — bucketing is the PRE-PAID
+    // shuffle: both sides written bucketed+sorted on the join key, the
+    // merge-hinted SMJ then joins with NO exchange on either input
+    // (BucketedJoinSpec asserts the zero-exchange plan; here the RESULT is
+    // oracle-graded). At 100 TB this turns an every-query two-table shuffle
+    // into none.
+    "q62_bucketed_join" -> ((s, dir) => {
+      val suf = Integer.toHexString(dir.hashCode)
+      t(s, dir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(s"orders_bkt_$suf")
+      t(s, dir, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(s"customer_bkt_$suf")
+      s.table(s"orders_bkt_$suf").hint("merge")
+        .join(s.table(s"customer_bkt_$suf"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // F4/P1 record→text serialization and back (to_json/from_json; the
     // reference flattens docs to "key: value" text at vdb.py:139-145)
     "q34_json_roundtrip" -> ((s, dir) => {
@@ -144,6 +166,11 @@ object SourceQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q62_bucketed_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q60_catalog_fetch" ->
       """SELECT doc_id, 'cat-' || doc_id AS payload
         |FROM documents ORDER BY doc_id""".stripMargin,
