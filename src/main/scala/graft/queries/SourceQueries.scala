@@ -136,6 +136,18 @@ object SourceQueries {
     // into none.
     "q62_bucketed_join" -> ((s, dir) => {
       val suf = Integer.toHexString(dir.hashCode)
+      // a fresh session has an empty in-memory catalog but the warehouse
+      // DIRECTORY survives from earlier runs — drop both the table entry
+      // and any stale location or saveAsTable fails LOCATION_ALREADY_EXISTS
+      def reset(table: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), table)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      reset(s"orders_bkt_$suf")
+      reset(s"customer_bkt_$suf")
       t(s, dir, "orders").write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
         .saveAsTable(s"orders_bkt_$suf")
