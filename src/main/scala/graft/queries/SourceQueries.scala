@@ -69,6 +69,22 @@ object SourceQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // plain-text corpus round-trip — the .txt dump format LLM corpora
+    // actually ship as: one "id<TAB>cleaned-text" line per document
+    // (cleanText guarantees no embedded tabs/newlines survive), read back
+    // via the line source and re-split
+    "q63_text_roundtrip" -> ((s, dir) => {
+      val path = tmp(dir, "txt_docs")
+      t(s, dir, "documents")
+        .select(concat_ws("\t", col("doc_id"),
+          graft.functions.TextFns.cleanText(col("text"))).as("value"))
+        .coalesce(1).write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(split(col("value"), "\t", 2).as("p"))
+        .select(col("p")(0).cast("long").as("doc_id"), col("p")(1).as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DataSource V2 synthetic corpus scan (graft.sources — deterministic
     // generation, column pruning; no DuckDB oracle possible → rows-only)
     "q44_dsv2_corpus" -> ((s, dir) => {
@@ -183,6 +199,9 @@ object SourceQueries {
          |  ${dsumSql("o_totalprice")} AS sum_price
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q63_text_roundtrip" ->
+      s"""SELECT doc_id, ${graft.functions.TextFns.cleanTextSql("text")} AS text
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q60_catalog_fetch" ->
       """SELECT doc_id, 'cat-' || doc_id AS payload
         |FROM documents ORDER BY doc_id""".stripMargin,
