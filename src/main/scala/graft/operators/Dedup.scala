@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFns
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -16,6 +16,57 @@ import org.apache.spark.sql.types._
  * blocking bucket.
  */
 object Dedup {
+
+  // ---------------------------------------------- storage-lifecycle plumbing
+  /**
+   * Eagerly materialize `df` via localCheckpoint and return it with the
+   * storage-RDD ids the checkpoint registered. Checkpointed data has no
+   * lineage to recompute, so a level may be freed ONLY once nothing that
+   * still runs references it — the iterative operators below free each level
+   * as soon as the next one is materialized, keeping storage O(1 level)
+   * instead of O(rounds). (At production scale swap in a reliable checkpoint
+   * dir for executor-loss tolerance — same lifecycle, durable blocks.)
+   */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(true)
+    (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+
+  /** Drop the storage blocks behind previously [[checkpointTracked]] ids. */
+  private def freeIds(spark: SparkSession, ids: Set[Int]): Unit =
+    ids.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+  /** Order-independent content checksum of a row set: sum of per-row
+    * xxhash64 in decimal (exact — never overflows under ANSI arithmetic). */
+  private def chkCol(cols: Seq[String]): Column =
+    sum(xxhash64(cols.map(col): _*).cast(DecimalType(38, 0)))
+
+  /**
+   * (row count, content checksum) of a just-checkpointed level. Reads the
+   * Observation piggybacked on the checkpoint's materialization action —
+   * ZERO extra jobs per round — and falls back to one cheap aggregation
+   * over the already-materialized blocks if the metrics don't surface
+   * (observation delivery is async; bounded wait, never a hang).
+   */
+  private def levelStats(obs: Observation, df: DataFrame, cols: Seq[String]): (Long, BigDecimal) = {
+    def parse(r: org.apache.spark.sql.Row): (Long, BigDecimal) = (
+      r.getAs[Long]("n"),
+      Option(r.getAs[java.math.BigDecimal]("chk")).map(BigDecimal(_)).getOrElse(BigDecimal(0)))
+    try parse(scala.concurrent.Await.result(obs.future,
+      scala.concurrent.duration.Duration(5, java.util.concurrent.TimeUnit.SECONDS)))
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        val r = df.agg(count(lit(1)).as("n"), chkCol(cols).as("chk")).head()
+        (r.getLong(0), Option(r.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0)))
+    }
+  }
+
+  /** `.observe` aggregates matching [[levelStats]]. */
+  private def levelObs(obs: Observation, df: DataFrame, cols: Seq[String]): DataFrame =
+    df.observe(obs, count(lit(1)).as("n"), chkCol(cols).as("chk"))
 
   /** Exact content dedup: groups rows by sha256 of a column, keeps the
     * smallest id as canonical (SURVEY §2.5 A4 at content level). */
@@ -179,8 +230,17 @@ object Dedup {
     val sh = shingleTable(df, textCol, idCol, shingleSize).persist(lvl)
     val sig = minhashWide(sh, idCol, numHashes).persist(lvl)
     val cand = lshCandidatePairs(sig, idCol, numHashes, bands)
-    jaccardForPairs(cand, sh, sig.select(col(idCol), col("sz")), idCol)
+    // materialize the (small) verified pair set while the inverted index is
+    // cached, then RELEASE the index: returning a lazy plan over persisted
+    // inputs strands two cached tables per call — in a long-lived service an
+    // unbounded storage leak, and under a bench suite enough memory pressure
+    // to make this query cost 4-5× its isolated time
+    val res = jaccardForPairs(cand, sh, sig.select(col(idCol), col("sz")), idCol)
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    sh.unpersist(blocking = false)
+    sig.unpersist(blocking = false)
+    res
   }
 
   // ------------------------------------------------------------------ SimHash
@@ -246,6 +306,7 @@ object Dedup {
    */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
@@ -254,26 +315,36 @@ object Dedup {
     // round THREE times (union, neighbor join, convergence diff), so without
     // lineage TRUNCATION the logical plan grows ~3× per round — exponential
     // plan-tree blowup that stalls the driver long before the data does.
-    // Checkpointed levels keep the plan O(1) per round; the blocks live in
-    // executor storage (at production scale swap in a reliable checkpoint
-    // dir for executor-loss tolerance).
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    // Checkpointed levels keep the plan O(1) per round; each level is FREED
+    // once the next one is materialized (storage stays O(1 level), not
+    // O(rounds)).
+    val obs0 = Observation()
+    var (labels, labelIds) = checkpointTracked(levelObs(obs0,
+      sym.select(col("src").as("node")).distinct().withColumn("label", col("node")),
+      Seq("node", "label")))
+    var (_, curChk) = levelStats(obs0, labels, Seq("node", "label"))
     var i = 0
     var changed = 1L
     while (changed > 0 && i < maxIters) {
       val viaNeighbor = sym.join(labels.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("label"))
-      val next = labels.unionAll(viaNeighbor)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true) // materializes: the convergence diff below is cheap
-      // convergence check: rows whose label shrank this round — node-keyed
-      // join between two checkpointed level tables, one count per round.
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") =!= col("prev"))
-        .count()
-      labels = next
+      val obs = Observation()
+      val (next, nextIds) = checkpointTracked(levelObs(obs,
+        labels.unionAll(viaNeighbor).groupBy("node").agg(min("label").as("label")),
+        Seq("node", "label")))
+      // convergence: min-label propagation only ever SHRINKS labels, so a
+      // round that changes anything changes the (node,label) set. The
+      // content checksum rides the checkpoint job (no extra pass); only an
+      // APPARENT fixpoint (equal checksum) pays the exact node-keyed diff
+      // that confirms it — once, at the end, not every round.
+      val (_, nextChk) = levelStats(obs, next, Seq("node", "label"))
+      changed =
+        if (nextChk != curChk) 1L
+        else next.join(labels.withColumnRenamed("label", "prev"), "node")
+          .filter(col("label") =!= col("prev"))
+          .count()
+      freeIds(spark, labelIds)
+      labels = next; labelIds = nextIds; curChk = nextChk
       i += 1
     }
     sym.unpersist()
@@ -301,18 +372,21 @@ object Dedup {
    */
   def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
                               maxIters: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
     val nodes = edges.select(col(srcCol).as("node"))
       .unionAll(edges.select(col(dstCol).as("node")))
       .distinct()
       .localCheckpoint(true)
-    var cur = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .filter(col("u") =!= col("v"))
-      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+    val obs0 = Observation()
+    var (cur, curIds) = checkpointTracked(levelObs(obs0,
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct(),
+      Seq("u", "v")))
+    var (curCount, curChk) = levelStats(obs0, cur, Seq("u", "v"))
     var i = 0
     var changed = 1L
-    var curCount = cur.count()
     while (changed > 0 && i < maxIters) {
       // large-star over the symmetric view: m(u) = min(N(u) ∪ {u});
       // link strictly-larger neighbors to m
@@ -329,20 +403,27 @@ object Dedup {
       val o = afterLarge
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       val mS = o.groupBy("u").agg(min(col("v")).as("m"))
-      val next = o.join(mS, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionAll(mS.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v"))
-        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-        .distinct()
-        .localCheckpoint(true)
-      // exact fixpoint on two DISTINCT sets: equal counts + empty one-way
-      // difference ⟺ equality (one diff job per round, not two)
-      val nextCount = next.count()
+      val obs = Observation()
+      val (next, nextIds) = checkpointTracked(levelObs(obs,
+        o.join(mS, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionAll(mS.select(col("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v"))
+          .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+          .distinct(),
+        Seq("u", "v")))
+      // exact fixpoint on two DISTINCT sets, paid for lazily: count and
+      // content checksum ride the checkpoint materialization (no extra job
+      // per round — this was ~1 s/round of fixed job overhead); only an
+      // APPARENT fixpoint (equal count AND checksum) runs the exceptAll
+      // diff that proves equality — once, at the end.
+      val (nextCount, nextChk) = levelStats(obs, next, Seq("u", "v"))
       changed =
-        if (nextCount != curCount) 1L else next.exceptAll(cur).count()
-      cur = next
-      curCount = nextCount
+        if (nextCount != curCount || nextChk != curChk) 1L
+        else next.exceptAll(cur).count()
+      freeIds(spark, curIds)
+      cur = next; curIds = nextIds
+      curCount = nextCount; curChk = nextChk
       i += 1
     }
     // fixpoint is a union of stars rooted at component minima: every
@@ -412,10 +493,15 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val va = vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val vb = vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    cand.join(va, "id_a").join(vb, "id_b")
+    // same storage lifecycle as nearDupPairs: materialize the verified
+    // pairs, then release the sign-LSH index instead of stranding it
+    val res = cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("score",
         round(graft.functions.VectorFns.cosineSim(col("__va"), col("__vb")), scoreScale))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
+      .localCheckpoint(true)
+    sigs.unpersist(blocking = false)
+    res
   }
 }
