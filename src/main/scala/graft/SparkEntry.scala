@@ -51,8 +51,9 @@ object SparkEntry {
       EventQueries.queries ++ SourceQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
-    * parquet tables. Omitted for non-SQL-expressible ops (q20 simhash UDAF,
-    * q24 approximate IVF probe) → driver records a weaker rows-only check. */
+    * parquet tables. Omitted only for genuinely approximate ops (q24 pruned
+    * IVF probe, q55 LSH ANN) and the DSv2 generator source (q44) → driver
+    * records a weaker rows-only check for those. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++
       EventQueries.oracle ++ SourceQueries.oracle ++ MultimodalQueries.oracle

@@ -39,6 +39,29 @@ object TextQueries {
       |       substring(text, 1, cast(greatest(length(text) - 30, 1) as int)) AS text
       |FROM documents WHERE doc_id % 25 = 0""".stripMargin
 
+  /** documents ∪ prefix-sharing near-copies for the blocked fuzzy match:
+    * every doc_id%5==0 doc long enough to carry a 24-char prefix reappears
+    * as doc_id+10000 with character 17 swapped for '~' — same source, same
+    * 8-char block key, prefix edit distance exactly 1. Plants tens of
+    * true matches across many blocks at every scale factor, so the
+    * levenshtein-verify path is exercised by more than the corpus's one
+    * natural near-pair. */
+  private def fuzzyCorpus(df: DataFrame): DataFrame = {
+    val base = df.select(col("doc_id"), col("source"), col("text"))
+    base.unionAll(
+      base.filter(col("doc_id") % 5 === 0 && length(col("text")) >= 24)
+        .select((col("doc_id") + 10000).as("doc_id"), col("source"),
+          concat(col("text").substr(lit(1), lit(16)), lit("~"),
+            col("text").substr(lit(18), length(col("text")))).as("text")))
+  }
+
+  private val fuzzyCorpusSql =
+    """SELECT doc_id, source, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000 AS doc_id, source,
+      |       substring(text, 1, 16) || '~' || substring(text, 18) AS text
+      |FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 24""".stripMargin
+
   /** Blocked fuzzy match over text prefixes (exposed for the candidate-bound
     * spec): candidates = same source AND same first-8-char block key; verify
     * = levenshtein over the 24-char prefixes ≤ 8. */
@@ -149,7 +172,11 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // SimHash via custom typed aggregate (no portable oracle → rows-only)
+    // SimHash via custom typed aggregate. The per-bit majority vote IS
+    // portable SQL (explode token hashes × bit positions, sum ±1, assemble
+    // bits) — so the UDAF is hash-checked against a DuckDB replay, not
+    // rows-only. Token hashes are 60-bit sha256 prefixes, so bits 60-63 are
+    // never set and the oracle only needs positions 0..59.
     "q20_simhash" -> ((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id").orderBy(col("doc_id"))
     }),
@@ -184,7 +211,7 @@ object TextQueries {
     // genuinely share an opening, not by the number of sources: the
     // levenshtein self-join never degenerates to per-source all-pairs.
     "q49_fuzzy_match" -> ((s, dir) =>
-      fuzzyMatchBlocked(t(s, dir, "documents"))
+      fuzzyMatchBlocked(fuzzyCorpus(t(s, dir, "documents")))
         .orderBy(col("id_a"), col("id_b"))),
 
     // F6 HTML→markdown extraction (uci.py:56's trafilatura slot): synthesize
@@ -379,15 +406,16 @@ object TextQueries {
          |ORDER BY c.id_a, c.id_b""".stripMargin,
 
     "q49_fuzzy_match" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, substring(text, 1, 24) AS pfx,
-        |         substring(text, 1, 8) AS blk FROM documents),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.pfx, b.pfx) AS dist
-        |  FROM d a JOIN d b ON a.source = b.source
-        |    AND a.blk = b.blk AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, dist FROM pairs WHERE dist <= 8
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH corpus AS ($fuzzyCorpusSql),
+         |d AS (
+         |  SELECT doc_id, source, substring(text, 1, 24) AS pfx,
+         |         substring(text, 1, 8) AS blk FROM corpus),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.pfx, b.pfx) AS dist
+         |  FROM d a JOIN d b ON a.source = b.source
+         |    AND a.blk = b.blk AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, dist FROM pairs WHERE dist <= 8
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q61_dedup_clusters_star" ->
       """WITH RECURSIVE e AS (
@@ -447,6 +475,24 @@ object TextQueries {
       """SELECT lang, round(quantile_cont(n_chars, 0.5), 2) AS median_exact,
         |  true AS sketch_ok
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the UDAF's per-bit majority vote replayed relationally: one ±1 vote
+    // per (token occurrence, bit position), bit set iff the vote sum is
+    // positive, bits assembled with << in BIGINT (values < 2^60, no overflow)
+    "q20_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |hs AS (
+        |  SELECT doc_id, cast(('0x' || substr(sha256(tok), 1, 15)) as bigint) AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  cast(coalesce(sum(CASE WHEN s > 0 THEN (cast(1 as bigint) << j) END), 0) as bigint) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q19_fingerprint" ->
       """SELECT doc_id,

@@ -20,7 +20,9 @@ class EntrySpec extends SparkSpec {
   }
 
   test("oracle SQL exists for every query except declared rows-only ops") {
-    val rowsOnly = Set("q20_simhash", "q24_ann_ivf_probe", "q44_dsv2_corpus", "q55_ann_lsh")
+    // q24/q55 are genuinely approximate (pruned IVF probe / LSH recall);
+    // q44 reads the DSv2 generator (no parquet table for DuckDB to see)
+    val rowsOnly = Set("q24_ann_ivf_probe", "q44_dsv2_corpus", "q55_ann_lsh")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
