@@ -48,7 +48,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
-      EventQueries.queries ++ SourceQueries.queries ++ MultimodalQueries.queries
+      EventQueries.queries ++ SourceQueries.queries ++ MultimodalQueries.queries ++
+      EngineQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted only for genuinely approximate ops (q24 pruned
@@ -56,5 +57,6 @@ object SparkEntry {
     * records a weaker rows-only check for those. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++
-      EventQueries.oracle ++ SourceQueries.oracle ++ MultimodalQueries.oracle
+      EventQueries.oracle ++ SourceQueries.oracle ++ MultimodalQueries.oracle ++
+      EngineQueries.oracle
 }

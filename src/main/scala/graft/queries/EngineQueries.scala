@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.{Engine, EngineConfig}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import QHelpers._
+
+/**
+ * Lifecycle-level graded queries: the reference's actual user journey
+ * (`src/main.py:5-58`: crawl→store, `vdb.update`, `vdb.search`) driven
+ * end-to-end through [[graft.Engine]] (q64), and the Structured Streaming
+ * ingest surface driven through a real `readStream` → `writeStream` run
+ * (q65). Everything else in the suite grades one operator; these grade the
+ * composition users run.
+ */
+object EngineQueries {
+
+  /** Fixed search queries for the lifecycle run (the reference's `search`
+    * verb takes free text, main.py:44). */
+  private val searchTexts = Seq(
+    "data quality analysis pipeline",
+    "neural network training corpus",
+    "distributed spark table join")
+
+  /** Monotone run id so repeated bench invocations get fresh temp stores /
+    * sink names without colliding. */
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val queries: Map[String, Q] = Map(
+    // The whole Engine lifecycle as ONE graded query: dedup-ingest the
+    // corpus twice (the second pass must append nothing — crawler.py:39-50's
+    // idempotence contract), rebuild the vector index (chunk → batched
+    // hash-embed → overwrite, vdb.py:57-86), then semantic search
+    // (vdb.py:88-122): chunk-level cosine vs the embedded queries, best hit
+    // per document, top-4 per query, hydration join, ranked output. The
+    // oracle replays chunking, feature-hash embedding, scoring and ranking
+    // relationally in DuckDB — so ingest idempotence, the index build, and
+    // the search pipeline are all hash-checked, not just "rows > 0".
+    "q64_engine_lifecycle" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q64_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs)
+      eng.ingest(docs) // idempotent re-crawl: appends nothing or the oracle breaks
+      eng.update()
+      eng.search(searchTexts)
+    }),
+
+    // Structured Streaming graded end-to-end: a real file-source readStream
+    // over the corpus, grouped aggregation, memory sink in complete mode,
+    // Trigger.AvailableNow (process everything that exists, then stop — the
+    // batch-boundary trigger a scheduled re-crawl would use, scheduler.py:
+    // 21-33). The settled sink content must equal the batch GROUP BY —
+    // stream/batch unification is the correctness claim, here graded by the
+    // DuckDB oracle instead of a spec-only assertion.
+    "q65_stream_agg" -> ((s, dir) => {
+      val schema = t(s, dir, "documents").schema
+      val sink = s"q65_sink_${runSeq.incrementAndGet()}"
+      // the file stream source watches a DIRECTORY (the drop-folder shape a
+      // scheduled crawl feeds); stage the corpus file into one
+      val drop = java.nio.file.Files.createTempDirectory(s"graft_q65_drop_")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        drop.resolve("documents.parquet"))
+      val stream = s.readStream.schema(schema).parquet(drop.toString)
+      stream.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          max(col("doc_id")).as("max_doc_id"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.table(sink).orderBy(col("lang"))
+    }))
+
+  /** DuckDB spelling of [[graft.functions.VectorFns.hashEmbed]]'s per-token
+    * (bucket, sign) for dim=64, decomposed so no value exceeds BIGINT: the
+    * bucket needs only the LOW 60 hash bits (2^60 ≡ 0 mod 64, and Java's
+    * ((h%64)+64)%64 equals the unsigned value mod 64), and sign bit 62 is
+    * bit 2 of the TOP hex char. */
+  private def tokBucket(tk: String): String =
+    s"cast(cast(('0x' || substr(sha256($tk), 2, 15)) as bigint) % 64 as int)"
+  private def tokSign(tk: String): String =
+    s"(CASE WHEN (cast(('0x' || substr(sha256($tk), 1, 1)) as bigint) // 4) % 2 = 0" +
+      " THEN 1.0 ELSE -1.0 END)"
+
+  /** Embed a (id-cols, text) relation: tokens → signed buckets → dense
+    * 64-dim count vector → float-normalized (mirroring hashEmbed's
+    * `(count * (1/sqrt(norm))).toFloat` exactly — the float cast is part of
+    * the contract) → double for the cosine. Keeps `nrm` so zero vectors can
+    * reproduce cosine_sim's 0.0 instead of NaN. */
+  private def embedSql(rel: String, ids: String, textCol: String): String = {
+    val idCols = ids.split(", ").toSeq
+    val rIds = idCols.map(i => s"r.$i").mkString(", ")
+    val joinCond = idCols.map(i => s"c.$i = r.$i").mkString(" AND ")
+    s"""tok AS (
+       |  SELECT $ids, unnest(regexp_split_to_array(trim($textCol), '\\s+')) AS tk
+       |  FROM $rel WHERE length(trim($textCol)) > 0),
+       |hv AS (
+       |  SELECT $ids, ${tokBucket("tk")} AS bucket, ${tokSign("tk")} AS sgn
+       |  FROM tok WHERE tk <> ''),
+       |cnt AS (
+       |  SELECT $ids, bucket, cast(sum(sgn) as double) AS s
+       |  FROM hv GROUP BY ALL),
+       |dense AS (
+       |  SELECT $rIds, list(coalesce(c.s, 0.0) ORDER BY g.j) AS cv
+       |  FROM (SELECT DISTINCT $ids FROM $rel) r
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g
+       |  LEFT JOIN cnt c ON $joinCond AND c.bucket = g.j
+       |  GROUP BY $rIds),
+       |vec AS (
+       |  SELECT $ids, cv,
+       |    sqrt(list_reduce(list_transform(cv, x -> x*x), (a,b) -> a+b)) AS nrm
+       |  FROM dense)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q64_engine_lifecycle" -> {
+      // chunker replay (q15's oracle spelling, size=128/overlap=64), then
+      // the hash-embed replay for chunks and queries, then search replay
+      val qvalues = searchTexts.zipWithIndex
+        .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
+         |  FROM documents WHERE length(text) > 0),
+         |ch AS (
+         |  SELECT doc_id, doc_id || '_' || pos AS chunk_id,
+         |    substring(text, cast(pos*64+1 as int), 128) AS chunk
+         |  FROM c),
+         |${embedSql("ch", "chunk_id, doc_id", "chunk")},
+         |nv AS (
+         |  SELECT chunk_id, doc_id,
+         |    CASE WHEN nrm > 0
+         |         THEN list_transform(cv, x -> cast(cast(x * (1.0/nrm) as float) as double))
+         |         ELSE cv END AS v,
+         |    nrm
+         |  FROM vec),
+         |q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
+         |qtok AS (
+         |  SELECT query_id, query, unnest(regexp_split_to_array(trim(query), '\\s+')) AS tk
+         |  FROM q0),
+         |qhv AS (
+         |  SELECT query_id, query, ${tokBucket("tk")} AS bucket, ${tokSign("tk")} AS sgn
+         |  FROM qtok WHERE tk <> ''),
+         |qcnt AS (
+         |  SELECT query_id, query, bucket, cast(sum(sgn) as double) AS s
+         |  FROM qhv GROUP BY ALL),
+         |qdense AS (
+         |  SELECT q0.query_id, q0.query, list(coalesce(c.s, 0.0) ORDER BY g.j) AS cv
+         |  FROM q0
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g
+         |  LEFT JOIN qcnt c ON c.query_id = q0.query_id AND c.bucket = g.j
+         |  GROUP BY ALL),
+         |qvec AS (
+         |  SELECT query_id, query, cv,
+         |    sqrt(list_reduce(list_transform(cv, x -> x*x), (a,b) -> a+b)) AS nrm
+         |  FROM qdense),
+         |qnv AS (
+         |  SELECT query_id, query,
+         |    CASE WHEN nrm > 0
+         |         THEN list_transform(cv, x -> cast(cast(x * (1.0/nrm) as float) as double))
+         |         ELSE cv END AS v,
+         |    nrm
+         |  FROM qvec),
+         |scored AS (
+         |  SELECT q.query_id, q.query, n.doc_id,
+         |    round(CASE WHEN n.nrm = 0 OR q.nrm = 0 THEN 0.0
+         |               ELSE list_cosine_similarity(n.v, q.v) END, 4) AS score
+         |  FROM nv n CROSS JOIN qnv q),
+         |best AS (
+         |  SELECT query_id, query, doc_id, max(score) AS score
+         |  FROM scored GROUP BY ALL),
+         |ranked AS (
+         |  SELECT query_id, query, doc_id, score,
+         |    cast(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id ASC) as int) AS rank
+         |  FROM best QUALIFY rank <= 4)
+         |SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
+         |  substring(d.text, 1, 200) AS preview
+         |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q65_stream_agg" ->
+      """SELECT lang, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS total_chars,
+        |  max(doc_id) AS max_doc_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+}
