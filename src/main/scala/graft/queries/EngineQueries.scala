@@ -76,6 +76,43 @@ object EngineQueries {
         .start()
         .awaitTermination()
       s.table(sink).orderBy(col("lang"))
+    }),
+
+    // Idempotent streaming ingest graded end-to-end (the I2 contract as a
+    // CORRECTNESS row, not just a spec): the drop-folder gets the corpus
+    // PLUS a re-delivered slice (every third doc again), maxFilesPerTrigger=1
+    // forces separate micro-batches so the cross-batch anti-join path in
+    // StreamOps.ingestAppend actually runs, and the settled store must hold
+    // exactly one row per doc_id — n_docs == n_distinct per source, equal to
+    // the batch GROUP BY over the pristine corpus.
+    "q66_stream_ingest" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_q66_")
+      val drop = java.nio.file.Files.createDirectory(tmp.resolve("drop"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"), drop.resolve("a.parquet"))
+      // second delivery: an overlapping slice, staged as a bare parquet file
+      val b2 = tmp.resolve("b2")
+      docs.filter(col("doc_id") % 3 === 0).coalesce(1).write.parquet(b2.toString)
+      val part = java.nio.file.Files.list(b2).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(sys.error("q66: no part file written"))
+      java.nio.file.Files.move(part, drop.resolve("b.parquet"))
+      val store = s"$tmp/store"
+      graft.streaming.StreamOps.ingestAppend(
+          s.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1")
+            .parquet(drop.toString),
+          store, "doc_id", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(store)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_distinct"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
     }))
 
   /** DuckDB spelling of [[graft.functions.VectorFns.hashEmbed]]'s per-token
@@ -191,5 +228,12 @@ object EngineQueries {
     "q65_stream_agg" ->
       """SELECT lang, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS total_chars,
         |  max(doc_id) AS max_doc_id
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the settled deduped store must equal the PRISTINE corpus: re-delivery
+    // changed nothing, so the oracle never sees the duplicate slice
+    "q66_stream_ingest" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT doc_id) AS n_distinct,
+        |  cast(sum(n_chars) as bigint) AS total_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 }
