@@ -385,15 +385,14 @@ object Dedup {
         .distinct(),
       Seq("u", "v")))
     var (curCount, curChk) = levelStats(obs0, cur, Seq("u", "v"))
-    var i = 0
-    var changed = 1L
-    while (changed > 0 && i < maxIters) {
+    // one large-star + small-star round over the canonical (u > v) edge set
+    def starRound(edges0: DataFrame): DataFrame = {
       // large-star over the symmetric view: m(u) = min(N(u) ∪ {u});
       // link strictly-larger neighbors to m
-      val sym = cur.unionAll(cur.select(col("v").as("u"), col("u").as("v")))
+      val sym = edges0.unionAll(edges0.select(col("v").as("u"), col("u").as("v")))
       val mL = sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
-      // no distinct here: small-star's min is duplicate-proof and `next`
-      // dedups — one less shuffle per round
+      // no distinct here: small-star's min is duplicate-proof and the round
+      // output dedups — one less shuffle per round
       val afterLarge = sym.join(mL, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
@@ -403,15 +402,24 @@ object Dedup {
       val o = afterLarge
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       val mS = o.groupBy("u").agg(min(col("v")).as("m"))
+      o.join(mS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mS.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+    }
+    var i = 0
+    var changed = 1L
+    while (changed > 0 && i < maxIters) {
+      // exactly ONE star round per materialization. (Fusing two rounds per
+      // checkpoint was tried and is ~2.5× SLOWER: the inner round's output
+      // feeds the outer round's symmetric union twice, and without a
+      // materialization boundary Spark recomputes the whole inner subtree
+      // per branch — the same no-cross-branch-CSE lesson as q57.)
       val obs = Observation()
       val (next, nextIds) = checkpointTracked(levelObs(obs,
-        o.join(mS, "u")
-          .select(col("v").as("u"), col("m").as("v"))
-          .unionAll(mS.select(col("u"), col("m").as("v")))
-          .filter(col("u") =!= col("v"))
-          .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-          .distinct(),
-        Seq("u", "v")))
+        starRound(cur), Seq("u", "v")))
       // exact fixpoint on two DISTINCT sets, paid for lazily: count and
       // content checksum ride the checkpoint materialization (no extra job
       // per round — this was ~1 s/round of fixed job overhead); only an
