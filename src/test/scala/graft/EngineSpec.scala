@@ -38,6 +38,20 @@ class EngineSpec extends SparkSpec {
     assert(q0.sameElements(q0.sorted(Ordering[Double].reverse)))
   }
 
+  test("search plans broadcast-side scoring and broadcast hydration (no shuffle joins)") {
+    // the 100 TB shape: the corpus/index side never shuffles for a search —
+    // queries broadcast into the scoring scan, hits broadcast into hydration
+    val eng = freshEngine()
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"))
+    eng.update()
+    val plan = eng.search(Seq("vector search")).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"), plan)       // hydration join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // broadcast query side
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("searchIvf with nprobe == nlist matches exact search doc set") {
     val eng = freshEngine()
     eng.ingest(spark.read.parquet(s"$sf/documents.parquet")
