@@ -493,10 +493,14 @@ object Dedup {
     val sigs = vecs
       .select(col(idCol), posexplode(lshBandSigs(bands, bitsPerBand, planes)(col(vecCol)))
         .as(Seq("band", "sig")))
+      // (band, sig) packed into ONE int bucket key: sig < 2^bitsPerBand, so
+      // band·2^bitsPerBand + sig is bijective — halves the join-key columns
+      // the bucket shuffle carries
+      .select(col(idCol), (col("band") * lit(1L << bitsPerBand) + col("sig")).as("bsig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = sigs.select(col("band"), col("sig"), col(idCol).as("id_a"))
-    val b = sigs.select(col("band"), col("sig"), col(idCol).as("id_b"))
-    val cand = a.join(b, Seq("band", "sig"))
+    val a = sigs.select(col("bsig"), col(idCol).as("id_a"))
+    val b = sigs.select(col("bsig"), col(idCol).as("id_b"))
+    val cand = a.join(b, Seq("bsig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val va = vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
