@@ -93,7 +93,39 @@ class Engine(spark: SparkSession, cfg: EngineConfig) {
    * write — the reference's `renew` collection lifecycle (`vdb.py:196-212`).
    */
   def update(): Unit = {
-    val chunks = store()
+    chunkEmbed(store())
+      .write.mode("overwrite").parquet(cfg.indexPath)
+    invalidateIvf()
+  }
+
+  /**
+   * Incrementally extend the index: chunk + embed ONLY the store documents
+   * whose `doc_id` is absent from the index (one anti join), and append.
+   * This is the corpus-scale path — when a re-crawl adds a sliver of new
+   * documents, [[update]]'s renew-everything lifecycle (`vdb.py:196-212`)
+   * would re-embed the whole corpus; here the embedding cost is proportional
+   * to the NEW documents only. Sound because the store is dedup-append
+   * ([[ingest]]): a doc_id's text never changes, so existing index rows
+   * never go stale. Returns the number of chunks appended (counted via an
+   * `Observation` riding the write — no extra job).
+   */
+  def updateIncremental(): Long = {
+    val fresh =
+      if (!indexExists) store()
+      else store().join(index().select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val obs = org.apache.spark.sql.Observation()
+    chunkEmbed(fresh)
+      .observe(obs, count(lit(1)).as("chunks"))
+      .write.mode("append").parquet(cfg.indexPath)
+    invalidateIvf()
+    obs.get("chunks").asInstanceOf[Long]
+  }
+
+  /** Overlapping chunks (`vdb.py:66-74`), chunk ids `doc_id_pos`
+    * (`vdb.py:70`), per-partition batched embedding (`vdb.py:76-79`) —
+    * the narrow stage both [[update]] and [[updateIncremental]] write. */
+  private def chunkEmbed(docs: DataFrame): DataFrame = {
+    val chunks = docs
       .select(col("doc_id"),
         posexplode(TextFns.chunk(col("text"), cfg.chunkSize, cfg.chunkOverlap))
           .as(Seq("pos", "chunk")))
@@ -101,8 +133,15 @@ class Engine(spark: SparkSession, cfg: EngineConfig) {
         TextFns.chunkId(col("doc_id"), col("pos")).as("chunk_id"), col("chunk"))
     VectorFns.embedPartitions(chunks, "chunk", "vec", cfg.embedDim, cfg.batchSize)
       .select("doc_id", "chunk_id", "vec")
-      .write.mode("overwrite").parquet(cfg.indexPath)
-    // the vector index changed: drop the memoized IVF layout
+  }
+
+  private def indexExists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(cfg.indexPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The vector index changed: drop the memoized IVF layout. */
+  private def invalidateIvf(): Unit = {
     ivfMemo.foreach(_.cells.unpersist())
     ivfMemo = None
   }

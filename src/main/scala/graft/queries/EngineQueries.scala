@@ -49,6 +49,38 @@ object EngineQueries {
       eng.search(searchTexts)
     }),
 
+    // Incremental index maintenance graded end-to-end (the 100TB path): build
+    // the index over half the corpus, dedup-ingest the rest, then
+    // updateIncremental must embed ONLY the new documents (anti join on the
+    // indexed doc_ids) and append — never re-embed the corpus the way the
+    // reference's renew lifecycle does (vdb.py:196-212). A second
+    // updateIncremental must append zero chunks (incremental idempotence).
+    // The oracle replays chunk + hash-embed over the WHOLE corpus: the
+    // incrementally-built index must be indistinguishable from a full build.
+    "q68_incremental_index" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q68_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs.filter(col("doc_id") % 2 === 0))
+      eng.update() // full build over the even half
+      eng.ingest(docs) // dedup-append: only the odd half lands
+      val appended = eng.updateIncremental() // embeds ONLY the odd half
+      require(appended > 0, "q68: incremental update appended nothing")
+      val again = eng.updateIncremental() // store unchanged ⇒ nothing to do
+      require(again == 0, s"q68: second incremental update appended $again chunks")
+      eng.index()
+        .select(col("doc_id"), col("chunk_id"),
+          // + 0.0 canonicalizes IEEE -0.0 to +0.0 (the oracle does the same;
+          // DuckDB's round emits -0.0 where Spark's emits 0.0)
+          (round(aggregate(col("vec"), lit(0.0d), (a, x) => a + x.cast("double")), 4) + lit(0.0d))
+            .as("vec_sum"),
+          round(aggregate(col("vec"), lit(0.0d), (a, x) => a + abs(x.cast("double"))), 4)
+            .as("vec_l1"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // Structured Streaming graded end-to-end: a real file-source readStream
     // over the corpus, grouped aggregation, memory sink in complete mode,
     // Trigger.AvailableNow (process everything that exists, then stop — the
@@ -224,6 +256,33 @@ object EngineQueries {
          |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    // the incrementally-extended index must equal a full chunk+embed replay
+    // over the whole corpus — same chunker + hash-embed CTEs as q64, graded
+    // at the per-chunk level via two order-stable vector checksums (Spark's
+    // aggregate() folds left from 0.0; list_reduce folds left from v[0];
+    // 0.0 + v0 == v0 exactly, so the double-add sequences are identical)
+    "q68_incremental_index" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
+         |  FROM documents WHERE length(text) > 0),
+         |ch AS (
+         |  SELECT doc_id, doc_id || '_' || pos AS chunk_id,
+         |    substring(text, cast(pos*64+1 as int), 128) AS chunk
+         |  FROM c),
+         |${embedSql("ch", "chunk_id, doc_id", "chunk")},
+         |nv AS (
+         |  SELECT chunk_id, doc_id,
+         |    CASE WHEN nrm > 0
+         |         THEN list_transform(cv, x -> cast(cast(x * (1.0/nrm) as float) as double))
+         |         ELSE cv END AS v
+         |  FROM vec)
+         |SELECT doc_id, chunk_id,
+         |  round(list_reduce(v, (a, b) -> a + b), 4) + 0.0 AS vec_sum,
+         |  round(list_reduce(list_transform(v, x -> abs(x)), (a, b) -> a + b), 4) AS vec_l1
+         |FROM nv
+         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q65_stream_agg" ->
       """SELECT lang, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS total_chars,

@@ -63,6 +63,38 @@ class EngineSpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("updateIncremental embeds only new docs and converges to the full-build index") {
+    val full = freshEngine()
+    val incr = freshEngine()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+
+    full.ingest(docs)
+    full.update()
+
+    // incremental path: half the corpus, full build, then the rest lands
+    incr.ingest(docs.filter(col("doc_id") % 2 === 0))
+    incr.update()
+    val evenChunks = incr.index().count()
+    incr.ingest(docs)
+    val appended = incr.updateIncremental()
+    assert(appended > 0)
+    assert(incr.index().count() == evenChunks + appended)
+    // unchanged store ⇒ nothing new to embed
+    assert(incr.updateIncremental() == 0L)
+
+    // the two indexes are indistinguishable, vectors included
+    def snap(e: Engine): Array[(String, Seq[Float])] = e.index()
+      .select("chunk_id", "vec").collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    assert(snap(incr).sameElements(snap(full)))
+
+    // empty index path ⇒ updateIncremental degrades to a full first build
+    val cold = freshEngine()
+    cold.ingest(docs)
+    assert(cold.updateIncremental() == full.index().count())
+  }
+
   test("EngineConfig.load parses key:value config with comments and defaults") {
     val f = java.nio.file.Files.createTempFile("graft-cfg", ".yml")
     java.nio.file.Files.writeString(f,
