@@ -49,7 +49,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
       EventQueries.queries ++ SourceQueries.queries ++ MultimodalQueries.queries ++
-      EngineQueries.queries
+      EngineQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted only for genuinely approximate ops (q24 pruned
@@ -58,5 +58,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++
       EventQueries.oracle ++ SourceQueries.oracle ++ MultimodalQueries.oracle ++
-      EngineQueries.oracle
+      EngineQueries.oracle ++ PipelineQueries.oracle
 }

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QHelpers._
+
+/**
+ * Training-data pipeline operators beyond the reference's surface — the
+ * curation steps a corpus-scale (100 TB) LLM data system runs between
+ * crawling (SURVEY §2.1) and training, each as a graded query over
+ * `documents` with a DuckDB oracle:
+ *
+ *  - q69 deterministic train/val/test split — hash-bucket assignment
+ *    (sha256 mod 64), the reproducible alternative to seeded `rand()`:
+ *    membership is a pure projection, so re-runs, backfills and late
+ *    arrivals land in the same split with zero coordination.
+ *  - q70 benchmark decontamination — word-5-gram overlap between the
+ *    corpus and a benchmark set, the standard eval-leak check. The
+ *    benchmark n-gram side is small by nature → broadcast, so the corpus
+ *    is never shuffled; per-document totals are one partial agg.
+ *  - q71 PII redaction — regex scrub (emails, phone numbers) with match
+ *    counts and a post-scrub content hash; pure codegen'd projection,
+ *    embarrassingly parallel at any scale.
+ *  - q72 weighted source mixing — exact per-source quotas taken by
+ *    deterministic hash rank, the "data mixture" step of corpus assembly.
+ *    Exactness costs one shuffle-by-source (window); at extreme scale the
+ *    same hash rank admits an approximate threshold cut (quantile of the
+ *    hash) with no window at all — documented tradeoff, exact form graded.
+ */
+object PipelineQueries {
+
+  // ---- q69: deterministic split ------------------------------------------
+  // bucket = low 60 bits of sha256(doc_id) mod 64 (the 15-hex-char
+  // decomposition DuckDB can mirror without HUGEINT — EngineQueries.tokBucket
+  // lesson); 51/6/7 of 64 ≈ 80/9/11 train/val/test.
+  private def bucket64(c: Column): Column =
+    conv(substring(sha2(c.cast("string"), 256), 2, 15), 16, 10).cast("long") % 64
+
+  // ---- q70: decontamination ----------------------------------------------
+  /** Sentinel passage planted into every 13th corpus doc AND every benchmark
+    * doc, so true contamination exists at every scale factor (the q49
+    * planted-fixture lesson); natural 5-gram collisions also count. */
+  private val sentinel =
+    "shared benchmark sentinel passage about distributed gradient descent convergence"
+
+  /** Distinct word-5-grams per document id. Stays in one projection
+    * (split → transform/slice/array_join → explode); the HOFs evaluate
+    * interpreted, but the fan-out is bounded (one row per token) and the
+    * alternative — posexplode + window over token position — buys codegen
+    * with an extra shuffle, a loss at corpus scale. */
+  private def grams5(df: DataFrame, idCol: String): DataFrame =
+    df.filter(length(trim(col("text2"))) > 0)
+      .withColumn("toks", split(lower(trim(col("text2"))), "\\s+"))
+      .filter(size(col("toks")) >= 5)
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), size(col("toks")) - 5),
+          i => array_join(slice(col("toks"), i + lit(1), lit(5)), " "))).as("gram"))
+      .distinct()
+
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\+1-555-[0-9]+"
+
+  val queries: Map[String, Q] = Map(
+    // Hash-bucket split assignment, aggregated per (split, lang): doc counts,
+    // char volume and an id-sum membership checksum. The assignment itself is
+    // shuffle-free; the only exchange is the final partial-agg rollup. At
+    // 100 TB the same projection feeds write.partitionBy("split").
+    "q69_train_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("bucket", bucket64(col("doc_id")))
+        .withColumn("split",
+          when(col("bucket") < 51, "train")
+            .when(col("bucket") < 57, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
+    // Corpus×benchmark 5-gram overlap: benchmark = every 97th doc (+sentinel),
+    // corpus plants the sentinel into every 13th doc. The benchmark n-gram
+    // set is broadcast — the corpus-side n-gram stream is filtered in place,
+    // never shuffled; only the per-doc counts aggregate.
+    "q70_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.withColumn("text2",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" " + sentinel)))
+          .otherwise(col("text")))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("text2", concat(col("text"), lit(" " + sentinel)))
+      val cg = grams5(corpus, "doc_id")
+      val bg = grams5(bench.withColumnRenamed("doc_id", "bid"), "bid")
+        .select("gram").distinct()
+      val tot = cg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      val ov = cg.join(broadcast(bg), "gram")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      ov.join(tot, "doc_id")
+        // contamination in integer basis points: 10000.0*n/d is the same one
+        // IEEE divide in both engines, floor avoids the round() boundary trap
+        .withColumn("ratio_bp",
+          floor(col("n_overlap") * lit(10000.0) / col("n_grams")).cast("long"))
+        .select("doc_id", "n_overlap", "n_grams", "ratio_bp")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Regex PII scrub over planted fixtures (every 7th doc gains a
+    // deterministic email + phone tail): match counts, redacted length and a
+    // post-scrub sha256 — so the oracle proves the scrub byte-for-byte, not
+    // just "some rows changed". One codegen'd projection, no shuffle at all.
+    "q71_pii_scrub" -> ((s, dir) => {
+      val pii = t(s, dir, "documents").withColumn("text2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" Contact: user"), col("doc_id").cast("string"),
+            lit("@example.com or +1-555-"), (col("doc_id") % 10000).cast("string"), lit(".")))
+          .otherwise(col("text")))
+      pii
+        .withColumn("n_emails", size(regexp_extract_all(col("text2"), lit(emailPat), lit(0))).cast("long"))
+        .withColumn("n_phones", size(regexp_extract_all(col("text2"), lit(phonePat), lit(0))).cast("long"))
+        .withColumn("clean",
+          regexp_replace(regexp_replace(col("text2"), emailPat, "[EMAIL]"), phonePat, "[PHONE]"))
+        .filter(col("n_emails") > 0 || col("n_phones") > 0)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("clean")).cast("long").as("clean_len"),
+          sha2(col("clean"), 256).as("clean_sha"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Weighted mixture with EXACT per-source quotas (even-numbered sources
+    // keep 50%, odd 20%): rank docs inside each source by a salted hash and
+    // keep the first quota(source). Deterministic — the same corpus always
+    // yields the same mixture. Output: per-source kept count, id-sum
+    // checksum of the kept set, and the quota it must equal.
+    "q72_source_mix" -> ((s, dir) => {
+      val frac = when(expr("cast(substring(source, 4) as int)") % 2 === 0, lit(0.5))
+        .otherwise(lit(0.2))
+      val w = t(s, dir, "documents")
+        .withColumn("rk", sha2(concat(lit("mix"), col("doc_id").cast("string")), 256))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .withColumn("quota", greatest(lit(1L), floor(col("cnt") * frac)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))))
+      w.filter(col("rn") <= col("quota"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("sum_ids"),
+          max(col("quota")).as("quota"))
+        .orderBy(col("source"))
+    }))
+
+  /** DuckDB 5-gram CTEs over a `(id, text2)` relation named `rel`:
+    * `<p>tok` tokens, `<p>grams` distinct per-id grams. */
+  private def gramsSql(rel: String, id: String, p: String): String =
+    s"""${p}tok AS (
+       |  SELECT $id, regexp_split_to_array(lower(trim(text2)), '\\s+') AS toks
+       |  FROM $rel WHERE length(trim(text2)) > 0),
+       |${p}grams AS (
+       |  SELECT DISTINCT $id, array_to_string(toks[i:i+4], ' ') AS gram
+       |  FROM ${p}tok, unnest(generate_series(1, len(toks)-4)) AS u(i)
+       |  WHERE len(toks) >= 5)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q69_train_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    cast(('0x' || substr(sha256(cast(doc_id as varchar)), 2, 15)) as bigint) % 64 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 51 THEN 'train'
+        |            WHEN bucket < 57 THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS total_chars,
+        |  cast(sum(doc_id) as bigint) AS sum_ids
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q70_decontaminate" -> {
+      val sq = s"' $sentinel'" // one literal: leading space + sentinel
+      s"""WITH corpus AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || $sq ELSE text END AS text2
+         |  FROM documents),
+         |bench AS (
+         |  SELECT doc_id AS bid, text || $sq AS text2 FROM documents WHERE doc_id % 97 = 0),
+         |${gramsSql("corpus", "doc_id", "c")},
+         |${gramsSql("bench", "bid", "b")},
+         |bg AS (SELECT DISTINCT gram FROM bgrams),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM cgrams GROUP BY 1),
+         |ov AS (SELECT doc_id, count(*) AS n_overlap
+         |       FROM cgrams JOIN bg USING (gram) GROUP BY 1)
+         |SELECT o.doc_id, o.n_overlap, t.n_grams,
+         |  cast(floor(o.n_overlap * 10000.0 / t.n_grams) as bigint) AS ratio_bp
+         |FROM ov o JOIN tot t USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q71_pii_scrub" ->
+      s"""WITH pii AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN text || ' Contact: user' || cast(doc_id as varchar)
+         |              || '@example.com or +1-555-' || cast(doc_id % 10000 as varchar) || '.'
+         |         ELSE text END AS text2
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text2, '$emailPat')) AS n_emails,
+         |    len(regexp_extract_all(text2, '$phonePat')) AS n_phones,
+         |    regexp_replace(regexp_replace(text2, '$emailPat', '[EMAIL]', 'g'),
+         |                   '$phonePat', '[PHONE]', 'g') AS clean
+         |  FROM pii)
+         |SELECT doc_id, n_emails, n_phones,
+         |  cast(length(clean) as bigint) AS clean_len, sha256(clean) AS clean_sha
+         |FROM m WHERE n_emails > 0 OR n_phones > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "q72_source_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN cast(substr(source, 4) as int) % 2 = 0 THEN 0.5 ELSE 0.2 END AS frac,
+        |    count(*) OVER (PARTITION BY source) AS cnt,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY sha256('mix' || cast(doc_id as varchar)), doc_id) AS rn
+        |  FROM documents),
+        |k AS (SELECT *, greatest(1, cast(floor(cnt * frac) as bigint)) AS quota FROM w)
+        |SELECT source, count(*) AS n_kept, cast(sum(doc_id) as bigint) AS sum_ids,
+        |  cast(max(quota) as bigint) AS quota
+        |FROM k WHERE rn <= quota
+        |GROUP BY source ORDER BY source""".stripMargin)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.functions._
+
+/** Properties of the training-data curation queries (q69–q72) that the
+  * equality oracle can't express: split disjointness/proportions, planted
+  * contamination recall, scrub completeness, exact quota satisfaction. */
+class PipelineSpec extends SparkSpec {
+
+  private def run(name: String) = PipelineQueries.queries(name)(spark, sf)
+
+  test("q69 split is exhaustive, disjoint, and near the 51/6/7-of-64 proportions") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.count()
+    val agg = run("q69_train_split")
+      .groupBy("split").agg(sum("n_docs").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg.keySet == Set("train", "val", "test"))
+    assert(agg.values.sum == total) // exhaustive + disjoint (each doc once)
+    // hash buckets are uniform: expect ~79.7% / 9.4% / 10.9%, allow wide slack
+    val train = agg("train").toDouble / total
+    assert(train > 0.70 && train < 0.90, s"train fraction $train")
+    // determinism: a re-run is byte-identical
+    assert(run("q69_train_split").collect().sameElements(run("q69_train_split").collect()))
+  }
+
+  test("q70 flags every planted contaminated doc with at least the sentinel grams") {
+    val flagged = run("q70_decontaminate")
+      .select("doc_id", "n_overlap").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 13 === 0 && length(trim(col("text"))) > 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(flagged.contains(id), s"planted doc $id not flagged")
+      // the 9-word sentinel contributes 5 distinct 5-grams, all shared
+      assert(flagged(id) >= 5, s"doc $id overlap ${flagged(id)} < 5")
+    }
+  }
+
+  test("q71 scrub leaves no matchable PII and counts the planted fixtures") {
+    val out = run("q71_pii_scrub")
+    // every 7th doc was planted with exactly one email and one phone tail
+    val planted = out.filter(col("doc_id") % 7 === 0)
+    assert(planted.count() == out.count()) // nothing else matched
+    assert(planted.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1).count() == 0)
+    // re-running the scrub over already-clean text changes nothing: the
+    // redaction tokens themselves contain no matchable PII
+    assert(!"[EMAIL] [PHONE]".matches(".*@.*"))
+  }
+
+  test("q72 mixture hits every per-source quota exactly") {
+    val rows = run("q72_source_mix").collect()
+    assert(rows.length == 20) // src0..src19
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("quota"),
+        s"${r.getAs[String]("source")}: kept ${r.getAs[Long]("n_kept")} != quota ${r.getAs[Long]("quota")}")
+    }
+    // even sources keep 50%, odd 20% — quotas reflect the weights
+    val bySrc = rows.map(r => r.getAs[String]("source") -> r.getAs[Long]("quota")).toMap
+    assert(bySrc("src0") > bySrc("src1"))
+  }
+}

@@ -95,6 +95,20 @@ class PlanSpec extends SparkSpec {
       optimized.take(2000))
   }
 
+  test("q70: the benchmark n-gram side broadcasts; the corpus grams never shuffle for the join") {
+    val plan = formatted(SparkEntry.queries("q70_decontaminate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q69: split assignment adds no shuffle beyond the final rollup") {
+    val plan = formatted(SparkEntry.queries("q69_train_split")(spark, sf))
+    // the hash-bucket projection itself is narrow: the only exchanges are the
+    // groupBy and the final sort ("(n) Exchange" counts each node once —
+    // the formatted dump repeats names in the detail section)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size <= 2, plan.take(2000))
+  }
+
   test("q44: DSv2 corpus scan schema is pruned to the referenced columns") {
     val df = spark.read.format("graft-corpus")
       .option("rows", 100).option("partitions", 4).load()
