@@ -27,6 +27,13 @@ import QHelpers._
  *    Exactness costs one shuffle-by-source (window); at extreme scale the
  *    same hash rank admits an approximate threshold cut (quantile of the
  *    hash) with no window at all — documented tradeoff, exact form graded.
+ *  - q73 sequence packing — assign documents to fixed-token-budget training
+ *    sequences by exclusive running token count in doc order. The naive
+ *    spelling is a global-order window = ONE task at any scale; here the
+ *    prefix sum is two-level (parallel per-range-bucket windows + a
+ *    bucket-offsets window over only #buckets rows), the distributed
+ *    scan-algorithm shape that survives 100 TB. The oracle is the naive
+ *    global cumsum — both must agree exactly.
  */
 object PipelineQueries {
 
@@ -147,6 +154,38 @@ object PipelineQueries {
           sum(col("doc_id")).as("sum_ids"),
           max(col("quota")).as("quota"))
         .orderBy(col("source"))
+    }),
+
+    // Pack documents into 2048-token training sequences by exclusive running
+    // token count in doc_id order. Two-level prefix sum: a window per range
+    // bucket (parallel — each bucket is an independent task), then bucket
+    // totals get their own window over only #buckets rows to produce
+    // offsets; prev_cum = offset + in-bucket running - own tokens. A naive
+    // `Window.orderBy(doc_id)` with no partitioning computes the same number
+    // in ONE task — the classic silent scale-killer this query exists to
+    // avoid (PlanSpec gates the partitioned shape).
+    "q73_pack_sequences" -> ((s, dir) => {
+      val budget = 2048L
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(length(trim(col("text"))) > 0, size(split(lower(trim(col("text"))), "\\s+")))
+            .otherwise(0).cast("long").as("n_toks"))
+        .withColumn("bucket", expr("doc_id DIV 1000"))
+      val inBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = toks.withColumn("running", sum(col("n_toks")).over(inBucket))
+      val offsets = toks.groupBy(col("bucket")).agg(sum(col("n_toks")).as("btot"))
+        .withColumn("offset", coalesce(sum(col("btot")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bucket", "offset")
+      run.join(broadcast(offsets), "bucket")
+        .withColumn("prev_cum", col("offset") + col("running") - col("n_toks"))
+        .withColumn("bin", floor(col("prev_cum") / lit(budget)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("bin"))
     }))
 
   /** DuckDB 5-gram CTEs over a `(id, text2)` relation named `rel`:
@@ -223,5 +262,24 @@ object PipelineQueries {
         |SELECT source, count(*) AS n_kept, cast(sum(doc_id) as bigint) AS sum_ids,
         |  cast(max(quota) as bigint) AS quota
         |FROM k WHERE rn <= quota
-        |GROUP BY source ORDER BY source""".stripMargin)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the naive single-pass global cumsum — the two-level Spark plan must
+    // reproduce it exactly
+    "q73_pack_sequences" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) > 0
+        |         THEN cast(len(regexp_split_to_array(lower(trim(text)), '\s+')) as bigint)
+        |         ELSE 0 END AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_toks,
+        |    coalesce(sum(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+        |  FROM tk)
+        |SELECT cast(floor(prev_cum / 2048) as bigint) AS bin,
+        |  count(*) AS n_docs, cast(sum(n_toks) as bigint) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -51,6 +51,31 @@ class PipelineSpec extends SparkSpec {
     assert(!"[EMAIL] [PHONE]".matches(".*@.*"))
   }
 
+  test("q73 two-level prefix sum equals the naive global window, bins respect the budget") {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048L
+    // naive single-task spelling (fine at spec scale, the thing q73 avoids)
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        when(length(trim(col("text"))) > 0, size(split(lower(trim(col("text"))), "\\s+")))
+          .otherwise(0).cast("long").as("n_toks"))
+    val naive = toks
+      .withColumn("prev_cum", coalesce(sum(col("n_toks")).over(
+        Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", floor(col("prev_cum") / budget))
+      .groupBy("bin").agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("bin").collect()
+    val twoLevel = run("q73_pack_sequences").collect()
+    assert(twoLevel.sameElements(naive))
+    // a bin overflows only by the straddling doc: total < budget + max doc size
+    val maxDoc = toks.agg(max("n_toks")).head.getLong(0)
+    twoLevel.dropRight(1).foreach { r => // last bin may be underfull
+      val tok = r.getAs[Long]("n_tokens")
+      assert(tok < budget + maxDoc, s"bin ${r.getAs[Long]("bin")} has $tok tokens")
+    }
+  }
+
   test("q72 mixture hits every per-source quota exactly") {
     val rows = run("q72_source_mix").collect()
     assert(rows.length == 20) // src0..src19

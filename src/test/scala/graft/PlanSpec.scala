@@ -109,6 +109,14 @@ class PlanSpec extends SparkSpec {
     assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size <= 2, plan.take(2000))
   }
 
+  test("q73: the corpus-wide prefix-sum window is partitioned by bucket, not global") {
+    val df = SparkEntry.queries("q73_pack_sequences")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the running-sum window over the full corpus must carry the bucket
+    // partition spec; only the #buckets-row offsets window may be global
+    assert(optimized.contains("windowspecdefinition(bucket"), optimized.take(2000))
+  }
+
   test("q44: DSv2 corpus scan schema is pruned to the referenced columns") {
     val df = spark.read.format("graft-corpus")
       .option("rows", 100).option("partitions", 4).load()
