@@ -34,6 +34,13 @@ import QHelpers._
  *    bucket-offsets window over only #buckets rows), the distributed
  *    scan-algorithm shape that survives 100 TB. The oracle is the naive
  *    global cumsum — both must agree exactly.
+ *  - q74 vocabulary induction — exact corpus-wide token frequencies with a
+ *    document-frequency floor, the counting pass a tokenizer trainer runs.
+ *    Partial aggregation does the heavy lifting; the survivor set is tiny.
+ *  - q75 term relevance — TF-IDF-shaped scoring with an exact RATIONAL idf
+ *    ((N+1)/(df+1), no logarithm): Math.log and libm log can disagree by an
+ *    ulp across engines, so a hash-checked cross-engine score must stay in
+ *    IEEE +,*,/ whose results are bit-identical everywhere.
  */
 object PipelineQueries {
 
@@ -186,6 +193,49 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy(col("bin"))
+    }),
+
+    // Corpus vocabulary with exact counts: tokens appearing in ≥ 20 distinct
+    // documents, top 100 by occurrence. The explode fans out to one row per
+    // token but map-side partial aggregation collapses it before the single
+    // shuffle; the ≥20-df survivor set is tiny at any corpus size.
+    "q74_vocab" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 20)
+        .orderBy(col("n_occurrences").desc, col("token"))
+        .limit(100)
+    }),
+
+    // Top-5 most relevant terms per document, scored tf * (N+1)/(df+1) in
+    // integer basis points. The corpus size N rides in as a broadcast 1-row
+    // join (never a driver-side collect); df is one distinct-agg over the
+    // exploded tokens. ((tf * 10000.0) * (N+1)) / (df+1): products stay
+    // < 2^53 so only the division rounds — identically in every IEEE engine.
+    "q75_tfidf" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      val nd = toks.agg(countDistinct(col("doc_id")).as("nd"))
+      val scored = tf.join(df, "token").crossJoin(broadcast(nd))
+        .withColumn("rel_score_bp",
+          floor(col("tf") * lit(10000.0) * (col("nd") + lit(1L)) / (col("df") + lit(1L)))
+            .cast("long"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("rel_score_bp").desc, col("token"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"), col("token"),
+          col("tf"), col("df"), col("rel_score_bp"))
+        .orderBy(col("doc_id"), col("rank"))
     }))
 
   /** DuckDB 5-gram CTEs over a `(id, text2)` relation named `rel`:
@@ -281,5 +331,34 @@ object PipelineQueries {
         |SELECT cast(floor(prev_cum / 2048) as bigint) AS bin,
         |  count(*) AS n_docs, cast(sum(n_toks) as bigint) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q74_vocab" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |FROM tk WHERE token <> ''
+        |GROUP BY token HAVING count(DISTINCT doc_id) >= 20
+        |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+
+    "q75_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM tok),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    cast(floor(tf.tf * 10000.0 * (nd.nd + 1) / (df.df + 1)) as bigint) AS rel_score_bp
+        |  FROM tf JOIN df USING (token) CROSS JOIN nd),
+        |r AS (
+        |  SELECT doc_id, token, tf, df, rel_score_bp,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY rel_score_bp DESC, token) AS rank
+        |  FROM scored QUALIFY rank <= 5)
+        |SELECT doc_id, cast(rank as bigint) AS rank, token, tf, df, rel_score_bp
+        |FROM r ORDER BY doc_id, rank""".stripMargin)
 }

@@ -76,6 +76,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q74 vocabulary respects the df floor and the top-100 cut") {
+    val rows = run("q74_vocab").collect()
+    assert(rows.length <= 100 && rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_docs") >= 20))
+    // ordered by occurrences desc (token breaks ties)
+    val occ = rows.map(_.getAs[Long]("n_occurrences"))
+    assert(occ.zip(occ.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q75 relevance ranks are dense per doc with non-increasing scores") {
+    val byDoc = run("q75_tfidf").collect()
+      .groupBy(_.getAs[Long]("doc_id")).values
+    byDoc.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.length <= 5)
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getAs[Long]("rel_score_bp"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("q72 mixture hits every per-source quota exactly") {
     val rows = run("q72_source_mix").collect()
     assert(rows.length == 20) // src0..src19
