@@ -117,6 +117,28 @@ class PlanSpec extends SparkSpec {
     assert(optimized.contains("windowspecdefinition(bucket"), optimized.take(2000))
   }
 
+  test("runtime bloom-filter injection prunes the fact side of a selective join") {
+    // The 100 TB shape: a huge fact scan joined to a selectively-filtered
+    // dimension. Catalyst's InjectRuntimeFilter plants a bloom filter built
+    // from the filtered dim onto the fact scan, so most fact rows die before
+    // the shuffle. The size thresholds exist for real clusters; zeroing the
+    // application-side threshold lets local test data qualify.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf/orders.parquet").filter(col("o_totalprice") > 500000)
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"), optimized.take(2000))
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("q44: DSv2 corpus scan schema is pruned to the referenced columns") {
     val df = spark.read.format("graft-corpus")
       .option("rows", 100).option("partitions", 4).load()
