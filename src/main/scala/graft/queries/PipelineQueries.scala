@@ -213,18 +213,23 @@ object PipelineQueries {
     }),
 
     // Top-5 most relevant terms per document, scored tf * (N+1)/(df+1) in
-    // integer basis points. The corpus size N rides in as a broadcast 1-row
-    // join (never a driver-side collect); df is one distinct-agg over the
-    // exploded tokens. ((tf * 10000.0) * (N+1)) / (df+1): products stay
-    // < 2^53 so only the division rounds — identically in every IEEE engine.
+    // integer basis points. The corpus is scanned and tokenized ONCE: tf is
+    // localCheckpoint-materialized and df / N both derive from it (df(token)
+    // = its row count per token, N = its distinct doc count) — without the
+    // materialization each branch re-runs the scan+explode lineage (no
+    // cross-branch CSE; measured 3 corpus scans). N rides in as a broadcast
+    // 1-row join, never a driver-side collect. ((tf * 10000.0) * (N+1)) /
+    // (df+1): products stay < 2^53 so only the division rounds —
+    // identically in every IEEE engine.
     "q75_tfidf" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
         .filter(col("token") =!= "")
       val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val df = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
-      val nd = toks.agg(countDistinct(col("doc_id")).as("nd"))
+        .localCheckpoint()
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nd = tf.agg(countDistinct(col("doc_id")).as("nd"))
       val scored = tf.join(df, "token").crossJoin(broadcast(nd))
         .withColumn("rel_score_bp",
           floor(col("tf") * lit(10000.0) * (col("nd") + lit(1L)) / (col("df") + lit(1L)))
