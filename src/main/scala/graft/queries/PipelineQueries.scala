@@ -104,7 +104,10 @@ object PipelineQueries {
           .otherwise(col("text")))
       val bench = docs.filter(col("doc_id") % 97 === 0)
         .withColumn("text2", concat(col("text"), lit(" " + sentinel)))
-      val cg = grams5(corpus, "doc_id")
+      // cg feeds both the per-doc totals and the overlap join; materialize it
+      // or each branch re-runs the corpus scan + n-gram explode (no
+      // cross-branch CSE — the q75 lesson, measured here too)
+      val cg = grams5(corpus, "doc_id").localCheckpoint()
       val bg = grams5(bench.withColumnRenamed("doc_id", "bid"), "bid")
         .select("gram").distinct()
       val tot = cg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
@@ -173,11 +176,15 @@ object PipelineQueries {
     // avoid (PlanSpec gates the partitioned shape).
     "q73_pack_sequences" -> ((s, dir) => {
       val budget = 2048L
+      // materialized: both the in-bucket windows and the bucket-total
+      // offsets read this, and the token-count projection reads the wide
+      // text column — without a checkpoint that scan runs twice
       val toks = t(s, dir, "documents")
         .select(col("doc_id"),
           when(length(trim(col("text"))) > 0, size(split(lower(trim(col("text"))), "\\s+")))
             .otherwise(0).cast("long").as("n_toks"))
         .withColumn("bucket", expr("doc_id DIV 1000"))
+        .localCheckpoint()
       val inBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val run = toks.withColumn("running", sum(col("n_toks")).over(inBucket))
