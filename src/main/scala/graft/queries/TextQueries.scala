@@ -66,9 +66,14 @@ object TextQueries {
     * spec): candidates = same source AND same first-8-char block key; verify
     * = levenshtein over the 24-char prefixes ≤ 8. */
   private[graft] def fuzzyMatchBlocked(docs: DataFrame): DataFrame = {
+    // materialize the thin (id, source, pfx, blk) projection once: a lazy
+    // self-join re-executes the corpus scan for BOTH sides (measured 4
+    // documents scans in q49 with the fixture union) — and the projection
+    // is the only part of the corpus the join needs
     val d = docs.select(col("doc_id"), col("source"),
         substring(col("text"), 1, 24).as("pfx"))
       .withColumn("blk", substring(col("pfx"), 1, 8))
+      .localCheckpoint()
     val a = d.select(col("doc_id").as("id_a"), col("source"),
       col("pfx").as("pfx_a"), col("blk"))
     val b = d.select(col("doc_id").as("id_b"), col("source"),
