@@ -159,7 +159,47 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rank"))
     }))
 
+  /** DuckDB replay of sign-LSH banded ANN (topKLsh, q55). The hyperplanes
+    * depend only on (dim=64, bands=6, bitsPerBand=8, seed=42) — NOT on the
+    * data — so the oracle embeds the exact runtime plane values as SQL
+    * literals: `Double.toString` of the widened float round-trips bit-exactly
+    * through DuckDB's double parser, and both engines then accumulate the
+    * same float-widened products. A sign flip would need |v·h| ≈ 0 to within
+    * summation-order noise (~1e-13 relative), which Gaussian planes make
+    * vanishingly improbable; candidate sets therefore agree exactly and the
+    * query stops being "approximate → rows-only": approximate vs BRUTE FORCE,
+    * deterministic vs ITS OWN DEFINITION, which is what this replays. */
+  private lazy val lshOracleSql: String = {
+    val planes = graft.operators.Dedup.hyperplanes(64, 48, 42L)
+    val rows = planes.zipWithIndex.map { case (p, bit) =>
+      s"(${bit / 8}, ${bit % 8}, [${p.map(f => f.toDouble.toString).mkString(", ")}])"
+    }.mkString(",\n")
+    s"""WITH planes(band, j, h) AS (VALUES
+       |$rows),
+       |q AS (SELECT vec_id AS query_id, cast(embedding as double[]) AS qv
+       |      FROM embeddings WHERE vec_id >= 15 AND vec_id < 20),
+       |corpus AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+       |csig AS (SELECT vec_id, band,
+       |    sum(CASE WHEN list_dot_product(v, h) >= 0 THEN 1 << j ELSE 0 END) AS bsig
+       |  FROM corpus, planes GROUP BY vec_id, band),
+       |qsig AS (SELECT query_id, band,
+       |    sum(CASE WHEN list_dot_product(qv, h) >= 0 THEN 1 << j ELSE 0 END) AS bsig
+       |  FROM q, planes GROUP BY query_id, band),
+       |cand AS (SELECT DISTINCT qs.query_id, cs.vec_id
+       |  FROM csig cs JOIN qsig qs ON cs.band = qs.band AND cs.bsig = qs.bsig),
+       |scored AS (SELECT c.query_id, c.vec_id,
+       |    round(list_cosine_similarity(e.v, q.qv), 4) AS score
+       |  FROM cand c JOIN corpus e ON e.vec_id = c.vec_id
+       |              JOIN q ON q.query_id = c.query_id)
+       |SELECT query_id, vec_id, score,
+       |  cast(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, vec_id ASC) as int) AS rank
+       |FROM scored QUALIFY rank <= 4
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q55_ann_lsh" -> lshOracleSql,
     "q57_mean_pool" ->
       """WITH e AS (
         |  SELECT vec_id, cast(embedding as double[]) AS v

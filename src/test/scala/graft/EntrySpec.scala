@@ -20,9 +20,15 @@ class EntrySpec extends SparkSpec {
   }
 
   test("oracle SQL exists for every query except declared rows-only ops") {
-    // q24/q55 are genuinely approximate (pruned IVF probe / LSH recall);
-    // q44 reads the DSv2 generator (no parquet table for DuckDB to see)
-    val rowsOnly = Set("q24_ann_ivf_probe", "q44_dsv2_corpus", "q55_ann_lsh")
+    // q24 is genuinely approximate relative to anything DuckDB can replay:
+    // its pruning depends on IVF centroids trained on a driver-side sample
+    // whose composition tracks Spark's partition order, so no portable SQL
+    // can reproduce the cell assignment. q44 reads the DSv2 generator (no
+    // parquet table for DuckDB to see). q55's LSH is approximate vs brute
+    // force but DETERMINISTIC vs its own definition — its hyperplanes are
+    // data-independent constants, so it now carries a full banding-replay
+    // oracle (VectorQueries.lshOracleSql) and left this list in round 5.
+    val rowsOnly = Set("q24_ann_ivf_probe", "q44_dsv2_corpus")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
