@@ -208,7 +208,69 @@ object SourceQueries {
         .orderBy(col("doc_id"))
     }))
 
+  /** DuckDB replay of the DSv2 synthetic generator (q44). The generator is a
+    * pure function of (seed, doc_id) — a 64-bit xor-shift-multiply chain
+    * picking source, word count, then words — so a recursive CTE can walk the
+    * same chain: h lives as a non-negative HUGEINT (mod 2^64), `>>>` is
+    * floor-division (the value is unsigned by construction), and the
+    * wraparound multiply is split into 32-bit limbs because a full 64×64
+    * product overflows INT128. Vocab word lengths and source names are
+    * emitted from the SAME runtime arrays the Spark source reads
+    * (SyntheticCorpusSource.Vocab/Sources), so the literals cannot drift.
+    * The chain carries nWords once known (k=2) and stops at k = nWords + 2 —
+    * no over-generation. */
+  private lazy val dsv2CorpusSql: String = {
+    import graft.sources.SyntheticCorpusSource.{Sources, Vocab}
+    val vlen = Vocab.zipWithIndex.map { case (w, i) => s"($i,${w.length})" }.mkString(",")
+    val srcs = Sources.zipWithIndex.map { case (n, i) => s"($i,'$n')" }.mkString(",")
+    // 11400714819323198485 = 0x9e3779b97f4a7c15 (seed mix);
+    // 0xff51afd7ed558ccd split into 32-bit limbs: hi 4283543511, lo 3981806797
+    s"""WITH RECURSIVE
+       |vlen(i, l) AS (VALUES $vlen),
+       |srcs(i, name) AS (VALUES $srcs),
+       |chain(doc_id, k, h, nw) AS (
+       |  SELECT doc_id, 0,
+       |    CAST((42 * CAST(11400714819323198485 AS HUGEINT) + doc_id)
+       |         % 18446744073709551616 AS HUGEINT),
+       |    CAST(NULL AS HUGEINT)
+       |  FROM (SELECT unnest(generate_series(0, 1999)) AS doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, k + 1, newh,
+       |    CASE WHEN k + 1 = 2 THEN 20 + (newh % 9223372036854775808) % 180
+       |         ELSE nw END
+       |  FROM (
+       |    SELECT doc_id, k, nw, xor(t2, t2 // 536870912) AS newh
+       |    FROM (
+       |      SELECT doc_id, k, nw,
+       |        ((((t1 // 4294967296) * 3981806797
+       |           + (t1 % 4294967296) * 4283543511) % 4294967296)
+       |          * 4294967296 + (t1 % 4294967296) * 3981806797)
+       |        % 18446744073709551616 AS t2
+       |      FROM (SELECT doc_id, k, nw, xor(h, h // 8589934592) AS t1
+       |            FROM chain WHERE k < 2 OR k < nw + 2)
+       |    )
+       |  )
+       |),
+       |r AS (SELECT doc_id, k, nw, h % 9223372036854775808 AS r
+       |      FROM chain WHERE k >= 1),
+       |meta AS (
+       |  SELECT s.doc_id, srcs.name AS source, nw.nw
+       |  FROM (SELECT doc_id, r % ${Sources.length} AS si FROM r WHERE k = 1) s
+       |  JOIN srcs ON srcs.i = s.si
+       |  JOIN (SELECT doc_id, nw FROM r WHERE k = 2) nw USING (doc_id)),
+       |chars AS (
+       |  SELECT doc_id, sum(vlen.l) AS wchars
+       |  FROM r JOIN vlen ON vlen.i = r.r % ${Vocab.length}
+       |  WHERE r.k >= 3
+       |  GROUP BY doc_id)
+       |SELECT meta.source, cast(count(*) as bigint) AS n_docs,
+       |       cast(sum(chars.wchars + meta.nw - 1) as bigint) AS total_chars
+       |FROM meta JOIN chars USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q44_dsv2_corpus" -> dsv2CorpusSql,
     "q62_bucketed_join" ->
       s"""SELECT c_mktsegment, count(*) AS n_orders,
          |  ${dsumSql("o_totalprice")} AS sum_price

@@ -53,8 +53,8 @@ object SyntheticCorpusSource {
     StructField("text", StringType, nullable = false),
     StructField("n_chars", LongType, nullable = false)))
 
-  private val Sources = Array("uci", "kaggle", "aws", "pwc", "hf", "ieee", "odl", "bdsp")
-  private val Vocab: Array[String] =
+  private[graft] val Sources = Array("uci", "kaggle", "aws", "pwc", "hf", "ieee", "odl", "bdsp")
+  private[graft] val Vocab: Array[String] =
     ("the of and to in a is for with data set model learning image text user time value large " +
       "deep neural network series graph node edge label train test split feature row column " +
       "benchmark corpus token sample signal audio video frame open source research analysis")

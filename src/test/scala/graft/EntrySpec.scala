@@ -20,15 +20,16 @@ class EntrySpec extends SparkSpec {
   }
 
   test("oracle SQL exists for every query except declared rows-only ops") {
-    // q24 is genuinely approximate relative to anything DuckDB can replay:
-    // its pruning depends on IVF centroids trained on a driver-side sample
-    // whose composition tracks Spark's partition order, so no portable SQL
-    // can reproduce the cell assignment. q44 reads the DSv2 generator (no
-    // parquet table for DuckDB to see). q55's LSH is approximate vs brute
-    // force but DETERMINISTIC vs its own definition — its hyperplanes are
-    // data-independent constants, so it now carries a full banding-replay
-    // oracle (VectorQueries.lshOracleSql) and left this list in round 5.
-    val rowsOnly = Set("q24_ann_ivf_probe", "q44_dsv2_corpus")
+    // q24 is the ONLY remaining rows-only query, and it is genuinely
+    // non-replayable: its pruning depends on IVF centroids trained on a
+    // driver-side sample whose composition tracks Spark's partition order,
+    // so no portable SQL can reproduce the cell assignment. The other two
+    // former members left the list in round 5: q55's LSH hyperplanes are
+    // data-independent constants (banding-replay oracle,
+    // VectorQueries.lshOracleSql); q44's DSv2 generator is a pure function
+    // of (seed, doc_id) (recursive-CTE hash-chain replay,
+    // SourceQueries.dsv2CorpusSql).
+    val rowsOnly = Set("q24_ann_ivf_probe")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
