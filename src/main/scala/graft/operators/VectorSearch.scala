@@ -252,6 +252,51 @@ object VectorSearch {
   }
 
   /**
+   * IVF layout whose coarse quantizer is DATA-INDEPENDENT: `nlist` seeded
+   * Gaussian directions (the q55 hyperplane trick) instead of learned KMeans
+   * centroids. Assignment is argmax rounded cosine with ties to the lowest
+   * cell — a pure function of (seed, vector), so a SQL oracle can replay the
+   * whole pruned probe by embedding the centroid values as literals
+   * (VectorQueries.ivfProbeOracleSql). Search behavior — nprobe cell pruning,
+   * in-cell exact ranking — is [[IvfIndex.search]] unchanged; only the
+   * quantizer source differs from [[buildIvf]]. This is a real quantizer
+   * family (random-projection coarse quantization), not a test artifact:
+   * it needs no training pass at all, which matters when the corpus churns
+   * faster than a KMeans fit amortizes.
+   *
+   * Assignment is a NARROW map stage (literal centroid array + left fold),
+   * never a shuffle: at 100 TB a per-row window over vec_id would be the
+   * dominant exchange; the fold is O(nlist·dim) per row inside the scan.
+   */
+  def buildIvfSeeded(corpus: DataFrame, nlist: Int, dim: Int,
+                     seed: Long = 7L, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): IvfIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = Dedup.hyperplanes(dim, nlist, seed)
+    val centLit = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"), typedLit(c.toSeq).as("centroid"))
+    }: _*)
+    // staged projections (the q57 lesson): the scored array is built in one
+    // projection and folded in the next, so the interpreted lambdas run once
+    val staged = corpus.withColumn("cscores",
+      transform(centLit, ce => struct(
+        round(VectorFns.cosineSim(col(vecCol), ce("centroid")), 4).as("s"),
+        ce("cell").as("cell"))))
+    // strict > keeps the EARLIEST max ⇒ rounded ties resolve to the lowest
+    // cell id — the same total order the oracle's (s DESC, cell ASC) replays
+    val cells = staged
+      .withColumn("cell", aggregate(col("cscores"),
+        struct(lit(-2.0).as("s"), lit(-1).as("cell")),
+        (acc, x) => when(x("s") > acc("s"), x).otherwise(acc))("cell"))
+      .drop("cscores")
+    val centroidDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+      .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
+    IvfIndex(cells, centroidDf, idCol, vecCol)
+  }
+
+  /**
    * Persist the IVF layout hive-partitioned by cell: `path/cell=<c>/…`.
    * A pruned probe then becomes a PARTITION filter — nprobe of nlist
    * directories are read, the rest never touch IO (the on-disk realization

@@ -34,6 +34,19 @@ object VectorQueries {
       cached
     })
 
+  /** Seeded (data-independent quantizer) IVF memo for the oracle-replayable
+    * pruned probe (q24). Same memo discipline as [[ivf]]. */
+  private val ivfSeededCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), VectorSearch.IvfIndex]
+
+  private def ivfSeeded(s: SparkSession, dir: String, nlist: Int): VectorSearch.IvfIndex =
+    ivfSeededCache.getOrElseUpdate((dir, nlist), {
+      val idx = VectorSearch.buildIvfSeeded(t(s, dir, "embeddings"), nlist, dim = 64)
+      val cached = idx.copy(cells = idx.cells.cache())
+      cached.cells.count()
+      cached
+    })
+
   /** embeddings ∪ perturbed near-copies (vec_id+10000 for vec_id%25==0):
     * coordinate i gets + ((vec_id + i) % 7 - 3)·1e-4, computed in double and
     * cast back to float — bit-identical in Spark and DuckDB, cosine ≈ 0.9999
@@ -93,9 +106,13 @@ object VectorQueries {
         .search(queriesDf(s, dir, 10, 15), k = 4, nprobe = 16)
         .orderBy(col("query_id"), col("rank"))),
 
-    // IVF with nprobe < nlist — the pruned scale path (approximate → rows-only)
+    // IVF with nprobe < nlist — the pruned scale path. The quantizer is the
+    // SEEDED (data-independent) one, so the cell assignment, probe choice and
+    // in-cell ranking all replay in DuckDB (ivfProbeOracleSql) — approximate
+    // vs brute force, but deterministic vs its own definition, exactly the
+    // q55 framing. The learned-KMeans quantizer stays graded by q23.
     "q24_ann_ivf_probe" -> ((s, dir) =>
-      ivf(s, dir, nlist = 16)
+      ivfSeeded(s, dir, nlist = 16)
         .search(queriesDf(s, dir, 10, 15), k = 4, nprobe = 4)
         .orderBy(col("query_id"), col("rank"))),
 
@@ -198,8 +215,54 @@ object VectorQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replay of the SEEDED pruned IVF probe (q24). Centroids are
+    * data-independent Gaussian directions (hyperplanes(64, 16, 7)) embedded
+    * as double literals — `Double.toString` of the widened float round-trips
+    * bit-exactly, the q55 precedent. The replay mirrors each stage of
+    * buildIvfSeeded + IvfIndex.search:
+    *  - cell assignment: argmax ROUNDED(4) cosine, ties → lowest cell
+    *    (the strict-> left fold keeps the earliest max);
+    *  - probe choice: top-nprobe cells by UNROUNDED cosine (search's
+    *    centroid window), ties → lowest cell;
+    *  - in-cell ranking: rounded score DESC, vec_id ASC — the q21 pattern.
+    * Unrounded orderings agree cross-engine because both accumulate the
+    * same widened-float products in index order; a flip would need two
+    * Gaussian-direction cosines within summation-noise (~1e-15) of each
+    * other — the q55 sign-flip argument. */
+  private lazy val ivfProbeOracleSql: String = {
+    val cents = graft.operators.Dedup.hyperplanes(64, 16, 7L)
+    val rows = cents.zipWithIndex.map { case (c, cell) =>
+      s"($cell, [${c.map(f => f.toDouble.toString).mkString(", ")}])"
+    }.mkString(",\n")
+    s"""WITH cent(cell, cv) AS (VALUES
+       |$rows),
+       |corpus AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, v, cell,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY round(list_cosine_similarity(v, cv), 4) DESC, cell ASC) AS arank
+       |  FROM corpus, cent QUALIFY arank = 1),
+       |q AS (SELECT vec_id AS query_id, cast(embedding as double[]) AS qv
+       |      FROM embeddings WHERE vec_id >= 10 AND vec_id < 15),
+       |probed AS (
+       |  SELECT query_id, qv, cell,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(qv, cv) DESC, cell ASC) AS crank
+       |  FROM q, cent QUALIFY crank <= 4),
+       |cand AS (
+       |  SELECT p.query_id, p.qv, a.vec_id, a.v
+       |  FROM assigned a JOIN probed p ON a.cell = p.cell)
+       |SELECT query_id, vec_id,
+       |  round(list_cosine_similarity(v, qv), 4) AS score,
+       |  cast(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY round(list_cosine_similarity(v, qv), 4) DESC, vec_id ASC) as int) AS rank
+       |FROM cand QUALIFY rank <= 4
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q55_ann_lsh" -> lshOracleSql,
+    "q24_ann_ivf_probe" -> ivfProbeOracleSql,
     "q57_mean_pool" ->
       """WITH e AS (
         |  SELECT vec_id, cast(embedding as double[]) AS v

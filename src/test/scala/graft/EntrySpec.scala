@@ -19,18 +19,18 @@ class EntrySpec extends SparkSpec {
     }
   }
 
-  test("oracle SQL exists for every query except declared rows-only ops") {
-    // q24 is the ONLY remaining rows-only query, and it is genuinely
-    // non-replayable: its pruning depends on IVF centroids trained on a
-    // driver-side sample whose composition tracks Spark's partition order,
-    // so no portable SQL can reproduce the cell assignment. The other two
-    // former members left the list in round 5: q55's LSH hyperplanes are
-    // data-independent constants (banding-replay oracle,
-    // VectorQueries.lshOracleSql); q44's DSv2 generator is a pure function
-    // of (seed, doc_id) (recursive-CTE hash-chain replay,
-    // SourceQueries.dsv2CorpusSql).
-    val rowsOnly = Set("q24_ann_ivf_probe")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every declared query has an oracle — the rows-only allowlist is EMPTY") {
+    // History of the list (kept so it never silently regrows): q20 left in
+    // round 5 (portable per-bit-majority SQL); q44 left in round 5
+    // (recursive-CTE hash-chain replay of the pure (seed, doc_id)
+    // generator); q55 left in round 5 (data-independent hyperplanes as SQL
+    // literals, banding replayed); q24 left last — its pruning originally
+    // depended on KMeans centroids trained on a driver-side sample, which
+    // no portable SQL could reproduce. Round 5 moved q24 to a SEEDED
+    // data-independent quantizer (VectorSearch.buildIvfSeeded) so the whole
+    // pruned probe replays in DuckDB (VectorQueries.ivfProbeOracleSql);
+    // the learned-KMeans path stays graded by q23's exact-parity oracle.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 }
