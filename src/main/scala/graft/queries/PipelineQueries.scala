@@ -41,6 +41,27 @@ import QHelpers._
  *    ((N+1)/(df+1), no logarithm): Math.log and libm log can disagree by an
  *    ulp across engines, so a hash-checked cross-engine score must stay in
  *    IEEE +,*,/ whose results are bit-identical everywhere.
+ *  - q76 cross-document segment dedup — the C4 move: drop every repeated
+ *    text segment corpus-wide, keeping only its FIRST occurrence
+ *    (doc order, then position). One shuffle on the segment key to pick
+ *    winners, one shuffle back on doc_id to reassemble — the minimal
+ *    exchange count for global segment dedup at any scale. A planted
+ *    boilerplate prefix (every 9th doc) guarantees true cross-doc
+ *    duplicates at every scale factor; the post-dedup sha256 proves the
+ *    surviving text byte-for-byte.
+ *  - q77 repetition signals — Gopher-style quality heuristics: the share
+ *    of bigram occurrences claimed by the single most frequent bigram, and
+ *    the share of trigram occurrences that are duplicates. Both in integer
+ *    basis points (floor, the q70 rule). The tokenized corpus is
+ *    materialized once and feeds both gram sizes.
+ *  - q78 corpus-LM likelihood scoring — the CCNet/KenLM perplexity-filter
+ *    slot without an external model: a bigram LM is fitted on the corpus
+ *    itself (conditional frequencies c(w1,w2)/c(w1·)) and every document is
+ *    scored by its mean conditional likelihood. NO logarithm (the q75
+ *    rule): per-bigram likelihoods go to integer basis points first, and
+ *    the per-document mean is one IEEE divide of two exact integers —
+ *    hash-identical in any engine, unlike a sum of floating log-probs,
+ *    which is summation-ORDER-dependent and can never cross-check.
  */
 object PipelineQueries {
 
@@ -74,6 +95,28 @@ object PipelineQueries {
 
   private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phonePat = "\\+1-555-[0-9]+"
+
+  // ---- q76: planted boilerplate (exactly 20 tokens = two full 10-token
+  // segments when prepended, so every planted doc contributes two
+  // guaranteed-duplicate segments regardless of its own text) --------------
+  private val boiler =
+    "subscribe to our newsletter today for weekly updates and exclusive " +
+      "member content delivered straight to your inbox every single week"
+
+  /** Tokenized documents (lowercased, whitespace-split), shared by the gram
+    * queries. NOT materialized here — each query decides (the q75 lesson). */
+  private def tokenized(df: DataFrame, minToks: Int): DataFrame =
+    df.filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= minToks)
+      .select(col("doc_id"), col("toks"))
+
+  /** Per-(doc, gram) occurrence counts for word n-grams of size `n`. */
+  private def gramCounts(toks: DataFrame, n: Int): DataFrame =
+    toks.select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => array_join(slice(col("toks"), i + lit(1), lit(n)), " "))).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
 
   val queries: Map[String, Q] = Map(
     // Hash-bucket split assignment, aggregated per (split, lang): doc counts,
@@ -200,6 +243,85 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy(col("bin"))
+    }),
+
+    // C4-style cross-document segment dedup: 10-token segments, first
+    // occurrence (min doc_id, then min position) wins corpus-wide. The
+    // winner election is one shuffle on the segment string; reassembly of
+    // the surviving text is one shuffle back on doc_id — at 100 TB the
+    // segment key would be sha-hashed to bound shuffle width, byte-identical
+    // logic otherwise. Output proves the scrub: per-doc segment counts and
+    // the sha256 of the kept text.
+    "q76_segment_dedup" -> ((s, dir) => {
+      val segs = t(s, dir, "documents")
+        .withColumn("text2",
+          when(col("doc_id") % 9 === 0, concat(lit(boiler + " "), col("text")))
+            .otherwise(col("text")))
+        .filter(length(trim(col("text2"))) > 0)
+        .withColumn("toks", split(lower(trim(col("text2"))), "\\s+"))
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), floor((size(col("toks")) - 1) / lit(10)).cast("int")),
+            i => array_join(slice(col("toks"), i * lit(10) + lit(1), lit(10)), " ")))
+          .as(Seq("pos", "seg")))
+      val w = Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("pos"))
+      segs.withColumn("keep", row_number().over(w) === 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(col("keep").cast("long")).as("n_kept"),
+          sha2(array_join(
+            transform(array_sort(collect_list(when(col("keep"), struct(col("pos"), col("seg"))))),
+              x => x("seg")), " "), 256).as("kept_sha"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher repetition signals: top-bigram occupancy and duplicate-trigram
+    // share, integer basis points. The tokenized corpus is materialized once
+    // (two gram sizes read it; no cross-branch CSE — the q75 lesson); each
+    // gram branch is explode → partial-agg, the only exchange per branch.
+    "q77_repetition" -> ((s, dir) => {
+      val toks = tokenized(t(s, dir, "documents"), minToks = 3).localCheckpoint()
+      val bi = gramCounts(toks, 2).groupBy(col("doc_id"))
+        .agg(max(col("cnt")).as("top2"), sum(col("cnt")).as("tot2"))
+      val tri = gramCounts(toks, 3).groupBy(col("doc_id"))
+        .agg(sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup3"),
+          sum(col("cnt")).as("tot3"))
+      bi.join(tri, "doc_id")
+        .select(col("doc_id"),
+          floor(col("top2") * lit(10000.0) / col("tot2")).cast("long").as("top_bigram_bp"),
+          floor(col("dup3") * lit(10000.0) / col("tot3")).cast("long").as("dup_trigram_bp"))
+        .withColumn("flagged",
+          col("top_bigram_bp") > 1000 || col("dup_trigram_bp") > 1500)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-trained bigram LM likelihood per document. Conditional
+    // likelihood c(w1,w2)/c(w1·) goes to integer basis points PER BIGRAM
+    // TYPE (one IEEE multiply+divide, floor), then the per-doc score is
+    // floor(Σ cnt·bp / Σ cnt) — integer sums are order-independent, so the
+    // whole score replays exactly in any engine. The per-doc bigram counts
+    // are materialized once: corpus totals AND doc scoring both read them.
+    "q78_lm_score" -> ((s, dir) => {
+      val bi = tokenized(t(s, dir, "documents"), minToks = 2)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => struct(element_at(col("toks"), i + lit(1)).as("w1"),
+              element_at(col("toks"), i + lit(2)).as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val c12 = bi.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c12"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val bp = c12.join(c1, "w1")
+        .withColumn("bp", floor(col("c12") * lit(10000.0) / col("c1")).cast("long"))
+        .select(col("w1"), col("w2"), col("bp"))
+      bi.join(bp, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_bigrams"),
+          sum(col("cnt") * col("bp")).as("sbp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          floor(col("sbp").cast("double") / col("n_bigrams").cast("double"))
+            .cast("long").as("lm_score_bp"))
+        .orderBy(col("doc_id"))
     }),
 
     // Corpus vocabulary with exact counts: tokens appearing in ≥ 20 distinct
@@ -344,6 +466,78 @@ object PipelineQueries {
         |  count(*) AS n_docs, cast(sum(n_toks) as bigint) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q76_segment_dedup" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 9 = 0 THEN '$boiler ' || text ELSE text END AS text2
+         |  FROM documents),
+         |tk AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text2)), '\\s+') AS toks
+         |  FROM c WHERE length(trim(text2)) > 0),
+         |segs AS (
+         |  SELECT doc_id, i AS pos,
+         |    array_to_string(toks[i*10+1:i*10+10], ' ') AS seg
+         |  FROM tk, unnest(generate_series(0, cast(floor((len(toks)-1)/10) as bigint))) AS u(i)),
+         |m AS (
+         |  SELECT doc_id, pos, seg,
+         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1 AS keep
+         |  FROM segs)
+         |SELECT doc_id, count(*) AS n_segs,
+         |  cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as bigint) AS n_kept,
+         |  sha256(coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE keep), ''))
+         |    AS kept_sha
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q77_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tk2 AS (SELECT * FROM tk WHERE len(toks) >= 3),
+        |g2 AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+        |  FROM tk2, unnest(generate_series(1, len(toks)-1)) AS u(i)),
+        |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+        |b AS (SELECT doc_id, max(cnt) AS top2, sum(cnt) AS tot2 FROM c2 GROUP BY 1),
+        |g3 AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+        |  FROM tk2, unnest(generate_series(1, len(toks)-2)) AS u(i)),
+        |c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+        |tr AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup3,
+        |              sum(cnt) AS tot3 FROM c3 GROUP BY 1),
+        |j AS (
+        |  SELECT b.doc_id,
+        |    cast(floor(top2 * 10000.0 / tot2) as bigint) AS top_bigram_bp,
+        |    cast(floor(dup3 * 10000.0 / tot3) as bigint) AS dup_trigram_bp
+        |  FROM b JOIN tr USING (doc_id))
+        |SELECT doc_id, top_bigram_bp, dup_trigram_bp,
+        |  (top_bigram_bp > 1000 OR dup_trigram_bp > 1500) AS flagged
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q78_lm_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tk2 AS (SELECT * FROM tk WHERE len(toks) >= 2),
+        |bg AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM tk2, unnest(generate_series(1, len(toks)-1)) AS u(i)),
+        |bi AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, sum(cnt) AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        |bp AS (
+        |  SELECT c12.w1, c12.w2,
+        |    cast(floor(c12.c12 * 10000.0 / c1.c1) as bigint) AS bp
+        |  FROM c12 JOIN c1 USING (w1)),
+        |d AS (
+        |  SELECT bi.doc_id, cast(sum(bi.cnt) as bigint) AS n_bigrams,
+        |    cast(sum(bi.cnt * bp.bp) as bigint) AS sbp
+        |  FROM bi JOIN bp ON bi.w1 = bp.w1 AND bi.w2 = bp.w2
+        |  GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  cast(floor(cast(sbp as double) / cast(n_bigrams as double)) as bigint)
+        |    AS lm_score_bp
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q74_vocab" ->
       """WITH tk AS (
