@@ -147,4 +147,33 @@ class PlanSpec extends SparkSpec {
     val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(!readSchema.contains("text"), readSchema)
   }
+
+  test("q76: segment dedup is two exchanges — winner election and reassembly") {
+    val plan = formatted(SparkEntry.queries("q76_segment_dedup")(spark, sf))
+    // one shuffle on the segment key (window), one back on doc_id (groupBy);
+    // the final orderBy rides the doc_id exchange's sort. More exchanges
+    // would mean the segment stream is being re-partitioned redundantly —
+    // at 100 TB each extra exchange is a full corpus rewrite.
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size <= 3, plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q78: LM scoring joins stay equi joins and aggregation is partial") {
+    val df = SparkEntry.queries("q78_lm_score")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // partial aggregation must collapse the bigram fan-out map-side
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
+  test("q79: the resolution join broadcasts the (small) cluster labels") {
+    val df = SparkEntry.queries("q79_dedup_resolve")(spark, sf)
+    df.collect() // CC runs eagerly; the final plan is what matters
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus must never shuffle to meet the labels: the label side is
+    // bounded by the number of near-dup docs, not the corpus size
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
