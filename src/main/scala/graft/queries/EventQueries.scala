@@ -101,6 +101,26 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // CDC changelog compaction (upsert materialization): treat events as a
+    // change stream keyed by (user_id, event_type) — the LATEST record per
+    // key (event-time, event_id tiebreak) is the current state, everything
+    // older is superseded. One shuffle on the key; at 100 TB this runs
+    // per-partition-of-key exactly like any log-structured table's
+    // compaction pass (Delta/Hudi/Iceberg merge-on-read → copy-on-write).
+    "q81_cdc_compact" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_keys"),
+          dsum(col("value")).as("latest_sum"),
+          max(col("ts")).as("max_ts"),
+          sum(col("event_id")).as("sum_latest_ids"))
+        .orderBy(col("event_type"))
+    }),
+
     // F-string ops on the JSON-ish props column
     "q33_props_keys" -> ((s, dir) =>
       t(s, dir, "events")
@@ -154,6 +174,18 @@ object EventQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "q81_cdc_compact" ->
+      s"""WITH r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+         |    ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |SELECT event_type, count(*) AS n_keys,
+         |  ${dsumSql("value")} AS latest_sum,
+         |  max(ts) AS max_ts,
+         |  cast(sum(event_id) as bigint) AS sum_latest_ids
+         |FROM r WHERE rn = 1
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q45_pivot" -> {
       def c(t: String) =

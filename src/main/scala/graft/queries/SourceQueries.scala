@@ -64,6 +64,33 @@ object SourceQueries {
         .orderBy(col("hour"))
     }),
 
+    // Z-order layout + 2-D box pruning: events written partitioned by the
+    // Morton bucket of (user_id, value), then a (user range × value range)
+    // box query reads ONLY the grid cells the box overlaps (bucket set
+    // enumerated over the 8×8 grid, never the data) plus the exact residual
+    // filter. The oracle applies the box directly to the raw table — so a
+    // wrong bucket enumeration (a dropped cell) loses rows and fails the
+    // hash, which is precisely the Z-layout's correctness contract. The
+    // coordinates wrap mod 2048 by design: wrapped aliases only ever ADD
+    // candidate rows (superset), which the residual filter removes.
+    "q80_zorder_layout" -> ((s, dir) => {
+      import graft.operators.ZOrder
+      val path = tmp(dir, "events_zorder")
+      val x = col("user_id") % 2048
+      val y = floor(col("value") * 2).cast("long") % 2048
+      t(s, dir, "events")
+        .withColumn("zbucket", ZOrder.bucket(x, y))
+        .write.mode("overwrite").partitionBy("zbucket").parquet(path)
+      val buckets = ZOrder.bucketsForBox(100L, 299L, 200L, 600L)
+      s.read.parquet(path)
+        .filter(col("zbucket").isin(buckets: _*))
+        .filter(col("user_id").between(100, 299) &&
+          col("value") >= 100.0 && col("value") < 300.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // ORC round-trip (columnar sibling of parquet; same pushdown story)
     "q52_orc_roundtrip" -> ((s, dir) => {
       val path = tmp(dir, "orc_supplier")
@@ -322,5 +349,13 @@ object SourceQueries {
          |  ${dsumSql("value")} AS sum_value
          |FROM events WHERE event_type = 'click'
          |GROUP BY date_trunc('hour', ts)
-         |ORDER BY hour""".stripMargin)
+         |ORDER BY hour""".stripMargin,
+
+    // the box applied directly to the raw table: if the Spark side's bucket
+    // enumeration dropped a cell, rows would be missing and the hash fails
+    "q80_zorder_layout" ->
+      s"""SELECT event_type, count(*) AS n_rows, ${dsumSql("value")} AS sum_value
+         |FROM events
+         |WHERE user_id BETWEEN 100 AND 299 AND value >= 100.0 AND value < 300.0
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

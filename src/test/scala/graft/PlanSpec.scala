@@ -167,6 +167,22 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
   }
 
+  test("q80: the z-order box query prunes zbucket partition directories") {
+    val df = SparkEntry.queries("q80_zorder_layout")(spark, sf)
+    val plan = formatted(df)
+    // the bucket IN-set must land as a PARTITION filter (directory skip),
+    // not a post-scan row filter — that is the whole point of the layout
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*zbucket.*"), plan.take(2000))
+  }
+
+  test("q81: CDC compaction is one shuffle on the key plus the rollup") {
+    val plan = formatted(SparkEntry.queries("q81_cdc_compact")(spark, sf))
+    // window by (user_id, event_type), then the event_type rollup + sort:
+    // three exchanges max — a fourth would mean the key shuffle is repeated
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size <= 3, plan.take(2000))
+  }
+
   test("q79: the resolution join broadcasts the (small) cluster labels") {
     val df = SparkEntry.queries("q79_dedup_resolve")(spark, sf)
     df.collect() // CC runs eagerly; the final plan is what matters
