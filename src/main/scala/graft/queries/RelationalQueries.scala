@@ -18,7 +18,57 @@ import QHelpers._
  */
 object RelationalQueries {
 
+  private val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
   val queries: Map[String, Q] = Map(
+    // Column-statistics profiling (the ANALYZE pass an ingest pipeline runs
+    // before planning): min / max / exact NDV / null count per numeric
+    // column, in ONE scan with per-column conditional aggregates — the
+    // distinct counts expand the aggregate (one pass per distinct column);
+    // at 100 TB the same query swaps countDistinct for
+    // approx_count_distinct and loses the oracle, not the shape.
+    "q82_profile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val aggs = profileCols.flatMap(c => Seq(
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")))
+      li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(explode(array(profileCols.map(c => struct(
+          lit(c).as("column_name"), col("n_rows"),
+          col(s"min_$c").as("min_value"), col(s"max_$c").as("max_value"),
+          col(s"ndv_$c").as("n_distinct"), col(s"nulls_$c").as("n_nulls"))): _*)).as("p"))
+        .select("p.*")
+        .orderBy(col("column_name"))
+    }),
+
+    // Data-quality constraint validation (the expectations gate before a
+    // corpus ships): PK uniqueness, FK integrity (set-oriented anti join,
+    // never a driver loop), range and null checks — each check one small
+    // pruned-column aggregate; the qty check genuinely FAILS on this data,
+    // so both outcomes of the gate are exercised.
+    "q83_dq_checks" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val pk = ord.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
+        .select(lit("orders_pk_unique").as("check_name"), col("n_violations"))
+      val nn = ord.agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit("orders_custkey_notnull").as("check_name"), col("n_violations"))
+      val rng = li.agg(
+          sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("v1"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L)).as("v2"))
+        .select(explode(array(
+          struct(lit("lineitem_qty_le_45").as("check_name"), col("v1").as("n_violations")),
+          struct(lit("lineitem_discount_range").as("check_name"), col("v2").as("n_violations")))).as("r"))
+        .select("r.*")
+      val fk = li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("lineitem_fk_orders").as("check_name"), col("n_violations"))
+      pk.unionAll(nn).unionAll(rng).unionAll(fk)
+        .withColumn("passed", col("n_violations") === 0L)
+        .orderBy(col("check_name"))
+    }),
+
     // A1/A5 + §2.5 — full-scan aggregation with exact decimal sums
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -147,6 +197,34 @@ object RelationalQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q82_profile" -> profileCols.map(c =>
+      s"""SELECT '$c' AS column_name,
+         |  (SELECT count(*) FROM lineitem) AS n_rows,
+         |  min($c) AS min_value, max($c) AS max_value,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  cast(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) as bigint) AS n_nulls
+         |FROM lineitem""".stripMargin).mkString("", "\nUNION ALL\n",
+      "\nORDER BY column_name"),
+
+    "q83_dq_checks" ->
+      """WITH checks AS (
+        |  SELECT 'orders_pk_unique' AS check_name,
+        |    count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_custkey_notnull',
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_le_45',
+        |    sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range',
+        |    sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_fk_orders', count(*) FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |SELECT check_name, cast(n_violations as bigint) AS n_violations,
+        |  n_violations = 0 AS passed
+        |FROM checks ORDER BY check_name""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,

@@ -91,6 +91,29 @@ object SourceQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Schema evolution under mergeSchema: two ingest batches with drifted
+    // schemas (columns added/dropped between crawls — the reference's A3
+    // schema-frequency concern, lived rather than measured) land in one
+    // layout; the merged read unions the schemas, missing columns read as
+    // NULL, and the per-batch null profile + checksums prove the merge
+    // padded exactly the right cells.
+    "q84_schema_evolution" -> ((s, dir) => {
+      val path = tmp(dir, "part_evolving")
+      val p = t(s, dir, "part")
+      p.select(col("p_partkey"), col("p_name"))
+        .write.mode("overwrite").parquet(s"$path/batch=1")
+      p.select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .write.mode("overwrite").parquet(s"$path/batch=2")
+      s.read.option("mergeSchema", "true").option("basePath", path)
+        .parquet(s"$path/batch=1", s"$path/batch=2")
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("p_name").isNull, 1L).otherwise(0L)).as("n_name_nulls"),
+          sum(when(col("p_retailprice").isNull, 1L).otherwise(0L)).as("n_price_nulls"),
+          dsum(coalesce(col("p_retailprice"), lit(0.0))).as("sum_price"))
+        .orderBy(col("batch"))
+    }),
+
     // ORC round-trip (columnar sibling of parquet; same pushdown story)
     "q52_orc_roundtrip" -> ((s, dir) => {
       val path = tmp(dir, "orc_supplier")
@@ -350,6 +373,19 @@ object SourceQueries {
          |FROM events WHERE event_type = 'click'
          |GROUP BY date_trunc('hour', ts)
          |ORDER BY hour""".stripMargin,
+
+    "q84_schema_evolution" ->
+      s"""WITH m AS (
+         |  SELECT 1 AS batch, p_partkey, p_name,
+         |    NULL AS p_brand, cast(NULL as double) AS p_retailprice FROM part
+         |  UNION ALL
+         |  SELECT 2 AS batch, p_partkey, NULL AS p_name,
+         |    p_brand, p_retailprice FROM part)
+         |SELECT batch, count(*) AS n_rows,
+         |  cast(sum(CASE WHEN p_name IS NULL THEN 1 ELSE 0 END) as bigint) AS n_name_nulls,
+         |  cast(sum(CASE WHEN p_retailprice IS NULL THEN 1 ELSE 0 END) as bigint) AS n_price_nulls,
+         |  ${dsumSql("coalesce(p_retailprice, 0.0)")} AS sum_price
+         |FROM m GROUP BY batch ORDER BY batch""".stripMargin,
 
     // the box applied directly to the raw table: if the Spark side's bucket
     // enumeration dropped a cell, rows would be missing and the hash fails
