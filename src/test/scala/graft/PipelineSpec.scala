@@ -108,4 +108,33 @@ class PipelineSpec extends SparkSpec {
     val bySrc = rows.map(r => r.getAs[String]("source") -> r.getAs[Long]("quota")).toMap
     assert(bySrc("src0") > bySrc("src1"))
   }
+
+  test("q76 segment dedup: kept ≤ total everywhere, the planted boilerplate survives once") {
+    val rows = run("q76_segment_dedup").collect()
+    rows.foreach { r =>
+      val (segs, kept) = (r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept"))
+      assert(kept >= 0 && kept <= segs, s"doc ${r.getAs[Long]("doc_id")}: $kept of $segs")
+    }
+    // planted docs (doc_id % 9 == 0) carry the 20-token boilerplate prefix =
+    // 2 whole segments; every planted doc EXCEPT the global first occurrence
+    // must lose at least those two
+    val planted = rows.filter(r => r.getAs[Long]("doc_id") % 9 == 0)
+      .sortBy(_.getAs[Long]("doc_id"))
+    assert(planted.length >= 2, "fixture missing")
+    planted.drop(1).foreach { r =>
+      assert(r.getAs[Long]("n_segs") - r.getAs[Long]("n_kept") >= 2,
+        s"doc ${r.getAs[Long]("doc_id")} kept its boilerplate segments")
+    }
+  }
+
+  test("q78 LM scores are valid conditional-likelihood means (0 < bp ≤ 10000)") {
+    val rows = run("q78_lm_score").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bp = r.getAs[Long]("lm_score_bp")
+      // each per-bigram bp is floor(c12/c1 · 10⁴) ∈ (0, 10⁴]; a mean of such
+      // values stays in range — 0 or >10⁴ would mean the fit is broken
+      assert(bp > 0 && bp <= 10000, s"doc ${r.getAs[Long]("doc_id")}: $bp")
+    }
+  }
 }
