@@ -167,6 +167,38 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
   }
 
+  test("AQE splits a skewed join partition at runtime (the automatic path beside q40's salting)") {
+    // One hot key carrying most of the fact rows — the shape that makes a
+    // shuffle join one straggler task. With the skew thresholds lowered to
+    // harness scale, AQE must mark the skewed side and split the partition;
+    // on a real cluster the default thresholds (256 MB) do the same.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      import spark.implicits._
+      val fact = (0 until 40000).map(i => (if (i % 10 == 0) 0L else i.toLong, i.toString))
+        .toDF("k", "payload")
+      val dim = (0L until 4000L).map(k => (k, s"d$k")).toDF("k", "attr")
+      val j = fact.join(dim, "k").groupBy("attr").count()
+      j.collect() // AQE re-plans at runtime; the final plan carries the marks
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q80: the z-order box query prunes zbucket partition directories") {
     val df = SparkEntry.queries("q80_zorder_layout")(spark, sf)
     val plan = formatted(df)
