@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.operators.Ingest
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -67,6 +68,29 @@ object RelationalQueries {
       pk.unionAll(nn).unionAll(rng).unionAll(fk)
         .withColumn("passed", col("n_violations") === 0L)
         .orderBy(col("check_name"))
+    }),
+
+    // Incremental aggregation maintenance (materialized-view delta merge):
+    // history rows were aggregated once (the stored MV); a new batch arrives
+    // and only ITS aggregate is computed and merged — cost O(groups), never
+    // a history re-scan. The partials stay DECIMAL until the final cast
+    // (merging doubles would reintroduce summation-order drift), and the
+    // oracle is the full recompute — base ⊎ delta must equal it exactly,
+    // which IS the incremental-maintenance contract.
+    "q85_incremental_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def partial(df: DataFrame) = df
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"))
+      val base = partial(li.filter(col("l_orderkey") % 7 =!= 0))
+        .localCheckpoint() // the stored MV: materialized once, never re-derived
+      val delta = partial(li.filter(col("l_orderkey") % 7 === 0))
+      base.unionAll(delta)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("n")).as("count_order"),
+          sum(col("q")).cast(DoubleType).as("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
     // A1/A5 + §2.5 — full-scan aggregation with exact decimal sums
@@ -197,6 +221,14 @@ object RelationalQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // the full recompute — what the base ⊎ delta merge must reproduce
+    "q85_incremental_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "q82_profile" -> profileCols.map(c =>
       s"""SELECT '$c' AS column_name,
          |  (SELECT count(*) FROM lineitem) AS n_rows,
