@@ -309,7 +309,11 @@ object PipelineQueries {
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
         .localCheckpoint()
+      // c12 feeds BOTH the unigram rollup and the bp join — materialize it
+      // or the corpus-wide bigram aggregation runs twice (no cross-branch
+      // CSE, the q75 lesson; c12 is vocab²-bounded, tiny next to bi)
       val c12 = bi.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c12"))
+        .localCheckpoint()
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       val bp = c12.join(c1, "w1")
         .withColumn("bp", floor(col("c12") * lit(10000.0) / col("c1")).cast("long"))
