@@ -145,7 +145,66 @@ object EngineQueries {
           countDistinct(col("doc_id")).as("n_distinct"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy(col("source"))
+    }),
+
+    // Watermarked event-time window aggregation graded end-to-end in APPEND
+    // mode — the mode that exercises watermark state EVICTION (complete mode,
+    // q65, just re-emits everything). The real events arrive as micro-batch 1;
+    // two sentinel ticks at the SAME far-future instant arrive as their own
+    // micro-batches (maxFilesPerTrigger=1). The first sentinel batch advances
+    // the watermark past every real window; the second is the data-carrying
+    // batch in which those windows are emitted and their state dropped — so
+    // emission never depends on whether AvailableNow schedules a no-data
+    // flush batch. The sentinels share one window whose end always exceeds
+    // the watermark (= sentinel_ts - delay), so it can never emit; the
+    // result is exactly the batch hourly GROUP BY, which is the oracle.
+    "q86_stream_window" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q86_")
+      val drop = java.nio.file.Files.createDirectory(tmp.resolve("drop"))
+      // restage as µs-timestamp parquet (the streaming reader has no
+      // nanosAsLong escape hatch — QHelpers.t's batch-side truncation)
+      stageFile(ev, tmp.resolve("w1"), drop, "a.parquet")
+      def sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00")).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0d).as("value"))
+      stageFile(sentinel, tmp.resolve("w2"), drop, "b.parquet")
+      stageFile(sentinel, tmp.resolve("w3"), drop, "c.parquet")
+      val sink = s"q86_sink_${runSeq.incrementAndGet()}"
+      s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+        .parquet(drop.toString)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.table(sink)
+        // defensive only: the sentinel window can never close (see above),
+        // but harness scaffolding must not be able to leak into a graded row
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
     }))
+
+  /** Write `df` as a single parquet part into `work`, then move that part
+    * into the stream drop-folder under `name` — the "one delivery = one
+    * file" staging q66 pioneered, shared by the streaming graded queries. */
+  private def stageFile(df: org.apache.spark.sql.DataFrame,
+      work: java.nio.file.Path, drop: java.nio.file.Path, name: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    df.coalesce(1).write.parquet(work.toString)
+    val part = java.nio.file.Files.list(work).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-"))
+      .getOrElse(sys.error(s"stageFile: no part file written in $work"))
+    java.nio.file.Files.move(part, drop.resolve(name))
+  }
 
   /** DuckDB spelling of [[graft.functions.VectorFns.hashEmbed]]'s per-token
     * (bucket, sign) for dim=64, decomposed so no value exceeds BIGINT: the
@@ -294,5 +353,15 @@ object EngineQueries {
     "q66_stream_ingest" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT doc_id) AS n_distinct,
         |  cast(sum(n_chars) as bigint) AS total_chars
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // stream/batch unification under a watermark: the settled APPEND-mode
+    // sink must equal the batch tumbling aggregation over the pristine
+    // events (the sentinel ticks exist only in the staged drop-folder)
+    "q86_stream_window" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |  count(*) AS n_events, ${dsumSql("value")} AS sum_value
+         |FROM events
+         |GROUP BY date_trunc('hour', ts), event_type
+         |ORDER BY window_start, event_type""".stripMargin)
 }

@@ -62,6 +62,10 @@ import QHelpers._
  *    the per-document mean is one IEEE divide of two exact integers —
  *    hash-identical in any engine, unlike a sum of floating log-probs,
  *    which is summation-ORDER-dependent and can never cross-check.
+ *  - q87 link-authority quality prior — fixed-iteration integer PageRank
+ *    ([[graft.operators.LinkRank]]) over a data-derived bipartite graph;
+ *    the host/link-graph weighting pass of crawl curation, exactly
+ *    replayable because all 5 rounds stay in integral arithmetic.
  */
 object PipelineQueries {
 
@@ -374,6 +378,25 @@ object PipelineQueries {
         .select(col("doc_id"), col("rank").cast("long").as("rank"), col("token"),
           col("tf"), col("df"), col("rel_score_bp"))
         .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // Link-authority quality prior (PageRank, operators/LinkRank.scala): the
+    // part↔supplier bipartite graph distilled from lineitem stands in for a
+    // crawl's host/link graph (crawler.py:17-50 walks one, never scores it).
+    // Undirected construction ⇒ every node has out-edges ⇒ no dangling mass.
+    // 5 power-iteration rounds in EXACT integer rank units (integral div +
+    // long sums — no float accumulation), so the DuckDB oracle replays all 5
+    // rounds as unrolled CTEs and the top-30 hash-matches bit-for-bit.
+    "q87_link_authority" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), (lit(1000000L) + col("l_suppkey")).as("sup"))
+        .distinct()
+      val edges = pairs.select(col("p").as("src"), col("sup").as("dst"))
+        .union(pairs.select(col("sup").as("src"), col("p").as("dst")))
+      graft.operators.LinkRank.pageRank(edges, iters = 5)
+        .orderBy(col("rank").desc, col("node").asc)
+        .limit(30)
+        .select(col("node"), col("rank"))
     }))
 
   /** DuckDB 5-gram CTEs over a `(id, text2)` relation named `rel`:
@@ -570,5 +593,27 @@ object PipelineQueries {
         |      ORDER BY rel_score_bp DESC, token) AS rank
         |  FROM scored QUALIFY rank <= 5)
         |SELECT doc_id, cast(rank as bigint) AS rank, token, tf, df, rel_score_bp
-        |FROM r ORDER BY doc_id, rank""".stripMargin)
+        |FROM r ORDER BY doc_id, rank""".stripMargin,
+
+    "q87_link_authority" -> {
+      // the 5 power-iteration rounds unrolled as chained CTEs (no recursive
+      // aggregation — portable to any engine); DuckDB `//` floor-division
+      // equals Spark `div` truncation on positive operands, and sums of
+      // BIGINT are exact, so every round matches bit-for-bit
+      val rounds = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT ed.dst AS node,
+           |    cast(150000000000 + sum((r.rank * 85) // (ed.outdeg * 100)) as bigint) AS rank
+           |  FROM ed JOIN r${i - 1} r ON r.node = ed.src GROUP BY ed.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, 1000000 + l_suppkey AS sup
+         |  FROM lineitem),
+         |edges AS (SELECT p AS src, sup AS dst FROM e0
+         |          UNION ALL SELECT sup AS src, p AS dst FROM e0),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+         |r0 AS (SELECT src AS node, cast(1000000000000 as bigint) AS rank FROM deg),
+         |$rounds
+         |SELECT node, rank FROM r5 ORDER BY rank DESC, node LIMIT 30""".stripMargin
+    })
 }

@@ -127,6 +127,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("LinkRank.pageRank matches a driver-side integer reference on random graphs") {
+    import graft.operators.LinkRank
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 12 + rnd.nextInt(10)
+      val undirected = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val directed = (undirected ++ undirected.map(_.swap)).distinct
+      val got = LinkRank.pageRank(directed.toDF("src", "dst"), 5).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // plain-Scala integer power iteration — the semantics LinkRank claims
+      val out = directed.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var rank = out.keySet.map(_ -> LinkRank.RankUnit).toMap
+      for (_ <- 1 to 5) {
+        val inflow = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for ((u, vs) <- out; v <- vs)
+          inflow(v) += rank(u) * 85 / (vs.size * 100)
+        rank = out.keySet.map(v => v -> (LinkRank.RankUnit * 15 / 100 + inflow(v))).toMap
+      }
+      assert(got == rank)
+      // damping conserves mass up to floor losses: never above N·unit, and
+      // each division loses < 1 unit per edge per round
+      val mass = got.values.sum
+      assert(mass <= directed.map(_._1).distinct.size * LinkRank.RankUnit)
+      assert(mass > (directed.map(_._1).distinct.size * LinkRank.RankUnit * 99L) / 100L)
+    }
+  }
+
   test("q78 LM scores are valid conditional-likelihood means (0 < bp ≤ 10000)") {
     val rows = run("q78_lm_score").collect()
     assert(rows.nonEmpty)
