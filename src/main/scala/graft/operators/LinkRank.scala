@@ -21,10 +21,10 @@ import org.apache.spark.sql.functions._
  * edges ⋈ ranks shuffled on `src`, contributions aggregated on `dst`. Both
  * shuffles hash-partition on the node id, so at cluster scale the edge table
  * can be pre-partitioned (bucketed) on `src` once and every iteration reuses
- * the layout. Per-iteration `localCheckpoint` caps lineage growth exactly
- * like the CC loops in [[Dedup]] (the round-4 plan-growth lesson); superseded
- * rank levels are freed eagerly, so the loop strands nothing (the round-5
- * persist-leak lesson).
+ * the layout. The edge table is materialized once (localCheckpoint) and the
+ * fixed-depth rounds chain lazily into a single job (see [[pageRank]]); the
+ * final rank is materialized and the edge cache freed before returning, so
+ * the operator strands nothing (the round-5 persist-leak lesson).
  */
 object LinkRank {
 
@@ -45,27 +45,35 @@ object LinkRank {
    * Returns (node, rank) with rank in integer units after `iters` rounds.
    */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    // out-degree rides with each edge; materialized once, reused every round
+    // out-degree rides with each edge; materialized ONCE — every round scans
+    // these cached blocks instead of re-running the dedup/union lineage
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val ed = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
       .localCheckpoint(true)
-    try {
-      var rank = ed.select(col("src").as("node")).distinct()
-        .withColumn("rank", lit(RankUnit))
-        .localCheckpoint(true)
-      for (_ <- 1 to iters) {
-        val next = ed.join(rank, ed("src") === rank("node"))
-          // integral div, not floating /: exactly reproducible cross-engine
-          .select(col("dst"), expr("(rank * 85) div (outdeg * 100)").as("contrib"))
-          .groupBy(col("dst"))
-          .agg(sum(col("contrib")).as("inflow"))
-          .select(col("dst").as("node"), (lit(Teleport) + col("inflow")).as("rank"))
-        val prev = rank
-        rank = next.localCheckpoint(true)
-        prev.unpersist()
-      }
-      rank
-    } finally ed.unpersist()
+    // The rounds CHAIN LAZILY: each round's plan consumes the previous one
+    // exactly once (a linear chain — the no-cross-branch-CSE hazard needs a
+    // fan-out, absent here), so the whole fixed-depth iteration executes as
+    // ONE job whose stages hand shuffle outputs to each other. Per-round
+    // eager checkpoints would instead pay `iters` full job schedulings —
+    // the same fixed overhead the star-CC loop (Dedup.scala) has to pay
+    // because its loop is UNBOUNDED and convergence-checked; a shallow
+    // fixed-iteration walk doesn't. (Deep loops — say iters > ~10 — should
+    // checkpoint periodically to bound plan depth.)
+    var rank = ed.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(RankUnit))
+    for (_ <- 1 to iters) {
+      rank = ed.join(rank, ed("src") === rank("node"))
+        // integral div, not floating /: exactly reproducible cross-engine
+        .select(col("dst"), expr("(rank * 85) div (outdeg * 100)").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("inflow"))
+        .select(col("dst").as("node"), (lit(Teleport) + col("inflow")).as("rank"))
+    }
+    // materialize the (small) result, then free the edge table — returning a
+    // lazy plan over persisted inputs is the round-5 leak lesson
+    val out = rank.localCheckpoint(true)
+    ed.unpersist()
+    out
   }
 }

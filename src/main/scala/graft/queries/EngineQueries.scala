@@ -159,23 +159,33 @@ object EngineQueries {
     // the watermark (= sentinel_ts - delay), so it can never emit; the
     // result is exactly the batch hourly GROUP BY, which is the oracle.
     "q86_stream_window" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select("event_id", "ts", "user_id", "event_type", "value")
       val tmp = java.nio.file.Files.createTempDirectory("graft_q86_")
       val drop = java.nio.file.Files.createDirectory(tmp.resolve("drop"))
-      // restage as µs-timestamp parquet (the streaming reader has no
-      // nanosAsLong escape hatch — QHelpers.t's batch-side truncation)
-      stageFile(ev, tmp.resolve("w1"), drop, "a.parquet")
+      // deliver the ORIGINAL nanos parquet (a cheap copy, never a 1M-row
+      // single-threaded rewrite); the stream reads ts as long under
+      // nanosAsLong (QHelpers.t sets the conf) and truncates ns→µs in its
+      // own projection — the streaming spelling of t()'s batch-side read
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), drop.resolve("a.parquet"))
+      // sentinel deliveries carry ts in raw NANOS (the staged schema)
       def sentinel = s.range(1).select(
         lit(-1L).as("event_id"),
-        lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00")).as("ts"),
+        (lit(4102444800L) * lit(1000000000L)).as("ts"), // 2100-01-01 in ns
         lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-        lit(0.0d).as("value"))
+        lit(0.0d).as("value"), lit("{}").as("props"))
       stageFile(sentinel, tmp.resolve("w2"), drop, "b.parquet")
-      stageFile(sentinel, tmp.resolve("w3"), drop, "c.parquet")
+      // the second sentinel is the SAME instant by design — copy, don't re-run
+      java.nio.file.Files.copy(drop.resolve("b.parquet"), drop.resolve("c.parquet"))
       val sink = s"q86_sink_${runSeq.incrementAndGet()}"
-      s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(drop.toString)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
