@@ -60,6 +60,18 @@ object LinkRank {
     // because its loop is UNBOUNDED and convergence-checked; a shallow
     // fixed-iteration walk doesn't. (Deep loops — say iters > ~10 — should
     // checkpoint periodically to bound plan depth.)
+    // materialize the (small) result, then free the edge table — returning a
+    // lazy plan over persisted inputs is the round-5 leak lesson
+    val out = chain(ed, iters).localCheckpoint(true)
+    ed.unpersist()
+    out
+  }
+
+  /** The lazy round chain over a prepared (src, dst, outdeg) edge table —
+    * exposed package-wide so PlanSpec can gate the whole-iteration plan
+    * (equi joins, partial aggregation, no cartesian) without the
+    * materialization side effects of [[pageRank]]. */
+  private[graft] def chain(ed: DataFrame, iters: Int): DataFrame = {
     var rank = ed.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(RankUnit))
     for (_ <- 1 to iters) {
@@ -70,10 +82,6 @@ object LinkRank {
         .agg(sum(col("contrib")).as("inflow"))
         .select(col("dst").as("node"), (lit(Teleport) + col("inflow")).as("rank"))
     }
-    // materialize the (small) result, then free the edge table — returning a
-    // lazy plan over persisted inputs is the round-5 leak lesson
-    val out = rank.localCheckpoint(true)
-    ed.unpersist()
-    out
+    rank
   }
 }

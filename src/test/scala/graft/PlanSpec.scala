@@ -167,6 +167,23 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
   }
 
+  test("q87: the PageRank round chain is equi joins + partial aggs, no cartesian") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val pairs = li.select(col("l_partkey").as("p"),
+      (lit(1000000L) + col("l_suppkey")).as("sup")).distinct()
+    val edges = pairs.select(col("p").as("src"), col("sup").as("dst"))
+      .union(pairs.select(col("sup").as("src"), col("p").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = edges.join(deg, "src").select(col("src"), col("dst"), col("outdeg"))
+    // the lazy 5-round chain exactly as pageRank builds it (pre-checkpoint)
+    val plan = formatted(graft.operators.LinkRank.chain(ed, 5))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // each round's contribution rollup must collapse map-side: partial +
+    // final HashAggregate per round (5 rounds) plus the degree/init aggs
+    assert("HashAggregate".r.findAllIn(plan).size >= 10, plan.take(2000))
+  }
+
   test("AQE splits a skewed join partition at runtime (the automatic path beside q40's salting)") {
     // One hot key carrying most of the fact rows — the shape that makes a
     // shuffle join one straggler task. With the skew thresholds lowered to
