@@ -121,6 +121,43 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Snapshot-as-of (time travel) over the keyed changelog: the state the
+    // q81 compaction would have produced had the log been cut at T — filter
+    // the log to ts <= T FIRST (partition/row-group pruning does the work at
+    // 100 TB: the predicate reaches the scan), then latest-per-key. This is
+    // the read side of every log-structured table's AS OF query; per-key
+    // detail rows are the result, so the oracle checks the full state.
+    "q91_snapshot_asof" -> ((s, dir) => {
+      val asOf = "2024-01-15 00:00:00"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .filter(col("ts") <= lit(asOf).cast("timestamp"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("ts").as("state_ts"),
+          col("event_id").as("state_event_id"),
+          round(col("value"), 4).as("state_value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Time-based window frame (RANGE, not ROWS): each event's trailing-hour
+    // per-user running sum/count — the frame is defined by the ORDER-BY
+    // value (epoch micros), so tied timestamps form peer groups identically
+    // in both engines; the windowed sum stays in DECIMAL (order-independent)
+    "q92_range_frame" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_trailing_1h"),
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").as("sum_trailing_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     // F-string ops on the JSON-ish props column
     "q33_props_keys" -> ((s, dir) =>
       t(s, dir, "events")
@@ -216,6 +253,25 @@ object EventQueries {
         |  AND epoch(c.ts) >= epoch(p.ts) - 3600.0 AND epoch(c.ts) < epoch(p.ts)
         |GROUP BY p.event_id, p.user_id
         |ORDER BY p.event_id""".stripMargin,
+
+    "q91_snapshot_asof" ->
+      """WITH r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |SELECT user_id, event_type, ts AS state_ts,
+        |  event_id AS state_event_id, round(value, 4) AS state_value
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q92_range_frame" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_trailing_1h,
+        |  cast(sum(cast(value as decimal(18,2))) OVER w as double) AS sum_trailing_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q33_props_keys" ->
       """SELECT regexp_extract(props, '"([a-z]+)":', 1) AS key,

@@ -234,6 +234,25 @@ object RelationalQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices): the
+    // exact set list an OLAP report asks for, in ONE shuffle — Catalyst
+    // expands the sets map-side (Expand node) so each input row fans out
+    // only to the sets it belongs to, then one partial-aggregated exchange.
+    // grouping_id disambiguates a NULL data value from a NULL group slot.
+    "q90_grouping_sets" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+          col("n_orders"), col("total_price"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
     // set operators: INTERSECT / EXCEPT (distinct semantics both engines)
     "q47_setops" -> ((s, dir) => {
       val withOrders = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
@@ -381,6 +400,15 @@ object RelationalQueries {
          |FROM lineitem
          |GROUP BY CUBE (l_returnflag, l_linestatus)
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q90_grouping_sets" ->
+      s"""SELECT cast(grouping(o_orderstatus, o_orderpriority) as int) AS gid,
+         |  o_orderstatus, o_orderpriority,
+         |  count(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+         |  (o_orderstatus), (o_orderpriority), ())
+         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q47_setops" ->
       """SELECT custkey FROM (
