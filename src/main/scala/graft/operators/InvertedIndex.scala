@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.functions._
+
+/**
+ * Inverted text index: token → posting rows, hive-partitioned by a token
+ * hash bucket. This is the scan-avoidance path for term search (the
+ * reference greps its corpus per query, search.py-style full scan; an
+ * engine at 100 TB builds the index once and reads back only the queried
+ * terms' buckets).
+ *
+ * Layout: `path/tb=<bucket>/…` with rows (tok, doc_id). A conjunctive
+ * query filters `tb IN (buckets of its terms)` — a PARTITION filter, so
+ * at most `nTerms` of the `nBuckets` directories are listed/read — then
+ * `tok IN terms` inside them, and intersects posting lists with one
+ * count-distinct aggregate (never a per-term self-join chain: k-way
+ * intersection as a group-by scales to any k in one shuffle).
+ */
+object InvertedIndex {
+
+  val nBuckets = 32
+
+  /** Bucket of a token column — mirrors [[bucketOfTerm]] exactly. */
+  def bucket(tok: Column): Column = pmod(xxhash64(tok), lit(nBuckets))
+
+  /** Driver-side bucket of a query-term literal (same xxhash64 seed=42 the
+    * SQL function applies), so the probe's IN-set is a plan-time constant
+    * and Catalyst turns it into directory pruning. */
+  def bucketOfTerm(term: String): Long = {
+    val h = XxHash64(Seq(Literal(term)), 42L).eval(InternalRow.empty).asInstanceOf[Long]
+    ((h % nBuckets) + nBuckets) % nBuckets
+  }
+
+  /** Build the index: one explode over distinct per-doc tokens, one
+    * partitioned write. Token sets (not bags) — postings answer membership,
+    * frequencies live in the q75 term-relevance path. */
+  def build(docs: DataFrame, idCol: String, textCol: String, path: String): Unit =
+    docs.select(col(idCol), explode(array_distinct(TextFns.tokens(col(textCol)))).as("tok"))
+      .withColumn("tb", bucket(col("tok")))
+      .write.mode("overwrite").partitionBy("tb").parquet(path)
+
+  /** Conjunctive (AND-of-terms) query: doc ids containing every term. */
+  def queryAll(spark: SparkSession, path: String, idCol: String,
+               terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "conjunctive query needs at least one term")
+    val buckets = terms.map(bucketOfTerm).distinct
+    spark.read.parquet(path)
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("tok")).as("__nt"))
+      .filter(col("__nt") === terms.length)
+      .select(col(idCol))
+  }
+}

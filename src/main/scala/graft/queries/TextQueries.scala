@@ -353,6 +353,28 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // Inverted text index + conjunctive term search: the corpus is exploded
+    // once into a token→doc postings table hive-partitioned by token hash
+    // bucket; the query then reads ONLY its terms' bucket directories
+    // (PartitionFilters — PlanSpec gates it) and intersects posting lists
+    // with one count-distinct aggregate. The oracle replays the semantics
+    // (docs containing ALL terms) directly off the raw corpus, so a dropped
+    // posting or a wrong bucket loses rows and fails the hash. At 100 TB
+    // the build is amortized across queries and the probe cost is
+    // O(selected buckets), never a corpus scan.
+    "q93_inverted_index" -> ((s, dir) => {
+      import graft.operators.InvertedIndex
+      val docs = t(s, dir, "documents")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_invidx_" +
+        Integer.toHexString(dir.hashCode)
+      InvertedIndex.build(docs, "doc_id", "text", path)
+      val hits = InvertedIndex.queryAll(s, path, "doc_id",
+        Seq("spark", "window", "stream"))
+      hits.join(docs, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // sketch vs exact: approx_percentile must land within 5% of the exact
     // interpolated quantile (the 100 TB percentile spelling)
     "q50_approx_quantile" -> ((s, dir) => {
@@ -385,6 +407,17 @@ object TextQueries {
   private val enListSql = "['the','a','an','and','of','to','in','is','it','that']"
 
   val oracle: Map[String, String] = Map(
+    "q93_inverted_index" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |h AS (
+         |  SELECT doc_id FROM p WHERE tok IN ('spark', 'window', 'stream')
+         |  GROUP BY doc_id HAVING count(DISTINCT tok) = 3)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN h USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q11_lang_stats" ->
       """SELECT lang, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS total_chars,
         |  round(cast(sum(n_chars) as double) / count(*), 2) AS avg_chars

@@ -31,6 +31,15 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
   }
 
+  test("q93: the term probe prunes token-bucket partition directories") {
+    val df = SparkEntry.queries("q93_inverted_index")(spark, sf)
+    val plan = formatted(df)
+    // the IN-set of query-term buckets must be a PARTITION filter on the
+    // postings layout — a post-scan row filter would read the whole index
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*tb.*"), plan.take(2000))
+  }
+
   test("q41: partition filter prunes event_type directories at the source") {
     val df = SparkEntry.queries("q41_partitioned_write")(spark, sf)
     val plan = formatted(df)
