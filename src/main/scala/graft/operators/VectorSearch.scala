@@ -167,6 +167,79 @@ object VectorSearch {
       .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
   }
 
+  // -------------------------------------------------------------------- PQ
+  /**
+   * Product-quantization ANN (asymmetric-distance scan) with a SEEDED,
+   * data-independent codebook, so the whole path replays in SQL (the q24
+   * discipline; trained codebooks would change recall, not the algebra).
+   *
+   * PQ splits each dim-d vector into `m` sub-vectors and quantizes each to
+   * the nearest of `nCodes` codewords (argmin of ROUNDED L2², ties to the
+   * lowest code — the strict-< left fold). A query builds its m×nCodes
+   * lookup table of rounded sub-distances ONCE (tiny → broadcast), and a
+   * corpus vector's approximate distance is the sum of m LUT entries
+   * fetched by its codes: a broadcast hash join on (s, code) plus one
+   * partially-aggregated groupBy — O(m) work per corpus row, and the codes
+   * (m small ints) stand in for 4·dim bytes of floats, the 16-32× memory
+   * compression that lets a 100 TB corpus's index live where its vectors
+   * cannot. Distance partials ride DECIMAL so the merge is order-exact.
+   */
+  def topKPqSeeded(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                   m: Int = 4, nCodes: Int = 8, seed: Long = 11L,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   queryIdCol: String = "query_id",
+                   queryVecCol: String = "query_vec"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val books = pqCodebooks(dim, m, nCodes, seed)
+    // literal codebook: per subspace an array of (code, codeword) structs
+    val subsLit = array(books.zipWithIndex.map { case (cws, s) =>
+      struct(lit(s).as("s"), array(cws.zipWithIndex.map { case (cw, c) =>
+        struct(lit(c).as("code"), typedLit(cw.map(_.toDouble).toSeq).as("cw"))
+      }: _*).as("cws"))
+    }: _*)
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def subSlice(v: Column, s: Column): Column = slice(v, s * sub + 1, lit(sub))
+
+    // encode: corpus × m rows; staged projections (the q57 lesson) — the
+    // scored array is built in one projection and folded in the next
+    val codes = corpus
+      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("sp", explode(subsLit))
+      .select(col(idCol), col("sp.s").as("s"),
+        subSlice(col("v"), col("sp.s")).as("vs"), col("sp.cws").as("cws"))
+      .withColumn("ds", transform(col("cws"), cw => struct(
+        round(l2sq(col("vs"), cw("cw")), 4).as("d"), cw("code").as("code"))))
+      .withColumn("code", aggregate(col("ds"),
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("code")),
+        (acc, x) => when(x("d") < acc("d"), x).otherwise(acc))("code"))
+      .select(col(idCol), col("s"), col("code"))
+
+    // the query's asymmetric-distance lookup table: m×nCodes rows per query
+    val lut = queries
+      .select(col(queryIdCol), transform(col(queryVecCol), x => x.cast("double")).as("qv"))
+      .withColumn("sp", explode(subsLit))
+      .select(col(queryIdCol), col("sp.s").as("s"),
+        subSlice(col("qv"), col("sp.s")).as("qs"), explode(col("sp.cws")).as("cw"))
+      .select(col(queryIdCol), col("s"), col("cw.code").as("code"),
+        round(l2sq(col("qs"), col("cw.cw")), 4).as("d"))
+
+    val acc = codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("d").cast("decimal(18,4)")).as("adist_dec"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("adist_dec").asc, col(idCol).asc)
+    acc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol),
+        col("adist_dec").cast("double").as("adist"), col("rank"))
+  }
+
+  /** Seeded Gaussian codebooks: `m` subspaces × `nCodes` codewords each. */
+  def pqCodebooks(dim: Int, m: Int, nCodes: Int, seed: Long): Array[Array[Array[Float]]] =
+    Array.tabulate(m)(s => Dedup.hyperplanes(dim / m, nCodes, seed + s))
+
   // ------------------------------------------------------------------- IVF
   /**
    * IVF layout over an embedding table (SURVEY §4 P6): `nlist` KMeans

@@ -116,6 +116,15 @@ object VectorQueries {
         .search(queriesDf(s, dir, 10, 15), k = 4, nprobe = 4)
         .orderBy(col("query_id"), col("rank"))),
 
+    // Product-quantization ANN (ADC scan): codes + a per-query LUT join
+    // stand in for full-precision vectors — the memory-compression scale
+    // path beside IVF's IO pruning. Seeded codebook ⇒ the encode, the LUT
+    // and the summed approximate distances all replay in DuckDB.
+    "q94_ann_pq" -> ((s, dir) =>
+      VectorSearch.topKPqSeeded(t(s, dir, "embeddings"), queriesDf(s, dir, 20, 25),
+          k = 4, dim = 64)
+        .orderBy(col("query_id"), col("rank"))),
+
     // LSH-bucketed ANN — the training-free scale path (approximate →
     // rows-only, like the pruned IVF probe q24)
     "q55_ann_lsh" -> ((s, dir) =>
@@ -260,7 +269,47 @@ object VectorQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replay of the seeded-PQ ADC scan (q94): codebooks as double
+    * literals (the q24 precedent), per-subspace argmin on ROUNDED L2² with
+    * code-ASC tie-break (the strict-< fold), LUT join on (s, code), and the
+    * DECIMAL distance sum so partial-merge order can't drift the hash. */
+  private lazy val pqOracleSql: String = {
+    val books = VectorSearch.pqCodebooks(64, 4, 8, 11L)
+    val rows = (for ((cws, s) <- books.zipWithIndex; (cw, c) <- cws.zipWithIndex)
+      yield s"($s, $c, [${cw.map(f => f.toDouble.toString).mkString(", ")}])")
+      .mkString(",\n")
+    s"""WITH cw(s, code, cv) AS (VALUES
+       |$rows),
+       |corpus AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+       |scored AS (
+       |  SELECT vec_id, s, code,
+       |    round(list_reduce(list_transform(generate_series(1, 16), j ->
+       |      (v[s*16 + j] - cv[j]) * (v[s*16 + j] - cv[j])), (a, b) -> a + b), 4) AS d
+       |  FROM corpus, cw),
+       |codes AS (
+       |  SELECT vec_id, s, code FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+       |    ORDER BY d ASC, code ASC) = 1),
+       |q AS (SELECT vec_id AS query_id, cast(embedding as double[]) AS qv
+       |      FROM embeddings WHERE vec_id >= 20 AND vec_id < 25),
+       |lut AS (
+       |  SELECT query_id, s, code,
+       |    round(list_reduce(list_transform(generate_series(1, 16), j ->
+       |      (qv[s*16 + j] - cv[j]) * (qv[s*16 + j] - cv[j])), (a, b) -> a + b), 4) AS d
+       |  FROM q, cw),
+       |acc AS (
+       |  SELECT query_id, vec_id, sum(cast(d as decimal(18,4))) AS sdec
+       |  FROM codes JOIN lut USING (s, code)
+       |  GROUP BY query_id, vec_id)
+       |SELECT query_id, vec_id, cast(sdec as double) AS adist,
+       |  cast(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sdec ASC, vec_id ASC) as int) AS rank
+       |FROM acc QUALIFY rank <= 4
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q94_ann_pq" -> pqOracleSql,
     "q55_ann_lsh" -> lshOracleSql,
     "q24_ann_ivf_probe" -> ivfProbeOracleSql,
     "q57_mean_pool" ->

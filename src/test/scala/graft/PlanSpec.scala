@@ -40,6 +40,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*tb.*"), plan.take(2000))
   }
 
+  test("q94: the PQ lookup table broadcasts; the code join never shuffles the corpus") {
+    val plan = formatted(SparkEntry.queries("q94_ann_pq")(spark, sf))
+    // ADC's whole point is O(m) per corpus row against an in-memory LUT —
+    // a shuffled (sort-merge) LUT join would re-exchange the corpus codes
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("q41: partition filter prunes event_type directories at the source") {
     val df = SparkEntry.queries("q41_partitioned_write")(spark, sf)
     val plan = formatted(df)
