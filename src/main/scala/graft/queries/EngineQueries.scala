@@ -237,6 +237,49 @@ object EngineQueries {
           countDistinct(col("event_id")).as("n_distinct"),
           dsum(col("value")).as("sum_value"))
         .orderBy(col("event_type"))
+    }),
+
+    // Watermarked stream-stream interval join graded end-to-end: purchases
+    // and clicks arrive as SEPARATE file streams; the click stream is
+    // throttled (maxFilesPerTrigger=1) so its second half lands in a later
+    // micro-batch and must match purchase rows buffered in the JOIN STATE
+    // store — the cross-batch machinery a single-batch delivery would never
+    // exercise. Watermarks exceed the data span, so no row is late and no
+    // state is evicted before matching (eviction bounds state at scale; the
+    // graded contract here is exact batch-equivalence: the settled sink
+    // must equal q39's relational interval join, pair for pair).
+    "q95_stream_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q95_")
+      val dropP = java.nio.file.Files.createDirectory(tmp.resolve("p"))
+      val dropC = java.nio.file.Files.createDirectory(tmp.resolve("c"))
+      val raw = s.read.parquet(s"$dir/events.parquet") // ts read as long (ns)
+      stageFile(raw.filter(col("event_type") === "purchase"),
+        tmp.resolve("w1"), dropP, "p.parquet")
+      stageFile(raw.filter(col("event_type") === "click" && col("event_id") % 2 === 0),
+        tmp.resolve("w2"), dropC, "a.parquet")
+      stageFile(raw.filter(col("event_type") === "click" && col("event_id") % 2 === 1),
+        tmp.resolve("w3"), dropC, "b.parquet")
+      val purchases = s.readStream.schema(raw.schema).parquet(dropP.toString)
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          timestamp_micros(expr("ts DIV 1000")).as("pts"))
+        .withWatermark("pts", "60 days")
+      val clicks = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dropC.toString)
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          timestamp_micros(expr("ts DIV 1000")).as("cts"))
+        .withWatermark("cts", "60 days")
+      val joined = purchases.join(clicks,
+        expr("c_user = p_user AND cts >= pts - interval 1 hour AND cts < pts"))
+      val store = s"$tmp/store"
+      joined.writeStream.format("parquet")
+        .option("path", store).option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(store)
+        .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+        .orderBy(col("purchase_id"), col("click_id"))
     }))
 
   /** Write `df` as a single parquet part into `work`, then move that part
@@ -417,5 +460,17 @@ object EngineQueries {
       s"""SELECT event_type, count(*) AS n_events,
          |  count(DISTINCT event_id) AS n_distinct,
          |  ${dsumSql("value")} AS sum_value
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the settled stream-stream join equals the batch interval join — the
+    // CAST truncates DuckDB's ns read to µs, the stream's own projection
+    "q95_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        |  AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        |  AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+        |ORDER BY purchase_id, click_id""".stripMargin)
 }
