@@ -158,6 +158,54 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Time-series resample + gap fill: each user's hourly activity grid over
+    // their own active span (sequence + explode — generated distributed, per
+    // key, never a driver-side calendar), empty hours carrying the last
+    // observed hourly sum forward (last/ignoreNulls over an unbounded
+    // running frame). The ffill'd values are exact copies of DECIMAL-summed
+    // hours, so the hash survives cross-engine. Bounded to users < 100 to
+    // keep the graded grid small; the plan is user-count-independent.
+    "q96_gap_fill" -> ((s, dir) => {
+      val hourly = t(s, dir, "events").filter(col("user_id") < 100)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hh"))
+        .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("n_events"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("hh")).as("h0"), max(col("hh")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hh"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("hh"))
+        .rowsBetween(Long.MinValue, 0)
+      grid.join(hourly, Seq("user_id", "hh"), "left")
+        .select(col("user_id"), col("hh"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("sum_value"), ignoreNulls = true).over(w).as("filled_value"))
+        .orderBy(col("user_id"), col("hh"))
+    }),
+
+    // Sequential funnel (signup → first later click → first later purchase
+    // per user): each stage is an equi join on the user plus a strictly-after
+    // residual, then a min — never a per-user sort or a cross join; at scale
+    // each stage is one hash join + partial-aggregated min on the key.
+    "q97_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("cts"))
+      val firstClick = signup
+        .join(clicks, col("c_user") === col("user_id") && col("cts") > col("t_signup"), "left")
+        .groupBy(col("user_id"), col("t_signup"))
+        .agg(min(col("cts")).as("t_first_click"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pts"))
+      firstClick
+        .join(purchases, col("p_user") === col("user_id") && col("pts") > col("t_first_click"), "left")
+        .groupBy(col("user_id"), col("t_signup"), col("t_first_click"))
+        .agg(min(col("pts")).as("t_first_purchase"))
+        .orderBy(col("user_id"))
+    }),
+
     // F-string ops on the JSON-ish props column
     "q33_props_keys" -> ((s, dir) =>
       t(s, dir, "events")
@@ -272,6 +320,40 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "q96_gap_fill" ->
+      s"""WITH hourly AS (
+         |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hh,
+         |    ${dsumSql("value")} AS sum_value, count(*) AS n_events
+         |  FROM events WHERE user_id < 100 GROUP BY 1, 2),
+         |spans AS (SELECT user_id, min(hh) AS h0, max(hh) AS h1
+         |          FROM hourly GROUP BY user_id),
+         |grid AS (SELECT user_id,
+         |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hh FROM spans)
+         |SELECT g.user_id, g.hh,
+         |  cast(coalesce(h.n_events, 0) as bigint) AS n_events,
+         |  last_value(h.sum_value IGNORE NULLS) OVER (PARTITION BY g.user_id
+         |    ORDER BY g.hh ROWS UNBOUNDED PRECEDING) AS filled_value
+         |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hh = h.hh
+         |ORDER BY g.user_id, g.hh""".stripMargin,
+
+    "q97_funnel" ->
+      """WITH su AS (
+        |  SELECT user_id, min(ts) AS t_signup FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |fc AS (
+        |  SELECT su.user_id, su.t_signup, min(c.ts) AS t_first_click
+        |  FROM su LEFT JOIN events c ON c.user_id = su.user_id
+        |    AND c.event_type = 'click' AND c.ts > su.t_signup
+        |  GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT fc.user_id, fc.t_signup, fc.t_first_click,
+        |    min(p.ts) AS t_first_purchase
+        |  FROM fc LEFT JOIN events p ON p.user_id = fc.user_id
+        |    AND p.event_type = 'purchase' AND p.ts > fc.t_first_click
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, t_signup, t_first_click, t_first_purchase
+        |FROM fp ORDER BY user_id""".stripMargin,
 
     "q33_props_keys" ->
       """SELECT regexp_extract(props, '"([a-z]+)":', 1) AS key,
