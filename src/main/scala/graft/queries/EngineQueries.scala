@@ -272,11 +272,20 @@ object EngineQueries {
       val joined = purchases.join(clicks,
         expr("c_user = p_user AND cts >= pts - interval 1 hour AND cts < pts"))
       val store = s"$tmp/store"
-      joined.writeStream.format("parquet")
-        .option("path", store).option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
+      // a stream-stream join commits 4 state stores per shuffle partition
+      // per micro-batch; at this (bounded) state size the run cost is all
+      // store-commit fan-out, so pin the stream's state partitioning low —
+      // the setting is baked into the checkpoint at first start and does
+      // not affect batch queries (restored right after)
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        joined.writeStream.format("parquet")
+          .option("path", store).option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
       s.read.parquet(store)
         .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
         .orderBy(col("purchase_id"), col("click_id"))
