@@ -52,9 +52,10 @@ object SparkEntry {
       EngineQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
-    * parquet tables. Omitted only for genuinely approximate ops (q24 pruned
-    * IVF probe, q55 LSH ANN) and the DSv2 generator source (q44) → driver
-    * records a weaker rows-only check for those. */
+    * parquet tables. EVERY declared query has one (EntrySpec gates the
+    * rows-only allowlist at empty): approximate operators use seeded
+    * data-independent randomness embedded as SQL literals so their whole
+    * path replays — see q24/q55/q94 and EntrySpec's history note. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++
       EventQueries.oracle ++ SourceQueries.oracle ++ MultimodalQueries.oracle ++
