@@ -289,6 +289,56 @@ object EngineQueries {
       s.read.parquet(store)
         .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
         .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
+    // Custom-state streaming sessionization graded end-to-end: the
+    // flatMapGroupsWithState sessionizer (StreamOps.sessionizeStateful) run
+    // through a real readStream. Delivery is split BY TIME (first half /
+    // second half of the month) so per-user event order is preserved across
+    // micro-batches and open sessions spanning the split must CONTINUE from
+    // keyed state; two same-instant far-future sentinel micro-batches then
+    // advance the watermark so every residual open session closes via
+    // event-time TIMEOUT (the q86 discipline — emission happens in
+    // data-carrying batches, never relying on no-data flushes). The settled
+    // sink must equal the batch gaps-and-islands sessionization (q27's
+    // oracle, minus the double running sum, which is sequential-order
+    // arithmetic and not hash-portable — bounds and counts are the graded
+    // contract). State partitioning pinned low, the q95 lesson.
+    "q100_stream_session" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q100_")
+      val drop = java.nio.file.Files.createDirectory(tmp.resolve("drop"))
+      val raw = s.read.parquet(s"$dir/events.parquet") // ts read as long (ns)
+      val midNs = 1705276800L * 1000000000L // 2024-01-15 00:00:00 UTC in ns
+      stageFile(raw.filter(col("ts") < midNs), tmp.resolve("w1"), drop, "a.parquet")
+      stageFile(raw.filter(col("ts") >= midNs), tmp.resolve("w2"), drop, "b.parquet")
+      def sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        (lit(4102444800L) * lit(1000000000L)).as("ts"), // 2100-01-01 in ns
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0d).as("value"), lit("{}").as("props"))
+      stageFile(sentinel, tmp.resolve("w3"), drop, "c.parquet")
+      java.nio.file.Files.copy(drop.resolve("c.parquet"), drop.resolve("d.parquet"))
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val sessions = graft.streaming.StreamOps.sessionizeStateful(
+        stream, gapMinutes = 30, watermark = "10 minutes")
+      val store = s"$tmp/store"
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        sessions.writeStream.format("parquet")
+          .option("path", store).option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      s.read.parquet(store)
+        .filter(col("user_id") >= 0) // sentinel scaffolding must not leak
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
     }))
 
   /** Write `df` as a single parquet part into `work`, then move that part
@@ -481,5 +531,23 @@ object EngineQueries {
         |  ON c.user_id = p.user_id
         |  AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
         |  AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
-        |ORDER BY purchase_id, click_id""".stripMargin)
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // the settled custom-state sessionizer output equals batch
+    // gaps-and-islands (q27's CTE, bounds + counts)
+    "q100_stream_session" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |y AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0
+        |            THEN 1 ELSE 0 END AS new_session FROM x),
+        |z AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM y)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM z GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)
 }

@@ -206,6 +206,43 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Time-weighted average (the time-series mean that's correct under
+    // irregular sampling): each observation holds until the next one, so it
+    // is weighted by its holding time. dt is exact integer micros; the
+    // value·dt product is one IEEE multiply (bit-identical cross-engine)
+    // and the sums ride DECIMAL so partial-merge order can't drift them.
+    "q102_time_weighted" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("dt_s", (lead(col("us"), 1).over(w) - col("us")) / lit(1e6))
+        .filter(col("dt_s").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          sum((col("value") * col("dt_s")).cast("decimal(28,6)"))
+            .cast("double").as("sum_vdt"),
+          sum(col("dt_s").cast("decimal(28,6)")).cast("double").as("sum_dt"))
+        .select(col("user_id"),
+          round(col("sum_vdt") / col("sum_dt"), 6).as("twa"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Co-occurrence / association matrix: for each unordered pair of event
+    // types, how many users exhibit both — distinct (user, type) pairs,
+    // then a self-join bounded by the (tiny) type vocabulary per user,
+    // never a cartesian over rows.
+    "q103_cooccurrence" -> ((s, dir) => {
+      val ut = t(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+      val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+      a.join(b, Seq("user_id")).filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // F-string ops on the JSON-ish props column
     "q33_props_keys" -> ((s, dir) =>
       t(s, dir, "events")
@@ -354,6 +391,29 @@ object EventQueries {
         |  GROUP BY 1, 2, 3)
         |SELECT user_id, t_signup, t_first_click, t_first_purchase
         |FROM fp ORDER BY user_id""".stripMargin,
+
+    "q102_time_weighted" ->
+      """WITH d AS (
+        |  SELECT user_id, value,
+        |    (lead(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+        |       PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        |     - epoch_us(CAST(ts AS TIMESTAMP))) / 1e6 AS dt_s
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    cast(sum(cast(value * dt_s as decimal(28,6))) as double) AS sum_vdt,
+        |    cast(sum(cast(dt_s as decimal(28,6))) as double) AS sum_dt
+        |  FROM d WHERE dt_s IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, round(sum_vdt / sum_dt, 6) AS twa
+        |FROM g ORDER BY user_id""".stripMargin,
+
+    "q103_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_users
+        |FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
 
     "q33_props_keys" ->
       """SELECT regexp_extract(props, '"([a-z]+)":', 1) AS key,

@@ -303,6 +303,20 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Equi-width histogram (the profiling companion to q82's min/max/NDV):
+    // explicit floor-division binning — one partial-aggregated exchange over
+    // however many rows, output bounded by the bucket count. The same
+    // spelling an engine uses to build zone-map / CLI histogram stats.
+    "q101_histogram" -> ((s, dir) => {
+      val width = 20000.0
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / width).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("bucket_lo", (col("bucket") * width).cast("double"))
+        .select(col("bucket"), col("bucket_lo"), col("n_orders"), col("sum_price"))
+        .orderBy(col("bucket"))
+    }),
+
     // set operators: INTERSECT / EXCEPT (distinct semantics both engines)
     "q47_setops" -> ((s, dir) => {
       val withOrders = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
@@ -484,6 +498,13 @@ object RelationalQueries {
          |SELECT o_orderstatus, count(*) AS n_orders,
          |  ${dsumSql("price")} AS total_price
          |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q101_histogram" ->
+      s"""SELECT cast(floor(o_totalprice / 20000.0) as int) AS bucket,
+         |  cast(floor(o_totalprice / 20000.0) as int) * 20000.0 AS bucket_lo,
+         |  count(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
 
     "q47_setops" ->
       """SELECT custkey FROM (
