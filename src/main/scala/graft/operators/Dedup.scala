@@ -243,6 +243,52 @@ object Dedup {
     res
   }
 
+  /**
+   * Incremental near-dup: candidate pairs RESTRICTED to those touching the
+   * new batch — dedup fresh data against an existing corpus without ever
+   * re-pairing the corpus against itself. The banding join takes the batch's
+   * band signatures (small) against the full band table, so the incremental
+   * cost is O(|batch| bands ⋈ band index + verify), independent of |store|²
+   * — the only dedup shape a continuously-ingesting 100 TB pipeline can
+   * afford. Shingles/signatures are recomputed here for self-containment;
+   * in production the store side is the persisted signature index. Result
+   * pairs are order-normalized (id_a < id_b) and equal the FULL pipeline's
+   * verified pairs filtered to batch-touching ones (the q105 oracle states
+   * exactly that).
+   */
+  def incrementalNearDupPairs(store: DataFrame, batch: DataFrame,
+                              textCol: String, idCol: String,
+                              shingleSize: Int = 3, numHashes: Int = 16,
+                              bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val all = store.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    val sh = shingleTable(all, textCol, idCol, shingleSize).persist(lvl)
+    val sig = minhashWide(sh, idCol, numHashes).persist(lvl)
+    val rowsPerBand = numHashes / bands
+    val bandSigCols = (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)
+    }
+    val bandSigs = sig.select(col(idCol),
+      posexplode(array(bandSigCols: _*)).as(Seq("band", "band_sig")))
+    val batchBands = bandSigs.join(batch.select(col(idCol)), Seq(idCol), "left_semi")
+    val cand = bandSigs.select(col("band"), col("band_sig"), col(idCol).as("id_x"))
+      .join(batchBands.select(col("band"), col("band_sig"), col(idCol).as("id_y")),
+        Seq("band", "band_sig"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    // same persist-then-release lifecycle as nearDupPairs (leak lesson)
+    val res = jaccardForPairs(cand, sh, sig.select(col(idCol), col("sz")), idCol)
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    sh.unpersist(blocking = false)
+    sig.unpersist(blocking = false)
+    res
+  }
+
   // ------------------------------------------------------------------ SimHash
   /**
    * 64-bit SimHash as a typed aggregate over token hashes (SURVEY §2.11 —

@@ -240,6 +240,34 @@ object VectorSearch {
   def pqCodebooks(dim: Int, m: Int, nCodes: Int, seed: Long): Array[Array[Array[Float]]] =
     Array.tabulate(m)(s => Dedup.hyperplanes(dim / m, nCodes, seed + s))
 
+  /**
+   * Two-stage ANN: PQ candidate generation (cheap, compressed-domain) then
+   * EXACT cosine re-ranking of only the `kCand` survivors per query — the
+   * production retrieval shape (coarse recall from codes, precision from a
+   * bounded full-precision pass). At 100 TB the first stage scans codes
+   * (m bytes/vector), and the second touches `kCand · |queries|` full
+   * vectors via a key join — never the corpus.
+   */
+  def topKPqRerank(corpus: DataFrame, queries: DataFrame, kCand: Int, k: Int,
+                   dim: Int, m: Int = 4, nCodes: Int = 8, seed: Long = 11L,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   queryIdCol: String = "query_id",
+                   queryVecCol: String = "query_vec",
+                   scoreScale: Int = 4): DataFrame = {
+    val cand = topKPqSeeded(corpus, queries, kCand, dim, m, nCodes, seed,
+        idCol, vecCol, queryIdCol, queryVecCol)
+      .select(col(queryIdCol), col(idCol))
+    val scored = cand
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(queries), queryIdCol)
+      .withColumn("score",
+        round(VectorFns.cosineSim(col(vecCol), col(queryVecCol)), scoreScale))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
+  }
+
   // ------------------------------------------------------------------- IVF
   /**
    * IVF layout over an embedding table (SURVEY §4 P6): `nlist` KMeans

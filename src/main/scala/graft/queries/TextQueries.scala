@@ -223,6 +223,24 @@ object TextQueries {
         .orderBy(col("content_hash"))
     }),
 
+    // Incremental near-dup: a NEW batch (truncated near-copies on shifted
+    // ids) deduped against the existing corpus — candidates restricted to
+    // batch-touching pairs, so the store is never re-paired against itself.
+    // The oracle runs the FULL pipeline over store ∪ batch and filters to
+    // batch-touching pairs: the incremental result must equal it exactly,
+    // which is the incremental-dedup contract.
+    "q105_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = docs.select(col("doc_id").as("id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 20000).as("id"),
+          col("text").substr(lit(1), greatest(length(col("text")) - 30, lit(1)))
+            .as("text"))
+      Dedup.incrementalNearDupPairs(store, batch, "text", "id",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // MinHash + LSH near-dup pairs, verified with exact n-gram Jaccard
     "q18_neardup_lsh" -> ((s, dir) => {
       Dedup.nearDupPairs(
@@ -492,6 +510,18 @@ object TextQueries {
       s"""WITH corpus AS ($nearDupCorpusSql),
          |${minhashVerifiedSql(0.3)}
          |SELECT id_a, id_b, inter, sz_a, sz_b, jaccard FROM verified
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q105_incremental_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 20000 AS id,
+         |    substring(text, 1, cast(greatest(length(text) - 30, 1) as int)) AS text
+         |  FROM documents WHERE doc_id % 25 = 0),
+         |${minhashVerifiedSql(0.3)}
+         |SELECT id_a, id_b, inter, sz_a, sz_b, jaccard FROM verified
+         |WHERE id_a >= 20000 OR id_b >= 20000
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q79_dedup_resolve" ->

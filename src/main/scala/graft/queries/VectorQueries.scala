@@ -125,6 +125,14 @@ object VectorQueries {
           k = 4, dim = 64)
         .orderBy(col("query_id"), col("rank"))),
 
+    // Two-stage retrieval: PQ candidates (compressed-domain scan) → exact
+    // cosine re-rank of the 20 survivors per query — the production ANN
+    // shape; the whole path (codes, LUT, candidate cut, re-rank) replays
+    "q104_ann_rerank" -> ((s, dir) =>
+      VectorSearch.topKPqRerank(t(s, dir, "embeddings"), queriesDf(s, dir, 25, 30),
+          kCand = 20, k = 4, dim = 64)
+        .orderBy(col("query_id"), col("rank"))),
+
     // LSH-bucketed ANN — the training-free scale path (approximate →
     // rows-only, like the pruned IVF probe q24)
     "q55_ann_lsh" -> ((s, dir) =>
@@ -273,12 +281,16 @@ object VectorQueries {
     * literals (the q24 precedent), per-subspace argmin on ROUNDED L2² with
     * code-ASC tie-break (the strict-< fold), LUT join on (s, code), and the
     * DECIMAL distance sum so partial-merge order can't drift the hash. */
-  private lazy val pqOracleSql: String = {
+  /** CTE chain `cw…acc` replaying the seeded-PQ ADC scan for query ids in
+    * [lo, hi): codebook literals, per-subspace argmin encode, LUT join,
+    * DECIMAL distance sum per (query, vector). Shared by q94 (graded ADC
+    * ranking) and q104 (PQ candidates → exact re-rank). */
+  private def pqCtes(lo: Int, hi: Int): String = {
     val books = VectorSearch.pqCodebooks(64, 4, 8, 11L)
     val rows = (for ((cws, s) <- books.zipWithIndex; (cw, c) <- cws.zipWithIndex)
       yield s"($s, $c, [${cw.map(f => f.toDouble.toString).mkString(", ")}])")
       .mkString(",\n")
-    s"""WITH cw(s, code, cv) AS (VALUES
+    s"""cw(s, code, cv) AS (VALUES
        |$rows),
        |corpus AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
        |scored AS (
@@ -291,7 +303,7 @@ object VectorQueries {
        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s
        |    ORDER BY d ASC, code ASC) = 1),
        |q AS (SELECT vec_id AS query_id, cast(embedding as double[]) AS qv
-       |      FROM embeddings WHERE vec_id >= 20 AND vec_id < 25),
+       |      FROM embeddings WHERE vec_id >= $lo AND vec_id < $hi),
        |lut AS (
        |  SELECT query_id, s, code,
        |    round(list_reduce(list_transform(generate_series(1, 16), j ->
@@ -300,16 +312,39 @@ object VectorQueries {
        |acc AS (
        |  SELECT query_id, vec_id, sum(cast(d as decimal(18,4))) AS sdec
        |  FROM codes JOIN lut USING (s, code)
-       |  GROUP BY query_id, vec_id)
+       |  GROUP BY query_id, vec_id)""".stripMargin
+  }
+
+  private lazy val pqOracleSql: String =
+    s"""WITH ${pqCtes(20, 25)}
        |SELECT query_id, vec_id, cast(sdec as double) AS adist,
        |  cast(row_number() OVER (PARTITION BY query_id
        |    ORDER BY sdec ASC, vec_id ASC) as int) AS rank
        |FROM acc QUALIFY rank <= 4
        |ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** q104: PQ top-20 candidates (the acc ranking), exact-cosine re-rank. */
+  private lazy val pqRerankOracleSql: String =
+    s"""WITH ${pqCtes(25, 30)},
+       |pqtop AS (
+       |  SELECT query_id, vec_id FROM acc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sdec ASC, vec_id ASC) <= 20),
+       |rer AS (
+       |  SELECT p.query_id, p.vec_id,
+       |    round(list_cosine_similarity(c.v, q.qv), 4) AS score
+       |  FROM pqtop p
+       |  JOIN corpus c ON c.vec_id = p.vec_id
+       |  JOIN q ON q.query_id = p.query_id)
+       |SELECT query_id, vec_id, score,
+       |  cast(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, vec_id ASC) as int) AS rank
+       |FROM rer QUALIFY rank <= 4
+       |ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q94_ann_pq" -> pqOracleSql,
+    "q104_ann_rerank" -> pqRerankOracleSql,
     "q55_ann_lsh" -> lshOracleSql,
     "q24_ann_ivf_probe" -> ivfProbeOracleSql,
     "q57_mean_pool" ->
