@@ -243,6 +243,49 @@ object EventQueries {
         .orderBy(col("type_a"), col("type_b"))
     }),
 
+    // Cohort retention matrix: users grouped by first-activity week, counted
+    // in each later week they return — the product-analytics staple. One
+    // min-per-user pass, one distinct (cohort, offset, user) projection,
+    // one count; every step partial-aggregates before its exchange.
+    "q106_cohort_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      ev.select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .join(cohort, "user_id")
+        .select(col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // SCD Type-2 dimension join: signups version each user's profile (valid
+    // from their ts until the user's next signup — lead() builds the
+    // validity interval, no self-join); purchases then join to the version
+    // VALID AT fact time. The interval predicate rides an equi join on the
+    // user, so the plan is a hash join + residual, never a theta explosion.
+    "q107_scd_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val versions = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("v_user"), col("ts").as("valid_from"),
+          col("event_id").as("version_id"), round(col("value"), 4).as("profile_value"))
+        .withColumn("valid_to",
+          lead(col("valid_from"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("v_user")).orderBy(col("valid_from"), col("version_id"))))
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .join(versions, col("user_id") === col("v_user") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .select(col("event_id"), col("user_id"), col("version_id"),
+          col("profile_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // F-string ops on the JSON-ish props column
     "q33_props_keys" -> ((s, dir) =>
       t(s, dir, "events")
@@ -414,6 +457,33 @@ object EventQueries {
         |FROM ut a JOIN ut b ON a.user_id = b.user_id
         |  AND a.event_type < b.event_type
         |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
+
+    "q106_cohort_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT c.cohort_week,
+        |    cast(datediff('day', c.cohort_week, date_trunc('week', e.ts)) / 7 as int)
+        |      AS week_offset,
+        |    e.user_id
+        |  FROM events e JOIN cohort c USING (user_id))
+        |SELECT cohort_week, week_offset, count(*) AS n_users
+        |FROM act GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q107_scd_join" ->
+      """WITH v AS (
+        |  SELECT user_id AS v_user, ts AS valid_from, event_id AS version_id,
+        |    round(value, 4) AS profile_value,
+        |    lead(ts, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS valid_to
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, v.version_id, v.profile_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN v ON p.user_id = v.v_user AND p.ts >= v.valid_from
+        |  AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+        |ORDER BY p.event_id""".stripMargin,
 
     "q33_props_keys" ->
       """SELECT regexp_extract(props, '"([a-z]+)":', 1) AS key,
