@@ -339,6 +339,56 @@ object EngineQueries {
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // UPDATE-mode streaming MV maintenance: the running aggregation emits
+    // only the groups each micro-batch CHANGED, and foreachBatch merges
+    // those deltas into a versioned keyed store (read-prev → anti-join the
+    // replaced keys → union → write v{batch} — copy-on-write, the plain-
+    // parquet spelling of Delta MERGE). Two time-split deliveries force a
+    // real cross-batch state update; the settled latest version must equal
+    // the batch GROUP BY over everything — the incremental-view contract,
+    // this time maintained BY the streaming runtime's state instead of
+    // q85/q88's hand-rolled delta algebra.
+    "q108_stream_update_mv" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q108_")
+      val drop = java.nio.file.Files.createDirectory(tmp.resolve("drop"))
+      val raw = s.read.parquet(s"$dir/events.parquet") // ts read as long (ns)
+      val midNs = 1705276800L * 1000000000L // 2024-01-15 UTC in ns
+      stageFile(raw.filter(col("ts") < midNs), tmp.resolve("w1"), drop, "a.parquet")
+      stageFile(raw.filter(col("ts") >= midNs), tmp.resolve("w2"), drop, "b.parquet")
+      val mv = java.nio.file.Files.createDirectory(tmp.resolve("mv")).toString
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1")
+          .parquet(drop.toString)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val sp = batch.sparkSession
+            val prevDirs = new java.io.File(mv).listFiles()
+            val prev = Option(prevDirs).filter(_.nonEmpty).map { ds =>
+              sp.read.parquet(ds.maxBy(_.getName.drop(1).toInt).getAbsolutePath)
+            }
+            val b = batch.localCheckpoint(true) // pin: the merge reads it twice
+            val merged = prev match {
+              case Some(p) => p.join(b.select("event_type"), Seq("event_type"), "left_anti")
+                .unionByName(b)
+              case None => b
+            }
+            merged.coalesce(1).write.mode("overwrite").parquet(s"$mv/v$id")
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      val latest = new java.io.File(mv).listFiles().maxBy(_.getName.drop(1).toInt)
+      s.read.parquet(latest.getAbsolutePath).orderBy(col("event_type"))
     }))
 
   /** Write `df` as a single parquet part into `work`, then move that part
@@ -549,5 +599,11 @@ object EngineQueries {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events
         |FROM z GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin)
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // the settled update-mode MV equals the batch GROUP BY
+    "q108_stream_update_mv" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

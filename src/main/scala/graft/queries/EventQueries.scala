@@ -286,6 +286,46 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Materialized-view rollup cascade: weekly and monthly aggregates
+    // derived from the DAILY MV (sum-of-sums with DECIMAL recasts), never
+    // from the base table — the warehouse hierarchy where each level costs
+    // O(rows of the level below). Grading all three levels against direct
+    // base-table aggregation proves the reaggregation algebra is lossless.
+    // (Months roll up from days, not weeks — weeks straddle month bounds.)
+    "q109_mv_cascade" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("period"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      def up(df: org.apache.spark.sql.DataFrame, unit: String) = df
+        .groupBy(date_trunc(unit, col("period")).as("period"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("sum_value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      daily.withColumn("level", lit("day"))
+        .unionByName(up(daily, "week").withColumn("level", lit("week")))
+        .unionByName(up(daily, "month").withColumn("level", lit("month")))
+        .select(col("level"), col("period"), col("n_events"), col("sum_value"))
+        .orderBy(col("level"), col("period"))
+    }),
+
+    // Rolling 7-day distinct actives WITHOUT a theta join: each (user, day)
+    // contributes itself to the 7 trailing windows it belongs to (explode of
+    // a 0..6 literal range), then one count-distinct per window day — the
+    // shuffle-friendly spelling of a sliding distinct count; the semi join
+    // keeps only calendar days the data actually contains.
+    "q110_rolling_distinct" -> ((s, dir) => {
+      val du = t(s, dir, "events")
+        .select(date_trunc("day", col("ts")).cast("date").as("d2"), col("user_id"))
+        .distinct()
+      val days = du.select(col("d2").as("day")).distinct()
+      du.select(explode(sequence(lit(0), lit(6))).as("i"), col("d2"), col("user_id"))
+        .select(date_add(col("d2"), col("i")).as("day"), col("user_id"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n_active_7d"))
+        .select(col("day").cast("timestamp").as("day"), col("n_active_7d"))
+        .orderBy(col("day"))
+    }),
+
     // F-string ops on the JSON-ish props column
     "q33_props_keys" -> ((s, dir) =>
       t(s, dir, "events")
@@ -484,6 +524,34 @@ object EventQueries {
         |JOIN v ON p.user_id = v.v_user AND p.ts >= v.valid_from
         |  AND (v.valid_to IS NULL OR p.ts < v.valid_to)
         |ORDER BY p.event_id""".stripMargin,
+
+    "q109_mv_cascade" ->
+      s"""WITH base AS (SELECT date_trunc('day', ts) AS d, value FROM events)
+         |SELECT 'day' AS level, d AS period, count(*) AS n_events,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM base GROUP BY d
+         |UNION ALL
+         |SELECT 'week' AS level, date_trunc('week', d) AS period,
+         |  count(*) AS n_events, ${dsumSql("value")} AS sum_value
+         |FROM base GROUP BY date_trunc('week', d)
+         |UNION ALL
+         |SELECT 'month' AS level, date_trunc('month', d) AS period,
+         |  count(*) AS n_events, ${dsumSql("value")} AS sum_value
+         |FROM base GROUP BY date_trunc('month', d)
+         |ORDER BY level, period""".stripMargin,
+
+    "q110_rolling_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT cast(date_trunc('day', ts) as date) AS d2, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT d2 AS day FROM du),
+        |contrib AS (
+        |  SELECT d2 + cast(i as int) AS day, user_id
+        |  FROM du, (SELECT unnest(generate_series(0, 6)) AS i))
+        |SELECT cast(c.day as timestamp) AS day,
+        |  count(DISTINCT c.user_id) AS n_active_7d
+        |FROM contrib c JOIN days dd ON dd.day = c.day
+        |GROUP BY c.day ORDER BY day""".stripMargin,
 
     "q33_props_keys" ->
       """SELECT regexp_extract(props, '"([a-z]+)":', 1) AS key,

@@ -48,6 +48,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("q97/q107: interval-residual joins stay hash joins on the key, never nested loops") {
+    // the equi part (user) must be extracted as the join key with the
+    // time predicate as residual — a BroadcastNestedLoopJoin here is the
+    // O(n·m) cliff that kills both plans at scale
+    Seq("q97_funnel", "q107_scd_join").foreach { q =>
+      val plan = formatted(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q: ${plan.take(2000)}")
+    }
+  }
+
   test("q41: partition filter prunes event_type directories at the source") {
     val df = SparkEntry.queries("q41_partitioned_write")(spark, sf)
     val plan = formatted(df)
