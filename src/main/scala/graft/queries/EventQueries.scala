@@ -326,6 +326,49 @@ object EventQueries {
         .orderBy(col("day"))
     }),
 
+    // Exact distributed statistics: variance/stddev/correlation assembled
+    // from DECIMAL power sums (n, Σx, Σy, Σxy, Σx², Σy²) instead of the
+    // built-in corr/stddev — the builtins merge float partials in shuffle
+    // order and drift in the last bits across engines; power sums are
+    // order-exact, and the closed-form combination is one deterministic
+    // double expression per group. value vs hour-of-day over events.
+    "q111_stats_exact" -> ((s, dir) => {
+      def p(c: org.apache.spark.sql.Column) = c.cast("decimal(28,6)")
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("value").as("x"),
+          hour(col("ts")).cast("double").as("y"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(p(col("x"))).cast("double").as("sx"),
+          sum(p(col("y"))).cast("double").as("sy"),
+          sum(p(col("x") * col("y"))).cast("double").as("sxy"),
+          sum(p(col("x") * col("x"))).cast("double").as("sxx"),
+          sum(p(col("y") * col("y"))).cast("double").as("syy"))
+        .select(col("event_type"),
+          round(col("sx") / col("n"), 4).as("mean_x"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1)), 4).as("stddev_x"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4)
+            .as("corr_xy"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Rank-family window catalog: ntile / percent_rank / cume_dist over a
+    // deterministic total order (value, event_id tiebreak) — the remaining
+    // window functions the suite had not yet graded.
+    "q112_rank_windows" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("event_id"), col("event_type"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("event_id"))
+    }),
+
     // F-string ops on the JSON-ish props column
     "q33_props_keys" -> ((s, dir) =>
       t(s, dir, "events")
@@ -552,6 +595,33 @@ object EventQueries {
         |  count(DISTINCT c.user_id) AS n_active_7d
         |FROM contrib c JOIN days dd ON dd.day = c.day
         |GROUP BY c.day ORDER BY day""".stripMargin,
+
+    "q111_stats_exact" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    cast(count(*) as double) AS n,
+        |    cast(sum(cast(value as decimal(28,6))) as double) AS sx,
+        |    cast(sum(cast(cast(hour(ts) as double) as decimal(28,6))) as double) AS sy,
+        |    cast(sum(cast(value * cast(hour(ts) as double) as decimal(28,6))) as double) AS sxy,
+        |    cast(sum(cast(value * value as decimal(28,6))) as double) AS sxx,
+        |    cast(sum(cast(cast(hour(ts) as double) * cast(hour(ts) as double)
+        |      as decimal(28,6))) as double) AS syy
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type,
+        |  round(sx / n, 4) AS mean_x,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_x,
+        |  round((n * sxy - sx * sy)
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS corr_xy
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q112_rank_windows" ->
+      """SELECT event_id, event_type,
+        |  cast(ntile(4) OVER w as int) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM events WHERE user_id < 50
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "q33_props_keys" ->
       """SELECT regexp_extract(props, '"([a-z]+)":', 1) AS key,
