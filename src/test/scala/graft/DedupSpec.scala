@@ -53,6 +53,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
   }
 
+  test("incrementalNearDupPairs equals the full pipeline filtered to batch-touching pairs") {
+    // the incremental-dedup contract on data the q105 oracle never sees:
+    // random store/batch splits with planted cross- and intra-batch dups
+    (1 to 3).foreach { seed =>
+      val store = docs.filter(col("doc_id") % 3 === seed % 3).select(col("doc_id").as("id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 30000).as("id"),
+          col("text").substr(lit(1), greatest(length(col("text")) - 25, lit(1))).as("text"))
+      val inc = Dedup.incrementalNearDupPairs(store, batch, "text", "id",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = Dedup.nearDupPairs(store.unionByName(batch), "text", "id",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => a >= 30000 || b >= 30000 }.toSet
+      assert(inc == full, s"seed=$seed: inc=${inc.size} full=${full.size}")
+      assert(inc.nonEmpty, s"seed=$seed surfaced no planted cross pairs")
+    }
+  }
+
   test("nearDupPairs/embedNearDupPairs release their cached index tables (no storage leak)") {
     // one stranded cached table per call is an unbounded leak in a
     // long-lived service, and enough suite-wide memory pressure to make the
