@@ -317,6 +317,62 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Global-share computation: each nation's revenue as a fraction of the
+    // world total — the scalar-subquery shape, spelled as an empty-frame
+    // window so the total rides the same (small, post-aggregation) exchange
+    // instead of a second scan of the fact table.
+    "q113_revenue_share" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      val ord = t(s, dir, "orders")
+      val byNation = li
+        .join(ord.select("o_orderkey", "o_custkey"),
+          li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust.select("c_custkey", "c_nationkey")),
+          ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat.select("n_nationkey", "n_name")),
+          cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice")).as("revenue"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      byNation
+        .withColumn("total",
+          sum(col("revenue").cast("decimal(28,2)")).over(w).cast("double"))
+        .select(col("n_name"), col("revenue"),
+          round(col("revenue") / col("total") * 100.0, 4).as("share_pct"))
+        .orderBy(col("n_name"))
+    }),
+
+    // IQR outlier gate (the statistical data-quality extension of q83):
+    // quartiles per group from exact interpolated percentiles, rows outside
+    // 1.5×IQR flagged — two passes (bounds, then a broadcast-joined filter),
+    // which at 100 TB is one stats scan plus one gated scan.
+    "q114_iqr_outliers" -> ((s, dir) => {
+      // the synthetic prices are uniform (no natural outliers at any SF),
+      // so plant deterministic ones: every 500th order reappears at 20×
+      // its price on a shifted key — tens of true outliers per status
+      val base = t(s, dir, "orders")
+      val ord = base.unionByName(base.filter(col("o_orderkey") % 500 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("o_totalprice", col("o_totalprice") * 20.0))
+      val bounds = ord.groupBy(col("o_orderstatus"))
+        .agg(percentile(col("o_totalprice"), lit(0.25)).as("q1"),
+          percentile(col("o_totalprice"), lit(0.75)).as("q3"))
+        // bounds rounded at 6 decimals on BOTH sides: a raw interpolated
+        // bound can differ cross-engine in its last bit, and a price within
+        // that ulp would flip the filter — rounding pins the gate exactly
+        .select(col("o_orderstatus"),
+          round(col("q1") - (col("q3") - col("q1")) * 1.5, 6).as("lo"),
+          round(col("q3") + (col("q3") - col("q1")) * 1.5, 6).as("hi"))
+      ord.join(broadcast(bounds), "o_orderstatus")
+        .filter(col("o_totalprice") < col("lo") || col("o_totalprice") > col("hi"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_outliers"),
+          dsum(col("o_totalprice")).as("outlier_price_sum"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // set operators: INTERSECT / EXCEPT (distinct semantics both engines)
     "q47_setops" -> ((s, dir) => {
       val withOrders = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
@@ -505,6 +561,38 @@ object RelationalQueries {
          |  count(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
          |FROM orders
          |GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+
+    "q113_revenue_share" ->
+      s"""WITH bn AS (
+         |  SELECT n_name, ${dsumSql("l_extendedprice")} AS revenue
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY n_name),
+         |t AS (SELECT cast(sum(cast(revenue as decimal(28,2))) as double) AS total FROM bn)
+         |SELECT n_name, revenue, round(revenue / total * 100.0, 4) AS share_pct
+         |FROM bn, t ORDER BY n_name""".stripMargin,
+
+    "q114_iqr_outliers" ->
+      s"""WITH ord AS (
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice * 20.0 AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 500 = 0),
+         |b AS (
+         |  SELECT o_orderstatus,
+         |    quantile_cont(o_totalprice, 0.25) AS q1,
+         |    quantile_cont(o_totalprice, 0.75) AS q3
+         |  FROM ord GROUP BY o_orderstatus),
+         |bb AS (SELECT o_orderstatus,
+         |  round(q1 - (q3 - q1) * 1.5, 6) AS lo,
+         |  round(q3 + (q3 - q1) * 1.5, 6) AS hi FROM b)
+         |SELECT o.o_orderstatus, count(*) AS n_outliers,
+         |  ${dsumSql("o_totalprice")} AS outlier_price_sum
+         |FROM ord o JOIN bb USING (o_orderstatus)
+         |WHERE o.o_totalprice < bb.lo OR o.o_totalprice > bb.hi
+         |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
 
     "q47_setops" ->
       """SELECT custkey FROM (
