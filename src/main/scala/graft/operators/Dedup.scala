@@ -562,4 +562,79 @@ object Dedup {
     sigs.unpersist(blocking = false)
     res
   }
+
+  // ------------------------------------------------- exact set-similarity join
+  /**
+   * EXACT-recall token-set similarity self-join via prefix filtering
+   * (PPJoin family — Xiao et al. WWW'08 / Chaudhuri et al. ICDE'06): every
+   * pair with Jaccard ≥ t is found, no LSH false-negative band luck. The
+   * complement to [[nearDupPairs]]: minhash trades recall for speed; this
+   * trades a heavier candidate join for a guarantee — the shape a
+   * contractual dedup (legal/compliance corpora) needs.
+   *
+   * The set elements are word n-gram shingles (the [[shingleTable]] 60-bit
+   * hashes), NOT unigram tokens: template-heavy corpora share most of their
+   * unigram vocabulary, so unigram-set Jaccard is quadratically dense
+   * (measured: 97k pairs ≥ 0.5 at sf0.01 over unigrams vs 45 over
+   * 3-shingles) — shingles keep "similar" meaning "same phrasing".
+   *
+   * Prefix principle: order each doc's shingles by GLOBAL rarity (document
+   * frequency, then value). If J(A,B) ≥ t then |A∩B| ≥ t·|A|, so A and B
+   * must collide inside their first |A|−⌈t·|A|⌉+1 rarest elements —
+   * candidates are generated only from those prefixes, and rare-first
+   * ordering keeps the per-element candidate lists short (the frequent
+   * elements that would each produce O(df²) pairs never enter a prefix).
+   * The per-doc ordering is a window partitioned BY DOC (never a global
+   * row_number — the single-task trap), the doc-frequency table is an
+   * aggregate over 8-byte keys, and the verify stage is the same
+   * inverted-index count join as [[jaccardForPairs]].
+   *
+   * All threshold math is integer (t = tNum/tDen): o_min = ⌈t·sz⌉ =
+   * (tNum·sz + tDen−1) div tDen; the final test is tDen·inter ≥
+   * tNum·(sz_a+sz_b−inter) — exact in both engines, no float anywhere.
+   * Output: (id_a, id_b, inter, sz_a, sz_b, jacc_bp) with
+   * jacc_bp = 10000·inter div (sz_a+sz_b−inter), ordered pairs id_a < id_b.
+   */
+  def setSimJoin(df: DataFrame, textCol: String, idCol: String,
+                 tNum: Int, tDen: Int, shingleSize: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = shingleTable(df, textCol, idCol, shingleSize)
+      .withColumnRenamed("shingle", "tok")
+      .persist(lvl) // feeds 3 branches: df counts, prefixes, intersection join
+    val sizes = toks.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val tokDf = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df").asc, col("tok").asc)
+    val prefixes = toks
+      .join(tokDf, "tok")
+      .join(sizes, idCol)
+      .withColumn("rn", row_number().over(w))
+      // prefix length = sz − ⌈t·sz⌉ + 1 (integer ceil div — exact, no float)
+      .withColumn("plen", expr(s"sz - ((sz * $tNum + ${tDen - 1}) DIV $tDen) + 1"))
+      .filter(col("rn") <= col("plen"))
+      .select(col("tok"), col(idCol), col("sz"))
+
+    val cand = prefixes.select(col("tok"), col(idCol).as("id_a"), col("sz").as("pa"))
+      .join(prefixes.select(col("tok"), col(idCol).as("id_b"), col("sz").as("pb")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      // size filter: t·max ≤ min, integerized — prunes before the verify join
+      .filter(greatest(col("pa"), col("pb")) * tNum <= least(col("pa"), col("pb")) * tDen)
+      .select("id_a", "id_b").distinct()
+
+    val sa = toks.select(col(idCol).as("id_a"), col("tok"))
+    val sb = toks.select(col(idCol).as("id_b"), col("tok"))
+    val inter = cand.join(sa, "id_a").join(sb, Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    val res = inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .filter(col("inter") * tDen >= (col("sz_a") + col("sz_b") - col("inter")) * tNum)
+      .withColumn("jacc_bp", expr("(10000 * inter) DIV (sz_a + sz_b - inter)"))
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jacc_bp")
+      .localCheckpoint(true) // persist-then-release lifecycle (leak lesson)
+    toks.unpersist(blocking = false)
+    res
+  }
 }

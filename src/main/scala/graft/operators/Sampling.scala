@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Deterministic sampling operators (beyond-reference extension: the
+ * train-mix / eval-holdout side of a curation pipeline; the reference's
+ * crawler keeps everything, `crawler.py:39-50`).
+ *
+ * Why hash-threshold instead of `df.sample()` / `df.stat.sampleBy()`:
+ * seeded rand() sampling is partition-layout-dependent — a repartition, an
+ * AQE re-plan, or a backfill re-run draws a DIFFERENT sample from the same
+ * rows. Hash membership is a pure projection of the row's id: re-runs,
+ * late-arriving rows and every cluster size make identical keep/drop
+ * decisions with zero coordination, which is the only reproducibility story
+ * that survives a 100 TB multi-tenant pipeline. Filters stay codegen'd and
+ * pushdown-friendly (no shuffle, no driver state).
+ */
+object Sampling {
+
+  /** Low-60-bit sha256 bucket of an id column, mod `buckets`. The 15-hex
+    * decomposition replays in DuckDB without HUGEINT (EngineQueries.tokBucket
+    * lesson); 2^60 ≡ 0 (mod 2^k) so the truncation never biases power-of-two
+    * bucket counts. */
+  def hashBucket(id: Column, buckets: Int): Column = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0, "buckets must be a power of two")
+    conv(substring(sha2(id.cast("string"), 256), 2, 15), 16, 10).cast(LongType) % buckets
+  }
+
+  /** Stratified sample: keep a row iff its id's 64-bucket hash falls under
+    * the stratum's quota (`rates64`, in 64ths; `default64` otherwise) — the
+    * exact, reproducible analog of `df.stat.sampleBy`. */
+  def stratifiedSampleHash(df: DataFrame, stratumCol: String, idCol: String,
+                           rates64: Map[String, Int], default64: Int): DataFrame = {
+    require((default64 +: rates64.values.toSeq).forall(r => r >= 0 && r <= 64), "rates are 64ths")
+    val quota = rates64.toSeq.sortBy(_._1).foldLeft(lit(default64)) {
+      case (acc, (stratum, r)) => when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), 64) < quota)
+  }
+}

@@ -369,6 +369,30 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // typed semi-structured processing: schema'd parse (from_json), path
+    // extraction (get_json_object), and a construct→extract round trip
+    // (to_json) — the real JSON workflow q33's regexes only approximate.
+    // n_path_agree proves the typed and path APIs read the same values.
+    "q117_json_extract" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k"))
+        .withColumn("k_path", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("uid_rt",
+          get_json_object(to_json(struct(col("user_id"), col("event_type"))), "$.user_id")
+            .cast("long"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(when(col("k") === col("k_path"), 1L).otherwise(0L)).as("n_path_agree"),
+          sum(col("uid_rt")).as("sum_uid_roundtrip"))
+        .orderBy(col("event_type"))
+    }),
+
     // F-string ops on the JSON-ish props column
     "q33_props_keys" -> ((s, dir) =>
       t(s, dir, "events")
@@ -622,6 +646,22 @@ object EventQueries {
         |FROM events WHERE user_id < 50
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         |ORDER BY event_id""".stripMargin,
+
+    "q117_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    cast(json_extract(props, '$.k') as bigint) AS k,
+        |    cast(json_extract_string(props, '$.k') as bigint) AS k_path,
+        |    cast(json_extract_string(
+        |      to_json(struct_pack(user_id := user_id, event_type := event_type)),
+        |      '$.user_id') as bigint) AS uid_rt
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  cast(sum(k) as bigint) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  cast(sum(CASE WHEN k = k_path THEN 1 ELSE 0 END) as bigint) AS n_path_agree,
+        |  cast(sum(uid_rt) as bigint) AS sum_uid_roundtrip
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q33_props_keys" ->
       """SELECT regexp_extract(props, '"([a-z]+)":', 1) AS key,

@@ -127,6 +127,24 @@ object PipelineQueries {
     // char volume and an id-sum membership checksum. The assignment itself is
     // shuffle-free; the only exchange is the final partial-agg rollup. At
     // 100 TB the same projection feeds write.partitionBy("split").
+    // stratified hash sampling (operators/Sampling.scala): per-stratum quotas
+    // in 64ths, membership a pure projection of sha256(doc_id) — the
+    // reproducible sampleBy. Graded via per-stratum achieved counts, exact
+    // rate in basis points, and an id-sum membership checksum.
+    "q116_stratified_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sampled = graft.operators.Sampling.stratifiedSampleHash(
+        docs, "lang", "doc_id", Map("en" -> 40, "de" -> 24, "fr" -> 16), default64 = 8)
+      val tot = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      val sm = sampled.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_ids"))
+      tot.join(sm, Seq("lang"), "left")
+        .na.fill(0L, Seq("n_sampled", "sum_ids"))
+        .withColumn("rate_bp", expr("(10000 * n_sampled) DIV n_total"))
+        .select("lang", "n_total", "n_sampled", "rate_bp", "sum_ids")
+        .orderBy(col("lang"))
+    }),
+
     "q69_train_split" -> ((s, dir) => {
       t(s, dir, "documents")
         .withColumn("bucket", bucket64(col("doc_id")))
@@ -411,6 +429,24 @@ object PipelineQueries {
        |  WHERE len(toks) >= 5)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q116_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id,
+        |    cast(('0x' || substr(sha256(cast(doc_id as varchar)), 2, 15)) as bigint) % 64 AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, doc_id FROM b
+        |  WHERE bucket < CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 24
+        |                           WHEN 'fr' THEN 16 ELSE 8 END),
+        |tot AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+        |sm AS (SELECT lang, count(*) AS n_sampled, sum(doc_id) AS sum_ids FROM s GROUP BY lang)
+        |SELECT t.lang, t.n_total,
+        |  cast(coalesce(sm.n_sampled, 0) as bigint) AS n_sampled,
+        |  (10000 * cast(coalesce(sm.n_sampled, 0) as bigint)) // t.n_total AS rate_bp,
+        |  cast(coalesce(sm.sum_ids, 0) as bigint) AS sum_ids
+        |FROM tot t LEFT JOIN sm ON sm.lang = t.lang
+        |ORDER BY t.lang""".stripMargin,
+
     "q69_train_split" ->
       """WITH b AS (
         |  SELECT doc_id, lang, n_chars,

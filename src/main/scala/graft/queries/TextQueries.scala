@@ -39,6 +39,29 @@ object TextQueries {
       |       substring(text, 1, cast(greatest(length(text) - 30, 1) as int)) AS text
       |FROM documents WHERE doc_id % 25 = 0""".stripMargin
 
+  /** documents ∪ TWO truncation depths per selected doc (−30 and −60 chars)
+    * — each selected doc becomes a 3-clique in the near-dup graph, so the
+    * triangle census (q115) has real triangles at every scale factor. */
+  private def triCorpus(df: DataFrame): DataFrame =
+    df.select("doc_id", "text")
+      .unionAll(df.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          col("text").substr(lit(1), greatest(length(col("text")) - 30, lit(1))).as("text")))
+      .unionAll(df.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          col("text").substr(lit(1), greatest(length(col("text")) - 60, lit(1))).as("text")))
+
+  private val triCorpusSql =
+    """SELECT doc_id AS id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000 AS id,
+      |       substring(text, 1, cast(greatest(length(text) - 30, 1) as int)) AS text
+      |FROM documents WHERE doc_id % 25 = 0
+      |UNION ALL
+      |SELECT doc_id + 20000 AS id,
+      |       substring(text, 1, cast(greatest(length(text) - 60, 1) as int)) AS text
+      |FROM documents WHERE doc_id % 25 = 0""".stripMargin
+
   /** [[nearDupCorpus]] carrying `source` through, for the end-to-end dedup
     * resolution (q79) whose output aggregates per source. */
   private def resolveCorpus(df: DataFrame): DataFrame =
@@ -246,6 +269,30 @@ object TextQueries {
       Dedup.nearDupPairs(
           nearDupCorpus(t(s, dir, "documents")).withColumnRenamed("doc_id", "id"),
           "text", "id", shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // cluster-cohesion analytics over the near-dup graph: triangle census +
+    // local clustering coefficient (degree-oriented node-iterator — the
+    // skew-proof formulation; operators/GraphStats.scala). The corpus plants
+    // two truncation depths per selected doc, so clusters are 3-cliques and
+    // the census is non-trivial at every scale factor.
+    "q115_triangle_census" -> ((s, dir) => {
+      val pairs = Dedup.nearDupPairs(
+        triCorpus(t(s, dir, "documents")).withColumnRenamed("doc_id", "id"),
+        "text", "id", shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3)
+      graft.operators.GraphStats.triangleCensus(pairs, "id_a", "id_b")
+        .orderBy(col("node"))
+    }),
+
+    // EXACT-recall set-similarity self-join via prefix filtering (PPJoin
+    // family) over 3-shingle sets: every pair with Jaccard ≥ 1/2 is found —
+    // the guarantee minhash banding (q18) cannot give. All threshold math
+    // is integer-rational; no float anywhere in the result.
+    "q118_setsim_join" -> ((s, dir) => {
+      Dedup.setSimJoin(
+          nearDupCorpus(t(s, dir, "documents")).withColumnRenamed("doc_id", "id"),
+          "text", "id", tNum = 1, tDen = 2, shingleSize = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -510,6 +557,76 @@ object TextQueries {
       s"""WITH corpus AS ($nearDupCorpusSql),
          |${minhashVerifiedSql(0.3)}
          |SELECT id_a, id_b, inter, sz_a, sz_b, jaccard FROM verified
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q115_triangle_census" ->
+      s"""WITH corpus AS ($triCorpusSql),
+         |${minhashVerifiedSql(0.3)},
+         |e AS (SELECT id_a AS u, id_b AS v FROM verified),
+         |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY u),
+         |ek AS (
+         |  SELECT e.u, e.v, du.deg * 4294967296 + e.u AS ku, dv.deg * 4294967296 + e.v AS kv
+         |  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+         |oe AS (
+         |  SELECT CASE WHEN ku < kv THEN u ELSE v END AS a,
+         |         CASE WHEN ku < kv THEN v ELSE u END AS b,
+         |         greatest(ku, kv) AS kb
+         |  FROM ek),
+         |tri AS (
+         |  SELECT e1.a AS t1, e1.b AS t2, e2.b AS t3
+         |  FROM oe e1
+         |  JOIN oe e2 ON e1.a = e2.a AND e1.kb < e2.kb
+         |  JOIN oe e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |pn AS (
+         |  SELECT node, count(*) AS tri FROM (
+         |    SELECT t1 AS node FROM tri
+         |    UNION ALL SELECT t2 AS node FROM tri
+         |    UNION ALL SELECT t3 AS node FROM tri) x
+         |  GROUP BY node)
+         |SELECT d.node AS node, d.deg AS deg,
+         |  cast(coalesce(pn.tri, 0) as bigint) AS tri,
+         |  (20000 * cast(coalesce(pn.tri, 0) as bigint)) // (d.deg * (d.deg - 1)) AS coeff_bp
+         |FROM deg d LEFT JOIN pn ON pn.node = d.node
+         |WHERE d.deg >= 2
+         |ORDER BY node""".stripMargin,
+
+    "q118_setsim_join" ->
+      s"""WITH corpus AS ($nearDupCorpusSql),
+         |tk0 AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         |        FROM corpus WHERE length(trim(text)) > 0),
+         |toks AS (
+         |  SELECT DISTINCT id,
+         |    cast(('0x' || substr(sha256(sh), 1, 15)) as bigint) AS tok FROM (
+         |    SELECT id, unnest(list_transform(generate_series(1, cast(greatest(len(tk)-2, 0) as bigint)),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |    FROM tk0) u),
+         |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+         |tdf AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+         |rk AS (
+         |  SELECT t.id, t.tok,
+         |    row_number() OVER (PARTITION BY t.id ORDER BY d.df ASC, t.tok ASC) AS rn
+         |  FROM toks t JOIN tdf d ON d.tok = t.tok),
+         |pref AS (
+         |  SELECT rk.id, rk.tok, s.sz
+         |  FROM rk JOIN sizes s ON s.id = rk.id
+         |  WHERE rk.rn <= s.sz - ((s.sz * 1 + 1) // 2) + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.id < b.id
+         |  WHERE greatest(a.sz, b.sz) * 1 <= least(a.sz, b.sz) * 2),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN toks ta ON ta.id = c.id_a
+         |  JOIN toks tb ON tb.id = c.id_b AND tb.tok = ta.tok
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT i.id_a, i.id_b, i.inter, za.sz AS sz_a, zb.sz AS sz_b,
+         |  (10000 * i.inter) // (za.sz + zb.sz - i.inter) AS jacc_bp
+         |FROM inter i
+         |JOIN sizes za ON za.id = i.id_a
+         |JOIN sizes zb ON zb.id = i.id_b
+         |WHERE i.inter * 2 >= (za.sz + zb.sz - i.inter) * 1
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q105_incremental_dedup" ->

@@ -89,6 +89,43 @@ class DedupSpec extends SparkSpec {
     assert(afterVec.size <= 1, s"embedNearDupPairs stranded ${afterVec.size} cached tables")
   }
 
+  test("setSimJoin is EXACT-recall: equals brute-force all-pairs shingle Jaccard") {
+    // the PPJoin contract: the prefix filter may only prune pairs that
+    // CANNOT reach the threshold — output must equal the unfiltered
+    // inverted-index join on every corpus
+    (1 to 3).foreach { seed =>
+      val near = docs.filter(col("doc_id") % 7 === seed)
+        .select((col("doc_id") + 5000).as("doc_id"),
+          col("text").substr(lit(1), greatest(length(col("text")) - 15 * seed, lit(1))).as("text"))
+      val corpus = docs.select("doc_id", "text").unionAll(near)
+      val got = Dedup.setSimJoin(corpus, "text", "doc_id", tNum = 1, tDen = 2)
+        .select("id_a", "id_b", "inter").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // brute force: every pair with a nonzero shingle intersection, verified
+      val sh = Dedup.shingleTable(corpus, "text", "doc_id", 3)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val want = sh.select(col("doc_id").as("id_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+        .filter(col("inter") * 2 >= (col("sz_a") + col("sz_b") - col("inter")) * 1)
+        .select("id_a", "id_b", "inter").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(want.nonEmpty, s"seed $seed plants no pairs — test is vacuous")
+      assert(got == want, s"seed $seed: setSimJoin missed ${(want -- got).size} / " +
+        s"invented ${(got -- want).size} pairs")
+    }
+  }
+
+  test("setSimJoin releases its cached shingle table (no storage leak)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.setSimJoin(docs.select("doc_id", "text"), "text", "doc_id", 1, 2).count()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.size <= 1, s"setSimJoin stranded ${after.size} cached tables")
+  }
+
   test("simhash: identical docs share a signature; hamming to self is 0") {
     val corpus = docs.limit(20).select("doc_id", "text").unionAll(
       docs.limit(20).select((col("doc_id") + 5000).as("doc_id"), col("text")))
