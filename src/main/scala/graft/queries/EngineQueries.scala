@@ -122,15 +122,10 @@ object EngineQueries {
       val docs = t(s, dir, "documents")
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_q66_")
       val drop = java.nio.file.Files.createDirectory(tmp.resolve("drop"))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"), drop.resolve("a.parquet"))
+      touchAfter(drop, java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"), drop.resolve("a.parquet")))
       // second delivery: an overlapping slice, staged as a bare parquet file
-      val b2 = tmp.resolve("b2")
-      docs.filter(col("doc_id") % 3 === 0).coalesce(1).write.parquet(b2.toString)
-      val part = java.nio.file.Files.list(b2).iterator().asScala
-        .find(_.getFileName.toString.startsWith("part-"))
-        .getOrElse(sys.error("q66: no part file written"))
-      java.nio.file.Files.move(part, drop.resolve("b.parquet"))
+      stageFile(docs.filter(col("doc_id") % 3 === 0), tmp.resolve("b2"), drop, "b.parquet")
       val store = s"$tmp/store"
       graft.streaming.StreamOps.ingestAppend(
           s.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1")
@@ -166,8 +161,8 @@ object EngineQueries {
       // nanosAsLong (QHelpers.t sets the conf) and truncates ns→µs in its
       // own projection — the streaming spelling of t()'s batch-side read
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"), drop.resolve("a.parquet"))
+      touchAfter(drop, java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), drop.resolve("a.parquet")))
       // sentinel deliveries carry ts in raw NANOS (the staged schema)
       def sentinel = s.range(1).select(
         lit(-1L).as("event_id"),
@@ -176,7 +171,8 @@ object EngineQueries {
         lit(0.0d).as("value"), lit("{}").as("props"))
       stageFile(sentinel, tmp.resolve("w2"), drop, "b.parquet")
       // the second sentinel is the SAME instant by design — copy, don't re-run
-      java.nio.file.Files.copy(drop.resolve("b.parquet"), drop.resolve("c.parquet"))
+      touchAfter(drop,
+        java.nio.file.Files.copy(drop.resolve("b.parquet"), drop.resolve("c.parquet")))
       val sink = s"q86_sink_${runSeq.incrementAndGet()}"
       import org.apache.spark.sql.types._
       val schema = StructType(Seq(
@@ -216,8 +212,8 @@ object EngineQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tmp = java.nio.file.Files.createTempDirectory("graft_q89_")
       val drop = java.nio.file.Files.createDirectory(tmp.resolve("drop"))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"), drop.resolve("a.parquet"))
+      touchAfter(drop, java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), drop.resolve("a.parquet")))
       val raw = s.read.parquet(s"$dir/events.parquet") // ts read as long (ns)
       stageFile(raw.filter(col("event_id") % 4 === 0), tmp.resolve("w2"), drop, "b.parquet")
       val store = s"$tmp/store"
@@ -226,11 +222,20 @@ object EngineQueries {
           .parquet(drop.toString)
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))),
         keyCol = "event_id", tsCol = "ts", watermark = "3650 days")
-      deduped.writeStream.format("parquet")
-        .option("path", store).option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
+      // dropDuplicatesWithinWatermark commits one state store per shuffle
+      // partition per micro-batch; at this bounded state size the run cost
+      // is all store-commit fan-out, so pin the stream's state partitioning
+      // low (the q95 discipline — baked into the checkpoint at first start,
+      // restored right after, batch queries unaffected)
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        deduped.writeStream.format("parquet")
+          .option("path", store).option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
       s.read.parquet(store)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
@@ -318,7 +323,8 @@ object EngineQueries {
         lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
         lit(0.0d).as("value"), lit("{}").as("props"))
       stageFile(sentinel, tmp.resolve("w3"), drop, "c.parquet")
-      java.nio.file.Files.copy(drop.resolve("c.parquet"), drop.resolve("d.parquet"))
+      touchAfter(drop,
+        java.nio.file.Files.copy(drop.resolve("c.parquet"), drop.resolve("d.parquet")))
       val stream = s.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", "1").parquet(drop.toString)
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -401,7 +407,24 @@ object EngineQueries {
     val part = java.nio.file.Files.list(work).iterator().asScala
       .find(_.getFileName.toString.startsWith("part-"))
       .getOrElse(sys.error(s"stageFile: no part file written in $work"))
-    java.nio.file.Files.move(part, drop.resolve(name))
+    val staged = java.nio.file.Files.move(part, drop.resolve(name))
+    touchAfter(drop, staged)
+  }
+
+  /** FileStreamSource orders deliveries by modification time; coarse
+    * filesystem timestamps can TIE files staged within the same second, and
+    * a tie would let a watermark-advancing sentinel overtake the data file —
+    * dropping every real row as late. Force a strict order: the staged
+    * file's mtime is set 2s after every file already in the drop folder. */
+  private def touchAfter(drop: java.nio.file.Path, file: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val fileName = file.getFileName.toString
+    val others = java.nio.file.Files.list(drop).iterator().asScala
+      .filterNot(_.getFileName.toString == fileName)
+      .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    val floor = (others ++ Iterator(System.currentTimeMillis())).max
+    java.nio.file.Files.setLastModifiedTime(file,
+      java.nio.file.attribute.FileTime.fromMillis(floor + 2000))
   }
 
   /** DuckDB spelling of [[graft.functions.VectorFns.hashEmbed]]'s per-token
