@@ -20,40 +20,97 @@ final case class EngineConfig(
     batchSize: Int = 128,
     nlist: Int = 128,
     nprobe: Int = 128,
-    limit: Int = 4)
+    limit: Int = 4,
+    // searches against an index at/above this chunk count route through the
+    // IVF probe path automatically (Engine.search); below it, the brute
+    // scan is both exact and cheaper than maintaining a quantizer
+    ivfThreshold: Long = 500000L,
+    // scheduler.* (config.yml:97-100) — see graft.streaming.Scheduler
+    schedulerInitRun: Boolean = true,
+    schedulerPeriod: String = "day")
 
 object EngineConfig {
   /**
-   * Load from a minimal `key: value` file — the flat shape of the
-   * reference's `config.yml` (chunk_size/chunk_overlap config.yml:89-90,
-   * batch_size :86, nlist/nprobe/limit :81-83) without a YAML dependency:
-   * `#` comments and blank lines ignored, unknown keys ignored, absent
-   * keys keep the case-class defaults. store_path/index_path are required.
+   * Load from a YAML config file. Accepts BOTH shapes:
+   *
+   *  - the reference's real nested `config.yml` verbatim (`vdb.milvus.*`
+   *    config.yml:75-87, `vdb.text.*` :88-91, `scheduler.*` :97-100) — a
+   *    two/three-level indented mapping parsed by [[flattenYaml]] into
+   *    dotted keys, no YAML dependency;
+   *  - the flat `key: value` shape earlier rounds used (a flat file IS a
+   *    one-level mapping, so the same parser covers it).
+   *
+   * Nested spellings win over flat ones when both are present. Absent keys
+   * keep the case-class defaults. `store_path`/`index_path` may be given in
+   * the file; on a verbatim reference config (which has neither — it points
+   * at live MongoDB/Milvus endpoints instead) they default to
+   * `spark-warehouse/<mongodb.collection_name>/{store,index}`, the
+   * warehouse-local stand-in for those endpoints.
    */
   def load(path: String): EngineConfig = {
     val src = scala.io.Source.fromFile(path)
-    val kv = try {
-      src.getLines()
-        .map(_.takeWhile(_ != '#').trim)
-        .filter(_.nonEmpty)
-        .flatMap(_.split(":", 2) match {
-          case Array(k, v) => Some(k.trim -> v.trim)
-          case _ => None
-        }).toMap
-    } finally src.close()
-    def int(key: String, dflt: Int): Int = kv.get(key).map(_.toInt).getOrElse(dflt)
-    def req(key: String): String = kv.getOrElse(key,
-      throw new IllegalArgumentException(s"EngineConfig: missing required key '$key' in $path"))
+    val kv = try flattenYaml(src.getLines()) finally src.close()
+    def get(keys: String*): Option[String] = keys.collectFirst {
+      case k if kv.contains(k) => kv(k)
+    }
+    def int(dflt: Int, keys: String*): Int = get(keys: _*).map(_.toInt).getOrElse(dflt)
+    val collection = get("mongodb.collection_name", "vdb.milvus.collection_name")
+      .getOrElse("dataset")
     EngineConfig(
-      storePath = req("store_path"),
-      indexPath = req("index_path"),
-      chunkSize = int("chunk_size", 128),
-      chunkOverlap = int("chunk_overlap", 64),
-      embedDim = int("embed_dim", 64),
-      batchSize = int("batch_size", 128),
-      nlist = int("nlist", 128),
-      nprobe = int("nprobe", 128),
-      limit = int("limit", 4))
+      storePath = get("store_path")
+        .getOrElse(s"spark-warehouse/$collection/store"),
+      indexPath = get("index_path")
+        .getOrElse(s"spark-warehouse/$collection/index"),
+      chunkSize = int(128, "vdb.text.chunk_size", "chunk_size"),
+      chunkOverlap = int(64, "vdb.text.chunk_overlap", "chunk_overlap"),
+      embedDim = int(64, "embed_dim"),
+      batchSize = int(128, "vdb.milvus.batch_size", "batch_size"),
+      nlist = int(128, "vdb.milvus.nlist", "nlist"),
+      nprobe = int(128, "vdb.milvus.nprobe", "nprobe"),
+      limit = int(4, "vdb.milvus.limit", "limit"),
+      ivfThreshold = get("ivf_threshold").map(_.toLong).getOrElse(500000L),
+      schedulerInitRun = get("scheduler.init_run", "init_run")
+        .forall(v => v.equalsIgnoreCase("true")),
+      schedulerPeriod = get("scheduler.period", "period").getOrElse("day"))
+  }
+
+  /**
+   * Minimal indentation-based YAML mapping parser: nested mappings become
+   * dotted keys (`vdb: / milvus: / nlist: 128` → `vdb.milvus.nlist` →
+   * `"128"`). Covers exactly the subset the reference's config.yml uses —
+   * scalar leaves, `#` comments, single/double-quoted strings — and ignores
+   * what it doesn't model (a repeated key keeps the LAST value, YAML's own
+   * rule for duplicate map keys in most loaders).
+   */
+  private[graft] def flattenYaml(lines: Iterator[String]): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    // stack of (indent, key) for the open mapping levels
+    var stack = List.empty[(Int, String)]
+    for (raw <- lines) {
+      val noComment =
+        if (raw.trim.startsWith("#")) ""
+        // an inline comment starts at an UNQUOTED " #" (quoted '#' stays)
+        else if (raw.count(_ == '\'') % 2 == 0 && raw.count(_ == '"') % 2 == 0) {
+          val i = raw.indexOf(" #")
+          if (i >= 0 && raw.take(i).count(_ == '\'') % 2 == 0
+            && raw.take(i).count(_ == '"') % 2 == 0) raw.take(i) else raw
+        } else raw
+      val line = noComment.replaceAll("\\s+$", "")
+      if (line.trim.nonEmpty && line.trim.contains(":")) {
+        val indent = line.takeWhile(_ == ' ').length
+        val Array(k, v) = line.trim.split(":", 2)
+        stack = stack.dropWhile(_._1 >= indent)
+        val dotted = (stack.map(_._2).reverse :+ k.trim).mkString(".")
+        val value = v.trim match {
+          case s if s.length >= 2 && s.head == '\'' && s.last == '\'' => s.tail.init
+          case s if s.length >= 2 && s.head == '"' && s.last == '"' => s.tail.init
+          case s => s
+        }
+        if (value.isEmpty) stack = (indent, k.trim) :: stack
+        else out(dotted) = value
+      }
+    }
+    out.toMap
   }
 }
 
@@ -75,7 +132,16 @@ object EngineConfig {
  * update is one narrow chunk/embed stage plus a parquet write, search is
  * a broadcast score + window top-k + one hydration join.
  */
-class Engine(spark: SparkSession, cfg: EngineConfig) {
+class Engine(spark: SparkSession, cfg: EngineConfig,
+             embedder: Engine.Embedder = null) {
+
+  /** The model seam (`embed.py:21-39`'s `embed_documents`): documents and
+    * queries are embedded by THE SAME injected model, so a user-supplied
+    * transformer (ONNX/JNI forward pass) drops in here without touching
+    * any plan. Defaults to the deterministic hash embedder the offline
+    * harness can oracle-check. */
+  private val model: Engine.Embedder =
+    Option(embedder).getOrElse(Engine.HashEmbedder(cfg.embedDim))
 
   /** Dedup-append documents (must carry `doc_id` and `text`). Re-ingesting
     * the same batch is a no-op. */
@@ -131,7 +197,9 @@ class Engine(spark: SparkSession, cfg: EngineConfig) {
           .as(Seq("pos", "chunk")))
       .select(col("doc_id"),
         TextFns.chunkId(col("doc_id"), col("pos")).as("chunk_id"), col("chunk"))
-    VectorFns.embedPartitions(chunks, "chunk", "vec", cfg.embedDim, cfg.batchSize)
+    val m = model // don't close over the Engine (it holds the SparkSession)
+    VectorFns.embedPartitions(chunks, "chunk", "vec", m.dim, cfg.batchSize,
+        m.embedBatch)
       .select("doc_id", "chunk_id", "vec")
   }
 
@@ -149,20 +217,41 @@ class Engine(spark: SparkSession, cfg: EngineConfig) {
   /** The vector index as a DataFrame. */
   def index(): DataFrame = spark.read.parquet(cfg.indexPath)
 
+  /** Embed a query batch driver-side with the SAME model the index was
+    * built with (vdb.py:92-95 embeds queries through the one model handle;
+    * a query batch is tiny, so the driver pays one `embedBatch`). */
+  private def queryDf(queries: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val vecs = model.embedBatch(queries)
+    queries.zip(vecs).zipWithIndex
+      .map { case ((q, v), i) => (i.toLong, q, v) }
+      .toDF("query_id", "query", "query_vec")
+  }
+
+  /** True when [[search]] routes through the IVF probe: the current index
+    * is at/above `cfg.ivfThreshold` chunks. Parquet count is a
+    * metadata-only job (footer row counts), not a data scan. */
+  private[graft] def routeIvf(): Boolean = indexExists && index().count() >= cfg.ivfThreshold
+
   /**
    * Semantic search: returns up to `cfg.limit` documents per query, best
    * chunk score per document, hydrated with the document row, ordered by
    * score descending (the COSINE/IP direction, `vdb.py:155-160`).
+   *
+   * Routes by index scale: below `cfg.ivfThreshold` chunks the candidate
+   * set is the whole index (exact brute scan — cheaper than a quantizer at
+   * small scale); at/above it, the memoized [[ivfIndex]]'s `cfg.nprobe`
+   * probed cells (the path that survives corpus scale — with the
+   * reference's own nprobe = nlist both paths are exhaustive and agree).
    */
   def search(queries: Seq[String]): DataFrame = {
-    import spark.implicits._
-    val qdf = queries.zipWithIndex
-      .map { case (q, i) => (i.toLong, q) }.toDF("query_id", "query")
-      .withColumn("query_vec", VectorFns.hashEmbedUdf(cfg.embedDim)(col("query")))
+    val qdf = queryDf(queries)
     // chunk-level scoring against the broadcast query side, then the
     // per-parent best-hit reduce (vdb.py:104-110) and top-k per query
-    val scored = index().crossJoin(broadcast(qdf))
-      .withColumn("score", round(VectorFns.cosineSim(col("vec"), col("query_vec")), 4))
+    val scored =
+      if (routeIvf()) ivfIndex().scoredCandidates(qdf, cfg.nprobe)
+      else index().crossJoin(broadcast(qdf))
+        .withColumn("score", round(VectorFns.cosineSim(col("vec"), col("query_vec")), 4))
     val best = scored.groupBy(col("query_id"), col("query"), col("doc_id"))
       .agg(max(col("score")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
@@ -198,14 +287,36 @@ class Engine(spark: SparkSession, cfg: EngineConfig) {
     * `cfg.nlist` cells of the memoized [[ivfIndex]]. With nprobe = nlist
     * (the reference's own configuration) results equal [[search]]. */
   def searchIvf(queries: Seq[String]): DataFrame = {
-    import spark.implicits._
-    val qdf = queries.zipWithIndex
-      .map { case (q, i) => (i.toLong, q) }.toDF("query_id", "query")
-      .withColumn("query_vec", VectorFns.hashEmbedUdf(cfg.embedDim)(col("query")))
-    val hits = ivfIndex().search(qdf, cfg.limit, cfg.nprobe)
+    val hits = ivfIndex().search(queryDf(queries), cfg.limit, cfg.nprobe)
       .withColumn("doc_id", TextFns.parentId(col("chunk_id")).cast("long"))
     store().join(broadcast(hits), "doc_id")
       .select(col("query_id"), col("doc_id"), col("chunk_id"), col("score"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+}
+
+object Engine {
+
+  /**
+   * The embedding-model contract (`embed.py:21-39`: tokenize → forward →
+   * pool — a batch of texts in, one vector per text out). Implementations
+   * ship to executors inside [[graft.functions.VectorFns.embedPartitions]]'
+   * task closures, so they must be [[Serializable]]; a wrapper around a
+   * native/JNI model should hold its handle lazily (`@transient lazy val`)
+   * so each executor materializes its own.
+   */
+  trait Embedder extends Serializable {
+    /** Embedding width (`embed.py:41-42`'s `hidden_size`). */
+    def dim: Int
+    /** One batched forward pass: `texts.length` vectors of [[dim]] floats. */
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]]
+  }
+
+  /** The harness default: the deterministic feature-hash embedder
+    * ([[graft.functions.VectorFns.hashEmbed]]) — oracle-replayable, no
+    * weights, no IO. */
+  final case class HashEmbedder(dim: Int) extends Embedder {
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+      texts.map(VectorFns.hashEmbed(_, dim))
   }
 }

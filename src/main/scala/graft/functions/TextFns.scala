@@ -31,14 +31,28 @@ object TextFns {
     s"trim(regexp_replace(regexp_replace($col, '[\\x00-\\x1F\\x7F]', ' ', 'g'), '\\s+', ' ', 'g'))"
 
   // ------------------------------------------------------------ F2 join_content
-  /** Clean each fragment, add a trailing '.' when no terminal punctuation,
-    * join with a single space (reference crawler/utils.py:21-36). */
+  /** Clean each fragment, then join with a single space — reproducing
+    * `join_content` (reference crawler/utils.py:21-36) exactly: only a
+    * MULTI-fragment list gets the add-punctuation + drop-empties treatment
+    * (`if len(content_list) > 1`); a single fragment passes through
+    * untouched beyond cleaning. Terminal punctuation = ASCII
+    * `string.punctuation`, which is what both Java's `\p{Punct}` and RE2's
+    * `[[:punct:]]` denote. */
   def joinContent(fragments: Column): Column = {
-    val cleaned = transform(fragments, s => {
-      val c = cleanText(s)
-      when(c.rlike("[\\p{Punct}]$") || length(c) === 0, c).otherwise(concat(c, lit(".")))
-    })
-    concat_ws(" ", cleaned)
+    val cleaned = transform(fragments, s => cleanText(s))
+    val punctuated = transform(
+      filter(cleaned, c => length(c) > 0),
+      c => when(c.rlike("[\\p{Punct}]$"), c).otherwise(concat(c, lit("."))))
+    concat_ws(" ", when(size(cleaned) > 1, punctuated).otherwise(cleaned))
+  }
+
+  /** DuckDB spelling of [[joinContent]] over a list-typed SQL expression. */
+  def joinContentSql(listExpr: String): String = {
+    val cleaned = s"list_transform($listExpr, s -> ${cleanTextSql("s")})"
+    s"""(CASE WHEN len($cleaned) > 1
+       | THEN array_to_string(list_transform(list_filter($cleaned, x -> length(x) > 0),
+       |   x -> CASE WHEN regexp_matches(x, '[[:punct:]]$$') THEN x ELSE x || '.' END), ' ')
+       | ELSE array_to_string($cleaned, ' ') END)""".stripMargin.replace("\n", " ")
   }
 
   // ---------------------------------------------------------------- F3 sha id
@@ -202,10 +216,19 @@ object TextFns {
   }
 
   /** (pattern, Spark replacement, DuckDB replacement SQL expr), in order.
-    * Dotall is the inline `(?s)` flag — the spelling both engines share. */
+    * Dotall is the inline `(?s)` flag — the spelling both engines share.
+    *
+    * Coverage tracks the shapes `trafilatura.extract(output_format=
+    * 'markdown')` (uci.py:56) emits on real pages: headings, paragraphs,
+    * line breaks, (nested) lists, tables (cells → `| `-separated rows —
+    * each <li>/<tr> lands on its own line; DEPTH indentation of a nested
+    * list is stateful and out of regex reach, documented lossiness),
+    * blockquotes, code/pre, links in either quote style, emphasis, entity
+    * decoding. Everything else strips. */
   private val htmlChain: Seq[(String, String, String)] = Seq(
     ("(?s)<script[^>]*>.*?</script>", "", "''"),
     ("(?s)<style[^>]*>.*?</style>", "", "''"),
+    ("(?s)<!--.*?-->", "", "''"),
     ("<br[^>]*>", "\n", "chr(10)"),
     ("</p>", "\n\n", "chr(10) || chr(10)"),
     ("<p[^>]*>", "", "''"),
@@ -214,9 +237,25 @@ object TextFns {
     ("<h3[^>]*>", "### ", "'### '"),
     ("</h[1-6]>", "\n\n", "chr(10) || chr(10)"),
     ("<h[4-6][^>]*>", "", "''"),
+    // list scaffolding: items one per line; a nested <ul>/<ol> opens on a
+    // fresh line (its items keep the flat "- " marker)
+    ("</?[uo]l[^>]*>", "\n", "chr(10)"),
     ("<li[^>]*>", "- ", "'- '"),
     ("</li>", "\n", "chr(10)"),
+    // tables: cell boundaries become " | ", each row its own "| … |" line
+    // (\b keeps <thead>/<tbody>/<table> out of the td/th patterns; those
+    // strip via the generic rule below)
+    ("(?s)</t[dh]>\\s*<t[dh]\\b[^>]*>", " | ", "' | '"),
+    ("<t[dh]\\b[^>]*>", "| ", "'| '"),
+    ("</t[dh]>", " |", "' |'"),
+    ("</tr>", "\n", "chr(10)"),
+    ("<blockquote[^>]*>", "> ", "'> '"),
+    ("</blockquote>", "\n\n", "chr(10) || chr(10)"),
+    ("(?s)<pre[^>]*>", "```\n", "'```' || chr(10)"),
+    ("</pre>", "\n```\n", "chr(10) || '```' || chr(10)"),
+    ("</?code\\b[^>]*>", "`", "'`'"),
     ("<a href=\"([^\"]*)\"[^>]*>([^<]*)</a>", "[$2]($1)", "'[\\2](\\1)'"),
+    ("<a href='([^']*)'[^>]*>([^<]*)</a>", "[$2]($1)", "'[\\2](\\1)'"),
     ("</?(b|strong)\\b[^>]*>", "**", "'**'"),
     ("</?(i|em)\\b[^>]*>", "*", "'*'"),
     ("<[^>]+>", "", "''"),
@@ -224,6 +263,8 @@ object TextFns {
     ("&lt;", "<", "'<'"),
     ("&gt;", ">", "'>'"),
     ("&quot;", "\"", "'\"'"),
+    ("&#39;", "'", "''''"),
+    ("&apos;", "'", "''''"),
     ("&nbsp;", " ", "' '"),
     ("\n{3,}", "\n\n", "chr(10) || chr(10)"))
 

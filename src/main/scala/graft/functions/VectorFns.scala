@@ -125,15 +125,21 @@ object VectorFns {
    * ONNX/JNI transformer drops into `embedBatch` without touching the plan.
    */
   def embedPartitions(df: DataFrame, textCol: String, outCol: String,
-                      dim: Int = 64, batchSize: Int = 128): DataFrame = {
+                      dim: Int = 64, batchSize: Int = 128,
+                      embedBatch: Seq[String] => Seq[Array[Float]] = null): DataFrame = {
     val spark = df.sparkSession
     val schema = df.schema.add(StructField(outCol, ArrayType(FloatType, containsNull = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val idx = df.schema.fieldIndex(textCol)
-    def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map(hashEmbed(_, dim))
+    // the injected model function (Engine.Embedder.embedBatch) or the
+    // deterministic hash default; either way ONE call per `batchSize` rows
+    val embedFn: Seq[String] => Seq[Array[Float]] =
+      Option(embedBatch).getOrElse((texts: Seq[String]) => texts.map(hashEmbed(_, dim)))
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        val vecs = embedBatch(batch.map(r => r.getString(idx)))
+        val vecs = embedFn(batch.map(r => r.getString(idx)))
+        require(vecs.length == batch.length,
+          s"embedder returned ${vecs.length} vectors for a ${batch.length}-text batch")
         batch.iterator.zip(vecs.iterator).map { case (r, v) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v.toSeq)
         }

@@ -285,24 +285,38 @@ object VectorSearch {
     def search(queries: DataFrame, k: Int, nprobe: Int,
                queryIdCol: String = "query_id", queryVecCol: String = "query_vec",
                scoreScale: Int = 4): DataFrame = {
+      val candidates = scoredCandidates(queries, nprobe, queryIdCol, queryVecCol, scoreScale)
+      val w = Window.partitionBy(col(queryIdCol)).orderBy(col("score").desc, col(idCol).asc)
+      candidates
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
+    }
+
+    /**
+     * The probe-pruned, exact-scored candidate set BEFORE top-k: every cell
+     * row of the `nprobe` best cells per query, scored against that query,
+     * with all query columns retained. [[search]] is a window over this;
+     * callers with different reduce semantics (e.g. per-parent best hit,
+     * Engine.search) consume it directly instead of re-deriving the probe.
+     */
+    def scoredCandidates(queries: DataFrame, nprobe: Int,
+                         queryIdCol: String = "query_id",
+                         queryVecCol: String = "query_vec",
+                         scoreScale: Int = 4): DataFrame = {
       // rank centroids per query; keep nprobe cells
       val cw = Window.partitionBy(col(queryIdCol))
         .orderBy(VectorFns.cosineSim(col(queryVecCol), col("centroid")).desc, col("cell").asc)
       val probed = queries.crossJoin(broadcast(centroids))
         .withColumn("crank", row_number().over(cw))
         .filter(col("crank") <= nprobe)
-        .select(col(queryIdCol), col(queryVecCol), col("cell"))
+        .drop("crank", "centroid")
       // equi-join on cell prunes the corpus to the probed cells; the probe
       // side is tiny ⇒ broadcast, which also lets dynamic partition pruning
       // turn the join into a partition filter on a cell-partitioned layout
       // (see writeIvf) — unprobed cells never touch IO
-      val candidates = cells.join(broadcast(probed), "cell")
+      cells.join(broadcast(probed), "cell")
         .withColumn("score", round(VectorFns.cosineSim(col(vecCol), col(queryVecCol)), scoreScale))
-      val w = Window.partitionBy(col(queryIdCol)).orderBy(col("score").desc, col(idCol).asc)
-      candidates
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
     }
   }
 
@@ -319,16 +333,20 @@ object VectorSearch {
                vecCol: String = "embedding", seed: Long = 42L,
                sampleSize: Int = 20000): IvfIndex = {
     val spark = corpus.sparkSession
-    // deterministic hash-sample: keeps ~sampleSize rows independent of
-    // partitioning/row order, then a driver-side sort pins the exact set
-    val n = corpus.count()
+    // deterministic hash-sample in ONE pass: the sampleSize hash-smallest
+    // rows via takeOrdered (per-partition top-k + driver merge — never a
+    // global sort, and no prior corpus.count() sizing scan, which at 100 TB
+    // was a whole extra read of the table). Hash order is independent of
+    // partitioning/row order; the id tiebreak makes the set exact.
+    // (DataFrame orderBy().limit() would NOT plan the same thing here:
+    // above topKSortFallbackThreshold it falls back to a full global sort.)
     val sampled = corpus
-      .filter(pmod(hash(col(idCol)), lit(math.max(1L, n / sampleSize.toLong))) === 0)
-      .select(col(idCol).cast("string"), col(vecCol))
-      .collect()
-      .sortBy(_.getString(0))
-      .take(sampleSize)
-      .map(_.getSeq[Float](1).toArray)
+      .select(xxhash64(col(idCol).cast("string")).as("__h"),
+        col(idCol).cast("string").as("__id"), col(vecCol))
+      .rdd.map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2)))
+      .takeOrdered(sampleSize)(Ordering.by(t => (t._1, t._2)))
+      .sortBy(_._2)
+      .map(_._3.toArray)
     val centroids = lloyd(sampled, nlist, seed, iters = 10)
     val bc = spark.sparkContext.broadcast(centroids)
     val assign = udf { v: Seq[Float] =>

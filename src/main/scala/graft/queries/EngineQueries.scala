@@ -27,6 +27,41 @@ object EngineQueries {
     * sink names without colliding. */
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /**
+   * A NON-hash stand-in for a real embedding model (`embed.py:21-39`'s
+   * forward pass), proving the [[graft.Engine.Embedder]] seam end-to-end:
+   * a fixed linear layer over letter-count features — x_i = w_i ·
+   * count(letter_i), L2-normalized with the same double-product /
+   * float-cast contract the hash embedder uses, so DuckDB can replay it
+   * bit-exactly. The weights are arbitrary fixed literals (they play the
+   * role of trained parameters; any user model slots in the same way).
+   */
+  private[graft] object LetterEmbedder extends graft.Engine.Embedder {
+    val letters: Array[Char] = "aeiounst".toCharArray
+    val weights: Array[Double] =
+      Array(0.9273, -0.3141, 0.5772, -0.8415, 0.2718, 0.6931, -0.4142, 0.1618)
+    val dim: Int = letters.length
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+      val x = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var c = 0; var j = 0
+        while (j < t.length) { if (t.charAt(j) == letters(i)) c += 1; j += 1 }
+        x(i) = weights(i) * c
+        i += 1
+      }
+      var n2 = 0.0; i = 0
+      while (i < dim) { n2 += x(i) * x(i); i += 1 }
+      val out = new Array[Float](dim)
+      if (n2 > 0) {
+        val inv = 1.0 / math.sqrt(n2)
+        i = 0
+        while (i < dim) { out(i) = (x(i) * inv).toFloat; i += 1 }
+      }
+      out
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // The whole Engine lifecycle as ONE graded query: dedup-ingest the
     // corpus twice (the second pass must append nothing — crawler.py:39-50's
@@ -45,6 +80,24 @@ object EngineQueries {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       eng.ingest(docs)
       eng.ingest(docs) // idempotent re-crawl: appends nothing or the oracle breaks
+      eng.update()
+      eng.search(searchTexts)
+    }),
+
+    // The V1 model seam graded end-to-end: the SAME lifecycle as q64 but
+    // with an injected NON-hash embedder (LetterEmbedder — a fixed linear
+    // layer standing in for embed.py:21-39's forward pass). Both documents
+    // and queries flow through the injected model; the oracle replays the
+    // chunker, the letter-count projection, the normalize, and the whole
+    // search pipeline relationally — so the proof is that a user-supplied
+    // model round-trips update→search unchanged, hash-checked.
+    "q120_engine_model_seam" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q120_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg, LetterEmbedder)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs)
       eng.update()
       eng.search(searchTexts)
     }),
@@ -468,7 +521,66 @@ object EngineQueries {
        |  FROM dense)""".stripMargin
   }
 
+  /** DuckDB spelling of [[LetterEmbedder]] over relation `rel` carrying
+    * `ids` and `textCol`: letter counts (length-difference trick) →
+    * weighted x → float-cast normalize, exactly the Scala op sequence
+    * (0.0-seeded and first-element-seeded left folds agree because
+    * 0.0 + v0 == v0). Emits CTEs `<p>x`, `<p>n`, `<p>v`. */
+  private def letterEmbedSql(rel: String, ids: String, textCol: String,
+                             p: String): String = {
+    val xs = LetterEmbedder.letters.zip(LetterEmbedder.weights).map { case (ch, w) =>
+      s"$w * (length($textCol) - length(replace($textCol, '$ch', '')))"
+    }.mkString(", ")
+    s"""${p}x AS (
+       |  SELECT $ids, [$xs] AS x FROM $rel),
+       |${p}n AS (
+       |  SELECT $ids, x,
+       |    list_reduce(list_transform(x, v -> v*v), (a,b) -> a+b) AS nrm2
+       |  FROM ${p}x),
+       |${p}v AS (
+       |  SELECT $ids,
+       |    CASE WHEN nrm2 > 0
+       |         THEN list_transform(x, v -> cast(cast(v * (1.0/sqrt(nrm2)) as float) as double))
+       |         ELSE x END AS v,
+       |    nrm2
+       |  FROM ${p}n)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q120_engine_model_seam" -> {
+      val qvalues = searchTexts.zipWithIndex
+        .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
+         |  FROM documents WHERE length(text) > 0),
+         |ch AS (
+         |  SELECT doc_id, doc_id || '_' || pos AS chunk_id,
+         |    substring(text, cast(pos*64+1 as int), 128) AS chunk
+         |  FROM c),
+         |${letterEmbedSql("ch", "chunk_id, doc_id", "chunk", "e")},
+         |q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
+         |${letterEmbedSql("q0", "query_id, query", "query", "qe")},
+         |scored AS (
+         |  SELECT q.query_id, q.query, n.doc_id,
+         |    round(CASE WHEN n.nrm2 = 0 OR q.nrm2 = 0 THEN 0.0
+         |               ELSE list_cosine_similarity(n.v, q.v) END, 4) AS score
+         |  FROM ev n CROSS JOIN qev q),
+         |best AS (
+         |  SELECT query_id, query, doc_id, max(score) AS score
+         |  FROM scored GROUP BY ALL),
+         |ranked AS (
+         |  SELECT query_id, query, doc_id, score,
+         |    cast(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id ASC) as int) AS rank
+         |  FROM best QUALIFY rank <= 4)
+         |SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
+         |  substring(d.text, 1, 200) AS preview
+         |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
     "q64_engine_lifecycle" -> {
       // chunker replay (q15's oracle spelling, size=128/overlap=64), then
       // the hash-embed replay for chunks and queries, then search replay

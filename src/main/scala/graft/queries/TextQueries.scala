@@ -465,6 +465,25 @@ object TextQueries {
           (abs(approx_count_distinct(col("doc_id"), 0.01) - countDistinct(col("doc_id")))
             <= countDistinct(col("doc_id")).cast(DoubleType) * 0.05).as("sketch_ok"))
         .orderBy(col("source"))
+    }),
+
+    // F2 join_content graded end-to-end (crawler/utils.py:21-36): every
+    // crawler assembles a document's `info` by join_content-ing scraped
+    // fragments (e.g. uci.py:52-57); here each document contributes a
+    // 3-fragment list (a mid-word text prefix needing a period, the source,
+    // a synthetic lang tail) plus degenerate shapes — a single-fragment
+    // list (NO punctuation added, the len>1 guard) and a list with an empty
+    // fragment (dropped before joining, never double-spaced)
+    "q119_join_content" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextFns.joinContent(array(
+            substring(col("text"), 1, 80), col("source"),
+            concat(lit("lang "), col("lang")))).as("joined"),
+          TextFns.joinContent(array(substring(col("text"), 1, 40))).as("single"),
+          TextFns.joinContent(array(col("source"), lit("  \n "), col("lang")))
+            .as("with_empty"))
+        .orderBy(col("doc_id"))
     }))
 
   private val toksSql = """regexp_split_to_array(trim(text), '\s+')"""
@@ -472,6 +491,13 @@ object TextQueries {
   private val enListSql = "['the','a','an','and','of','to','in','is','it','that']"
 
   val oracle: Map[String, String] = Map(
+    "q119_join_content" ->
+      s"""SELECT doc_id,
+         |  ${TextFns.joinContentSql("[substring(text, 1, 80), source, 'lang ' || lang]")} AS joined,
+         |  ${TextFns.joinContentSql("[substring(text, 1, 40)]")} AS single,
+         |  ${TextFns.joinContentSql("[source, '  ' || chr(10) || ' ', lang]")} AS with_empty
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q93_inverted_index" ->
       s"""WITH p AS (
          |  SELECT doc_id, unnest(list_distinct($toksSql)) AS tok

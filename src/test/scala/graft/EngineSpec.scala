@@ -95,10 +95,10 @@ class EngineSpec extends SparkSpec {
     assert(cold.updateIncremental() == full.index().count())
   }
 
-  test("EngineConfig.load parses key:value config with comments and defaults") {
+  test("EngineConfig.load parses flat key:value config with comments and defaults") {
     val f = java.nio.file.Files.createTempFile("graft-cfg", ".yml")
     java.nio.file.Files.writeString(f,
-      """# engine config (reference config.yml shape)
+      """# engine config (flat legacy shape)
         |store_path: /tmp/graft/store
         |index_path: /tmp/graft/index   # inline comment
         |chunk_size: 256
@@ -111,11 +111,130 @@ class EngineSpec extends SparkSpec {
     assert(cfg.chunkSize == 256)
     assert(cfg.nprobe == 16)
     assert(cfg.chunkOverlap == 64 && cfg.limit == 4) // defaults survive
-    intercept[IllegalArgumentException] {
-      val g = java.nio.file.Files.createTempFile("graft-cfg-bad", ".yml")
-      java.nio.file.Files.writeString(g, "chunk_size: 1\n")
-      EngineConfig.load(g.toString)
+  }
+
+  test("EngineConfig.load parses the nested reference config.yml shape") {
+    val f = java.nio.file.Files.createTempFile("graft-cfg-nested", ".yml")
+    // the reference's two/three-level nesting (config.yml:62-100), including
+    // the tricky spellings: quoted scalars, an inline comment, a quoted
+    // value containing '#', a commented-out sibling key
+    java.nio.file.Files.writeString(f,
+      """mongodb:
+        |  key:
+        |    local:
+        |      string: mongodb://localhost:27017
+        |      db_name: coldata
+        |  collection_name: dataset
+        |  index_field: index
+        |crawler:
+        |  selenium:
+        |#    chromedriver_path: '/path/to/chromedriver'
+        |    chromedriver_path: 'C:\drv\chromedriver.exe # not a comment'
+        |vdb:
+        |  milvus:
+        |    collection_name: 'dataset'
+        |    port: '19530'
+        |    index_type: IVF_FLAT
+        |    nlist: 64   # inline comment
+        |    nprobe: 16
+        |    limit: 7
+        |    batch_size: 32
+        |  text:
+        |    chunk_size: 200
+        |    chunk_overlap: 50
+        |    add_start_index: true
+        |  model:
+        |    max_length: 512
+        |scheduler:
+        |  init_run: False
+        |  period: week
+        |""".stripMargin)
+    val cfg = EngineConfig.load(f.toString)
+    assert(cfg.nlist == 64 && cfg.nprobe == 16 && cfg.limit == 7)
+    assert(cfg.batchSize == 32)
+    assert(cfg.chunkSize == 200 && cfg.chunkOverlap == 50)
+    assert(!cfg.schedulerInitRun && cfg.schedulerPeriod == "week")
+    // no store/index paths in the reference shape ⇒ warehouse defaults
+    // derived from the collection name
+    assert(cfg.storePath == "spark-warehouse/dataset/store")
+    assert(cfg.indexPath == "spark-warehouse/dataset/index")
+  }
+
+  test("EngineConfig.load accepts the reference's config.yml verbatim") {
+    // the real file, unmodified (read-only reference checkout); guard so the
+    // suite still runs where the reference isn't mounted
+    val ref = java.nio.file.Paths.get("/root/reference/src/config.yml")
+    assume(java.nio.file.Files.exists(ref))
+    val cfg = EngineConfig.load(ref.toString)
+    // config.yml:81-86
+    assert(cfg.nlist == 128 && cfg.nprobe == 128 && cfg.limit == 4)
+    assert(cfg.batchSize == 128)
+    // config.yml:89-90
+    assert(cfg.chunkSize == 128 && cfg.chunkOverlap == 64)
+    // config.yml:98-100
+    assert(cfg.schedulerInitRun && cfg.schedulerPeriod == "day")
+  }
+
+  test("an injected non-hash embedder flows through update AND search consistently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-engine-model").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
+    // a seeded random-projection "model": byte-count features through a
+    // fixed Gaussian matrix — a stand-in for embed.py:21-39's forward pass
+    val eng = new Engine(spark, cfg, ProjectionEmbedder)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs)
+    eng.update()
+
+    val idx = eng.index()
+    assert(idx.select("vec").head.getSeq[Float](0).length == ProjectionEmbedder.dim)
+    // the index holds the injected model's vectors, not the hash default's
+    val hashEng = new Engine(spark,
+      cfg.copy(indexPath = s"$dir/index_hash", embedDim = ProjectionEmbedder.dim))
+    hashEng.update()
+    val byChunk = idx.select("chunk_id", "vec").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    val hashByChunk = hashEng.index().select("chunk_id", "vec").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(byChunk.keySet == hashByChunk.keySet)
+    assert(byChunk.exists { case (k, v) => hashByChunk(k) != v })
+
+    // search must score with the SAME model: recompute the expected winner
+    // driver-side from the index vectors + a driver-side query embedding
+    val q = "statistical analysis of spark pipelines"
+    val qv = ProjectionEmbedder.embedBatch(Seq(q)).head
+    def cos(a: Seq[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
     }
+    val expectedBest = idx.select("doc_id", "vec").collect()
+      .map(r => r.getLong(0) -> cos(r.getSeq[Float](1), qv))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max)
+      .toSeq.sortBy { case (id, s) => (-s, id) }.head._1
+    val got = eng.search(Seq(q)).orderBy("rank").select("doc_id").head.getLong(0)
+    assert(got == expectedBest)
+  }
+
+  test("search auto-routes through IVF at/above the configured index scale") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-engine-route").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val q = Seq("distributed query optimization")
+
+    val brute = new Engine(spark, EngineConfig(
+      storePath = s"$dir/store", indexPath = s"$dir/index", nlist = 8, nprobe = 8))
+    brute.ingest(docs)
+    brute.update()
+    assert(!brute.routeIvf()) // default threshold: small index stays brute
+
+    val routed = new Engine(spark, EngineConfig(
+      storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L))
+    assert(routed.routeIvf())
+    // nprobe == nlist: the routed path is exhaustive, results must agree
+    val a = brute.search(q).select("doc_id", "score", "rank").collect().toSeq
+    val b = routed.search(q).select("doc_id", "score", "rank").collect().toSeq
+    assert(a == b)
   }
 
   test("searchIvf reuses one built IVF index across calls; update invalidates it") {
@@ -137,4 +256,27 @@ class EngineSpec extends SparkSpec {
 object SparkEntryTestHelpers {
   def docIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.select("doc_id").collect().map(_.getLong(0)).toSet
+}
+
+/** Seeded random-projection embedder: letter+space count features (27) through
+  * a fixed Gaussian matrix, L2-normalized — a deterministic stand-in for a
+  * real model's forward pass (embed.py:21-39), structurally unlike the
+  * feature-hash default. Top-level object: ships to executors by name. */
+object ProjectionEmbedder extends Engine.Embedder {
+  val dim = 16
+  private val nFeat = 27
+  private lazy val w: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(20260813L)
+    Array.fill(dim)(Array.fill(nFeat)(rnd.nextGaussian()))
+  }
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+    val x = new Array[Double](nFeat)
+    t.foreach { c =>
+      if (c >= 'a' && c <= 'z') x(c - 'a') += 1.0
+      else if (c == ' ') x(26) += 1.0
+    }
+    val y = w.map(row => row.zip(x).map { case (a, b) => a * b }.sum)
+    val n = math.sqrt(y.map(v => v * v).sum)
+    if (n == 0) new Array[Float](dim) else y.map(v => (v / n).toFloat)
+  }
 }

@@ -161,4 +161,31 @@ class StreamingSpec extends SparkSpec {
       assert(out.count() == data.map(_.user_id).distinct.size)
     } finally q.stop()
   }
+
+  test("scheduler: two scheduled ingest+update runs are idempotent (scheduler.py:21-51)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sched").toString
+    val eng = new Engine(spark, EngineConfig(
+      storePath = s"$dir/store", indexPath = s"$dir/index"))
+    val docs = QHelpers.t(spark, sf, "documents").select("doc_id", "text")
+    val appended = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // the reference's daily re-crawl: init_run fires immediately, the next
+    // firing comes one period later (sleep injected, nothing waits a day)
+    val fired = graft.streaming.Scheduler.run("day", initRun = true, maxRuns = 2,
+      job = _ => { eng.ingest(docs); appended += eng.updateIncremental() },
+      sleep = ms => { slept += ms; () })
+    assert(fired == 2)
+    assert(slept.toSeq == Seq(86400000L))
+    assert(appended.head > 0 && appended(1) == 0) // the re-run appended NOTHING
+    assert(eng.store().count() == docs.count())
+    assert(eng.index().select("chunk_id").distinct().count() == eng.index().count())
+
+    // a failing firing is reported, the schedule stays alive (scheduler.py:14-16)
+    var calls = 0
+    graft.streaming.Scheduler.run("week", initRun = false, maxRuns = 2,
+      job = n => { calls += 1; if (n == 0) sys.error("boom") }, sleep = _ => ())
+    assert(calls == 2)
+    // scheduler.py:30's rejection of unknown periods
+    intercept[IllegalArgumentException](graft.streaming.Scheduler.periodSeconds("hour"))
+  }
 }

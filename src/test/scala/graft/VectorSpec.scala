@@ -115,6 +115,32 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF nprobe=2 recall $recall")
   }
 
+  test("buildIvf trains from one pass over the corpus (no separate sizing job)") {
+    val e = emb
+    e.count() // materialize schema/footer jobs OUTSIDE the counting window
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.add(j.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString("|")); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      VectorSearch.buildIvf(e, nlist = 8)
+      // listener events post async; wait until the count settles
+      var last = -1; var stable = 0
+      while (stable < 5) {
+        Thread.sleep(100)
+        val c = jobs.size()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    // exactly the takeOrdered sample job — quantizer training is driver-side
+    // and cell assignment is lazy; the old shape paid a corpus.count() first
+    assert(jobs.size() == 1,
+      s"buildIvf launched ${jobs.size()} jobs: ${jobs.toArray.mkString(" // ")}")
+  }
+
   test("persisted IVF layout: pruned probe reads only probed cell partitions") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
