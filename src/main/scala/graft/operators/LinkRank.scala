@@ -37,10 +37,14 @@ object LinkRank {
   /**
    * Fixed-iteration PageRank in exact integer arithmetic.
    *
-   * `edges` is a directed (src, dst) list. Every node must appear as a
-   * source (supply both directions for an undirected graph) — a node with
-   * no out-edges would leak its rank mass and drop out of the next level;
-   * callers with genuine dangling nodes must add self-loops first.
+   * `edges` is a directed (src, dst) list. Every node must appear on BOTH
+   * sides (supply both directions for an undirected graph): a node with no
+   * out-edges would leak its rank mass and drop out of the next level, and
+   * because each round is `ed JOIN ranks ON src` + `GROUP BY dst`, a node
+   * that never appears as a dst vanishes from the output after round 1 —
+   * src-only nodes are silently absent, not ranked at the teleport floor.
+   * Callers with genuine dangling or source-only nodes must add self-loops
+   * first (or left-join the ranks back over the node set per round).
    *
    * Returns (node, rank) with rank in integer units after `iters` rounds.
    */

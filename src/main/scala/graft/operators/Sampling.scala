@@ -20,10 +20,13 @@ import org.apache.spark.sql.types.LongType
  */
 object Sampling {
 
-  /** Low-60-bit sha256 bucket of an id column, mod `buckets`. The 15-hex
-    * decomposition replays in DuckDB without HUGEINT (EngineQueries.tokBucket
-    * lesson); 2^60 ≡ 0 (mod 2^k) so the truncation never biases power-of-two
-    * bucket counts. */
+  /** 60-bit sha256 bucket of an id column, mod `buckets`: hex digits 2-16
+    * of the sha256 (substring(hex, 2, 15) — high-order digits, NOT the low
+    * bits) as a 60-bit integer. The 15-hex decomposition replays in DuckDB
+    * without HUGEINT (EngineQueries.tokBucket lesson); unbiasedness comes
+    * from the 60-bit width itself — any aligned 60-bit slice of sha256 is
+    * uniform, and 2^60 ≡ 0 (mod 2^k) keeps power-of-two bucket counts
+    * exact. */
   def hashBucket(id: Column, buckets: Int): Column = {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0, "buckets must be a power of two")
     conv(substring(sha2(id.cast("string"), 256), 2, 15), 16, 10).cast(LongType) % buckets

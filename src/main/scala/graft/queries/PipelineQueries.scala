@@ -405,9 +405,12 @@ object PipelineQueries {
     // 5 power-iteration rounds in EXACT integer rank units (integral div +
     // long sums — no float accumulation), so the DuckDB oracle replays all 5
     // rounds as unrolled CTEs and the top-30 hash-matches bit-for-bit.
+    // Node encoding is parity-disjoint (2k parts / 2k+1 suppliers), sound at
+    // EVERY scale factor — an additive offset would collide once l_partkey
+    // outgrows it (sf>=10 has >1M parts) and silently merge graph nodes.
     "q87_link_authority" -> ((s, dir) => {
       val pairs = t(s, dir, "lineitem")
-        .select(col("l_partkey").as("p"), (lit(1000000L) + col("l_suppkey")).as("sup"))
+        .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sup"))
         .distinct()
       val edges = pairs.select(col("p").as("src"), col("sup").as("dst"))
         .union(pairs.select(col("sup").as("src"), col("p").as("dst")))
@@ -642,7 +645,7 @@ object PipelineQueries {
            |    cast(150000000000 + sum((r.rank * 85) // (ed.outdeg * 100)) as bigint) AS rank
            |  FROM ed JOIN r${i - 1} r ON r.node = ed.src GROUP BY ed.dst)""".stripMargin
       }.mkString(",\n")
-      s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, 1000000 + l_suppkey AS sup
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sup
          |  FROM lineitem),
          |edges AS (SELECT p AS src, sup AS dst FROM e0
          |          UNION ALL SELECT sup AS src, p AS dst FROM e0),

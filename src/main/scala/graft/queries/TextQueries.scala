@@ -13,29 +13,36 @@ import QHelpers._
  */
 object TextQueries {
 
-  /** documents ∪ exact copies (doc_id+10000 for doc_id%10=0) — simulates the
+  /** Synthetic-copy id offsets for planted duplicates/near-copies: far above
+    * any real doc_id at EVERY scale factor (an sf100 corpus is ~5e7 docs;
+    * 1e9 clears it 20x), so planted ids can never alias onto real documents.
+    * Shared by the Spark and oracle spellings. */
+  private val Off1 = 1000000000L
+  private val Off2 = 2000000000L
+
+  /** documents ∪ exact copies (doc_id+Off1 for doc_id%10=0) — simulates the
     * re-crawl corpus the reference dedups by `index` (crawler.py:39-50). */
   private def dupCorpus(df: DataFrame): DataFrame =
     df.select("doc_id", "text").unionAll(
       df.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .select((col("doc_id") + Off1).as("doc_id"), col("text")))
 
   /** documents ∪ truncated near-copies (for the near-dup detectors). */
   private def nearDupCorpus(df: DataFrame): DataFrame =
     df.select("doc_id", "text").unionAll(
       df.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"),
+        .select((col("doc_id") + Off1).as("doc_id"),
           col("text").substr(lit(1), greatest(length(col("text")) - 30, lit(1))).as("text")))
 
   private val dupCorpusSql =
-    """SELECT doc_id, text FROM documents
+    s"""SELECT doc_id, text FROM documents
       |UNION ALL
-      |SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+      |SELECT doc_id + $Off1 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   private val nearDupCorpusSql =
-    """SELECT doc_id AS id, text FROM documents
+    s"""SELECT doc_id AS id, text FROM documents
       |UNION ALL
-      |SELECT doc_id + 10000 AS id,
+      |SELECT doc_id + $Off1 AS id,
       |       substring(text, 1, cast(greatest(length(text) - 30, 1) as int)) AS text
       |FROM documents WHERE doc_id % 25 = 0""".stripMargin
 
@@ -45,20 +52,20 @@ object TextQueries {
   private def triCorpus(df: DataFrame): DataFrame =
     df.select("doc_id", "text")
       .unionAll(df.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"),
+        .select((col("doc_id") + Off1).as("doc_id"),
           col("text").substr(lit(1), greatest(length(col("text")) - 30, lit(1))).as("text")))
       .unionAll(df.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 20000).as("doc_id"),
+        .select((col("doc_id") + Off2).as("doc_id"),
           col("text").substr(lit(1), greatest(length(col("text")) - 60, lit(1))).as("text")))
 
   private val triCorpusSql =
-    """SELECT doc_id AS id, text FROM documents
+    s"""SELECT doc_id AS id, text FROM documents
       |UNION ALL
-      |SELECT doc_id + 10000 AS id,
+      |SELECT doc_id + $Off1 AS id,
       |       substring(text, 1, cast(greatest(length(text) - 30, 1) as int)) AS text
       |FROM documents WHERE doc_id % 25 = 0
       |UNION ALL
-      |SELECT doc_id + 20000 AS id,
+      |SELECT doc_id + $Off2 AS id,
       |       substring(text, 1, cast(greatest(length(text) - 60, 1) as int)) AS text
       |FROM documents WHERE doc_id % 25 = 0""".stripMargin
 
@@ -67,13 +74,13 @@ object TextQueries {
   private def resolveCorpus(df: DataFrame): DataFrame =
     df.select(col("doc_id").as("id"), col("source"), col("text")).unionAll(
       df.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 10000).as("id"), col("source"),
+        .select((col("doc_id") + Off1).as("id"), col("source"),
           col("text").substr(lit(1), greatest(length(col("text")) - 30, lit(1))).as("text")))
 
   private val resolveCorpusSql =
-    """SELECT doc_id AS id, source, text FROM documents
+    s"""SELECT doc_id AS id, source, text FROM documents
       |UNION ALL
-      |SELECT doc_id + 10000 AS id, source,
+      |SELECT doc_id + $Off1 AS id, source,
       |       substring(text, 1, cast(greatest(length(text) - 30, 1) as int)) AS text
       |FROM documents WHERE doc_id % 25 = 0""".stripMargin
 
@@ -125,7 +132,7 @@ object TextQueries {
 
   /** documents ∪ prefix-sharing near-copies for the blocked fuzzy match:
     * every doc_id%5==0 doc long enough to carry a 24-char prefix reappears
-    * as doc_id+10000 with character 17 swapped for '~' — same source, same
+    * as doc_id+Off1 with character 17 swapped for '~' — same source, same
     * 8-char block key, prefix edit distance exactly 1. Plants tens of
     * true matches across many blocks at every scale factor, so the
     * levenshtein-verify path is exercised by more than the corpus's one
@@ -134,15 +141,15 @@ object TextQueries {
     val base = df.select(col("doc_id"), col("source"), col("text"))
     base.unionAll(
       base.filter(col("doc_id") % 5 === 0 && length(col("text")) >= 24)
-        .select((col("doc_id") + 10000).as("doc_id"), col("source"),
+        .select((col("doc_id") + Off1).as("doc_id"), col("source"),
           concat(col("text").substr(lit(1), lit(16)), lit("~"),
             col("text").substr(lit(18), length(col("text")))).as("text")))
   }
 
   private val fuzzyCorpusSql =
-    """SELECT doc_id, source, text FROM documents
+    s"""SELECT doc_id, source, text FROM documents
       |UNION ALL
-      |SELECT doc_id + 10000 AS doc_id, source,
+      |SELECT doc_id + $Off1 AS doc_id, source,
       |       substring(text, 1, 16) || '~' || substring(text, 18) AS text
       |FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 24""".stripMargin
 
@@ -256,7 +263,7 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val store = docs.select(col("doc_id").as("id"), col("text"))
       val batch = docs.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 20000).as("id"),
+        .select((col("doc_id") + Off2).as("id"),
           col("text").substr(lit(1), greatest(length(col("text")) - 30, lit(1)))
             .as("text"))
       Dedup.incrementalNearDupPairs(store, batch, "text", "id",
@@ -659,12 +666,12 @@ object TextQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id AS id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 20000 AS id,
+         |  SELECT doc_id + $Off2 AS id,
          |    substring(text, 1, cast(greatest(length(text) - 30, 1) as int)) AS text
          |  FROM documents WHERE doc_id % 25 = 0),
          |${minhashVerifiedSql(0.3)}
          |SELECT id_a, id_b, inter, sz_a, sz_b, jaccard FROM verified
-         |WHERE id_a >= 20000 OR id_b >= 20000
+         |WHERE id_a >= $Off2 OR id_b >= $Off2
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q79_dedup_resolve" ->

@@ -47,14 +47,16 @@ object VectorQueries {
       cached
     })
 
-  /** embeddings ∪ perturbed near-copies (vec_id+10000 for vec_id%25==0):
-    * coordinate i gets + ((vec_id + i) % 7 - 3)·1e-4, computed in double and
+  /** embeddings ∪ perturbed near-copies (vec_id+1e9 for vec_id%25==0 — the
+    * offset sits far above any real vec_id at every scale factor, so planted
+    * ids never alias onto real vectors): coordinate i gets
+    * + ((vec_id + i) % 7 - 3)·1e-4, computed in double and
     * cast back to float — bit-identical in Spark and DuckDB, cosine ≈ 0.9999
     * vs a noise ceiling of ~0.51 on this corpus. */
   private def nearDupVecs(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
     val planted = e.filter(col("vec_id") % 25 === 0)
-      .select((col("vec_id") + 10000).as("vec_id"),
+      .select((col("vec_id") + 1000000000L).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           (x.cast("double") + ((col("vec_id") + i) % 7 - 3) * 1e-4).cast("float"))
           .as("embedding"))
@@ -64,7 +66,7 @@ object VectorQueries {
   private val nearDupVecsSql =
     """SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings
       |UNION ALL
-      |SELECT vec_id + 10000 AS vec_id,
+      |SELECT vec_id + 1000000000 AS vec_id,
       |  cast(list_transform(generate_series(1, len(embedding)), i ->
       |    cast(cast(embedding[i] as double)
       |         + ((vec_id + i - 1) % 7 - 3) * 0.0001 as float)) as double[]) AS v

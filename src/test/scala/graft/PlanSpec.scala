@@ -197,8 +197,8 @@ class PlanSpec extends SparkSpec {
 
   test("q87: the PageRank round chain is equi joins + partial aggs, no cartesian") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
-    val pairs = li.select(col("l_partkey").as("p"),
-      (lit(1000000L) + col("l_suppkey")).as("sup")).distinct()
+    val pairs = li.select((col("l_partkey") * 2).as("p"),
+      (col("l_suppkey") * 2 + 1).as("sup")).distinct()
     val edges = pairs.select(col("p").as("src"), col("sup").as("dst"))
       .union(pairs.select(col("sup").as("src"), col("p").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))

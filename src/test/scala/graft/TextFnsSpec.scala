@@ -73,4 +73,38 @@ class TextFnsSpec extends SparkSpec {
     assert(!md.contains("var a"), "script content must be dropped")
     assert(!md.contains("<"), "no tags survive")
   }
+
+  test("htmlToMarkdown: tables become | -separated markdown rows (F6)") {
+    // the shape trafilatura's markdown output preserves from real pages
+    val html = "<table><thead><tr><th>name</th><th>count</th></tr></thead>" +
+      "<tbody><tr><td>alpha</td>\n<td>3</td></tr>" +
+      "<tr><td>beta</td><td>7</td></tr></tbody></table>"
+    val md = one(TextFns.htmlToMarkdown(lit(html))).getString(0)
+    assert(md.contains("| name | count |"), md)
+    assert(md.contains("| alpha | 3 |"), md)
+    assert(md.contains("| beta | 7 |"), md)
+    // rows land on separate lines, scaffolding tags vanish
+    assert(md.linesIterator.count(_.startsWith("|")) == 3, md)
+    assert(!md.contains("<"), md)
+  }
+
+  test("htmlToMarkdown: nested lists keep every item; list boundaries break lines (F6)") {
+    val html = "<ul><li>top one<ul><li>sub a</li><li>sub b</li></ul></li>" +
+      "<li>top two</li></ul>"
+    val md = one(TextFns.htmlToMarkdown(lit(html))).getString(0)
+    val items = md.linesIterator.filter(_.startsWith("- ")).toSeq
+    assert(items == Seq("- top one", "- sub a", "- sub b", "- top two"), md)
+  }
+
+  test("htmlToMarkdown: single-quoted hrefs, blockquote, code, comments, entities (F6)") {
+    val html = "<!-- nav --><blockquote>wise words</blockquote>" +
+      "<p>see <a href='http://a.b/c?d=1'>the docs</a> and " +
+      "<code>spark.read</code> &#39;quoted&#39; &gt;</p>"
+    val md = one(TextFns.htmlToMarkdown(lit(html))).getString(0)
+    assert(!md.contains("nav"), md)
+    assert(md.contains("> wise words"), md)
+    assert(md.contains("[the docs](http://a.b/c?d=1)"), md)
+    assert(md.contains("`spark.read`"), md)
+    assert(md.contains("'quoted' >"), md)
+  }
 }
