@@ -43,4 +43,31 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol), 64) < quota)
   }
+
+  /**
+   * Priority of a row for WEIGHTED sampling without replacement
+   * (Duffield–Lund–Thorup priority sampling, CACM 2007): priority = w/u
+   * with u uniform in (0,1]; the weighted sample of size k is the top-k by
+   * priority. Inclusion probability is ∝ min(1, w/τ) for the (k+1)-largest
+   * priority τ — the near-variance-optimal weighted subsample a
+   * quality-weighted training mix needs.
+   *
+   * Integer spelling, log/float-free: u is a 28-bit sha256 slice (hex
+   * digits 2-8, seeded by a caller salt so different draws decorrelate),
+   * priority = (w << 28) DIV (u+1). Magnitude bound: w·2^28 must fit int64
+   * ⇒ w < 2^35 — any per-document weight (chars, tokens, quality bp)
+   * qualifies. Pure projection of (salt, id, w): reproducible across
+   * re-runs, partitionings and engines, top-k-able per stratum with one
+   * window — no coordination, no driver state.
+   */
+  def priority(id: Column, weight: Column, salt: String): Column = {
+    val u = conv(substring(sha2(
+      concat(lit(salt + ":"), id.cast("string")), 256), 2, 7), 16, 10).cast(LongType)
+    call_function("div", weight.cast(LongType) * lit(268435456L), u + 1L)
+  }
+
+  /** DuckDB spelling of [[priority]] for oracle SQL. */
+  def prioritySql(idExpr: String, weightExpr: String, salt: String): String =
+    s"(($weightExpr * 268435456) // " +
+      s"(cast(('0x' || substr(sha256('$salt:' || cast($idExpr as varchar)), 2, 7)) as bigint) + 1))"
 }

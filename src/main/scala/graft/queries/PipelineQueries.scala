@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.TextFns
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -143,6 +144,58 @@ object PipelineQueries {
         .withColumn("rate_bp", expr("(10000 * n_sampled) DIV n_total"))
         .select("lang", "n_total", "n_sampled", "rate_bp", "sum_ids")
         .orderBy(col("lang"))
+    }),
+
+    // BM25 ranking (Robertson/Sparck Jones; the scoring Lucene/ES run on an
+    // inverted index) in pure INTEGER basis points — the log-free discipline
+    // this suite grades floating formulas under (q75/q78 lesson: Math.log vs
+    // libm log drift by ulps across engines). With k1 = 6/5, b = 3/4 and
+    // the idf RATIO (N−df+½)/(df+½) = (2N−2df+1)/(2df+1):
+    //   idf_bp  = (10000·(2N−2df+1)) DIV (2df+1)
+    //   tf_bp   = (10000·22·T·tf) DIV (10·T·tf + 3·T + 9·dl·N)   [T = Σdl]
+    //   term_bp = (idf_bp·tf_bp) DIV 10000, summed per doc.
+    // Integer-overflow headroom: 10000·22·T·tf < 2^63 up to T ≈ 4e12 total
+    // corpus tokens (≈ sf10000). Corpus scalars (N, T) ride one broadcast
+    // 1-row aggregate, never an unpartitioned window over the per-doc table;
+    // postings for the query terms are filter-pruned before any shuffle (on
+    // the q93 inverted-index layout that filter is partition pruning).
+    "q121_bm25" -> ((s, dir) => {
+      val terms = Seq("spark", "data", "model")
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val corp = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
+      val tf = toks.filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfT), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corp))
+        .withColumn("idf_bp", expr("(10000 * (2*n_docs - 2*df + 1)) DIV (2*df + 1)"))
+        .withColumn("tf_bp",
+          expr("(10000 * 22 * t_toks * tf) DIV (10 * t_toks * tf + 3 * t_toks + 9 * dl * n_docs)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("(idf_bp * tf_bp) DIV 10000")).as("bm25_bp"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("bm25_bp").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // Weighted sampling without replacement (Duffield–Lund–Thorup priority
+    // sampling): per-source top-5 by priority = (w·2^28) DIV (u28+1) with w
+    // = n_chars and u28 a seeded sha slice of the doc id — the
+    // quality/length-weighted subsample a training-mix builder draws, exact
+    // and reproducible across engines/partitionings (operators/Sampling).
+    "q122_weighted_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("prio").desc, col("doc_id").asc)
+      docs.select(col("source"), col("doc_id"), col("n_chars"),
+          graft.operators.Sampling.priority(col("doc_id"), col("n_chars"), "ws6").as("prio"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy(col("source"), col("rank"))
     }),
 
     "q69_train_split" -> ((s, dir) => {
@@ -432,6 +485,39 @@ object PipelineQueries {
        |  WHERE len(toks) >= 5)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q121_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |corp AS (SELECT count(*) AS n_docs, cast(sum(dl) as bigint) AS t_toks FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN ('spark', 'data', 'model') GROUP BY doc_id, tok),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    ((10000 * (2*n_docs - 2*df + 1)) // (2*df + 1)) AS idf_bp,
+        |    ((10000 * 22 * t_toks * tf) // (10 * t_toks * tf + 3 * t_toks + 9 * dl.dl * n_docs)) AS tf_bp
+        |  FROM tf t JOIN dft USING (tok) JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN corp)
+        |SELECT doc_id, cast(sum((idf_bp * tf_bp) // 10000) as bigint) AS bm25_bp,
+        |  count(*) AS n_terms
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25_bp DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q122_weighted_sample" ->
+      s"""WITH p AS (
+         |  SELECT source, doc_id, n_chars,
+         |    ${graft.operators.Sampling.prioritySql("doc_id", "n_chars", "ws6")} AS prio
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, n_chars, prio,
+         |    cast(row_number() OVER (PARTITION BY source
+         |      ORDER BY prio DESC, doc_id ASC) as int) AS rank
+         |  FROM p QUALIFY rank <= 5)
+         |SELECT source, doc_id, n_chars, prio, rank FROM r
+         |ORDER BY source, rank""".stripMargin,
+
     "q116_stratified_sample" ->
       """WITH b AS (
         |  SELECT lang, doc_id,

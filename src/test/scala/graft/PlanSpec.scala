@@ -195,6 +195,20 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
   }
 
+  test("q121: BM25 joins broadcast (postings side small), corpus scalars ride one broadcast row") {
+    val df = SparkEntry.queries("q121_bm25")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // only the 1-row (n_docs, t_toks) aggregate may nested-loop broadcast
+    // (AQE's plan string repeats the node across final/initial sections, so
+    // gate presence, not count — the cartesian/SMJ asserts above carry the
+    // "nothing else is unkeyed" claim)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("q87: the PageRank round chain is equi joins + partial aggs, no cartesian") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val pairs = li.select((col("l_partkey") * 2).as("p"),
