@@ -56,4 +56,26 @@ object InvertedIndex {
       .filter(col("__nt") === terms.length)
       .select(col(idCol))
   }
+
+  /**
+   * Phrase (exact token-adjacency) hits over a POSITIONAL posting relation
+   * `toks` = (id, pos, tok): per-id count of occurrences of the consecutive
+   * token sequence `phrase`. Each phrase term's postings are filter-pruned
+   * first (on a positional index layout that filter is directory pruning,
+   * exactly like [[queryAll]]); the adjacency check is a chain of equi
+   * joins on (id, start-aligned pos) — keyed shuffles over the pruned
+   * postings only, never the corpus, so cost scales with the phrase terms'
+   * document frequency. This is the positional-index counterpart of
+   * [[queryAll]]'s membership-only conjunctive query.
+   */
+  def phraseHits(toks: DataFrame, idCol: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "a phrase needs at least two tokens")
+    val aligned = phrase.zipWithIndex.map { case (term, i) =>
+      toks.filter(col("tok") === term)
+        .select(col(idCol), (col("pos") - i).as("start"))
+    }
+    aligned.reduce((a, b) => a.join(b, Seq(idCol, "start")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

@@ -474,6 +474,39 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Positional phrase search (InvertedIndex.phraseHits): per-doc counts of
+    // the exact token sequence "table hash" — the positional-index
+    // counterpart of q93's membership-only conjunctive query. Postings are
+    // pruned to the phrase terms before the adjacency equi joins.
+    "q123_phrase_search" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextFns.tokens(lower(col("text")))).as(Seq("pos", "tok")))
+      graft.operators.InvertedIndex.phraseHits(toks, "doc_id", Seq("table", "hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer-vocabulary coverage (the OOV-rate gate an LLM data pipeline
+    // runs before training): vocab = the 30 globally most frequent tokens
+    // (count desc, token asc — deterministic), per-doc out-of-vocabulary
+    // rate in integer basis points. Vocab is tiny ⇒ broadcast into the
+    // per-token left join; corpus never shuffles except the per-doc rollup.
+    "q124_oov_rate" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(30)
+        .select(col("tok"), lit(1).as("in_v"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(coalesce(col("in_v"), lit(0))).as("n_in"))
+        .select(col("doc_id"), col("n_tok"),
+          (col("n_tok") - col("n_in")).as("n_oov"),
+          expr("(10000 * (n_tok - n_in)) DIV n_tok").as("oov_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // F2 join_content graded end-to-end (crawler/utils.py:21-36): every
     // crawler assembles a document's `info` by join_content-ing scraped
     // fragments (e.g. uci.py:52-57); here each document contributes a
@@ -498,6 +531,31 @@ object TextQueries {
   private val enListSql = "['the','a','an','and','of','to','in','is','it','that']"
 
   val oracle: Map[String, String] = Map(
+    "q123_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM toks, unnest(generate_series(1, len(a) - 1)) t(i)
+        |WHERE a[i] = 'table' AND a[i+1] = 'hash'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q124_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |v AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        |    ORDER BY cnt DESC, tok ASC LIMIT 30)),
+        |pd AS (
+        |  SELECT t.doc_id, count(*) AS n_tok,
+        |    cast(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_in
+        |  FROM toks t LEFT JOIN v ON t.tok = v.tok GROUP BY t.doc_id)
+        |SELECT doc_id, n_tok, n_tok - n_in AS n_oov,
+        |  (10000 * (n_tok - n_in)) // n_tok AS oov_bp
+        |FROM pd ORDER BY doc_id""".stripMargin,
+
     "q119_join_content" ->
       s"""SELECT doc_id,
          |  ${TextFns.joinContentSql("[substring(text, 1, 80), source, 'lang ' || lang]")} AS joined,

@@ -96,6 +96,24 @@ class TextFnsSpec extends SparkSpec {
     assert(items == Seq("- top one", "- sub a", "- sub b", "- top two"), md)
   }
 
+  test("phraseHits counts overlapping token-adjacent occurrences per doc") {
+    import graft.operators.InvertedIndex
+    val docs = Seq(
+      (1L, "a b a b a"),   // "a b" twice, "b a" twice
+      (2L, "a a a"),       // "a a" twice (overlapping)
+      (3L, "b b"),         // no "a b"
+      (4L, "a b")          // once
+    ).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      posexplode(graft.functions.TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
+    def hits(p: String*): Map[Long, Long] =
+      InvertedIndex.phraseHits(toks, "doc_id", p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits("a", "b") == Map(1L -> 2L, 4L -> 1L))
+    assert(hits("a", "a") == Map(2L -> 2L))
+    assert(hits("a", "b", "a") == Map(1L -> 2L))
+  }
+
   test("htmlToMarkdown: single-quoted hrefs, blockquote, code, comments, entities (F6)") {
     val html = "<!-- nav --><blockquote>wise words</blockquote>" +
       "<p>see <a href='http://a.b/c?d=1'>the docs</a> and " +
