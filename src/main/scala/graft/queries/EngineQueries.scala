@@ -400,6 +400,65 @@ object EngineQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // NEAR-dup dedup ON STREAMING INGEST — the continuous-ingest shape a
+    // 100 TB pipeline actually runs (q66 grades exact-id streaming dedup;
+    // q105 grades the batch-vs-store banding join; this composes them
+    // end-to-end through a real readStream): the store starts as the
+    // corpus; two micro-batches each deliver truncated NEAR-copies of
+    // store documents (no id overlap — only the minhash path can catch
+    // them) mixed with genuinely novel documents (unique synthetic token
+    // streams). foreachBatch runs the incremental banding join against the
+    // INDEX SNAPSHOT captured at stream start (the periodic-rebuild
+    // production shape; the copy sets use disjoint residues so the two
+    // batches are independent) and appends only survivors. The oracle
+    // replays the full minhash chain per batch, filtered to batch-touching
+    // pairs — exactly the q105 contract, composed — so every drop/keep
+    // decision, including LSH misses on short docs, is hash-checked.
+    "q125_stream_neardup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q125_")
+      val drop = java.nio.file.Files.createDirectory(tmp.resolve("drop"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val store = s"$tmp/store"
+      docs.write.parquet(store) // pre-seeded store = the corpus
+      def trunc(res: Int, off: Long) = docs.filter(col("doc_id") % 25 === res)
+        .select((col("doc_id") + off).as("doc_id"),
+          col("text").substr(lit(1), greatest(length(col("text")) - 30, lit(1))).as("text"))
+      def novel(parity: Int) = s.range(50).filter(col("id") % 2 === parity)
+        .select((col("id") + 3000000000L).as("doc_id"),
+          concat_ws(" ", (0 until 8).map(j =>
+            concat(lit("nv"), col("id"), lit(s"x$j"))): _*).as("text"))
+      stageFile(trunc(0, 4000000000L).unionByName(novel(0)),
+        tmp.resolve("w1"), drop, "b1.parquet")
+      stageFile(trunc(10, 5000000000L).unionByName(novel(1)),
+        tmp.resolve("w2"), drop, "b2.parquet")
+      val snap = s.read.parquet(store).localCheckpoint(true) // the index snapshot
+      s.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1")
+        .parquet(drop.toString)
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.localCheckpoint(true) // pin: banding reads it repeatedly
+          val pairs = graft.operators.Dedup.incrementalNearDupPairs(
+            snap, b, "text", "doc_id",
+            shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3)
+          val dupIds = pairs.select(col("id_a").as("doc_id"))
+            .unionByName(pairs.select(col("id_b").as("doc_id")))
+            .join(b.select("doc_id"), "doc_id").distinct()
+          b.join(dupIds, Seq("doc_id"), "left_anti")
+            .write.mode("append").parquet(store)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(store)
+        .groupBy(when(col("doc_id") >= 3000000000L, lit("planted"))
+          .otherwise(lit("corpus")).as("part"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_distinct"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("part"))
+    }),
+
     // UPDATE-mode streaming MV maintenance: the running aggregation emits
     // only the groups each micro-batch CHANGED, and foreachBatch merges
     // those deltas into a versioned keyed store (read-prev → anti-join the
@@ -547,6 +606,51 @@ object EngineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // replay both micro-batches' drop/keep decisions with the full minhash
+    // chain (TextQueries.minhashVerifiedSql — the q105-proven spelling of
+    // incrementalNearDupPairs), filtered to batch-touching ids; the final
+    // store is corpus ∪ per-batch survivors
+    "q125_stream_neardup" -> {
+      val novelText = (0 until 8).map(j => s"'nv' || cast(i as varchar) || 'x$j'")
+        .mkString(" || ' ' || ")
+      s"""WITH novel AS (
+         |  SELECT 3000000000 + i AS doc_id, $novelText AS text
+         |  FROM (SELECT unnest(generate_series(0, 49)) AS i)),
+         |b1 AS (
+         |  SELECT doc_id + 4000000000 AS id,
+         |    substring(text, 1, cast(greatest(length(text) - 30, 1) as int)) AS text
+         |  FROM documents WHERE doc_id % 25 = 0
+         |  UNION ALL
+         |  SELECT doc_id AS id, text FROM novel WHERE (doc_id - 3000000000) % 2 = 0),
+         |b2 AS (
+         |  SELECT doc_id + 5000000000 AS id,
+         |    substring(text, 1, cast(greatest(length(text) - 30, 1) as int)) AS text
+         |  FROM documents WHERE doc_id % 25 = 10
+         |  UNION ALL
+         |  SELECT doc_id AS id, text FROM novel WHERE (doc_id - 3000000000) % 2 = 1),
+         |c1 AS (SELECT doc_id AS id, text FROM documents UNION ALL SELECT id, text FROM b1),
+         |c2 AS (SELECT doc_id AS id, text FROM documents UNION ALL SELECT id, text FROM b2),
+         |${TextQueries.minhashVerifiedSql(0.3, "c1", "a_")},
+         |${TextQueries.minhashVerifiedSql(0.3, "c2", "b_")},
+         |drop1 AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT id_a AS id FROM a_verified UNION ALL SELECT id_b FROM a_verified)
+         |  WHERE id >= 3000000000),
+         |drop2 AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT id_a AS id FROM b_verified UNION ALL SELECT id_b FROM b_verified)
+         |  WHERE id >= 3000000000),
+         |final AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  UNION ALL SELECT id, text FROM b1 WHERE id NOT IN (SELECT id FROM drop1)
+         |  UNION ALL SELECT id, text FROM b2 WHERE id NOT IN (SELECT id FROM drop2))
+         |SELECT CASE WHEN id >= 3000000000 THEN 'planted' ELSE 'corpus' END AS part,
+         |  count(*) AS n_docs, count(DISTINCT id) AS n_distinct,
+         |  cast(sum(length(text)) as bigint) AS sum_chars,
+         |  cast(sum(id) as bigint) AS sum_ids
+         |FROM final GROUP BY 1 ORDER BY part""".stripMargin
+    },
+
     "q120_engine_model_seam" -> {
       val qvalues = searchTexts.zipWithIndex
         .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }

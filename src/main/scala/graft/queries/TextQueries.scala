@@ -90,43 +90,44 @@ object TextQueries {
     * jaccard) holding the Jaccard-verified LSH candidate pairs at
     * `threshold`. Shared by q18 (pairs graded directly) and q79 (pairs →
     * connected components → canonical-doc resolution). */
-  private def minhashVerifiedSql(threshold: Double): String =
-    s"""toks AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS tk
-       |         FROM corpus WHERE length(trim(text)) > 0),
-       |sh AS (SELECT DISTINCT id,
+  private[queries] def minhashVerifiedSql(threshold: Double, rel: String = "corpus",
+                                          p: String = ""): String =
+    s"""${p}toks AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |         FROM $rel WHERE length(trim(text)) > 0),
+       |${p}sh AS (SELECT DISTINCT id,
        |  cast(('0x' || substr(sha256(sh), 1, 15)) as bigint) AS sh FROM (
        |  SELECT id, unnest(list_transform(generate_series(1, cast(greatest(len(tk)-2, 0) as bigint)),
        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-       |  FROM toks) u),
-       |based AS (
+       |  FROM ${p}toks) u),
+       |${p}based AS (
        |  SELECT id, sh % 1000000007 AS h0
-       |  FROM sh),
-       |sig AS (
+       |  FROM ${p}sh),
+       |${p}sig AS (
        |  SELECT id, seed,
        |    min((((seed * 1103515245 + 12345) % 1000000007 + 1) * h0
        |         + (seed * 69069 + 1) % 1000000007) % 1000000007) AS mh
-       |  FROM based, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+       |  FROM ${p}based, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
        |  GROUP BY id, seed),
-       |bands AS (
+       |${p}bands AS (
        |  SELECT id, cast(floor(seed/4.0) as int) AS band,
        |    sha256(string_agg(cast(mh as varchar), ',' ORDER BY seed)) AS band_sig
-       |  FROM sig GROUP BY id, cast(floor(seed/4.0) as int)),
-       |cand AS (
+       |  FROM ${p}sig GROUP BY id, cast(floor(seed/4.0) as int)),
+       |${p}cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id),
-       |inter AS (
+       |  FROM ${p}bands a JOIN ${p}bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id),
+       |${p}inter AS (
        |  SELECT c.id_a, c.id_b, count(*) AS inter
-       |  FROM cand c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+       |  FROM ${p}cand c JOIN ${p}sh sa ON sa.id = c.id_a JOIN ${p}sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
        |  GROUP BY c.id_a, c.id_b),
-       |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-       |verified AS (
+       |${p}sizes AS (SELECT id, count(*) AS sz FROM ${p}sh GROUP BY id),
+       |${p}verified AS (
        |  SELECT c.id_a, c.id_b, coalesce(i.inter, 0) AS inter, za.sz AS sz_a, zb.sz AS sz_b,
        |    round(cast(coalesce(i.inter, 0) as double)
        |        / cast(za.sz + zb.sz - coalesce(i.inter, 0) as double), 4) AS jaccard
-       |  FROM cand c
-       |  LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
-       |  JOIN sizes za ON za.id = c.id_a
-       |  JOIN sizes zb ON zb.id = c.id_b
+       |  FROM ${p}cand c
+       |  LEFT JOIN ${p}inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+       |  JOIN ${p}sizes za ON za.id = c.id_a
+       |  JOIN ${p}sizes zb ON zb.id = c.id_b
        |  WHERE round(cast(coalesce(i.inter, 0) as double)
        |        / cast(za.sz + zb.sz - coalesce(i.inter, 0) as double), 4) >= $threshold)""".stripMargin
 
