@@ -203,6 +203,32 @@ class Engine(spark: SparkSession, cfg: EngineConfig,
       .select("doc_id", "chunk_id", "vec")
   }
 
+  /**
+   * Forget documents (the delete side of the lifecycle; the reference can
+   * only drop the WHOLE collection — `vdb.py:196-212`'s renew — while a
+   * real deployment needs per-document removal for re-crawls and
+   * right-to-be-forgotten): one anti join rewrites the store, one rewrites
+   * the index, and the memoized IVF layout is invalidated. The delete set
+   * is broadcast (it is small relative to the corpus by nature); the
+   * rewrite is copy-on-write via a pinned materialization — at warehouse
+   * scale the same two anti joins write a v+1 directory instead (the q108
+   * versioned-MV pattern) so readers never observe a half-rewritten store.
+   * Returns the number of store documents removed.
+   */
+  def delete(ids: DataFrame, keyCol: String = "doc_id"): Long = {
+    val before = store().count()
+    val s2 = store().join(broadcast(ids.select(keyCol).distinct()), Seq(keyCol), "left_anti")
+      .localCheckpoint(true) // pin BEFORE overwriting the path being read
+    s2.write.mode("overwrite").parquet(cfg.storePath)
+    if (indexExists) {
+      val i2 = index().join(broadcast(ids.select(keyCol).distinct()), Seq(keyCol), "left_anti")
+        .localCheckpoint(true)
+      i2.write.mode("overwrite").parquet(cfg.indexPath)
+      invalidateIvf()
+    }
+    before - store().count()
+  }
+
   private def indexExists: Boolean = {
     val p = new org.apache.hadoop.fs.Path(cfg.indexPath)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

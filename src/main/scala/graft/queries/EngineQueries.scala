@@ -134,6 +134,33 @@ object EngineQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // Per-document DELETE propagation graded end-to-end: ingest + full
+    // build, then Engine.delete forgets every doc_id%7==0 — the store AND
+    // the index must both converge to exactly the surviving documents'
+    // chunk+embed state (the q68 checksum contract restricted to
+    // survivors). A second delete of the same ids must remove nothing
+    // (delete idempotence).
+    "q126_engine_delete" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q126_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs)
+      eng.update()
+      val doomed = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+      val removed = eng.delete(doomed)
+      require(removed > 0, "q126: delete removed nothing")
+      require(eng.delete(doomed) == 0L, "q126: delete is not idempotent")
+      eng.index()
+        .select(col("doc_id"), col("chunk_id"),
+          (round(aggregate(col("vec"), lit(0.0d), (a, x) => a + x.cast("double")), 4) + lit(0.0d))
+            .as("vec_sum"),
+          round(aggregate(col("vec"), lit(0.0d), (a, x) => a + abs(x.cast("double"))), 4)
+            .as("vec_l1"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // Structured Streaming graded end-to-end: a real file-source readStream
     // over the corpus, grouped aggregation, memory sink in complete mode,
     // Trigger.AvailableNow (process everything that exists, then stop — the
@@ -752,6 +779,31 @@ object EngineQueries {
          |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    // after deleting doc_id%7==0 the index must equal the chunk+embed
+    // replay over the SURVIVORS only — q68's CTE chain with the delete
+    // predicate pushed into the corpus scan
+    "q126_engine_delete" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
+         |  FROM documents WHERE length(text) > 0 AND doc_id % 7 <> 0),
+         |ch AS (
+         |  SELECT doc_id, doc_id || '_' || pos AS chunk_id,
+         |    substring(text, cast(pos*64+1 as int), 128) AS chunk
+         |  FROM c),
+         |${embedSql("ch", "chunk_id, doc_id", "chunk")},
+         |nv AS (
+         |  SELECT chunk_id, doc_id,
+         |    CASE WHEN nrm > 0
+         |         THEN list_transform(cv, x -> cast(cast(x * (1.0/nrm) as float) as double))
+         |         ELSE cv END AS v
+         |  FROM vec)
+         |SELECT doc_id, chunk_id,
+         |  round(list_reduce(v, (a, b) -> a + b), 4) + 0.0 AS vec_sum,
+         |  round(list_reduce(list_transform(v, x -> abs(x)), (a, b) -> a + b), 4) AS vec_l1
+         |FROM nv
+         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // the incrementally-extended index must equal a full chunk+embed replay
     // over the whole corpus — same chunker + hash-embed CTEs as q64, graded

@@ -216,6 +216,31 @@ class EngineSpec extends SparkSpec {
     assert(got == expectedBest)
   }
 
+  test("delete forgets docs from store, index AND search results; idempotent") {
+    val eng = freshEngine()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs)
+    eng.update()
+    val total = docs.count()
+    val doomed = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+    val nDoomed = doomed.count()
+
+    val removed = eng.delete(doomed)
+    assert(removed == nDoomed)
+    assert(eng.store().count() == total - nDoomed)
+    assert(eng.index().filter(col("doc_id") % 3 === 0).count() == 0)
+    // a broad search can never surface a forgotten document
+    val hits = eng.search(Seq("data table query value part"))
+    assert(hits.filter(col("doc_id") % 3 === 0).count() == 0)
+    // re-deleting the same set is a no-op
+    assert(eng.delete(doomed) == 0L)
+    // and the engine keeps working: re-ingest restores the docs
+    eng.ingest(docs)
+    assert(eng.store().count() == total)
+    assert(eng.updateIncremental() > 0)
+    assert(eng.index().select("chunk_id").distinct().count() == eng.index().count())
+  }
+
   test("search auto-routes through IVF at/above the configured index scale") {
     val dir = java.nio.file.Files.createTempDirectory("graft-engine-route").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
