@@ -601,16 +601,23 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val toks = shingleTable(df, textCol, idCol, shingleSize)
       .withColumnRenamed("shingle", "tok")
-      .persist(lvl) // feeds 3 branches: df counts, prefixes, intersection join
+      .persist(lvl) // feeds 2 branches: prefixes, intersection join
     val sizes = toks.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val tokDf = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
 
+    // Prefix-filter recall holds under ANY consistent global token order
+    // (Chaudhuri/Ganti/Kaushik 2006 — both docs of a qualifying pair keep
+    // ≥1 shared token in their prefixes as long as everyone prunes by the
+    // SAME total order). The classic df-ascending order only TIGHTENS the
+    // candidate set; on 8-byte-hashed shingles the hash order is already
+    // frequency-agnostic, so df-ordering bought little while costing a
+    // full df groupBy plus two joins. Order by the hashed token itself:
+    // one shuffle by id serves both windows (rank + size), no joins.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("df").asc, col("tok").asc)
+      .partitionBy(col(idCol)).orderBy(col("tok").asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     val prefixes = toks
-      .join(tokDf, "tok")
-      .join(sizes, idCol)
       .withColumn("rn", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(wAll))
       // prefix length = sz − ⌈t·sz⌉ + 1 (integer ceil div — exact, no float)
       .withColumn("plen", expr(s"sz - ((sz * $tNum + ${tDen - 1}) DIV $tDen) + 1"))
       .filter(col("rn") <= col("plen"))
