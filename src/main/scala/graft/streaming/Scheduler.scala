@@ -47,7 +47,7 @@ object Scheduler {
       }
       runs += 1
     }
-    if (initRun) fire()
+    if (initRun && runs < maxRuns) fire()
     while (runs < maxRuns) { sleep(periodMs); fire() }
     runs
   }
