@@ -236,17 +236,18 @@ object EngineQueries {
     "q86_stream_window" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q86_")
       val drop = java.nio.file.Files.createDirectory(tmp.resolve("drop"))
-      // deliver the ORIGINAL nanos parquet (a cheap copy, never a 1M-row
-      // single-threaded rewrite); the stream reads ts as long under
-      // nanosAsLong (QHelpers.t sets the conf) and truncates ns→µs in its
-      // own projection — the streaming spelling of t()'s batch-side read
+      // deliver the ORIGINAL parquet (a cheap copy, never a 1M-row
+      // single-threaded rewrite); the stream reads ts in the file's raw
+      // domain (ns-as-long legacy or native µs — QHelpers.tsNorm
+      // dispatches) — the streaming spelling of t()'s batch-side read
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       touchAfter(drop, java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"), drop.resolve("a.parquet")))
-      // sentinel deliveries carry ts in raw NANOS (the staged schema)
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      // sentinel deliveries carry ts in the RAW staged-schema domain
       def sentinel = s.range(1).select(
         lit(-1L).as("event_id"),
-        (lit(4102444800L) * lit(1000000000L)).as("ts"), // 2100-01-01 in ns
+        tsRawLit(raw, 4102444800L).as("ts"), // 2100-01-01
         lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
         lit(0.0d).as("value"), lit("{}").as("props"))
       stageFile(sentinel, tmp.resolve("w2"), drop, "b.parquet")
@@ -254,14 +255,8 @@ object EngineQueries {
       touchAfter(drop,
         java.nio.file.Files.copy(drop.resolve("b.parquet"), drop.resolve("c.parquet")))
       val sink = s"q86_sink_${runSeq.incrementAndGet()}"
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-        .parquet(drop.toString)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      tsNorm(s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1")
+        .parquet(drop.toString))
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
@@ -294,13 +289,12 @@ object EngineQueries {
       val drop = java.nio.file.Files.createDirectory(tmp.resolve("drop"))
       touchAfter(drop, java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"), drop.resolve("a.parquet")))
-      val raw = s.read.parquet(s"$dir/events.parquet") // ts read as long (ns)
+      val raw = s.read.parquet(s"$dir/events.parquet") // raw file-schema ts
       stageFile(raw.filter(col("event_id") % 4 === 0), tmp.resolve("w2"), drop, "b.parquet")
       val store = s"$tmp/store"
       val deduped = graft.streaming.StreamOps.dedupByKey(
-        s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1")
-          .parquet(drop.toString)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))),
+        tsNorm(s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1")
+          .parquet(drop.toString)),
         keyCol = "event_id", tsCol = "ts", watermark = "3650 days")
       // dropDuplicatesWithinWatermark commits one state store per shuffle
       // partition per micro-batch; at this bounded state size the run cost
@@ -338,21 +332,21 @@ object EngineQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q95_")
       val dropP = java.nio.file.Files.createDirectory(tmp.resolve("p"))
       val dropC = java.nio.file.Files.createDirectory(tmp.resolve("c"))
-      val raw = s.read.parquet(s"$dir/events.parquet") // ts read as long (ns)
+      val raw = s.read.parquet(s"$dir/events.parquet") // raw file-schema ts
       stageFile(raw.filter(col("event_type") === "purchase"),
         tmp.resolve("w1"), dropP, "p.parquet")
       stageFile(raw.filter(col("event_type") === "click" && col("event_id") % 2 === 0),
         tmp.resolve("w2"), dropC, "a.parquet")
       stageFile(raw.filter(col("event_type") === "click" && col("event_id") % 2 === 1),
         tmp.resolve("w3"), dropC, "b.parquet")
-      val purchases = s.readStream.schema(raw.schema).parquet(dropP.toString)
+      val purchases = tsNorm(s.readStream.schema(raw.schema).parquet(dropP.toString))
         .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-          timestamp_micros(expr("ts DIV 1000")).as("pts"))
+          col("ts").as("pts"))
         .withWatermark("pts", "60 days")
-      val clicks = s.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", "1").parquet(dropC.toString)
+      val clicks = tsNorm(s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dropC.toString))
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-          timestamp_micros(expr("ts DIV 1000")).as("cts"))
+          col("ts").as("cts"))
         .withWatermark("cts", "60 days")
       val joined = purchases.join(clicks,
         expr("c_user = p_user AND cts >= pts - interval 1 hour AND cts < pts"))
@@ -393,21 +387,20 @@ object EngineQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tmp = java.nio.file.Files.createTempDirectory("graft_q100_")
       val drop = java.nio.file.Files.createDirectory(tmp.resolve("drop"))
-      val raw = s.read.parquet(s"$dir/events.parquet") // ts read as long (ns)
-      val midNs = 1705276800L * 1000000000L // 2024-01-15 00:00:00 UTC in ns
-      stageFile(raw.filter(col("ts") < midNs), tmp.resolve("w1"), drop, "a.parquet")
-      stageFile(raw.filter(col("ts") >= midNs), tmp.resolve("w2"), drop, "b.parquet")
+      val raw = s.read.parquet(s"$dir/events.parquet") // raw file-schema ts
+      val mid = tsRawLit(raw, 1705276800L) // 2024-01-15 00:00:00 UTC
+      stageFile(raw.filter(col("ts") < mid), tmp.resolve("w1"), drop, "a.parquet")
+      stageFile(raw.filter(col("ts") >= mid), tmp.resolve("w2"), drop, "b.parquet")
       def sentinel = s.range(1).select(
         lit(-1L).as("event_id"),
-        (lit(4102444800L) * lit(1000000000L)).as("ts"), // 2100-01-01 in ns
+        tsRawLit(raw, 4102444800L).as("ts"), // 2100-01-01
         lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
         lit(0.0d).as("value"), lit("{}").as("props"))
       stageFile(sentinel, tmp.resolve("w3"), drop, "c.parquet")
       touchAfter(drop,
         java.nio.file.Files.copy(drop.resolve("c.parquet"), drop.resolve("d.parquet")))
-      val stream = s.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", "1").parquet(drop.toString)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val stream = tsNorm(s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(drop.toString))
       val sessions = graft.streaming.StreamOps.sessionizeStateful(
         stream, gapMinutes = 30, watermark = "10 minutes")
       val store = s"$tmp/store"
@@ -499,10 +492,10 @@ object EngineQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tmp = java.nio.file.Files.createTempDirectory("graft_q108_")
       val drop = java.nio.file.Files.createDirectory(tmp.resolve("drop"))
-      val raw = s.read.parquet(s"$dir/events.parquet") // ts read as long (ns)
-      val midNs = 1705276800L * 1000000000L // 2024-01-15 UTC in ns
-      stageFile(raw.filter(col("ts") < midNs), tmp.resolve("w1"), drop, "a.parquet")
-      stageFile(raw.filter(col("ts") >= midNs), tmp.resolve("w2"), drop, "b.parquet")
+      val raw = s.read.parquet(s"$dir/events.parquet") // raw file-schema ts
+      val mid = tsRawLit(raw, 1705276800L) // 2024-01-15 00:00:00 UTC
+      stageFile(raw.filter(col("ts") < mid), tmp.resolve("w1"), drop, "a.parquet")
+      stageFile(raw.filter(col("ts") >= mid), tmp.resolve("w2"), drop, "b.parquet")
       val mv = java.nio.file.Files.createDirectory(tmp.resolve("mv")).toString
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "2")

@@ -30,6 +30,36 @@ object EventQueries {
       Events.sessionWindows(t(s, dir, "events"), "30 minutes")
         .orderBy(col("user_id"), col("session_start"))),
 
+    // Distribution-drift gate (data-quality monitoring between ingest
+    // periods — the check a training pipeline runs before admitting a new
+    // crawl batch): per event_type, the before/after value histograms are
+    // compared with a chi-square-style statistic in pure INTEGER basis
+    // points (per-bin integer divisions, then a sum — no logarithm, no
+    // float accumulation, so the oracle replays it bit-for-bit; the
+    // greatest(·,1) guards a period-absent type). One pass bins both
+    // periods (conditional sums), totals ride a per-type self-join of the
+    // tiny cell table — the corpus is scanned once.
+    "q131_drift_gate" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("bin", floor(col("value") / 100.0).cast("long"))
+        .withColumn("in_a",
+          (col("ts") < lit("2024-01-15").cast("timestamp")).cast("long"))
+      val cells = ev.groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("in_a")).as("na"), sum(lit(1L) - col("in_a")).as("nb"))
+      val tots = cells.groupBy(col("event_type"))
+        .agg(sum(col("na")).as("na_tot"), sum(col("nb")).as("nb_tot"))
+      cells.join(broadcast(tots), "event_type")
+        .withColumn("pa_bp", expr("na * 10000 DIV greatest(na_tot, 1)"))
+        .withColumn("pb_bp", expr("nb * 10000 DIV greatest(nb_tot, 1)"))
+        .withColumn("contrib",
+          expr("(pa_bp - pb_bp) * (pa_bp - pb_bp) DIV (pa_bp + pb_bp + 1)"))
+        .groupBy(col("event_type"))
+        .agg(max(col("na_tot")).as("n_a"), max(col("nb_tot")).as("n_b"),
+          count(lit(1)).as("n_bins"), sum(col("contrib")).as("drift_bp"))
+        .withColumn("drifted", col("drift_bp") >= 100)
+        .orderBy(col("event_type"))
+    }),
+
     // per-user event-type profile (conditional counts)
     "q29_user_profile" -> ((s, dir) =>
       t(s, dir, "events")
@@ -452,6 +482,31 @@ object EventQueries {
        |FROM z GROUP BY user_id, sid""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q131_drift_gate" ->
+      """WITH ev AS (
+        |  SELECT event_type, cast(floor(value / 100.0) as bigint) AS bin,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS in_a
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, bin, cast(sum(in_a) as bigint) AS na,
+        |    cast(sum(1 - in_a) as bigint) AS nb
+        |  FROM ev GROUP BY 1, 2),
+        |tots AS (
+        |  SELECT event_type, cast(sum(na) as bigint) AS na_tot,
+        |    cast(sum(nb) as bigint) AS nb_tot
+        |  FROM cells GROUP BY 1),
+        |j AS (
+        |  SELECT c.event_type, c.na, c.nb, t.na_tot, t.nb_tot,
+        |    (c.na * 10000 // greatest(t.na_tot, 1)) AS pa_bp,
+        |    (c.nb * 10000 // greatest(t.nb_tot, 1)) AS pb_bp
+        |  FROM cells c JOIN tots t USING (event_type))
+        |SELECT event_type, max(na_tot) AS n_a, max(nb_tot) AS n_b,
+        |  count(*) AS n_bins,
+        |  cast(sum((pa_bp - pb_bp) * (pa_bp - pb_bp) // (pa_bp + pb_bp + 1))
+        |    as bigint) AS drift_bp,
+        |  cast(sum((pa_bp - pb_bp) * (pa_bp - pb_bp) // (pa_bp + pb_bp + 1))
+        |    as bigint) >= 100 AS drifted
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q26_events_hourly" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  count(*) AS n_events, ${dsumSql("value")} AS sum_value

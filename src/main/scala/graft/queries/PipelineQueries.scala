@@ -420,6 +420,63 @@ object PipelineQueries {
         .limit(100)
     }),
 
+    // Count-min heavy hitters (operators/Sketches.scala): the corpus is
+    // scanned ONCE into exact per-token counts (map-side combined — the
+    // count table is vocab-sized, not corpus-sized); the 4×1024 sketch MV
+    // is built FROM those counts by additivity (weighted inserts), and the
+    // top-20 tokens are point-estimated back against it. n_est ≥ n_exact
+    // always (CM is an upper bound); for heavy hitters the estimate is
+    // tight, and at 100 TB the stored artifact stays 4 KB while batch
+    // sketches merge by cell-wise addition. Salted sha-slice hashing makes
+    // the whole sketch a pure projection — the oracle replays it exactly.
+    "q129_heavy_hitters" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val depth = 4; val width = 1024
+      val counts = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+        .localCheckpoint() // feeds sketch + top-k: one tokenize, two readers
+      val sketch = Sketches.cmSketch(counts, col("token"), col("n_exact"), depth, width)
+      val top = counts.orderBy(col("n_exact").desc, col("token")).limit(20)
+      Sketches.cmEstimate(top, "token", sketch, depth, width)
+        .select(col("token"), col("n_exact"), col("n_est"))
+        .orderBy(col("n_exact").desc, col("token"))
+    }),
+
+    // Calibrated mixture assembly (the DoReMi/Pile "domain weights" step):
+    // given target corpus shares per source in basis points, find the
+    // LARGEST corpus honoring them exactly — budget B = min over sources of
+    // floor(n_s·10000/target_s) (the binding source caps everything), per-
+    // source quota = floor(B·target_s/10000), members = quota-first rows by
+    // salted-hash rank (reproducible, coordination-free — q72's rank). One
+    // window per source partition; all math integer, so the oracle replays
+    // the budget, quotas AND membership (sum_ids) bit-for-bit.
+    "q130_calibrated_mix" -> ((s, dir) => {
+      val targetBp = when(expr("cast(substring(source, 4) as int)") % 3 === 0, lit(5000L))
+        .when(expr("cast(substring(source, 4) as int)") % 3 === 1, lit(3000L))
+        .otherwise(lit(2000L))
+      val docs = t(s, dir, "documents")
+        .withColumn("target_bp", targetBp)
+        .withColumn("n_avail", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .withColumn("rk", sha2(concat(lit("cal"), col("doc_id").cast("string")), 256))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))))
+      val budget = docs.groupBy(col("source"))
+        .agg(max(col("n_avail")).as("n_avail"), max(col("target_bp")).as("target_bp"))
+        .agg(min(floor(col("n_avail") * lit(10000L) / col("target_bp"))).cast("long")
+          .as("budget"))
+      docs.crossJoin(broadcast(budget))
+        .withColumn("quota", floor(col("budget") * col("target_bp") / lit(10000L)).cast("long"))
+        .filter(col("rn") <= col("quota"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"),
+          max(col("n_avail")).as("n_avail"), max(col("target_bp")).as("target_bp"),
+          max(col("budget")).as("budget"))
+        .orderBy(col("source"))
+    }),
+
     // Top-5 most relevant terms per document, scored tf * (N+1)/(df+1) in
     // integer basis points. The corpus is scanned and tokenized ONCE: tf is
     // localCheckpoint-materialized and df / N both derive from it (df(token)
@@ -699,6 +756,51 @@ object PipelineQueries {
         |FROM tk WHERE token <> ''
         |GROUP BY token HAVING count(DISTINCT doc_id) >= 20
         |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+
+    "q129_heavy_hitters" ->
+      s"""WITH tk AS (
+         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |tc AS (
+         |  SELECT token, count(*) AS n_exact FROM tk WHERE token <> ''
+         |  GROUP BY token),
+         |salts AS (SELECT unnest(generate_series(0, 3)) AS salt),
+         |sk AS (
+         |  SELECT salt, ${graft.operators.Sketches.cmBucketSql("salt", "token", 1024)}
+         |      AS bucket,
+         |    cast(sum(n_exact) as bigint) AS cnt
+         |  FROM tc CROSS JOIN salts GROUP BY 1, 2),
+         |top AS (
+         |  SELECT token, n_exact FROM tc
+         |  ORDER BY n_exact DESC, token LIMIT 20)
+         |SELECT t.token, t.n_exact, min(k.cnt) AS n_est
+         |FROM top t CROSS JOIN salts s
+         |JOIN sk k ON k.salt = s.salt
+         |  AND k.bucket = ${graft.operators.Sketches.cmBucketSql("s.salt", "t.token", 1024)}
+         |GROUP BY t.token, t.n_exact
+         |ORDER BY n_exact DESC, token""".stripMargin,
+
+    "q130_calibrated_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE cast(substr(source, 4) as int) % 3
+        |      WHEN 0 THEN 5000 WHEN 1 THEN 3000 ELSE 2000 END AS target_bp,
+        |    count(*) OVER (PARTITION BY source) AS n_avail,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY sha256('cal' || cast(doc_id as varchar)), doc_id) AS rn
+        |  FROM documents),
+        |b AS (SELECT min(cast(floor(n_avail * 10000 / target_bp) as bigint)) AS budget
+        |      FROM (SELECT source, max(n_avail) AS n_avail, max(target_bp) AS target_bp
+        |            FROM d GROUP BY source)),
+        |k AS (SELECT d.*, b.budget,
+        |        cast(floor(b.budget * d.target_bp / 10000) as bigint) AS quota
+        |      FROM d CROSS JOIN b)
+        |SELECT source, count(*) AS n_kept, cast(sum(doc_id) as bigint) AS sum_ids,
+        |  cast(max(n_avail) as bigint) AS n_avail,
+        |  cast(max(target_bp) as bigint) AS target_bp,
+        |  cast(max(budget) as bigint) AS budget
+        |FROM k WHERE rn <= quota
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q75_tfidf" ->
       """WITH tk AS (

@@ -20,16 +20,37 @@ object QHelpers {
 
   /** Read one testdata table (TESTDATA.md layout).
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as long and truncate ns→µs (integer DIV — the
-    * same truncation DuckDB applies when casting its ns read to TIMESTAMP).
+    * `events.ts` has shipped as parquet TIMESTAMP(NANOS) (read as long
+    * under nanosAsLong, truncated ns→µs here — the same truncation DuckDB
+    * applies casting its ns read to TIMESTAMP) and, since the 2026-08-13
+    * regeneration, as native TIMESTAMP(MICROS) (arriving as TIMESTAMP_NTZ;
+    * cast to session-zone TIMESTAMP — identity under the UTC session).
+    * [[tsNorm]] dispatches on the observed dtype so both vintages read to
+    * the SAME column type and values.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      tsNorm(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Normalize an events-shaped `ts` column (legacy ns-as-long or native
+    * µs NTZ/LTZ timestamp) to session-zone TIMESTAMP at µs precision.
+    * Works on batch and streaming frames alike (pure projection). */
+  def tsNorm(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _                => df
+  }
+
+  /** A literal in the RAW (file-schema) domain of an events `ts` column —
+    * for filters/sentinel rows applied BEFORE [[tsNorm]]: raw ns long for
+    * legacy files, TIMESTAMP_NTZ for native-µs files. */
+  def tsRawLit(df: DataFrame, epochSec: Long): Column = df.schema("ts").dataType match {
+    case LongType         => lit(epochSec * 1000000000L)
+    case TimestampNTZType => timestamp_seconds(lit(epochSec)).cast(TimestampNTZType)
+    case _                => timestamp_seconds(lit(epochSec))
   }
 
   /** Order-independent exact sum of a double column (via decimal). */

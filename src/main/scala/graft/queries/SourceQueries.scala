@@ -51,6 +51,41 @@ object SourceQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Small-file compaction (operators/Compaction.scala): a fragmented
+    // hive layout — 32 round-robin ingest "batches" each scattering files
+    // into every partition directory, the shape streaming appends leave
+    // behind — is rewritten to ONE file per directory (one shuffle on the
+    // partition column; maxRecordsPerFile still bounds the other extreme).
+    // Graded: the read-back per-partition aggregate proves the data
+    // survived byte-identically, was_fragmented proves the input really
+    // had the small-file disease, and compact_ok (files-per-dir == 1,
+    // via input_file_name) proves the rewrite cured it.
+    "q128_compact_files" -> ((s, dir) => {
+      import graft.operators.Compaction
+      val frag = tmp(dir, "li_fragmented")
+      val compacted = tmp(dir, "li_compacted")
+      t(s, dir, "lineitem")
+        .withColumn("kb", pmod(col("l_orderkey"), lit(8L)))
+        .repartition(32)
+        .write.mode("overwrite").partitionBy("kb").parquet(frag)
+      val fragFiles = s.read.parquet(frag)
+        .select(col("kb").cast("long").as("kb"), col("_metadata.file_path").as("fn"))
+        .groupBy(col("kb"))
+        .agg((countDistinct(col("fn")) > 1).as("was_fragmented"))
+      Compaction.compact(s, frag, compacted, "kb")
+      s.read.parquet(compacted)
+        .select(col("kb").cast("long").as("kb"), col("l_extendedprice"),
+          col("_metadata.file_path").as("fn"))
+        .groupBy(col("kb"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          (countDistinct(col("fn")) === 1).as("compact_ok"))
+        .join(fragFiles, "kb")
+        .select(col("kb"), col("n_rows"), col("sum_price"),
+          col("was_fragmented"), col("compact_ok"))
+        .orderBy(col("kb"))
+    }),
+
     // hive-style partitioned layout + partition pruning: the filter on the
     // partition column must skip whole directories, not just row groups
     "q41_partitioned_write" -> ((s, dir) => {
@@ -357,6 +392,12 @@ object SourceQueries {
       s"""SELECT l_returnflag, count(*) AS n_rows,
          |  ${dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q128_compact_files" ->
+      s"""SELECT l_orderkey % 8 AS kb, count(*) AS n_rows,
+         |  ${dsumSql("l_extendedprice")} AS sum_price,
+         |  true AS was_fragmented, true AS compact_ok
+         |FROM lineitem GROUP BY 1 ORDER BY kb""".stripMargin,
     "q34_json_roundtrip" ->
       "SELECT doc_id, lang, source FROM documents ORDER BY doc_id",
     "q52_orc_roundtrip" ->

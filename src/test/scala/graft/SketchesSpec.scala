@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Compaction, Sketches}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the count-min sketch MV (q129) and the small-file
+  * compaction rewrite (q128). */
+class SketchesSpec extends SparkSpec {
+
+  private def tokenCounts = {
+    spark.read.parquet(s"$sf/documents.parquet")
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+  }
+
+  test("count-min estimates are upper bounds and mass is conserved per row") {
+    val depth = 4; val width = 1024
+    val counts = tokenCounts.localCheckpoint()
+    val sketch = Sketches.cmSketch(counts, col("token"), col("n_exact"), depth, width)
+      .localCheckpoint()
+
+    // each of the `depth` salted rows holds the full corpus mass
+    val total = counts.agg(sum("n_exact")).collect().head.getLong(0)
+    val perSalt = sketch.groupBy("salt").agg(sum("cnt").as("mass"))
+      .collect().map(_.getAs[Long]("mass"))
+    assert(perSalt.length == depth && perSalt.forall(_ == total))
+
+    // CM guarantee: est(k) >= true(k), for EVERY key (not just heavy ones)
+    val under = Sketches.cmEstimate(counts, "token", sketch, depth, width)
+      .filter(col("n_est") < col("n_exact")).count()
+    assert(under == 0)
+
+    // sketches of disjoint batches merge by cell-wise addition
+    val half1 = counts.filter(col("token") < "m")
+    val half2 = counts.filter(col("token") >= "m")
+    val merged = Sketches.cmSketch(half1, col("token"), col("n_exact"), depth, width)
+      .unionAll(Sketches.cmSketch(half2, col("token"), col("n_exact"), depth, width))
+      .groupBy("salt", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = sketch.withColumnRenamed("cnt", "w")
+    val drift = merged.join(whole, Seq("salt", "bucket"), "full")
+      .filter(coalesce(col("cnt"), lit(0L)) =!= coalesce(col("w"), lit(0L))).count()
+    assert(drift == 0)
+  }
+
+  test("compaction rewrites a fragmented layout to one file per directory, losslessly") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_spec_")
+    val frag = s"$base/frag"
+    val out = s"$base/out"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("kb", pmod(col("l_orderkey"), lit(4L)))
+    li.repartition(8).write.mode("overwrite").partitionBy("kb").parquet(frag)
+    def filesPerDir(path: String) = spark.read.parquet(path)
+      .select(col("kb"), col("_metadata.file_path").as("fn"))
+      .groupBy("kb").agg(countDistinct(col("fn")).as("nf"))
+    val filesBefore = filesPerDir(frag).agg(max("nf")).collect().head.getLong(0)
+    assert(filesBefore > 1, "fixture must actually be fragmented")
+
+    Compaction.compact(spark, frag, out, "kb")
+    val perDir = filesPerDir(out).collect()
+    assert(perDir.nonEmpty && perDir.forall(_.getAs[Long]("nf") == 1L))
+
+    // lossless: same rows, same checksum
+    val a = li.agg(count(lit(1)), sum("l_orderkey"), sum("l_linenumber")).collect().head
+    val b = spark.read.parquet(out)
+      .agg(count(lit(1)), sum("l_orderkey"), sum("l_linenumber")).collect().head
+    assert(a == b)
+
+    // maxRecordsPerFile still splits oversized directories during compaction
+    val out2 = s"$base/out2"
+    Compaction.compact(spark, frag, out2, "kb", maxRecordsPerFile = 100L)
+    val splitDirs = filesPerDir(out2).agg(min("nf")).collect().head.getLong(0)
+    assert(splitDirs > 1, "a 100-record bound must split every directory")
+  }
+}
