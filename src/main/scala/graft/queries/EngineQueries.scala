@@ -488,6 +488,50 @@ object EngineQueries {
     // the batch GROUP BY over everything — the incremental-view contract,
     // this time maintained BY the streaming runtime's state instead of
     // q85/q88's hand-rolled delta algebra.
+    // Streaming data-quality monitor (the OOV drift watch a training
+    // pipeline keeps on its ingest stream): per-micro-batch out-of-vocab
+    // rate against a FIXED tokenizer vocabulary — the deployed-tokenizer
+    // snapshot, computed once batch-side (q124's vocab contract) and
+    // broadcast into every micro-batch. Two parity-split deliveries under
+    // maxFilesPerTrigger=1 force two real batches; foreachBatch appends
+    // one monitor row each. The settled monitor table must equal the
+    // relational per-batch replay — rates in integer basis points.
+    "q133_stream_oov" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q133_")
+      val drop = java.nio.file.Files.createDirectory(tmp.resolve("drop"))
+      val docs = t(s, dir, "documents")
+      stageFile(docs.filter(col("doc_id") % 2 === 0), tmp.resolve("w1"), drop, "a.parquet")
+      stageFile(docs.filter(col("doc_id") % 2 === 1), tmp.resolve("w2"), drop, "b.parquet")
+      import graft.functions.TextFns
+      val vocab = docs
+        .select(explode(TextFns.tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(30)
+        .select(col("tok"), lit(1L).as("in_v"))
+        .localCheckpoint(true) // snapshot: every micro-batch joins this
+      val monitor = s"$tmp/monitor"
+      s.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1")
+        .parquet(drop.toString)
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch
+            .select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
+            .join(broadcast(vocab), Seq("tok"), "left")
+            .agg(countDistinct(col("doc_id")).as("n_docs"),
+              count(lit(1)).as("n_tok"),
+              sum(coalesce(col("in_v"), lit(0L))).as("n_in"))
+            .select(lit(id).as("batch_id"), col("n_docs"), col("n_tok"),
+              (col("n_tok") - col("n_in")).as("n_oov"),
+              expr("(10000 * (n_tok - n_in)) DIV n_tok").as("oov_bp"))
+            .coalesce(1).write.mode("append").parquet(monitor)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(monitor).orderBy(col("batch_id"))
+    }),
+
     "q108_stream_update_mv" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tmp = java.nio.file.Files.createTempDirectory("graft_q108_")
@@ -626,6 +670,23 @@ object EngineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q133_stream_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |v AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        |    ORDER BY cnt DESC, tok ASC LIMIT 30)),
+        |b AS (
+        |  SELECT t.doc_id % 2 AS batch_id, t.doc_id, t.tok,
+        |    CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END AS in_v
+        |  FROM toks t LEFT JOIN v ON t.tok = v.tok)
+        |SELECT batch_id, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tok,
+        |  count(*) - cast(sum(in_v) as bigint) AS n_oov,
+        |  (10000 * (count(*) - cast(sum(in_v) as bigint))) // count(*) AS oov_bp
+        |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+
     // replay both micro-batches' drop/keep decisions with the full minhash
     // chain (TextQueries.minhashVerifiedSql — the q105-proven spelling of
     // incrementalNearDupPairs), filtered to batch-touching ids; the final

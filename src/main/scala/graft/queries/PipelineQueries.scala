@@ -477,6 +477,30 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // BPE pair statistics — the counting pass of a byte-pair-encoding
+    // tokenizer trainer's FIRST merge iteration: adjacent symbol-pair
+    // frequencies over the word vocabulary, weighted by word frequency.
+    // The corpus collapses to the (word, freq) table first (map-side
+    // combined, vocab-sized), so the quadratic-ish pair fan-out runs over
+    // the vocabulary, never the corpus — the only affordable shape at
+    // 100 TB, and exactly how sentencepiece/HF trainers batch it. ASCII
+    // words only (multibyte substring semantics differ across engines);
+    // pair positions capped at 100 chars, mirrored in the oracle.
+    "q132_bpe_pairs" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(col("word").rlike("^[a-z0-9']+$") && length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      words
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, least(length(word) - 1, 100)), i -> substring(word, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("pair"))
+        .limit(30)
+    }),
+
     // Top-5 most relevant terms per document, scored tf * (N+1)/(df+1) in
     // integer basis points. The corpus is scanned and tokenized ONCE: tf is
     // localCheckpoint-materialized and df / N both derive from it (df(token)
@@ -779,6 +803,22 @@ object PipelineQueries {
          |  AND k.bucket = ${graft.operators.Sketches.cmBucketSql("s.salt", "t.token", 1024)}
          |GROUP BY t.token, t.n_exact
          |ORDER BY n_exact DESC, token""".stripMargin,
+
+    "q132_bpe_pairs" ->
+      """WITH tk AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |w AS (
+        |  SELECT word, count(*) AS f FROM tk
+        |  WHERE regexp_matches(word, '^[a-z0-9'']+$') AND length(word) >= 2
+        |  GROUP BY word),
+        |p AS (
+        |  SELECT substr(word, cast(i as int), 2) AS pair, f
+        |  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 100)) AS i) g
+        |  WHERE i <= length(word) - 1)
+        |SELECT pair, cast(sum(f) as bigint) AS n_occ
+        |FROM p GROUP BY pair
+        |ORDER BY n_occ DESC, pair LIMIT 30""".stripMargin,
 
     "q130_calibrated_mix" ->
       """WITH d AS (
