@@ -46,6 +46,9 @@ object EventQueries {
           (col("ts") < lit("2024-01-15").cast("timestamp")).cast("long"))
       val cells = ev.groupBy(col("event_type"), col("bin"))
         .agg(sum(col("in_a")).as("na"), sum(lit(1L) - col("in_a")).as("nb"))
+        // tiny (#types × #bins); feeds both the totals and the join — the
+        // checkpoint keeps the corpus scan single (no cross-branch CSE)
+        .localCheckpoint()
       val tots = cells.groupBy(col("event_type"))
         .agg(sum(col("na")).as("na_tot"), sum(col("nb")).as("nb_tot"))
       cells.join(broadcast(tots), "event_type")

@@ -283,4 +283,54 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("q129: the count-min sketch broadcasts into the estimate join (it is KBs at any corpus size)") {
+    val df = SparkEntry.queries("q129_heavy_hitters")(spark, sf)
+    val plan = formatted(df)
+    // the candidate keys meet the depth×width sketch via a broadcast hash
+    // join — shuffling either side for a ≤4096-row table would be absurd at
+    // scale, and a cartesian would be a correctness smell
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q130: per-source rank windows stay source-partitioned; the budget rides one broadcast row") {
+    val df = SparkEntry.queries("q130_calibrated_mix")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // quota membership must be a per-source window (parallel across
+    // sources), never a global-order window (one task at any scale)
+    assert(optimized.contains("windowspecdefinition(source"), optimized.take(3000))
+    val plan = df.queryExecution.executedPlan.toString
+    // the single-row budget joins by broadcast nested loop (1 row), and
+    // nothing else is unkeyed
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q131: drift totals broadcast back onto the cell table; the corpus is scanned once") {
+    val df = SparkEntry.queries("q131_drift_gate")(spark, sf)
+    val plan = formatted(df)
+    // the per-type totals table is ≤ #event_types rows — broadcast join,
+    // and the corpus scan is single (the cell table is checkpointed at the
+    // fan-out, so neither branch re-reads events)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans == 0, s"expected the checkpointed cells to hide the events scan, got $scans\n" +
+      plan.take(3000))
+  }
+
+  test("q132: the pair fan-out runs over the aggregated vocabulary, never the corpus") {
+    val df = SparkEntry.queries("q132_bpe_pairs")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // Generate (explode of the pair transform) must sit ABOVE the word
+    // aggregate in the optimized plan — exploding before aggregation would
+    // fan the raw corpus out ~word-length-fold
+    val genIdx = optimized.indexOf("Generate")
+    val aggIdx = optimized.indexOf("Aggregate", genIdx)
+    assert(genIdx >= 0 && aggIdx > genIdx,
+      "expected explode above the word-frequency aggregate\n" + optimized.take(3000))
+  }
 }
