@@ -601,8 +601,7 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val toks = shingleTable(df, textCol, idCol, shingleSize)
       .withColumnRenamed("shingle", "tok")
-      .persist(lvl) // feeds 2 branches: prefixes, intersection join
-    val sizes = toks.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+      .persist(lvl) // feeds 2 branches: prefixes, verify arrays
 
     // Prefix-filter recall holds under ANY consistent global token order
     // (Chaudhuri/Ganti/Kaushik 2006 — both docs of a qualifying pair keep
@@ -621,22 +620,41 @@ object Dedup {
       // prefix length = sz − ⌈t·sz⌉ + 1 (integer ceil div — exact, no float)
       .withColumn("plen", expr(s"sz - ((sz * $tNum + ${tDen - 1}) DIV $tDen) + 1"))
       .filter(col("rn") <= col("plen"))
-      .select(col("tok"), col(idCol), col("sz"))
+      .select(col("tok"), col(idCol), col("sz"), col("rn"))
 
-    val cand = prefixes.select(col("tok"), col(idCol).as("id_a"), col("sz").as("pa"))
-      .join(prefixes.select(col("tok"), col(idCol).as("id_b"), col("sz").as("pb")), Seq("tok"))
+    // Candidate pair occurrences, pruned by PPJoin's POSITIONAL filter
+    // before they ever become pairs: a qualifying pair's FIRST shared
+    // token (shared tokens appear in the same relative order in both docs)
+    // bounds the intersection by 1 + min(remaining-after-it on each side),
+    // and the first shared token of a qualifying pair provably sits in
+    // BOTH prefixes — so dropping every occurrence whose bound cannot
+    // reach the overlap threshold α = ⌈t(|A|+|B|)/(1+t)⌉ keeps exact
+    // recall while killing the pairs whose only shared tokens sit late in
+    // both prefixes (the bulk of the junk at moderate thresholds).
+    val cand = prefixes
+      .select(col("tok"), col(idCol).as("id_a"), col("sz").as("pa"), col("rn").as("ra"))
+      .join(prefixes
+        .select(col("tok"), col(idCol).as("id_b"), col("sz").as("pb"), col("rn").as("rb")),
+        Seq("tok"))
       .filter(col("id_a") < col("id_b"))
       // size filter: t·max ≤ min, integerized — prunes before the verify join
       .filter(greatest(col("pa"), col("pb")) * tNum <= least(col("pa"), col("pb")) * tDen)
+      // positional filter: (1 + min(pa−ra, pb−rb))·(tNum+tDen) ≥ tNum·(pa+pb)
+      .filter((lit(1) + least(col("pa") - col("ra"), col("pb") - col("rb")))
+        * (tNum + tDen) >= (col("pa") + col("pb")) * tNum)
       .select("id_a", "id_b").distinct()
 
-    val sa = toks.select(col(idCol).as("id_a"), col("tok"))
-    val sb = toks.select(col(idCol).as("id_b"), col("tok"))
-    val inter = cand.join(sa, "id_a").join(sb, Seq("id_b", "tok"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    val res = inter
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+    // Verify with ONE row per pair side: each doc's (distinct) token set
+    // rides as an array, the exact intersection is a codegen'd
+    // array_intersect — no pair×token fan-out, no second wide aggregation.
+    // At corpus scale this is two hash joins on id of |candidates| rows
+    // against the |docs|-row array table.
+    val arrs = toks.groupBy(col(idCol))
+      .agg(collect_list(col("tok")).as("ta"), count(lit(1)).as("sz"))
+    val res = cand
+      .join(arrs.select(col(idCol).as("id_a"), col("ta").as("ts_a"), col("sz").as("sz_a")), "id_a")
+      .join(arrs.select(col(idCol).as("id_b"), col("ta").as("ts_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
       .filter(col("inter") * tDen >= (col("sz_a") + col("sz_b") - col("inter")) * tNum)
       .withColumn("jacc_bp", expr("(10000 * inter) DIV (sz_a + sz_b - inter)"))
       .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jacc_bp")
