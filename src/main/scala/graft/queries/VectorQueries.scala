@@ -118,6 +118,37 @@ object VectorQueries {
         .search(queriesDf(s, dir, 10, 15), k = 4, nprobe = 4)
         .orderBy(col("query_id"), col("rank"))),
 
+    // Embedding-space corpus cartography (the SemDeDup/cluster-balanced
+    // curation view): every vector assigned to its seeded cell (the q24
+    // quantizer — data-independent, so the whole map replays in SQL),
+    // then per-cluster population, mean affinity to the centroid, and the
+    // exemplar (best-affinity member, id tie-break) — the summary a
+    // curation pipeline uses to prune over-represented regions and pick
+    // cluster representatives. One broadcast of 16 centroids, one window
+    // over cells; the checkpointed scored table keeps the assignment fold
+    // single. All float math rounds at declared scales.
+    "q134_embed_clusters" -> ((s, dir) => {
+      import graft.functions.VectorFns
+      val idx = ivfSeeded(s, dir, nlist = 16)
+      val scored = idx.cells.join(broadcast(idx.centroids), "cell")
+        .select(col("cell"), col("vec_id"),
+          round(VectorFns.cosineSim(col("embedding"), col("centroid")), 4).as("score"))
+        .localCheckpoint()
+      val agg = scored.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("score").cast("decimal(18,4)")).cast("double").as("ssum"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell")).orderBy(col("score").desc, col("vec_id").asc)
+      val ex = scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("cell"), col("vec_id").as("exemplar_id"),
+          col("score").as("exemplar_score"))
+      agg.join(ex, "cell")
+        .select(col("cell"), col("n_vecs"),
+          floor(col("ssum") / col("n_vecs") * 10000 + 0.5).cast("long").as("mean_score_bp"),
+          col("exemplar_id"), col("exemplar_score"))
+        .orderBy(col("cell"))
+    }),
+
     // Product-quantization ANN (ADC scan): codes + a per-query LUT join
     // stand in for full-precision vectors — the memory-compression scale
     // path beside IVF's IO pruning. Seeded codebook ⇒ the encode, the LUT
@@ -344,7 +375,46 @@ object VectorQueries {
        |FROM rer QUALIFY rank <= 4
        |ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB replay of the cluster cartography (q134): the q24 assignment
+    * CTE (argmax rounded cosine, earliest-max tie → lowest cell), then the
+    * per-cell aggregate over decimal-cast rounded scores and the exemplar
+    * window. floor(x*1e4 + 0.5) instead of round() — the .00005-boundary
+    * rule. */
+  private lazy val embedClustersOracleSql: String = {
+    val cents = graft.operators.Dedup.hyperplanes(64, 16, 7L)
+    val rows = cents.zipWithIndex.map { case (c, cell) =>
+      s"($cell, [${c.map(f => f.toDouble.toString).mkString(", ")}])"
+    }.mkString(",\n")
+    s"""WITH cent(cell, cv) AS (VALUES
+       |$rows),
+       |corpus AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, v, cell,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY round(list_cosine_similarity(v, cv), 4) DESC, cell ASC) AS arank
+       |  FROM corpus, cent QUALIFY arank = 1),
+       |sc AS (
+       |  SELECT a.vec_id, a.cell,
+       |    round(list_cosine_similarity(a.v, c.cv), 4) AS score
+       |  FROM assigned a JOIN cent c USING (cell)),
+       |agg AS (
+       |  SELECT cell, count(*) AS n_vecs,
+       |    cast(sum(cast(score as decimal(18,4))) as double) AS ssum
+       |  FROM sc GROUP BY cell),
+       |ex AS (
+       |  SELECT cell, vec_id AS exemplar_id, score AS exemplar_score,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY score DESC, vec_id ASC) AS r
+       |  FROM sc QUALIFY r = 1)
+       |SELECT a.cell, a.n_vecs,
+       |  cast(floor(a.ssum / a.n_vecs * 10000 + 0.5) as bigint) AS mean_score_bp,
+       |  e.exemplar_id, e.exemplar_score
+       |FROM agg a JOIN ex e USING (cell)
+       |ORDER BY a.cell""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q134_embed_clusters" -> embedClustersOracleSql,
     "q94_ann_pq" -> pqOracleSql,
     "q104_ann_rerank" -> pqRerankOracleSql,
     "q55_ann_lsh" -> lshOracleSql,
