@@ -532,6 +532,56 @@ object EngineQueries {
       s.read.parquet(monitor).orderBy(col("batch_id"))
     }),
 
+    // Incremental sketch-MV maintenance — the streaming form of q127's
+    // mergeable-sketch rolling-distinct MV, and the shape a 100 TB
+    // rolling-metrics pipeline actually runs: each micro-batch contributes
+    // per-day HLL sketches (bytes, not users), and foreachBatch merges
+    // them into the stored MV copy-on-write via hll_union_agg — O(days)
+    // per batch, never a re-scan of history. HLL register-max union is
+    // order- and partition-independent, so the settled MV's sketches are
+    // IDENTICAL to a one-shot batch build; graded the q127 way (exact
+    // rides along, lgK=14 estimate inside a 5% gate).
+    "q135_stream_sketch_mv" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q135_")
+      val drop = java.nio.file.Files.createDirectory(tmp.resolve("drop"))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      stageFile(raw.filter(col("event_id") % 2 === 0), tmp.resolve("w1"), drop, "a.parquet")
+      stageFile(raw.filter(col("event_id") % 2 === 1), tmp.resolve("w2"), drop, "b.parquet")
+      val mv = java.nio.file.Files.createDirectory(tmp.resolve("mv")).toString
+      tsNorm(s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1")
+        .parquet(drop.toString))
+        .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val sp = batch.sparkSession
+          val delta = batch.groupBy(col("day"))
+            .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+          val prevDirs = new java.io.File(mv).listFiles()
+          val merged = Option(prevDirs).filter(_.nonEmpty).map { ds =>
+            sp.read.parquet(ds.maxBy(_.getName.drop(1).toInt).getAbsolutePath)
+              .unionByName(delta)
+              .groupBy(col("day")).agg(hll_union_agg(col("sk")).as("sk"))
+          }.getOrElse(delta)
+          merged.coalesce(1).write.mode("overwrite").parquet(s"$mv/v$id")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val latest = new java.io.File(mv).listFiles().maxBy(_.getName.drop(1).toInt)
+      val est = s.read.parquet(latest.getAbsolutePath)
+        .select(col("day"), hll_sketch_estimate(col("sk")).as("n_est"))
+      val exact = t(s, dir, "events")
+        .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("n_users"))
+      exact.join(est, "day")
+        .select(col("day").cast("timestamp").as("day"), col("n_users"),
+          (abs(col("n_est") - col("n_users"))
+            <= col("n_users").cast("double") * 0.05).as("sketch_ok"))
+        .orderBy(col("day"))
+    }),
+
     "q108_stream_update_mv" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tmp = java.nio.file.Files.createTempDirectory("graft_q108_")
@@ -670,6 +720,11 @@ object EngineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q135_stream_sketch_mv" ->
+      """SELECT cast(cast(date_trunc('day', ts) as date) as timestamp) AS day,
+        |  count(DISTINCT user_id) AS n_users, true AS sketch_ok
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
     "q133_stream_oov" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
