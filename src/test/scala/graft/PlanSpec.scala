@@ -322,6 +322,24 @@ class PlanSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("q134: the exemplar window is cell-partitioned and the summary joins stay keyed") {
+    val df = SparkEntry.queries("q134_embed_clusters")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // exemplar election must parallelize across cells, never a global sort
+    assert(optimized.contains("windowspecdefinition(cell"), optimized.take(3000))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q110/q127: rolling distinct never plans a theta join (contribute-to-window explode)") {
+    for (q <- Seq("q110_rolling_distinct", "q127_sketch_mv")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"$q\n" + plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q\n" + plan.take(2000))
+      assert(plan.contains("Generate"), s"$q: expected the window-explode\n" + plan.take(2000))
+    }
+  }
+
   test("q132: the pair fan-out runs over the aggregated vocabulary, never the corpus") {
     val df = SparkEntry.queries("q132_bpe_pairs")(spark, sf)
     val optimized = df.queryExecution.optimizedPlan.toString
