@@ -149,6 +149,28 @@ object VectorQueries {
         .orderBy(col("cell"))
     }),
 
+    // Retrieval-quality evaluation — the recall@k measurement every ANN
+    // index ships with (and the gate an index-parameter change must pass
+    // before rollout): the pruned probe's top-4 against the exact top-4
+    // on the same queries, hit counts by a keyed join, recall in integer
+    // basis points. Both sides are deterministic, so the metric itself is
+    // exact and replays in SQL — index QUALITY measured with the same
+    // rigor as index results.
+    "q136_ann_recall" -> ((s, dir) => {
+      val q = queriesDf(s, dir, 10, 15)
+      val exact = VectorSearch.topK(t(s, dir, "embeddings"), q, k = 4)
+        .select(col("query_id"), col("vec_id"))
+      val approx = ivfSeeded(s, dir, nlist = 16).search(q, k = 4, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("k"), col("n_hits"),
+          expr("(10000 * n_hits) DIV k").as("recall_bp"))
+        .orderBy(col("query_id"))
+    }),
+
     // Product-quantization ANN (ADC scan): codes + a per-query LUT join
     // stand in for full-precision vectors — the memory-compression scale
     // path beside IVF's IO pruning. Seeded codebook ⇒ the encode, the LUT
@@ -279,12 +301,15 @@ object VectorQueries {
     * same widened-float products in index order; a flip would need two
     * Gaussian-direction cosines within summation-noise (~1e-15) of each
     * other — the q55 sign-flip argument. */
-  private lazy val ivfProbeOracleSql: String = {
+  /** The probe chain as CTEs ending in `approx(query_id, vec_id, score,
+    * rank ≤ 4)` — shared by q24 (graded ranking) and q136 (recall vs the
+    * exact top-k). Exposes `q(query_id, qv)` for reuse by later CTEs. */
+  private lazy val ivfProbeCtes: String = {
     val cents = graft.operators.Dedup.hyperplanes(64, 16, 7L)
     val rows = cents.zipWithIndex.map { case (c, cell) =>
       s"($cell, [${c.map(f => f.toDouble.toString).mkString(", ")}])"
     }.mkString(",\n")
-    s"""WITH cent(cell, cv) AS (VALUES
+    s"""cent(cell, cv) AS (VALUES
        |$rows),
        |corpus AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
        |assigned AS (
@@ -301,14 +326,38 @@ object VectorQueries {
        |  FROM q, cent QUALIFY crank <= 4),
        |cand AS (
        |  SELECT p.query_id, p.qv, a.vec_id, a.v
-       |  FROM assigned a JOIN probed p ON a.cell = p.cell)
-       |SELECT query_id, vec_id,
-       |  round(list_cosine_similarity(v, qv), 4) AS score,
-       |  cast(row_number() OVER (PARTITION BY query_id
-       |    ORDER BY round(list_cosine_similarity(v, qv), 4) DESC, vec_id ASC) as int) AS rank
-       |FROM cand QUALIFY rank <= 4
-       |ORDER BY query_id, rank""".stripMargin
+       |  FROM assigned a JOIN probed p ON a.cell = p.cell),
+       |approx AS (
+       |  SELECT query_id, vec_id,
+       |    round(list_cosine_similarity(v, qv), 4) AS score,
+       |    cast(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(list_cosine_similarity(v, qv), 4) DESC, vec_id ASC) as int) AS rank
+       |  FROM cand QUALIFY rank <= 4)""".stripMargin
   }
+
+  private lazy val ivfProbeOracleSql: String =
+    s"""WITH $ivfProbeCtes
+       |SELECT query_id, vec_id, score, rank FROM approx
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Recall@4 of the pruned probe vs the exact top-4 over the same
+    * queries (q136): the exact side reuses the probe's `q` CTE, the
+    * intersection is a keyed left join, recall in integer basis points. */
+  private lazy val annRecallOracleSql: String =
+    s"""WITH $ivfProbeCtes,
+       |brute AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    cast(row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY round(list_cosine_similarity(cast(e.embedding as double[]), q.qv), 4) DESC,
+       |               e.vec_id ASC) as int) AS rank
+       |  FROM embeddings e, q QUALIFY rank <= 4)
+       |SELECT b.query_id, count(*) AS k,
+       |  cast(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_hits,
+       |  (10000 * cast(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) as bigint))
+       |    // count(*) AS recall_bp
+       |FROM brute b LEFT JOIN approx a
+       |  ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
 
   /** DuckDB replay of the seeded-PQ ADC scan (q94): codebooks as double
     * literals (the q24 precedent), per-subspace argmin on ROUNDED L2² with
@@ -415,6 +464,7 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "q134_embed_clusters" -> embedClustersOracleSql,
+    "q136_ann_recall" -> annRecallOracleSql,
     "q94_ann_pq" -> pqOracleSql,
     "q104_ann_rerank" -> pqRerankOracleSql,
     "q55_ann_lsh" -> lshOracleSql,
