@@ -25,12 +25,18 @@ object Compaction {
 
   /** Rewrite `inPath` (hive-partitioned by `partCol`) into `outPath` with
     * at most ceil(rows / maxRecordsPerFile) files per partition directory
-    * (one file per directory when the bound permits). */
+    * (one file per directory when the bound permits). `sortCols` cluster
+    * rows inside the rewritten files (a local sort — no extra exchange),
+    * restoring parquet min/max zone-map skipping that interleaved ingest
+    * batches destroyed — the OPTIMIZE ... ZORDER/sort half of the rewrite. */
   def compact(spark: SparkSession, inPath: String, outPath: String,
-              partCol: String, maxRecordsPerFile: Long = 10000000L): Unit = {
-    spark.read.parquet(inPath)
-      .repartition(col(partCol))
-      .write.mode("overwrite")
+              partCol: String, maxRecordsPerFile: Long = 10000000L,
+              sortCols: Seq[String] = Nil): Unit = {
+    val shuffled = spark.read.parquet(inPath).repartition(col(partCol))
+    val clustered =
+      if (sortCols.isEmpty) shuffled
+      else shuffled.sortWithinPartitions((partCol +: sortCols).map(col): _*)
+    clustered.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partCol)
       .parquet(outPath)

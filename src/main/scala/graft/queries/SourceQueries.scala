@@ -72,7 +72,7 @@ object SourceQueries {
         .select(col("kb").cast("long").as("kb"), col("_metadata.file_path").as("fn"))
         .groupBy(col("kb"))
         .agg((countDistinct(col("fn")) > 1).as("was_fragmented"))
-      Compaction.compact(s, frag, compacted, "kb")
+      Compaction.compact(s, frag, compacted, "kb", sortCols = Seq("l_orderkey"))
       s.read.parquet(compacted)
         .select(col("kb").cast("long").as("kb"), col("l_extendedprice"),
           col("_metadata.file_path").as("fn"))

@@ -72,5 +72,24 @@ class SketchesSpec extends SparkSpec {
     Compaction.compact(spark, frag, out2, "kb", maxRecordsPerFile = 100L)
     val splitDirs = filesPerDir(out2).agg(min("nf")).collect().head.getLong(0)
     assert(splitDirs > 1, "a 100-record bound must split every directory")
+
+    // sortCols cluster rows INSIDE each rewritten file (zone-map repair):
+    // every file must be internally non-decreasing on the sort key
+    val out3 = s"$base/out3"
+    Compaction.compact(spark, frag, out3, "kb", sortCols = Seq("l_orderkey"))
+    val disorder = spark.read.parquet(out3)
+      .select(col("_metadata.file_path").as("fn"), col("l_orderkey"))
+      .mapPartitions { rows =>
+        var prevFile: String = null; var prevKey = Long.MinValue; var bad = 0L
+        rows.foreach { r =>
+          val f = r.getString(0); val k = r.getLong(1)
+          if (f != prevFile) { prevFile = f; prevKey = Long.MinValue }
+          if (k < prevKey) bad += 1
+          prevKey = k
+        }
+        Iterator.single(bad)
+      }(org.apache.spark.sql.Encoders.scalaLong)
+      .reduce(_ + _)
+    assert(disorder == 0L, s"$disorder out-of-order rows inside compacted files")
   }
 }
