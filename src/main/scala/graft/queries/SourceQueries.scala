@@ -52,7 +52,7 @@ object SourceQueries {
     }),
 
     // Small-file compaction (operators/Compaction.scala): a fragmented
-    // hive layout — 32 round-robin ingest "batches" each scattering files
+    // hive layout — 16 round-robin ingest "batches" each scattering files
     // into every partition directory, the shape streaming appends leave
     // behind — is rewritten to ONE file per directory (one shuffle on the
     // partition column; maxRecordsPerFile still bounds the other extreme).
@@ -66,7 +66,7 @@ object SourceQueries {
       val compacted = tmp(dir, "li_compacted")
       t(s, dir, "lineitem")
         .withColumn("kb", pmod(col("l_orderkey"), lit(8L)))
-        .repartition(32)
+        .repartition(16)
         .write.mode("overwrite").partitionBy("kb").parquet(frag)
       val fragFiles = s.read.parquet(frag)
         .select(col("kb").cast("long").as("kb"), col("_metadata.file_path").as("fn"))
