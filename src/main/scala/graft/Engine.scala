@@ -132,7 +132,7 @@ object EngineConfig {
  * update is one narrow chunk/embed stage plus a parquet write, search is
  * a broadcast score + window top-k + one hydration join.
  */
-class Engine(spark: SparkSession, cfg: EngineConfig,
+class Engine(spark: SparkSession, val cfg: EngineConfig,
              embedder: Engine.Embedder = null) {
 
   /** The model seam (`embed.py:21-39`'s `embed_documents`): documents and
@@ -227,6 +227,34 @@ class Engine(spark: SparkSession, cfg: EngineConfig,
       invalidateIvf()
     }
     before - store().count()
+  }
+
+  /**
+   * Maintenance verb closing the lifecycle (ingest/update/search/delete/
+   * compact): every `ingest` and `updateIncremental` APPENDS a batch of
+   * part files, so a long-lived deployment's store and index accrete the
+   * small-file disease operators/Compaction.scala exists for. This
+   * rewrite bin-packs each layout into ceil(rows / maxRecordsPerFile)
+   * files, clustered on the key so parquet min/max skipping works for
+   * point lookups again. Copy-on-write via the delete verb's pinned
+   * materialization; the IVF memo survives (content is unchanged —
+   * compaction moves bytes, not rows). Returns (storeFiles, indexFiles)
+   * after the rewrite.
+   */
+  def compact(maxRecordsPerFile: Long = 10000000L): (Long, Long) = {
+    def rewrite(path: String, keyCol: String): Long = {
+      val df = spark.read.parquet(path)
+      val n = df.count()
+      val files = math.max(1L, (n + maxRecordsPerFile - 1) / maxRecordsPerFile)
+      df.repartition(files.toInt).sortWithinPartitions(keyCol)
+        .localCheckpoint(true) // pin BEFORE overwriting the path being read
+        .write.mode("overwrite").option("maxRecordsPerFile", maxRecordsPerFile)
+        .parquet(path)
+      files
+    }
+    val sf = rewrite(cfg.storePath, "doc_id")
+    val ifn = if (indexExists) rewrite(cfg.indexPath, "doc_id") else 0L
+    (sf, ifn)
   }
 
   private def indexExists: Boolean = {

@@ -38,6 +38,29 @@ class EngineSpec extends SparkSpec {
     assert(q0.sameElements(q0.sorted(Ordering[Double].reverse)))
   }
 
+  test("compact bin-packs a fragmented store+index without changing any result") {
+    val eng = freshEngine()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    // fragment: four incremental ingests append four part-file batches
+    for (m <- 0 to 3) eng.ingest(docs.filter(col("doc_id") % 4 === m))
+    eng.update()
+    for (m <- 0 to 3) eng.ingest(docs) // appends nothing (dedup) but proves idempotence
+    def nFiles(path: String) = spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("fn")).distinct().count()
+    val storeBefore = nFiles(s"${eng.cfg.storePath}")
+    assert(storeBefore > 1, "fixture must be fragmented")
+    val hitsBefore = eng.search(Seq("data processing pipeline")).collect().toSeq
+
+    val (sfiles, ifiles) = eng.compact()
+    assert(sfiles == 1 && ifiles == 1)
+    assert(nFiles(s"${eng.cfg.storePath}") == 1)
+    assert(nFiles(s"${eng.cfg.indexPath}") == 1)
+    assert(eng.store().count() == docs.count())
+    val hitsAfter = eng.search(Seq("data processing pipeline")).collect().toSeq
+    assert(hitsBefore == hitsAfter)
+  }
+
   test("search plans broadcast-side scoring and broadcast hydration (no shuffle joins)") {
     // the 100 TB shape: the corpus/index side never shuffles for a search —
     // queries broadcast into the scoring scan, hits broadcast into hydration
