@@ -235,18 +235,24 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * part files, so a long-lived deployment's store and index accrete the
    * small-file disease operators/Compaction.scala exists for. This
    * rewrite bin-packs each layout into ceil(rows / maxRecordsPerFile)
-   * files, clustered on the key so parquet min/max skipping works for
-   * point lookups again. Copy-on-write via the delete verb's pinned
-   * materialization; the IVF memo survives (content is unchanged —
-   * compaction moves bytes, not rows). Returns (storeFiles, indexFiles)
-   * after the rewrite.
+   * files, RANGE-clustered on the key (disjoint key ranges per output
+   * file) so parquet file-level min/max skipping works for point lookups
+   * again. Copy-on-write via the delete verb's pinned materialization.
+   * The memoized IVF is invalidated even though CONTENT is unchanged:
+   * the memo is a lazy plan whose file listing resolved against the
+   * pre-compaction part files, and any post-rewrite recomputation
+   * (unmaterialized cache, block eviction) would replay the scan against
+   * deleted files. Returns (storeFiles, indexFiles) after the rewrite.
    */
   def compact(maxRecordsPerFile: Long = 10000000L): (Long, Long) = {
     def rewrite(path: String, keyCol: String): Long = {
       val df = spark.read.parquet(path)
       val n = df.count()
       val files = math.max(1L, (n + maxRecordsPerFile - 1) / maxRecordsPerFile)
-      df.repartition(files.toInt).sortWithinPartitions(keyCol)
+      val clustered =
+        if (files == 1L) df.repartition(1)
+        else df.repartitionByRange(files.toInt, col(keyCol))
+      clustered.sortWithinPartitions(keyCol)
         .localCheckpoint(true) // pin BEFORE overwriting the path being read
         .write.mode("overwrite").option("maxRecordsPerFile", maxRecordsPerFile)
         .parquet(path)
@@ -254,6 +260,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     }
     val sf = rewrite(cfg.storePath, "doc_id")
     val ifn = if (indexExists) rewrite(cfg.indexPath, "doc_id") else 0L
+    invalidateIvf() // plan validity, not content: old memo points at deleted part files
     (sf, ifn)
   }
 

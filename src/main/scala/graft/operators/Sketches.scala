@@ -56,15 +56,18 @@ object Sketches {
 
   /** Point-estimate each row of `keys` against a sketch: min over the
     * `depth` salted cells. The sketch is at most depth×width rows —
-    * broadcast it; carried columns on `keys` survive into the output. */
+    * broadcast it; carried columns on `keys` survive into the output.
+    * LEFT join + coalesce-to-zero: an absent cell is a zero counter, so
+    * a never-seen key estimates 0 (and a partially-empty key's min is
+    * correctly pulled down to 0) instead of vanishing / inflating. */
   def cmEstimate(keys: DataFrame, keyCol: String, sketch: DataFrame,
                  depth: Int, width: Int): DataFrame = {
     val carried = keys.columns.map(col).toSeq
     keys
       .select(carried :+ explode(sequence(lit(0), lit(depth - 1))).as("salt"): _*)
       .withColumn("bucket", cmBucket(col("salt"), col(keyCol), width))
-      .join(broadcast(sketch), Seq("salt", "bucket"))
+      .join(broadcast(sketch), Seq("salt", "bucket"), "left")
       .groupBy(carried: _*)
-      .agg(min(col("cnt")).as("n_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
   }
 }

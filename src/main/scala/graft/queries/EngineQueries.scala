@@ -544,6 +544,9 @@ object EngineQueries {
     "q135_stream_sketch_mv" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q135_")
       val drop = java.nio.file.Files.createDirectory(tmp.resolve("drop"))
+      // pre-regeneration TIMESTAMP(NANOS) vintage: must be set before the
+      // raw read in a fresh session (q86/q89/q95 parity; tsNorm dispatches)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$dir/events.parquet")
       stageFile(raw.filter(col("event_id") % 2 === 0), tmp.resolve("w1"), drop, "a.parquet")
       stageFile(raw.filter(col("event_id") % 2 === 1), tmp.resolve("w2"), drop, "b.parquet")

@@ -59,6 +59,14 @@ class EngineSpec extends SparkSpec {
     assert(eng.store().count() == docs.count())
     val hitsAfter = eng.search(Seq("data processing pipeline")).collect().toSeq
     assert(hitsBefore == hitsAfter)
+
+    // the IVF memo is a lazy plan over the PRE-compaction part files;
+    // compact() must invalidate it so the next IVF search re-resolves the
+    // listing against the rewritten layout instead of deleted files
+    val ivfBefore = eng.searchIvf(Seq("machine learning")).collect().toSeq
+    eng.compact() // second compact with a WARM memo
+    val ivfAfter = eng.searchIvf(Seq("machine learning")).collect().toSeq
+    assert(ivfBefore == ivfAfter)
   }
 
   test("search plans broadcast-side scoring and broadcast hydration (no shuffle joins)") {

@@ -32,6 +32,15 @@ class SketchesSpec extends SparkSpec {
       .filter(col("n_est") < col("n_exact")).count()
     assert(under == 0)
 
+    // probing keys the sketch has never seen returns an estimate (usually
+    // 0 on a sparse sketch), never a silently-dropped row
+    val unseen = spark.range(3)
+      .select(concat(lit("graft-unseen-key-"), col("id")).as("token"))
+    val probed = Sketches.cmEstimate(unseen, "token", sketch, depth, width)
+      .collect()
+    assert(probed.length == 3, "unseen keys must not vanish from the output")
+    assert(probed.forall(_.getAs[Long]("n_est") >= 0L))
+
     // sketches of disjoint batches merge by cell-wise addition
     val half1 = counts.filter(col("token") < "m")
     val half2 = counts.filter(col("token") >= "m")
