@@ -123,7 +123,150 @@ object PipelineQueries {
           i => array_join(slice(col("toks"), i + lit(1), lit(n)), " "))).as("gram"))
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
 
+  // ---- q137: planted cross-doc substring (appended to every 6th doc, ~100
+  // chars = guaranteed shared 32-char windows at every scale factor) -------
+  private val spanBoiler =
+    "all rights reserved unauthorized reproduction of this material is " +
+      "strictly prohibited without prior written consent"
+
   val queries: Map[String, Q] = Map(
+
+    // Exact substring-level dedup detection (the "deduplicating training
+    // data" move at character granularity): every 32-char window of every
+    // document, hashed corpus-wide; windows seen in >=2 DISTINCT docs are
+    // duplicated content, and runs of adjacent duplicated positions merge
+    // into maximal spans (the island trick: pos - row_number is constant
+    // within a run). One shuffle on the gram key to find cross-doc windows
+    // (map-side combine carries (gram, doc) partials), the tiny duplicated
+    // set broadcasts back, and the span merge is a per-doc window — the
+    // minimal exchange plan for corpus-wide span mining at 100 TB.
+    "q137_substring_spans" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .withColumn("text2",
+          when(col("doc_id") % 6 === 0, concat(col("text"), lit(" " + spanBoiler)))
+            .otherwise(col("text")))
+        .filter(length(col("text2")) >= 32)
+      val grams = base
+        .select(col("doc_id"), col("text2"),
+          explode(sequence(lit(1), length(col("text2")) - 31)).as("p"))
+        .select(col("doc_id"), col("p"), expr("substring(text2, p, 32)").as("gram"))
+      val dupGrams = grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("gram")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val islands = grams.join(broadcast(dupGrams), "gram")
+        .withColumn("island", col("p") - row_number().over(w))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(count(lit(1)).as("npos"), (max(col("p")) - min(col("p")) + 32).as("covered"))
+      islands.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), sum(col("npos")).as("n_dup_pos"),
+          sum(col("covered")).as("dup_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization + keep-newest dedup — the crawl-frontier hygiene
+    // pass: scheme/host case-folding, default-port strip, query+fragment
+    // strip, trailing-slash normalization, then one winner per canonical URL
+    // by recency. Pure codegen'd projection into one window; messy aliases
+    // are planted on every 4th doc (uppercased host, :443, utm tail) with a
+    // LATER fetch date, so the winner must be the alias, proving the dedup
+    // keys on the canonical form, not the raw string.
+    "q140_url_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clean = docs.select(col("doc_id"), lit(0L).as("variant"),
+        concat(lit("https://"), col("source"), lit(".example.com/"), col("lang"),
+          lit("/"), col("doc_id"), lit("/")).as("url"),
+        (col("doc_id") % 365).cast("int").as("off"))
+      val messy = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), lit(1L).as("variant"),
+          concat(lit("HTTPS://"), upper(col("source")), lit(".EXAMPLE.COM:443/"),
+            col("lang"), lit("/"), col("doc_id"),
+            lit("/?utm_source=feed&session="), col("doc_id"), lit("#top")).as("url"),
+          (col("doc_id") % 365 + 10).cast("int").as("off"))
+      val canoned = clean.unionAll(messy)
+        .withColumn("u1", regexp_replace(regexp_replace(col("url"), "#.*$", ""), "\\?.*$", ""))
+        .withColumn("hostp",
+          regexp_replace(lower(regexp_extract(col("u1"), "^([^:]+://[^/]+)", 1)), ":443$", ""))
+        .withColumn("pathp",
+          regexp_replace(regexp_extract(col("u1"), "^[^:]+://[^/]+(/.*)?$", 1), "/$", ""))
+        .withColumn("canon", concat(col("hostp"), col("pathp")))
+        .withColumn("fetched",
+          date_format(date_add(to_date(lit("2024-01-01")), col("off")), "yyyy-MM-dd"))
+      val w = Window.partitionBy(col("canon"))
+        .orderBy(col("fetched").desc, col("variant").asc)
+      canoned
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).as("n_variants"),
+          max(when(col("rn") === 1, col("variant"))).as("win_variant"),
+          max(when(col("rn") === 1, col("fetched"))).as("win_fetched"),
+          max(when(col("rn") === 1, col("doc_id"))).as("doc_id"))
+        .orderBy(col("canon"))
+    }),
+
+    // k-anonymity audit — the privacy gate a training-data release runs over
+    // quasi-identifiers (nation × market segment × account-balance band):
+    // any group smaller than k=5 is re-identifiable and must be suppressed
+    // or generalized. One partial-aggregated groupBy at any scale; the
+    // at_risk flag is the release decision, row counts are the evidence.
+    "q141_k_anonymity" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("band"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", col("n") < 5)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+    }),
+
+    // Character-statistics quality signals in pure integer arithmetic (the
+    // q78 no-float-accumulation rule): per-document char histogram →
+    // Simpson diversity 1 - Σc²/n² (the logarithm-free cousin of entropy),
+    // whitespace and digit occupancy — each ONE IEEE divide of two exact
+    // integers, then integer basis points. Two partial-aggregated shuffles
+    // (doc×char, then doc) over an explode that parallelizes per-row.
+    "q142_char_quality" -> ((s, dir) => {
+      val chars = t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")))).as("p"))
+        .select(col("doc_id"), expr("substring(text, p, 1)").as("ch"))
+      chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_distinct"),
+          sum(col("cnt") * col("cnt")).as("ss"),
+          sum(when(col("ch").isin(" ", "\t", "\n"), col("cnt")).otherwise(0L)).as("ws"),
+          sum(when(col("ch").between("0", "9"), col("cnt")).otherwise(0L)).as("dg"))
+        .select(col("doc_id"), col("n"), col("n_distinct"),
+          floor(lit(10000.0) * (col("n") * col("n") - col("ss")) / (col("n") * col("n")) + 0.5)
+            .cast("long").as("simpson_bp"),
+          floor(lit(10000.0) * col("ws") / col("n") + 0.5).cast("long").as("ws_bp"),
+          floor(lit(10000.0) * col("dg") / col("n") + 0.5).cast("long").as("digit_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source percentile quality gate — corpus curation by distributional
+    // threshold instead of a global constant: each source's own p25 token
+    // count is its admission bar (a low-quality source can't dilute a
+    // high-quality one). The per-source thresholds are a tiny aggregate →
+    // broadcast back; the gate itself is a projection. Interpolation at
+    // p=0.25 is dyadic (exact in IEEE), so the threshold replays exactly.
+    "q143_quality_gate" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      val thr = toks.groupBy(col("source"))
+        .agg(percentile(col("toks"), lit(0.25)).as("thr"))
+      toks.join(broadcast(thr), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("toks") >= col("thr"), 1L).otherwise(0L)).as("n_kept"),
+          floor(max(col("thr")) * 100 + 0.5).cast("long").as("thr_x100"),
+          sha2(array_join(transform(array_sort(
+              collect_list(when(col("toks") >= col("thr"), col("doc_id")))),
+            x => x.cast("string")), ","), 256).as("kept_sha"))
+        .orderBy(col("source"))
+    }),
     // Hash-bucket split assignment, aggregated per (split, lang): doc counts,
     // char volume and an id-sum membership checksum. The assignment itself is
     // shuffle-free; the only exchange is the final partial-agg rollup. At
@@ -566,6 +709,102 @@ object PipelineQueries {
        |  WHERE len(toks) >= 5)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q137_substring_spans" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 6 = 0 THEN text || ' ' || '$spanBoiler'
+         |         ELSE text END AS text2
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, i AS p, substr(text2, i, 32) AS gram
+         |  FROM base, unnest(generate_series(1, length(text2) - 31)) AS u(i)
+         |  WHERE length(text2) >= 32),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         |dp AS (
+         |  SELECT g.doc_id, g.p,
+         |    g.p - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.p) AS island
+         |  FROM g JOIN d USING (gram)),
+         |isl AS (
+         |  SELECT doc_id, island, count(*) AS npos, max(p) - min(p) + 32 AS covered
+         |  FROM dp GROUP BY doc_id, island)
+         |SELECT doc_id, cast(count(*) as bigint) AS n_spans,
+         |  cast(sum(npos) as bigint) AS n_dup_pos,
+         |  cast(sum(covered) as bigint) AS dup_chars
+         |FROM isl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q140_url_canonical" ->
+      """WITH v AS (
+        |  SELECT doc_id, cast(0 as bigint) AS variant,
+        |    'https://' || source || '.example.com/' || lang || '/' || doc_id || '/' AS url,
+        |    cast(doc_id % 365 as int) AS off
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, cast(1 as bigint) AS variant,
+        |    'HTTPS://' || upper(source) || '.EXAMPLE.COM:443/' || lang || '/' || doc_id
+        |      || '/?utm_source=feed&session=' || doc_id || '#top' AS url,
+        |    cast(doc_id % 365 + 10 as int) AS off
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |c AS (
+        |  SELECT doc_id, variant,
+        |    regexp_replace(lower(regexp_extract(u1, '^([^:]+://[^/]+)', 1)), ':443$', '')
+        |      || regexp_replace(regexp_extract(u1, '^[^:]+://[^/]+(/.*)?$', 1), '/$', '')
+        |      AS canon,
+        |    strftime(DATE '2024-01-01' + off, '%Y-%m-%d') AS fetched
+        |  FROM (SELECT *, regexp_replace(regexp_replace(url, '#.*$', ''), '\?.*$', '') AS u1
+        |        FROM v)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY canon
+        |    ORDER BY fetched DESC, variant ASC) AS rn
+        |  FROM c)
+        |SELECT canon, cast(count(*) as bigint) AS n_variants,
+        |  max(CASE WHEN rn = 1 THEN variant END) AS win_variant,
+        |  max(CASE WHEN rn = 1 THEN fetched END) AS win_fetched,
+        |  max(CASE WHEN rn = 1 THEN doc_id END) AS doc_id
+        |FROM r GROUP BY canon ORDER BY canon""".stripMargin,
+
+    "q141_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  cast(floor(c_acctbal / 1000) as bigint) AS band,
+        |  cast(count(*) as bigint) AS n,
+        |  count(*) < 5 AS at_risk
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |ORDER BY c_nationkey, c_mktsegment, band""".stripMargin,
+
+    "q142_char_quality" ->
+      """WITH ch AS (
+        |  SELECT doc_id, substr(text, i, 1) AS ch
+        |  FROM documents, unnest(generate_series(1, length(text))) AS u(i)
+        |  WHERE length(text) > 0),
+        |hist AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY doc_id, ch),
+        |agg AS (
+        |  SELECT doc_id, cast(sum(cnt) as bigint) AS n,
+        |    cast(count(*) as bigint) AS n_distinct,
+        |    cast(sum(cnt * cnt) as bigint) AS ss,
+        |    cast(sum(CASE WHEN ch IN (' ', chr(9), chr(10)) THEN cnt ELSE 0 END) as bigint) AS ws,
+        |    cast(sum(CASE WHEN ch BETWEEN '0' AND '9' THEN cnt ELSE 0 END) as bigint) AS dg
+        |  FROM hist GROUP BY doc_id)
+        |SELECT doc_id, n, n_distinct,
+        |  cast(floor(10000.0 * (n * n - ss) / (n * n) + 0.5) as bigint) AS simpson_bp,
+        |  cast(floor(10000.0 * ws / n + 0.5) as bigint) AS ws_bp,
+        |  cast(floor(10000.0 * dg / n + 0.5) as bigint) AS digit_bp
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q143_quality_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint) AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |thr AS (
+        |  SELECT source, percentile_cont(0.25) WITHIN GROUP (ORDER BY toks) AS thr
+        |  FROM toks GROUP BY source)
+        |SELECT t.source, cast(count(*) as bigint) AS n_total,
+        |  cast(sum(CASE WHEN t.toks >= h.thr THEN 1 ELSE 0 END) as bigint) AS n_kept,
+        |  cast(floor(max(h.thr) * 100 + 0.5) as bigint) AS thr_x100,
+        |  sha256(string_agg(CASE WHEN t.toks >= h.thr THEN cast(t.doc_id as varchar) END,
+        |                    ',' ORDER BY t.doc_id)) AS kept_sha
+        |FROM toks t JOIN thr h ON t.source = h.source
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
     "q121_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
