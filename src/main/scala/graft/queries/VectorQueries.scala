@@ -1,7 +1,9 @@
 package graft.queries
 
+import graft.functions.VectorFns
 import graft.operators.VectorSearch
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import QHelpers._
 
@@ -96,6 +98,60 @@ object VectorQueries {
     "q21_ann_topk" -> ((s, dir) =>
       VectorSearch.topK(t(s, dir, "embeddings"), queriesDf(s, dir, 0, 5), k = 4)
         .orderBy(col("query_id"), col("rank"))),
+
+    // Matryoshka-style dimension truncation evaluated as a recall curve:
+    // rank by cosine over the FIRST d coordinates only (d = 8/16/32/64) and
+    // measure top-4 overlap against the full-dim exact ranking. The scale
+    // story: truncated scoring cuts scan bandwidth d/64-fold for the
+    // candidate pass (the same two-stage shape as q104's PQ re-rank); this
+    // query grades how much ranking quality each truncation surrenders.
+    // Probes broadcast; one window per (dim, query) partition ranks locally.
+    "q138_matryoshka_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val dims = s.range(0, 4)
+        .select(pow(lit(2), col("id")).cast("int").multiply(8).as("dim"))
+      val scored = e.crossJoin(broadcast(probes)).crossJoin(broadcast(dims))
+        .select(col("dim"), col("query_id"), col("vec_id"),
+          round(VectorFns.cosineSim(
+            slice(col("embedding"), lit(1), col("dim")),
+            slice(col("qv"), lit(1), col("dim"))), 4).as("score"))
+      val w = Window.partitionBy(col("dim"), col("query_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      val topk = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+        .select("dim", "query_id", "vec_id").localCheckpoint()
+      val full = topk.filter(col("dim") === 64).select("query_id", "vec_id")
+      topk.join(broadcast(full), Seq("query_id", "vec_id"))
+        .groupBy(col("dim")).agg(count(lit(1)).as("n_hits"))
+        .select(col("dim").cast("long").as("dim"), col("n_hits"),
+          floor(lit(10000.0) * col("n_hits") / lit(40) + 0.5).cast("long").as("recall_bp"))
+        .orderBy(col("dim"))
+    }),
+
+    // Hard-negative mining — the contrastive-training data op: for each
+    // probe, the top-4 most-similar vectors whose LABEL DIFFERS (similar
+    // but wrong = the gradient-rich negatives). Probe set broadcasts, the
+    // corpus never shuffles; per-probe ranking is one window. At 100 TB the
+    // candidate pass routes through the IVF/LSH index first (q24/q55), with
+    // this exact scoring as the re-rank stage.
+    "q139_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      e.crossJoin(broadcast(probes))
+        .filter(col("label") =!= col("qlabel"))
+        .select(col("query_id"), col("vec_id"), col("label").cast("long").as("label"),
+          round(VectorFns.cosineSim(col("embedding"), col("qv")), 4).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 4)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), col("label"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // same semantics via the map-side-combining top-k aggregate (100 TB shape)
     "q22_ann_topk_agg" -> ((s, dir) =>
@@ -463,6 +519,42 @@ object VectorQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q138_matryoshka_recall" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, cast(embedding as double[]) AS qv
+        |  FROM embeddings WHERE vec_id >= 20 AND vec_id < 30),
+        |dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+        |scored AS (
+        |  SELECT d.dim, q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(
+        |      (cast(e.embedding as double[]))[1:d.dim], (q.qv)[1:d.dim]), 4) AS score
+        |  FROM embeddings e, q, dims d),
+        |topk AS (
+        |  SELECT dim, query_id, vec_id FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY dim, query_id
+        |    ORDER BY score DESC, vec_id ASC) <= 4),
+        |fullk AS (SELECT query_id, vec_id FROM topk WHERE dim = 64)
+        |SELECT cast(t.dim as bigint) AS dim, cast(count(*) as bigint) AS n_hits,
+        |  cast(floor(10000.0 * count(*) / 40 + 0.5) as bigint) AS recall_bp
+        |FROM topk t JOIN fullk f USING (query_id, vec_id)
+        |GROUP BY t.dim ORDER BY dim""".stripMargin,
+
+    "q139_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, label AS qlabel, cast(embedding as double[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id, cast(e.label as bigint) AS label,
+        |    round(list_cosine_similarity(cast(e.embedding as double[]), q.qv), 4) AS score
+        |  FROM embeddings e, q
+        |  WHERE e.label <> q.qlabel)
+        |SELECT query_id,
+        |  cast(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, vec_id ASC) as bigint) AS rank,
+        |  vec_id, label, score
+        |FROM scored
+        |QUALIFY rank <= 4
+        |ORDER BY query_id, rank""".stripMargin,
     "q134_embed_clusters" -> embedClustersOracleSql,
     "q136_ann_recall" -> annRecallOracleSql,
     "q94_ann_pq" -> pqOracleSql,
