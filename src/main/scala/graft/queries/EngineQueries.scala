@@ -370,6 +370,68 @@ object EngineQueries {
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 
+    // Watermarked LEFT OUTER stream-stream join — the state machine q95's
+    // inner join never exercises: an unmatched left row must be HELD in the
+    // join state until the right-side watermark proves no match can still
+    // arrive, then emitted with nulls. Sentinels ride BOTH streams (global
+    // watermark is the min across sources); the click side is paced
+    // 1-file-per-trigger with advance + flush sentinel batches (the q86
+    // discipline), so null-padded purchases emit via eviction, never via an
+    // end-of-stream special case. Sentinel rows share one instant and the
+    // condition is strict (cts < pts), so they can never join; the left
+    // sentinel's own null-padded row is filtered by id. Unmatched click_id
+    // is surfaced as -1 (both engines) so the graded frame has no nullable
+    // int column to drift on.
+    "q144_stream_left_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q144_")
+      val dropP = java.nio.file.Files.createDirectory(tmp.resolve("p"))
+      val dropC = java.nio.file.Files.createDirectory(tmp.resolve("c"))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      def sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        tsRawLit(raw, 4102444800L).as("ts"), // 2100-01-01
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0d).as("value"), lit("{}").as("props"))
+      stageFile(raw.filter(col("event_type") === "purchase"),
+        tmp.resolve("w1"), dropP, "p.parquet")
+      stageFile(sentinel, tmp.resolve("w2"), dropP, "ps.parquet")
+      stageFile(raw.filter(col("event_type") === "click" && col("event_id") % 2 === 0),
+        tmp.resolve("w3"), dropC, "a.parquet")
+      stageFile(raw.filter(col("event_type") === "click" && col("event_id") % 2 === 1),
+        tmp.resolve("w4"), dropC, "b.parquet")
+      stageFile(sentinel, tmp.resolve("w5"), dropC, "cs.parquet")
+      touchAfter(dropC, java.nio.file.Files.copy(
+        dropC.resolve("cs.parquet"), dropC.resolve("cs2.parquet")))
+      val purchases = tsNorm(s.readStream.schema(raw.schema).parquet(dropP.toString))
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("pts"))
+        .withWatermark("pts", "60 days")
+      val clicks = tsNorm(s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dropC.toString))
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("cts"))
+        .withWatermark("cts", "60 days")
+      val joined = purchases.join(clicks,
+        expr("c_user = p_user AND cts >= pts - interval 1 hour AND cts < pts"),
+        "left_outer")
+      val store = s"$tmp/store"
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2") // the q95 state-store pin
+      try {
+        joined.writeStream.format("parquet")
+          .option("path", store).option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      s.read.parquet(store)
+        .filter(col("purchase_id") =!= -1L) // the left sentinel's own null-padded row
+        .select(col("purchase_id"), coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          col("p_user").as("user_id"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
     // Custom-state streaming sessionization graded end-to-end: the
     // flatMapGroupsWithState sessionizer (StreamOps.sessionizeStateful) run
     // through a real readStream. Delivery is split BY TIME (first half /
@@ -981,6 +1043,16 @@ object EngineQueries {
         |  p.user_id AS user_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        |  AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        |  AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    "q144_stream_left_join" ->
+      """SELECT p.event_id AS purchase_id, coalesce(c.event_id, -1) AS click_id,
+        |  p.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON c.user_id = p.user_id
         |  AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
         |  AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
