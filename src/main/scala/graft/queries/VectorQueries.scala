@@ -244,6 +244,15 @@ object VectorQueries {
           kCand = 20, k = 4, dim = 64)
         .orderBy(col("query_id"), col("rank"))),
 
+    // Int8 scalar-quantization ANN (Milvus SQ8 / faiss ScalarQuantizer):
+    // per-dim corpus min/max bounds → one byte per coordinate → asymmetric
+    // scoring of the full-precision query against reconstructions. The 4×
+    // compression tier between full floats and PQ's 16-32×; bounds are
+    // exact aggregates so the whole path replays in SQL.
+    "q145_ann_sq8" -> ((s, dir) =>
+      VectorSearch.topKSq8(t(s, dir, "embeddings"), queriesDf(s, dir, 30, 35), k = 4)
+        .orderBy(col("query_id"), col("rank"))),
+
     // LSH-bucketed ANN — the training-free scale path (approximate →
     // rows-only, like the pruned IVF probe q24)
     "q55_ann_lsh" -> ((s, dir) =>
@@ -538,6 +547,27 @@ object VectorQueries {
         |  cast(floor(10000.0 * count(*) / 40 + 0.5) as bigint) AS recall_bp
         |FROM topk t JOIN fullk f USING (query_id, vec_id)
         |GROUP BY t.dim ORDER BY dim""".stripMargin,
+
+    "q145_ann_sq8" ->
+      """WITH co AS (
+        |  SELECT vec_id, i, cast(embedding[i] as double) AS x
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+        |b AS (SELECT i, min(x) AS mn, max(x) AS mx FROM co GROUP BY i),
+        |rec AS (
+        |  SELECT vec_id, list(mn + (CASE WHEN mx = mn THEN 0.0
+        |      ELSE floor((x - mn) * 255.0 / (mx - mn) + 0.5) END)
+        |      * (mx - mn) / 255.0 ORDER BY i) AS rv
+        |  FROM co JOIN b USING (i) GROUP BY vec_id),
+        |q AS (SELECT vec_id AS query_id, cast(embedding as double[]) AS qv
+        |      FROM embeddings WHERE vec_id >= 30 AND vec_id < 35)
+        |SELECT q.query_id, r.vec_id,
+        |  round(list_cosine_similarity(r.rv, q.qv), 4) AS score,
+        |  cast(row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY round(list_cosine_similarity(r.rv, q.qv), 4) DESC,
+        |             r.vec_id ASC) as int) AS rank
+        |FROM rec r, q
+        |QUALIFY rank <= 4
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q139_hard_negatives" ->
       """WITH q AS (
