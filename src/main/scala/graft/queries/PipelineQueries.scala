@@ -244,6 +244,52 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // l-diversity audit — k-anonymity's companion (q141): a group can be
+    // large yet still leak if everyone in it shares the sensitive value.
+    // Here the quasi-identifiers are (nation, balance band) and the
+    // sensitive attribute is the market segment; groups with fewer than 3
+    // distinct segments fail. countDistinct partial-aggregates, so the
+    // audit is one shuffle at any scale.
+    "q146_l_diversity" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).cast("long").as("band"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_mktsegment")).as("l"))
+        .withColumn("at_risk", col("l") < 3)
+        .orderBy(col("c_nationkey"), col("band"))
+    }),
+
+    // Collocation mining by LIFT — the tokenizer-adjacent association pass
+    // (which adjacent pairs co-occur far above chance). PMI's logarithm is
+    // banned cross-engine (the q75 rule), but lift is the same ranking:
+    // lift = (c12/B) / ((c1/N)(c2/N)) = c12·N² / (B·c1·c2) — all-integer
+    // numerator and denominator, ONE IEEE divide. Unigram and bigram counts
+    // partial-aggregate; the survivor set (count floor 5) is tiny.
+    "q148_collocations" -> ((s, dir) => {
+      val toks = tokenized(t(s, dir, "documents"), minToks = 2).localCheckpoint()
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val bi = gramCounts(toks, 2)
+        .groupBy(col("gram")).agg(sum(col("cnt")).as("c12"))
+      val n = uni.agg(sum(col("c1"))).collect().head.getLong(0)
+      val b = bi.agg(sum(col("c12"))).collect().head.getLong(0)
+      bi.filter(col("c12") >= 5)
+        .withColumn("w1", split(col("gram"), " ")(0))
+        .withColumn("w2", split(col("gram"), " ")(1))
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "cw1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "cw2"), "w2")
+        // num and den stay in exact int64 (≤1.3e15 < 2^53, so the casts to
+        // double are exact); ONE divide + one multiply, same spelling as
+        // the oracle → bit-identical
+        .select(col("w1"), col("w2"), col("c12"),
+          floor(lit(100.0) * ((col("c12") * lit(n) * lit(n)).cast("double")
+            / (lit(b) * col("cw1") * col("cw2")).cast("double")) + 0.5)
+            .cast("long").as("lift_x100"))
+        .orderBy(col("lift_x100").desc, col("w1"), col("w2"))
+        .limit(30)
+    }),
+
     // Per-source percentile quality gate — corpus curation by distributional
     // threshold instead of a global constant: each source's own p25 token
     // count is its admission bar (a low-quality source can't dilute a
@@ -761,6 +807,42 @@ object PipelineQueries {
         |  max(CASE WHEN rn = 1 THEN fetched END) AS win_fetched,
         |  max(CASE WHEN rn = 1 THEN doc_id END) AS doc_id
         |FROM r GROUP BY canon ORDER BY canon""".stripMargin,
+
+    "q146_l_diversity" ->
+      """SELECT c_nationkey,
+        |  cast(floor(c_acctbal / 1000) as bigint) AS band,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(count(DISTINCT c_mktsegment) as bigint) AS l,
+        |  count(DISTINCT c_mktsegment) < 3 AS at_risk
+        |FROM customer
+        |GROUP BY 1, 2
+        |ORDER BY c_nationkey, band""".stripMargin,
+
+    "q148_collocations" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |t2 AS (SELECT * FROM tok WHERE len(toks) >= 2),
+        |uni AS (
+        |  SELECT w, cast(count(*) as bigint) AS c1
+        |  FROM (SELECT unnest(toks) AS w FROM t2) GROUP BY w),
+        |bi AS (
+        |  SELECT array_to_string(toks[i:i+1], ' ') AS gram,
+        |    cast(count(*) as bigint) AS c12
+        |  FROM t2, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT sum(c1) FROM uni) AS n, (SELECT sum(c12) FROM bi) AS b)
+        |SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2,
+        |  c12,
+        |  cast(floor(100.0 * (cast(c12 * n * n as double)
+        |    / cast(b * u1.c1 * u2.c1 as double)) + 0.5) as bigint) AS lift_x100
+        |FROM bi CROSS JOIN tot
+        |JOIN uni u1 ON u1.w = string_split(gram, ' ')[1]
+        |JOIN uni u2 ON u2.w = string_split(gram, ' ')[2]
+        |WHERE c12 >= 5
+        |ORDER BY lift_x100 DESC, w1, w2
+        |LIMIT 30""".stripMargin,
 
     "q141_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,

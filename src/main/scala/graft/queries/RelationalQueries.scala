@@ -22,6 +22,30 @@ object RelationalQueries {
   private val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   val queries: Map[String, Q] = Map(
+    // Join-key skew profiler — the pre-join diagnostic that decides whether
+    // a shuffle join needs salting (q40) or AQE skew splitting: per
+    // candidate key column, the share of rows held by the hottest key (in
+    // basis points) and the hot/median frequency ratio. Each branch is two
+    // partial-aggregated passes whose second input is |distinct keys| rows;
+    // the p50 interpolation is dyadic so the ratio replays exactly.
+    "q147_skew_stats" -> ((s, dir) => {
+      def stats(table: String, c: String): DataFrame =
+        t(s, dir, table)
+          .groupBy(col(c).as("k")).agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+            max(col("cnt")).as("mx"), percentile(col("cnt"), lit(0.5)).as("med"))
+          .select(lit(s"$table.$c").as("key_col"),
+            col("n_rows"), col("n_keys"),
+            floor(lit(10000.0) * col("mx") / col("n_rows") + 0.5).cast("long")
+              .as("top_share_bp"),
+            floor(lit(100.0) * col("mx") / col("med") + 0.5).cast("long")
+              .as("skew_x100"))
+      stats("lineitem", "l_partkey")
+        .unionAll(stats("lineitem", "l_suppkey"))
+        .unionAll(stats("orders", "o_custkey"))
+        .unionAll(stats("events", "user_id"))
+        .orderBy(col("key_col"))
+    }),
     // Column-statistics profiling (the ANALYZE pass an ingest pipeline runs
     // before planning): min / max / exact NDV / null count per numeric
     // column, in ONE scan with per-column conditional aggregates — the
@@ -397,6 +421,24 @@ object RelationalQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q147_skew_stats" -> {
+      def s(table: String, c: String) =
+        s"""SELECT '$table.$c' AS key_col,
+           |  cast(sum(cnt) as bigint) AS n_rows, cast(count(*) as bigint) AS n_keys,
+           |  cast(floor(10000.0 * max(cnt) / sum(cnt) + 0.5) as bigint) AS top_share_bp,
+           |  cast(floor(100.0 * max(cnt)
+           |    / (percentile_cont(0.5) WITHIN GROUP (ORDER BY cnt)) + 0.5) as bigint)
+           |    AS skew_x100
+           |FROM (SELECT $c, count(*) AS cnt FROM $table GROUP BY $c)""".stripMargin
+      s"""${s("lineitem", "l_partkey")}
+         |UNION ALL
+         |${s("lineitem", "l_suppkey")}
+         |UNION ALL
+         |${s("orders", "o_custkey")}
+         |UNION ALL
+         |${s("events", "user_id")}
+         |ORDER BY key_col""".stripMargin
+    },
     // the full recompute — what the base ⊎ delta merge must reproduce
     "q85_incremental_agg" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS count_order,
