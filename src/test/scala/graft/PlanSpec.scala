@@ -351,4 +351,31 @@ class PlanSpec extends SparkSpec {
     assert(genIdx >= 0 && aggIdx > genIdx,
       "expected explode above the word-frequency aggregate\n" + optimized.take(3000))
   }
+
+  test("q137: the duplicated-gram set broadcasts back onto the positions table") {
+    // corpus-wide span mining must not shuffle the gram-positions table a
+    // second time: the survivors of the cross-doc filter are tiny (planted
+    // boilerplate grams) and ride a broadcast join; a SortMergeJoin here
+    // re-exchanges every (doc, position, gram) row at corpus scale
+    val plan = formatted(SparkEntry.queries("q137_substring_spans")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q139/q145: probe sets broadcast; the corpus side never shuffles for scoring") {
+    // hard-negative mining and SQ8 scoring are corpus-scan shaped: probes
+    // (and SQ8's 64-row bounds table) broadcast into the scan, the only
+    // exchange is the per-query ranking window
+    Seq("q139_hard_negatives", "q145_ann_sq8").foreach { q =>
+      val plan = formatted(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("SortMergeJoin"), s"$q: ${plan.take(3000)}")
+      assert(!plan.contains("ShuffledHashJoin"), s"$q: ${plan.take(3000)}")
+    }
+  }
+
+  test("q143: the per-source thresholds broadcast back onto the corpus") {
+    val plan = formatted(SparkEntry.queries("q143_quality_gate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }
