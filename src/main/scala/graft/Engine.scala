@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Ingest, VectorSearch}
+import graft.operators.{Backup, Ingest, VectorSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -245,10 +245,21 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * deleted files. Returns (storeFiles, indexFiles) after the rewrite.
    */
   def compact(maxRecordsPerFile: Long = 10000000L): (Long, Long) = {
-    def rewrite(path: String, keyCol: String): Long = {
+    def rewrite(path: String, keyCol: String): (Long, Boolean) = {
       val df = spark.read.parquet(path)
       val n = df.count()
       val files = math.max(1L, (n + maxRecordsPerFile - 1) / maxRecordsPerFile)
+      // selective guard (the Compaction.compactSelective discipline): a
+      // layout already at-or-under its target file count has no small-file
+      // disease to cure — skip the rewrite entirely, zero IO. A freshly
+      // compacted engine calling compact() in a maintenance loop must not
+      // re-shuffle the corpus every tick.
+      val pth = new org.apache.hadoop.fs.Path(path)
+      val currentFiles = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(pth)
+        .count(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+      if (currentFiles <= files) return (files, false)
       val clustered =
         if (files == 1L) df.repartition(1)
         else df.repartitionByRange(files.toInt, col(keyCol))
@@ -256,11 +267,15 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         .localCheckpoint(true) // pin BEFORE overwriting the path being read
         .write.mode("overwrite").option("maxRecordsPerFile", maxRecordsPerFile)
         .parquet(path)
-      files
+      (files, true)
     }
-    val sf = rewrite(cfg.storePath, "doc_id")
-    val ifn = if (indexExists) rewrite(cfg.indexPath, "doc_id") else 0L
-    invalidateIvf() // plan validity, not content: old memo points at deleted part files
+    val (sf, sChanged) = rewrite(cfg.storePath, "doc_id")
+    val (ifn, iChanged) =
+      if (indexExists) rewrite(cfg.indexPath, "doc_id") else (0L, false)
+    // plan validity, not content: the old memo's file listing points at
+    // deleted part files — but ONLY when a rewrite actually happened; a
+    // healthy layout skipped above leaves the memo exactly as valid as it was
+    if (sChanged || iChanged) invalidateIvf()
     (sf, ifn)
   }
 
@@ -269,10 +284,38 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** The vector index changed: drop the memoized IVF layout. */
+  /** The vector index changed: drop the memoized IVF layout and the
+    * memoized index count ([[routeIvf]]'s routing statistic). */
   private def invalidateIvf(): Unit = {
     ivfMemo.foreach(_.cells.unpersist())
     ivfMemo = None
+    indexCountMemo = None
+  }
+
+  /**
+   * Snapshot the store + index into `path` (copy-on-write export with a
+   * SHA-256 manifest — `mongo_backup_restore.sh`'s dump half). File copies
+   * run distributed ([[graft.operators.Backup]] is DistCp-shaped); the
+   * driver only lists and writes the manifest. Returns files snapshotted.
+   */
+  def backup(path: String): Long = {
+    val parts = Map("store" -> cfg.storePath) ++
+      (if (indexExists) Map("index" -> cfg.indexPath) else Map.empty)
+    Backup.snapshot(spark, parts, path).size.toLong
+  }
+
+  /**
+   * Replace the live store + index with the snapshot at `path`, verifying
+   * every file's digest against the manifest during the copy (the restore
+   * half; a corrupt snapshot aborts before the engine serves from it).
+   * All memoized state derived from the replaced layouts is invalidated.
+   * Returns files restored.
+   */
+  def restore(path: String): Long = {
+    val n = Backup.restore(spark,
+      Map("store" -> cfg.storePath, "index" -> cfg.indexPath), path)
+    invalidateIvf()
+    n
   }
 
   /** The vector index as a DataFrame. */
@@ -289,10 +332,23 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .toDF("query_id", "query", "query_vec")
   }
 
+  /** Memoized index chunk count — [[routeIvf]]'s routing statistic. A
+    * parquet count is metadata-only (footer row counts) but still a JOB;
+    * one per search call is a per-call scheduler round-trip the memo
+    * removes. Invalidated wherever the index changes ([[invalidateIvf]]:
+    * update, updateIncremental, delete, compact, restore). */
+  @volatile private var indexCountMemo: Option[Long] = None
+
   /** True when [[search]] routes through the IVF probe: the current index
-    * is at/above `cfg.ivfThreshold` chunks. Parquet count is a
-    * metadata-only job (footer row counts), not a data scan. */
-  private[graft] def routeIvf(): Boolean = indexExists && index().count() >= cfg.ivfThreshold
+    * is at/above `cfg.ivfThreshold` chunks. */
+  private[graft] def routeIvf(): Boolean = {
+    val n = indexCountMemo.getOrElse {
+      val c = if (indexExists) index().count() else 0L
+      indexCountMemo = Some(c)
+      c
+    }
+    n >= cfg.ivfThreshold
+  }
 
   /**
    * Semantic search: returns up to `cfg.limit` documents per query, best

@@ -1,0 +1,195 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Compaction, Dedup, VectorSearch}
+
+/**
+ * Scale-curve measurement (`runMain graft.Scale [small]`): runs the five
+ * scale-shaped operators — near-dup LSH, PPJoin set-similarity, IVF search
+ * (pruned vs exact), compaction, star connected components — at 1×/10×/100×
+ * the sf0.1 row counts and records wall time AND shuffle bytes per run.
+ *
+ * Rationale (round-6 verdict task 1): plan gates prove the SHAPE is right
+ * (pushdown, broadcast, partition pruning, no cartesians); this measures
+ * the scaling EXPONENT — near-linear wall/shuffle growth is the evidence
+ * that the shapes hold at 100×, the thing local sf0.1 timings take on
+ * faith. Output: one JSON line per (op, scale) with rows, wall_s,
+ * shuffle_read_mb, shuffle_write_mb; appended to scale_results.jsonl and
+ * summarized by hand in SCALE.md.
+ *
+ * Data: the `graft-corpus` DSv2 source supplies the id backbone at any
+ * scale (no storage); document text is derived per-row from xxhash64 so
+ * the token space GROWS with the corpus (vocab = 8n) — constant-vocab
+ * random text is pathological for prefix filtering (every doc shares
+ * every shingle; df² candidate blowup no real deduped web corpus shows,
+ * where 3-shingles are nearly unique). 2% of docs are planted near-dups
+ * (90% token-prefix of their base doc) so the dedup ops have real work at
+ * every scale.
+ */
+object Scale {
+
+  /** Task-level shuffle byte counters (stage-level metrics miss skipped
+    * stages; task-end is the ground truth the UI itself sums). */
+  private final class ShuffleMeter extends SparkListener {
+    val read = new AtomicLong(0L)
+    val written = new AtomicLong(0L)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
+  /** Deterministic corpus at `n` docs: graft-corpus backbone (column-pruned
+    * to doc_id/source — the synthetic body generator never runs), text from
+    * a vocab that scales with n, one near-dup per 50 docs. */
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    val v = math.max(1000L, 8L * n)
+    spark.read.format("graft-corpus")
+      .option("rows", n).option("partitions", 32).load()
+      .select(col("doc_id"), col("source"))
+      .withColumn("gid",
+        when(pmod(col("doc_id"), lit(50)) === 1, col("doc_id") - 1)
+          .otherwise(col("doc_id")))
+      .withColumn("nw",
+        (lit(30) + pmod(xxhash64(col("gid"), lit(7)), lit(120))).cast("int"))
+      // near-dup docs keep the first 90% of the base doc's tokens
+      .withColumn("nw",
+        when(col("doc_id") =!= col("gid"), (col("nw") * 9).divide(10).cast("int"))
+          .otherwise(col("nw")))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(1), col("nw")),
+          i => concat(lit("t"), pmod(xxhash64(col("gid") * 1000 + i), lit(v))))))
+      .select("doc_id", "source", "text")
+  }
+
+  /** Deterministic unit vectors, dim 64. */
+  def vectors(spark: SparkSession, n: Long, salt: Int): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        j => ((pmod(xxhash64(col("id"), j, lit(salt)), lit(2001)) - 1000)
+          .cast("double") / 1000.0d).cast("float")).as("embedding"))
+
+  /** Chain blocks of 100 plus 10% random cross-links: many mid-size
+    * components that merge across blocks — several star rounds to converge,
+    * like real near-dup graphs. */
+  def edges(spark: SparkSession, m: Long): DataFrame = {
+    val chain = spark.range(m).select(col("id").as("src"),
+      when(pmod(col("id"), lit(100)) === 99, col("id") - 99)
+        .otherwise(col("id") + 1).as("dst"))
+    val cross = spark.range(m).filter(pmod(col("id"), lit(10)) === 0)
+      .select(col("id").as("src"), pmod(xxhash64(col("id"), lit(11)), lit(m)).as("dst"))
+    chain.unionAll(cross)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val small = args.contains("small") // quick smoke ladder for dev
+    // ops=a,b,c restricts to named measurement groups (re-run one curve)
+    val only: Set[String] = args.collectFirst {
+      case a if a.startsWith("ops=") => a.stripPrefix("ops=").split(",").toSet
+    }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "cc"))
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    spark.range(1000).selectExpr("sum(id)").collect() // warmup
+
+    val out = new java.io.PrintWriter(new java.io.FileWriter("scale_results.jsonl", true))
+    def measure(op: String, scale: String, rows: Long)(body: => Long): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+      val r0 = meter.read.get(); val w0 = meter.written.get()
+      val t0 = System.nanoTime()
+      val outRows = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      val line = f"""{"op":"$op","scale":"$scale","rows":$rows,"wall_s":$wall%.2f,"out_rows":$outRows,"shuffle_read_mb":${(meter.read.get - r0) / 1e6}%.1f,"shuffle_write_mb":${(meter.written.get - w0) / 1e6}%.1f}"""
+      println("SCALE " + line)
+      out.println(line); out.flush()
+    }
+
+    val docLadder: Seq[(String, Long)] =
+      if (small) Seq("1x" -> 500L, "10x" -> 5000L)
+      else Seq("1x" -> 5000L, "10x" -> 50000L, "100x" -> 500000L)
+    val vecLadder: Seq[(String, Long)] =
+      if (small) Seq("1x" -> 2000L, "10x" -> 20000L)
+      else Seq("1x" -> 2000L, "10x" -> 20000L, "100x" -> 200000L)
+    val edgeLadder: Seq[(String, Long)] =
+      if (small) Seq("1x" -> 10000L, "10x" -> 100000L)
+      else Seq("1x" -> 100000L, "10x" -> 1000000L, "100x" -> 10000000L)
+
+    // 1. MinHash-LSH near-dup (shingle → minhash → band join → verify)
+    if (only("neardup")) docLadder.foreach { case (s, n) =>
+      measure("neardup_lsh", s, n) {
+        Dedup.nearDupPairs(corpus(spark, n), "text", "doc_id").count()
+      }
+    }
+    // 2. PPJoin exact set-similarity self-join at t=0.5
+    if (only("setsim")) docLadder.foreach { case (s, n) =>
+      measure("setsim_ppjoin", s, n) {
+        Dedup.setSimJoin(corpus(spark, n), "text", "doc_id", 1, 2).count()
+      }
+    }
+    // 3. IVF build + pruned vs exact search (256 queries, k=10). One
+    //    untimed warm search first: the first query against a freshly
+    //    cached cell table pays its codegen + first-touch, which is session
+    //    machinery, not the probe-pruning cost under measurement.
+    if (only("ivf")) vecLadder.foreach { case (s, n) =>
+      val nlist = math.max(16, math.sqrt(n.toDouble).toInt / 2)
+      val nprobe = math.max(4, nlist / 16)
+      val corpusVecs = vectors(spark, n, 0)
+      val queries = vectors(spark, 256, 1)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        .cache()
+      queries.count()
+      var idx: VectorSearch.IvfIndex = null
+      measure("ivf_build", s, n) {
+        idx = VectorSearch.buildIvf(corpusVecs, nlist)
+        idx.cells.cache().count()
+      }
+      idx.search(queries.limit(8), 10, nprobe).count() // warm
+      measure("ivf_search_pruned", s, n) {
+        idx.search(queries, 10, nprobe).count()
+      }
+      measure("ivf_search_exact", s, n) {
+        idx.search(queries, 10, nlist).count()
+      }
+      idx.cells.unpersist(blocking = false)
+      queries.unpersist(blocking = false)
+    }
+    // 4. Compaction: 32-way-fragmented hive layout (8 source dirs × ~32
+    //    writer tasks each) rewritten to one file per directory
+    if (only("compaction")) docLadder.foreach { case (s, n) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-").toString
+      val in = s"$base/frag"; val outP = s"$base/compact"
+      corpus(spark, n).repartition(32)
+        .write.mode("overwrite").partitionBy("source").parquet(in)
+      measure("compaction", s, n) {
+        Compaction.compact(spark, in, outP, "source", sortCols = Seq("doc_id"))
+        spark.read.parquet(outP).count()
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+    // 5. Star connected components
+    if (only("cc")) edgeLadder.foreach { case (s, m) =>
+      measure("cc_star", s, m) {
+        Dedup.connectedComponentsStar(edges(spark, m), "src", "dst").count()
+      }
+    }
+    out.close()
+    spark.stop()
+  }
+}

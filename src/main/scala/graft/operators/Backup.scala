@@ -1,0 +1,140 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Store snapshot / export-import (`mongo_backup_restore.sh` parity — the
+ * reference shells out to mongodump/mongorestore; here the "database" is a
+ * pair of parquet layouts, so a snapshot is a file-level copy with an
+ * integrity manifest).
+ *
+ * Shape is DistCp, not a driver loop: the DRIVER only lists the tree and
+ * writes the manifest; every file COPY (and its SHA-256, computed on the
+ * stream as it is copied — no second read) runs inside a Spark task, so a
+ * thousand-file 100 TB layout snapshots at cluster bandwidth, one file per
+ * task. Restore re-copies from the snapshot and verifies each file's
+ * digest against the manifest DURING the copy, failing loudly on any
+ * corruption — the byte-identical guarantee EngineSpec's round-trip gates
+ * on.
+ */
+object Backup {
+
+  /** One manifest row: logical part ("store"/"index"), path relative to the
+    * part root, size, and content digest. */
+  final case class Entry(part: String, rel: String, bytes: Long, sha256: String)
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(new Configuration())
+
+  /** Recursive driver-side listing of data files under `root`, as
+    * root-relative paths (metadata walk only — no data IO). */
+  private def listRel(root: String): Seq[String] = {
+    val rootP = new Path(root)
+    val f = fs(rootP)
+    if (!f.exists(rootP)) return Nil
+    val it = f.listFiles(rootP, true)
+    val base = f.getFileStatus(rootP).getPath.toUri.getPath
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        val full = st.getPath.toUri.getPath
+        out += full.stripPrefix(base).stripPrefix("/")
+      }
+    }
+    out.toSeq
+  }
+
+  /** Stream-copy one file, digesting as it flows. Runs inside a task. */
+  private def copyOne(srcPath: String, dstPath: String): (Long, String) = {
+    val src = new Path(srcPath); val dst = new Path(dstPath)
+    val in = fs(src).open(src)
+    val dfs = fs(dst)
+    dfs.mkdirs(dst.getParent)
+    val out = dfs.create(dst, true)
+    val md = MessageDigest.getInstance("SHA-256")
+    val buf = new Array[Byte](1 << 20)
+    var total = 0L
+    try {
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) { md.update(buf, 0, n); out.write(buf, 0, n); total += n }
+        n = in.read(buf)
+      }
+    } finally { in.close(); out.close() }
+    (total, md.digest().map("%02x".format(_)).mkString)
+  }
+
+  /** Snapshot every (part → rootDir) into `snapshotPath/<part>/...` and
+    * write `snapshotPath/MANIFEST.tsv`. Returns the manifest. */
+  def snapshot(spark: SparkSession, parts: Map[String, String],
+               snapshotPath: String): Seq[Entry] = {
+    val jobs = parts.toSeq.flatMap { case (part, root) =>
+      listRel(root).map(rel => (part, rel, s"$root/$rel", s"$snapshotPath/$part/$rel"))
+    }
+    val entries =
+      if (jobs.isEmpty) Seq.empty[Entry]
+      else spark.sparkContext
+        .parallelize(jobs, math.min(jobs.size, 64))
+        .map { case (part, rel, src, dst) =>
+          val (bytes, digest) = copyOne(src, dst)
+          Entry(part, rel, bytes, digest)
+        }
+        .collect().toSeq.sortBy(e => (e.part, e.rel))
+    writeManifest(snapshotPath, entries)
+    entries
+  }
+
+  /** Restore a snapshot into the given (part → rootDir) targets. Each live
+    * root is cleared first (a restore REPLACES the layout — stale part
+    * files from the post-snapshot timeline must not survive next to the
+    * restored ones). Every copied file's digest is checked against the
+    * manifest; any mismatch aborts with the full mismatch list. Returns the
+    * number of files restored. */
+  def restore(spark: SparkSession, parts: Map[String, String],
+              snapshotPath: String): Long = {
+    val manifest = readManifest(snapshotPath)
+    val jobs = manifest.flatMap { e =>
+      parts.get(e.part).map(root =>
+        (s"$snapshotPath/${e.part}/${e.rel}", s"$root/${e.rel}", e))
+    }
+    parts.collect { case (part, root) if manifest.exists(_.part == part) =>
+      val p = new Path(root)
+      val f = fs(p)
+      if (f.exists(p)) f.delete(p, true)
+    }
+    if (jobs.isEmpty) return 0L
+    val mismatches = spark.sparkContext
+      .parallelize(jobs, math.min(jobs.size, 64))
+      .map { case (src, dst, e) =>
+        val (bytes, digest) = copyOne(src, dst)
+        if (bytes == e.bytes && digest == e.sha256) None
+        else Some(s"${e.part}/${e.rel}: manifest ${e.bytes}B/${e.sha256.take(12)} " +
+          s"but snapshot holds ${bytes}B/${digest.take(12)}")
+      }
+      .collect().flatten
+    if (mismatches.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot at $snapshotPath failed integrity check:\n${mismatches.mkString("\n")}")
+    jobs.size.toLong
+  }
+
+  private def writeManifest(snapshotPath: String, entries: Seq[Entry]): Unit = {
+    val p = new Path(s"$snapshotPath/MANIFEST.tsv")
+    val out = fs(p).create(p, true)
+    try entries.foreach(e => out.write(s"${e.part}\t${e.rel}\t${e.bytes}\t${e.sha256}\n".getBytes("UTF-8")))
+    finally out.close()
+  }
+
+  private def readManifest(snapshotPath: String): Seq[Entry] = {
+    val p = new Path(s"$snapshotPath/MANIFEST.tsv")
+    val in = fs(p).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq.filter(_.nonEmpty).map { l =>
+      val Array(part, rel, bytes, digest) = l.split("\t", 4)
+      Entry(part, rel, bytes.toLong, digest)
+    } finally in.close()
+  }
+}

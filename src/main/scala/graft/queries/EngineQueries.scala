@@ -161,6 +161,33 @@ object EngineQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // Backup/restore graded end-to-end (mongo_backup_restore.sh parity,
+    // Engine.backup/restore over operators/Backup.scala's DistCp-shaped
+    // copy): build the engine, SNAPSHOT it, then damage the live store
+    // (delete a third of the corpus — searches now differ), then RESTORE
+    // and search. The oracle is the q64 lifecycle-search replay over the
+    // FULL corpus: it can only match if the restore brought back the
+    // pre-delete store and index byte-faithfully (every file digest-checked
+    // against the snapshot manifest during the copy).
+    "q150_backup_restore" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q150_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs)
+      eng.update()
+      val snapped = eng.backup(s"$tmp/snapshot")
+      require(snapped > 0, "q150: backup copied no files")
+      // post-snapshot damage the restore must undo
+      val removed = eng.delete(docs.filter(col("doc_id") % 3 === 0).select("doc_id"))
+      require(removed > 0, "q150: delete removed nothing — the fixture proves nothing")
+      val restored = eng.restore(s"$tmp/snapshot")
+      require(restored == snapped,
+        s"q150: restored $restored of $snapped snapshotted files")
+      eng.search(searchTexts)
+    }),
+
     // Structured Streaming graded end-to-end: a real file-source readStream
     // over the corpus, grouped aggregation, memory sink in complete mode,
     // Trigger.AvailableNow (process everything that exists, then stop — the
@@ -784,7 +811,80 @@ object EngineQueries {
        |  FROM ${p}n)""".stripMargin
   }
 
+  /** The engine-lifecycle search replay (chunker + hash-embed + cosine
+    * top-k + hydration, q64's oracle). Shared by q150: a restored snapshot
+    * must search EXACTLY like the engine the snapshot was taken from. */
+  private lazy val lifecycleSearchSql: String = {
+    // chunker replay (q15's oracle spelling, size=128/overlap=64), then
+    // the hash-embed replay for chunks and queries, then search replay
+    val qvalues = searchTexts.zipWithIndex
+      .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
+      .mkString(", ")
+    s"""WITH c AS (
+       |  SELECT doc_id, text,
+       |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
+       |  FROM documents WHERE length(text) > 0),
+       |ch AS (
+       |  SELECT doc_id, doc_id || '_' || pos AS chunk_id,
+       |    substring(text, cast(pos*64+1 as int), 128) AS chunk
+       |  FROM c),
+       |${embedSql("ch", "chunk_id, doc_id", "chunk")},
+       |nv AS (
+       |  SELECT chunk_id, doc_id,
+       |    CASE WHEN nrm > 0
+       |         THEN list_transform(cv, x -> cast(cast(x * (1.0/nrm) as float) as double))
+       |         ELSE cv END AS v,
+       |    nrm
+       |  FROM vec),
+       |q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
+       |qtok AS (
+       |  SELECT query_id, query, unnest(regexp_split_to_array(trim(query), '\\s+')) AS tk
+       |  FROM q0),
+       |qhv AS (
+       |  SELECT query_id, query, ${tokBucket("tk")} AS bucket, ${tokSign("tk")} AS sgn
+       |  FROM qtok WHERE tk <> ''),
+       |qcnt AS (
+       |  SELECT query_id, query, bucket, cast(sum(sgn) as double) AS s
+       |  FROM qhv GROUP BY ALL),
+       |qdense AS (
+       |  SELECT q0.query_id, q0.query, list(coalesce(c.s, 0.0) ORDER BY g.j) AS cv
+       |  FROM q0
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g
+       |  LEFT JOIN qcnt c ON c.query_id = q0.query_id AND c.bucket = g.j
+       |  GROUP BY ALL),
+       |qvec AS (
+       |  SELECT query_id, query, cv,
+       |    sqrt(list_reduce(list_transform(cv, x -> x*x), (a,b) -> a+b)) AS nrm
+       |  FROM qdense),
+       |qnv AS (
+       |  SELECT query_id, query,
+       |    CASE WHEN nrm > 0
+       |         THEN list_transform(cv, x -> cast(cast(x * (1.0/nrm) as float) as double))
+       |         ELSE cv END AS v,
+       |    nrm
+       |  FROM qvec),
+       |scored AS (
+       |  SELECT q.query_id, q.query, n.doc_id,
+       |    round(CASE WHEN n.nrm = 0 OR q.nrm = 0 THEN 0.0
+       |               ELSE list_cosine_similarity(n.v, q.v) END, 4) AS score
+       |  FROM nv n CROSS JOIN qnv q),
+       |best AS (
+       |  SELECT query_id, query, doc_id, max(score) AS score
+       |  FROM scored GROUP BY ALL),
+       |ranked AS (
+       |  SELECT query_id, query, doc_id, score,
+       |    cast(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) as int) AS rank
+       |  FROM best QUALIFY rank <= 4)
+       |SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
+       |  substring(d.text, 1, 200) AS preview
+       |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q150_backup_restore" -> lifecycleSearchSql,
+
     "q135_stream_sketch_mv" ->
       """SELECT cast(cast(date_trunc('day', ts) as date) as timestamp) AS day,
         |  count(DISTINCT user_id) AS n_users, true AS sketch_ok
@@ -886,73 +986,7 @@ object EngineQueries {
          |ORDER BY query_id, rank""".stripMargin
     },
 
-    "q64_engine_lifecycle" -> {
-      // chunker replay (q15's oracle spelling, size=128/overlap=64), then
-      // the hash-embed replay for chunks and queries, then search replay
-      val qvalues = searchTexts.zipWithIndex
-        .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
-        .mkString(", ")
-      s"""WITH c AS (
-         |  SELECT doc_id, text,
-         |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
-         |  FROM documents WHERE length(text) > 0),
-         |ch AS (
-         |  SELECT doc_id, doc_id || '_' || pos AS chunk_id,
-         |    substring(text, cast(pos*64+1 as int), 128) AS chunk
-         |  FROM c),
-         |${embedSql("ch", "chunk_id, doc_id", "chunk")},
-         |nv AS (
-         |  SELECT chunk_id, doc_id,
-         |    CASE WHEN nrm > 0
-         |         THEN list_transform(cv, x -> cast(cast(x * (1.0/nrm) as float) as double))
-         |         ELSE cv END AS v,
-         |    nrm
-         |  FROM vec),
-         |q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
-         |qtok AS (
-         |  SELECT query_id, query, unnest(regexp_split_to_array(trim(query), '\\s+')) AS tk
-         |  FROM q0),
-         |qhv AS (
-         |  SELECT query_id, query, ${tokBucket("tk")} AS bucket, ${tokSign("tk")} AS sgn
-         |  FROM qtok WHERE tk <> ''),
-         |qcnt AS (
-         |  SELECT query_id, query, bucket, cast(sum(sgn) as double) AS s
-         |  FROM qhv GROUP BY ALL),
-         |qdense AS (
-         |  SELECT q0.query_id, q0.query, list(coalesce(c.s, 0.0) ORDER BY g.j) AS cv
-         |  FROM q0
-         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g
-         |  LEFT JOIN qcnt c ON c.query_id = q0.query_id AND c.bucket = g.j
-         |  GROUP BY ALL),
-         |qvec AS (
-         |  SELECT query_id, query, cv,
-         |    sqrt(list_reduce(list_transform(cv, x -> x*x), (a,b) -> a+b)) AS nrm
-         |  FROM qdense),
-         |qnv AS (
-         |  SELECT query_id, query,
-         |    CASE WHEN nrm > 0
-         |         THEN list_transform(cv, x -> cast(cast(x * (1.0/nrm) as float) as double))
-         |         ELSE cv END AS v,
-         |    nrm
-         |  FROM qvec),
-         |scored AS (
-         |  SELECT q.query_id, q.query, n.doc_id,
-         |    round(CASE WHEN n.nrm = 0 OR q.nrm = 0 THEN 0.0
-         |               ELSE list_cosine_similarity(n.v, q.v) END, 4) AS score
-         |  FROM nv n CROSS JOIN qnv q),
-         |best AS (
-         |  SELECT query_id, query, doc_id, max(score) AS score
-         |  FROM scored GROUP BY ALL),
-         |ranked AS (
-         |  SELECT query_id, query, doc_id, score,
-         |    cast(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, doc_id ASC) as int) AS rank
-         |  FROM best QUALIFY rank <= 4)
-         |SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
-         |  substring(d.text, 1, 200) AS preview
-         |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
-         |ORDER BY query_id, rank""".stripMargin
-    },
+    "q64_engine_lifecycle" -> lifecycleSearchSql,
 
     // after deleting doc_id%7==0 the index must equal the chunk+embed
     // replay over the SURVIVORS only — q68's CTE chain with the delete

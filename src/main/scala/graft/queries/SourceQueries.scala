@@ -86,6 +86,57 @@ object SourceQueries {
         .orderBy(col("kb"))
     }),
 
+    // Partition-SELECTIVE skew-safe compaction (Compaction.compactSelective
+    // — the Delta OPTIMIZE file-selection shape): a layout where only SOME
+    // directories are fragmented (kb 0,1: 16 ingest batches each; kb
+    // 3,5,7: already one file) and one directory is HOT (kb=0 holds ~4× a
+    // healthy dir's rows — every even orderkey). The rewrite must (a) touch
+    // only the fragmented dirs — healthy dirs keep byte-identical file
+    // sets, zero IO; (b) fan the hot dir across MULTIPLE writer tasks via
+    // the per-dir salt (no single-straggler rewrite); (c) keep every
+    // rewritten dir within the files-per-dir bound. Graded: per-dir rows +
+    // checksum prove losslessness; `rewritten` proves selectivity matched
+    // the planted fragmentation; `post_ok` folds (a)-(c) into a per-dir
+    // boolean the oracle pins to true.
+    "q149_compact_selective" -> ((s, dir) => {
+      import graft.operators.Compaction
+      val path = tmp(dir, "li_selective")
+      val li = t(s, dir, "lineitem")
+        .withColumn("kb",
+          when(pmod(col("l_orderkey"), lit(2L)) === 0, lit(0L))
+            .otherwise(pmod(col("l_orderkey"), lit(8L))))
+      li.filter(col("kb") <= 1).repartition(16)
+        .write.mode("overwrite").partitionBy("kb").parquet(path)
+      li.filter(col("kb") > 1).repartition(col("kb"))
+        .write.mode("append").partitionBy("kb").parquet(path)
+      val pre = Compaction.partitionStats(s, path, "kb")
+      def names(v: String): Set[String] = {
+        val p = new org.apache.hadoop.fs.Path(s"$path/kb=$v")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSet
+      }
+      val preNames = pre.map(st => st.value -> names(st.value)).toMap
+      // target = hot/4 → the hot dir salts into ~4 writer tasks at any sf
+      val hotBytes = pre.map(_.bytes).max
+      val rewritten = Compaction.compactSelective(s, path, "kb", "l_orderkey",
+        maxFilesPerDir = 4, targetFileBytes = math.max(1L, (hotBytes + 3) / 4)).toSet
+      val post = Compaction.partitionStats(s, path, "kb")
+      val flags = post.map { st =>
+        val wasRewritten = rewritten.contains(st.value)
+        val ok =
+          if (wasRewritten) st.files <= 4 && (st.value != "0" || st.files >= 2)
+          else names(st.value) == preNames(st.value) // untouched ⇒ same file set
+        (st.value.toLong, wasRewritten, ok)
+      }
+      val flagDf = s.createDataFrame(flags).toDF("kb", "rewritten", "post_ok")
+      s.read.parquet(path)
+        .select(col("kb").cast("long").as("kb"), col("l_extendedprice"))
+        .groupBy(col("kb"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_extendedprice")).as("sum_price"))
+        .join(flagDf, "kb")
+        .orderBy(col("kb"))
+    }),
+
     // hive-style partitioned layout + partition pruning: the filter on the
     // partition column must skip whole directories, not just row groups
     "q41_partitioned_write" -> ((s, dir) => {
@@ -398,6 +449,16 @@ object SourceQueries {
          |  ${dsumSql("l_extendedprice")} AS sum_price,
          |  true AS was_fragmented, true AS compact_ok
          |FROM lineitem GROUP BY 1 ORDER BY kb""".stripMargin,
+
+    "q149_compact_selective" ->
+      s"""SELECT CAST(CASE WHEN l_orderkey % 2 = 0 THEN 0
+         |            ELSE l_orderkey % 8 END AS BIGINT) AS kb,
+         |  count(*) AS n_rows,
+         |  ${dsumSql("l_extendedprice")} AS sum_price,
+         |  (CASE WHEN l_orderkey % 2 = 0 THEN 0
+         |        ELSE l_orderkey % 8 END) <= 1 AS rewritten,
+         |  true AS post_ok
+         |FROM lineitem GROUP BY 1, 4 ORDER BY kb""".stripMargin,
     "q34_json_roundtrip" ->
       "SELECT doc_id, lang, source FROM documents ORDER BY doc_id",
     "q52_orc_roundtrip" ->

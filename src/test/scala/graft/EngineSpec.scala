@@ -69,6 +69,81 @@ class EngineSpec extends SparkSpec {
     assert(ivfBefore == ivfAfter)
   }
 
+  test("backup/restore round-trips the engine byte-identically; corruption aborts") {
+    val eng = freshEngine()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs)
+    eng.update()
+    val q = Seq("data processing pipeline")
+    val hits = eng.search(q).collect().toSeq
+
+    val snap = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val snapped = eng.backup(snap)
+    assert(snapped > 0)
+    // manifest exists and covers both layouts
+    val manifest = scala.io.Source.fromFile(s"$snap/MANIFEST.tsv").getLines().toSeq
+    assert(manifest.size == snapped)
+    assert(manifest.exists(_.startsWith("store\t")) && manifest.exists(_.startsWith("index\t")))
+
+    // damage the live engine past the snapshot; results must change...
+    val removed = eng.delete(docs.filter(col("doc_id") % 3 === 0).select("doc_id"))
+    assert(removed > 0)
+    assert(eng.search(q).collect().toSeq != hits)
+    // ...and restore must bring back the EXACT pre-damage results
+    assert(eng.restore(snap) == snapped)
+    assert(eng.search(q).collect().toSeq == hits)
+
+    // a flipped byte in the snapshot must abort the restore loudly — the
+    // digest check is the whole point of the manifest. (Drop the local-FS
+    // .crc sidecar so Hadoop's own transport checksum doesn't fire first:
+    // on object stores there is no sidecar and the manifest is the only
+    // integrity line.)
+    val victim = new java.io.File(s"$snap/store").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x7f).toByte
+    java.nio.file.Files.write(victim.toPath, bytes)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$snap/store/.${victim.getName}.crc"))
+    intercept[IllegalStateException] { eng.restore(snap) }
+  }
+
+  test("routeIvf memoizes the index count: one metadata job across repeated searches") {
+    val eng = freshEngine()
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"))
+    eng.update()
+    // count jobs by JOB GROUP: unrelated async jobs (footer reads, cache
+    // cleanup) can land at any time, so a global counter is racy — a group
+    // id set around exactly the probed calls is inherited by every job
+    // they launch and nothing else
+    val probeJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sentinelJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        Option(j.properties).map(_.getProperty("spark.jobGroup.id")) match {
+          case Some("graft-memo-probe") => probeJobs.incrementAndGet()
+          case Some("graft-memo-sentinel") => sentinelJobs.incrementAndGet()
+          case _ =>
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      eng.routeIvf() // first call pays the (metadata) count job — untracked
+      spark.sparkContext.setJobGroup("graft-memo-probe", "memoized routeIvf calls")
+      (1 to 4).foreach(_ => eng.routeIvf()) // memo hits: zero jobs
+      spark.sparkContext.setJobGroup("graft-memo-sentinel", "flush marker")
+      spark.range(1).count()
+      spark.sparkContext.clearJobGroup()
+      // when the sentinel (submitted AFTER the probes) has been delivered,
+      // any probe-group job would have been delivered too
+      val deadline = System.nanoTime() + 15e9.toLong
+      while (sentinelJobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(sentinelJobs.get() >= 1, "sentinel job never observed")
+      assert(probeJobs.get() == 0,
+        s"memoized routeIvf calls launched ${probeJobs.get()} jobs — the count memo is not memoizing")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("search plans broadcast-side scoring and broadcast hydration (no shuffle joins)") {
     // the 100 TB shape: the corpus/index side never shuffles for a search —
     // queries broadcast into the scoring scan, hits broadcast into hydration

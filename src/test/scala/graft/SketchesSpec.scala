@@ -53,6 +53,60 @@ class SketchesSpec extends SparkSpec {
     assert(drift == 0)
   }
 
+  test("selective compaction rewrites only fragmented dirs and salts the hot one") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_sel_")
+    val path = s"$base/layout"
+    // kb=0 is HOT (every even orderkey, ~4× a healthy dir); kb 0,1
+    // fragmented into 16 batch files; kb 3,5,7 written healthy (1 file)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("kb",
+        when(pmod(col("l_orderkey"), lit(2L)) === 0, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(8L))))
+    li.filter(col("kb") <= 1).repartition(16)
+      .write.mode("overwrite").partitionBy("kb").parquet(path)
+    li.filter(col("kb") > 1).repartition(col("kb"))
+      .write.mode("append").partitionBy("kb").parquet(path)
+
+    def names(v: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/kb=$v")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSet
+    }
+    val pre = Compaction.partitionStats(spark, path, "kb")
+    assert(pre.filter(_.value.toLong <= 1).forall(_.files == 16))
+    val healthyPre = pre.filter(_.value.toLong > 1).map(s => s.value -> names(s.value)).toMap
+    assert(healthyPre.values.forall(_.size == 1))
+    // decimal sum: double addition is order-sensitive and the rewrite
+    // reorders rows — the checksum must not depend on float summation order
+    val before = li.agg(count(lit(1)), sum("l_orderkey"),
+      sum(col("l_extendedprice").cast("decimal(18,2)"))).collect().head
+
+    val hotBytes = pre.map(_.bytes).max
+    val rewritten = Compaction.compactSelective(spark, path, "kb", "l_orderkey",
+      maxFilesPerDir = 4, targetFileBytes = math.max(1L, (hotBytes + 3) / 4))
+    assert(rewritten.toSet.map((v: String) => v.toLong) == Set(0L, 1L),
+      s"exactly the fragmented dirs must be rewritten, got $rewritten")
+
+    val post = Compaction.partitionStats(spark, path, "kb").map(s => s.value -> s).toMap
+    // (a) healthy dirs untouched: identical file sets, not rewritten copies
+    healthyPre.foreach { case (v, fset) => assert(names(v) == fset, s"kb=$v was touched") }
+    // (b) hot dir fanned across multiple writer tasks — no straggler rewrite
+    assert(post("0").files >= 2 && post("0").files <= 4,
+      s"hot dir files = ${post("0").files}, want 2..4")
+    // (c) rewritten dirs within the files-per-dir bound
+    assert(post("1").files <= 4)
+    // lossless
+    val after = spark.read.parquet(path)
+      .agg(count(lit(1)), sum("l_orderkey"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))).collect().head
+    assert(before == after)
+    // idempotent: the layout is now healthy, a second pass is a no-op
+    val second = Compaction.compactSelective(spark, path, "kb", "l_orderkey",
+      maxFilesPerDir = 4, targetFileBytes = math.max(1L, (hotBytes + 3) / 4))
+    assert(second.isEmpty,
+      s"second pass rewrote $second; post: ${Compaction.partitionStats(spark, path, "kb")}")
+  }
+
   test("compaction rewrites a fragmented layout to one file per directory, losslessly") {
     val base = java.nio.file.Files.createTempDirectory("graft_compact_spec_")
     val frag = s"$base/frag"
