@@ -135,6 +135,41 @@ object Dedup {
       }
     }
 
+  /** [[hashedShinglesUdf]] with per-doc SET semantics baked in: distinct,
+    * ascending-sorted hashes — the dedup and the order are per-row facts,
+    * so computing them inside the shingling map is free while the
+    * explode-then-distinct spelling pays a full shuffle for the same set. */
+  private def hashedShingleSetUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      if (text == null) Array.empty[Long]
+      else {
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < n) Array.empty[Long]
+        else {
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          Array.tabulate(toks.length - n + 1) { i =>
+            md.reset()
+            val d = md.digest(toks.slice(i, i + n).mkString(" ").getBytes("UTF-8"))
+            java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
+          }.distinct.sorted
+        }
+      }
+    }
+
+  /** Exact |A ∩ B| of two ASCENDING-sorted distinct long arrays by merge
+    * scan — linear, unboxed, allocation-free. */
+  private val sortedIntersectUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[Long], b: Seq[Long]) =>
+      var i = 0; var j = 0; var n = 0L
+      while (i < a.length && j < b.length) {
+        val x = a(i); val y = b(j)
+        if (x == y) { n += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      n
+    }
+
   /** [[familyHash]] with a plan-time seed (a, b folded to literals). */
   def familyHashAt(base: Column, seed: Int): Column = {
     val a = (seed * 1103515245L + 12345L) % MhP + 1L
@@ -598,29 +633,46 @@ object Dedup {
   def setSimJoin(df: DataFrame, textCol: String, idCol: String,
                  tNum: Int, tDen: Int, shingleSize: Int = 3): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val toks = shingleTable(df, textCol, idCol, shingleSize)
-      .withColumnRenamed("shingle", "tok")
-      .persist(lvl) // feeds 2 branches: prefixes, verify arrays
 
     // Prefix-filter recall holds under ANY consistent global token order
     // (Chaudhuri/Ganti/Kaushik 2006 — both docs of a qualifying pair keep
     // ≥1 shared token in their prefixes as long as everyone prunes by the
     // SAME total order). The classic df-ascending order only TIGHTENS the
     // candidate set; on 8-byte-hashed shingles the hash order is already
-    // frequency-agnostic, so df-ordering bought little while costing a
-    // full df groupBy plus two joins. Order by the hashed token itself:
-    // one shuffle by id serves both windows (rank + size), no joins.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("tok").asc)
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-    val prefixes = toks
-      .withColumn("rn", row_number().over(w))
-      .withColumn("sz", count(lit(1)).over(wAll))
-      // prefix length = sz − ⌈t·sz⌉ + 1 (integer ceil div — exact, no float)
+    // frequency-agnostic, so order by the hashed token itself.
+    //
+    // The per-doc SORTED SET is computed inside the shingling pass: a doc's
+    // token set is per-row state, so dedup + sort are a narrow map — the
+    // exploded-then-`distinct` spelling paid a full shuffle, and the two
+    // id-partitioned windows (rank + size) paid another, for facts (rn, sz,
+    // prefix membership) that the array already knows positionally. This
+    // cut q118 from 4.5 s to the exchanges that are genuinely irreducible:
+    // the prefix-token join and the candidate dedup.
+    // CPU-shaped parallelism guards: SHA-256 shingling and the per-pair
+    // verify are compute-per-row, not bytes-per-row, so "let AQE coalesce
+    // to ~64MB partitions" (right for IO-bound stages) serializes them —
+    // a single-file corpus scans as 1 partition and 270k digests run on
+    // one core. Explicit widths are respected by AQE; only applied when
+    // the input is narrower than the session's shuffle width (a real
+    // corpus at scale already has the partitions).
+    val np = df.sparkSession.sessionState.conf.numShufflePartitions
+    val src = if (df.rdd.getNumPartitions < np) df.repartition(np) else df
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sets = src
+      .select(col(idCol), hashedShingleSetUdf(shingleSize)(col(textCol)).as("ts"))
+      .withColumn("sz", size(col("ts")).cast("long"))
+      .filter(col("sz") > 0)
+      .persist(lvl) // feeds the prefix explode AND both verify sides
+    sets.count() // materialize once, in parallel, before the branches fork
+
+    // prefix length = sz − ⌈t·sz⌉ + 1 (integer ceil div — exact, no float);
+    // rn is the token's 1-based rank in the doc's sorted set (pos + 1)
+    val prefixes = sets
       .withColumn("plen", expr(s"sz - ((sz * $tNum + ${tDen - 1}) DIV $tDen) + 1"))
-      .filter(col("rn") <= col("plen"))
-      .select(col("tok"), col(idCol), col("sz"), col("rn"))
+      .select(col(idCol), col("sz"),
+        posexplode(slice(col("ts"), lit(1), col("plen").cast("int")))
+          .as(Seq("pos", "tok")))
+      .select(col("tok"), col(idCol), col("sz"), (col("pos") + 1).as("rn"))
 
     // Candidate pair occurrences, pruned by PPJoin's POSITIONAL filter
     // before they ever become pairs: a qualifying pair's FIRST shared
@@ -642,24 +694,29 @@ object Dedup {
       // positional filter: (1 + min(pa−ra, pb−rb))·(tNum+tDen) ≥ tNum·(pa+pb)
       .filter((lit(1) + least(col("pa") - col("ra"), col("pb") - col("rb")))
         * (tNum + tDen) >= (col("pa") + col("pb")) * tNum)
-      .select("id_a", "id_b").distinct()
+      // explicit-width pair dedup: one exchange hashed on the pair, kept at
+      // full width so the verify stage downstream runs on every core (the
+      // same CPU-shaped-stage rule as `src` above)
+      .select("id_a", "id_b")
+      .repartition(np, col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
 
-    // Verify with ONE row per pair side: each doc's (distinct) token set
-    // rides as an array, the exact intersection is a codegen'd
-    // array_intersect — no pair×token fan-out, no second wide aggregation.
-    // At corpus scale this is two hash joins on id of |candidates| rows
-    // against the |docs|-row array table.
-    val arrs = toks.groupBy(col(idCol))
-      .agg(collect_list(col("tok")).as("ta"), count(lit(1)).as("sz"))
+    // Verify with ONE row per pair side: each doc's sorted token set rides
+    // as an array straight from `sets` (no re-aggregation), the exact
+    // intersection is a single merge scan over the two sorted long arrays
+    // (O(n+m), no boxing, no per-call hash set — array_intersect's generic
+    // path was the q118 hotspot). No pair×token fan-out. At corpus scale
+    // this is two hash joins on id of |candidates| rows against the
+    // |docs|-row array table.
     val res = cand
-      .join(arrs.select(col(idCol).as("id_a"), col("ta").as("ts_a"), col("sz").as("sz_a")), "id_a")
-      .join(arrs.select(col(idCol).as("id_b"), col("ta").as("ts_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .join(sets.select(col(idCol).as("id_a"), col("ts").as("ts_a"), col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("ts").as("ts_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", sortedIntersectUdf(col("ts_a"), col("ts_b")))
       .filter(col("inter") * tDen >= (col("sz_a") + col("sz_b") - col("inter")) * tNum)
       .withColumn("jacc_bp", expr("(10000 * inter) DIV (sz_a + sz_b - inter)"))
       .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jacc_bp")
       .localCheckpoint(true) // persist-then-release lifecycle (leak lesson)
-    toks.unpersist(blocking = false)
+    sets.unpersist(blocking = false)
     res
   }
 }
