@@ -113,9 +113,16 @@ object Dedup {
    * Jaccard intersection counts collision-free at corpus scale
    * (birthday bound ≈ n²/2⁶¹).
    */
-  def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(hashedShinglesUdf(n)(col(textCol))).as("shingle"))
+  def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    // SHA-256 shingling is compute-per-row: a narrow input (a one-file
+    // snapshot scans as 1 partition) would serialize the digests onto one
+    // core. Explicit width only when the input is narrower than the
+    // session's shuffle width — a corpus at scale already has partitions.
+    val np = df.sparkSession.sessionState.conf.numShufflePartitions
+    val src = if (df.rdd.getNumPartitions < np) df.repartition(np) else df
+    src.select(col(idCol), explode(hashedShinglesUdf(n)(col(textCol))).as("shingle"))
       .distinct()
+  }
 
   private def hashedShinglesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { text: String =>

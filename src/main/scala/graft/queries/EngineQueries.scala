@@ -282,16 +282,23 @@ object EngineQueries {
       touchAfter(drop,
         java.nio.file.Files.copy(drop.resolve("b.parquet"), drop.resolve("c.parquet")))
       val sink = s"q86_sink_${runSeq.incrementAndGet()}"
-      tsNorm(s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1")
-        .parquet(drop.toString))
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
+      // state-store partition pin (the q89/q95 discipline): 3 micro-batches
+      // × 32 state partitions is 96 provider inits + commits for a handful
+      // of windows; 2 partitions is the same result with 1/16 the state IO
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        tsNorm(s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1")
+          .parquet(drop.toString))
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
       s.table(sink)
         // defensive only: the sentinel window can never close (see above),
         // but harness scaffolding must not be able to leak into a graded row
@@ -599,25 +606,31 @@ object EngineQueries {
         .select(col("tok"), lit(1L).as("in_v"))
         .localCheckpoint(true) // snapshot: every micro-batch joins this
       val monitor = s"$tmp/monitor"
-      s.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1")
-        .parquet(drop.toString)
-        .writeStream
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          batch
-            .select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
-            .join(broadcast(vocab), Seq("tok"), "left")
-            .agg(countDistinct(col("doc_id")).as("n_docs"),
-              count(lit(1)).as("n_tok"),
-              sum(coalesce(col("in_v"), lit(0L))).as("n_in"))
-            .select(lit(id).as("batch_id"), col("n_docs"), col("n_tok"),
-              (col("n_tok") - col("n_in")).as("n_oov"),
-              expr("(10000 * (n_tok - n_in)) DIV n_tok").as("oov_bp"))
-            .coalesce(1).write.mode("append").parquet(monitor)
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
+      // micro-batch shuffle pin (q89/q95 discipline): the per-batch agg is
+      // a few thousand rows — 2 partitions, not 32 task launches per stage
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        s.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1")
+          .parquet(drop.toString)
+          .writeStream
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch
+              .select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
+              .join(broadcast(vocab), Seq("tok"), "left")
+              .agg(countDistinct(col("doc_id")).as("n_docs"),
+                count(lit(1)).as("n_tok"),
+                sum(coalesce(col("in_v"), lit(0L))).as("n_in"))
+              .select(lit(id).as("batch_id"), col("n_docs"), col("n_tok"),
+                (col("n_tok") - col("n_in")).as("n_oov"),
+                expr("(10000 * (n_tok - n_in)) DIV n_tok").as("oov_bp"))
+              .coalesce(1).write.mode("append").parquet(monitor)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
       s.read.parquet(monitor).orderBy(col("batch_id"))
     }),
 
@@ -640,26 +653,32 @@ object EngineQueries {
       stageFile(raw.filter(col("event_id") % 2 === 0), tmp.resolve("w1"), drop, "a.parquet")
       stageFile(raw.filter(col("event_id") % 2 === 1), tmp.resolve("w2"), drop, "b.parquet")
       val mv = java.nio.file.Files.createDirectory(tmp.resolve("mv")).toString
-      tsNorm(s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1")
-        .parquet(drop.toString))
-        .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
-        .writeStream
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          val sp = batch.sparkSession
-          val delta = batch.groupBy(col("day"))
-            .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
-          val prevDirs = new java.io.File(mv).listFiles()
-          val merged = Option(prevDirs).filter(_.nonEmpty).map { ds =>
-            sp.read.parquet(ds.maxBy(_.getName.drop(1).toInt).getAbsolutePath)
-              .unionByName(delta)
-              .groupBy(col("day")).agg(hll_union_agg(col("sk")).as("sk"))
-          }.getOrElse(delta)
-          merged.coalesce(1).write.mode("overwrite").parquet(s"$mv/v$id")
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
+      // micro-batch shuffle pin (q89/q95 discipline): per-batch sketch agg
+      // covers a handful of days — 2 partitions, not 32 tasks per stage
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        tsNorm(s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1")
+          .parquet(drop.toString))
+          .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+          .writeStream
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val sp = batch.sparkSession
+            val delta = batch.groupBy(col("day"))
+              .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+            val prevDirs = new java.io.File(mv).listFiles()
+            val merged = Option(prevDirs).filter(_.nonEmpty).map { ds =>
+              sp.read.parquet(ds.maxBy(_.getName.drop(1).toInt).getAbsolutePath)
+                .unionByName(delta)
+                .groupBy(col("day")).agg(hll_union_agg(col("sk")).as("sk"))
+            }.getOrElse(delta)
+            merged.coalesce(1).write.mode("overwrite").parquet(s"$mv/v$id")
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
       val latest = new java.io.File(mv).listFiles().maxBy(_.getName.drop(1).toInt)
       val est = s.read.parquet(latest.getAbsolutePath)
         .select(col("day"), hll_sketch_estimate(col("sk")).as("n_est"))
