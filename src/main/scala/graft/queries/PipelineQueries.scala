@@ -109,12 +109,17 @@ object PipelineQueries {
       "member content delivered straight to your inbox every single week"
 
   /** Tokenized documents (lowercased, whitespace-split), shared by the gram
-    * queries. NOT materialized here — each query decides (the q75 lesson). */
-  private def tokenized(df: DataFrame, minToks: Int): DataFrame =
-    df.filter(length(trim(col("text"))) > 0)
+    * queries. NOT materialized here — each query decides (the q75 lesson).
+    * Width-guarded: the single-file corpus scans as 1 partition, and every
+    * downstream explode is CPU-per-row (the q118/q137 lesson). */
+  private def tokenized(df: DataFrame, minToks: Int): DataFrame = {
+    val np = df.sparkSession.sessionState.conf.numShufflePartitions
+    val src = if (df.rdd.getNumPartitions < np) df.repartition(np) else df
+    src.filter(length(trim(col("text"))) > 0)
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
       .filter(size(col("toks")) >= minToks)
       .select(col("doc_id"), col("toks"))
+  }
 
   /** Per-(doc, gram) occurrence counts for word n-grams of size `n`. */
   private def gramCounts(toks: DataFrame, n: Int): DataFrame =
@@ -136,12 +141,19 @@ object PipelineQueries {
     // document, hashed corpus-wide; windows seen in >=2 DISTINCT docs are
     // duplicated content, and runs of adjacent duplicated positions merge
     // into maximal spans (the island trick: pos - row_number is constant
-    // within a run). One shuffle on the gram key to find cross-doc windows
-    // (map-side combine carries (gram, doc) partials), the tiny duplicated
-    // set broadcasts back, and the span merge is a per-doc window — the
-    // minimal exchange plan for corpus-wide span mining at 100 TB.
+    // within a run). Scale shape: the window text NEVER shuffles — each
+    // position ships only its xxhash64 (8-byte keys, the q118 hashed-
+    // shingle lesson; 32-char strings were 5× the shuffle bytes), the
+    // cross-doc test is min(doc)≠max(doc) (no countDistinct expansion),
+    // the tiny duplicated set broadcasts back, and the span merge is a
+    // per-doc window over duplicated positions only. The gram table feeds
+    // both branches, so it is persisted and released (the q118 lifecycle).
     "q137_substring_spans" -> ((s, dir) => {
+      // explicit width: the corpus scans as one file → one partition, and
+      // the per-position substring+hash explode is CPU-per-row — without
+      // the spread it runs on a single core (the q118 lesson)
       val base = t(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .withColumn("text2",
           when(col("doc_id") % 6 === 0, concat(col("text"), lit(" " + spanBoiler)))
             .otherwise(col("text")))
@@ -149,19 +161,24 @@ object PipelineQueries {
       val grams = base
         .select(col("doc_id"), col("text2"),
           explode(sequence(lit(1), length(col("text2")) - 31)).as("p"))
-        .select(col("doc_id"), col("p"), expr("substring(text2, p, 32)").as("gram"))
-      val dupGrams = grams.groupBy(col("gram"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("gram")
+        .select(col("doc_id"), col("p"),
+          xxhash64(expr("substring(text2, p, 32)")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dupGrams = grams.groupBy(col("h"))
+        .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("crossdoc"))
+        .filter(col("crossdoc")).select("h")
       val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      val islands = grams.join(broadcast(dupGrams), "gram")
+      val islands = grams.join(broadcast(dupGrams), "h")
         .withColumn("island", col("p") - row_number().over(w))
         .groupBy(col("doc_id"), col("island"))
         .agg(count(lit(1)).as("npos"), (max(col("p")) - min(col("p")) + 32).as("covered"))
-      islands.groupBy(col("doc_id"))
+      val res = islands.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"), sum(col("npos")).as("n_dup_pos"),
           sum(col("covered")).as("dup_chars"))
         .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      grams.unpersist(blocking = false)
+      res
     }),
 
     // URL canonicalization + keep-newest dedup — the crawl-frontier hygiene
