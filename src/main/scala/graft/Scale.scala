@@ -94,7 +94,7 @@ object Scale {
     // ops=a,b,c restricts to named measurement groups (re-run one curve)
     val only: Set[String] = args.collectFirst {
       case a if a.startsWith("ops=") => a.stripPrefix("ops=").split(",").toSet
-    }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "cc"))
+    }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective", "cc"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -180,6 +180,27 @@ object Scale {
       measure("compaction", s, n) {
         Compaction.compact(spark, in, outP, "source", sortCols = Seq("doc_id"))
         spark.read.parquet(outP).count()
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+    // 4b. SELECTIVE compaction: same 8-dir layout but only 2 dirs are
+    //     fragmented (32 batch files each); the other 6 are healthy. The
+    //     claim under measurement: cost tracks the FRAGMENTED bytes, not
+    //     the table — compare the shuffle column against group 4.
+    if (only("selective")) docLadder.foreach { case (s, n) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-sel-").toString
+      val in = s"$base/layout"
+      val c = corpus(spark, n)
+      c.filter(col("source").isin("uci", "kaggle")).repartition(32)
+        .write.mode("overwrite").partitionBy("source").parquet(in)
+      c.filter(!col("source").isin("uci", "kaggle")).repartition(col("source"))
+        .write.mode("append").partitionBy("source").parquet(in)
+      measure("compaction_selective", s, n) {
+        val rewritten = Compaction.compactSelective(spark, in, "source", "doc_id",
+          maxFilesPerDir = 4, targetFileBytes = 128L * 1024 * 1024)
+        require(rewritten.toSet == Set("uci", "kaggle"),
+          s"expected exactly the 2 fragmented dirs, got $rewritten")
+        spark.read.parquet(in).count()
       }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }
