@@ -205,6 +205,39 @@ object VectorQueries {
         .orderBy(col("cell"))
     }),
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023) — the PRUNE step
+    // q134's cartography feeds: cluster-bucket the corpus with the seeded
+    // quantizer, compute pairwise cosine ONLY within cells (the cell is
+    // the blocking key — never a global n² join; at warehouse scale each
+    // cell is one partition of the hive-partitioned IVF layout), and drop
+    // the higher-id member of every pair at/above the dedup threshold.
+    // The planted near-copies (q38's fixture, cosine ≈0.9999 vs a ~0.5
+    // natural ceiling) land in their base vector's cell and must be
+    // dropped; output is the per-cell population, drop count, and a
+    // kept-id checksum the oracle replays end-to-end (assignment, pairs,
+    // drop rule).
+    "q151_semantic_dedup" -> ((s, dir) => {
+      import graft.functions.VectorFns
+      val aug = nearDupVecs(s, dir)
+      val idx = VectorSearch.buildIvfSeeded(aug, nlist = 16, dim = 64)
+      val cells = idx.cells.select(col("cell"), col("vec_id"), col("embedding"))
+        .localCheckpoint() // feeds both pair sides + the final rollup
+      val pairs = cells
+        .select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("va"))
+        .join(cells.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("vb")),
+          Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(VectorFns.cosineSim(col("va"), col("vb")), 4) >= 0.99)
+      val dropped = pairs.select(col("id_b").as("vec_id")).distinct()
+        .withColumn("dropped", lit(1L))
+      cells.join(dropped, Seq("vec_id"), "left")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"),
+          sum(when(col("dropped").isNull, col("vec_id")).otherwise(0L)).as("kept_sum_ids"))
+        .orderBy(col("cell"))
+    }),
+
     // Retrieval-quality evaluation — the recall@k measurement every ANN
     // index ships with (and the gate an index-parameter change must pass
     // before rollout): the pruned probe's top-4 against the exact top-4
@@ -527,7 +560,40 @@ object VectorQueries {
        |ORDER BY a.cell""".stripMargin
   }
 
+  /** DuckDB replay of q151: the q24/q134 seeded assignment CTE over the
+    * AUGMENTED corpus (q38's planted near-copies), within-cell pairwise
+    * cosine at the dedup threshold, drop-the-higher-id rule, per-cell
+    * rollup with a kept-id checksum. */
+  private lazy val semanticDedupOracleSql: String = {
+    val cents = graft.operators.Dedup.hyperplanes(64, 16, 7L)
+    val rows = cents.zipWithIndex.map { case (c, cell) =>
+      s"($cell, [${c.map(f => f.toDouble.toString).mkString(", ")}])"
+    }.mkString(",\n")
+    s"""WITH cent(cell, cv) AS (VALUES
+       |$rows),
+       |corpus AS (
+       |$nearDupVecsSql),
+       |assigned AS (
+       |  SELECT vec_id, v, cell,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY round(list_cosine_similarity(v, cv), 4) DESC, cell ASC) AS arank
+       |  FROM corpus, cent QUALIFY arank = 1),
+       |pairs AS (
+       |  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.99),
+       |dropped AS (SELECT DISTINCT id_b AS vec_id FROM pairs)
+       |SELECT a.cell, count(*) AS n_vecs,
+       |  cast(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_dropped,
+       |  cast(sum(CASE WHEN d.vec_id IS NULL THEN a.vec_id ELSE 0 END) as bigint) AS kept_sum_ids
+       |FROM assigned a LEFT JOIN dropped d USING (vec_id)
+       |GROUP BY a.cell ORDER BY a.cell""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q151_semantic_dedup" -> semanticDedupOracleSql,
+
     "q138_matryoshka_recall" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, cast(embedding as double[]) AS qv
