@@ -147,7 +147,10 @@ object PipelineQueries {
     // cross-doc test is min(doc)≠max(doc) (no countDistinct expansion),
     // the tiny duplicated set broadcasts back, and the span merge is a
     // per-doc window over duplicated positions only. The gram table feeds
-    // both branches, so it is persisted and released (the q118 lifecycle).
+    // both branches UNPERSISTED by choice: the stage is a narrow explode
+    // at full width, so recomputing it costs less than materializing 5M
+    // rows — and the result plan stays visible to PlanSpec's broadcast
+    // gate (a localCheckpoint would hide it behind an ExistingRDD scan).
     "q137_substring_spans" -> ((s, dir) => {
       // explicit width: the corpus scans as one file → one partition, and
       // the per-position substring+hash explode is CPU-per-row — without
@@ -163,7 +166,6 @@ object PipelineQueries {
           explode(sequence(lit(1), length(col("text2")) - 31)).as("p"))
         .select(col("doc_id"), col("p"),
           xxhash64(expr("substring(text2, p, 32)")).as("h"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dupGrams = grams.groupBy(col("h"))
         .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("crossdoc"))
         .filter(col("crossdoc")).select("h")
@@ -172,13 +174,10 @@ object PipelineQueries {
         .withColumn("island", col("p") - row_number().over(w))
         .groupBy(col("doc_id"), col("island"))
         .agg(count(lit(1)).as("npos"), (max(col("p")) - min(col("p")) + 32).as("covered"))
-      val res = islands.groupBy(col("doc_id"))
+      islands.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"), sum(col("npos")).as("n_dup_pos"),
           sum(col("covered")).as("dup_chars"))
         .orderBy(col("doc_id"))
-        .localCheckpoint(true)
-      grams.unpersist(blocking = false)
-      res
     }),
 
     // URL canonicalization + keep-newest dedup — the crawl-frontier hygiene

@@ -84,6 +84,26 @@ object TextQueries {
       |       substring(text, 1, cast(greatest(length(text) - 30, 1) as int)) AS text
       |FROM documents WHERE doc_id % 25 = 0""".stripMargin
 
+  /** q152 fixture: the planted near-dup is an EXTENDED revision of its base
+    * (an appended tail), so the copy is the higher-quality member — a
+    * min-id arbitration (q79) would keep the original; the quality
+    * arbitration must keep the revision. Jaccard base↔revision stays well
+    * above 0.3 (the tail adds ~13 shingles to 20+). */
+  private val qualTail =
+    "comprehensive revised edition with expanded methodology appendix and corrected tables"
+
+  private def qualityCorpus(df: DataFrame): DataFrame =
+    df.select(col("doc_id").as("id"), col("source"), col("text")).unionAll(
+      df.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + Off1).as("id"), col("source"),
+          concat(col("text"), lit(" " + qualTail)).as("text")))
+
+  private val qualityCorpusSql =
+    s"""SELECT doc_id AS id, source, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + $Off1 AS id, source, text || ' $qualTail' AS text
+      |FROM documents WHERE doc_id % 25 = 0""".stripMargin
+
   /** DuckDB replay of Dedup.nearDupPairs (shingleSize=3, numHashes=16,
     * bands=4) over a `(id, text)` relation named `corpus`: emits CTEs
     * `toks`…`verified`, where `verified` = (id_a, id_b, inter, sz_a, sz_b,
@@ -366,6 +386,37 @@ object TextQueries {
           sum(when(col("id") === col("canonical"), 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("id") === col("canonical"), 0L).otherwise(1L)).as("n_dropped"),
           sum(when(col("id") === col("canonical"), col("id")).otherwise(0L)).as("kept_sum_ids"))
+        .orderBy(col("source"))
+    }),
+
+    // Quality-ARBITRATED dedup resolution — q79 keeps the min-id member
+    // per near-dup cluster; a curation pipeline keeps the BEST member
+    // (dedup-then-arbitrate, the RefinedWeb/FineWeb move). Same LSH pairs
+    // + connected components, but the canonical doc is the cluster member
+    // with the highest quality score (length here; any scorer drops in),
+    // id ascending as the total tie-break. The fixture makes the two
+    // rules DISAGREE: each planted dup is an extended revision, so q79's
+    // min-id keeps the original while this query must keep the revision —
+    // kept_sum_ids (which then contains +Off1 terms) hash-proves the
+    // arbitration really keyed on quality. One window over clusters;
+    // labels broadcast; the corpus never shuffles for resolution.
+    "q152_dedup_quality_resolve" -> ((s, dir) => {
+      val corpus = qualityCorpus(t(s, dir, "documents"))
+      val pairs = Dedup.nearDupPairs(corpus, "text", "id",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val labeled = corpus.withColumn("quality", length(col("text")).cast("long"))
+        .join(broadcast(labels.withColumnRenamed("node", "id")), Seq("id"), "left")
+        .withColumn("cluster", coalesce(col("label"), col("id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster")).orderBy(col("quality").desc, col("id").asc)
+      labeled.withColumn("r", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("r") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("r") === 1, col("id")).otherwise(0L)).as("kept_sum_ids"),
+          sum(when(col("r") === 1, col("quality")).otherwise(0L)).as("kept_sum_quality"))
         .orderBy(col("source"))
     }),
 
@@ -751,6 +802,30 @@ object TextQueries {
          |  cast(sum(CASE WHEN id = canonical THEN 0 ELSE 1 END) as bigint) AS n_dropped,
          |  cast(sum(CASE WHEN id = canonical THEN id ELSE 0 END) as bigint) AS kept_sum_ids
          |FROM resolved GROUP BY source ORDER BY source""".stripMargin,
+
+    "q152_dedup_quality_resolve" ->
+      s"""WITH RECURSIVE corpus AS ($qualityCorpusSql),
+         |${minhashVerifiedSql(0.3)},
+         |e AS (SELECT id_a AS src, id_b AS dst FROM verified),
+         |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+         |reach(node, label) AS (
+         |  SELECT DISTINCT src AS node, src AS label FROM sym
+         |  UNION
+         |  SELECT s.src AS node, r.label FROM sym s JOIN reach r ON s.dst = r.node),
+         |comp AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+         |labeled AS (
+         |  SELECT c.id, c.source, cast(length(c.text) as bigint) AS quality,
+         |         coalesce(p.label, c.id) AS cluster
+         |  FROM corpus c LEFT JOIN comp p ON p.node = c.id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY quality DESC, id ASC) AS r
+         |  FROM labeled)
+         |SELECT source, count(*) AS n_docs,
+         |  cast(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) as bigint) AS n_kept,
+         |  cast(sum(CASE WHEN r = 1 THEN id ELSE 0 END) as bigint) AS kept_sum_ids,
+         |  cast(sum(CASE WHEN r = 1 THEN quality ELSE 0 END) as bigint) AS kept_sum_quality
+         |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
 
     "q49_fuzzy_match" ->
       s"""WITH corpus AS ($fuzzyCorpusSql),
