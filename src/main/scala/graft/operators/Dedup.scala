@@ -308,12 +308,7 @@ object Dedup {
       .unionByName(batch.select(col(idCol), col(textCol)))
     val sh = shingleTable(all, textCol, idCol, shingleSize).persist(lvl)
     val sig = minhashWide(sh, idCol, numHashes).persist(lvl)
-    val rowsPerBand = numHashes / bands
-    val bandSigCols = (0 until bands).map { b =>
-      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)
-    }
-    val bandSigs = sig.select(col(idCol),
-      posexplode(array(bandSigCols: _*)).as(Seq("band", "band_sig")))
+    val bandSigs = bandSignatures(sig, idCol, numHashes, bands)
     val batchBands = bandSigs.join(batch.select(col(idCol)), Seq(idCol), "left_semi")
     val cand = bandSigs.select(col("band"), col("band_sig"), col(idCol).as("id_x"))
       .join(batchBands.select(col("band"), col("band_sig"), col(idCol).as("id_y")),
@@ -328,6 +323,77 @@ object Dedup {
       .localCheckpoint(true)
     sh.unpersist(blocking = false)
     sig.unpersist(blocking = false)
+    res
+  }
+
+  /** (id, band, band_sig) rows from a wide minhash signature table. */
+  private def bandSignatures(sig: DataFrame, idCol: String,
+                             numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandSigCols = (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)
+    }
+    sig.select(col(idCol), posexplode(array(bandSigCols: _*)).as(Seq("band", "band_sig")))
+  }
+
+  /**
+   * Precomputed near-dup signature state over a fixed corpus side: the
+   * shingle table, wide minhash signatures (carrying `sz`), and banded
+   * signatures, all pinned. This is what a continuously-ingesting
+   * deployment keeps MATERIALIZED next to its store — each incoming batch
+   * then pays only its OWN minhash chain, never the corpus's
+   * ([[incrementalNearDupPairs]] re-derives the store side per call, which
+   * is the self-contained spelling but O(|store|) redundant work per
+   * micro-batch; at 100 TB the signature index is the difference between
+   * per-batch cost O(|batch|) and O(|corpus|)).
+   */
+  final case class SigIndex(shingles: DataFrame, sigs: DataFrame,
+                            bandSigs: DataFrame, idCol: String,
+                            shingleSize: Int, numHashes: Int, bands: Int)
+
+  def buildSigIndex(df: DataFrame, textCol: String, idCol: String,
+                    shingleSize: Int = 3, numHashes: Int = 16,
+                    bands: Int = 4): SigIndex = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val sh = shingleTable(df, textCol, idCol, shingleSize).localCheckpoint(true)
+    val sig = minhashWide(sh, idCol, numHashes).localCheckpoint(true)
+    val bandSigs = bandSignatures(sig, idCol, numHashes, bands).localCheckpoint(true)
+    SigIndex(sh, sig, bandSigs, idCol, shingleSize, numHashes, bands)
+  }
+
+  /**
+   * [[incrementalNearDupPairs]] with the store side precomputed: equal
+   * output by construction (a doc's shingles/signature depend on nothing
+   * but its own text), with per-call cost proportional to the BATCH.
+   * Precondition: batch ids are disjoint from the indexed ids (the ingest
+   * dedup guarantees it) — a re-delivered id would double its shingle rows
+   * in the verify union.
+   */
+  def incrementalNearDupPairsIndexed(store: SigIndex, batch: DataFrame,
+                                     textCol: String,
+                                     threshold: Double = 0.5): DataFrame = {
+    val idCol = store.idCol
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bsh = shingleTable(batch.select(col(idCol), col(textCol)),
+      textCol, idCol, store.shingleSize).persist(lvl)
+    val bsig = minhashWide(bsh, idCol, store.numHashes).persist(lvl)
+    val bBands = bandSignatures(bsig, idCol, store.numHashes, store.bands)
+    val allBands = store.bandSigs.unionByName(bBands)
+    val cand = allBands.select(col("band"), col("band_sig"), col(idCol).as("id_x"))
+      .join(bBands.select(col("band"), col("band_sig"), col(idCol).as("id_y")),
+        Seq("band", "band_sig"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    val sh = store.shingles.unionByName(bsh)
+    val szs = store.sigs.select(col(idCol), col("sz"))
+      .unionByName(bsig.select(col(idCol), col("sz")))
+    val res = jaccardForPairs(cand, sh, szs, idCol)
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    bsh.unpersist(blocking = false)
+    bsig.unpersist(blocking = false)
     res
   }
 

@@ -547,15 +547,20 @@ object EngineQueries {
         tmp.resolve("w1"), drop, "b1.parquet")
       stageFile(trunc(10, 5000000000L).unionByName(novel(1)),
         tmp.resolve("w2"), drop, "b2.parquet")
-      val snap = s.read.parquet(store).localCheckpoint(true) // the index snapshot
+      // the index snapshot, with its near-dup SIGNATURE state built ONCE
+      // (Dedup.buildSigIndex): each micro-batch pays only its own minhash
+      // chain — the O(|batch|) production shape, not the O(|store|)
+      // self-contained re-derivation per batch
+      val snapIdx = graft.operators.Dedup.buildSigIndex(
+        s.read.parquet(store), "text", "doc_id",
+        shingleSize = 3, numHashes = 16, bands = 4)
       s.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1")
         .parquet(drop.toString)
         .writeStream.option("checkpointLocation", s"$tmp/ckpt")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val b = batch.localCheckpoint(true) // pin: banding reads it repeatedly
-          val pairs = graft.operators.Dedup.incrementalNearDupPairs(
-            snap, b, "text", "doc_id",
-            shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3)
+          val pairs = graft.operators.Dedup.incrementalNearDupPairsIndexed(
+            snapIdx, b, "text", threshold = 0.3)
           val dupIds = pairs.select(col("id_a").as("doc_id"))
             .unionByName(pairs.select(col("id_b").as("doc_id")))
             .join(b.select("doc_id"), "doc_id").distinct()

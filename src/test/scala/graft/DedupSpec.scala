@@ -70,6 +70,14 @@ class DedupSpec extends SparkSpec {
         .filter { case (a, b) => a >= 30000 || b >= 30000 }.toSet
       assert(inc == full, s"seed=$seed: inc=${inc.size} full=${full.size}")
       assert(inc.nonEmpty, s"seed=$seed surfaced no planted cross pairs")
+
+      // the precomputed-signature-index spelling (the per-batch O(|batch|)
+      // production shape) must equal the self-contained one exactly
+      val idx = Dedup.buildSigIndex(store, "text", "id",
+        shingleSize = 3, numHashes = 16, bands = 4)
+      val viaIdx = Dedup.incrementalNearDupPairsIndexed(idx, batch, "text", threshold = 0.3)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaIdx == inc, s"seed=$seed: indexed=${viaIdx.size} inc=${inc.size}")
     }
   }
 
