@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Compaction, Dedup, VectorSearch}
 
 /**
- * Scale-curve measurement (`runMain graft.Scale [small]`): runs the five
- * scale-shaped operators — near-dup LSH, PPJoin set-similarity, IVF search
- * (pruned vs exact), compaction, star connected components — at 1×/10×/100×
- * the sf0.1 row counts and records wall time AND shuffle bytes per run.
+ * Scale-curve measurement (`runMain graft.Scale [small] [ops=a,b]`): runs
+ * the scale-shaped operators — near-dup LSH, PPJoin set-similarity, IVF
+ * search (pruned vs exact), compaction (full and partition-selective),
+ * incremental near-dup (self-contained vs signature-indexed), star
+ * connected components — at 1×/10×/100× the sf0.1 row counts and records
+ * wall time AND shuffle bytes per run.
  *
  * Rationale (round-6 verdict task 1): plan gates prove the SHAPE is right
  * (pushdown, broadcast, partition pruning, no cartesians); this measures
@@ -94,7 +96,7 @@ object Scale {
     // ops=a,b,c restricts to named measurement groups (re-run one curve)
     val only: Set[String] = args.collectFirst {
       case a if a.startsWith("ops=") => a.stripPrefix("ops=").split(",").toSet
-    }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective", "cc"))
+    }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective", "incdedup", "cc"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -203,6 +205,28 @@ object Scale {
         spark.read.parquet(in).count()
       }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+    // 4c. Incremental near-dup: a FIXED 500-doc batch deduped against a
+    //     growing store, both spellings. The claim under measurement:
+    //     the self-contained call re-derives the store's signatures per
+    //     batch (cost grows with the store); the signature-index call
+    //     pays a one-time build, then per-batch cost stays ~flat.
+    if (only("incdedup")) docLadder.foreach { case (s, n) =>
+      val storeDf = corpus(spark, n)
+      val batch = corpus(spark, 500)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      measure("incdedup_selfcontained", s, n) {
+        Dedup.incrementalNearDupPairs(storeDf, batch, "text", "doc_id",
+          threshold = 0.5).count()
+      }
+      var idx: Dedup.SigIndex = null
+      measure("incdedup_index_build", s, n) {
+        idx = Dedup.buildSigIndex(storeDf, "text", "doc_id")
+        idx.bandSigs.count()
+      }
+      measure("incdedup_indexed_batch", s, n) {
+        Dedup.incrementalNearDupPairsIndexed(idx, batch, "text", threshold = 0.5).count()
+      }
     }
     // 5. Star connected components
     if (only("cc")) edgeLadder.foreach { case (s, m) =>

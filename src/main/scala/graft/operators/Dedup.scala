@@ -378,17 +378,30 @@ object Dedup {
       textCol, idCol, store.shingleSize).persist(lvl)
     val bsig = minhashWide(bsh, idCol, store.numHashes).persist(lvl)
     val bBands = bandSignatures(bsig, idCol, store.numHashes, store.bands)
+    // the batch side is small BY DEFINITION of incremental ingest, so it
+    // BROADCASTS into the banding probe and the store's band table is only
+    // scanned, never shuffled — without the hint the equi-join re-exchanges
+    // the whole index per batch, and per-batch cost silently grows with the
+    // corpus (measured: 1.2 GB shuffled per 500-doc batch at 500k docs)
     val allBands = store.bandSigs.unionByName(bBands)
     val cand = allBands.select(col("band"), col("band_sig"), col(idCol).as("id_x"))
-      .join(bBands.select(col("band"), col("band_sig"), col(idCol).as("id_y")),
+      .join(broadcast(bBands.select(col("band"), col("band_sig"), col(idCol).as("id_y"))),
         Seq("band", "band_sig"))
       .filter(col("id_x") =!= col("id_y"))
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()
+      .localCheckpoint(true) // tiny; pins the pair set for the two prunes below
+    // prune the store tables to PAIR MEMBERS before the verify join — the
+    // member set is a broadcast semi-join filter, so the shingle/size scans
+    // stay narrow and the verify works on O(|pairs|·doc_len) rows
+    val ids = cand.select(col("id_a").as(idCol))
+      .unionByName(cand.select(col("id_b").as(idCol))).distinct()
     val sh = store.shingles.unionByName(bsh)
+      .join(broadcast(ids), Seq(idCol), "left_semi")
     val szs = store.sigs.select(col(idCol), col("sz"))
       .unionByName(bsig.select(col(idCol), col("sz")))
+      .join(broadcast(ids), Seq(idCol), "left_semi")
     val res = jaccardForPairs(cand, sh, szs, idCol)
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)
