@@ -279,6 +279,33 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     (sf, ifn)
   }
 
+  /**
+   * Store↔index consistency audit (the `db.collection.validate` /
+   * fsck verb a long-lived deployment runs between maintenance windows):
+   * one full-outer join of the two layouts' distinct doc_id sets, rolled
+   * into a single summary row — store docs, indexed docs, docs missing
+   * from the index (ingested but never updateIncremental'd — the repair
+   * is exactly [[updateIncremental]]), and index orphans (rows whose
+   * document was removed behind the engine's back; [[delete]] can never
+   * leave one). `consistent` is the release gate.
+   */
+  def fsck(): DataFrame = {
+    val sIds = store().select(col("doc_id")).distinct()
+      .withColumn("in_store", lit(true))
+    val iIds = (if (indexExists) index().select(col("doc_id"))
+                else store().select(col("doc_id")).filter(lit(false)))
+      .distinct().withColumn("in_index", lit(true))
+    sIds.join(iIds, Seq("doc_id"), "full_outer")
+      .agg(
+        sum(when(col("in_store"), 1L).otherwise(0L)).as("n_store_docs"),
+        sum(when(col("in_index"), 1L).otherwise(0L)).as("n_indexed_docs"),
+        sum(when(col("in_store") && col("in_index").isNull, 1L).otherwise(0L))
+          .as("n_missing"),
+        sum(when(col("in_index") && col("in_store").isNull, 1L).otherwise(0L))
+          .as("n_orphaned"))
+      .withColumn("consistent", col("n_missing") === 0 && col("n_orphaned") === 0)
+  }
+
   private def indexExists: Boolean = {
     val p = new org.apache.hadoop.fs.Path(cfg.indexPath)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

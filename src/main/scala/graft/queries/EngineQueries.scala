@@ -161,6 +161,29 @@ object EngineQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // Store↔index consistency audit graded end-to-end (Engine.fsck — the
+    // validate/fsck verb between maintenance windows): after a full build
+    // over half the corpus plus a dedup-ingest of the rest, the audit must
+    // report exactly the un-indexed half as missing (and zero orphans —
+    // nothing bypassed the engine); after the repair (updateIncremental,
+    // the verb fsck points at) it must report a consistent pair. Both
+    // audit rows are graded against parity counts over the corpus.
+    "q153_engine_fsck" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q153_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs.filter(col("doc_id") % 2 === 0))
+      eng.update()
+      eng.ingest(docs) // odd half lands un-indexed
+      val before = eng.fsck().withColumn("stage", lit("pre_repair"))
+        .localCheckpoint(true) // audit BEFORE the repair mutates the layouts
+      eng.updateIncremental()
+      val after = eng.fsck().withColumn("stage", lit("post_repair"))
+      before.unionByName(after).orderBy(col("stage"))
+    }),
+
     // Backup/restore graded end-to-end (mongo_backup_restore.sh parity,
     // Engine.backup/restore over operators/Backup.scala's DistCp-shaped
     // copy): build the engine, SNAPSHOT it, then damage the live store
@@ -908,6 +931,20 @@ object EngineQueries {
 
   val oracle: Map[String, String] = Map(
     "q150_backup_restore" -> lifecycleSearchSql,
+
+    "q153_engine_fsck" ->
+      """SELECT cast(count(*) as bigint) AS n_store_docs,
+        |  cast(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) as bigint) AS n_indexed_docs,
+        |  cast(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) as bigint) AS n_missing,
+        |  cast(0 as bigint) AS n_orphaned,
+        |  false AS consistent,
+        |  'pre_repair' AS stage
+        |FROM documents
+        |UNION ALL
+        |SELECT cast(count(*) as bigint), cast(count(*) as bigint),
+        |  cast(0 as bigint), cast(0 as bigint), true, 'post_repair'
+        |FROM documents
+        |ORDER BY stage""".stripMargin,
 
     "q135_stream_sketch_mv" ->
       """SELECT cast(cast(date_trunc('day', ts) as date) as timestamp) AS day,

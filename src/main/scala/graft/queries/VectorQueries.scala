@@ -238,6 +238,40 @@ object VectorQueries {
         .orderBy(col("cell"))
     }),
 
+    // Embedding-space drift monitor — the observability check a training
+    // pipeline keeps on its embedding column between corpus epochs (q131
+    // watches VALUE distributions; this watches the representation space):
+    // per label, the cosine between the two epochs' centroid DIRECTIONS.
+    // Exactness discipline: coordinates quantize to integer 1e-4 units,
+    // component sums are exact longs, and cosine needs no mean (scale-
+    // invariant ⇒ sums suffice); the dot/norms stay inside exact-long
+    // range (≤4e14 < 2^53), so even the final double math is bit-identical
+    // across engines. Two partial-aggregated shuffles at any scale.
+    "q154_embedding_drift" -> ((s, dir) => {
+      val dims = 64
+      val q = t(s, dir, "embeddings")
+        .withColumn("epoch", when(col("vec_id") % 2 === 0, lit("a")).otherwise(lit("b")))
+        .select(col("label").cast("long").as("label"), col("epoch"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 10000 + 0.5).cast("long")).as("qv"))
+      val summed = q.groupBy(col("label"), col("epoch"))
+        .agg(count(lit(1)).as("n"),
+          array((1 to dims).map(i => sum(element_at(col("qv"), i))): _*).as("v"))
+      val a = summed.filter(col("epoch") === "a")
+        .select(col("label"), col("n").as("n_a"), col("v").as("va"))
+      val b = summed.filter(col("epoch") === "b")
+        .select(col("label"), col("n").as("n_b"), col("v").as("vb"))
+      def dotL(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, r) => p * r), lit(0L), (acc, v) => acc + v)
+      a.join(b, "label")
+        .withColumn("drift_bp",
+          floor(lit(10000.0) * (dotL(col("va"), col("vb")).cast("double")
+            / (sqrt(dotL(col("va"), col("va")).cast("double"))
+              * sqrt(dotL(col("vb"), col("vb")).cast("double")))) + 0.5).cast("long"))
+        .select(col("label"), col("n_a"), col("n_b"), col("drift_bp"))
+        .orderBy(col("label"))
+    }),
+
     // Retrieval-quality evaluation — the recall@k measurement every ANN
     // index ships with (and the gate an index-parameter change must pass
     // before rollout): the pruned probe's top-4 against the exact top-4
@@ -593,6 +627,35 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "q151_semantic_dedup" -> semanticDedupOracleSql,
+
+    "q154_embedding_drift" ->
+      """WITH q AS (
+        |  SELECT cast(label as bigint) AS label,
+        |    CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS epoch,
+        |    list_transform(cast(embedding as double[]),
+        |      x -> cast(floor(x * 10000 + 0.5) as bigint)) AS qv
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT label, epoch, g.i, cast(sum(qv[g.i]) as bigint) AS s
+        |  FROM q, (SELECT unnest(generate_series(1, 64)) AS i) g
+        |  GROUP BY label, epoch, g.i),
+        |sv AS (SELECT label, epoch, list(s ORDER BY i) AS v FROM ex GROUP BY label, epoch),
+        |cnt AS (SELECT label, epoch, count(*) AS n FROM q GROUP BY label, epoch),
+        |j AS (
+        |  SELECT a.label, ca.n AS n_a, cb.n AS n_b, a.v AS va, b.v AS vb
+        |  FROM sv a
+        |  JOIN sv b ON b.label = a.label AND b.epoch = 'b'
+        |  JOIN cnt ca ON ca.label = a.label AND ca.epoch = 'a'
+        |  JOIN cnt cb ON cb.label = a.label AND cb.epoch = 'b'
+        |  WHERE a.epoch = 'a')
+        |SELECT label, n_a, n_b,
+        |  cast(floor(10000.0 * (cast(list_reduce(
+        |      list_transform(generate_series(1, 64), i -> va[i] * vb[i]),
+        |      (x, y) -> x + y) as double)
+        |    / (sqrt(cast(list_reduce(list_transform(generate_series(1, 64), i -> va[i] * va[i]), (x, y) -> x + y) as double))
+        |       * sqrt(cast(list_reduce(list_transform(generate_series(1, 64), i -> vb[i] * vb[i]), (x, y) -> x + y) as double))))
+        |    + 0.5) as bigint) AS drift_bp
+        |FROM j ORDER BY label""".stripMargin,
 
     "q138_matryoshka_recall" ->
       """WITH q AS (
