@@ -161,6 +161,46 @@ object EngineQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // Streaming checkpoint RECOVERY graded end-to-end — the exactly-once
+    // file-source contract across a restart: run 1 drains the first
+    // delivery under Trigger.AvailableNow and stops; a second delivery
+    // lands while NO query is running; run 2 restarts from the SAME
+    // checkpoint and must process only the new file — the checkpoint's
+    // source log, not the directory listing, decides what is new (a
+    // re-listing runtime would double-ingest delivery 1). Each micro-batch
+    // appends an evidence row (run, rows, id-sum); the graded frame is the
+    // per-run evidence, which equals exact half-corpus parity counts ONLY
+    // under exactly-once recovery.
+    "q155_stream_recovery" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q155_")
+      val drop = java.nio.file.Files.createDirectory(tmp.resolve("drop"))
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val monitor = s"$tmp/monitor"
+      def runOnce(runId: Int): Unit =
+        s.readStream.schema(docs.schema).parquet(drop.toString)
+          .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val b = batch.localCheckpoint(true)
+            val st = b.agg(count(lit(1)).cast("long"), sum(col("doc_id"))).collect().head
+            val sp = b.sparkSession
+            import sp.implicits._
+            Seq((runId.toLong, st.getLong(0), st.getLong(1)))
+              .toDF("run", "n_rows", "sum_ids")
+              .coalesce(1).write.mode("append").parquet(monitor)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      stageFile(docs.filter(col("doc_id") % 2 === 0), tmp.resolve("w1"), drop, "a.parquet")
+      runOnce(1)
+      stageFile(docs.filter(col("doc_id") % 2 === 1), tmp.resolve("w2"), drop, "b.parquet")
+      runOnce(2)
+      s.read.parquet(monitor)
+        .groupBy(col("run"))
+        .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_ids")).as("sum_ids"))
+        .orderBy(col("run"))
+    }),
+
     // Store↔index consistency audit graded end-to-end (Engine.fsck — the
     // validate/fsck verb between maintenance windows): after a full build
     // over half the corpus plus a dedup-ingest of the rest, the audit must
@@ -931,6 +971,15 @@ object EngineQueries {
 
   val oracle: Map[String, String] = Map(
     "q150_backup_restore" -> lifecycleSearchSql,
+
+    "q155_stream_recovery" ->
+      """SELECT cast(1 as bigint) AS run, count(*) AS n_rows,
+        |  cast(sum(doc_id) as bigint) AS sum_ids
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT cast(2 as bigint), count(*), cast(sum(doc_id) as bigint)
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY run""".stripMargin,
 
     "q153_engine_fsck" ->
       """SELECT cast(count(*) as bigint) AS n_store_docs,

@@ -69,6 +69,22 @@ class EngineSpec extends SparkSpec {
     assert(ivfBefore == ivfAfter)
   }
 
+  test("fsck detects index orphans from out-of-band store edits") {
+    val eng = freshEngine()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs)
+    eng.update()
+    assert(eng.fsck().collect().head.getAs[Boolean]("consistent"))
+    // remove docs from the STORE behind the engine's back (no delete verb,
+    // so the index keeps their chunks) — the orphan case q153 can't plant
+    val survivors = eng.store().filter(col("doc_id") % 5 =!= 0).localCheckpoint(true)
+    survivors.write.mode("overwrite").parquet(eng.cfg.storePath)
+    val audit = eng.fsck().collect().head
+    assert(!audit.getAs[Boolean]("consistent"))
+    assert(audit.getAs[Long]("n_orphaned") == docs.filter(col("doc_id") % 5 === 0).count())
+    assert(audit.getAs[Long]("n_missing") == 0L)
+  }
+
   test("backup/restore round-trips the engine byte-identically; corruption aborts") {
     val eng = freshEngine()
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
