@@ -62,6 +62,13 @@ object EngineQueries {
     }
   }
 
+  /** q156's checkpoint parameters: an 8×8 linear layer over letter-count
+    * features, derived from seed 42 via the pure
+    * [[graft.functions.FileEmbedder.syntheticWeights]] grid — the oracle
+    * derives the same 3-decimal literals independently. */
+  private[graft] lazy val q156Model = graft.functions.FileEmbedder.Model(
+    "aeiounst".toCharArray, graft.functions.FileEmbedder.syntheticWeights(42L, 8, 8))
+
   val queries: Map[String, Q] = Map(
     // The whole Engine lifecycle as ONE graded query: dedup-ingest the
     // corpus twice (the second pass must append nothing — crawler.py:39-50's
@@ -96,6 +103,30 @@ object EngineQueries {
         .createTempDirectory(s"graft_engine_q120_${runSeq.incrementAndGet()}_").toString
       val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
       val eng = new Engine(s, cfg, LetterEmbedder)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs)
+      eng.update()
+      eng.search(searchTexts)
+    }),
+
+    // The CHECKPOINT-FILE model seam graded end-to-end: q120 proved a
+    // user-supplied in-code model; this proves the full production shape —
+    // parameters serialized to a versioned checkpoint on shared storage
+    // (functions/FileEmbedder.scala), the task closure shipping only the
+    // PATH, each executor JVM lazily loading the weights once (the
+    // @transient-lazy + per-JVM-cache discipline a real ONNX/JNI session
+    // needs; onnxruntime itself cannot resolve in this zero-egress sandbox).
+    // Both documents and queries flow through the loaded 8×8 linear layer;
+    // the oracle re-derives the SAME parameters from the seed (a pure
+    // function) as SQL literals and replays chunk → char-counts → W·c →
+    // float-normalize → cosine top-k → hydration relationally.
+    "q156_file_embedder" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q156_${runSeq.incrementAndGet()}_").toString
+      val mpath = s"$tmp/model.ckpt"
+      graft.functions.FileEmbedder.save(mpath, q156Model)
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg, graft.functions.FileEmbedder(mpath))
       val docs = t(s, dir, "documents").select("doc_id", "text")
       eng.ingest(docs)
       eng.update()
@@ -898,6 +929,35 @@ object EngineQueries {
        |  FROM ${p}n)""".stripMargin
   }
 
+  /** DuckDB spelling of [[q156Model]] (FileEmbedder's linear layer) over
+    * relation `rel` carrying `ids` and `textCol`: per-feature char counts
+    * (length-difference trick) → W·c with the seed-derived weight literals
+    * → float-cast normalize, exactly the Scala op sequence in
+    * [[graft.functions.FileEmbedder.Model.forward]]. Emits CTEs `<p>x`,
+    * `<p>n`, `<p>v` — the same shape as [[letterEmbedSql]]. */
+  private def matrixEmbedSql(rel: String, ids: String, textCol: String,
+                             p: String): String = {
+    val m = q156Model
+    val counts = m.features.map(ch =>
+      s"(length($textCol) - length(replace($textCol, '$ch', '')))")
+    val xs = m.w.map { row =>
+      row.zip(counts).map { case (w, c) => s"$w * $c" }.mkString(" + ")
+    }.mkString(",\n      ")
+    s"""${p}x AS (
+       |  SELECT $ids, [$xs] AS x FROM $rel),
+       |${p}n AS (
+       |  SELECT $ids, x,
+       |    list_reduce(list_transform(x, v -> v*v), (a,b) -> a+b) AS nrm2
+       |  FROM ${p}x),
+       |${p}v AS (
+       |  SELECT $ids,
+       |    CASE WHEN nrm2 > 0
+       |         THEN list_transform(x, v -> cast(cast(v * (1.0/sqrt(nrm2)) as float) as double))
+       |         ELSE x END AS v,
+       |    nrm2
+       |  FROM ${p}n)""".stripMargin
+  }
+
   /** The engine-lifecycle search replay (chunker + hash-embed + cosine
     * top-k + hydration, q64's oracle). Shared by q150: a restored snapshot
     * must search EXACTLY like the engine the snapshot was taken from. */
@@ -1077,6 +1137,43 @@ object EngineQueries {
          |${letterEmbedSql("ch", "chunk_id, doc_id", "chunk", "e")},
          |q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
          |${letterEmbedSql("q0", "query_id, query", "query", "qe")},
+         |scored AS (
+         |  SELECT q.query_id, q.query, n.doc_id,
+         |    round(CASE WHEN n.nrm2 = 0 OR q.nrm2 = 0 THEN 0.0
+         |               ELSE list_cosine_similarity(n.v, q.v) END, 4) AS score
+         |  FROM ev n CROSS JOIN qev q),
+         |best AS (
+         |  SELECT query_id, query, doc_id, max(score) AS score
+         |  FROM scored GROUP BY ALL),
+         |ranked AS (
+         |  SELECT query_id, query, doc_id, score,
+         |    cast(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id ASC) as int) AS rank
+         |  FROM best QUALIFY rank <= 4)
+         |SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
+         |  substring(d.text, 1, 200) AS preview
+         |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // q120's replay with the checkpoint model's weight matrix in place of
+    // the letter weights — the whole update→search lifecycle under weights
+    // that only exist in a file the engine loaded
+    "q156_file_embedder" -> {
+      val qvalues = searchTexts.zipWithIndex
+        .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
+         |  FROM documents WHERE length(text) > 0),
+         |ch AS (
+         |  SELECT doc_id, doc_id || '_' || pos AS chunk_id,
+         |    substring(text, cast(pos*64+1 as int), 128) AS chunk
+         |  FROM c),
+         |${matrixEmbedSql("ch", "chunk_id, doc_id", "chunk", "e")},
+         |q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
+         |${matrixEmbedSql("q0", "query_id, query", "query", "qe")},
          |scored AS (
          |  SELECT q.query_id, q.query, n.doc_id,
          |    round(CASE WHEN n.nrm2 = 0 OR q.nrm2 = 0 THEN 0.0

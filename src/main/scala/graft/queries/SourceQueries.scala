@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 import QHelpers._
 
@@ -342,6 +343,44 @@ object SourceQueries {
         .select(col("p.doc_id").as("doc_id"), col("p.lang").as("lang"),
           col("p.source").as("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Kafka-wire streaming consume graded end-to-end (sources/
+    // LogStreamSource.scala): readStream over the (topic, partition,
+    // offset, ts, key, value) record shape, from_json payload parse,
+    // per-(topic,partition) aggregation, complete-mode memory sink under
+    // Trigger.AvailableNow. Admission control is part of the grade: 20k
+    // records at maxPerTrigger=4000 MUST drain in ≥5 paced micro-batches
+    // (the require), with the checkpoint WAL carrying the per-partition
+    // offsets between them — and the settled aggregate must still equal
+    // the DuckDB replay of the payload formula, which only holds if the
+    // paging neither dropped nor re-read an offset range.
+    "q157_kafka_shape" -> ((s, dir) => {
+      val sink = s"q157_sink_${java.util.UUID.randomUUID().toString.take(8)}"
+      val payload = new StructType().add("user", StringType).add("amount", LongType)
+      val q = s.readStream.format("graft-log")
+        .option("topics", "clicks,orders")
+        .option("partitionsPerTopic", "4")
+        .option("rowsPerPartition", "2500")
+        .option("maxPerTrigger", "4000")
+        .load()
+        .select(col("topic"), col("partition").cast("long").as("partition"),
+          col("offset"), col("ts"), col("key"), from_json(col("value"), payload).as("v"))
+        .groupBy(col("topic"), col("partition"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("offset")).as("max_offset"),
+          sum(col("v.amount")).as("total_amount"),
+          sum(length(col("key"))).as("key_bytes"),
+          max(unix_timestamp(col("ts"))).as("last_ts_sec"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val paced = q.recentProgress.count(_.numInputRows > 0)
+      require(paced >= 5,
+        s"q157: expected ≥5 admission-controlled micro-batches, saw $paced")
+      s.table(sink).orderBy(col("topic"), col("partition"))
     }))
 
   /** DuckDB replay of the DSv2 synthetic generator (q44). The generator is a
@@ -407,6 +446,25 @@ object SourceQueries {
 
   val oracle: Map[String, String] = Map(
     "q44_dsv2_corpus" -> dsv2CorpusSql,
+
+    // replay of LogStreamSource.record's pure payload formula from
+    // generate_series — amounts, user ids, and event times are all
+    // functions of (topic index, partition, offset)
+    "q157_kafka_shape" ->
+      s"""WITH t(topic, tix) AS (VALUES ('clicks', 0), ('orders', 1)),
+         |p(part) AS (SELECT unnest(generate_series(0, 3))),
+         |o(off) AS (SELECT unnest(generate_series(0, 2499))),
+         |e AS (
+         |  SELECT topic, part, off,
+         |    (off * 2654435761 + part * 40503 + tix * 69069) % 1000 AS amount,
+         |    (off * 31 + part * 7 + tix * 3) % 500 AS uid
+         |  FROM t CROSS JOIN p CROSS JOIN o)
+         |SELECT topic, cast(part as bigint) AS "partition",
+         |  count(*) AS n_events, max(off) AS max_offset,
+         |  cast(sum(amount) as bigint) AS total_amount,
+         |  cast(sum(length('u' || uid)) as bigint) AS key_bytes,
+         |  ${graft.sources.LogStreamSource.BaseEpochSec} + max(off) AS last_ts_sec
+         |FROM e GROUP BY topic, part ORDER BY topic, "partition"""".stripMargin,
     "q62_bucketed_join" ->
       s"""SELECT c_mktsegment, count(*) AS n_orders,
          |  ${dsumSql("o_totalprice")} AS sum_price
