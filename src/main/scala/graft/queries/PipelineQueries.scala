@@ -757,6 +757,76 @@ object PipelineQueries {
         .orderBy(col("rank").desc, col("node").asc)
         .limit(30)
         .select(col("node"), col("rank"))
+    }),
+
+    // Seeded global-shuffle sharded export — the layout verb that hands a
+    // curated corpus to a trainer: a deterministic pseudo-random order
+    // (affine hash mod a prime — the reproducible, coordination-free
+    // alternative to seeded rand()) gives every doc a position, shard =
+    // order key mod 8 co-locates each shard in ONE writer task
+    // (repartition on shard), rows land sorted by order key, and
+    // maxRecordsPerFile bounds every output file. Graded per shard:
+    // counts, char totals, order-key range, an order checksum
+    // (Σ doc_id·rank — equal only if the within-shard order is exactly
+    // the seeded one), the file count (== ceil(n/2000): one writer task
+    // per shard rolling at the bound) and the per-file row bound.
+    "q158_sharded_export" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_shard_export_" +
+        Integer.toHexString(dir.hashCode)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("ok",
+          pmod(col("doc_id") * lit(2654435761L) + lit(40503L), lit(1000003L)))
+        .withColumn("shard", pmod(col("ok"), lit(8L)))
+      d.repartition(col("shard"))
+        .sortWithinPartitions(col("ok"), col("doc_id"))
+        .write.mode("overwrite").option("maxRecordsPerFile", "2000")
+        .partitionBy("shard").parquet(path)
+      val back = s.read.parquet(path)
+        .select(col("shard").cast("long").as("shard"), col("doc_id"), col("ok"),
+          col("n_chars"), col("_metadata.file_path").as("fp"))
+      val files = back.groupBy(col("shard"), col("fp"))
+        .agg(count(lit(1)).as("nf"))
+        .groupBy(col("shard"))
+        .agg(countDistinct(col("fp")).as("n_files"),
+          (max(col("nf")) <= 2000).as("files_bounded"))
+      val rn = row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("ok"), col("doc_id")))
+      back.withColumn("rn", rn)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("ok")).as("min_ok"), max(col("ok")).as("max_ok"),
+          sum(col("doc_id") * col("rn")).as("order_checksum"))
+        .join(files, "shard")
+        .orderBy(col("shard"))
+    }),
+
+    // Encoding-artifact audit — web corpora at 100 TB carry double-encoded
+    // UTF-8 mojibake (the U+00C3 U+00A9 / U+00E2 U+0080 x sequences a
+    // latin-1 round-trip leaves behind),
+    // U+FFFD replacement chars from lossy decodes, and stray control
+    // bytes. The fixture plants each disease deterministically (doc_id
+    // arithmetic — the corpus itself is clean ASCII) and the audit grades
+    // per-source detection counts. Pure codegen'd projection + one partial
+    // agg: embarrassingly parallel, no shuffle beyond the 8-group rollup.
+    "q159_mojibake" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("text2",
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" caf\u00c3\u00a9")))
+            .when(col("doc_id") % 23 === 0, concat(col("text"), lit(" bad\ufffdbyte")))
+            .when(col("doc_id") % 29 === 0, concat(col("text"), lit(" it\u00e2\u0080\u0099s")))
+            .when(col("doc_id") % 31 === 0, concat(col("text"), lit(" bell\u0007")))
+            .otherwise(col("text")))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("text2").rlike("\u00c3.|\u00e2\u0080"), 1L).otherwise(0L))
+            .as("n_mojibake"),
+          sum(when(col("text2").contains("\ufffd"), 1L).otherwise(0L))
+            .as("n_replacement"),
+          sum(when(col("text2").rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"), 1L)
+            .otherwise(0L)).as("n_ctrl"))
+        .orderBy(col("source"))
     }))
 
   /** DuckDB 5-gram CTEs over a `(id, text2)` relation named `rel`:
@@ -771,6 +841,47 @@ object PipelineQueries {
        |  WHERE len(toks) >= 5)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the seeded order, shard assignment, and within-shard rank replay
+    // relationally; the layout facts (file count, per-file bound) are
+    // pinned to the values the write contract forces: one writer task per
+    // shard rolling a new file every 2000 rows
+    "q158_sharded_export" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    (doc_id * 2654435761 + 40503) % 1000003 AS ok
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_chars, ok, ok % 8 AS shard,
+        |    row_number() OVER (PARTITION BY ok % 8 ORDER BY ok, doc_id) AS rn
+        |  FROM d)
+        |SELECT cast(shard as bigint) AS shard, count(*) AS n_docs,
+        |  cast(sum(n_chars) as bigint) AS total_chars,
+        |  min(ok) AS min_ok, max(ok) AS max_ok,
+        |  cast(sum(doc_id * rn) as bigint) AS order_checksum,
+        |  cast(ceil(count(*) / 2000.0) as bigint) AS n_files,
+        |  true AS files_bounded
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // replay of the planted encoding diseases (chr() spells the exact
+    // codepoints the Spark side injects) and the three detectors
+    "q159_mojibake" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 17 = 0 THEN text || ' caf' || chr(195) || chr(169)
+        |         WHEN doc_id % 23 = 0 THEN text || ' bad' || chr(65533) || 'byte'
+        |         WHEN doc_id % 29 = 0 THEN text || ' it' || chr(226) || chr(128) || chr(153) || 's'
+        |         WHEN doc_id % 31 = 0 THEN text || ' bell' || chr(7)
+        |         ELSE text END AS text2
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  cast(sum(CASE WHEN regexp_matches(text2, chr(195) || '.|' || chr(226) || chr(128))
+        |           THEN 1 ELSE 0 END) as bigint) AS n_mojibake,
+        |  cast(sum(CASE WHEN contains(text2, chr(65533)) THEN 1 ELSE 0 END) as bigint)
+        |    AS n_replacement,
+        |  cast(sum(CASE WHEN regexp_matches(text2, '[\x00-\x08\x0b\x0c\x0e-\x1f]')
+        |           THEN 1 ELSE 0 END) as bigint) AS n_ctrl
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
     "q137_substring_spans" ->
       s"""WITH base AS (
          |  SELECT doc_id,
