@@ -54,4 +54,32 @@ object Joins {
       .filter(col("status").isNotNull)
       .select(coalesce(col("l_key"), col("r_key")).as(keyCol), col("status"))
   }
+
+  /**
+   * Bloom-prefiltered equi-join — semi-join reduction for the case where
+   * the selective side's KEYSET fits a few-MB bloom filter but the side
+   * itself is too wide/large to broadcast as a hash relation: build the
+   * bloom over the small side's keys (one scan), ship it to every big-side
+   * task inside the filter closure, and drop non-matching rows BEFORE the
+   * join's shuffle. False positives only let extra rows through to the
+   * exact join — the result is row-identical to `big.join(small, key)`;
+   * what changes is the shuffle volume, which at 100 TB drops by roughly
+   * the join selectivity (a 1% match rate shuffles ~1% + fpp of the fact
+   * table instead of all of it).
+   *
+   * This is the explicit spelling of Catalyst's own runtime bloom
+   * (`spark.sql.optimizer.runtime.bloomFilter.enabled` /
+   * InjectRuntimeFilter) for when the planner's heuristics decline —
+   * e.g. the selective side is itself a subquery the optimizer won't
+   * duplicate, or the join is produced by an API that assembles plans
+   * dynamically.
+   */
+  def bloomPrefilteredJoin(big: DataFrame, bigKey: String,
+                           small: DataFrame, smallKey: String,
+                           expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val mightContain = udf((k: Long) => bf.mightContainLong(k))
+    big.filter(mightContain(col(bigKey).cast("long")))
+      .join(small, col(bigKey) === col(smallKey))
+  }
 }

@@ -22,6 +22,28 @@ object RelationalQueries {
   private val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   val queries: Map[String, Q] = Map(
+    // Bloom-prefiltered join (Joins.bloomPrefilteredJoin — semi-join
+    // reduction): the urgent pre-1996 order keyset (≈3% of orders) becomes
+    // a bloom the lineitem scan probes BEFORE shuffling, so the join moves
+    // ~selectivity+fpp of the fact table instead of all of it. False
+    // positives are harmless (the exact join drops them), so the graded
+    // result equals the plain relational join — the oracle never sees the
+    // bloom; JoinsSpec gates the pruning itself.
+    "q160_bloom_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") < "1996-01-01")
+        .select(col("o_orderkey"), col("o_custkey"))
+      graft.operators.Joins.bloomPrefilteredJoin(
+        t(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey",
+        expectedItems = 200000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Join-key skew profiler — the pre-join diagnostic that decides whether
     // a shuffle join needs salting (q40) or AQE skew splitting: per
     // candidate key column, the share of rows held by the hottest key (in
@@ -421,6 +443,15 @@ object RelationalQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // the bloom is physical-only: the oracle is the plain equi-join
+    "q160_bloom_join" ->
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |  count(DISTINCT o_orderkey) AS n_orders,
+         |  ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT' AND o_orderdate < DATE '1996-01-01'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q147_skew_stats" -> {
       def s(table: String, c: String) =
         s"""SELECT '$table.$c' AS key_col,

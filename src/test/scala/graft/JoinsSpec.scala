@@ -83,6 +83,25 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("bloomPrefilteredJoin: result identical to the plain join, big side pruned") {
+    val big = t(sf, "lineitem")
+    val small = t(sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderdate") < "1996-01-01")
+      .select(col("o_orderkey"))
+    val bloomed = Joins.bloomPrefilteredJoin(big, "l_orderkey", small, "o_orderkey", 10000L)
+    val plain = big.join(small, col("l_orderkey") === col("o_orderkey"))
+    // no false negatives: the bloom path keeps every true match
+    assert(bloomed.count() == plain.count())
+    assert(bloomed.agg(sum("l_orderkey")).head.getLong(0)
+      == plain.agg(sum("l_orderkey")).head.getLong(0))
+    // and it really prunes: the prefiltered scan passes far fewer rows than
+    // the fact table holds (selectivity ~3% + fpp)
+    val bf = small.stat.bloomFilter("o_orderkey", 10000L, 0.01)
+    val mc = udf((k: Long) => bf.mightContainLong(k))
+    val passed = big.filter(mc(col("l_orderkey").cast("long"))).count()
+    assert(passed < big.count() / 5, s"bloom passed $passed of ${big.count()} rows")
+  }
+
   private def t(dir: String, name: String) =
     graft.queries.QHelpers.t(spark, dir, name)
 }
