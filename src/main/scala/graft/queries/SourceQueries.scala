@@ -381,6 +381,67 @@ object SourceQueries {
       require(paced >= 5,
         s"q157: expected ≥5 admission-controlled micro-batches, saw $paced")
       s.table(sink).orderBy(col("topic"), col("partition"))
+    }),
+
+    // Corrupt-record ingest channel (the PERMISSIVE + _corrupt_record
+    // quarantine every production JSONL feed needs — at 100 TB some lines
+    // ARE truncated): every 13th document's JSON line is cut off
+    // mid-record before landing; the schema'd read must parse the healthy
+    // lines, route the broken ones to the corrupt column with every data
+    // field null (no half-parsed garbage), and lose NOTHING — the graded
+    // per-bucket counts and checksums only balance if quarantine count ==
+    // planted count and the healthy sums exclude exactly the planted set.
+    "q161_corrupt_json" -> ((s, dir) => {
+      val path = tmp(dir, "jsonl_corrupt")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("line"))
+        .select(when(col("doc_id") % 13 === 0, col("line").substr(lit(1), lit(10)))
+          .otherwise(col("line")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(path)
+      val schema = new StructType().add("doc_id", LongType).add("lang", StringType)
+        .add("n_chars", LongType).add("_corrupt_record", StringType)
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .groupBy(when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+          .otherwise(col("lang")).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("sum_ids"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Stream-static join — the enrichment shape of Structured Streaming
+    // (each micro-batch broadcast-joins against a slowly-changing dim
+    // table; no state, no watermark — the dim re-resolves per batch, which
+    // is exactly how a 100 TB pipeline picks up dim updates mid-stream):
+    // the Kafka-shaped log keys into `nation` and the settled complete-mode
+    // aggregate must equal the DuckDB replay of formula ⋈ dim.
+    "q163_stream_static_join" -> ((s, dir) => {
+      val sink = s"q163_sink_${java.util.UUID.randomUUID().toString.take(8)}"
+      val dim = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val payload = new StructType().add("user", StringType).add("amount", LongType)
+      val q = s.readStream.format("graft-log")
+        .option("topics", "orders")
+        .option("partitionsPerTopic", "4")
+        .option("rowsPerPartition", "2000")
+        .load()
+        .select(col("partition"), col("offset"),
+          from_json(col("value"), payload).as("v"),
+          pmod(col("offset") * 7 + col("partition"), lit(25L)).as("nkey"))
+        .join(broadcast(dim), col("nkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("v.amount")).as("total_amount"),
+          max(col("offset")).as("max_offset"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy(col("n_name"))
     }))
 
   /** DuckDB replay of the DSv2 synthetic generator (q44). The generator is a
@@ -465,6 +526,38 @@ object SourceQueries {
          |  cast(sum(length('u' || uid)) as bigint) AS key_bytes,
          |  ${graft.sources.LogStreamSource.BaseEpochSec} + max(off) AS last_ts_sec
          |FROM e GROUP BY topic, part ORDER BY topic, "partition"""".stripMargin,
+
+    // quarantined lines contribute only their count; healthy sums replay
+    // over the complement of the planted corruption set
+    "q161_corrupt_json" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 13 = 0 THEN '_corrupt' ELSE lang END AS bucket
+        |  FROM documents)
+        |SELECT bucket, count(*) AS n_rows,
+        |  cast(sum(CASE WHEN bucket = '_corrupt' THEN 0 ELSE n_chars END) as bigint)
+        |    AS sum_chars,
+        |  cast(sum(CASE WHEN bucket = '_corrupt' THEN 0 ELSE doc_id END) as bigint)
+        |    AS sum_ids
+        |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // replay of formula ⋈ nation: every (partition, offset) maps to a
+    // nation key; amounts come from the single-topic (tix=0) payload formula
+    "q163_stream_static_join" ->
+      """WITH o AS (
+        |  SELECT p.part, f.off
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS part) p
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 1999)) AS off) f),
+        |e AS (
+        |  SELECT part, off,
+        |    (off * 2654435761 + part * 40503) % 1000 AS amount,
+        |    (off * 7 + part) % 25 AS nkey
+        |  FROM o)
+        |SELECT n_name, count(*) AS n_events,
+        |  cast(sum(amount) as bigint) AS total_amount,
+        |  max(off) AS max_offset
+        |FROM e JOIN nation ON nkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q62_bucketed_join" ->
       s"""SELECT c_mktsegment, count(*) AS n_orders,
          |  ${dsumSql("o_totalprice")} AS sum_price

@@ -99,6 +99,32 @@ object VectorQueries {
       VectorSearch.topK(t(s, dir, "embeddings"), queriesDf(s, dir, 0, 5), k = 4)
         .orderBy(col("query_id"), col("rank"))),
 
+    // The SQL-text surface of the custom Catalyst expressions (§2.11 /
+    // GraftExtensions): the whole ANN-scoring pipeline written as one
+    // spark.sql(...) string — cosine_sim / dot_product / l2_dist resolve
+    // from the function registry (VectorFns.register, the programmatic
+    // spelling of spark.sql.extensions=graft.GraftExtensions) and stay
+    // codegen'd inside the same broadcast-probe + per-query-window plan
+    // the DataFrame entry point produces. Grades that a SQL-only user of
+    // the library gets identical results and plans.
+    "q162_sql_surface" -> ((s, dir) => {
+      graft.functions.VectorFns.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("emb_sql")
+      s.sql(
+        """SELECT query_id, vec_id, score, dot, dist, rank FROM (
+          |  SELECT q.vec_id AS query_id, e.vec_id,
+          |    round(cosine_sim(e.embedding, q.embedding), 4) AS score,
+          |    round(dot_product(e.embedding, q.embedding), 4) AS dot,
+          |    round(l2_dist(e.embedding, q.embedding), 4) AS dist,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(cosine_sim(e.embedding, q.embedding), 4) DESC,
+          |               e.vec_id ASC) AS rank
+          |  FROM emb_sql e
+          |  JOIN emb_sql q ON q.vec_id >= 15 AND q.vec_id < 20
+          |) WHERE rank <= 4
+          |ORDER BY query_id, rank""".stripMargin)
+    }),
+
     // Matryoshka-style dimension truncation evaluated as a recall curve:
     // rank by cosine over the FIRST d coordinates only (d = 8/16/32/64) and
     // measure top-4 overlap against the full-dim exact ranking. The scale
@@ -743,6 +769,25 @@ object VectorQueries {
         |SELECT vec_id, cast(j - 1 as int) AS i, round(p[j] / nrm, 4) AS v
         |FROM flat ORDER BY vec_id, i""".stripMargin,
     "q21_ann_topk" -> bruteSql(0, 5),
+
+    // the q21 brute replay widened with DuckDB's own list dot/distance —
+    // all three registered expressions must agree with the list-native
+    // spellings at 4 decimals
+    "q162_sql_surface" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, cast(embedding as double[]) AS qv
+        |  FROM embeddings WHERE vec_id >= 15 AND vec_id < 20)
+        |SELECT query_id, vec_id, score, dot, dist, rank FROM (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(cast(e.embedding as double[]), q.qv), 4) AS score,
+        |    round(list_dot_product(cast(e.embedding as double[]), q.qv), 4) AS dot,
+        |    round(list_distance(cast(e.embedding as double[]), q.qv), 4) AS dist,
+        |    cast(row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY round(list_cosine_similarity(cast(e.embedding as double[]), q.qv), 4) DESC,
+        |               e.vec_id ASC) as int) AS rank
+        |  FROM embeddings e, q)
+        |WHERE rank <= 4
+        |ORDER BY query_id, rank""".stripMargin,
     "q22_ann_topk_agg" -> bruteSql(5, 10),
     "q23_ann_ivf_exact" -> bruteSql(10, 15),
     "q38_embed_neardup" ->
