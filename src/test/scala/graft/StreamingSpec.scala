@@ -188,4 +188,47 @@ class StreamingSpec extends SparkSpec {
     // scheduler.py:30's rejection of unknown periods
     intercept[IllegalArgumentException](graft.streaming.Scheduler.periodSeconds("hour"))
   }
+
+  test("RocksDB state store: stateful agg matches HDFS-backed results") {
+    // the large-state lever: at 100 TB of keyed state the default in-heap
+    // HDFSBackedStateStore OOMs executors; RocksDB spills to local disk.
+    // Same query, both providers, identical settled results + the RocksDB
+    // run must actually report rocksdb state metrics.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions._
+    def drain(provider: String, sinkName: String): Map[String, Long] = {
+      val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+      try {
+        val q = spark.readStream.format("graft-log")
+          .option("topics", "t").option("partitionsPerTopic", "2")
+          .option("rowsPerPartition", "500").load()
+          .withColumn("k", pmod(col("offset"), lit(97L)))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"), sum(col("offset")).as("so"))
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        if (provider.contains("RocksDB")) {
+          val metrics = q.lastProgress.stateOperators.flatMap(
+            _.customMetrics.keySet().toArray.map(_.toString))
+          assert(metrics.exists(_.startsWith("rocksdb")),
+            s"expected rocksdb state metrics, saw ${metrics.take(5).mkString(",")}")
+        }
+        spark.table(sinkName).collect()
+          .map(r => r.getAs[Long]("k").toString -> (r.getAs[Long]("n") * 1000000 + r.getAs[Long]("so")))
+          .toMap
+      } finally {
+        if (saved.isEmpty) spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+      }
+    }
+    val rocks = drain(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "rocks_sink")
+    val hdfs = drain(
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+      "hdfs_sink")
+    assert(rocks.nonEmpty && rocks == hdfs)
+  }
 }
