@@ -74,7 +74,7 @@ object PipelineQueries {
   // bucket = low 60 bits of sha256(doc_id) mod 64 (the 15-hex-char
   // decomposition DuckDB can mirror without HUGEINT — EngineQueries.tokBucket
   // lesson); 51/6/7 of 64 ≈ 80/9/11 train/val/test.
-  private def bucket64(c: Column): Column =
+  private[queries] def bucket64(c: Column): Column =
     conv(substring(sha2(c.cast("string"), 256), 2, 15), 16, 10).cast("long") % 64
 
   // ---- q70: decontamination ----------------------------------------------

@@ -389,6 +389,36 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Leakage-safe train/test split — q69's hash split has a blind spot at
+    // corpus scale: near-duplicate documents hash independently, so a
+    // train copy of a test document leaks evaluation data. The fix keys
+    // the split on the near-dup CLUSTER representative (q79's LSH + CC
+    // labels), so a whole cluster moves as one unit and no cluster can
+    // straddle splits BY CONSTRUCTION. n_rescued counts the members whose
+    // naive doc-hash split disagrees with their cluster split — the
+    // planted dups guarantee it is non-zero, proving the operator changed
+    // real assignments. Labels broadcast; the corpus never shuffles.
+    "q164_leakage_safe_split" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val corpus = resolveCorpus(t(s, dir, "documents"))
+      val pairs = Dedup.nearDupPairs(corpus, "text", "id",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      def splitOf(c: org.apache.spark.sql.Column) =
+        when(PipelineQueries.bucket64(c) < 51, "train")
+          .when(PipelineQueries.bucket64(c) < 57, "val").otherwise("test")
+      corpus.join(broadcast(labels.withColumnRenamed("node", "id")), Seq("id"), "left")
+        .withColumn("canonical", coalesce(col("label"), col("id")))
+        .groupBy(splitOf(col("canonical")).as("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canonical")).as("n_clusters"),
+          sum(when(splitOf(col("id")) =!= splitOf(col("canonical")), 1L)
+            .otherwise(0L)).as("n_rescued"),
+          sum(col("id")).as("sum_ids"))
+        .orderBy(col("split"))
+    }),
+
     // Quality-ARBITRATED dedup resolution — q79 keeps the min-id member
     // per near-dup cluster; a curation pipeline keeps the BEST member
     // (dedup-then-arbitrate, the RefinedWeb/FineWeb move). Same LSH pairs
@@ -783,6 +813,34 @@ object TextQueries {
          |SELECT id_a, id_b, inter, sz_a, sz_b, jaccard FROM verified
          |WHERE id_a >= $Off2 OR id_b >= $Off2
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q79's cluster replay + the q69 sha256-bucket split applied to the
+    // cluster representative; naive-vs-cluster disagreement is replayed
+    // with the same bucket formula on the member id
+    "q164_leakage_safe_split" -> {
+      def b(x: String) =
+        s"cast(('0x' || substr(sha256(cast($x as varchar)), 2, 15)) as bigint) % 64"
+      def sp(x: String) =
+        s"CASE WHEN ${b(x)} < 51 THEN 'train' WHEN ${b(x)} < 57 THEN 'val' ELSE 'test' END"
+      s"""WITH RECURSIVE corpus AS ($resolveCorpusSql),
+         |${minhashVerifiedSql(0.3)},
+         |e AS (SELECT id_a AS src, id_b AS dst FROM verified),
+         |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+         |reach(node, label) AS (
+         |  SELECT DISTINCT src AS node, src AS label FROM sym
+         |  UNION
+         |  SELECT s.src AS node, r.label FROM sym s JOIN reach r ON s.dst = r.node),
+         |comp AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+         |resolved AS (
+         |  SELECT c.id, coalesce(p.label, c.id) AS canonical
+         |  FROM corpus c LEFT JOIN comp p ON p.node = c.id)
+         |SELECT ${sp("canonical")} AS split, count(*) AS n_docs,
+         |  count(DISTINCT canonical) AS n_clusters,
+         |  cast(sum(CASE WHEN ${sp("id")} <> ${sp("canonical")} THEN 1 ELSE 0 END) as bigint)
+         |    AS n_rescued,
+         |  cast(sum(id) as bigint) AS sum_ids
+         |FROM resolved GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q79_dedup_resolve" ->
       s"""WITH RECURSIVE corpus AS ($resolveCorpusSql),
