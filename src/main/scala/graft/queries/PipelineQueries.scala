@@ -802,6 +802,50 @@ object PipelineQueries {
         .orderBy(col("shard"))
     }),
 
+    // INCREMENTAL shard maintenance — q158's export as an append-only verb:
+    // wave 1 lands half the corpus, wave 2 appends the rest under the SAME
+    // deterministic order/shard rules (no rewrite of wave-1 files — at
+    // 100 TB the daily delta must never touch yesterday's output). Graded:
+    // the union read-back is CONTENT-identical to a one-shot export (same
+    // per-shard counts and order checksums over the seeded rank), the file
+    // count is exactly both waves' ceil sums (appends roll their own files)
+    // and every file still respects the row bound — the incremental path
+    // costs fragmentation (which q128/q149 compaction repairs), never
+    // correctness.
+    "q165_incremental_export" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_shard_incr_" +
+        Integer.toHexString(dir.hashCode)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("ok",
+          pmod(col("doc_id") * lit(2654435761L) + lit(40503L), lit(1000003L)))
+        .withColumn("shard", pmod(col("ok"), lit(8L)))
+      def export(batch: DataFrame, mode: String): Unit =
+        batch.repartition(col("shard"))
+          .sortWithinPartitions(col("ok"), col("doc_id"))
+          .write.mode(mode).option("maxRecordsPerFile", "2000")
+          .partitionBy("shard").parquet(path)
+      export(d.filter(col("doc_id") % 2 === 0), "overwrite")
+      export(d.filter(col("doc_id") % 2 =!= 0), "append")
+      val back = s.read.parquet(path)
+        .select(col("shard").cast("long").as("shard"), col("doc_id"), col("ok"),
+          col("n_chars"), col("_metadata.file_path").as("fp"))
+      val files = back.groupBy(col("shard"), col("fp"))
+        .agg(count(lit(1)).as("nf"))
+        .groupBy(col("shard"))
+        .agg(countDistinct(col("fp")).as("n_files"),
+          (max(col("nf")) <= 2000).as("files_bounded"))
+      val rn = row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("ok"), col("doc_id")))
+      back.withColumn("rn", rn)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("doc_id") * col("rn")).as("order_checksum"))
+        .join(files, "shard")
+        .orderBy(col("shard"))
+    }),
+
     // Encoding-artifact audit — web corpora at 100 TB carry double-encoded
     // UTF-8 mojibake (the U+00C3 U+00A9 / U+00E2 U+0080 x sequences a
     // latin-1 round-trip leaves behind),
@@ -861,6 +905,31 @@ object PipelineQueries {
         |  cast(ceil(count(*) / 2000.0) as bigint) AS n_files,
         |  true AS files_bounded
         |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // content equals the one-shot export's replay; the file count is the
+    // per-wave ceil sum (each append wave rolls its own bounded files)
+    "q165_incremental_export" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    (doc_id * 2654435761 + 40503) % 1000003 AS ok
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_chars, ok, ok % 8 AS shard,
+        |    row_number() OVER (PARTITION BY ok % 8 ORDER BY ok, doc_id) AS rn
+        |  FROM d),
+        |waves AS (
+        |  SELECT ok % 8 AS shard,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_even,
+        |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_odd
+        |  FROM d GROUP BY 1)
+        |SELECT cast(r.shard as bigint) AS shard, count(*) AS n_docs,
+        |  cast(sum(n_chars) as bigint) AS total_chars,
+        |  cast(sum(doc_id * rn) as bigint) AS order_checksum,
+        |  cast(ceil(any_value(n_even) / 2000.0)
+        |     + ceil(any_value(n_odd) / 2000.0) as bigint) AS n_files,
+        |  true AS files_bounded
+        |FROM r JOIN waves ON waves.shard = r.shard
+        |GROUP BY r.shard ORDER BY shard""".stripMargin,
 
     // replay of the planted encoding diseases (chr() spells the exact
     // codepoints the Spark side injects) and the three detectors
