@@ -358,6 +358,12 @@ object SourceQueries {
     "q157_kafka_shape" -> ((s, dir) => {
       val sink = s"q157_sink_${java.util.UUID.randomUUID().toString.take(8)}"
       val payload = new StructType().add("user", StringType).add("amount", LongType)
+      // state-partition pin (the q86/q95 discipline): 5+ paced micro-batches
+      // x 32 state partitions is 160+ provider init/commits for an 8-group
+      // aggregate; 2 partitions is the same result with 1/16 the state IO
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
       val q = s.readStream.format("graft-log")
         .option("topics", "clicks,orders")
         .option("partitionsPerTopic", "4")
@@ -381,6 +387,7 @@ object SourceQueries {
       require(paced >= 5,
         s"q157: expected ≥5 admission-controlled micro-batches, saw $paced")
       s.table(sink).orderBy(col("topic"), col("partition"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
 
     // Corrupt-record ingest channel (the PERMISSIVE + _corrupt_record
@@ -423,6 +430,9 @@ object SourceQueries {
       val sink = s"q163_sink_${java.util.UUID.randomUUID().toString.take(8)}"
       val dim = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
       val payload = new StructType().add("user", StringType).add("amount", LongType)
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
       val q = s.readStream.format("graft-log")
         .option("topics", "orders")
         .option("partitionsPerTopic", "4")
@@ -442,6 +452,7 @@ object SourceQueries {
         .start()
       q.awaitTermination()
       s.table(sink).orderBy(col("n_name"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }))
 
   /** DuckDB replay of the DSv2 synthetic generator (q44). The generator is a
