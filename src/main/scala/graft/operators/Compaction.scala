@@ -139,4 +139,27 @@ object Compaction {
     }
     frag.map(_.value)
   }
+
+  /**
+   * Retention vacuum for versioned copy-on-write stores (the `v{n}`
+   * layout the streaming MV maintenance writes — each refresh lands a
+   * full new version directory, so superseded versions accumulate
+   * forever unless something deletes them; Delta/Iceberg call this verb
+   * VACUUM / expire_snapshots). Keeps the newest `keep` versions, deletes
+   * the rest. Pure driver-side file metadata — no Spark job; at 100 TB
+   * the deletes are the only IO and they touch superseded data exclusively,
+   * so a concurrent reader of the latest version is never disturbed.
+   * Returns the deleted version names (oldest first).
+   */
+  def vacuumVersions(spark: SparkSession, path: String, keep: Int): Seq[String] = {
+    require(keep >= 1, "must keep at least the latest version")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(d => d.getName.matches("v\\d+"))
+      .sortBy(_.getName.drop(1).toInt)
+    val doomed = versions.dropRight(keep)
+    doomed.foreach(d => fs.delete(d, true))
+    doomed.map(_.getName).toSeq
+  }
 }

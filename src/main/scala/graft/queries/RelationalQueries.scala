@@ -139,6 +139,50 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // Versioned-MV retention vacuum (Compaction.vacuumVersions — the
+    // VACUUM / expire_snapshots verb, completing the maintenance triple
+    // with compaction q128/q149 and backup q150): five incremental
+    // copy-on-write refreshes land v0..v4 via q85's delta-merge algebra
+    // (each version derived from the previous + one slice, never a
+    // re-scan), then the vacuum keeps the newest 2 and deletes v0-v2 —
+    // driver-side file metadata, zero Spark jobs, superseded data only.
+    // Graded: the surviving latest version must STILL equal the full
+    // recompute (the vacuum provably touched nothing live), with the
+    // version census pinned by the oracle.
+    "q166_mv_vacuum" -> ((s, dir) => {
+      import graft.operators.Compaction
+      val mv = s"${System.getProperty("java.io.tmpdir")}/graft_mv_vacuum_" +
+        Integer.toHexString(dir.hashCode)
+      val root = new org.apache.hadoop.fs.Path(mv)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true) // clean slate for the fixture
+      val li = t(s, dir, "lineitem")
+      def partial(df: DataFrame) = df
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"))
+      (0 to 4).foreach { k =>
+        val delta = partial(li.filter(pmod(col("l_orderkey"), lit(5L)) === k))
+        val merged =
+          if (k == 0) delta
+          else s.read.parquet(s"$mv/v${k - 1}").unionByName(delta)
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(sum(col("n")).as("n"), sum(col("q")).as("q"))
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$mv/v$k")
+      }
+      val deleted = Compaction.vacuumVersions(s, mv, keep = 2)
+      require(deleted == Seq("v0", "v1", "v2"), s"q166: vacuum deleted $deleted")
+      val remaining = fs.listStatus(root).filter(_.isDirectory)
+        .map(_.getPath.getName).sorted.toSeq
+      require(remaining == Seq("v3", "v4"), s"q166: left $remaining")
+      s.read.parquet(s"$mv/v4")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("n").as("count_order"), col("q").cast(DoubleType).as("sum_qty"),
+          lit(remaining.length).cast("long").as("versions_kept"),
+          lit(deleted.length).cast("long").as("versions_vacuumed"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // MV maintenance under a changelog WITH updates and deletes — the
     // retract-stream algebra (Flink's retraction semantics) as a graded
     // batch query, completing q85 (insert-only deltas) and q81 (key-level
@@ -443,6 +487,15 @@ object RelationalQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // the latest surviving version must equal the full recompute; the
+    // version census is pinned (2 kept, 3 vacuumed)
+    "q166_mv_vacuum" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+        |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+        |  cast(2 as bigint) AS versions_kept,
+        |  cast(3 as bigint) AS versions_vacuumed
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // the bloom is physical-only: the oracle is the plain equi-join
     "q160_bloom_join" ->
       s"""SELECT l_returnflag, count(*) AS n_items,
