@@ -96,7 +96,8 @@ object Scale {
     // ops=a,b,c restricts to named measurement groups (re-run one curve)
     val only: Set[String] = args.collectFirst {
       case a if a.startsWith("ops=") => a.stripPrefix("ops=").split(",").toSet
-    }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective", "incdedup", "cc"))
+    }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective",
+      "incdedup", "cc", "export"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -233,6 +234,26 @@ object Scale {
       measure("cc_star", s, m) {
         Dedup.connectedComponentsStar(edges(spark, m), "src", "dst").count()
       }
+    }
+    // 6. Sharded training export (q158's layout verb): seeded order +
+    //    shard co-location + bounded files. The claim under measurement:
+    //    ONE shuffle of the payload (shuffle write ≈ input bytes, linear),
+    //    and the file count tracks rows/bound, never task count.
+    if (only("export")) docLadder.foreach { case (s, n) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-exp-").toString
+      measure("sharded_export", s, n) {
+        val d = corpus(spark, n)
+          .select(col("doc_id"), col("text"))
+          .withColumn("ok",
+            pmod(col("doc_id") * lit(2654435761L) + lit(40503L), lit(1000003L)))
+          .withColumn("shard", pmod(col("ok"), lit(8L)))
+        d.repartition(col("shard"))
+          .sortWithinPartitions(col("ok"), col("doc_id"))
+          .write.mode("overwrite").option("maxRecordsPerFile", "20000")
+          .partitionBy("shard").parquet(s"$base/out")
+        spark.read.parquet(s"$base/out").count()
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }
     out.close()
     spark.stop()
