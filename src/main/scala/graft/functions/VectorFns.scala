@@ -118,6 +118,50 @@ object VectorFns {
   }
 
   /**
+   * Resilient batched embedding with a DEAD-LETTER channel — the inference
+   * failure shape at 100 TB: one malformed document must not kill a
+   * ten-hour job, and a failing BATCH must not take its 127 healthy
+   * neighbors down with it. The batch is forwarded once; on failure it is
+   * retried item-by-item so only the truly poisonous rows fail, and those
+   * land with a null vector plus the error message in `errCol` (the
+   * quarantine a downstream audit or replay queue reads) while every
+   * healthy row embeds normally. Same plan shape as [[embedPartitions]] —
+   * one model handle per partition, fixed-size batches.
+   */
+  def embedPartitionsResilient(df: DataFrame, textCol: String, outCol: String,
+      errCol: String, dim: Int = 64, batchSize: Int = 128,
+      embedBatch: Seq[String] => Seq[Array[Float]] = null): DataFrame = {
+    val schema = df.schema
+      .add(StructField(outCol, ArrayType(FloatType, containsNull = false), nullable = true))
+      .add(StructField(errCol, StringType, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(textCol)
+    val embedFn: Seq[String] => Seq[Array[Float]] =
+      Option(embedBatch).getOrElse((texts: Seq[String]) => texts.map(hashEmbed(_, dim)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val texts = batch.map(r => r.getString(idx))
+        val results: Seq[(Option[Array[Float]], Option[String])] =
+          try embedFn(texts).map(v => (Some(v), None))
+          catch {
+            case _: Throwable => // batch poisoned: isolate per item
+              texts.map { t =>
+                try (Some(embedFn(Seq(t)).head), None)
+                catch {
+                  case e: Throwable => (None, Some(s"${e.getClass.getSimpleName}: " +
+                    Option(e.getMessage).getOrElse("").take(120)))
+                }
+              }
+          }
+        batch.iterator.zip(results.iterator).map { case (r, (v, e)) =>
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq :+ v.map(_.toSeq).orNull :+ e.orNull)
+        }
+      }
+    }(enc)
+  }
+
+  /**
    * Batched per-partition embedding — the production shape for real model
    * inference (mirrors the reference's batch_size=128 buffering at
    * vdb.py:76-79): one model handle per partition, texts fed in fixed-size

@@ -133,6 +133,39 @@ object EngineQueries {
       eng.search(searchTexts)
     }),
 
+    // Inference failure handling graded end-to-end
+    // (VectorFns.embedPartitionsResilient — the dead-letter channel): every
+    // 31st document is poisoned so the injected model throws on ANY batch
+    // containing it; the resilient wrapper must retry item-wise, embed all
+    // healthy neighbors normally (their vec checksums equal the clean
+    // hash-embed replay) and quarantine exactly the poisoned set with the
+    // error recorded. batchSize=32 guarantees poisoned and healthy docs
+    // share batches, so the isolation path genuinely runs.
+    "q167_embed_dlq" -> ((s, dir) => {
+      val marker = "__poison__"
+      val poisoned = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 31 === 0, concat(col("text"), lit(" " + marker)))
+          .otherwise(col("text")).as("text2"))
+      val embedder: Seq[String] => Seq[Array[Float]] = texts => {
+        if (texts.exists(_.contains(marker)))
+          throw new IllegalArgumentException("poison batch")
+        texts.map(graft.functions.VectorFns.hashEmbed(_, 64))
+      }
+      graft.functions.VectorFns.embedPartitionsResilient(
+          poisoned, "text2", "vec", "embed_err", 64, 32, embedder)
+        .groupBy(col("lang"))
+        .agg(sum(when(col("embed_err").isNull, 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("embed_err").isNotNull, 1L).otherwise(0L)).as("n_failed"),
+          sum(when(col("embed_err").isNotNull, col("doc_id")).otherwise(0L))
+            .as("failed_sum_ids"),
+          sum(when(col("embed_err").isNull,
+              round(aggregate(col("vec"), lit(0.0d), (a, x) => a + abs(x.cast("double"))), 4)
+                .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 4))))
+            .cast("double").as("ok_l1"))
+        .orderBy(col("lang"))
+    }),
+
     // Incremental index maintenance graded end-to-end (the 100TB path): build
     // the index over half the corpus, dedup-ingest the rest, then
     // updateIncremental must embed ONLY the new documents (anti join on the
@@ -1225,6 +1258,39 @@ object EngineQueries {
     // at the per-chunk level via two order-stable vector checksums (Spark's
     // aggregate() folds left from 0.0; list_reduce folds left from v[0];
     // 0.0 + v0 == v0 exactly, so the double-add sequences are identical)
+    // healthy docs replay the clean hash-embed l1 checksum; the quarantine
+    // set is exactly the planted residue class
+    "q167_embed_dlq" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 31 = 0 THEN text || ' __poison__' ELSE text END AS text2
+         |  FROM documents),
+         |okset AS (SELECT doc_id, lang, text2 FROM base WHERE doc_id % 31 <> 0),
+         |${embedSql("okset", "doc_id, lang", "text2")},
+         |nv AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN nrm > 0
+         |         THEN list_transform(cv, x -> cast(cast(x * (1.0/nrm) as float) as double))
+         |         ELSE cv END AS v
+         |  FROM vec),
+         |l1 AS (
+         |  SELECT doc_id, lang,
+         |    cast(round(list_reduce(list_transform(v, x -> abs(x)), (a, b) -> a + b), 4)
+         |      as decimal(18,4)) AS d
+         |  FROM nv),
+         |agg AS (
+         |  SELECT lang,
+         |    cast(sum(CASE WHEN doc_id % 31 <> 0 THEN 1 ELSE 0 END) as bigint) AS n_ok,
+         |    cast(sum(CASE WHEN doc_id % 31 = 0 THEN 1 ELSE 0 END) as bigint) AS n_failed,
+         |    cast(sum(CASE WHEN doc_id % 31 = 0 THEN doc_id ELSE 0 END) as bigint)
+         |      AS failed_sum_ids
+         |  FROM base GROUP BY lang),
+         |l1agg AS (SELECT lang, sum(d) AS ok_l1 FROM l1 GROUP BY lang)
+         |SELECT a.lang, a.n_ok, a.n_failed, a.failed_sum_ids,
+         |  cast(coalesce(l.ok_l1, 0) as double) AS ok_l1
+         |FROM agg a LEFT JOIN l1agg l ON l.lang = a.lang
+         |ORDER BY a.lang""".stripMargin,
+
     "q68_incremental_index" ->
       s"""WITH c AS (
          |  SELECT doc_id, text,

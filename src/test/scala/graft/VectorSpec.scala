@@ -179,4 +179,32 @@ class VectorSpec extends SparkSpec {
     val recall = (lsh intersect exact).size.toDouble / exact.size
     assert(recall >= 0.25, s"LSH recall $recall")
   }
+
+  test("embedPartitionsResilient isolates poisoned rows, embeds healthy neighbors") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 3, lit("BAD"))
+          .otherwise(col("text")).as("text"))
+    val embedder: Seq[String] => Seq[Array[Float]] = texts => {
+      if (texts.contains("BAD")) throw new RuntimeException("poisoned")
+      texts.map(graft.functions.VectorFns.hashEmbed(_, 16))
+    }
+    val out = graft.functions.VectorFns.embedPartitionsResilient(
+      docs, "text", "vec", "err", 16, 8, embedder).cache()
+    val failed = out.filter(col("err").isNotNull)
+    // exactly the poisoned residue class fails, with vec null and the error text
+    assert(failed.filter(col("doc_id") % 10 =!= 3).isEmpty)
+    assert(failed.filter(col("vec").isNotNull).isEmpty)
+    assert(failed.head.getAs[String]("err").contains("poisoned"))
+    // healthy rows match the non-resilient path bit-for-bit
+    val clean = graft.functions.VectorFns.embedPartitions(
+      docs.filter(col("doc_id") % 10 =!= 3), "text", "vec", 16, 8)
+    val a = out.filter(col("err").isNull).select("doc_id", "vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = clean.select("doc_id", "vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b && a.nonEmpty)
+    out.unpersist()
+  }
 }
