@@ -453,6 +453,52 @@ object SourceQueries {
       q.awaitTermination()
       s.table(sink).orderBy(col("n_name"))
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }),
+
+    // Spark 4 transformWithState graded end-to-end (streaming/TwsOps.scala
+    // — the arbitrary-state API superseding mapGroupsWithState, RocksDB-
+    // backed by requirement): a per-key ValueState folds three paced
+    // micro-batches into running (count, first, last) stats, so the state
+    // provably crosses batch boundaries; the settled update-mode sink
+    // (monotone stats ⇒ max/min per key) must equal the batch GROUP BY
+    // the oracle replays from the payload formula.
+    "q168_stream_tws" -> ((s, dir) => {
+      import s.implicits._
+      val sink = s"q168_sink_${java.util.UUID.randomUUID().toString.take(8)}"
+      val savedP = s.conf.get("spark.sql.shuffle.partitions")
+      val savedProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val keyed = s.readStream.format("graft-log")
+          .option("topics", "tws")
+          .option("partitionsPerTopic", "2")
+          .option("rowsPerPartition", "1500")
+          .option("maxPerTrigger", "1000")
+          .load()
+          .select(col("key"), col("offset"))
+          .as[graft.streaming.KeyedOffset]
+        val q = graft.streaming.TwsOps.runningKeyStats(keyed)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 3, s"q168: expected ≥3 paced micro-batches, saw $batches")
+        s.table(sink).groupBy(col("key"))
+          .agg(max(col("n")).as("n_events"),
+            min(col("first_off")).as("first_off"),
+            max(col("last_off")).as("last_off"))
+          .orderBy(col("key"))
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedP)
+        savedProv match {
+          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
     }))
 
   /** DuckDB replay of the DSv2 synthetic generator (q44). The generator is a
@@ -537,6 +583,18 @@ object SourceQueries {
          |  cast(sum(length('u' || uid)) as bigint) AS key_bytes,
          |  ${graft.sources.LogStreamSource.BaseEpochSec} + max(off) AS last_ts_sec
          |FROM e GROUP BY topic, part ORDER BY topic, "partition"""".stripMargin,
+
+    // the settled per-key running stats equal the batch GROUP BY over the
+    // single-topic (tix=0) key formula
+    "q168_stream_tws" ->
+      """WITH o AS (
+        |  SELECT p.part, f.off
+        |  FROM (SELECT unnest(generate_series(0, 1)) AS part) p
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 1499)) AS off) f),
+        |e AS (SELECT 'u' || ((off * 31 + part * 7) % 500) AS k, off FROM o)
+        |SELECT k AS "key", count(*) AS n_events,
+        |  min(off) AS first_off, max(off) AS last_off
+        |FROM e GROUP BY k ORDER BY k""".stripMargin,
 
     // quarantined lines contribute only their count; healthy sums replay
     // over the complement of the planted corruption set
