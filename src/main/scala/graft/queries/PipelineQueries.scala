@@ -802,6 +802,36 @@ object PipelineQueries {
         .orderBy(col("shard"))
     }),
 
+    // The assembly line END-TO-END — what a user actually runs to turn a
+    // raw corpus into training-ready shards, composed from the graded
+    // pieces: quality gate (length threshold, the q143 shape) → exact
+    // dedup by content hash with planted exact copies that MUST vanish
+    // (min-id wins; if the dedup stage were dropped, the copies inflate
+    // every count and the hash breaks) → deterministic sha256-bucket
+    // split (q69) → seeded shard assignment (q158). One window on the
+    // content hash + one final rollup; everything else is projection.
+    "q169_curation_assembly" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("n_chars"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 7000000000L).as("doc_id"), col("text"), col("n_chars")))
+      val gated = corpus.filter(col("n_chars") >= 200)
+      val deduped = gated
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      deduped
+        .groupBy(
+          when(bucket64(col("doc_id")) < 51, "train")
+            .when(bucket64(col("doc_id")) < 57, "val").otherwise("test").as("split"),
+          pmod(pmod(col("doc_id") * lit(2654435761L) + lit(40503L), lit(1000003L)),
+            lit(4L)).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("split"), col("shard"))
+    }),
+
     // INCREMENTAL shard maintenance — q158's export as an append-only verb:
     // wave 1 lands half the corpus, wave 2 appends the rest under the SAME
     // deterministic order/shard rules (no rewrite of wave-1 files — at
@@ -905,6 +935,31 @@ object PipelineQueries {
         |  cast(ceil(count(*) / 2000.0) as bigint) AS n_files,
         |  true AS files_bounded
         |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // the whole assembly replays relationally: gate → group-by-text dedup
+    // (equivalent to the sha256 partition — same equivalence classes) →
+    // bucket split → shard formula
+    "q169_curation_assembly" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 7000000000, text, n_chars FROM documents WHERE doc_id % 50 = 0),
+        |gated AS (SELECT * FROM corpus WHERE n_chars >= 200),
+        |dedup AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM gated),
+        |kept AS (SELECT doc_id, n_chars FROM dedup WHERE rn = 1),
+        |lab AS (
+        |  SELECT doc_id, n_chars,
+        |    cast(('0x' || substr(sha256(cast(doc_id as varchar)), 2, 15)) as bigint) % 64 AS b,
+        |    ((doc_id * 2654435761 + 40503) % 1000003) % 4 AS shard
+        |  FROM kept)
+        |SELECT CASE WHEN b < 51 THEN 'train' WHEN b < 57 THEN 'val' ELSE 'test' END AS split,
+        |  cast(shard as bigint) AS shard, count(*) AS n_docs,
+        |  cast(sum(n_chars) as bigint) AS total_chars,
+        |  cast(sum(doc_id) as bigint) AS sum_ids
+        |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // content equals the one-shot export's replay; the file count is the
     // per-wave ceil sum (each append wave rolls its own bounded files)
