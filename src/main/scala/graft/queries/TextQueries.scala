@@ -389,6 +389,36 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Cross-source duplication matrix — WHICH sources mirror which: the
+    // provenance question a curation team asks before weighting sources
+    // (a mirror site's corpus share is double-counted evidence). Planted
+    // truncated copies land under a synthetic 'mirror' source, so
+    // cross-source pairs exist by construction; the matrix buckets every
+    // verified near-dup pair by its canonicalized source pair. The pair
+    // table is tiny next to the corpus — it broadcasts into both
+    // source-lookup joins; the corpus is never shuffled.
+    "q170_source_overlap" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val base = t(s, dir, "documents")
+      val corpus = base.select(col("doc_id").as("id"), col("source"), col("text"))
+        .unionAll(base.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 6000000000L).as("id"), lit("mirror").as("source"),
+            col("text").substr(lit(1), greatest(length(col("text")) - 30, lit(1)))
+              .as("text")))
+      val pairs = Dedup.nearDupPairs(corpus, "text", "id",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+      val labels = corpus.select(col("id"), col("source"))
+      val withA = labels.join(broadcast(pairs), col("id") === col("id_a"))
+        .select(col("id_b"), col("source").as("sa"))
+      val matrix = labels.join(broadcast(withA), col("id") === col("id_b"))
+        .select(least(col("sa"), col("source")).as("source_a"),
+          greatest(col("sa"), col("source")).as("source_b"))
+      matrix.groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Leakage-safe train/test split — q69's hash split has a blind spot at
     // corpus scale: near-duplicate documents hash independently, so a
     // train copy of a test document leaks evaluation data. The fix keys
@@ -813,6 +843,24 @@ object TextQueries {
          |SELECT id_a, id_b, inter, sz_a, sz_b, jaccard FROM verified
          |WHERE id_a >= $Off2 OR id_b >= $Off2
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the verified-pair replay bucketed by canonicalized source pair; the
+    // mirror source guarantees cross-source rows
+    "q170_source_overlap" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 6000000000 AS id, 'mirror' AS source,
+         |    substring(text, 1, cast(greatest(length(text) - 30, 1) as int)) AS text
+         |  FROM documents WHERE doc_id % 25 = 0),
+         |${minhashVerifiedSql(0.3)},
+         |lab AS (SELECT id, source FROM corpus),
+         |m AS (
+         |  SELECT least(a.source, b.source) AS source_a,
+         |         greatest(a.source, b.source) AS source_b
+         |  FROM verified v JOIN lab a ON a.id = v.id_a JOIN lab b ON b.id = v.id_b)
+         |SELECT source_a, source_b, count(*) AS n_pairs
+         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q79's cluster replay + the q69 sha256-bucket split applied to the
     // cluster representative; naive-vs-cluster disagreement is replayed
