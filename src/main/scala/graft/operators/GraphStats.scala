@@ -79,4 +79,34 @@ object GraphStats {
       .withColumn("coeff_bp", expr("(20000 * tri) DIV (deg * (deg - 1))"))
       .select("node", "deg", "tri", "coeff_bp")
   }
+
+  /**
+   * Bounded k-core peel — the graph-curation prune (spam/low-signal node
+   * removal before link-based quality scoring): `rounds` iterations of
+   * "drop every node with degree < k on the SURVIVING subgraph", which
+   * converges to the k-core once a round removes nothing. Fixed rounds
+   * keep the computation deterministic and oracle-unrollable; callers pick
+   * `rounds` ≥ the observed convergence depth. Each round is one degree
+   * aggregation + two semi joins, all hash-partitioned on node id — at
+   * scale the cost is `rounds` × (1 agg shuffle + 2 join shuffles) over a
+   * monotonically SHRINKING edge set; rounds are chained lazily so
+   * Catalyst plans the whole peel as one job (the q87 PageRank shape), and
+   * each level is localCheckpoint-materialized to keep the lineage flat.
+   * Returns surviving (undirected-symmetric) edges.
+   */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    (1 to rounds).foreach { _ =>
+      val keep = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("node")
+      e = e.join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(false) // flat lineage: each level is one materialized step
+    }
+    e
+  }
 }

@@ -747,6 +747,27 @@ object PipelineQueries {
     // Node encoding is parity-disjoint (2k parts / 2k+1 suppliers), sound at
     // EVERY scale factor — an additive offset would collide once l_partkey
     // outgrows it (sf>=10 has >1M parts) and silently merge graph nodes.
+    // Bounded k-core peel (GraphStats.kCore) — the graph-curation prune
+    // ahead of link-based quality scoring (q87): 5 rounds of "drop nodes
+    // with degree < 3 on the surviving subgraph" over the same
+    // parity-encoded part↔supplier bipartite graph. Deterministic fixed
+    // rounds ⇒ the oracle unrolls all 5 as CTE levels; graded per node
+    // type with node counts, surviving-edge counts and id checksums.
+    "q171_kcore" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sup"))
+        .distinct()
+      val sym = pairs.select(col("p").as("src"), col("sup").as("dst"))
+        .union(pairs.select(col("sup").as("src"), col("p").as("dst")))
+      graft.operators.GraphStats.kCore(sym, "src", "dst", k = 3, rounds = 5)
+        .groupBy(when(col("src") % 2 === 0, "part").otherwise("supplier")
+          .as("node_type"))
+        .agg(countDistinct(col("src")).as("n_nodes"),
+          count(lit(1)).as("n_edges"),
+          sum_distinct(col("src")).as("sum_node_ids"))
+        .orderBy(col("node_type"))
+    }),
+
     "q87_link_authority" -> ((s, dir) => {
       val pairs = t(s, dir, "lineitem")
         .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sup"))
@@ -915,6 +936,24 @@ object PipelineQueries {
        |  WHERE len(toks) >= 5)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // 5 peel rounds unrolled as CTE levels over the same bipartite encoding
+    "q171_kcore" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""k$i AS (SELECT src AS node FROM g${i - 1} GROUP BY src HAVING count(*) >= 3),
+           |g$i AS (SELECT g.src, g.dst FROM g${i - 1} g
+           |  JOIN k$i a ON a.node = g.src JOIN k$i b ON b.node = g.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sup
+         |  FROM lineitem),
+         |g0 AS (SELECT p AS src, sup AS dst FROM e0
+         |       UNION ALL SELECT sup AS src, p AS dst FROM e0),
+         |$rounds
+         |SELECT CASE WHEN src % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+         |  count(DISTINCT src) AS n_nodes, count(*) AS n_edges,
+         |  cast(sum(DISTINCT src) as bigint) AS sum_node_ids
+         |FROM g5 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // the seeded order, shard assignment, and within-shard rank replay
     // relationally; the layout facts (file count, per-file bound) are
     // pinned to the values the write contract forces: one writer task per
