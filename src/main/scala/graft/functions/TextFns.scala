@@ -290,4 +290,21 @@ object TextFns {
         element_at(hs, 1),
         (acc, v) => (acc * 31L + v) % FpPrime))
   }
+
+  /**
+   * Content-defined chunk-boundary predicate (the Rabin-fingerprint split
+   * rule of dedup storage — LBFS/restic-style): position `pos` (1-based)
+   * in `text` is a boundary when the hash of the `window`-char substring
+   * starting there lands in the zero residue class mod `mask`, giving
+   * expected chunk length ≈ `mask` chars. Unlike fixed-size chunking
+   * (chunk §2.7), an insertion early in a document shifts every fixed
+   * boundary after it but leaves content-defined boundaries untouched —
+   * the property that makes chunk-level dedup stable under edits at
+   * 100 TB. The hash is the engine-portable sha256-prefix trick
+   * (bucket64's spelling), so a SQL oracle replays it exactly; `pos`
+   * must satisfy pos + window - 1 <= length(text).
+   */
+  def cdcBoundary(text: Column, pos: Column, window: Int, mask: Int): Column =
+    conv(substring(sha2(call_function("substring", text, pos, lit(window)), 256),
+      2, 15), 16, 10).cast(LongType) % mask === 0
 }

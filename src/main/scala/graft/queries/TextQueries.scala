@@ -389,6 +389,34 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Content-defined chunking (TextFns.cdcBoundary — the Rabin-split rule
+    // of dedup storage): boundaries fall where a 16-char rolling window's
+    // hash lands in the zero residue mod 64, so an edit early in a
+    // document shifts NO later boundary — the property that makes
+    // chunk-level dedup stable under revisions, unlike §2.7's fixed-size
+    // chunker. Pure projection + explode + one rollup; graded per source
+    // with boundary counts, position checksums and implied chunk counts.
+    "q172_cdc_chunking" -> ((s, dir) => {
+      import graft.functions.TextFns
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val bounds = docs
+        .select(col("doc_id"), col("source"), col("text"),
+          explode(sequence(lit(1), greatest(length(col("text")) - 15, lit(0)))).as("i"))
+        .filter(TextFns.cdcBoundary(col("text"), col("i"), window = 16, mask = 64))
+      val aggB = bounds.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_boundaries"),
+          countDistinct(col("doc_id")).as("n_cut_docs"),
+          sum(col("i")).as("sum_cut_pos"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(aggB, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_cut_docs"), lit(0L)).as("n_cut_docs"),
+          coalesce(col("n_boundaries"), lit(0L)).as("n_boundaries"),
+          coalesce(col("sum_cut_pos"), lit(0L)).as("sum_cut_pos"),
+          (col("n_docs") + coalesce(col("n_boundaries"), lit(0L))).as("n_chunks"))
+        .orderBy(col("source"))
+    }),
+
     // Cross-source duplication matrix — WHICH sources mirror which: the
     // provenance question a curation team asks before weighting sources
     // (a mirror site's corpus share is double-counted evidence). Planted
@@ -843,6 +871,29 @@ object TextQueries {
          |SELECT id_a, id_b, inter, sz_a, sz_b, jaccard FROM verified
          |WHERE id_a >= $Off2 OR id_b >= $Off2
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // every window position rehashes through the same sha256-prefix trick
+    "q172_cdc_chunking" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, text,
+        |    unnest(generate_series(1, greatest(length(text) - 15, 0))) AS i
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source, i FROM p
+        |  WHERE cast(('0x' || substr(sha256(substring(text, cast(i as int), 16)), 2, 15))
+        |          as bigint) % 64 = 0),
+        |ab AS (
+        |  SELECT source, count(*) AS n_boundaries,
+        |    count(DISTINCT doc_id) AS n_cut_docs, sum(i) AS sum_cut_pos
+        |  FROM b GROUP BY source),
+        |ad AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT ad.source, ad.n_docs,
+        |  cast(coalesce(n_cut_docs, 0) as bigint) AS n_cut_docs,
+        |  cast(coalesce(n_boundaries, 0) as bigint) AS n_boundaries,
+        |  cast(coalesce(sum_cut_pos, 0) as bigint) AS sum_cut_pos,
+        |  cast(ad.n_docs + coalesce(n_boundaries, 0) as bigint) AS n_chunks
+        |FROM ad LEFT JOIN ab ON ab.source = ad.source
+        |ORDER BY ad.source""".stripMargin,
 
     // the verified-pair replay bucketed by canonicalized source pair; the
     // mirror source guarantees cross-source rows
