@@ -78,4 +78,27 @@ object InvertedIndex {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /**
+   * Proximity (NEAR/k) hits over the same positional posting relation:
+   * per-id pairs of `termA`/`termB` occurrences within `maxDist` tokens of
+   * each other, unordered — the relevance signal between [[queryAll]]'s
+   * bag-of-words AND and [[phraseHits]]' exact adjacency. Both terms'
+   * postings are df-pruned before the id-keyed join (directory pruning on
+   * a positional index layout); the distance bound is a residual filter
+   * on the joined pair, so cost scales with the terms' co-occurrence
+   * frequency, never the corpus.
+   */
+  def proximityHits(toks: DataFrame, idCol: String, termA: String, termB: String,
+                    maxDist: Int): DataFrame = {
+    val a = toks.filter(col("tok") === termA)
+      .select(col(idCol), col("pos").as("pa"))
+    val b = toks.filter(col("tok") === termB)
+      .select(col(idCol).as("__idb"), col("pos").as("pb"))
+    a.join(b, a(idCol) === col("__idb") &&
+        abs(col("pa") - col("pb")) <= maxDist)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"))
+  }
 }

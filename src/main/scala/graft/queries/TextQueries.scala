@@ -626,6 +626,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Proximity search (InvertedIndex.proximityHits — NEAR/5): per-doc
+    // pairs of 'data' and 'model' occurrences within 5 tokens, the
+    // relevance signal between q93's bag-of-words AND and q123's exact
+    // phrase. Postings df-pruned before the keyed join; the distance
+    // bound is a residual filter on co-occurring pairs only.
+    "q173_proximity_search" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextFns.tokens(lower(col("text")))).as(Seq("pos", "tok")))
+      graft.operators.InvertedIndex
+        .proximityHits(toks, "doc_id", "data", "model", maxDist = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // Tokenizer-vocabulary coverage (the OOV-rate gate an LLM data pipeline
     // runs before training): vocab = the 30 globally most frequent tokens
     // (count desc, token asc — deterministic), per-doc out-of-vocabulary
@@ -679,6 +693,23 @@ object TextQueries {
         |FROM toks, unnest(generate_series(1, len(a) - 1)) t(i)
         |WHERE a[i] = 'table' AND a[i+1] = 'hash'
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // pair positions replay from the same tokenization; 1-based vs 0-based
+    // positions cancel in the distance
+    "q173_proximity_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pos AS (
+        |  SELECT doc_id, i, a[i] AS tok
+        |  FROM toks, unnest(generate_series(1, len(a))) t(i)),
+        |pa AS (SELECT doc_id, i FROM pos WHERE tok = 'data'),
+        |pb AS (SELECT doc_id, i AS j FROM pos WHERE tok = 'model'),
+        |p AS (
+        |  SELECT pa.doc_id, abs(pa.i - pb.j) AS d
+        |  FROM pa JOIN pb USING (doc_id) WHERE abs(pa.i - pb.j) <= 5)
+        |SELECT doc_id, count(*) AS n_pairs, min(d) AS min_dist
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q124_oov_rate" ->
       """WITH toks AS (
