@@ -390,6 +390,31 @@ object SourceQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
 
+    // Crawl-frontier scheduling — the batch the reference's scheduler
+    // implicitly plans every day (scheduler.py re-crawls everything;
+    // a 100 TB frontier can't): each page scored by staleness × size
+    // (deterministic integer units), a per-host politeness cap (top-5
+    // per source — no host gets hammered) then a global crawl budget
+    // (top-50 overall). Two windows: one partitioned by host over only
+    // the frontier, one global over ≤ 5·hosts survivors — the global
+    // sort never sees the corpus.
+    "q174_crawl_frontier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val frontier = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (pmod(col("doc_id") * 37, lit(30L)) * 100000L + col("n_chars")).as("score"))
+      val perHost = frontier.withColumn("host_rank",
+          row_number().over(Window.partitionBy(col("source"))
+            .orderBy(col("score").desc, col("doc_id").asc)))
+        .filter(col("host_rank") <= 5)
+      perHost.withColumn("global_rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .filter(col("global_rank") <= 50)
+        .select(col("global_rank").cast("long").as("global_rank"), col("doc_id"),
+          col("source"), col("score"), col("host_rank").cast("long").as("host_rank"))
+        .orderBy(col("global_rank"))
+    }),
+
     // Corrupt-record ingest channel (the PERMISSIVE + _corrupt_record
     // quarantine every production JSONL feed needs — at 100 TB some lines
     // ARE truncated): every 13th document's JSON line is cut off
@@ -583,6 +608,26 @@ object SourceQueries {
          |  cast(sum(length('u' || uid)) as bigint) AS key_bytes,
          |  ${graft.sources.LogStreamSource.BaseEpochSec} + max(off) AS last_ts_sec
          |FROM e GROUP BY topic, part ORDER BY topic, "partition"""".stripMargin,
+
+    // staleness × size scoring, per-host cap, global budget — two QUALIFY
+    // windows replay the schedule exactly
+    "q174_crawl_frontier" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ((doc_id * 37) % 30) * 100000 + n_chars AS score
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, source, score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id ASC) AS host_rank
+        |  FROM f QUALIFY host_rank <= 5),
+        |g AS (
+        |  SELECT doc_id, source, score, host_rank,
+        |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS global_rank
+        |  FROM h QUALIFY global_rank <= 50)
+        |SELECT cast(global_rank as bigint) AS global_rank, doc_id, source,
+        |  cast(score as bigint) AS score, cast(host_rank as bigint) AS host_rank
+        |FROM g ORDER BY global_rank""".stripMargin,
 
     // the settled per-key running stats equal the batch GROUP BY over the
     // single-topic (tix=0) key formula
