@@ -626,6 +626,30 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-frequency drift between corpus epochs — the vocabulary-shift
+    // monitor (new slang, spam campaigns, template rot) a continuously
+    // crawled corpus needs alongside q154's embedding drift: per-token
+    // Haldane-corrected odds ratio between the even-id and odd-id halves
+    // in integer basis points (one integral divide — no float, so the
+    // top-30 most-drifted tokens hash identically across engines). Token
+    // totals ride one broadcast row; one shuffle on tok.
+    "q175_token_drift" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
+      val counts = toks.groupBy(col("tok")).agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+      val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      counts.crossJoin(broadcast(totals))
+        .filter(col("ca") + col("cb") >= 5)
+        .withColumn("lift_bp",
+          expr("(10000 * (ca + 1) * (nb + 2)) DIV ((cb + 1) * (na + 2))"))
+        .withColumn("drift_bp", abs(col("lift_bp") - 10000L))
+        .select(col("tok"), col("ca"), col("cb"), col("lift_bp"), col("drift_bp"))
+        .orderBy(col("drift_bp").desc, col("tok").asc)
+        .limit(30)
+    }),
+
     // Proximity search (InvertedIndex.proximityHits — NEAR/5): per-doc
     // pairs of 'data' and 'model' occurrences within 5 tokens, the
     // relevance signal between q93's bag-of-words AND and q123's exact
@@ -693,6 +717,26 @@ object TextQueries {
         |FROM toks, unnest(generate_series(1, len(a) - 1)) t(i)
         |WHERE a[i] = 'table' AND a[i+1] = 'hash'
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the odds-ratio arithmetic replays in integers (DuckDB // ==
+    // Spark DIV on positive operands)
+    "q175_token_drift" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (
+        |  SELECT tok,
+        |    cast(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) as bigint) AS ca,
+        |    cast(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) as bigint) AS cb
+        |  FROM toks GROUP BY tok),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c)
+        |SELECT tok, ca, cb,
+        |  cast((10000 * (ca + 1) * (nb + 2)) // ((cb + 1) * (na + 2)) as bigint) AS lift_bp,
+        |  cast(abs((10000 * (ca + 1) * (nb + 2)) // ((cb + 1) * (na + 2)) - 10000) as bigint)
+        |    AS drift_bp
+        |FROM c CROSS JOIN t
+        |WHERE ca + cb >= 5
+        |ORDER BY drift_bp DESC, tok ASC LIMIT 30""".stripMargin,
 
     // pair positions replay from the same tokenization; 1-based vs 0-based
     // positions cancel in the distance
