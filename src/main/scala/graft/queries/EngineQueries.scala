@@ -133,6 +133,36 @@ object EngineQueries {
       eng.search(searchTexts)
     }),
 
+    // Late-interaction (ColBERT MaxSim) retrieval — the multi-vector
+    // scoring mode between single-vector cosine (q21/q64) and exact
+    // lexical match: each QUERY TOKEN keeps its own vector, a document
+    // scores Σ_qtok max_chunk cos(chunk, qtok), so one strongly-matching
+    // chunk per query facet is enough (single-vector pooling averages the
+    // facets away). Chunk table × 4 broadcast token vectors → per-(doc,
+    // token) max (map-side combinable) → per-doc decimal-exact sum →
+    // top-5. The corpus shuffles once, keyed on doc_id.
+    "q176_late_interaction" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val chunks = docs
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFns.chunk(col("text"), 128, 64))
+            .as(Seq("pos", "chunk")))
+        .withColumn("vec", graft.functions.VectorFns.hashEmbedUdf(64)(col("chunk")))
+      val qdf = Seq("deep", "neural", "network", "training").zipWithIndex
+        .map { case (tk, i) => (i.toLong, tk) }.toDF("qi", "qt")
+        .withColumn("qvec", graft.functions.VectorFns.hashEmbedUdf(64)(col("qt")))
+      chunks.crossJoin(broadcast(qdf))
+        .select(col("doc_id"), col("qi"),
+          round(graft.functions.VectorFns.cosineSim(col("vec"), col("qvec")), 4).as("c"))
+        .groupBy(col("doc_id"), col("qi")).agg(max(col("c")).as("m"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("m").cast(org.apache.spark.sql.types.DecimalType(10, 4)))
+          .cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(5)
+    }),
+
     // Inference failure handling graded end-to-end
     // (VectorFns.embedPartitionsResilient — the dead-letter channel): every
     // 31st document is poisoned so the injected model throws on ANY batch
@@ -1258,6 +1288,69 @@ object EngineQueries {
     // at the per-chunk level via two order-stable vector checksums (Spark's
     // aggregate() folds left from 0.0; list_reduce folds left from v[0];
     // 0.0 + v0 == v0 exactly, so the double-add sequences are identical)
+    // the lifecycle replay's chunk+query embedding chains, with the final
+    // ranking swapped for MaxSim: per-(token, doc) max then decimal sum
+    "q176_late_interaction" -> {
+      val qvalues = Seq("deep", "neural", "network", "training").zipWithIndex
+        .map { case (tk, i) => s"(cast($i as bigint), '$tk')" }.mkString(", ")
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
+         |  FROM documents WHERE length(text) > 0),
+         |ch AS (
+         |  SELECT doc_id, doc_id || '_' || pos AS chunk_id,
+         |    substring(text, cast(pos*64+1 as int), 128) AS chunk
+         |  FROM c),
+         |${embedSql("ch", "chunk_id, doc_id", "chunk")},
+         |nv AS (
+         |  SELECT chunk_id, doc_id,
+         |    CASE WHEN nrm > 0
+         |         THEN list_transform(cv, x -> cast(cast(x * (1.0/nrm) as float) as double))
+         |         ELSE cv END AS v,
+         |    nrm
+         |  FROM vec),
+         |q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
+         |qtok AS (
+         |  SELECT query_id, query, unnest(regexp_split_to_array(trim(query), '\\s+')) AS tk
+         |  FROM q0),
+         |qhv AS (
+         |  SELECT query_id, query, ${tokBucket("tk")} AS bucket, ${tokSign("tk")} AS sgn
+         |  FROM qtok WHERE tk <> ''),
+         |qcnt AS (
+         |  SELECT query_id, query, bucket, cast(sum(sgn) as double) AS s
+         |  FROM qhv GROUP BY ALL),
+         |qdense AS (
+         |  SELECT q0.query_id, q0.query, list(coalesce(c.s, 0.0) ORDER BY g.j) AS cv
+         |  FROM q0
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g
+         |  LEFT JOIN qcnt c ON c.query_id = q0.query_id AND c.bucket = g.j
+         |  GROUP BY ALL),
+         |qvec AS (
+         |  SELECT query_id, query, cv,
+         |    sqrt(list_reduce(list_transform(cv, x -> x*x), (a,b) -> a+b)) AS nrm
+         |  FROM qdense),
+         |qnv AS (
+         |  SELECT query_id, query,
+         |    CASE WHEN nrm > 0
+         |         THEN list_transform(cv, x -> cast(cast(x * (1.0/nrm) as float) as double))
+         |         ELSE cv END AS v,
+         |    nrm
+         |  FROM qvec),
+         |scored AS (
+         |  SELECT q.query_id, n.doc_id,
+         |    round(CASE WHEN n.nrm = 0 OR q.nrm = 0 THEN 0.0
+         |               ELSE list_cosine_similarity(n.v, q.v) END, 4) AS score
+         |  FROM nv n CROSS JOIN qnv q),
+         |best AS (
+         |  SELECT query_id, doc_id, max(score) AS score
+         |  FROM scored GROUP BY ALL),
+         |li AS (
+         |  SELECT doc_id, sum(cast(score as decimal(10,4))) AS sc
+         |  FROM best GROUP BY doc_id)
+         |SELECT doc_id, cast(sc as double) AS score
+         |FROM li ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin
+    },
+
     // healthy docs replay the clean hash-embed l1 checksum; the quarantine
     // set is exactly the planted residue class
     "q167_embed_dlq" ->
