@@ -133,6 +133,59 @@ object EngineQueries {
       eng.search(searchTexts)
     }),
 
+    // Reciprocal-rank-fusion hybrid retrieval — the standard way to merge
+    // a lexical (BM25) ranking with a vector ranking without score
+    // calibration: fused = Σ_lists 1e6 DIV (60 + rank), integer-exact.
+    // Each list is cut to its top-100 with sort+limit (TakeOrdered — no
+    // global single-partition window over the corpus; the rank window
+    // runs over 100 survivors). BM25 is q121's integral spelling; the
+    // vector list is doc-level hash-embed cosine against the same query.
+    "q177_rrf_fusion" -> ((s, dir) => {
+      import graft.functions.{TextFns, VectorFns}
+      import s.implicits._
+      val terms = Seq("spark", "data", "model")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = docs.select(col("doc_id"),
+        explode(TextFns.tokens(lower(col("text")))).as("tok"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val corp = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
+      val tf = toks.filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val bm25 = tf.join(broadcast(dfT), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corp))
+        .withColumn("idf_bp", expr("(10000 * (2*n_docs - 2*df + 1)) DIV (2*df + 1)"))
+        .withColumn("tf_bp",
+          expr("(10000 * 22 * t_toks * tf) DIV (10 * t_toks * tf + 3 * t_toks + 9 * dl * n_docs)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("(idf_bp * tf_bp) DIV 10000")).as("bm25_bp"))
+      val lexW = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25_bp").desc, col("doc_id").asc)
+      val lex = bm25.orderBy(col("bm25_bp").desc, col("doc_id").asc).limit(100)
+        .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+      val qdf = Seq(0).toDF("one")
+        .select(VectorFns.hashEmbedUdf(64)(lit(terms.mkString(" "))).as("qvec"))
+      val vecW = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cs").desc, col("doc_id").asc)
+      val vec = docs
+        .select(col("doc_id"), VectorFns.hashEmbedUdf(64)(col("text")).as("vec"))
+        .crossJoin(broadcast(qdf))
+        .select(col("doc_id"),
+          round(VectorFns.cosineSim(col("vec"), col("qvec")), 4).as("cs"))
+        .orderBy(col("cs").desc, col("doc_id").asc).limit(100)
+        .withColumn("vec_rank", row_number().over(vecW).cast("long"))
+      lex.select(col("doc_id"), col("lex_rank"))
+        .join(vec.select(col("doc_id"), col("vec_rank")), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+          coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+          (coalesce(expr("1000000 DIV (60 + lex_rank)"), lit(0L)) +
+            coalesce(expr("1000000 DIV (60 + vec_rank)"), lit(0L))).as("rrf_ppm"))
+        .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     // Late-interaction (ColBERT MaxSim) retrieval — the multi-vector
     // scoring mode between single-vector cosine (q21/q64) and exact
     // lexical match: each QUERY TOKEN keeps its own vector, a document
@@ -1288,6 +1341,84 @@ object EngineQueries {
     // at the per-chunk level via two order-stable vector checksums (Spark's
     // aggregate() folds left from 0.0; list_reduce folds left from v[0];
     // 0.0 + v0 == v0 exactly, so the double-add sequences are identical)
+    // both rank lists replay (integral BM25 + doc-level embed cosine),
+    // then the integer RRF fold
+    "q177_rrf_fusion" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |corp AS (SELECT count(*) AS n_docs, sum(dl) AS t_toks FROM dl),
+         |tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf FROM toks
+         |  WHERE tok IN ('spark', 'data', 'model') GROUP BY doc_id, tok),
+         |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |bm AS (
+         |  SELECT doc_id, sum((idf_bp * tf_bp) // 10000) AS bm25_bp FROM (
+         |    SELECT t.doc_id,
+         |      (10000 * (2*c.n_docs - 2*d.df + 1)) // (2*d.df + 1) AS idf_bp,
+         |      (10000 * 22 * c.t_toks * t.tf)
+         |        // (10 * c.t_toks * t.tf + 3 * c.t_toks + 9 * l.dl * c.n_docs) AS tf_bp
+         |    FROM tf t JOIN dft d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN corp c)
+         |  GROUP BY doc_id),
+         |lex AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25_bp DESC, doc_id ASC) AS lex_rank
+         |  FROM bm QUALIFY lex_rank <= 100),
+         |docs0 AS (SELECT doc_id, text FROM documents),
+         |${embedSql("docs0", "doc_id", "text")},
+         |nv AS (
+         |  SELECT doc_id,
+         |    CASE WHEN nrm > 0
+         |         THEN list_transform(cv, x -> cast(cast(x * (1.0/nrm) as float) as double))
+         |         ELSE cv END AS v,
+         |    nrm
+         |  FROM vec),
+         |q0 AS (SELECT 0 AS query_id, 'spark data model' AS query),
+         |qtok AS (
+         |  SELECT query_id, query, unnest(regexp_split_to_array(trim(query), '\\s+')) AS tk
+         |  FROM q0),
+         |qhv AS (
+         |  SELECT query_id, query, ${tokBucket("tk")} AS bucket, ${tokSign("tk")} AS sgn
+         |  FROM qtok WHERE tk <> ''),
+         |qcnt AS (
+         |  SELECT query_id, query, bucket, cast(sum(sgn) as double) AS s
+         |  FROM qhv GROUP BY ALL),
+         |qdense AS (
+         |  SELECT q0.query_id, q0.query, list(coalesce(c.s, 0.0) ORDER BY g.j) AS cv
+         |  FROM q0
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g
+         |  LEFT JOIN qcnt c ON c.query_id = q0.query_id AND c.bucket = g.j
+         |  GROUP BY ALL),
+         |qvec AS (
+         |  SELECT query_id, cv,
+         |    sqrt(list_reduce(list_transform(cv, x -> x*x), (a,b) -> a+b)) AS nrm
+         |  FROM qdense),
+         |qnv AS (
+         |  SELECT query_id,
+         |    CASE WHEN nrm > 0
+         |         THEN list_transform(cv, x -> cast(cast(x * (1.0/nrm) as float) as double))
+         |         ELSE cv END AS v,
+         |    nrm
+         |  FROM qvec),
+         |vsc AS (
+         |  SELECT n.doc_id,
+         |    round(CASE WHEN n.nrm = 0 OR q.nrm = 0 THEN 0.0
+         |               ELSE list_cosine_similarity(n.v, q.v) END, 4) AS cs
+         |  FROM nv n CROSS JOIN qnv q),
+         |vrank AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS vec_rank
+         |  FROM vsc QUALIFY vec_rank <= 100),
+         |f AS (
+         |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    coalesce(l.lex_rank, 0) AS lex_rank,
+         |    coalesce(v.vec_rank, 0) AS vec_rank,
+         |    coalesce(1000000 // (60 + l.lex_rank), 0)
+         |      + coalesce(1000000 // (60 + v.vec_rank), 0) AS rrf_ppm
+         |  FROM lex l FULL OUTER JOIN vrank v ON v.doc_id = l.doc_id)
+         |SELECT doc_id, cast(lex_rank as bigint) AS lex_rank,
+         |  cast(vec_rank as bigint) AS vec_rank, cast(rrf_ppm as bigint) AS rrf_ppm
+         |FROM f ORDER BY rrf_ppm DESC, doc_id ASC LIMIT 10""".stripMargin,
+
     // the lifecycle replay's chunk+query embedding chains, with the final
     // ranking swapped for MaxSim: per-(token, doc) max then decimal sum
     "q176_late_interaction" -> {
