@@ -390,6 +390,41 @@ object SourceQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
 
+    // dropDuplicatesWithinWatermark graded end-to-end — the production
+    // streaming dedup (q89's dropDuplicates keeps state FOREVER on an
+    // unbounded keyspace; the WithinWatermark variant expires state once
+    // the watermark passes, which is the only shape that survives an
+    // infinite stream): keys recur every 300 offsets across paced
+    // micro-batches and both partitions, the 2-hour delay keeps all
+    // duplicate arrivals inside the state lifetime, and the settled
+    // append sink must hold EXACTLY ONE row per key (n_emitted pinned to
+    // 1 — within-batch and cross-batch duplicates both collapse).
+    "q179_dedup_within_watermark" -> ((s, dir) => {
+      val sink = s"q179_sink_${java.util.UUID.randomUUID().toString.take(8)}"
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val q = s.readStream.format("graft-log")
+          .option("topics", "ddw")
+          .option("partitionsPerTopic", "2")
+          .option("rowsPerPartition", "1000")
+          .option("maxPerTrigger", "800")
+          .load()
+          .select(concat(lit("k"), pmod(col("offset"), lit(300L))).as("dkey"),
+            col("ts"))
+          .withWatermark("ts", "2 hours")
+          .dropDuplicatesWithinWatermark("dkey")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink).groupBy(col("dkey"))
+          .agg(count(lit(1)).as("n_emitted"))
+          .orderBy(col("dkey"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }),
+
     // Crawl-frontier scheduling — the batch the reference's scheduler
     // implicitly plans every day (scheduler.py re-crawls everything;
     // a 100 TB frontier can't): each page scored by staleness × size
@@ -608,6 +643,12 @@ object SourceQueries {
          |  cast(sum(length('u' || uid)) as bigint) AS key_bytes,
          |  ${graft.sources.LogStreamSource.BaseEpochSec} + max(off) AS last_ts_sec
          |FROM e GROUP BY topic, part ORDER BY topic, "partition"""".stripMargin,
+
+    // exactly one survivor per key: 300 keys, n_emitted pinned to 1
+    "q179_dedup_within_watermark" ->
+      """SELECT 'k' || k AS dkey, cast(1 as bigint) AS n_emitted
+        |FROM (SELECT unnest(generate_series(0, 299)) AS k)
+        |ORDER BY dkey""".stripMargin,
 
     // staleness × size scoring, per-host cap, global budget — two QUALIFY
     // windows replay the schedule exactly

@@ -99,6 +99,31 @@ object VectorQueries {
       VectorSearch.topK(t(s, dir, "embeddings"), queriesDf(s, dir, 0, 5), k = 4)
         .orderBy(col("query_id"), col("rank"))),
 
+    // Seeded negative sampling — the contrastive-training data op pairing
+    // q139's hard negatives: each anchor draws k=4 reproducible uniform
+    // negatives via an affine hash mod corpus size (doc_ids are contiguous
+    // 0..n-1 in this corpus), with the self-collision bumped to the next
+    // id. Coordination-free (a pure projection per anchor — re-runs and
+    // backfills draw identical negatives); the tiny negative set
+    // broadcasts into the hydration join so the corpus never shuffles.
+    "q178_negative_sampling" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val negs = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("anchor_id"))
+        .crossJoin(broadcast(n))
+        .withColumn("j", explode(sequence(lit(0L), lit(3L))))
+        .withColumn("cand",
+          pmod(col("anchor_id") * lit(2654435761L) + (col("j") + 1) * lit(40503L), col("n")))
+        .withColumn("neg_id",
+          when(col("cand") === col("anchor_id"), pmod(col("cand") + 1, col("n")))
+            .otherwise(col("cand")))
+        .select(col("anchor_id"), col("j"), col("neg_id"))
+      docs.join(broadcast(negs), col("doc_id") === col("neg_id"))
+        .select(col("anchor_id"), col("j"), col("neg_id"), col("source").as("neg_source"))
+        .orderBy(col("anchor_id"), col("j"))
+    }),
+
     // The SQL-text surface of the custom Catalyst expressions (§2.11 /
     // GraftExtensions): the whole ANN-scoring pipeline written as one
     // spark.sql(...) string — cosine_sim / dot_product / l2_dist resolve
@@ -769,6 +794,23 @@ object VectorQueries {
         |SELECT vec_id, cast(j - 1 as int) AS i, round(p[j] / nrm, 4) AS v
         |FROM flat ORDER BY vec_id, i""".stripMargin,
     "q21_ann_topk" -> bruteSql(0, 5),
+
+    // the affine draw, self-collision bump, and hydration replay exactly
+    "q178_negative_sampling" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |a AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id % 97 = 0),
+        |e AS (
+        |  SELECT anchor_id, j,
+        |    (anchor_id * 2654435761 + (j + 1) * 40503) % n.n AS cand, n.n AS nn
+        |  FROM a CROSS JOIN n
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+        |x AS (
+        |  SELECT anchor_id, j,
+        |    CASE WHEN cand = anchor_id THEN (cand + 1) % nn ELSE cand END AS neg_id
+        |  FROM e)
+        |SELECT anchor_id, j, neg_id, d.source AS neg_source
+        |FROM x JOIN documents d ON d.doc_id = x.neg_id
+        |ORDER BY anchor_id, j""".stripMargin,
 
     // the q21 brute replay widened with DuckDB's own list dot/distance —
     // all three registered expressions must agree with the list-native
