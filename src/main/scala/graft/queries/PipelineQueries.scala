@@ -608,6 +608,42 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Span-level quality outliers — localized gibberish detection (q78
+    // scores whole documents; a spam injection in one paragraph of a long
+    // good document hides in the doc-level average): every 20-token
+    // sliding window scores its 19 bigrams under the corpus LM, and the
+    // WORST window per document (score + position, packed into one
+    // integer so the argmin hashes exactly) is the flag a span-level
+    // cleaner acts on. Positional bigram table built once (feeds LM fit
+    // AND scoring); the sliding sum is one ROWS-frame window per doc.
+    "q180_span_quality" -> ((s, dir) => {
+      val bi = tokenized(t(s, dir, "documents"), minToks = 20)
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => struct(element_at(col("toks"), i + lit(1)).as("w1"),
+              element_at(col("toks"), i + lit(2)).as("w2")))).as(Seq("pos", "bg")))
+        .select(col("doc_id"), col("pos"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .localCheckpoint() // feeds the LM fit AND the window scoring
+      val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .localCheckpoint()
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val bp = c12.join(c1, "w1")
+        .withColumn("bp", floor(col("c12") * lit(10000.0) / col("c1")).cast("long"))
+        .select(col("w1"), col("w2"), col("bp"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 18)
+      bi.join(bp, Seq("w1", "w2"))
+        .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .withColumn("wsum", sum(col("bp")).over(w))
+        .filter(col("pos") <= col("nb") - 19)
+        .withColumn("pack", expr("(wsum DIV 19) * 100000 + pos"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"), min(col("pack")).as("pk"))
+        .select(col("doc_id"), col("n_windows"),
+          expr("pk DIV 100000").as("worst_bp"),
+          expr("pk % 100000").as("worst_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus vocabulary with exact counts: tokens appearing in ≥ 20 distinct
     // documents, top 100 by occurrence. The explode fans out to one row per
     // token but map-side partial aggregation collapses it before the single
@@ -1357,6 +1393,36 @@ object PipelineQueries {
         |SELECT doc_id, top_bigram_bp, dup_trigram_bp,
         |  (top_bigram_bp > 1000 OR dup_trigram_bp > 1500) AS flagged
         |FROM j ORDER BY doc_id""".stripMargin,
+
+    // same LM fit restricted to >=20-token docs; sliding windows replay as
+    // a ROWS frame, the packed argmin decodes to (worst_bp, worst_pos)
+    "q180_span_quality" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tk2 AS (SELECT * FROM tk WHERE len(toks) >= 20),
+        |bg AS (
+        |  SELECT doc_id, i - 1 AS pos, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM tk2, unnest(generate_series(1, len(toks)-1)) AS u(i)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        |bp AS (
+        |  SELECT c12.w1, c12.w2,
+        |    cast(floor(c12.c12 * 10000.0 / c1.c1) as bigint) AS bp
+        |  FROM c12 JOIN c1 USING (w1)),
+        |sc AS (
+        |  SELECT g.doc_id, g.pos, bp.bp,
+        |    count(*) OVER (PARTITION BY g.doc_id) AS nb,
+        |    sum(bp.bp) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+        |      ROWS BETWEEN CURRENT ROW AND 18 FOLLOWING) AS wsum
+        |  FROM bg g JOIN bp ON bp.w1 = g.w1 AND bp.w2 = g.w2),
+        |wins AS (
+        |  SELECT doc_id, (wsum // 19) * 100000 + pos AS pack
+        |  FROM sc WHERE pos <= nb - 19)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  cast(min(pack) // 100000 as bigint) AS worst_bp,
+        |  cast(min(pack) % 100000 as bigint) AS worst_pos
+        |FROM wins GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q78_lm_score" ->
       """WITH tk AS (
