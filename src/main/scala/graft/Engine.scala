@@ -331,6 +331,17 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     Backup.snapshot(spark, parts, path).size.toLong
   }
 
+  /** Incremental snapshot against the manifest at `basePath`
+    * ([[graft.operators.Backup.snapshotIncremental]]): only files the base
+    * doesn't already hold byte-identically are copied; everything else is
+    * carried by reference, so the nightly backup reads the delta, not the
+    * store. Returns (copied, carried). */
+  def backupIncremental(basePath: String, path: String): (Long, Long) = {
+    val parts = Map("store" -> cfg.storePath) ++
+      (if (indexExists) Map("index" -> cfg.indexPath) else Map.empty)
+    Backup.snapshotIncremental(spark, parts, basePath, path)
+  }
+
   /**
    * Replace the live store + index with the snapshot at `path`, verifying
    * every file's digest against the manifest during the copy (the restore

@@ -24,25 +24,28 @@ import org.apache.spark.sql.SparkSession
 object Backup {
 
   /** One manifest row: logical part ("store"/"index"), path relative to the
-    * part root, size, and content digest. */
-  final case class Entry(part: String, rel: String, bytes: Long, sha256: String)
+    * part root, size, content digest, and the snapshot directory that holds
+    * the payload bytes — its OWN directory for a full snapshot, possibly an
+    * EARLIER snapshot's for entries an incremental carried forward. */
+  final case class Entry(part: String, rel: String, bytes: Long, sha256: String,
+                         root: String)
 
   private def fs(p: Path): FileSystem = p.getFileSystem(new Configuration())
 
   /** Recursive driver-side listing of data files under `root`, as
     * root-relative paths (metadata walk only — no data IO). */
-  private def listRel(root: String): Seq[String] = {
+  private def listRel(root: String): Seq[(String, Long)] = {
     val rootP = new Path(root)
     val f = fs(rootP)
     if (!f.exists(rootP)) return Nil
     val it = f.listFiles(rootP, true)
     val base = f.getFileStatus(rootP).getPath.toUri.getPath
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile) {
         val full = st.getPath.toUri.getPath
-        out += full.stripPrefix(base).stripPrefix("/")
+        out += ((full.stripPrefix(base).stripPrefix("/"), st.getLen))
       }
     }
     out.toSeq
@@ -73,7 +76,9 @@ object Backup {
   def snapshot(spark: SparkSession, parts: Map[String, String],
                snapshotPath: String): Seq[Entry] = {
     val jobs = parts.toSeq.flatMap { case (part, root) =>
-      listRel(root).map(rel => (part, rel, s"$root/$rel", s"$snapshotPath/$part/$rel"))
+      listRel(root).map { case (rel, _) =>
+        (part, rel, s"$root/$rel", s"$snapshotPath/$part/$rel")
+      }
     }
     val entries =
       if (jobs.isEmpty) Seq.empty[Entry]
@@ -81,11 +86,48 @@ object Backup {
         .parallelize(jobs, math.min(jobs.size, 64))
         .map { case (part, rel, src, dst) =>
           val (bytes, digest) = copyOne(src, dst)
-          Entry(part, rel, bytes, digest)
+          Entry(part, rel, bytes, digest, snapshotPath)
         }
         .collect().toSeq.sortBy(e => (e.part, e.rel))
     writeManifest(snapshotPath, entries)
     entries
+  }
+
+  /**
+   * INCREMENTAL snapshot against a base snapshot's manifest — the daily
+   * backup shape once the full snapshot exists: parquet part files are
+   * immutable by convention (appends create new parts, rewrites rename),
+   * so any live file whose (part, rel, size) matches a base-manifest entry
+   * is carried forward by REFERENCE (its manifest row keeps pointing at
+   * the snapshot that owns the bytes — a backup chain, like synthetic
+   * fulls) and only genuinely new or resized files are copied + digested.
+   * At 100 TB this turns the nightly backup from a full-store read into a
+   * delta read. [[restore]] follows each row to its owning snapshot, so a
+   * chain restores exactly like a full. Returns (copied, carried).
+   */
+  def snapshotIncremental(spark: SparkSession, parts: Map[String, String],
+                          basePath: String, snapshotPath: String): (Long, Long) = {
+    val base = readManifest(basePath)
+    val baseMap = base.map(e => (e.part, e.rel) -> e).toMap
+    val live = parts.toSeq.flatMap { case (part, root) =>
+      listRel(root).map { case (rel, bytes) => (part, rel, bytes, root) }
+    }
+    val (carriedSrc, fresh) = live.partition { case (part, rel, bytes, _) =>
+      baseMap.get((part, rel)).exists(_.bytes == bytes)
+    }
+    val carried = carriedSrc.map { case (part, rel, _, _) => baseMap((part, rel)) }
+    val copied =
+      if (fresh.isEmpty) Seq.empty[Entry]
+      else spark.sparkContext
+        .parallelize(fresh, math.min(fresh.size, 64))
+        .map { case (part, rel, _, root) =>
+          val (bytes, digest) = copyOne(s"$root/$rel", s"$snapshotPath/$part/$rel")
+          Entry(part, rel, bytes, digest, snapshotPath)
+        }
+        .collect().toSeq
+    val entries = (carried ++ copied).sortBy(e => (e.part, e.rel))
+    writeManifest(snapshotPath, entries)
+    (copied.size.toLong, carried.size.toLong)
   }
 
   /** Restore a snapshot into the given (part → rootDir) targets. Each live
@@ -99,7 +141,7 @@ object Backup {
     val manifest = readManifest(snapshotPath)
     val jobs = manifest.flatMap { e =>
       parts.get(e.part).map(root =>
-        (s"$snapshotPath/${e.part}/${e.rel}", s"$root/${e.rel}", e))
+        (s"${e.root}/${e.part}/${e.rel}", s"$root/${e.rel}", e))
     }
     parts.collect { case (part, root) if manifest.exists(_.part == part) =>
       val p = new Path(root)
@@ -125,7 +167,8 @@ object Backup {
   private def writeManifest(snapshotPath: String, entries: Seq[Entry]): Unit = {
     val p = new Path(s"$snapshotPath/MANIFEST.tsv")
     val out = fs(p).create(p, true)
-    try entries.foreach(e => out.write(s"${e.part}\t${e.rel}\t${e.bytes}\t${e.sha256}\n".getBytes("UTF-8")))
+    try entries.foreach(e => out.write(
+      s"${e.part}\t${e.rel}\t${e.bytes}\t${e.sha256}\t${e.root}\n".getBytes("UTF-8")))
     finally out.close()
   }
 
@@ -133,8 +176,8 @@ object Backup {
     val p = new Path(s"$snapshotPath/MANIFEST.tsv")
     val in = fs(p).open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq.filter(_.nonEmpty).map { l =>
-      val Array(part, rel, bytes, digest) = l.split("\t", 4)
-      Entry(part, rel, bytes.toLong, digest)
+      val Array(part, rel, bytes, digest, root) = l.split("\t", 5)
+      Entry(part, rel, bytes.toLong, digest, root)
     } finally in.close()
   }
 }

@@ -398,6 +398,38 @@ object EngineQueries {
       eng.search(searchTexts)
     }),
 
+    // INCREMENTAL backup graded end-to-end (Engine.backupIncremental —
+    // the nightly-delta shape over q150's full snapshot): full snapshot
+    // of the half-corpus build, then dedup-ingest + incremental index of
+    // the rest, then the incremental snapshot must COPY only the appended
+    // part files and CARRY the base's files by manifest reference (both
+    // counts required non-zero — the chain is real). Post-snapshot damage
+    // + restore follows the chain across BOTH snapshots; the oracle is
+    // the full-corpus lifecycle search replay, which only matches if the
+    // chained restore reassembled the exact post-append state.
+    "q181_incremental_backup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q181_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs.filter(col("doc_id") % 2 === 0))
+      eng.update()
+      val full = eng.backup(s"$tmp/snapA")
+      eng.ingest(docs) // odd half appends
+      eng.updateIncremental()
+      val (copied, carried) = eng.backupIncremental(s"$tmp/snapA", s"$tmp/snapB")
+      require(copied > 0, "q181: the incremental copied nothing — no delta?")
+      require(carried > 0, s"q181: nothing carried by reference (base had $full files)")
+      require(carried <= full, s"q181: carried $carried exceeds base $full")
+      val removed = eng.delete(docs.filter(col("doc_id") % 3 === 0).select("doc_id"))
+      require(removed > 0, "q181: damage removed nothing")
+      val restored = eng.restore(s"$tmp/snapB")
+      require(restored == copied + carried,
+        s"q181: restored $restored of ${copied + carried} chained files")
+      eng.search(searchTexts)
+    }),
+
     // Structured Streaming graded end-to-end: a real file-source readStream
     // over the corpus, grouped aggregation, memory sink in complete mode,
     // Trigger.AvailableNow (process everything that exists, then stop — the
@@ -1147,6 +1179,10 @@ object EngineQueries {
 
   val oracle: Map[String, String] = Map(
     "q150_backup_restore" -> lifecycleSearchSql,
+
+    // the chained restore must reassemble the exact post-append state —
+    // the full-corpus search replay is the proof
+    "q181_incremental_backup" -> lifecycleSearchSql,
 
     "q155_stream_recovery" ->
       """SELECT cast(1 as bigint) AS run, count(*) AS n_rows,
