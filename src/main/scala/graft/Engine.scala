@@ -306,6 +306,33 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .withColumn("consistent", col("n_missing") === 0 && col("n_orphaned") === 0)
   }
 
+  /**
+   * Right-to-be-forgotten sweep — the compliance verb over [[delete]]: the
+   * requested ids are purged from the store AND every derived layout (the
+   * index; [[delete]] already walks both and invalidates memos), a
+   * tombstone audit record (request size, removed count, id checksum) is
+   * APPENDED to `auditPath` — the append-only evidence trail a regulator
+   * asks for — and the returned frame carries the audit joined with a
+   * post-sweep proof: zero requested ids survive in any layout, and the
+   * store↔index pair is still [[fsck]]-consistent. At 100 TB the sweep
+   * costs what [[delete]] costs (two anti-join rewrites); the audit and
+   * proof are metadata-sized.
+   */
+  def forget(ids: DataFrame, auditPath: String): DataFrame = {
+    val idsD = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    val req = idsD.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head
+    val removed = delete(idsD)
+    val audit = spark.range(1).select(
+      lit(req.getLong(0)).as("n_requested"),
+      lit(removed).as("n_removed"),
+      lit(req.getLong(1)).as("requested_sum_ids"))
+    audit.coalesce(1).write.mode("append").parquet(auditPath)
+    val survivors = store().join(idsD, Seq("doc_id"), "left_semi").count() +
+      (if (indexExists) index().join(idsD, Seq("doc_id"), "left_semi").count() else 0L)
+    audit.withColumn("survivors", lit(survivors))
+      .crossJoin(fsck().select(col("consistent")))
+  }
+
   private def indexExists: Boolean = {
     val p = new org.apache.hadoop.fs.Path(cfg.indexPath)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

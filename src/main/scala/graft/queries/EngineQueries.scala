@@ -398,6 +398,29 @@ object EngineQueries {
       eng.search(searchTexts)
     }),
 
+    // Right-to-be-forgotten sweep graded end-to-end (Engine.forget — the
+    // compliance verb over delete + fsck): sweep 1 purges the requested
+    // residue class from the store AND the index, appends the tombstone
+    // audit, and must prove zero survivors + store↔index consistency;
+    // sweep 2 repeats the SAME request and must remove nothing (the
+    // idempotence a re-played compliance job needs) while still auditing
+    // the attempt. Both audit rows are graded against parity counts.
+    "q182_forget_audit" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q182_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs)
+      eng.update()
+      val request = docs.filter(col("doc_id") % 11 === 0).select("doc_id")
+      val audit1 = eng.forget(request, s"$tmp/audit")
+        .withColumn("sweep", lit(1L)).localCheckpoint(true)
+      val audit2 = eng.forget(request, s"$tmp/audit")
+        .withColumn("sweep", lit(2L)).localCheckpoint(true)
+      audit1.unionByName(audit2).orderBy(col("sweep"))
+    }),
+
     // INCREMENTAL backup graded end-to-end (Engine.backupIncremental —
     // the nightly-delta shape over q150's full snapshot): full snapshot
     // of the half-corpus build, then dedup-ingest + incremental index of
@@ -1183,6 +1206,20 @@ object EngineQueries {
     // the chained restore must reassemble the exact post-append state —
     // the full-corpus search replay is the proof
     "q181_incremental_backup" -> lifecycleSearchSql,
+
+    // two audit rows against parity counts: full removal then idempotence
+    "q182_forget_audit" ->
+      """WITH r AS (
+        |  SELECT count(*) AS n, cast(coalesce(sum(doc_id), 0) as bigint) AS sm
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT n AS n_requested, n AS n_removed, sm AS requested_sum_ids,
+        |  cast(0 as bigint) AS survivors, true AS consistent,
+        |  cast(1 as bigint) AS sweep
+        |FROM r
+        |UNION ALL
+        |SELECT n, cast(0 as bigint), sm, cast(0 as bigint), true, cast(2 as bigint)
+        |FROM r
+        |ORDER BY sweep""".stripMargin,
 
     "q155_stream_recovery" ->
       """SELECT cast(1 as bigint) AS run, count(*) AS n_rows,
