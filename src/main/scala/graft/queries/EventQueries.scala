@@ -30,6 +30,24 @@ object EventQueries {
       Events.sessionWindows(t(s, dir, "events"), "30 minutes")
         .orderBy(col("user_id"), col("session_start"))),
 
+    // DYNAMIC-gap session windows — per-event gap durations (a click
+    // keeps a session alive 5 minutes, a view 15, anything heavier 45):
+    // the engagement-weighted sessionization real attribution uses, and
+    // the API surface beyond q28's fixed gap. Spark merges each event's
+    // [ts, ts+gap) interval into sessions; the oracle replays that as
+    // interval merging with a running-max-end island pass.
+    "q183_dynamic_session" -> ((s, dir) => {
+      val gap = when(col("event_type") === "click", lit("5 minutes"))
+        .when(col("event_type") === "view", lit("15 minutes"))
+        .otherwise(lit("45 minutes"))
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // Distribution-drift gate (data-quality monitoring between ingest
     // periods — the check a training pipeline runs before admitting a new
     // crawl batch): per event_type, the before/after value histograms are
@@ -516,6 +534,31 @@ object EventQueries {
          |FROM events
          |GROUP BY date_trunc('hour', ts), event_type
          |ORDER BY window_start, event_type""".stripMargin,
+
+    // interval-merge replay: running max of per-event window ends, new
+    // session when the next event starts at or past every prior end
+    "q183_dynamic_session" ->
+      s"""WITH x AS (
+         |  SELECT user_id, ts, value,
+         |    ts + CASE event_type WHEN 'click' THEN INTERVAL 5 MINUTE
+         |         WHEN 'view' THEN INTERVAL 15 MINUTE
+         |         ELSE INTERVAL 45 MINUTE END AS e
+         |  FROM events),
+         |y AS (
+         |  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM x),
+         |z AS (
+         |  SELECT *, CASE WHEN pmax IS NULL OR ts >= pmax THEN 1 ELSE 0 END AS ns
+         |  FROM y),
+         |w AS (
+         |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM z)
+         |SELECT user_id, min(ts) AS session_start, max(e) AS session_end,
+         |  count(*) AS n_events, ${dsumSql("value")} AS sum_value
+         |FROM w GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
 
     "q27_sessionize" -> (islandsSql + "\nORDER BY user_id, session_start"),
 
