@@ -44,6 +44,50 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Equi-DEPTH binning (NTILE) — the feature-engineering discretizer
+    // q101's fixed-width histogram can't provide when the distribution is
+    // skewed: 8 buckets each holding ~1/8 of the rows, with data-driven
+    // edges (min/max per bucket) and exact occupancy. One window over the
+    // value order per group; at scale NTILE is a range-partitioned sort,
+    // not a single-task window, because it's keyed by l_returnflag here.
+    "q184_equidepth_bins" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"), col("l_orderkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
+        .withColumn("bin", ntile(8).over(w).cast("long"))
+        .groupBy(col("l_returnflag"), col("bin"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"), col("bin"))
+    }),
+
+    // Window-function breadth in one graded pass: percent_rank, cume_dist,
+    // ntile and lag/lead deltas over the same keyed order — the remaining
+    // §2.7 analytic functions not yet exercised by q92/q112/q46. Ranks are
+    // emitted in integer basis points (floor ×10000) so the float window
+    // outputs hash identically across engines.
+    "q185_window_breadth" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("pr_bp", floor(percent_rank().over(w) * 10000).cast("long"))
+        .withColumn("cd_bp", floor(cume_dist().over(w) * 10000).cast("long"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("delta_prev",
+          (col("o_totalprice") - coalesce(lag(col("o_totalprice"), 1).over(w),
+            col("o_totalprice"))).cast(DecimalType(18, 2)))
+        .groupBy(col("o_orderpriority"), col("quartile"))
+        .agg(count(lit(1)).as("n"), max(col("pr_bp")).as("max_pr_bp"),
+          max(col("cd_bp")).as("max_cd_bp"),
+          sum(col("delta_prev")).cast(DoubleType).as("sum_delta"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"), col("quartile"))
+    }),
+
     // Join-key skew profiler — the pre-join diagnostic that decides whether
     // a shuffle join needs salting (q40) or AQE skew splitting: per
     // candidate key column, the share of rows held by the hottest key (in
@@ -487,6 +531,35 @@ object RelationalQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q184_equidepth_bins" ->
+      s"""WITH r AS (
+         |  SELECT l_returnflag, l_orderkey, l_extendedprice,
+         |    ntile(8) OVER (PARTITION BY l_returnflag
+         |      ORDER BY l_extendedprice, l_orderkey) AS bin
+         |  FROM lineitem)
+         |SELECT l_returnflag, cast(bin as bigint) AS bin, count(*) AS n_rows,
+         |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+         |  ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q185_window_breadth" ->
+      s"""WITH f AS (
+         |  SELECT o_orderpriority, o_orderkey, o_totalprice
+         |  FROM orders WHERE o_orderkey % 13 = 0),
+         |r AS (
+         |  SELECT *,
+         |    cast(floor(percent_rank() OVER w * 10000) as bigint) AS pr_bp,
+         |    cast(floor(cume_dist() OVER w * 10000) as bigint) AS cd_bp,
+         |    cast(ntile(4) OVER w as bigint) AS quartile,
+         |    cast(o_totalprice - coalesce(lag(o_totalprice, 1) OVER w, o_totalprice)
+         |      as decimal(18,2)) AS dp
+         |  FROM f
+         |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
+         |SELECT o_orderpriority, quartile, count(*) AS n, max(pr_bp) AS max_pr_bp,
+         |  max(cd_bp) AS max_cd_bp, cast(sum(dp) as double) AS sum_delta,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // the latest surviving version must equal the full recompute; the
     // version census is pinned (2 kept, 3 vacuumed)
     "q166_mv_vacuum" ->
