@@ -27,7 +27,12 @@ final case class EngineConfig(
     ivfThreshold: Long = 500000L,
     // scheduler.* (config.yml:97-100) — see graft.streaming.Scheduler
     schedulerInitRun: Boolean = true,
-    schedulerPeriod: String = "day")
+    schedulerPeriod: String = "day",
+    // checkpoint path of a weights-file model (functions/FileEmbedder);
+    // the config-driven spelling of the reference's model selection
+    // (config.yml `vdb.embedding.model_name` picks the HF checkpoint) —
+    // empty keeps the deterministic hash embedder
+    modelPath: String = "")
 
 object EngineConfig {
   /**
@@ -71,7 +76,8 @@ object EngineConfig {
       ivfThreshold = get("ivf_threshold").map(_.toLong).getOrElse(500000L),
       schedulerInitRun = get("scheduler.init_run", "init_run")
         .forall(v => v.equalsIgnoreCase("true")),
-      schedulerPeriod = get("scheduler.period", "period").getOrElse("day"))
+      schedulerPeriod = get("scheduler.period", "period").getOrElse("day"),
+      modelPath = get("vdb.embedding.model_path", "model_path").getOrElse(""))
   }
 
   /**
@@ -141,7 +147,9 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * any plan. Defaults to the deterministic hash embedder the offline
     * harness can oracle-check. */
   private val model: Engine.Embedder =
-    Option(embedder).getOrElse(Engine.HashEmbedder(cfg.embedDim))
+    Option(embedder).getOrElse(
+      if (cfg.modelPath.nonEmpty) graft.functions.FileEmbedder(cfg.modelPath)
+      else Engine.HashEmbedder(cfg.embedDim))
 
   /** Dedup-append documents (must carry `doc_id` and `text`). Re-ingesting
     * the same batch is a no-op. */

@@ -54,6 +54,35 @@ class FileEmbedderSpec extends SparkSpec {
     assert(vecs(2).forall(_ == 0.0f))
   }
 
+  test("config-driven model selection: vdb.embedding.model_path wires FileEmbedder") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cfg").toString
+    val ckpt = s"$dir/m.ckpt"
+    FileEmbedder.save(ckpt, freshModel(42L))
+    val yaml =
+      s"""store_path: $dir/store
+         |index_path: $dir/index
+         |vdb:
+         |  embedding:
+         |    model_path: $ckpt
+         |""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/config.yml"), yaml)
+    val cfg = EngineConfig.load(s"$dir/config.yml")
+    assert(cfg.modelPath == ckpt)
+    val eng = new Engine(spark, cfg) // no injected embedder: config decides
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs)
+    eng.update()
+    val viaConfig = eng.search(Seq("graph node edge label")).collect()
+    // identical to an engine with the SAME checkpoint injected explicitly
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ckpt-cfg2").toString
+    val eng2 = new Engine(spark, EngineConfig(
+      storePath = s"$dir2/store", indexPath = s"$dir2/index"), FileEmbedder(ckpt))
+    eng2.ingest(docs)
+    eng2.update()
+    val viaInject = eng2.search(Seq("graph node edge label")).collect()
+    assert(viaConfig.map(_.toString).toSeq == viaInject.map(_.toString).toSeq)
+  }
+
   test("Engine update + search run end-to-end under the checkpoint model") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-eng").toString
     val path = s"$dir/m.ckpt"
