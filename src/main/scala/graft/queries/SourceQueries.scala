@@ -138,6 +138,42 @@ object SourceQueries {
         .orderBy(col("kb"))
     }),
 
+    // DYNAMIC partition overwrite — the correction-batch write verb: a
+    // revised slice must replace ONLY the partition directories it
+    // touches (static overwrite mode would wipe the whole table first —
+    // at 100 TB that turns a one-partition fix into a full rewrite). The
+    // click partition is rewritten with doubled values; every other
+    // directory must keep its exact pre-write file set (require-gated via
+    // the filesystem, the q149 discipline), and the read-back aggregate
+    // must show doubled clicks next to untouched siblings.
+    "q186_dynamic_overwrite" -> ((s, dir) => {
+      val path = tmp(dir, "dyn_overwrite")
+      val ev = t(s, dir, "events")
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+      def files(part: String): Set[String] = {
+        val p = new org.apache.hadoop.fs.Path(s"$path/event_type=$part")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSet
+      }
+      val viewBefore = files("view")
+      val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        ev.filter(col("event_type") === "click")
+          .withColumn("value", col("value") * 2)
+          .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      } finally saved match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      require(files("view") == viewBefore,
+        "q186: dynamic overwrite touched an unrelated partition directory")
+      s.read.parquet(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // hive-style partitioned layout + partition pruning: the filter on the
     // partition column must skip whole directories, not just row groups
     "q41_partitioned_write" -> ((s, dir) => {
@@ -643,6 +679,13 @@ object SourceQueries {
          |  cast(sum(length('u' || uid)) as bigint) AS key_bytes,
          |  ${graft.sources.LogStreamSource.BaseEpochSec} + max(off) AS last_ts_sec
          |FROM e GROUP BY topic, part ORDER BY topic, "partition"""".stripMargin,
+
+    // clicks doubled, every other partition untouched
+    "q186_dynamic_overwrite" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |  ${dsumSql("CASE WHEN event_type = 'click' THEN value * 2 ELSE value END")}
+         |    AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exactly one survivor per key: 300 keys, n_emitted pinned to 1
     "q179_dedup_within_watermark" ->
