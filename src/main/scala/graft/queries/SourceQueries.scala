@@ -138,6 +138,26 @@ object SourceQueries {
         .orderBy(col("kb"))
     }),
 
+    // DSv2 AGGREGATE pushdown (SupportsPushDownAggregates on the corpus
+    // source): COUNT(*)/MIN/MAX over dense synthetic ids are metadata, so
+    // the scan answers them as ONE literal row instead of generating and
+    // counting 2M rows — the same contract parquet-footer COUNT pushdown
+    // gives a 100 TB table. The require proves the planner actually
+    // accepted the push (a silent fallback would compute identical values
+    // the slow way); non-answerable aggregates fall back, spec-gated.
+    "q187_agg_pushdown" -> ((s, dir) => {
+      import graft.sources.SyntheticCorpusSource
+      val before = SyntheticCorpusSource.aggPushes.get()
+      val out = s.read.format("graft-corpus")
+        .option("rows", "2000000").option("partitions", "8").load()
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .localCheckpoint(true)
+      require(SyntheticCorpusSource.aggPushes.get() > before,
+        "q187: the aggregate did not push into the scan")
+      out
+    }),
+
     // DYNAMIC partition overwrite — the correction-batch write verb: a
     // revised slice must replace ONLY the partition directories it
     // touches (static overwrite mode would wipe the whole table first —
@@ -679,6 +699,11 @@ object SourceQueries {
          |  cast(sum(length('u' || uid)) as bigint) AS key_bytes,
          |  ${graft.sources.LogStreamSource.BaseEpochSec} + max(off) AS last_ts_sec
          |FROM e GROUP BY topic, part ORDER BY topic, "partition"""".stripMargin,
+
+    // the pushed answers are pure metadata of the dense id space
+    "q187_agg_pushdown" ->
+      """SELECT cast(2000000 as bigint) AS n_docs, cast(0 as bigint) AS min_id,
+        |  cast(1999999 as bigint) AS max_id""".stripMargin,
 
     // clicks doubled, every other partition untouched
     "q186_dynamic_overwrite" ->

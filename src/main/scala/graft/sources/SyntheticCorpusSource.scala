@@ -46,6 +46,9 @@ class SyntheticCorpusSource extends TableProvider with DataSourceRegister {
 }
 
 object SyntheticCorpusSource {
+  /** Aggregate pushdowns accepted this JVM (spec/query observability). */
+  val aggPushes = new java.util.concurrent.atomic.AtomicLong(0L)
+
   val Schema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("source", StringType, nullable = false),
@@ -94,11 +97,85 @@ private class CorpusTable(rows: Long, partitions: Int, seed: Long)
 }
 
 private class CorpusScanBuilder(rows: Long, partitions: Int, seed: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var required: StructType = SyntheticCorpusSource.Schema
+  private var pushedAgg: Option[Seq[String]] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new CorpusScan(rows, partitions, seed, required)
+
+  // COUNT(*) / MIN(doc_id) / MAX(doc_id) are METADATA on this source (ids
+  // are dense 0..rows-1 by construction) — answering them from the scan
+  // options turns a 100 TB-equivalent generate-and-count into one literal
+  // row, the same contract parquet footers give COUNT pushdown. Only the
+  // ungrouped, complete-answerable shape is accepted; anything else falls
+  // back to the normal scan.
+  private def answers(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[String]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (agg.groupByExpressions().nonEmpty) return None
+    def isDocId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array("doc_id"))
+        case _ => false
+      }
+    val kinds = agg.aggregateExpressions().map {
+      case _: CountStar => Some("count")
+      case m: Min if isDocId(m.column()) => Some("min")
+      case m: Max if isDocId(m.column()) => Some("max")
+      case _ => None
+    }
+    if (kinds.forall(_.isDefined)) Some(kinds.flatten.toSeq) else None
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    answers(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    answers(agg) match {
+      case Some(kinds) =>
+        pushedAgg = Some(kinds)
+        SyntheticCorpusSource.aggPushes.incrementAndGet()
+        true
+      case None => false
+    }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(kinds) => new CorpusAggScan(rows, kinds)
+    case None => new CorpusScan(rows, partitions, seed, required)
+  }
+}
+
+/** The pushed-aggregate scan: ONE row of metadata-derived values. */
+private class CorpusAggScan(rows: Long, kinds: Seq[String]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(kinds.zipWithIndex.map {
+    case (k, i) => StructField(s"${k}_$i", LongType, nullable = false)
+  })
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CorpusRange(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    CorpusAggReaderFactory(kinds.map {
+      case "count" => rows
+      case "min" => 0L
+      case "max" => rows - 1
+    }.toArray)
+}
+
+private case class CorpusAggReaderFactory(values: Array[Long])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          values.map(_.asInstanceOf[Any]))
+      override def close(): Unit = ()
+    }
 }
 
 private case class CorpusRange(start: Long, end: Long) extends InputPartition

@@ -43,4 +43,26 @@ class CorpusSourceSpec extends SparkSpec {
     val fresh = graft.operators.Ingest.newRows(incoming, existing, "index")
     assert(fresh.count() == 200)
   }
+
+  test("COUNT/MIN/MAX push into the scan as metadata; other aggs fall back") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.SyntheticCorpusSource
+    val before = SyntheticCorpusSource.aggPushes.get()
+    val big = spark.read.format("graft-corpus")
+      .option("rows", "3000000").option("partitions", "8").load()
+    val r = big.agg(count(lit(1)).as("n"), min("doc_id").as("lo"),
+      max("doc_id").as("hi")).head()
+    assert(r.getLong(0) == 3000000L && r.getLong(1) == 0L && r.getLong(2) == 2999999L)
+    assert(SyntheticCorpusSource.aggPushes.get() > before,
+      "the metadata-answerable aggregate did not push into the scan")
+    // a non-answerable aggregate must FALL BACK to the row scan, not lie
+    val pushesAfter = SyntheticCorpusSource.aggPushes.get()
+    val s2 = corpus(1000).agg(sum("n_chars")).head().getLong(0)
+    assert(s2 > 0)
+    assert(SyntheticCorpusSource.aggPushes.get() == pushesAfter)
+    // grouped aggregates fall back too (correct per-source counts)
+    val grouped = corpus(1000).groupBy("source").count()
+    assert(grouped.agg(sum("count")).head().getLong(0) == 1000L)
+    assert(SyntheticCorpusSource.aggPushes.get() == pushesAfter)
+  }
 }
