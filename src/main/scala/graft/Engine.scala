@@ -32,7 +32,10 @@ final case class EngineConfig(
     // the config-driven spelling of the reference's model selection
     // (config.yml `vdb.embedding.model_name` picks the HF checkpoint) —
     // empty keeps the deterministic hash embedder
-    modelPath: String = "")
+    modelPath: String = "",
+    // persisted IVF layout root (hive-partitioned by cell — see
+    // VectorSearch.writeIvf); empty derives `<indexPath>_ivf`
+    ivfPath: String = "")
 
 object EngineConfig {
   /**
@@ -77,7 +80,8 @@ object EngineConfig {
       schedulerInitRun = get("scheduler.init_run", "init_run")
         .forall(v => v.equalsIgnoreCase("true")),
       schedulerPeriod = get("scheduler.period", "period").getOrElse("day"),
-      modelPath = get("vdb.embedding.model_path", "model_path").getOrElse(""))
+      modelPath = get("vdb.embedding.model_path", "model_path").getOrElse(""),
+      ivfPath = get("ivf_path").getOrElse(""))
   }
 
   /**
@@ -170,6 +174,12 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     chunkEmbed(store())
       .write.mode("overwrite").parquet(cfg.indexPath)
     invalidateIvf()
+    // the reference's create_index is part of the update lifecycle
+    // (vdb.py:209-211: renew → insert → create_index) — when the fresh
+    // index is IVF-scale, build and PERSIST the cell layout now, offline,
+    // so no search pays the quantizer; sub-threshold indexes route brute
+    // and skip the build entirely
+    if (routeIvf()) ivfIndex()
   }
 
   /**
@@ -224,17 +234,25 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * Returns the number of store documents removed.
    */
   def delete(ids: DataFrame, keyCol: String = "doc_id"): Long = {
-    val before = store().count()
-    val s2 = store().join(broadcast(ids.select(keyCol).distinct()), Seq(keyCol), "left_anti")
+    // removed-count rides the rewrite via an Observation on the pinned
+    // materialization — no separate store().count() jobs (a left join with
+    // a delete mark makes one pass count AND filter; the CollectMetrics
+    // node sits below the checkpoint, so the overwrite replays nothing)
+    val key = ids.select(keyCol).distinct()
+    val obs = org.apache.spark.sql.Observation()
+    val s2 = store()
+      .join(broadcast(key.withColumn("__del", lit(true))), Seq(keyCol), "left")
+      .observe(obs, sum(when(col("__del"), 1L).otherwise(0L)).as("removed"))
+      .filter(col("__del").isNull).drop("__del")
       .localCheckpoint(true) // pin BEFORE overwriting the path being read
     s2.write.mode("overwrite").parquet(cfg.storePath)
     if (indexExists) {
-      val i2 = index().join(broadcast(ids.select(keyCol).distinct()), Seq(keyCol), "left_anti")
+      val i2 = index().join(broadcast(key), Seq(keyCol), "left_anti")
         .localCheckpoint(true)
       i2.write.mode("overwrite").parquet(cfg.indexPath)
       invalidateIvf()
     }
-    before - store().count()
+    Option(obs.get("removed")).map(_.asInstanceOf[Long]).getOrElse(0L)
   }
 
   /**
@@ -346,10 +364,11 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** The vector index changed: drop the memoized IVF layout and the
-    * memoized index count ([[routeIvf]]'s routing statistic). */
+  /** The vector index changed: drop the memoized IVF handle and the
+    * memoized index count ([[routeIvf]]'s routing statistic). The persisted
+    * layout stays on disk — its recorded fingerprint no longer matches, so
+    * the next [[ivfIndex]] call rebuilds over it. */
   private def invalidateIvf(): Unit = {
-    ivfMemo.foreach(_.cells.unpersist())
     ivfMemo = None
     indexCountMemo = None
   }
@@ -457,19 +476,78 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Memoized IVF layout over the current index — building the quantizer is
-    * an OFFLINE step (the reference's create_index, vdb.py:209-211), never
-    * part of a search. Invalidated by [[update]] (the index changed). */
+  /** Memoized handle on the PERSISTED IVF layout — building the quantizer
+    * is an OFFLINE step (the reference's create_index, vdb.py:209-211),
+    * never part of a search. The memo holds only a lazy plan over the
+    * hive-partitioned layout (zero executor memory — the round-7 `.cache()`
+    * of the full cell assignment could not survive 100 TB); invalidated
+    * wherever the index changes. */
   @volatile private var ivfMemo: Option[VectorSearch.IvfIndex] = None
 
-  /** The IVF layout for the current index, built at most once per [[update]].
-    * The cell assignment is cached (it feeds every subsequent search). */
+  /** Root of the persisted cell layout ([[VectorSearch.writeIvf]]). */
+  private def ivfPath: String =
+    if (cfg.ivfPath.nonEmpty) cfg.ivfPath else s"${cfg.indexPath}_ivf"
+
+  /** Driver-side metadata fingerprint of the index layout (relative path,
+    * size, mtime of every data file — no data IO). The persisted IVF layout
+    * records the fingerprint of the index it was built from; a mismatch
+    * (update/append/compact since, or a build that died between the index
+    * write and the IVF write) forces a rebuild instead of serving stale
+    * cells. */
+  private def indexFingerprint(): String = {
+    val p = new org.apache.hadoop.fs.Path(cfg.indexPath)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return "absent"
+    val it = f.listFiles(p, true)
+    val base = f.getFileStatus(p).getPath.toUri.getPath
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.toUri.getPath.stripPrefix(base)
+      if (st.isFile && !name.contains("/_") && !name.contains("/."))
+        buf += s"$name\t${st.getLen}\t${st.getModificationTime}"
+    }
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    buf.sorted.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def fingerprintFile = new org.apache.hadoop.fs.Path(s"$ivfPath/_INDEX_FINGERPRINT")
+
+  private def persistedFingerprint(): Option[String] = {
+    val f = fingerprintFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(fingerprintFile)) None
+    else {
+      val in = f.open(fingerprintFile)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /**
+   * The IVF layout for the current index, SERVED FROM DISK: on first use
+   * (or after any index change) the quantizer is trained, every chunk is
+   * assigned its cell, and the layout is written hive-partitioned by cell
+   * ([[VectorSearch.writeIvf]]) with the index fingerprint it derives from;
+   * every later call — including a fresh Engine instance on a fresh driver —
+   * just LOADS the layout, so a probe's cell equi-join becomes a partition
+   * filter and unprobed cells never touch IO. This is the create_index ↔
+   * search split of the reference (vdb.py:209-211 builds offline; :88-100
+   * searches the built index).
+   */
   def ivfIndex(): VectorSearch.IvfIndex = ivfMemo.getOrElse(synchronized {
     ivfMemo.getOrElse {
-      val built = VectorSearch.buildIvf(index(), cfg.nlist, idCol = "chunk_id", vecCol = "vec")
-      val cached = built.copy(cells = built.cells.cache())
-      ivfMemo = Some(cached)
-      cached
+      val fp = indexFingerprint()
+      if (!persistedFingerprint().contains(fp)) {
+        val built = VectorSearch.buildIvf(index(), cfg.nlist, idCol = "chunk_id", vecCol = "vec")
+        VectorSearch.writeIvf(built, ivfPath)
+        val f = fingerprintFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = f.create(fingerprintFile, true)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
+      }
+      val loaded = VectorSearch.loadIvf(spark, ivfPath, idCol = "chunk_id", vecCol = "vec")
+      ivfMemo = Some(loaded)
+      loaded
     }
   })
 

@@ -141,15 +141,26 @@ object VectorFns {
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         val texts = batch.map(r => r.getString(idx))
+        // Only NonFatal failures are quarantined — an OOM/VM error must
+        // fail the task, not masquerade as a per-row inference error. A
+        // model that returns the wrong COUNT is a contract bug, not a bad
+        // row: fail loudly instead of zip-truncating the tail silently.
+        def checked(in: Seq[String]): Seq[Array[Float]] = {
+          val out = embedFn(in)
+          require(out.length == in.length,
+            s"embedBatch returned ${out.length} vectors for ${in.length} inputs")
+          out
+        }
         val results: Seq[(Option[Array[Float]], Option[String])] =
-          try embedFn(texts).map(v => (Some(v), None))
+          try checked(texts).map(v => (Some(v), None))
           catch {
-            case _: Throwable => // batch poisoned: isolate per item
+            case scala.util.control.NonFatal(_) => // batch poisoned: isolate per item
               texts.map { t =>
-                try (Some(embedFn(Seq(t)).head), None)
+                try (Some(checked(Seq(t)).head), None)
                 catch {
-                  case e: Throwable => (None, Some(s"${e.getClass.getSimpleName}: " +
-                    Option(e.getMessage).getOrElse("").take(120)))
+                  case scala.util.control.NonFatal(e) =>
+                    (None, Some(s"${e.getClass.getSimpleName}: " +
+                      Option(e.getMessage).getOrElse("").take(120)))
                 }
               }
           }

@@ -24,28 +24,32 @@ import org.apache.spark.sql.SparkSession
 object Backup {
 
   /** One manifest row: logical part ("store"/"index"), path relative to the
-    * part root, size, content digest, and the snapshot directory that holds
+    * part root, size, content digest, the snapshot directory that holds
     * the payload bytes — its OWN directory for a full snapshot, possibly an
-    * EARLIER snapshot's for entries an incremental carried forward. */
+    * EARLIER snapshot's for entries an incremental carried forward — and the
+    * live file's modification time when it was snapshot (-1 on manifests
+    * written before mtime was recorded). */
   final case class Entry(part: String, rel: String, bytes: Long, sha256: String,
-                         root: String)
+                         root: String, mtime: Long = -1L)
 
   private def fs(p: Path): FileSystem = p.getFileSystem(new Configuration())
 
   /** Recursive driver-side listing of data files under `root`, as
-    * root-relative paths (metadata walk only — no data IO). */
-  private def listRel(root: String): Seq[(String, Long)] = {
+    * root-relative paths with (size, mtime) — metadata walk only, no data
+    * IO. */
+  private def listRel(root: String): Seq[(String, Long, Long)] = {
     val rootP = new Path(root)
     val f = fs(rootP)
     if (!f.exists(rootP)) return Nil
     val it = f.listFiles(rootP, true)
     val base = f.getFileStatus(rootP).getPath.toUri.getPath
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile) {
         val full = st.getPath.toUri.getPath
-        out += ((full.stripPrefix(base).stripPrefix("/"), st.getLen))
+        out += ((full.stripPrefix(base).stripPrefix("/"), st.getLen,
+          st.getModificationTime))
       }
     }
     out.toSeq
@@ -76,17 +80,17 @@ object Backup {
   def snapshot(spark: SparkSession, parts: Map[String, String],
                snapshotPath: String): Seq[Entry] = {
     val jobs = parts.toSeq.flatMap { case (part, root) =>
-      listRel(root).map { case (rel, _) =>
-        (part, rel, s"$root/$rel", s"$snapshotPath/$part/$rel")
+      listRel(root).map { case (rel, _, mtime) =>
+        (part, rel, s"$root/$rel", s"$snapshotPath/$part/$rel", mtime)
       }
     }
     val entries =
       if (jobs.isEmpty) Seq.empty[Entry]
       else spark.sparkContext
         .parallelize(jobs, math.min(jobs.size, 64))
-        .map { case (part, rel, src, dst) =>
+        .map { case (part, rel, src, dst, mtime) =>
           val (bytes, digest) = copyOne(src, dst)
-          Entry(part, rel, bytes, digest, snapshotPath)
+          Entry(part, rel, bytes, digest, snapshotPath, mtime)
         }
         .collect().toSeq.sortBy(e => (e.part, e.rel))
     writeManifest(snapshotPath, entries)
@@ -110,19 +114,25 @@ object Backup {
     val base = readManifest(basePath)
     val baseMap = base.map(e => (e.part, e.rel) -> e).toMap
     val live = parts.toSeq.flatMap { case (part, root) =>
-      listRel(root).map { case (rel, bytes) => (part, rel, bytes, root) }
+      listRel(root).map { case (rel, bytes, mtime) => (part, rel, bytes, mtime, root) }
     }
-    val (carriedSrc, fresh) = live.partition { case (part, rel, bytes, _) =>
-      baseMap.get((part, rel)).exists(_.bytes == bytes)
+    // Carry-by-reference requires size AND mtime to match the base entry —
+    // a file rewritten in place with identical size (a same-size parquet
+    // rewrite, an intentional tamper) has a new mtime and is re-copied +
+    // re-digested. Legacy manifests without mtime (-1) never carry: a copy
+    // is the safe direction.
+    val (carriedSrc, fresh) = live.partition { case (part, rel, bytes, mtime, _) =>
+      baseMap.get((part, rel)).exists(e =>
+        e.bytes == bytes && e.mtime >= 0L && e.mtime == mtime)
     }
-    val carried = carriedSrc.map { case (part, rel, _, _) => baseMap((part, rel)) }
+    val carried = carriedSrc.map { case (part, rel, _, _, _) => baseMap((part, rel)) }
     val copied =
       if (fresh.isEmpty) Seq.empty[Entry]
       else spark.sparkContext
         .parallelize(fresh, math.min(fresh.size, 64))
-        .map { case (part, rel, _, root) =>
+        .map { case (part, rel, _, mtime, root) =>
           val (bytes, digest) = copyOne(s"$root/$rel", s"$snapshotPath/$part/$rel")
-          Entry(part, rel, bytes, digest, snapshotPath)
+          Entry(part, rel, bytes, digest, snapshotPath, mtime)
         }
         .collect().toSeq
     val entries = (carried ++ copied).sortBy(e => (e.part, e.rel))
@@ -168,7 +178,8 @@ object Backup {
     val p = new Path(s"$snapshotPath/MANIFEST.tsv")
     val out = fs(p).create(p, true)
     try entries.foreach(e => out.write(
-      s"${e.part}\t${e.rel}\t${e.bytes}\t${e.sha256}\t${e.root}\n".getBytes("UTF-8")))
+      s"${e.part}\t${e.rel}\t${e.bytes}\t${e.sha256}\t${e.root}\t${e.mtime}\n"
+        .getBytes("UTF-8")))
     finally out.close()
   }
 
@@ -176,8 +187,12 @@ object Backup {
     val p = new Path(s"$snapshotPath/MANIFEST.tsv")
     val in = fs(p).open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq.filter(_.nonEmpty).map { l =>
-      val Array(part, rel, bytes, digest, root) = l.split("\t", 5)
-      Entry(part, rel, bytes.toLong, digest, root)
+      l.split("\t", 6) match {
+        case Array(part, rel, bytes, digest, root, mtime) =>
+          Entry(part, rel, bytes.toLong, digest, root, mtime.toLong)
+        case Array(part, rel, bytes, digest, root) => // pre-mtime manifests
+          Entry(part, rel, bytes.toLong, digest, root)
+      }
     } finally in.close()
   }
 }

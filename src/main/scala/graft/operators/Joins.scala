@@ -77,9 +77,29 @@ object Joins {
   def bloomPrefilteredJoin(big: DataFrame, bigKey: String,
                            small: DataFrame, smallKey: String,
                            expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    // `stat.bloomFilter` hashes integral keys as longs and strings as UTF-8
+    // bytes — the probe MUST use the matching overload or true matches are
+    // silently dropped (a long-cast probe of a string-keyed filter never
+    // hits). Dispatch on the big side's key dtype; refuse anything else
+    // loudly rather than return missing rows.
+    val keyType = big.schema(bigKey).dataType
+    val integral = keyType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType => false
+      case other => throw new IllegalArgumentException(
+        s"bloomPrefilteredJoin: unsupported key type $other for '$bigKey' — " +
+          "only integral and string keys hash consistently with stat.bloomFilter")
+    }
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val mightContain = udf((k: Long) => bf.mightContainLong(k))
-    big.filter(mightContain(col(bigKey).cast("long")))
-      .join(small, col(bigKey) === col(smallKey))
+    val probe =
+      if (integral) {
+        val mc = udf((k: Long) => bf.mightContainLong(k))
+        mc(col(bigKey).cast("long"))
+      } else {
+        val mc = udf((k: String) => k != null && bf.mightContainString(k))
+        mc(col(bigKey))
+      }
+    big.filter(probe).join(small, col(bigKey) === col(smallKey))
   }
 }

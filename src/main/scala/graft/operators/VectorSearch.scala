@@ -253,27 +253,41 @@ object VectorSearch {
    * trained codebook, determinism costs nothing here.
    *
    * Plan shape at 100 TB: the bounds pass is one partially-aggregated
-   * explode (dim rows out → broadcast); encode+score is a per-row
-   * projection over the corpus — no shuffle touches the big side until the
-   * final per-query top-k window over rank-filtered candidates.
+   * explode whose shuffle carries only `dim × partitions` partial rows; the
+   * resulting `dim` (mn, mx) pairs are collected driver-side (metadata
+   * sized — this is the offline "train the quantizer" step every SQ index
+   * has) and embedded as literal arrays, so encode+reconstruct is a single
+   * per-row `transform` projection over the corpus. ZERO corpus-sized
+   * shuffles before the final per-query top-k window — gated in PlanSpec.
    */
   def topKSq8(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id", queryVecCol: String = "query_vec",
               scoreScale: Int = 4): DataFrame = {
-    val coords = corpus
-      .select(col(idCol), posexplode(col(vecCol)).as(Seq("i", "x")))
+    // Bounds pass: dim rows out of a partial-aggregated explode. Collected
+    // eagerly — the quantizer parameters are build-time state, like IVF
+    // centroids, not part of the serving plan.
+    val bounds = corpus
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
       .withColumn("x", col("x").cast("double"))
-    val bounds = coords.groupBy(col("i"))
+      .groupBy(col("i"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    val recon = coords
-      .join(broadcast(bounds), "i")
-      .withColumn("c", when(col("mx") === col("mn"), lit(0.0))
-        .otherwise(floor((col("x") - col("mn")) * 255.0 / (col("mx") - col("mn")) + 0.5)))
-      .withColumn("r", col("mn") + col("c") * (col("mx") - col("mn")) / 255.0)
-      .groupBy(col(idCol))
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("r")))),
-        s => s("r")).as("rv"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mnLit = array(bounds.map(b => lit(b._2)).toIndexedSeq: _*).cast("array<double>")
+    val mxLit = array(bounds.map(b => lit(b._3)).toIndexedSeq: _*).cast("array<double>")
+    // quantize + reconstruct in ONE projection: r = mn + c·(mx-mn)/255,
+    // c = round_half_up((x-mn)·255/(mx-mn)) — IEEE-identical to the join
+    // spelling (the literals are the exact doubles the join would deliver).
+    val recon = corpus.select(col(idCol),
+      transform(col(vecCol), (x, i) => {
+        val mn = element_at(mnLit, (i + 1).cast("int"))
+        val mx = element_at(mxLit, (i + 1).cast("int"))
+        val xd = x.cast("double")
+        val c = when(mx === mn, lit(0.0))
+          .otherwise(floor((xd - mn) * 255.0 / (mx - mn) + 0.5))
+        mn + c * (mx - mn) / 255.0
+      }).as("rv"))
     val qv = queries.select(col(queryIdCol),
       transform(col(queryVecCol), x => x.cast("double")).as("qv"))
     val w = Window.partitionBy(col(queryIdCol))
@@ -468,7 +482,12 @@ object VectorSearch {
    * tiny parquet.
    */
   def writeIvf(index: IvfIndex, path: String): Unit = {
-    index.cells.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    // hash-cluster by cell before the partitioned write: without it every
+    // scan task writes a file into every cell directory (tasks × nlist
+    // small files); with it each cell's rows land in one task → one file
+    // per cell (at real scale: repartition(n, cell) for n > nlist)
+    index.cells.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 

@@ -326,14 +326,17 @@ object EngineQueries {
       def runOnce(runId: Int): Unit =
         s.readStream.schema(docs.schema).parquet(drop.toString)
           .writeStream.option("checkpointLocation", s"$tmp/ckpt")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, id: Long) =>
             val b = batch.localCheckpoint(true)
             val st = b.agg(count(lit(1)).cast("long"), sum(col("doc_id"))).collect().head
             val sp = b.sparkSession
             import sp.implicits._
-            Seq((runId.toLong, st.getLong(0), st.getLong(1)))
-              .toDF("run", "n_rows", "sum_ids")
-              .coalesce(1).write.mode("append").parquet(monitor)
+            // batchId-keyed write: an at-least-once re-run of this batch
+            // REPLACES its own evidence partition instead of double-appending
+            graft.streaming.StreamOps.idempotentAppend(
+              Seq((runId.toLong, st.getLong(0), st.getLong(1)))
+                .toDF("run", "n_rows", "sum_ids").coalesce(1),
+              monitor, id)
           }
           .trigger(Trigger.AvailableNow())
           .start()
@@ -886,22 +889,26 @@ object EngineQueries {
           .writeStream
           .option("checkpointLocation", s"$tmp/ckpt")
           .foreachBatch { (batch: DataFrame, id: Long) =>
-            batch
-              .select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
-              .join(broadcast(vocab), Seq("tok"), "left")
-              .agg(countDistinct(col("doc_id")).as("n_docs"),
-                count(lit(1)).as("n_tok"),
-                sum(coalesce(col("in_v"), lit(0L))).as("n_in"))
-              .select(lit(id).as("batch_id"), col("n_docs"), col("n_tok"),
-                (col("n_tok") - col("n_in")).as("n_oov"),
-                expr("(10000 * (n_tok - n_in)) DIV n_tok").as("oov_bp"))
-              .coalesce(1).write.mode("append").parquet(monitor)
+            // batchId-keyed write (StreamOps.idempotentAppend): an
+            // at-least-once re-run replaces its own monitor partition
+            graft.streaming.StreamOps.idempotentAppend(
+              batch
+                .select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
+                .join(broadcast(vocab), Seq("tok"), "left")
+                .agg(countDistinct(col("doc_id")).as("n_docs"),
+                  count(lit(1)).as("n_tok"),
+                  sum(coalesce(col("in_v"), lit(0L))).as("n_in"))
+                .select(lit(id).as("batch_id"), col("n_docs"), col("n_tok"),
+                  (col("n_tok") - col("n_in")).as("n_oov"),
+                  expr("(10000 * (n_tok - n_in)) DIV n_tok").as("oov_bp"))
+                .coalesce(1),
+              monitor, id)
           }
           .trigger(Trigger.AvailableNow())
           .start()
           .awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
-      s.read.parquet(monitor).orderBy(col("batch_id"))
+      s.read.parquet(monitor).drop("batch").orderBy(col("batch_id"))
     }),
 
     // Incremental sketch-MV maintenance — the streaming form of q127's

@@ -400,8 +400,14 @@ object TextQueries {
       import graft.functions.TextFns
       val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
       val bounds = docs
+        // Spark sequence(1, 0) yields the DESCENDING [1, 0], not empty —
+        // guard short docs explicitly so <=15-char texts contribute no
+        // candidate positions (matches DuckDB's empty generate_series(1,0)
+        // and cdcBoundary's pos + window - 1 <= length contract).
         .select(col("doc_id"), col("source"), col("text"),
-          explode(sequence(lit(1), greatest(length(col("text")) - 15, lit(0)))).as("i"))
+          explode(when(length(col("text")) >= 16,
+            sequence(lit(1), length(col("text")) - 15)).otherwise(
+            array().cast("array<int>"))).as("i"))
         .filter(TextFns.cdcBoundary(col("text"), col("i"), window = 16, mask = 64))
       val aggB = bounds.groupBy(col("source"))
         .agg(count(lit(1)).as("n_boundaries"),

@@ -126,7 +126,11 @@ private class CorpusScanBuilder(rows: Long, partitions: Int, seed: Long)
       case m: Max if isDocId(m.column()) => Some("max")
       case _ => None
     }
-    if (kinds.forall(_.isDefined)) Some(kinds.flatten.toSeq) else None
+    // min/max over zero rows are NULL — the metadata answers below can't say
+    // that, so an empty source declines the pushdown and lets Spark
+    // aggregate the (empty) scan itself.
+    if (rows == 0 && kinds.flatten.exists(k => k == "min" || k == "max")) None
+    else if (kinds.forall(_.isDefined)) Some(kinds.flatten.toSeq) else None
   }
 
   override def supportCompletePushDown(

@@ -153,4 +153,24 @@ object StreamOps {
           } else deduped
         novel.write.mode("append").parquet(storePath)
       }
+
+  /**
+   * Replay-idempotent foreachBatch APPEND. Spark's foreachBatch contract is
+   * at-least-once: a batch whose sink write died mid-flight is re-run with
+   * the SAME batchId, and a guard-less `mode("append")` then double-writes.
+   * This keys the write on the batchId instead — the rows land under a
+   * `batch=<id>` hive partition with dynamic partition overwrite, so a
+   * retry REPLACES its own partition and every other batch's output is
+   * untouched. Readers see the union of all batch partitions (drop or cast
+   * the `batch` column — partition discovery types it int).
+   *
+   * This is the monitor/evidence-sink counterpart of [[ingestAppend]]'s
+   * anti-join idempotence: there the DATA is keyed, here the BATCH is.
+   */
+  def idempotentAppend(df: DataFrame, path: String, batchId: Long): Unit =
+    df.withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(path)
 }

@@ -102,6 +102,28 @@ class JoinsSpec extends SparkSpec {
     assert(passed < big.count() / 5, s"bloom passed $passed of ${big.count()} rows")
   }
 
+  test("bloomPrefilteredJoin: string keys probe with the string overload (no lost matches)") {
+    // stat.bloomFilter inserts strings as UTF-8 bytes — a long-cast probe
+    // of a string-keyed filter never matches; the typed dispatch must keep
+    // the result identical to the plain join for string keys too.
+    val big = t(sf, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val small = t(sf, "customer")
+      .filter(col("c_custkey") % 100 === 0)
+      .select(col("c_mktsegment").as("seg")).distinct()
+    val bloomed = Joins.bloomPrefilteredJoin(big, "c_mktsegment", small, "seg", 100L)
+    val plain = big.join(small, col("c_mktsegment") === col("seg"))
+    assert(bloomed.count() == plain.count())
+    assert(bloomed.count() > 0)
+  }
+
+  test("bloomPrefilteredJoin: refuses key types stat.bloomFilter can't probe consistently") {
+    val big = t(sf, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val small = t(sf, "orders").select(col("o_orderdate").as("d")).limit(5)
+    intercept[IllegalArgumentException] {
+      Joins.bloomPrefilteredJoin(big, "o_orderdate", small, "d", 10L)
+    }
+  }
+
   private def t(dir: String, name: String) =
     graft.queries.QHelpers.t(spark, dir, name)
 }

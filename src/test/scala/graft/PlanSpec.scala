@@ -123,6 +123,20 @@ class PlanSpec extends SparkSpec {
       optimized.take(2000))
   }
 
+  test("q145: SQ8 encode+score is a pure projection — no corpus shuffle before the top-k") {
+    // The bounds are collected driver-side (dim rows) and embedded as
+    // literals, so the serving plan must touch the corpus exactly once:
+    // scan → transform projection → broadcast cross join → top-k window.
+    // Shuffles allowed: the window's hash partition on query_id and the
+    // final output sort over the k·|queries| result rows; any more means
+    // the corpus is being exploded/regrouped again (the round-7 scale bug:
+    // two N·dim-row exchanges).
+    val plan = formatted(SparkEntry.queries("q145_ann_sq8")(spark, sf))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size <= 2, plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("Generate"), plan.take(3000)) // no posexplode in the serving plan
+  }
+
   test("q70: the benchmark n-gram side broadcasts; the corpus grams never shuffle for the join") {
     val plan = formatted(SparkEntry.queries("q70_decontaminate")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))

@@ -231,4 +231,18 @@ class StreamingSpec extends SparkSpec {
       "hdfs_sink")
     assert(rocks.nonEmpty && rocks == hdfs)
   }
+
+  test("idempotentAppend: a re-delivered batchId replaces its partition, never duplicates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idem_").toString + "/sink"
+    StreamOps.idempotentAppend(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), dir, 0L)
+    StreamOps.idempotentAppend(Seq((3L, 30L)).toDF("k", "v"), dir, 1L)
+    // the at-least-once retry: batch 0 re-runs with the same id
+    StreamOps.idempotentAppend(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), dir, 0L)
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 3L, "retried batch double-appended")
+    assert(out.agg(sum(col("v"))).head.getLong(0) == 60L)
+    // batch 1's output survived batch 0's retry untouched
+    assert(out.filter(col("batch") === 1).count() == 1L)
+  }
 }
