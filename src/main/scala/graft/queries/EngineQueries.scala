@@ -401,6 +401,82 @@ object EngineQueries {
       eng.search(searchTexts)
     }),
 
+    // Search served from the PERSISTED IVF layout graded end-to-end (the
+    // create_index ↔ search split of the reference, vdb.py:209-211 /
+    // :88-100): update() trains the quantizer and writes the cell layout
+    // hive-partitioned by cell with the index fingerprint it derives from;
+    // a FRESH Engine instance (new driver state — nothing memoized) must
+    // then serve search by LOADING that layout, not rebuilding it, and
+    // with nprobe = nlist the probe is exhaustive, so the results must
+    // hash-match the q64 brute-path lifecycle replay exactly.
+    "q188_ivf_persisted_search" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q188_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        ivfThreshold = 1L) // every search routes through the IVF path
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs)
+      eng.update() // builds + persists the cell layout (create_index)
+      val cellRoot = new java.io.File(s"$tmp/index_ivf/cells")
+      require(cellRoot.isDirectory
+          && cellRoot.listFiles().exists(_.getName.startsWith("cell=")),
+        "q188: update() did not persist a cell-partitioned IVF layout")
+      require(new java.io.File(s"$tmp/index_ivf/_INDEX_FINGERPRINT").isFile,
+        "q188: persisted layout carries no index fingerprint")
+      // fresh engine = fresh driver: serves from disk (EngineSpec gates
+      // that this load rewrites nothing)
+      new Engine(s, cfg).search(searchTexts)
+    }),
+
+    // The VERBATIM-CONFIG lifecycle: EngineConfig.load parses a copy of the
+    // reference's own nested config.yml (vdb.milvus.* config.yml:75-87,
+    // vdb.text.* :88-91, scheduler.* :97-100) and the FILE's values — not
+    // code defaults — drive ingest → update → search end-to-end. The run
+    // asserts the reference's numbers (nlist/nprobe 128, limit 4,
+    // chunk 128/64, batch 128) actually arrived through the parser before
+    // using them; only the store/index roots are re-pointed into the
+    // sandbox tmp dir (the reference file names live DB endpoints, which
+    // the loader maps to warehouse-local paths). Results hash-match the
+    // q64 lifecycle replay — closing the config seam end-to-end.
+    "q189_config_lifecycle" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q189_${runSeq.incrementAndGet()}_").toString
+      val cfgFile = java.nio.file.Paths.get(s"$tmp/config.yml")
+      val ref = java.nio.file.Paths.get("/root/reference/src/config.yml")
+      if (java.nio.file.Files.isReadable(ref))
+        java.nio.file.Files.copy(ref, cfgFile)
+      else // shape-identical stand-in when no reference checkout is present
+        java.nio.file.Files.write(cfgFile,
+          """vdb:
+            |  milvus:
+            |    collection_name: 'dataset'
+            |    nlist: 128
+            |    nprobe: 128
+            |    limit: 4
+            |    batch_size: 128
+            |  text:
+            |    chunk_size: 128
+            |    chunk_overlap: 64
+            |scheduler:
+            |  init_run: True
+            |  period: day
+            |""".stripMargin.getBytes("UTF-8"))
+      val loaded = EngineConfig.load(cfgFile.toString)
+      require(loaded.nlist == 128 && loaded.nprobe == 128 && loaded.limit == 4
+          && loaded.chunkSize == 128 && loaded.chunkOverlap == 64
+          && loaded.batchSize == 128,
+        s"q189: parsed config does not carry the reference's values: $loaded")
+      require(loaded.storePath.contains("dataset"),
+        s"q189: collection_name did not shape the default store path: ${loaded.storePath}")
+      val eng = new Engine(s,
+        loaded.copy(storePath = s"$tmp/store", indexPath = s"$tmp/index"))
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs)
+      eng.update()
+      eng.search(searchTexts)
+    }),
+
     // Right-to-be-forgotten sweep graded end-to-end (Engine.forget — the
     // compliance verb over delete + fsck): sweep 1 purges the requested
     // residue class from the store AND the index, appends the tombstone
@@ -1390,6 +1466,8 @@ object EngineQueries {
     },
 
     "q64_engine_lifecycle" -> lifecycleSearchSql,
+    "q188_ivf_persisted_search" -> lifecycleSearchSql,
+    "q189_config_lifecycle" -> lifecycleSearchSql,
 
     // after deleting doc_id%7==0 the index must equal the chunk+embed
     // replay over the SURVIVORS only — q68's CTE chain with the delete

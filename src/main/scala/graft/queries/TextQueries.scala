@@ -84,6 +84,34 @@ object TextQueries {
       |       substring(text, 1, cast(greatest(length(text) - 30, 1) as int)) AS text
       |FROM documents WHERE doc_id % 25 = 0""".stripMargin
 
+  /** q164 fixture: each planted base carries a TRANSITIVE CHAIN — copy1
+    * (id+Off1) keeps the first 55% of the text, copy2 (id+Off2) the first
+    * 25% (so copy2 is a truncation of copy1 too). Truncation makes shingle
+    * sets nested, so exact Jaccard ≈ the length ratio: base↔copy1 ≈ 0.55
+    * and copy1↔copy2 ≈ 0.45 pass the 0.3 verify threshold, while
+    * base↔copy2 ≈ 0.25 FAILS it — the 3-member cluster exists only through
+    * the transitive closure, and a pairwise-only split would strand copy2
+    * away from its cluster's representative. */
+  private def splitCorpus(df: DataFrame): DataFrame = {
+    def copy(off: Long, keep: Double) = df.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + off).as("id"), col("source"),
+        col("text").substr(lit(1),
+          greatest(floor(length(col("text")) * keep), lit(1)).cast("int")).as("text"))
+    df.select(col("doc_id").as("id"), col("source"), col("text"))
+      .unionAll(copy(Off1, 0.55)).unionAll(copy(Off2, 0.25))
+  }
+
+  private val splitCorpusSql =
+    s"""SELECT doc_id AS id, source, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + $Off1 AS id, source,
+      |       substring(text, 1, cast(greatest(floor(length(text) * 0.55), 1) as int)) AS text
+      |FROM documents WHERE doc_id % 25 = 0
+      |UNION ALL
+      |SELECT doc_id + $Off2 AS id, source,
+      |       substring(text, 1, cast(greatest(floor(length(text) * 0.25), 1) as int)) AS text
+      |FROM documents WHERE doc_id % 25 = 0""".stripMargin
+
   /** q152 fixture: the planted near-dup is an EXTENDED revision of its base
     * (an appended tail), so the copy is the higher-quality member — a
     * min-id arbitration (q79) would keep the original; the quality
@@ -461,10 +489,14 @@ object TextQueries {
     // straddle splits BY CONSTRUCTION. n_rescued counts the members whose
     // naive doc-hash split disagrees with their cluster split — the
     // planted dups guarantee it is non-zero, proving the operator changed
-    // real assignments. Labels broadcast; the corpus never shuffles.
+    // real assignments. The fixture plants 3-member TRANSITIVE chains
+    // (base → −30 chars → −60 chars, splitCorpus): the far ends need not
+    // pair directly, so only the connected-components closure — not
+    // pairwise matching — assigns all three one representative.
+    // Labels broadcast; the corpus never shuffles.
     "q164_leakage_safe_split" -> ((s, dir) => {
       import graft.operators.Dedup
-      val corpus = resolveCorpus(t(s, dir, "documents"))
+      val corpus = splitCorpus(t(s, dir, "documents"))
       val pairs = Dedup.nearDupPairs(corpus, "text", "id",
           shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3)
         .select(col("id_a"), col("id_b"))
@@ -1002,7 +1034,7 @@ object TextQueries {
         s"cast(('0x' || substr(sha256(cast($x as varchar)), 2, 15)) as bigint) % 64"
       def sp(x: String) =
         s"CASE WHEN ${b(x)} < 51 THEN 'train' WHEN ${b(x)} < 57 THEN 'val' ELSE 'test' END"
-      s"""WITH RECURSIVE corpus AS ($resolveCorpusSql),
+      s"""WITH RECURSIVE corpus AS ($splitCorpusSql),
          |${minhashVerifiedSql(0.3)},
          |e AS (SELECT id_a AS src, id_b AS dst FROM verified),
          |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),

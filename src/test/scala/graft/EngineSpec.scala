@@ -398,6 +398,68 @@ class EngineSpec extends SparkSpec {
     eng.update()
     assert(!(eng.ivfIndex() eq built))
   }
+
+  private def walk(f: java.io.File): Map[String, Long] = {
+    def go(x: java.io.File): Seq[java.io.File] =
+      if (x.isDirectory) x.listFiles().toSeq.flatMap(go) else Seq(x)
+    go(f).map(x => x.getPath -> x.lastModified()).toMap
+  }
+
+  test("persisted IVF: a fresh engine serves search from disk without rebuilding") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pivf").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"))
+    eng.update() // create_index: builds + persists the cell layout
+    val cells = new java.io.File(s"$dir/index_ivf/cells")
+    assert(cells.isDirectory && cells.listFiles().exists(_.getName.startsWith("cell=")))
+    val hits = eng.search(Seq("data processing pipeline")).collect().toSeq
+    val before = walk(new java.io.File(s"$dir/index_ivf"))
+    // fresh engine = fresh driver state: must LOAD, not rebuild
+    val eng2 = new Engine(spark, cfg)
+    val hits2 = eng2.search(Seq("data processing pipeline")).collect().toSeq
+    assert(hits2 == hits)
+    assert(walk(new java.io.File(s"$dir/index_ivf")) == before,
+      "a fresh engine rewrote the persisted IVF layout instead of loading it")
+  }
+
+  test("persisted IVF: an index change flips the fingerprint and forces a rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pivf2").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs.filter(col("doc_id") % 2 === 0))
+    eng.update()
+    def fp() = scala.io.Source.fromFile(s"$dir/index_ivf/_INDEX_FINGERPRINT").mkString
+    val fp1 = fp()
+    eng.ingest(docs) // odd half appends
+    eng.updateIncremental()
+    // a FRESH engine must detect the stale layout and rebuild before serving
+    val eng2 = new Engine(spark, cfg)
+    eng2.search(Seq("data processing pipeline")).count()
+    assert(fp() != fp1, "stale persisted layout was served after an index change")
+    assert(eng2.ivfIndex().cells.count() == eng.index().count(),
+      "rebuilt layout does not cover the appended chunks")
+  }
+
+  test("persisted IVF: Engine.search's pruned probe scans carry a partition filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pivf3").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 2, ivfThreshold = 1L) // genuinely pruned probe
+    val eng = new Engine(spark, cfg)
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"))
+    eng.update()
+    val df = eng.search(Seq("data processing pipeline"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the cell equi-join against the broadcast probe set must reach the
+    // cell-partitioned scan as a (dynamic) partition-pruning filter —
+    // unprobed cell directories never touch IO
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cell"),
+      plan.take(2000))
+  }
 }
 
 object SparkEntryTestHelpers {
