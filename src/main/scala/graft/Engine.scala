@@ -197,12 +197,40 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val fresh =
       if (!indexExists) store()
       else store().join(index().select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    // a persisted IVF layout that is CURRENT for the pre-append index can be
+    // extended incrementally: route the new chunks to their nearest existing
+    // cell and append — the quantizer is not retrained and the layout is
+    // never rebuilt (the add-to-built-index path; at 100 TB a full IVF
+    // rebuild per append wave is as wrong as the full re-embed this verb
+    // exists to avoid). Decided BEFORE the index append flips the
+    // fingerprint.
+    val extendLayout = indexExists && persistedFingerprint().contains(indexFingerprint())
     val obs = org.apache.spark.sql.Observation()
-    chunkEmbed(fresh)
-      .observe(obs, count(lit(1)).as("chunks"))
-      .write.mode("append").parquet(cfg.indexPath)
-    invalidateIvf()
-    obs.get("chunks").asInstanceOf[Long]
+    val chunks = chunkEmbed(fresh).observe(obs, count(lit(1)).as("chunks"))
+    if (!extendLayout) {
+      chunks.write.mode("append").parquet(cfg.indexPath)
+      invalidateIvf()
+      obs.get("chunks").asInstanceOf[Long]
+    } else {
+      // pin: the embedded batch feeds BOTH the index append and the cell
+      // append — without it the embed stage re-executes per branch
+      val pinned = chunks.localCheckpoint(true)
+      pinned.write.mode("append").parquet(cfg.indexPath)
+      invalidateIvf()
+      val n = obs.get("chunks").asInstanceOf[Long]
+      if (n > 0) {
+        val cents = VectorSearch.collectCentroids(
+          VectorSearch.loadIvf(spark, ivfPath, idCol = "chunk_id", vecCol = "vec").centroids)
+        VectorSearch.assignCells(pinned, cents, "vec")
+          .repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(s"$ivfPath/cells")
+      }
+      // the layout now reflects the post-append index (append died midway →
+      // fingerprint stays stale → next ivfIndex() rebuilds; stamping LAST
+      // keeps the crash window safe)
+      stampFingerprint(indexFingerprint())
+      n
+    }
   }
 
   /** Overlapping chunks (`vdb.py:66-74`), chunk ids `doc_id_pos`
@@ -524,6 +552,12 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     }
   }
 
+  private def stampFingerprint(fp: String): Unit = {
+    val f = fingerprintFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(fingerprintFile, true)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
+  }
+
   /**
    * The IVF layout for the current index, SERVED FROM DISK: on first use
    * (or after any index change) the quantizer is trained, every chunk is
@@ -541,9 +575,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       if (!persistedFingerprint().contains(fp)) {
         val built = VectorSearch.buildIvf(index(), cfg.nlist, idCol = "chunk_id", vecCol = "vec")
         VectorSearch.writeIvf(built, ivfPath)
-        val f = fingerprintFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val out = f.create(fingerprintFile, true)
-        try out.write(fp.getBytes("UTF-8")) finally out.close()
+        stampFingerprint(fp)
       }
       val loaded = VectorSearch.loadIvf(spark, ivfPath, idCol = "chunk_id", vecCol = "vec")
       ivfMemo = Some(loaded)

@@ -97,7 +97,7 @@ object Scale {
     val only: Set[String] = args.collectFirst {
       case a if a.startsWith("ops=") => a.stripPrefix("ops=").split(",").toSet
     }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective",
-      "incdedup", "cc", "export"))
+      "incdedup", "cc", "export", "spans", "invidx", "pq", "maxsim"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -254,6 +254,91 @@ object Scale {
         spark.read.parquet(s"$base/out").count()
       }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+    // 7. Substring-span dedup (q137 shape): every 32-char window's xxhash64
+    //    grouped corpus-wide (8-byte keys — the window text never shuffles),
+    //    cross-doc windows broadcast back, island merge per doc. Boilerplate
+    //    planted on every 6th doc so maximal spans exist at every scale.
+    //    Ladder matches the doc corpora: sf0.1 ≈ the 10x rung.
+    if (only("spans")) {
+      val spansLadder: Seq[(String, Long)] =
+        if (small) Seq("1x" -> 500L, "10x" -> 5000L)
+        else Seq("1x" -> 2000L, "10x" -> 20000L, "100x" -> 200000L)
+      val boiler = "all rights reserved unauthorized reproduction of this " +
+        "material is strictly prohibited without prior written consent"
+      spansLadder.foreach { case (s, n) =>
+        measure("substring_spans", s, n) {
+          val base = corpus(spark, n)
+            .withColumn("text2",
+              when(pmod(col("doc_id"), lit(6)) === 0,
+                concat(col("text"), lit(" " + boiler))).otherwise(col("text")))
+            .filter(length(col("text2")) >= 32)
+          val grams = base
+            .select(col("doc_id"), col("text2"),
+              explode(sequence(lit(1), length(col("text2")) - 31)).as("p"))
+            .select(col("doc_id"), col("p"),
+              xxhash64(expr("substring(text2, p, 32)")).as("h"))
+          val dup = grams.groupBy(col("h"))
+            .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("x"))
+            .filter(col("x")).select("h")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("p"))
+          grams.join(broadcast(dup), "h")
+            .withColumn("island", col("p") - row_number().over(w))
+            .groupBy(col("doc_id"), col("island")).agg(count(lit(1)).as("npos"))
+            .count()
+        }
+      }
+    }
+    // 8. Inverted index: build (one explode + partitioned write) vs pruned
+    //    conjunctive probe. The probe's claim: cost tracks the queried
+    //    terms' POSTINGS (planted on fixed residues, so they grow linearly
+    //    but stay ~0.1% of the corpus), never the corpus scan — the shuffle
+    //    column must stay orders of magnitude under the build's.
+    if (only("invidx")) docLadder.foreach { case (s, n) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-idx-").toString
+      val docs = corpus(spark, n).withColumn("text",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(10)) === 0, lit(" qalpha")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(15)) === 0, lit(" qbeta")).otherwise(lit(""))))
+      measure("invidx_build", s, n) {
+        graft.operators.InvertedIndex.build(docs, "doc_id", "text", s"$base/idx")
+        spark.read.parquet(s"$base/idx").where(lit(false)).count() // listing only
+      }
+      measure("invidx_probe", s, n) {
+        graft.operators.InvertedIndex
+          .queryAll(spark, s"$base/idx", "doc_id", Seq("qalpha", "qbeta")).count()
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+    // 9. PQ encode + ADC scan (q94 shape): seeded codebooks as literals,
+    //    per-row compressed-domain encode, broadcast LUT join, per-query
+    //    distance top-k — 256 queries, k=10.
+    if (only("pq")) vecLadder.foreach { case (s, n) =>
+      val corpusVecs = vectors(spark, n, 0)
+      val queries = vectors(spark, 256, 1)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      measure("pq_adc_scan", s, n) {
+        VectorSearch.topKPqSeeded(corpusVecs, queries, 10, dim = 64).count()
+      }
+    }
+    // 10. ColBERT MaxSim late interaction (q176 shape): ~8 token vectors
+    //     per document, 4 query tokens broadcast; per-(doc, qtoken) max
+    //     then per-doc sum. Rows = token vectors.
+    if (only("maxsim")) vecLadder.foreach { case (s, n) =>
+      val tokVecs = vectors(spark, n, 2)
+        .withColumn("doc_id", (col("vec_id") / 8).cast("long"))
+      val qtoks = vectors(spark, 4, 3)
+        .select(col("vec_id").as("qi"), col("embedding").as("qvec"))
+      measure("maxsim", s, n) {
+        tokVecs.crossJoin(broadcast(qtoks))
+          .select(col("doc_id"), col("qi"),
+            graft.functions.VectorFns.cosineSim(col("embedding"), col("qvec")).as("c"))
+          .groupBy(col("doc_id"), col("qi")).agg(max(col("c")).as("m"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("m").cast("decimal(18,6)")).as("score"))
+          .count()
+      }
     }
     out.close()
     spark.stop()

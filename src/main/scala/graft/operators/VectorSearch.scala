@@ -475,6 +475,38 @@ object VectorSearch {
   }
 
   /**
+   * Assign each row its nearest cell under EXISTING centroids — the
+   * incremental-index path (Milvus/FAISS add-to-built-index): the quantizer
+   * is NOT retrained, new vectors are just routed to their closest cell and
+   * appended to the layout. A narrow map stage (broadcast centroids, L2
+   * argmin — the same rule [[buildIvf]] assigns with), zero shuffles.
+   */
+  def assignCells(df: DataFrame, centroids: Array[Array[Float]],
+                  vecCol: String): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val assign = udf { v: Seq[Float] =>
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        val cv = cs(c)
+        while (i < cv.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    df.withColumn("cell", assign(col(vecCol)))
+  }
+
+  /** Driver-side centroid array of a (possibly loaded) IVF index, ordered by
+    * cell id — nlist rows, metadata-sized. */
+  def collectCentroids(centroidDf: DataFrame): Array[Array[Float]] =
+    centroidDf.orderBy(col("cell"))
+      .collect().map(_.getAs[Seq[Float]]("centroid").toArray)
+
+  /**
    * Persist the IVF layout hive-partitioned by cell: `path/cell=<c>/…`.
    * A pruned probe then becomes a PARTITION filter — nprobe of nlist
    * directories are read, the rest never touch IO (the on-disk realization

@@ -429,6 +429,31 @@ object EngineQueries {
       new Engine(s, cfg).search(searchTexts)
     }),
 
+    // INCREMENTAL maintenance of the persisted IVF layout — the
+    // add-to-built-index path (Milvus insert-after-create_index): after a
+    // half-corpus build persists the cell layout, updateIncremental must
+    // extend it by routing ONLY the new chunks to their nearest existing
+    // cell (quantizer untouched — EngineSpec gates that centroids are not
+    // retrained and the old cell files are not rewritten), and a FRESH
+    // engine then serves the full corpus from the extended layout. With
+    // nprobe = nlist the probe is exhaustive, so results hash-match the
+    // full-corpus q64 replay — which only holds if every appended chunk
+    // landed in the layout.
+    "q190_ivf_incremental_serve" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q190_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs.filter(col("doc_id") % 2 === 0))
+      eng.update() // persists the half-corpus cell layout
+      eng.ingest(docs) // odd half appends to the store
+      val appended = eng.updateIncremental() // extends the layout in place
+      require(appended > 0, "q190: incremental update appended nothing")
+      new Engine(s, cfg).search(searchTexts)
+    }),
+
     // The VERBATIM-CONFIG lifecycle: EngineConfig.load parses a copy of the
     // reference's own nested config.yml (vdb.milvus.* config.yml:75-87,
     // vdb.text.* :88-91, scheduler.* :97-100) and the FILE's values — not
@@ -1468,6 +1493,7 @@ object EngineQueries {
     "q64_engine_lifecycle" -> lifecycleSearchSql,
     "q188_ivf_persisted_search" -> lifecycleSearchSql,
     "q189_config_lifecycle" -> lifecycleSearchSql,
+    "q190_ivf_incremental_serve" -> lifecycleSearchSql,
 
     // after deleting doc_id%7==0 the index must equal the chunk+embed
     // replay over the SURVIVORS only — q68's CTE chain with the delete

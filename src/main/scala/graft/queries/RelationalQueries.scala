@@ -133,6 +133,30 @@ object RelationalQueries {
         .orderBy(col("column_name"))
     }),
 
+    // EXACT quantile profiling (the percentile companion to q82's
+    // min/max/NDV — the p50/p90/p99 doc-length numbers every corpus report
+    // carries): type-1 discrete quantiles via per-group rank against the
+    // group size — hash-partition by source, one per-group sort window,
+    // then a conditional aggregate picks the ceil(q·n)-th value. At 100 TB
+    // this IS how exact per-group quantiles are computed (the group is the
+    // shuffle key, the sort is within-partition); approx_percentile trades
+    // the oracle away, not the plan shape.
+    "q191_exact_quantiles" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), length(col("text")).cast("long").as("len"))
+      val ws = Window.partitionBy(col("source")).orderBy(col("len"), col("doc_id"))
+      val ranked = base
+        .withColumn("rn", row_number().over(ws).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      ranked.groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("len"))).as("p50"),
+          max(when(col("rn") === ceil(col("n") * 0.9), col("len"))).as("p90"),
+          max(when(col("rn") === ceil(col("n") * 0.99), col("len"))).as("p99"),
+          max(when(col("rn") === col("n"), col("len"))).as("p100"))
+        .orderBy(col("source"))
+    }),
+
     // Data-quality constraint validation (the expectations gate before a
     // corpus ships): PK uniqueness, FK integrity (set-oriented anti join,
     // never a driver loop), range and null checks — each check one small
@@ -531,6 +555,20 @@ object RelationalQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q191_exact_quantiles" ->
+      """WITH r AS (
+        |  SELECT source, cast(length(text) as bigint) AS len,
+        |    cast(row_number() OVER (PARTITION BY source
+        |      ORDER BY length(text), doc_id) as bigint) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, max(n) AS n_docs,
+        |  max(CASE WHEN rn = ceil(n * 0.5) THEN len END) AS p50,
+        |  max(CASE WHEN rn = ceil(n * 0.9) THEN len END) AS p90,
+        |  max(CASE WHEN rn = ceil(n * 0.99) THEN len END) AS p99,
+        |  max(CASE WHEN rn = n THEN len END) AS p100
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
     "q184_equidepth_bins" ->
       s"""WITH r AS (
          |  SELECT l_returnflag, l_orderkey, l_extendedprice,

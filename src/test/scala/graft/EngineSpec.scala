@@ -444,6 +444,40 @@ class EngineSpec extends SparkSpec {
       "rebuilt layout does not cover the appended chunks")
   }
 
+  test("persisted IVF: updateIncremental extends the layout — no retrain, no rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pivf4").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs.filter(col("doc_id") % 2 === 0))
+    eng.update()
+    def data(sub: String) = walk(new java.io.File(s"$dir/index_ivf/$sub"))
+      .filter { case (p, _) =>
+        val n = new java.io.File(p).getName
+        !n.startsWith("_") && !n.startsWith(".") }
+    val centroidsBefore = data("centroids")
+    val cellsBefore = data("cells")
+    eng.ingest(docs) // odd half
+    val n = eng.updateIncremental()
+    assert(n > 0)
+    // the quantizer was NOT retrained and old cell files were NOT rewritten —
+    // the append-only extension a 100 TB index maintenance loop needs
+    assert(data("centroids") == centroidsBefore, "centroids were rewritten")
+    val cellsAfter = data("cells")
+    assert(cellsBefore.forall { case (p, m) => cellsAfter.get(p).contains(m) },
+      "existing cell files were rewritten by the incremental append")
+    assert(cellsAfter.size > cellsBefore.size, "no cell files were appended")
+    // the extended layout covers every index chunk, and a fresh engine
+    // serves it as CURRENT (no rebuild on search)
+    val eng2 = new Engine(spark, cfg)
+    assert(eng2.ivfIndex().cells.count() == eng.index().count())
+    val all = walk(new java.io.File(s"$dir/index_ivf"))
+    eng2.search(Seq("data processing pipeline")).count()
+    assert(walk(new java.io.File(s"$dir/index_ivf")) == all,
+      "serving a search rewrote the extended layout")
+  }
+
   test("persisted IVF: Engine.search's pruned probe scans carry a partition filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pivf3").toString
     val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
