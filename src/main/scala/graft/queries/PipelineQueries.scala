@@ -337,6 +337,59 @@ object PipelineQueries {
     // in 64ths, membership a pure projection of sha256(doc_id) — the
     // reproducible sampleBy. Graded via per-stratum achieved counts, exact
     // rate in basis points, and an id-sum membership checksum.
+    // Source-diversity audit (the concentration numbers a mixing recipe is
+    // tuned against): per source, the language-mix Gini impurity (= 1 − HHI,
+    // the "how monolingual is this source" score) and the top language's
+    // share — both in INTEGER basis points (10000 − (10000·Σc²) DIV n², no
+    // float, no log: entropy's ulp drift is exactly what q75/q78 banned).
+    // Two partial-agg rollups; nothing corpus-sized shuffles.
+    "q192_source_diversity" -> ((s, dir) => {
+      val cl = t(s, dir, "documents").groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      cl.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_langs"),
+          max(col("c")).as("top_docs"), sum(col("c") * col("c")).as("ssq"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          expr("(10000 * top_docs) DIV n_docs").as("top_share_bp"),
+          expr("10000 - (10000 * ssq) DIV (n_docs * n_docs)").as("gini_bp"))
+        .orderBy(col("source"))
+    }),
+
+    // Fractional-epoch source mixing — the data-recipe move every LLM
+    // pretraining corpus ships with ("this source gets 2.0 epochs, that one
+    // 0.5"): each doc is emitted k times, k = floor(w) + [hash < frac(w)],
+    // a deterministic coordination-free Bernoulli on the fractional part —
+    // one rule covers up- AND down-sampling (w < 1 keeps a subset), and the
+    // per-source achieved rate concentrates on w by hash uniformity.
+    // Weights derive from the source name (5000..20000 bp = 0.5..2.0
+    // epochs) so the fixture exercises both directions at every scale.
+    // Replication is a narrow sequence-explode projection; the only
+    // exchanges are the audit rollups.
+    "q193_epoch_upsample" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("source"), col("doc_id"))
+        .withColumn("w_bp",
+          expr("5000 + 2500 * (cast(substring(source, 4, 10) as int) % 7)"))
+        // low 60 bits of sha256(doc_id) mod 10000 (the bucket64 decomposition
+        // at bp granularity — same function on both sides, that is all
+        // determinism needs)
+        .withColumn("hb",
+          conv(substring(sha2(col("doc_id").cast("string"), 256), 2, 15), 16, 10)
+            .cast("long") % 10000)
+        .withColumn("k", expr("w_bp DIV 10000").cast("long")
+          + when(col("hb") < expr("w_bp % 10000"), 1L).otherwise(0L))
+      val emitted = base.filter(col("k") > 0)
+        .select(col("source"), col("doc_id"),
+          explode(sequence(lit(1L), col("k"))).as("copy"))
+      base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), max(col("w_bp")).cast("long").as("epochs_bp"))
+        .join(emitted.groupBy(col("source"))
+            .agg(count(lit(1)).as("n_emitted"), sum(col("doc_id")).as("emitted_id_sum")),
+          Seq("source"), "left")
+        .na.fill(0L, Seq("n_emitted", "emitted_id_sum"))
+        .withColumn("achieved_bp", expr("(10000 * n_emitted) DIV n_docs"))
+        .orderBy(col("source"))
+    }),
+
     "q116_stratified_sample" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sampled = graft.operators.Sampling.stratifiedSampleHash(
@@ -1245,6 +1298,42 @@ object PipelineQueries {
          |  FROM p QUALIFY rank <= 5)
          |SELECT source, doc_id, n_chars, prio, rank FROM r
          |ORDER BY source, rank""".stripMargin,
+
+    "q192_source_diversity" ->
+      """WITH cl AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+        |a AS (SELECT source, cast(sum(c) as bigint) AS n_docs,
+        |        cast(count(*) as bigint) AS n_langs,
+        |        cast(max(c) as bigint) AS top_docs,
+        |        cast(sum(c * c) as bigint) AS ssq
+        |      FROM cl GROUP BY source)
+        |SELECT source, n_docs, n_langs,
+        |  cast((10000 * top_docs) // n_docs as bigint) AS top_share_bp,
+        |  cast(10000 - (10000 * ssq) // (n_docs * n_docs) as bigint) AS gini_bp
+        |FROM a ORDER BY source""".stripMargin,
+
+    "q193_epoch_upsample" ->
+      """WITH b AS (
+        |  SELECT source, doc_id,
+        |    5000 + 2500 * (cast(substring(source, 4) as int) % 7) AS w_bp,
+        |    cast(('0x' || substr(sha256(cast(doc_id as varchar)), 2, 15)) as bigint)
+        |      % 10000 AS hb
+        |  FROM documents),
+        |k AS (
+        |  SELECT source, doc_id, w_bp,
+        |    cast(w_bp // 10000 + CASE WHEN hb < w_bp % 10000 THEN 1 ELSE 0 END
+        |      as bigint) AS k
+        |  FROM b),
+        |e AS (SELECT source, doc_id FROM k, unnest(generate_series(1, k)) WHERE k > 0),
+        |a1 AS (SELECT source, count(*) AS n_docs, cast(max(w_bp) as bigint) AS epochs_bp
+        |       FROM b GROUP BY source),
+        |a2 AS (SELECT source, count(*) AS n_emitted,
+        |         cast(sum(doc_id) as bigint) AS emitted_id_sum
+        |       FROM e GROUP BY source)
+        |SELECT a1.source, a1.n_docs, a1.epochs_bp,
+        |  cast(coalesce(a2.n_emitted, 0) as bigint) AS n_emitted,
+        |  cast(coalesce(a2.emitted_id_sum, 0) as bigint) AS emitted_id_sum,
+        |  cast((10000 * coalesce(a2.n_emitted, 0)) // a1.n_docs as bigint) AS achieved_bp
+        |FROM a1 LEFT JOIN a2 USING (source) ORDER BY a1.source""".stripMargin,
 
     "q116_stratified_sample" ->
       """WITH b AS (
