@@ -933,7 +933,14 @@ object EngineQueries {
           val dupIds = pairs.select(col("id_a").as("doc_id"))
             .unionByName(pairs.select(col("id_b").as("doc_id")))
             .join(b.select("doc_id"), "doc_id").distinct()
+          val sp = b.sparkSession
           b.join(dupIds, Seq("doc_id"), "left_anti")
+            // K1 dedup-insert discipline on the sink too: an at-least-once
+            // re-run of this batch finds its survivors already in the store
+            // and appends nothing (the anti-join IS the idempotence guard —
+            // same as ingestAppend; batch ids are novel, so in the no-retry
+            // path this drops nothing)
+            .join(sp.read.parquet(store).select("doc_id"), Seq("doc_id"), "left_anti")
             .write.mode("append").parquet(store)
         }
         .trigger(Trigger.AvailableNow())
