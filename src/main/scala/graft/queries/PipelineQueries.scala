@@ -136,6 +136,76 @@ object PipelineQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // Crawl-snapshot diff — the re-crawl triage every scheduled pipeline
+    // runs before deciding what to re-process (scheduler.py's daily loop
+    // implies exactly this question): snapshot A (docs ≢0 mod 11, original
+    // text) vs snapshot B (docs ≢0 mod 13, every 5th doc's text revised) →
+    // one full-outer join on doc_id classifying added / removed / changed /
+    // unchanged by presence + content-hash compare. Only doc_id and an
+    // 8-byte text hash ever shuffle; per-class counts, id-sum checksums and
+    // char volume are the graded audit.
+    "q194_crawl_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // sha256 (not xxhash64) because the oracle must replay the hash —
+      // DuckDB 1.0 has no xxhash64; at warehouse scale swap in xxhash64 and
+      // the plan shape is unchanged (8 bytes instead of 64 per id shuffles)
+      val snapA = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), sha2(col("text"), 256).as("ha"),
+          length(col("text")).cast("long").as("la"))
+      val snapB = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev 2]")))
+            .otherwise(col("text")).as("tb"))
+        .select(col("doc_id"), sha2(col("tb"), 256).as("hb"),
+          length(col("tb")).cast("long").as("lb"))
+      snapA.join(snapB, Seq("doc_id"), "full_outer")
+        .withColumn("class",
+          when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "removed")
+            .when(col("ha") === col("hb"), "unchanged")
+            .otherwise("changed"))
+        .groupBy(col("class"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+          coalesce(sum(col("lb")), lit(0L)).as("chars_after"))
+        .orderBy(col("class"))
+    }),
+
+    // Quality-filter FUNNEL — the attrition report every curation run
+    // publishes (N in, N out per stage, which stage costs what): four
+    // sequential gates (length ≥ 200 chars → stopword ratio ≥ 500 bp →
+    // mean word length ≤ 12 → non-alnum ratio ≤ 1500 bp), evaluated as ONE
+    // scan with cumulative conditional aggregates — a doc counts at stage k
+    // iff it passed stages 1..k, so the funnel needs no per-stage passes
+    // and nothing corpus-sized shuffles (integer-bp signals, the q75/q78
+    // no-float discipline).
+    "q195_filter_funnel" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("len"))
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("n_stop", size(filter(col("toks"),
+          tk => tk.isin("the", "a", "of", "and", "to", "in", "is", "for"))).cast("long"))
+        .withColumn("stop_bp", expr("(10000 * n_stop) DIV greatest(n_toks, 1)"))
+        .withColumn("mean_wlen_x100", // word chars = len − (n_toks − 1) separators
+          expr("(100 * (len - n_toks + 1)) DIV greatest(n_toks, 1)"))
+        .withColumn("n_nonalnum", (length(col("text"))
+          - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("long"))
+        .withColumn("nonal_bp", expr("(10000 * n_nonalnum) DIV greatest(len, 1)"))
+      val g1 = col("len") >= 200
+      val g2 = g1 && col("stop_bp") >= 500
+      val g3 = g2 && col("mean_wlen_x100") <= 1200
+      val g4 = g3 && col("nonal_bp") <= 1500
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_in"),
+          sum(when(g1, 1L).otherwise(0L)).as("pass_len"),
+          sum(when(g2, 1L).otherwise(0L)).as("pass_stop"),
+          sum(when(g3, 1L).otherwise(0L)).as("pass_wlen"),
+          sum(when(g4, 1L).otherwise(0L)).as("pass_all"),
+          sum(when(g4, col("doc_id")).otherwise(0L)).as("kept_sum_ids"))
+        .orderBy(col("source"))
+    }),
+
     // Exact substring-level dedup detection (the "deduplicating training
     // data" move at character granularity): every 32-char window of every
     // document, hashed corpus-wide; windows seen in >=2 DISTINCT docs are
@@ -1298,6 +1368,60 @@ object PipelineQueries {
          |  FROM p QUALIFY rank <= 5)
          |SELECT source, doc_id, n_chars, prio, rank FROM r
          |ORDER BY source, rank""".stripMargin,
+
+    "q194_crawl_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, sha256(text) AS ha, cast(length(text) as bigint) AS la
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |b0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' [rev 2]' ELSE text END AS tb
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |b AS (SELECT doc_id, sha256(tb) AS hb, cast(length(tb) as bigint) AS lb FROM b0),
+        |j AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, ha, hb, lb,
+        |    CASE WHEN ha IS NULL THEN 'added'
+        |         WHEN hb IS NULL THEN 'removed'
+        |         WHEN ha = hb THEN 'unchanged' ELSE 'changed' END AS class
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT class, count(*) AS n_docs, cast(sum(doc_id) as bigint) AS sum_ids,
+        |  cast(coalesce(sum(lb), 0) as bigint) AS chars_after
+        |FROM j GROUP BY class ORDER BY class""".stripMargin,
+
+    "q195_filter_funnel" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, text, cast(length(text) as bigint) AS len,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, doc_id, len,
+        |    cast(len(toks) as bigint) AS n_toks,
+        |    cast(len(list_filter(toks, t -> t IN
+        |      ('the','a','of','and','to','in','is','for'))) as bigint) AS n_stop,
+        |    cast(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+        |      as bigint) AS n_nonalnum
+        |  FROM d),
+        |s AS (
+        |  SELECT source, doc_id, len, n_toks,
+        |    (10000 * n_stop) // greatest(n_toks, 1) AS stop_bp,
+        |    (100 * (len - n_toks + 1)) // greatest(n_toks, 1) AS mean_wlen_x100,
+        |    (10000 * n_nonalnum) // greatest(len, 1) AS nonal_bp
+        |  FROM m),
+        |g AS (
+        |  SELECT source, doc_id,
+        |    (len >= 200) AS g1,
+        |    (len >= 200 AND stop_bp >= 500) AS g2,
+        |    (len >= 200 AND stop_bp >= 500 AND mean_wlen_x100 <= 1200) AS g3,
+        |    (len >= 200 AND stop_bp >= 500 AND mean_wlen_x100 <= 1200
+        |      AND nonal_bp <= 1500) AS g4
+        |  FROM s)
+        |SELECT source, count(*) AS n_in,
+        |  cast(sum(CASE WHEN g1 THEN 1 ELSE 0 END) as bigint) AS pass_len,
+        |  cast(sum(CASE WHEN g2 THEN 1 ELSE 0 END) as bigint) AS pass_stop,
+        |  cast(sum(CASE WHEN g3 THEN 1 ELSE 0 END) as bigint) AS pass_wlen,
+        |  cast(sum(CASE WHEN g4 THEN 1 ELSE 0 END) as bigint) AS pass_all,
+        |  cast(sum(CASE WHEN g4 THEN doc_id ELSE 0 END) as bigint) AS kept_sum_ids
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
 
     "q192_source_diversity" ->
       """WITH cl AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
