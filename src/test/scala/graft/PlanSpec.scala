@@ -137,6 +137,37 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Generate"), plan.take(3000)) // no posexplode in the serving plan
   }
 
+  test("q195: the filter funnel is one corpus scan — no per-stage passes") {
+    // the four gates are cumulative conditional aggregates over one scan;
+    // a second FileScan of documents would mean a stage re-reads the corpus
+    val plan = formatted(SparkEntry.queries("q195_filter_funnel")(spark, sf))
+    // "(n) Scan parquet" counts each scan NODE once (the formatted dump
+    // repeats the name in the tree section)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size <= 1, plan.take(2000))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size <= 2, plan.take(2000))
+  }
+
+  test("q194: the snapshot diff joins on the key — never a cartesian, only hashes shuffle") {
+    val df = SparkEntry.queries("q194_crawl_diff")(spark, sf)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    // the text column must not survive into the join: only (doc_id, hash,
+    // len) ship — at 100 TB the diff shuffles ids+digests, not the corpus
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.matches("(?s).*Join.*text.*Join.*"), optimized.take(2000))
+  }
+
+  test("q191: exact quantiles are computed per-group — no global sort of the corpus") {
+    val df = SparkEntry.queries("q191_exact_quantiles")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // both windows must carry the source partition spec; a missing
+    // partitionBy would funnel the corpus through ONE task
+    assert(optimized.contains("windowspecdefinition(source"), optimized.take(2000))
+    assert(!optimized.matches("(?s).*windowspecdefinition\\(\\s*[a-z_#0-9]+ ASC.*"),
+      "unpartitioned window found:\n" + optimized.take(2000))
+  }
+
   test("q70: the benchmark n-gram side broadcasts; the corpus grams never shuffle for the join") {
     val plan = formatted(SparkEntry.queries("q70_decontaminate")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
