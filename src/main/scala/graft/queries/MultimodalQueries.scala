@@ -59,6 +59,36 @@ object MultimodalQueries {
       Multimodal.frameSample(Multimodal.mediaTable(t(s, dir, "documents")),
           frameChars = 64, stride = 48, maxFrames = 8)
         .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
+    // Cross-video frame-containment dedup — the production video-dedup
+    // shape (YouTube-style re-upload detection): two items sharing ≥ K
+    // identical frame hashes are the same footage, robust to trailing
+    // trims/re-encodes because frames are stride-aligned from the start.
+    // Planted re-uploads (every 9th item, 40 chars of signal trimmed)
+    // guarantee true pairs at every scale. The pair fan-out is an
+    // inverted-index join on frame_hash: group sizes are bounded by how
+    // duplicated the CONTENT is, never by corpus size — random footage's
+    // 32-char frames are near-unique, so the equi join degrades to the
+    // planted groups plus noise, the same df-bounded shape as q93's
+    // postings.
+    "q196_frame_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val media = docs
+        .unionByName(docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 7000000000L).as("doc_id"),
+            col("text").substr(lit(1),
+              greatest(length(col("text")) - 40, lit(1))).as("text")))
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      val frames = Multimodal.frameSample(media,
+        frameChars = 32, stride = 16, maxFrames = 20)
+      frames.as("a").join(frames.as("b"),
+          col("a.frame_hash") === col("b.frame_hash")
+            && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(countDistinct(col("a.frame_hash")).as("shared_frames"))
+        .filter(col("shared_frames") >= 8)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -89,6 +119,31 @@ object MultimodalQueries {
         |  FROM documents)
         |SELECT doc_id, length(thumb) AS n_thumb_chars, sha256(thumb) AS thumb_hash, w, h
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q196_frame_dedup" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |media AS (
+        |  SELECT doc_id, text AS signal FROM docs
+        |  UNION ALL
+        |  SELECT doc_id + 7000000000 AS doc_id,
+        |    substring(text, 1, cast(greatest(length(text) - 40, 1) as int)) AS signal
+        |  FROM docs WHERE doc_id % 9 = 0),
+        |f AS (
+        |  SELECT doc_id,
+        |    sha256(substring(signal, cast(frame_no * 16 + 1 as int), 32)) AS frame_hash
+        |  FROM (
+        |    SELECT doc_id, signal,
+        |      unnest(generate_series(0,
+        |        least(20, cast(floor((length(signal) - 32) / 16.0) as int) + 1) - 1))
+        |        AS frame_no
+        |    FROM media WHERE length(signal) >= 32)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(DISTINCT a.frame_hash) AS shared_frames
+        |  FROM f a JOIN f b ON a.frame_hash = b.frame_hash AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, cast(shared_frames as bigint) AS shared_frames
+        |FROM p WHERE shared_frames >= 8 ORDER BY id_a, id_b""".stripMargin,
 
     "q37_frame_sample" ->
       """WITH media AS (SELECT doc_id, text AS signal FROM documents WHERE length(text) >= 64),
