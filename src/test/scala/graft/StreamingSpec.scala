@@ -232,6 +232,43 @@ class StreamingSpec extends SparkSpec {
     assert(rocks.nonEmpty && rocks == hdfs)
   }
 
+  test("foreachBatch crash AFTER the sink write: restart re-runs the batchId without duplicating") {
+    // the real at-least-once scenario the batchId keying exists for: the
+    // sink write lands, the batch dies before its commit, the restarted
+    // query re-runs the SAME batchId — an unguarded append would now hold
+    // the batch twice
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_retry_").toString
+    val drop = new java.io.File(s"$tmp/drop"); drop.mkdirs()
+    val staged = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    staged.coalesce(1).write.parquet(s"$tmp/w1")
+    val part = new java.io.File(s"$tmp/w1").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(drop, "a.parquet").toPath)
+    val sink = s"$tmp/sink"
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    def run(): Unit =
+      spark.readStream.schema(staged.schema).parquet(drop.toString)
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamOps.idempotentAppend(
+            batch.agg(count(lit(1)).as("n"), sum(col("v")).as("sv")).coalesce(1),
+            sink, id)
+          if (attempts.incrementAndGet() == 1)
+            throw new RuntimeException("simulated commit failure after the sink write")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run() }
+    run() // restart from the checkpoint: batch 0 re-runs with the SAME id
+    assert(attempts.get() >= 2, "the retry never happened — fixture proves nothing")
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 1L, "retried batch duplicated the sink")
+    val r = out.select(col("n"), col("sv")).head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 60L)
+  }
+
   test("idempotentAppend: a re-delivered batchId replaces its partition, never duplicates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_idem_").toString + "/sink"
