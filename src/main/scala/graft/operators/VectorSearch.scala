@@ -190,43 +190,105 @@ object VectorSearch {
                    queryIdCol: String = "query_id",
                    queryVecCol: String = "query_vec"): DataFrame = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
-    val sub = dim / m
     val books = pqCodebooks(dim, m, nCodes, seed)
-    // literal codebook: per subspace an array of (code, codeword) structs
-    val subsLit = array(books.zipWithIndex.map { case (cws, s) =>
+    val codes = pqEncode(corpus.select(col(idCol), col(vecCol)),
+      vecCol, dim / m, books)
+    val lut = pqLut(queries, dim / m, books, queryIdCol, queryVecCol)
+    val acc = codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("d").cast("decimal(18,4)")).as("adist_dec"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("adist_dec").asc, col(idCol).asc)
+    acc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol),
+        col("adist_dec").cast("double").as("adist"), col("rank"))
+  }
+
+  /** Literal codebook column: per subspace an array of (code, codeword)
+    * structs — the plan-time constant the encode/LUT projections fold over. */
+  private def pqSubsLit(books: Array[Array[Array[Float]]]): Column =
+    array(books.zipWithIndex.map { case (cws, s) =>
       struct(lit(s).as("s"), array(cws.zipWithIndex.map { case (cw, c) =>
         struct(lit(c).as("code"), typedLit(cw.map(_.toDouble).toSeq).as("cw"))
       }: _*).as("cws"))
     }: _*)
-    def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    def subSlice(v: Column, s: Column): Column = slice(v, s * sub + 1, lit(sub))
 
-    // encode: corpus × m rows; staged projections (the q57 lesson) — the
-    // scored array is built in one projection and folded in the next
-    val codes = corpus
-      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("sp", explode(subsLit))
-      .select(col(idCol), col("sp.s").as("s"),
-        subSlice(col("v"), col("sp.s")).as("vs"), col("sp.cws").as("cws"))
+  private def pqL2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ-encode: one (row, subspace) → nearest codeword (argmin of ROUNDED
+    * L2², strict-< fold = earliest min, ties to the lowest code). All
+    * non-vector columns of `df` pass through — an IVF cell id rides along
+    * untouched. Staged projections (the q57 lesson): the scored array is
+    * built in one projection and folded in the next. */
+  private def pqEncode(df: DataFrame, vecCol: String, sub: Int,
+                       books: Array[Array[Array[Float]]]): DataFrame = {
+    val passthrough = df.columns.filterNot(_ == vecCol).map(col).toSeq
+    df.select(passthrough :+ transform(col(vecCol), x => x.cast("double")).as("v"): _*)
+      .withColumn("sp", explode(pqSubsLit(books)))
+      .select(passthrough ++ Seq(col("sp.s").as("s"),
+        slice(col("v"), col("sp.s") * sub + 1, lit(sub)).as("vs"),
+        col("sp.cws").as("cws")): _*)
       .withColumn("ds", transform(col("cws"), cw => struct(
-        round(l2sq(col("vs"), cw("cw")), 4).as("d"), cw("code").as("code"))))
+        round(pqL2sq(col("vs"), cw("cw")), 4).as("d"), cw("code").as("code"))))
       .withColumn("code", aggregate(col("ds"),
         struct(lit(Double.MaxValue).as("d"), lit(-1).as("code")),
         (acc, x) => when(x("d") < acc("d"), x).otherwise(acc))("code"))
-      .select(col(idCol), col("s"), col("code"))
+      .select(passthrough ++ Seq(col("s"), col("code")): _*)
+  }
 
-    // the query's asymmetric-distance lookup table: m×nCodes rows per query
-    val lut = queries
+  /** The query's asymmetric-distance lookup table: m×nCodes rows per query,
+    * rounded sub-distances — tiny at any scale, always broadcast. */
+  private def pqLut(queries: DataFrame, sub: Int,
+                    books: Array[Array[Array[Float]]],
+                    queryIdCol: String, queryVecCol: String): DataFrame =
+    queries
       .select(col(queryIdCol), transform(col(queryVecCol), x => x.cast("double")).as("qv"))
-      .withColumn("sp", explode(subsLit))
+      .withColumn("sp", explode(pqSubsLit(books)))
       .select(col(queryIdCol), col("sp.s").as("s"),
-        subSlice(col("qv"), col("sp.s")).as("qs"), explode(col("sp.cws")).as("cw"))
+        slice(col("qv"), col("sp.s") * sub + 1, lit(sub)).as("qs"),
+        explode(col("sp.cws")).as("cw"))
       .select(col(queryIdCol), col("s"), col("cw.code").as("code"),
-        round(l2sq(col("qs"), col("cw.cw")), 4).as("d"))
+        round(pqL2sq(col("qs"), col("cw.cw")), 4).as("d"))
 
-    val acc = codes.join(broadcast(lut), Seq("s", "code"))
+  /**
+   * IVF-PQ — the composition production ANN engines actually deploy
+   * (faiss IndexIVFPQ, Milvus IVF_PQ): the coarse quantizer prunes the
+   * candidate set to `nprobe` of `nlist` cells per query, and the PQ
+   * asymmetric-distance scan ranks ONLY inside the probed cells. Both
+   * stages are the seeded, data-independent variants, so the whole path
+   * replays in SQL. At 100 TB this is THE index shape: the ADC scan's
+   * per-(row × query) cost — measured linear but brute in SCALE.md's pq
+   * curve — is multiplied by nprobe/nlist (here 1/4), and on a
+   * cell-partitioned layout (writeIvf) the probe join prunes partitions,
+   * so unprobed cells never even reach the encode.
+   */
+  def topKIvfPq(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 4, nCodes: Int = 8,
+                ivfSeed: Long = 7L, pqSeed: Long = 11L,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                queryIdCol: String = "query_id",
+                queryVecCol: String = "query_vec"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val ivf = buildIvfSeeded(corpus, nlist, dim, ivfSeed, idCol, vecCol)
+    // probe choice: top-nprobe cells by UNROUNDED cosine, ties → lowest
+    // cell (IvfIndex.search's centroid window, replayed by the oracle)
+    val cwin = Window.partitionBy(col(queryIdCol))
+      .orderBy(VectorFns.cosineSim(col(queryVecCol), col("centroid")).desc, col("cell").asc)
+    val probed = queries.crossJoin(broadcast(ivf.centroids))
+      .withColumn("crank", row_number().over(cwin))
+      .filter(col("crank") <= nprobe)
+      .select(col(queryIdCol), col("cell"))
+    val books = pqCodebooks(dim, m, nCodes, pqSeed)
+    // compressed index rows: (id, cell, s, code) — the cell rides through
+    // the encode so the probe join can prune before any distance work
+    val codes = pqEncode(ivf.cells.select(col(idCol), col("cell"), col(vecCol)),
+      vecCol, dim / m, books)
+    val lut = pqLut(queries, dim / m, books, queryIdCol, queryVecCol)
+    val acc = codes
+      .join(broadcast(probed), Seq("cell")) // prune: only probed (query, cell) pairs
+      .join(broadcast(lut), Seq(queryIdCol, "s", "code"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("d").cast("decimal(18,4)")).as("adist_dec"))
     val w = Window.partitionBy(col(queryIdCol))

@@ -367,6 +367,15 @@ object VectorQueries {
     // scoring of the full-precision query against reconstructions. The 4×
     // compression tier between full floats and PQ's 16-32×; bounds are
     // exact aggregates so the whole path replays in SQL.
+    // IVF-PQ — the composed production index (faiss IndexIVFPQ / Milvus
+    // IVF_PQ): seeded coarse quantizer prunes to nprobe of nlist cells per
+    // query, seeded-PQ asymmetric distance ranks only inside probed cells.
+    // Both stages are data-independent, so the oracle replays cell
+    // assignment, probe choice, encode, LUT and the pruned ADC ranking.
+    "q198_ann_ivfpq" -> ((s, dir) =>
+      VectorSearch.topKIvfPq(t(s, dir, "embeddings"), queriesDf(s, dir, 40, 45),
+        k = 4, dim = 64)),
+
     "q145_ann_sq8" -> ((s, dir) =>
       VectorSearch.topKSq8(t(s, dir, "embeddings"), queriesDf(s, dir, 30, 35), k = 4)
         .orderBy(col("query_id"), col("rank"))),
@@ -580,6 +589,69 @@ object VectorQueries {
        |  GROUP BY query_id, vec_id)""".stripMargin
   }
 
+  /** DuckDB replay of the IVF-PQ composition (q198): the ivfProbeCtes cell
+    * assignment + probe rules (rounded-argmax assignment, unrounded probe
+    * window) gate the candidate set; the pqCtes encode/LUT/decimal-sum
+    * rules rank inside it. Two literal codebooks (cv = centroids seed 7,
+    * pv = PQ codewords seed 11) keep the whole path data-independent. */
+  private lazy val ivfPqOracleSql: String = {
+    val cents = graft.operators.Dedup.hyperplanes(64, 16, 7L)
+    val centRows = cents.zipWithIndex.map { case (c, cell) =>
+      s"($cell, [${c.map(f => f.toDouble.toString).mkString(", ")}])"
+    }.mkString(",\n")
+    val books = VectorSearch.pqCodebooks(64, 4, 8, 11L)
+    val cwRows = (for ((cws, s) <- books.zipWithIndex; (cw, c) <- cws.zipWithIndex)
+      yield s"($s, $c, [${cw.map(f => f.toDouble.toString).mkString(", ")}])")
+      .mkString(",\n")
+    s"""WITH cent(cell, cv) AS (VALUES
+       |$centRows),
+       |cw(s, code, pv) AS (VALUES
+       |$cwRows),
+       |corpus AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY round(list_cosine_similarity(v, cv), 4) DESC, cell ASC) AS arank
+       |    FROM corpus, cent) WHERE arank = 1),
+       |q AS (SELECT vec_id AS query_id, cast(embedding as double[]) AS qv
+       |      FROM embeddings WHERE vec_id >= 40 AND vec_id < 45),
+       |probed AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT query_id, cell,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY list_cosine_similarity(qv, cv) DESC, cell ASC) AS crank
+       |    FROM q, cent) WHERE crank <= 4),
+       |scored AS (
+       |  SELECT vec_id, s, code,
+       |    round(list_reduce(list_transform(generate_series(1, 16), j ->
+       |      (v[s*16 + j] - pv[j]) * (v[s*16 + j] - pv[j])), (a, b) -> a + b), 4) AS d
+       |  FROM corpus, cw),
+       |codes AS (
+       |  SELECT vec_id, s, code FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+       |    ORDER BY d ASC, code ASC) = 1),
+       |lut AS (
+       |  SELECT query_id, s, code,
+       |    round(list_reduce(list_transform(generate_series(1, 16), j ->
+       |      (qv[s*16 + j] - pv[j]) * (qv[s*16 + j] - pv[j])), (a, b) -> a + b), 4) AS d
+       |  FROM q, cw),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM assigned a JOIN probed p ON a.cell = p.cell),
+       |acc AS (
+       |  SELECT c.query_id, c.vec_id, sum(cast(l.d as decimal(18,4))) AS sdec
+       |  FROM cand c
+       |  JOIN codes k ON k.vec_id = c.vec_id
+       |  JOIN lut l ON l.query_id = c.query_id AND l.s = k.s AND l.code = k.code
+       |  GROUP BY 1, 2)
+       |SELECT query_id, vec_id, cast(sdec as double) AS adist,
+       |  cast(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sdec ASC, vec_id ASC) as int) AS rank
+       |FROM acc QUALIFY rank <= 4
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private lazy val pqOracleSql: String =
     s"""WITH ${pqCtes(20, 25)}
        |SELECT query_id, vec_id, cast(sdec as double) AS adist,
@@ -768,6 +840,7 @@ object VectorQueries {
     "q134_embed_clusters" -> embedClustersOracleSql,
     "q136_ann_recall" -> annRecallOracleSql,
     "q94_ann_pq" -> pqOracleSql,
+    "q198_ann_ivfpq" -> ivfPqOracleSql,
     "q104_ann_rerank" -> pqRerankOracleSql,
     "q55_ann_lsh" -> lshOracleSql,
     "q24_ann_ivf_probe" -> ivfProbeOracleSql,

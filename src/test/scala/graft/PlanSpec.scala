@@ -168,6 +168,15 @@ class PlanSpec extends SparkSpec {
       "unpartitioned window found:\n" + optimized.take(2000))
   }
 
+  test("q198: IVF-PQ prunes with broadcast joins — the compressed corpus never shuffles") {
+    // probe set and LUT are both tiny and must broadcast into the encoded
+    // corpus stream; a sort-merge join here would re-exchange the codes —
+    // the compressed index — for every query batch
+    val plan = formatted(SparkEntry.queries("q198_ann_ivfpq")(spark, sf))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
+
   test("q70: the benchmark n-gram side broadcasts; the corpus grams never shuffle for the join") {
     val plan = formatted(SparkEntry.queries("q70_decontaminate")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
