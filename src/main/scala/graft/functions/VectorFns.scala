@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
  */
 object VectorFns {
 
+  /** A model that breaks the embedBatch contract (wrong result count) —
+    * deliberately NOT quarantineable by [[embedPartitionsResilient]]'s
+    * dead-letter channel: a systematic bug must fail the job, not degrade
+    * it silently. */
+  final class ContractViolation(msg: String) extends RuntimeException(msg)
+
   /** Codegen'd cosine similarity (see [[CosineSimilarity]]). */
   def cosineSim(a: Column, b: Column): Column = fn("cosine_sim", a, b)
 
@@ -144,20 +150,24 @@ object VectorFns {
         // Only NonFatal failures are quarantined — an OOM/VM error must
         // fail the task, not masquerade as a per-row inference error. A
         // model that returns the wrong COUNT is a contract bug, not a bad
-        // row: fail loudly instead of zip-truncating the tail silently.
+        // row: ContractViolation is re-thrown past BOTH catch layers (it is
+        // NonFatal by JVM rules, so it needs the explicit exclusion) and
+        // fails the task loudly.
         def checked(in: Seq[String]): Seq[Array[Float]] = {
           val out = embedFn(in)
-          require(out.length == in.length,
-            s"embedBatch returned ${out.length} vectors for ${in.length} inputs")
+          if (out.length != in.length) throw new ContractViolation(
+            s"embedBatch contract violation: ${out.length} vectors for ${in.length} inputs")
           out
         }
         val results: Seq[(Option[Array[Float]], Option[String])] =
           try checked(texts).map(v => (Some(v), None))
           catch {
+            case e: ContractViolation => throw e
             case scala.util.control.NonFatal(_) => // batch poisoned: isolate per item
               texts.map { t =>
                 try (Some(checked(Seq(t)).head), None)
                 catch {
+                  case e: ContractViolation => throw e
                   case scala.util.control.NonFatal(e) =>
                     (None, Some(s"${e.getClass.getSimpleName}: " +
                       Option(e.getMessage).getOrElse("").take(120)))

@@ -83,14 +83,21 @@ object Joins {
     // silently dropped (a long-cast probe of a string-keyed filter never
     // hits). Dispatch on the big side's key dtype; refuse anything else
     // loudly rather than return missing rows.
-    val keyType = big.schema(bigKey).dataType
-    val integral = keyType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case StringType => false
+    // the FILTER hashes with the small side's type, the PROBE with the big
+    // side's — they must be the same class (both integral or both string)
+    // or true matches are silently dropped; refuse mixed/unsupported pairs
+    def cls(df: DataFrame, key: String): String = df.schema(key).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case StringType => "string"
       case other => throw new IllegalArgumentException(
-        s"bloomPrefilteredJoin: unsupported key type $other for '$bigKey' — " +
+        s"bloomPrefilteredJoin: unsupported key type $other for '$key' — " +
           "only integral and string keys hash consistently with stat.bloomFilter")
     }
+    val bigCls = cls(big, bigKey); val smallCls = cls(small, smallKey)
+    require(bigCls == smallCls,
+      s"bloomPrefilteredJoin: key type classes differ — '$bigKey' is $bigCls but " +
+        s"'$smallKey' is $smallCls; the bloom filter's hashing would never match the probe")
+    val integral = bigCls == "integral"
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val probe =
       if (integral) {

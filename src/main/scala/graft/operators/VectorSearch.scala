@@ -469,21 +469,9 @@ object VectorSearch {
       .sortBy(_._2)
       .map(_._3.toArray)
     val centroids = lloyd(sampled, nlist, seed, iters = 10)
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assign = udf { v: Seq[Float] =>
-      val cs = bc.value
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var i = 0
-        val cv = cs(c)
-        while (i < cv.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    val cells = corpus.withColumn("cell", assign(col(vecCol)))
+    // one assignment rule for build AND incremental append ([[assignCells]])
+    // — a divergence here would corrupt the extended layout
+    val cells = assignCells(corpus, centroids, vecCol)
     import spark.implicits._
     val centroidDf = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toSeq.toDF("cell", "centroid")

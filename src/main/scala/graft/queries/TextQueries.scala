@@ -490,9 +490,10 @@ object TextQueries {
     // naive doc-hash split disagrees with their cluster split — the
     // planted dups guarantee it is non-zero, proving the operator changed
     // real assignments. The fixture plants 3-member TRANSITIVE chains
-    // (base → −30 chars → −60 chars, splitCorpus): the far ends need not
-    // pair directly, so only the connected-components closure — not
-    // pairwise matching — assigns all three one representative.
+    // (base → keep 55% → keep 25%, splitCorpus): the far pair's Jaccard
+    // ≈ 0.25 FAILS the 0.3 verify threshold while adjacent links pass, so
+    // only the connected-components closure — not pairwise matching —
+    // assigns all three one representative.
     // Labels broadcast; the corpus never shuffles.
     "q164_leakage_safe_split" -> ((s, dir) => {
       import graft.operators.Dedup

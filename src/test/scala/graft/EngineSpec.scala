@@ -430,18 +430,25 @@ class EngineSpec extends SparkSpec {
       nlist = 8, nprobe = 8, ivfThreshold = 1L)
     val eng = new Engine(spark, cfg)
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
-    eng.ingest(docs.filter(col("doc_id") % 2 === 0))
+    eng.ingest(docs)
     eng.update()
     def fp() = scala.io.Source.fromFile(s"$dir/index_ivf/_INDEX_FINGERPRINT").mkString
     val fp1 = fp()
-    eng.ingest(docs) // odd half appends
-    eng.updateIncremental()
-    // a FRESH engine must detect the stale layout and rebuild before serving
+    // delete() rewrites the index WITHOUT touching the layout — the
+    // genuinely-stale case (updateIncremental would EXTEND and re-stamp,
+    // which is the other test): the layout still describes deleted chunks
+    val removed = eng.delete(docs.filter(col("doc_id") % 5 === 0).select("doc_id"))
+    assert(removed > 0)
+    assert(fp() == fp1, "fixture broken: delete() must leave the stale layout on disk")
+    // a FRESH engine must detect the mismatch and REBUILD before serving —
+    // serving the stale layout would resurrect deleted documents
     val eng2 = new Engine(spark, cfg)
-    eng2.search(Seq("data processing pipeline")).count()
-    assert(fp() != fp1, "stale persisted layout was served after an index change")
+    val hits = eng2.search(Seq("data processing pipeline"))
+    assert(hits.filter(col("doc_id") % 5 === 0).count() == 0,
+      "search served deleted documents from a stale persisted layout")
+    assert(fp() != fp1, "the rebuild did not re-stamp the fingerprint")
     assert(eng2.ivfIndex().cells.count() == eng.index().count(),
-      "rebuilt layout does not cover the appended chunks")
+      "rebuilt layout does not match the post-delete index")
   }
 
   test("persisted IVF: updateIncremental extends the layout — no retrain, no rewrite") {

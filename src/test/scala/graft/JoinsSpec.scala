@@ -116,6 +116,14 @@ class JoinsSpec extends SparkSpec {
     assert(bloomed.count() > 0)
   }
 
+  test("bloomPrefilteredJoin: refuses mixed key type classes (filter hashing would never match probe)") {
+    val big = t(sf, "lineitem").select(col("l_orderkey"))
+    val small = t(sf, "orders").select(col("o_orderkey").cast("string").as("ok")).limit(100)
+    intercept[IllegalArgumentException] {
+      Joins.bloomPrefilteredJoin(big, "l_orderkey", small, "ok", 100L)
+    }
+  }
+
   test("bloomPrefilteredJoin: refuses key types stat.bloomFilter can't probe consistently") {
     val big = t(sf, "orders").select(col("o_orderkey"), col("o_orderdate"))
     val small = t(sf, "orders").select(col("o_orderdate").as("d")).limit(5)

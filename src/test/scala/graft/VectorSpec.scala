@@ -207,4 +207,23 @@ class VectorSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
     out.unpersist()
   }
+
+  test("embedPartitionsResilient: a wrong-count model FAILS the job — never silent degradation") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(64)
+    // systematically drops one vector per batch: a contract bug, not a bad
+    // row — must escape both the batch-isolation retry and the quarantine
+    val bad: Seq[String] => Seq[Array[Float]] = texts =>
+      texts.drop(1).map(graft.functions.VectorFns.hashEmbed(_, 8))
+    val thrown = intercept[Throwable] {
+      graft.functions.VectorFns.embedPartitionsResilient(
+        docs, "text", "vec", "err", 8, 8, bad).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(thrown).exists(_.getMessage != null)
+      && chain(thrown).exists(c => Option(c.getMessage).exists(_.contains("contract violation"))),
+      s"expected the contract violation to fail the job, got: $thrown")
+  }
 }
