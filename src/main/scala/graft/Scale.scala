@@ -97,7 +97,7 @@ object Scale {
     val only: Set[String] = args.collectFirst {
       case a if a.startsWith("ops=") => a.stripPrefix("ops=").split(",").toSet
     }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective",
-      "incdedup", "cc", "export", "spans", "invidx", "pq", "maxsim"))
+      "incdedup", "cc", "export", "spans", "invidx", "pq", "maxsim", "ivfpq"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -320,6 +320,19 @@ object Scale {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       measure("pq_adc_scan", s, n) {
         VectorSearch.topKPqSeeded(corpusVecs, queries, 10, dim = 64).count()
+      }
+    }
+    // 9b. IVF-PQ (q198 shape): the composed index — same 256-query ADC work
+    //     as group 9 but gated to nprobe/nlist = 1/4 of the cells. The claim
+    //     under measurement: wall tracks the PROBED fraction of the flat
+    //     ADC scan's (linear-in-corpus) cost.
+    if (only("ivfpq")) vecLadder.foreach { case (s, n) =>
+      val corpusVecs = vectors(spark, n, 0)
+      val queries = vectors(spark, 256, 1)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      measure("ivfpq_scan", s, n) {
+        VectorSearch.topKIvfPq(corpusVecs, queries, 10, dim = 64,
+          nlist = 16, nprobe = 4).count()
       }
     }
     // 10. ColBERT MaxSim late interaction (q176 shape): ~8 token vectors
