@@ -367,6 +367,26 @@ object VectorQueries {
     // scoring of the full-precision query against reconstructions. The 4×
     // compression tier between full floats and PQ's 16-32×; bounds are
     // exact aggregates so the whole path replays in SQL.
+    // RANGE search — the OTHER search verb production vector stores expose
+    // beside top-k (faiss range_search, Milvus radius search): ALL
+    // neighbors at/above a similarity threshold, not a fixed k — the shape
+    // dedup-by-radius and recall-oriented retrieval use. Result size is
+    // data-dependent, so the graded output is the per-query hit census
+    // (count, id-sum membership checksum, score bounds). Same scan shape
+    // as brute top-k minus the window: threshold filter replaces ranking,
+    // so nothing even shuffles until the per-query rollup.
+    "q199_range_search" -> ((s, dir) => {
+      import graft.functions.VectorFns
+      t(s, dir, "embeddings").crossJoin(broadcast(queriesDf(s, dir, 50, 55)))
+        .withColumn("score",
+          round(VectorFns.cosineSim(col("embedding"), col("query_vec")), 4))
+        .filter(col("score") >= 0.25)
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hits"), sum(col("vec_id")).as("sum_ids"),
+          max(col("score")).as("max_score"), min(col("score")).as("min_score"))
+        .orderBy(col("query_id"))
+    }),
+
     // IVF-PQ — the composed production index (faiss IndexIVFPQ / Milvus
     // IVF_PQ): seeded coarse quantizer prunes to nprobe of nlist cells per
     // query, seeded-PQ asymmetric distance ranks only inside probed cells.
@@ -841,6 +861,19 @@ object VectorQueries {
     "q136_ann_recall" -> annRecallOracleSql,
     "q94_ann_pq" -> pqOracleSql,
     "q198_ann_ivfpq" -> ivfPqOracleSql,
+    "q199_range_search" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, cast(embedding as double[]) AS qv
+        |  FROM embeddings WHERE vec_id >= 50 AND vec_id < 55),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(cast(e.embedding as double[]), q.qv), 4) AS score
+        |  FROM embeddings e, q)
+        |SELECT query_id, count(*) AS n_hits,
+        |  cast(sum(vec_id) as bigint) AS sum_ids,
+        |  max(score) AS max_score, min(score) AS min_score
+        |FROM scored WHERE score >= 0.25
+        |GROUP BY query_id ORDER BY query_id""".stripMargin,
     "q104_ann_rerank" -> pqRerankOracleSql,
     "q55_ann_lsh" -> lshOracleSql,
     "q24_ann_ivf_probe" -> ivfProbeOracleSql,
