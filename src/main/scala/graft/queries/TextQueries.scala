@@ -516,6 +516,49 @@ object TextQueries {
         .orderBy(col("split"))
     }),
 
+    // Sorted-neighborhood dedup (SNM — the THIRD classic candidate-
+    // generation family beside hash blocking (q49) and LSH banding (q18)):
+    // records are sorted under a discriminating key and only each record's
+    // w nearest neighbors in sort order are compared — candidate count is
+    // O(n·w) BY CONSTRUCTION, independent of block-size skew (the failure
+    // mode that makes hash blocking quadratic on a hot block). Key =
+    // (12-char prefix block, then length, id) — planted truncated copies
+    // share the prefix and sort adjacent; window w = 3; candidates are
+    // verified with exact token-set Jaccard in integer bp (inter/union
+    // spelled explicitly on both sides — array_union's dedup semantics are
+    // not worth cross-engine trust). At 100 TB: one range-partitioned sort
+    // + a rank-band self-join inside blocks, never all-pairs.
+    "q200_snm_dedup" -> ((s, dir) => {
+      val corpus = resolveCorpus(t(s, dir, "documents"))
+        .withColumn("toks", array_distinct(split(lower(trim(col("text"))), "\\s+")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("blk")).orderBy(col("len"), col("id"))
+      val ranked = corpus
+        .withColumn("blk", substring(col("text"), 1, 12))
+        .withColumn("len", length(col("text")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("blk"), col("rnk"), col("id"), col("toks"))
+      val a = ranked.select(col("blk"), col("rnk").as("rnk_a"),
+        col("id").as("id_a"), col("toks").as("ta"))
+      val b = ranked.select(col("blk"), col("rnk").as("rnk_b"),
+        col("id").as("id_b"), col("toks").as("tb"))
+      a.join(b, Seq("blk"))
+        .filter(col("rnk_b") > col("rnk_a") && col("rnk_b") <= col("rnk_a") + 3)
+        .withColumn("inter",
+          size(filter(col("ta"), t => array_contains(col("tb"), t))).cast("long"))
+        .withColumn("uni", size(col("ta")) + size(col("tb")) - col("inter"))
+        .withColumn("j_bp", expr("(10000 * inter) DIV greatest(uni, 1)"))
+        .filter(col("j_bp") >= 3000)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("id_a")).as("sum_a"), sum(col("id_b")).as("sum_b"),
+          sum(col("j_bp")).as("sum_j_bp"),
+          // the copy is SHORTER → sorts first → is usually the a side;
+          // check the offset both ways
+          sum(when(col("id_a") - col("id_b") === Off1
+              || col("id_b") - col("id_a") === Off1, 1L).otherwise(0L))
+            .as("n_planted"))
+    }),
+
     // Quality-ARBITRATED dedup resolution — q79 keeps the min-id member
     // per near-dup cluster; a curation pipeline keeps the BEST member
     // (dedup-then-arbitrate, the RefinedWeb/FineWeb move). Same LSH pairs
@@ -1054,6 +1097,35 @@ object TextQueries {
          |  cast(sum(id) as bigint) AS sum_ids
          |FROM resolved GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "q200_snm_dedup" ->
+      s"""WITH corpus AS ($resolveCorpusSql),
+         |tok AS (
+         |  SELECT id, text,
+         |    list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+         |  FROM corpus),
+         |ranked AS (
+         |  SELECT substring(text, 1, 12) AS blk, id, toks,
+         |    cast(row_number() OVER (PARTITION BY substring(text, 1, 12)
+         |      ORDER BY length(text), id) as bigint) AS rnk
+         |  FROM tok),
+         |p AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    cast(len(list_filter(a.toks, t -> list_contains(b.toks, t))) as bigint)
+         |      AS inter,
+         |    cast(len(a.toks) + len(b.toks) as bigint) AS stot
+         |  FROM ranked a JOIN ranked b ON a.blk = b.blk
+         |    AND b.rnk > a.rnk AND b.rnk <= a.rnk + 3),
+         |v AS (
+         |  SELECT id_a, id_b,
+         |    (10000 * inter) // greatest(stot - inter, 1) AS j_bp
+         |  FROM p)
+         |SELECT count(*) AS n_pairs,
+         |  cast(sum(id_a) as bigint) AS sum_a, cast(sum(id_b) as bigint) AS sum_b,
+         |  cast(sum(j_bp) as bigint) AS sum_j_bp,
+         |  cast(sum(CASE WHEN id_a - id_b = $Off1 OR id_b - id_a = $Off1
+         |    THEN 1 ELSE 0 END) as bigint) AS n_planted
+         |FROM v WHERE j_bp >= 3000""".stripMargin,
 
     "q79_dedup_resolve" ->
       s"""WITH RECURSIVE corpus AS ($resolveCorpusSql),
