@@ -204,32 +204,45 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     // rebuild per append wave is as wrong as the full re-embed this verb
     // exists to avoid). Decided BEFORE the index append flips the
     // fingerprint.
-    val extendLayout = indexExists && persistedFingerprint().contains(indexFingerprint())
+    val maybeExtend = indexExists && persistedFingerprint().contains(indexFingerprint())
     val obs = org.apache.spark.sql.Observation()
     val chunks = chunkEmbed(fresh).observe(obs, count(lit(1)).as("chunks"))
-    if (!extendLayout) {
+    if (!maybeExtend) {
       chunks.write.mode("append").parquet(cfg.indexPath)
       invalidateIvf()
       obs.get("chunks").asInstanceOf[Long]
     } else {
       // pin: the embedded batch feeds BOTH the index append and the cell
-      // append — without it the embed stage re-executes per branch
+      // append — without it the embed stage re-executes per branch. The
+      // embed (the expensive part) runs here, OUTSIDE the monitor.
       val pinned = chunks.localCheckpoint(true)
-      pinned.write.mode("append").parquet(cfg.indexPath)
-      invalidateIvf()
-      val n = obs.get("chunks").asInstanceOf[Long]
-      if (n > 0) {
-        val cents = VectorSearch.collectCentroids(
-          VectorSearch.loadIvf(spark, ivfPath, idCol = "chunk_id", vecCol = "vec").centroids)
-        VectorSearch.assignCells(pinned, cents, "vec")
-          .repartition(col("cell"))
-          .write.mode("append").partitionBy("cell").parquet(s"$ivfPath/cells")
+      // the extend sequence (index append → cell append → stamp) holds the
+      // SAME monitor ivfIndex() synchronizes on: a concurrent search that
+      // sees the mid-extend fingerprint mismatch would otherwise launch a
+      // full rebuild whose writeIvf overwrite interleaves with the in-flight
+      // cells append (duplicated chunk rows under a then-matching stamp)
+      synchronized {
+        // re-check under the lock: a concurrent rebuild/extend may have
+        // moved the layout since the cheap pre-embed check
+        val extendLayout = persistedFingerprint().contains(indexFingerprint())
+        pinned.write.mode("append").parquet(cfg.indexPath)
+        invalidateIvf()
+        val n = obs.get("chunks").asInstanceOf[Long]
+        if (extendLayout) {
+          if (n > 0) {
+            val cents = VectorSearch.collectCentroids(
+              VectorSearch.loadIvf(spark, ivfPath, idCol = "chunk_id", vecCol = "vec").centroids)
+            VectorSearch.assignCells(pinned, cents, "vec")
+              .repartition(col("cell"))
+              .write.mode("append").partitionBy("cell").parquet(s"$ivfPath/cells")
+          }
+          // the layout now reflects the post-append index (append died
+          // midway → fingerprint stays stale → next ivfIndex() rebuilds;
+          // stamping LAST keeps the crash window safe)
+          stampFingerprint(indexFingerprint())
+        }
+        n
       }
-      // the layout now reflects the post-append index (append died midway →
-      // fingerprint stays stale → next ivfIndex() rebuilds; stamping LAST
-      // keeps the crash window safe)
-      stampFingerprint(indexFingerprint())
-      n
     }
   }
 
@@ -521,7 +534,17 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * records the fingerprint of the index it was built from; a mismatch
     * (update/append/compact since, or a build that died between the index
     * write and the IVF write) forces a rebuild instead of serving stale
-    * cells. */
+    * cells.
+    *
+    * Soundness assumption: the index is written ONLY by Spark through this
+    * engine. Spark part-file names embed a per-job UUID, so any rewrite
+    * changes the path set and the fingerprint with it. An EXTERNAL writer
+    * modifying a part file in place, same size, within the filesystem's
+    * mtime granularity would evade this check — if the index directory is
+    * shared with non-Spark writers, fingerprint by content digest instead
+    * (the [[graft.operators.Backup]] manifest machinery computes per-file
+    * SHA-256 distributed; wire its digest set in here at the cost of one
+    * full read per fingerprint). */
   private def indexFingerprint(): String = {
     val p = new org.apache.hadoop.fs.Path(cfg.indexPath)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -805,4 +805,143 @@ object Dedup {
     sets.unpersist(blocking = false)
     res
   }
+
+  // ------------------------------------------------ sorted-neighborhood (SNM)
+  /**
+   * Blocked sorted-neighborhood candidate pairing (the third classic
+   * candidate-generation family beside hash blocking and LSH banding):
+   * records are ranked within `blkCol` under (`sortCols`, `idCol`) and each
+   * record is paired with its `window` successors in sort order. Candidate
+   * count is O(n·window) BY CONSTRUCTION — and so is the JOIN, because each
+   * record EXPLODES its `window` neighbor offsets (`sequence(rnk+1,
+   * rnk+window)`) and the pairing is an equi-join on (block, rank): a hot
+   * block (boilerplate prefix shared by millions of records) never
+   * materializes block × block anywhere in the plan; offsets past the
+   * block's end simply find no partner. Returns
+   * (id_a, id_b, blk, rnk_a, rnk_b); payload columns join back by id.
+   */
+  def snmCandidates(df: DataFrame, blkCol: String, sortCols: Seq[String],
+                    idCol: String, window: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(blkCol))
+      .orderBy(sortCols.map(col) :+ col(idCol).asc: _*)
+    val ranked = df
+      .withColumn("__rnk", row_number().over(w).cast(LongType))
+      .select(col(blkCol).as("blk"), col("__rnk"), col(idCol).as("__id"))
+    val a = ranked.select(col("blk"), col("__rnk").as("rnk_a"), col("__id").as("id_a"))
+      .withColumn("rnk_b", explode(sequence(col("rnk_a") + 1, col("rnk_a") + window)))
+    val b = ranked.select(col("blk"), col("__rnk").as("rnk_b"), col("__id").as("id_b"))
+    a.join(b, Seq("blk", "rnk_b"))
+      .select(col("id_a"), col("id_b"), col("blk"), col("rnk_a"), col("rnk_b"))
+  }
+
+  /**
+   * Classic GLOBAL sorted-neighborhood pairing: ONE total order over the
+   * whole corpus under (`sortCols`, `idCol`) — no blocks — with the sliding
+   * window crossing partition boundaries. The scale-first spelling of "sort
+   * everything, compare each record to its w neighbors":
+   *
+   *  1. range-partition + sort-within-partitions on the key (the
+   *     distributed sort — Spark samples the key distribution, so ranges
+   *     balance even on skewed keys);
+   *  2. each partition ships its FIRST `window` rows to its predecessor
+   *     (the duplicated fringe — `window` rows per partition, metadata-
+   *     sized, moved by one tiny targeted shuffle);
+   *  3. one mapPartitions pass slides a `window`-row buffer over
+   *     own-rows ++ fringe, emitting (a, b) when a is an own row — fringe
+   *     rows enter the buffer only as b-sides, so every cross-boundary pair
+   *     is emitted exactly once (fringe×fringe pairs belong to the next
+   *     partition, where both are own rows).
+   *
+   * mapPartitions is justified here (SURVEY §2.11 preference order (d)):
+   * a cross-partition sliding window over a total order is the one shape
+   * Catalyst's window functions can't express without a single-partition
+   * Window — the thing that dies at scale. Emits (id_a, id_b) with global
+   * positions (pos_a, pos_b), pos_b - pos_a ∈ [1, window]. Deterministic:
+   * the sort key is totalized by the `idCol` tie-break.
+   */
+  def snmGlobalPairs(df: DataFrame, sortCols: Seq[String], idCol: String,
+                     window: Int, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val np = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val keyed = df.select((sortCols :+ idCol).map(col): _*)
+    val sorted = keyed
+      .repartitionByRange(np, (sortCols.map(col) :+ col(idCol).asc): _*)
+      .sortWithinPartitions(sortCols.map(col) :+ col(idCol).asc: _*)
+    val idIdx = sorted.schema.fieldIndex(idCol)
+    val rows = sorted.rdd // physical partitioning + intra-partition order kept
+    val nParts = rows.getNumPartitions
+    // One lightweight pass (the zipWithIndex discipline — no single-
+    // partition stage) gathers per-partition counts AND each partition's
+    // first `window` ids. Driver state is O(window · partitions) —
+    // metadata-sized at any corpus scale (1000 executors × w=10 → 10k ids).
+    val headsAndCounts = rows.mapPartitionsWithIndex { (p, it) =>
+      val heads = new scala.collection.mutable.ArrayBuffer[Long](window)
+      var n = 0L
+      it.foreach { r =>
+        if (n < window) heads += r.getLong(idIdx)
+        n += 1L
+      }
+      Iterator.single((p, n, heads.toArray))
+    }.collect()
+    val counts = headsAndCounts.map(t => t._1 -> t._2).toMap
+    val offsets = (0 until nParts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).toArray
+    // every head row with its GLOBAL position, sorted — the fringe pool.
+    // Positions base+count .. base+count+window-1 (the successors a
+    // partition's tail rows pair with) are ALWAYS covered by this pool:
+    // they are among the first `window` rows of whichever partitions they
+    // fall in (short and empty partitions included — a partition with
+    // c < window rows contributes all c of them).
+    val headPool: Array[(Long, Long)] = headsAndCounts
+      .flatMap { case (p, _, hs) => hs.zipWithIndex.map { case (id, i) => (offsets(p) + i, id) } }
+      .sortBy(_._1)
+    val poolB = spark.sparkContext.broadcast(headPool)
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    val pairs = rows.mapPartitionsWithIndex { (p, own) =>
+      val base = offsetsB.value(p)
+      // fringe: the `window` global positions following this partition's
+      // last row, pulled from the broadcast head pool by binary search
+      val pool = poolB.value
+      val buf = new scala.collection.mutable.ArrayDeque[(Long, Long)]() // (pos, id), own rows only as anchors
+      var pos = base - 1L
+      val ownPairs = own.flatMap { r =>
+        pos += 1L
+        val id = r.getLong(idIdx)
+        val out = buf.iterator.map { case (bp, bid) => (bid, id, bp, pos) }.toList
+        buf.append((pos, id))
+        if (buf.size > window) buf.removeHead()
+        out
+      }
+      // after own rows are exhausted, drain the buffer against the fringe
+      // (cross-boundary pairs anchored HERE; fringe×fringe pairs are the
+      // next partition's own×own pairs — emitted exactly once)
+      val tailPairs: Iterator[(Long, Long, Long, Long)] = new Iterator[(Long, Long, Long, Long)] {
+        private var produced: Iterator[(Long, Long, Long, Long)] = null
+        private def it: Iterator[(Long, Long, Long, Long)] = {
+          if (produced == null) {
+            // buf now holds the last min(window, count) own rows
+            val lastPos = pos
+            val loPos = lastPos + 1L
+            val hiPos = lastPos + window // inclusive
+            var lo = java.util.Arrays.binarySearch(pool.map(_._1), loPos)
+            if (lo < 0) lo = -lo - 1
+            val fringe = pool.iterator.slice(lo, pool.length)
+              .takeWhile(_._1 <= hiPos).toArray
+            produced = fringe.iterator.flatMap { case (fp, fid) =>
+              buf.iterator
+                .filter { case (bp, _) => fp - bp <= window }
+                .map { case (bp, bid) => (bid, fid, bp, fp) }
+            }
+          }
+          produced
+        }
+        def hasNext: Boolean = it.hasNext
+        def next(): (Long, Long, Long, Long) = it.next()
+      }
+      ownPairs ++ tailPairs
+    }
+    import spark.implicits._
+    pairs.toDF("id_a", "id_b", "pos_a", "pos_b")
+  }
 }

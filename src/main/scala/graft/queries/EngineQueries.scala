@@ -539,7 +539,11 @@ object EngineQueries {
       require(loaded.storePath.contains("dataset"),
         s"q189: collection_name did not shape the default store path: ${loaded.storePath}")
       val eng = new Engine(s,
-        loaded.copy(storePath = s"$tmp/store", indexPath = s"$tmp/index"))
+        // re-point EVERY engine-written path into the sandbox tmp dir —
+        // including ivfPath: a config file is untrusted input and must not
+        // be able to aim any write outside the harness sandbox
+        loaded.copy(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+          ivfPath = s"$tmp/index_ivf"))
       val docs = t(s, dir, "documents").select("doc_id", "text")
       eng.ingest(docs)
       eng.update()

@@ -526,8 +526,13 @@ object TextQueries {
     // share the prefix and sort adjacent; window w = 3; candidates are
     // verified with exact token-set Jaccard in integer bp (inter/union
     // spelled explicitly on both sides — array_union's dedup semantics are
-    // not worth cross-engine trust). At 100 TB: one range-partitioned sort
-    // + a rank-band self-join inside blocks, never all-pairs.
+    // not worth cross-engine trust). The pairing JOIN itself is O(n·w):
+    // each record explodes its w neighbor offsets (`sequence(rnk+1,
+    // rnk+w)`) and the self-join is an EQUI-join on (blk, rnk) — a hot
+    // prefix block never goes quadratic, because no plan stage ever
+    // materializes block × block (offsets past the block's end simply
+    // find no partner). At 100 TB: one range-partitioned sort + a
+    // linear-width equi-join, never all-pairs.
     "q200_snm_dedup" -> ((s, dir) => {
       val corpus = resolveCorpus(t(s, dir, "documents"))
         .withColumn("toks", array_distinct(split(lower(trim(col("text"))), "\\s+")))
@@ -540,10 +545,10 @@ object TextQueries {
         .select(col("blk"), col("rnk"), col("id"), col("toks"))
       val a = ranked.select(col("blk"), col("rnk").as("rnk_a"),
         col("id").as("id_a"), col("toks").as("ta"))
+        .withColumn("rnk_b", explode(sequence(col("rnk_a") + 1, col("rnk_a") + 3)))
       val b = ranked.select(col("blk"), col("rnk").as("rnk_b"),
         col("id").as("id_b"), col("toks").as("tb"))
-      a.join(b, Seq("blk"))
-        .filter(col("rnk_b") > col("rnk_a") && col("rnk_b") <= col("rnk_a") + 3)
+      a.join(b, Seq("blk", "rnk_b"))
         .withColumn("inter",
           size(filter(col("ta"), t => array_contains(col("tb"), t))).cast("long"))
         .withColumn("uni", size(col("ta")) + size(col("tb")) - col("inter"))
@@ -554,6 +559,42 @@ object TextQueries {
           sum(col("j_bp")).as("sum_j_bp"),
           // the copy is SHORTER → sorts first → is usually the a side;
           // check the offset both ways
+          sum(when(col("id_a") - col("id_b") === Off1
+              || col("id_b") - col("id_a") === Off1, 1L).otherwise(0L))
+            .as("n_planted"))
+    }),
+
+    // GLOBAL sorted-neighborhood dedup — the classic SNM spelling q200's
+    // blocked variant approximates: ONE total order over the whole corpus
+    // under (12-char prefix, length, id) and a w=3 sliding window that
+    // CROSSES block and partition boundaries (a pair whose members open
+    // adjacent-but-different prefixes is visible here and invisible to
+    // q200). Spelled scale-first in Dedup.snmGlobalPairs: distributed
+    // range-partitioned sort, one metadata-sized head-pool pass, and a
+    // mapPartitions slide whose fringe rows are pulled from the broadcast
+    // pool — no single-partition window anywhere (the naive global
+    // row_number() would serialize the corpus through one task). Verified
+    // with the same exact token-set Jaccard as q200; same planted-copy
+    // accounting proves the window actually catches them.
+    "q201_snm_global" -> ((s, dir) => {
+      val corpus = resolveCorpus(t(s, dir, "documents"))
+        .withColumn("toks", array_distinct(split(lower(trim(col("text"))), "\\s+")))
+        .withColumn("blk", substring(col("text"), 1, 12))
+        .withColumn("len", length(col("text")).cast("long"))
+      val toks = corpus.select(col("id"), col("toks"))
+      val pairs = graft.operators.Dedup.snmGlobalPairs(
+        corpus.select(col("id"), col("blk"), col("len")), Seq("blk", "len"), "id", 3)
+      pairs
+        .join(toks.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+        .join(toks.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+        .withColumn("inter",
+          size(filter(col("ta"), tk => array_contains(col("tb"), tk))).cast("long"))
+        .withColumn("uni", size(col("ta")) + size(col("tb")) - col("inter"))
+        .withColumn("j_bp", expr("(10000 * inter) DIV greatest(uni, 1)"))
+        .filter(col("j_bp") >= 3000)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("id_a")).as("sum_a"), sum(col("id_b")).as("sum_b"),
+          sum(col("j_bp")).as("sum_j_bp"),
           sum(when(col("id_a") - col("id_b") === Off1
               || col("id_b") - col("id_a") === Off1, 1L).otherwise(0L))
             .as("n_planted"))
@@ -1116,6 +1157,35 @@ object TextQueries {
          |    cast(len(a.toks) + len(b.toks) as bigint) AS stot
          |  FROM ranked a JOIN ranked b ON a.blk = b.blk
          |    AND b.rnk > a.rnk AND b.rnk <= a.rnk + 3),
+         |v AS (
+         |  SELECT id_a, id_b,
+         |    (10000 * inter) // greatest(stot - inter, 1) AS j_bp
+         |  FROM p)
+         |SELECT count(*) AS n_pairs,
+         |  cast(sum(id_a) as bigint) AS sum_a, cast(sum(id_b) as bigint) AS sum_b,
+         |  cast(sum(j_bp) as bigint) AS sum_j_bp,
+         |  cast(sum(CASE WHEN id_a - id_b = $Off1 OR id_b - id_a = $Off1
+         |    THEN 1 ELSE 0 END) as bigint) AS n_planted
+         |FROM v WHERE j_bp >= 3000""".stripMargin,
+
+    "q201_snm_global" ->
+      s"""WITH corpus AS ($resolveCorpusSql),
+         |tok AS (
+         |  SELECT id, text,
+         |    list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+         |  FROM corpus),
+         |ranked AS (
+         |  SELECT id, toks,
+         |    cast(row_number() OVER (ORDER BY substring(text, 1, 12),
+         |      length(text), id) as bigint) AS rnk
+         |  FROM tok),
+         |p AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    cast(len(list_filter(a.toks, t -> list_contains(b.toks, t))) as bigint)
+         |      AS inter,
+         |    cast(len(a.toks) + len(b.toks) as bigint) AS stot
+         |  FROM ranked a JOIN ranked b
+         |    ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3),
          |v AS (
          |  SELECT id_a, id_b,
          |    (10000 * inter) // greatest(stot - inter, 1) AS j_bp

@@ -273,4 +273,41 @@ class DedupSpec extends SparkSpec {
     fresh.write.format("noop").mode("overwrite").save()
     assert(obs.get("n_inserted") == docsAll.count() - 100)
   }
+
+  test("snmCandidates: exploded equi-join pairing equals the window-band definition") {
+    val corpus = docs.select(col("doc_id").as("id"),
+        substring(col("text"), 1, 8).as("blk"), length(col("text")).as("len"))
+    val got = Dedup.snmCandidates(corpus, "blk", Seq("len"), "id", 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference spelling: rank in block, all pairs, band filter after
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk")).orderBy(col("len"), col("id"))
+    val ranked = corpus.withColumn("rnk", row_number().over(w).cast("long"))
+    val want = ranked.select(col("blk"), col("rnk").as("ra"), col("id").as("ia"))
+      .join(ranked.select(col("blk"), col("rnk").as("rb"), col("id").as("ib")), "blk")
+      .filter(col("rb") > col("ra") && col("rb") <= col("ra") + 3)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("snmGlobalPairs: window crosses partition boundaries exactly (incl. tiny partitions)") {
+    import spark.implicits._
+    // adversarial layout: more partitions than fit comfortably — range
+    // partitions shorter than the window, so every boundary discipline
+    // (fringe pull across MULTIPLE successors, empty ranges) is exercised
+    val n = 97
+    val data = (0 until n).map(i => (i.toLong, (i * 37 % n).toLong)).toDF("id", "key")
+    for (w <- Seq(1, 3, 7); np <- Seq(2, 16, 64)) {
+      val got = Dedup.snmGlobalPairs(data, Seq("key"), "id", w, np)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // reference: global order by (key, id), all pairs within w positions
+      val order = data.orderBy(col("key"), col("id")).select("id")
+        .collect().map(_.getLong(0))
+      val want = (for {
+        i <- order.indices
+        j <- (i + 1) to math.min(i + w, order.length - 1)
+      } yield (order(i), order(j))).toSet
+      assert(got == want, s"w=$w np=$np: got ${got.size} want ${want.size}")
+    }
+  }
 }

@@ -463,4 +463,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
+
+  test("q200: the SNM pairing join is keyed on the rank, not just the block") {
+    val plan = formatted(SparkEntry.queries("q200_snm_dedup")(spark, sf))
+    // the whole point of SNM is O(n·w): the exploded neighbor offsets make
+    // the rank a JOIN KEY, so a hot prefix block can never materialize
+    // block × block — a blk-only join with a rank post-filter would
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(3000))
+    val keyLines = plan.linesIterator
+      .filter(l => l.contains("keys"))
+      .mkString("\n")
+    assert(keyLines.contains("rnk_b"), s"rank not in join keys:\n${plan.take(3000)}")
+  }
 }
