@@ -230,11 +230,26 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         val n = obs.get("chunks").asInstanceOf[Long]
         if (extendLayout) {
           if (n > 0) {
-            val cents = VectorSearch.collectCentroids(
-              VectorSearch.loadIvf(spark, ivfPath, idCol = "chunk_id", vecCol = "vec").centroids)
-            VectorSearch.assignCells(pinned, cents, "vec")
-              .repartition(col("cell"))
+            val layout = VectorSearch.loadIvf(spark, ivfPath, idCol = "chunk_id", vecCol = "vec")
+            val cents = VectorSearch.collectCentroids(layout.centroids)
+            val assigned = VectorSearch.assignCells(pinned, cents, "vec")
+              .localCheckpoint(true) // feeds the cell append AND the bound merge
+            assigned.repartition(col("cell"))
               .write.mode("append").partitionBy("cell").parquet(s"$ivfPath/cells")
+            // keep the range-search cell bounds SOUND under the append: an
+            // appended chunk farther from its centroid than any existing
+            // member would widen the cell's angular radius — merge the
+            // batch's per-cell minima into the stored bounds (nlist-sized)
+            val batchBounds = assigned
+              .join(broadcast(layout.centroids), "cell")
+              .groupBy(col("cell"))
+              .agg(min(graft.functions.VectorFns.cosineSim(col("vec"), col("centroid")))
+                .as("min_cos"))
+            val merged = layout.boundsOpt.getOrElse(layout.cellBounds())
+              .unionByName(batchBounds)
+              .groupBy(col("cell")).agg(min(col("min_cos")).as("min_cos"))
+              .localCheckpoint(true) // pin BEFORE overwriting the path being read
+            merged.coalesce(1).write.mode("overwrite").parquet(s"$ivfPath/bounds")
           }
           // the layout now reflects the post-append index (append died
           // midway → fingerprint stays stale → next ivfIndex() rebuilds;
@@ -611,6 +626,30 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       loaded
     }
   })
+
+  /**
+   * Radius search — the reference's top-k verb ([[search]]) with a
+   * similarity floor instead of a limit (faiss `range_search`, the radius
+   * verb beside `vdb.py:94-100`'s top-k): every document with ANY chunk at
+   * rounded cosine ≥ `threshold`, with its best chunk score and qualifying-
+   * chunk count. Routes like [[search]]: below `cfg.ivfThreshold` the brute
+   * scan; at/above it the persisted layout's cell-bound-pruned
+   * [[VectorSearch.IvfIndex.rangeSearch]] — which is EXACT (the angular
+   * bound is sound), so routing never changes results, only the IO:
+   * qualifying cells are read, the rest are partition-pruned.
+   */
+  def searchRadius(queries: Seq[String], threshold: Double): DataFrame = {
+    val qdf = queryDf(queries)
+    val hits =
+      if (routeIvf()) ivfIndex().rangeSearch(qdf, threshold)
+      else index().crossJoin(broadcast(qdf))
+        .withColumn("score",
+          round(VectorFns.cosineSim(col("vec"), col("query_vec")), 4))
+        .filter(col("score") >= threshold)
+    hits.groupBy(col("query_id"), col("query"), col("doc_id"))
+      .agg(max(col("score")).as("score"), count(lit(1)).as("n_chunks"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
 
   /** IVF variant of [[search]] for corpus scale: probe `cfg.nprobe` of
     * `cfg.nlist` cells of the memoized [[ivfIndex]]. With nprobe = nlist

@@ -66,12 +66,15 @@ object MultimodalQueries {
     // identical frame hashes are the same footage, robust to trailing
     // trims/re-encodes because frames are stride-aligned from the start.
     // Planted re-uploads (every 9th item, 40 chars of signal trimmed)
-    // guarantee true pairs at every scale. The pair fan-out is an
-    // inverted-index join on frame_hash: group sizes are bounded by how
-    // duplicated the CONTENT is, never by corpus size — random footage's
-    // 32-char frames are near-unique, so the equi join degrades to the
-    // planted groups plus noise, the same df-bounded shape as q93's
-    // postings.
+    // guarantee true pairs at every scale; every item also opens with the
+    // SAME 32-char intro (a test pattern / channel card — the ubiquitous
+    // frame every real video corpus carries). The pair fan-out is an
+    // inverted-index join on frame_hash with the stop-token discipline:
+    // frame document-frequency is pre-aggregated and hashes with df > 64
+    // are dropped BEFORE the self-join — the intro frame (df = corpus
+    // size) would otherwise make one join key fan out corpus², while no
+    // legitimate duplicate group approaches the cap. Per-key join fan-out
+    // is thereby bounded by the CAP, never by corpus size.
     "q196_frame_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val media = docs
@@ -79,10 +82,17 @@ object MultimodalQueries {
           .select((col("doc_id") + 7000000000L).as("doc_id"),
             col("text").substr(lit(1),
               greatest(length(col("text")) - 40, lit(1))).as("text")))
-        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .select(col("doc_id"),
+          concat(lit("INTRO_TEST_PATTERN_0123456789ABC"), col("text"))
+            .cast(BinaryType).as("payload"))
       val frames = Multimodal.frameSample(media,
         frameChars = 32, stride = 16, maxFrames = 20)
-      frames.as("a").join(frames.as("b"),
+      val cold = frames.groupBy(col("frame_hash"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= 64)
+        .select(col("frame_hash"))
+      val kept = frames.join(cold, "frame_hash")
+      kept.as("a").join(kept.as("b"),
           col("a.frame_hash") === col("b.frame_hash")
             && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -123,10 +133,11 @@ object MultimodalQueries {
     "q196_frame_dedup" ->
       """WITH docs AS (SELECT doc_id, text FROM documents),
         |media AS (
-        |  SELECT doc_id, text AS signal FROM docs
+        |  SELECT doc_id, 'INTRO_TEST_PATTERN_0123456789ABC' || text AS signal FROM docs
         |  UNION ALL
         |  SELECT doc_id + 7000000000 AS doc_id,
-        |    substring(text, 1, cast(greatest(length(text) - 40, 1) as int)) AS signal
+        |    'INTRO_TEST_PATTERN_0123456789ABC' ||
+        |      substring(text, 1, cast(greatest(length(text) - 40, 1) as int)) AS signal
         |  FROM docs WHERE doc_id % 9 = 0),
         |f AS (
         |  SELECT doc_id,
@@ -137,10 +148,14 @@ object MultimodalQueries {
         |        least(20, cast(floor((length(signal) - 32) / 16.0) as int) + 1) - 1))
         |        AS frame_no
         |    FROM media WHERE length(signal) >= 32)),
+        |cold AS (
+        |  SELECT frame_hash FROM f GROUP BY frame_hash
+        |  HAVING count(DISTINCT doc_id) <= 64),
+        |fk AS (SELECT f.doc_id, f.frame_hash FROM f JOIN cold USING (frame_hash)),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    count(DISTINCT a.frame_hash) AS shared_frames
-        |  FROM f a JOIN f b ON a.frame_hash = b.frame_hash AND a.doc_id < b.doc_id
+        |  FROM fk a JOIN fk b ON a.frame_hash = b.frame_hash AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, cast(shared_frames as bigint) AS shared_frames
         |FROM p WHERE shared_frames >= 8 ORDER BY id_a, id_b""".stripMargin,

@@ -387,6 +387,28 @@ object VectorQueries {
         .orderBy(col("query_id"))
     }),
 
+    // IVF-PRUNED range search over the PERSISTED layout (faiss
+    // range_search on IndexIVF): the coarse quantizer is trained and the
+    // cell layout + per-cell angular radii written offline; serving loads
+    // the layout and probes ONLY cells whose angular upper bound
+    // cos(θ(q,c) − θmax(cell)) clears the threshold, exact-rescoring
+    // inside. The bound is SOUND, so the pruned result is hash-identical
+    // to q199's brute replay shape — an oracle-checkable claim no nprobe
+    // top-k can make — while at corpus scale unqualifying cells are
+    // partition-pruned IO. Census shape = q199 over a different query band.
+    "q202_range_ivf" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q202_ivf_").toString
+      val built = VectorSearch.buildIvf(t(s, dir, "embeddings"), nlist = 16)
+      VectorSearch.writeIvf(built, tmp)
+      val layout = VectorSearch.loadIvf(s, tmp)
+      layout.rangeSearch(queriesDf(s, dir, 60, 65), threshold = 0.25)
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hits"), sum(col("vec_id")).as("sum_ids"),
+          max(col("score")).as("max_score"), min(col("score")).as("min_score"))
+        .orderBy(col("query_id"))
+    }),
+
     // IVF-PQ — the composed production index (faiss IndexIVFPQ / Milvus
     // IVF_PQ): seeded coarse quantizer prunes to nprobe of nlist cells per
     // query, seeded-PQ asymmetric distance ranks only inside probed cells.
@@ -865,6 +887,22 @@ object VectorQueries {
       """WITH q AS (
         |  SELECT vec_id AS query_id, cast(embedding as double[]) AS qv
         |  FROM embeddings WHERE vec_id >= 50 AND vec_id < 55),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(cast(e.embedding as double[]), q.qv), 4) AS score
+        |  FROM embeddings e, q)
+        |SELECT query_id, count(*) AS n_hits,
+        |  cast(sum(vec_id) as bigint) AS sum_ids,
+        |  max(score) AS max_score, min(score) AS min_score
+        |FROM scored WHERE score >= 0.25
+        |GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    // the pruned IVF range search must match the BRUTE replay exactly —
+    // the oracle deliberately knows nothing about cells or bounds
+    "q202_range_ivf" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, cast(embedding as double[]) AS qv
+        |  FROM embeddings WHERE vec_id >= 60 AND vec_id < 65),
         |scored AS (
         |  SELECT q.query_id, e.vec_id,
         |    round(list_cosine_similarity(cast(e.embedding as double[]), q.qv), 4) AS score

@@ -501,6 +501,37 @@ class EngineSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cell"),
       plan.take(2000))
   }
+
+  test("searchRadius: IVF routing equals brute; bounds stay sound across incremental extend") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-radius").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val qs = Seq("data processing pipeline", "machine learning")
+    // brute-routed engine (threshold never reached) vs IVF-routed engine
+    // (always routed) over the SAME corpus must agree at every radius
+    val bruteCfg = EngineConfig(storePath = s"$dir/bs", indexPath = s"$dir/bi")
+    val ivfCfg = EngineConfig(storePath = s"$dir/is", indexPath = s"$dir/ii",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val bruteEng = new Engine(spark, bruteCfg)
+    val ivfEng = new Engine(spark, ivfCfg)
+    Seq(bruteEng, ivfEng).foreach { e =>
+      e.ingest(docs.filter(col("doc_id") % 2 === 0)); e.update()
+    }
+    def census(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] =
+      df.collect().map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("doc_id")), r.getDouble(r.fieldIndex("score")),
+        r.getLong(r.fieldIndex("n_chunks")))).toSet
+    for (t <- Seq(0.3, 0.7)) {
+      assert(census(bruteEng.searchRadius(qs, t)) == census(ivfEng.searchRadius(qs, t)),
+        s"radius $t: IVF-routed census diverged from brute")
+    }
+    // extend: the appended chunks may widen a cell's angular radius — the
+    // merged bounds must keep the pruned result exact after the append
+    Seq(bruteEng, ivfEng).foreach { e => e.ingest(docs); e.updateIncremental() }
+    for (t <- Seq(0.3, 0.7)) {
+      assert(census(bruteEng.searchRadius(qs, t)) == census(ivfEng.searchRadius(qs, t)),
+        s"radius $t after extend: IVF-routed census diverged from brute")
+    }
+  }
 }
 
 object SparkEntryTestHelpers {

@@ -54,4 +54,30 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(1) == r.getLong(0) + 10000))
     assert(pairs.forall(_.getDouble(2) >= 0.99))
   }
+
+  test("q196 hot-frame cap: the ubiquitous intro frame is dropped; fan-out stays df-bounded") {
+    // the q196 fixture shape: every media item opens with the SAME 32-char
+    // intro, so frame 0's hash has df = corpus size — without the cap that
+    // one key fans out corpus² in the self-join
+    val media = docs.select(col("doc_id"),
+      concat(lit("INTRO_TEST_PATTERN_0123456789ABC"), col("text"))
+        .cast("binary").as("payload"))
+    val nMedia = media.count()
+    val frames = Multimodal.frameSample(media, frameChars = 32, stride = 16, maxFrames = 20)
+    val dfTab = frames.groupBy("frame_hash").agg(countDistinct("doc_id").as("df"))
+    // the planted boilerplate frame exists and exceeds the cap
+    val hot = dfTab.filter(col("df") > 64)
+    assert(hot.count() >= 1)
+    assert(dfTab.agg(max("df")).head.getLong(0) == nMedia)
+    val cold = dfTab.filter(col("df") <= 64).select("frame_hash")
+    val kept = frames.join(cold, "frame_hash")
+    // candidate bound: sum over kept hashes of df*(df-1)/2 — with the cap
+    // each term is ≤ 64², and the UNCAPPED intro term (nMedia choose 2)
+    // alone would dwarf the whole capped total
+    val candidates = kept.as("a").join(kept.as("b"),
+      col("a.frame_hash") === col("b.frame_hash")
+        && col("a.doc_id") < col("b.doc_id")).count()
+    assert(candidates < nMedia * (nMedia - 1) / 2,
+      s"cap did not bound the fan-out: $candidates candidates from $nMedia items")
+  }
 }

@@ -164,6 +164,70 @@ class VectorSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("range search: cell-bound pruning is exact AND actually prunes") {
+    import org.apache.spark.sql.functions._
+    val e = emb
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
+    VectorSearch.writeIvf(VectorSearch.buildIvf(e, nlist = 8), dir)
+    val loaded = VectorSearch.loadIvf(spark, dir)
+    assert(loaded.boundsOpt.nonEmpty, "writeIvf did not persist bounds")
+    for (threshold <- Seq(0.25, 0.6, 0.9)) {
+      val got = loaded.rangeSearch(queries, threshold)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = e.crossJoin(broadcast(queries))
+        .withColumn("score",
+          round(graft.functions.VectorFns.cosineSim(col("embedding"), col("query_vec")), 4))
+        .filter(col("score") >= threshold)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute, s"t=$threshold: pruned ${got.size} vs brute ${brute.size}")
+    }
+    // pruning is real — measured on a CLUSTERED corpus (near-random
+    // vectors give every coarse cell a ~90° radius, so nothing can prune;
+    // real embedding spaces cluster, which is what makes IVF work at all):
+    // 8 near-orthogonal clusters, query inside one of them, threshold 0.9
+    // must exclude most cells while staying exact
+    import spark.implicits._
+    val clustered = (0 until 400).map { i =>
+      val c = i % 8
+      val v = Array.tabulate(16)(j =>
+        (if (j == c) 1.0f else 0.0f) +
+          0.05f * (((i * 31 + j * 7) % 11) - 5) / 5.0f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val cdir = java.nio.file.Files.createTempDirectory("graft-range-c").toString
+    VectorSearch.writeIvf(VectorSearch.buildIvf(clustered, nlist = 8), cdir)
+    val cl = VectorSearch.loadIvf(spark, cdir)
+    val cq = clustered.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val got = cl.rangeSearch(cq, 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = clustered.crossJoin(broadcast(cq))
+      .withColumn("score",
+        round(graft.functions.VectorFns.cosineSim(col("embedding"), col("query_vec")), 4))
+      .filter(col("score") >= 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == brute && got.nonEmpty)
+    val bounds = cl.boundsOpt.get
+    val centB = cl.centroids.join(bounds, "cell")
+    val probes = cq.crossJoin(broadcast(centB))
+      .withColumn("cqc", least(greatest(
+        graft.functions.VectorFns.cosineSim(col("query_vec"), col("centroid")),
+        lit(-1.0)), lit(1.0)))
+      .withColumn("mc", least(greatest(col("min_cos"), lit(-1.0)), lit(1.0)))
+      .withColumn("ub", when(col("cqc") >= col("mc"), lit(1.0))
+        .otherwise(col("cqc") * col("mc")
+          + sqrt(lit(1.0) - col("cqc") * col("cqc"))
+            * sqrt(lit(1.0) - col("mc") * col("mc"))))
+      .filter(col("ub") >= 0.9 - 1e-4)
+      .count()
+    assert(probes < 8, s"no cell was pruned at t=0.9 (probe set $probes of 8)")
+  }
+
   test("LSH-bucketed top-k has sane recall against exact search") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
