@@ -35,7 +35,18 @@ final case class EngineConfig(
     modelPath: String = "",
     // persisted IVF layout root (hive-partitioned by cell — see
     // VectorSearch.writeIvf); empty derives `<indexPath>_ivf`
-    ivfPath: String = "")
+    ivfPath: String = "",
+    // the reference's index_type knob (config.yml:79, Milvus index types):
+    // FLAT (always brute), IVF_FLAT (cell-pruned exact — the reference's
+    // own value), IVF_PQ (cell-pruned ADC over persisted codes + exact
+    // re-rank). Selects the SERVING strategy of the same logical index.
+    indexType: String = "IVF_FLAT",
+    // IVF_PQ sub-quantizer shape (faiss IndexIVFPQ's m / nbits) + the
+    // seeded-codebook seed and the exact-re-rank candidate depth
+    pqM: Int = 4,
+    pqCodes: Int = 8,
+    pqSeed: Long = 11L,
+    pqRerank: Int = 20)
 
 object EngineConfig {
   /**
@@ -81,7 +92,12 @@ object EngineConfig {
         .forall(v => v.equalsIgnoreCase("true")),
       schedulerPeriod = get("scheduler.period", "period").getOrElse("day"),
       modelPath = get("vdb.embedding.model_path", "model_path").getOrElse(""),
-      ivfPath = get("ivf_path").getOrElse(""))
+      ivfPath = get("ivf_path").getOrElse(""),
+      indexType = get("vdb.milvus.index_type", "index_type").getOrElse("IVF_FLAT"),
+      pqM = int(4, "pq_m"),
+      pqCodes = int(8, "pq_codes"),
+      pqSeed = get("pq_seed").map(_.toLong).getOrElse(11L),
+      pqRerank = int(20, "pq_rerank"))
   }
 
   /**
@@ -178,8 +194,9 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     // (vdb.py:209-211: renew → insert → create_index) — when the fresh
     // index is IVF-scale, build and PERSIST the cell layout now, offline,
     // so no search pays the quantizer; sub-threshold indexes route brute
-    // and skip the build entirely
-    if (routeIvf()) ivfIndex()
+    // and skip the build entirely (as does index_type FLAT, which never
+    // serves from a layout)
+    if (cfg.indexType != "FLAT" && routeIvf()) ivfIndex()
   }
 
   /**
@@ -204,7 +221,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     // rebuild per append wave is as wrong as the full re-embed this verb
     // exists to avoid). Decided BEFORE the index append flips the
     // fingerprint.
-    val maybeExtend = indexExists && persistedFingerprint().contains(indexFingerprint())
+    val maybeExtend = indexExists && persistedFingerprint().contains(compositeFingerprint())
     val obs = org.apache.spark.sql.Observation()
     val chunks = chunkEmbed(fresh).observe(obs, count(lit(1)).as("chunks"))
     if (!maybeExtend) {
@@ -224,7 +241,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       synchronized {
         // re-check under the lock: a concurrent rebuild/extend may have
         // moved the layout since the cheap pre-embed check
-        val extendLayout = persistedFingerprint().contains(indexFingerprint())
+        val extendLayout = persistedFingerprint().contains(compositeFingerprint())
         pinned.write.mode("append").parquet(cfg.indexPath)
         invalidateIvf()
         val n = obs.get("chunks").asInstanceOf[Long]
@@ -250,11 +267,17 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
               .groupBy(col("cell")).agg(min(col("min_cos")).as("min_cos"))
               .localCheckpoint(true) // pin BEFORE overwriting the path being read
             merged.coalesce(1).write.mode("overwrite").parquet(s"$ivfPath/bounds")
+            // an IVF_PQ layout also carries persisted codes — encode the
+            // appended batch with the SAME seeded codebooks and append
+            if (cfg.indexType == "IVF_PQ")
+              VectorSearch.appendPqCodes(
+                assigned.select(col("chunk_id"), col("cell"), col("vec")),
+                "vec", cfg.embedDim, cfg.pqM, cfg.pqCodes, cfg.pqSeed, ivfPath)
           }
           // the layout now reflects the post-append index (append died
           // midway → fingerprint stays stale → next ivfIndex() rebuilds;
           // stamping LAST keeps the crash window safe)
-          stampFingerprint(indexFingerprint())
+          stampFingerprint(compositeFingerprint())
         }
         n
       }
@@ -512,11 +535,26 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   def search(queries: Seq[String]): DataFrame = {
     val qdf = queryDf(queries)
     // chunk-level scoring against the broadcast query side, then the
-    // per-parent best-hit reduce (vdb.py:104-110) and top-k per query
+    // per-parent best-hit reduce (vdb.py:104-110) and top-k per query.
+    // The scoring strategy is the configured index_type (config.yml:79):
+    // FLAT and sub-threshold indexes brute-scan; IVF_FLAT prunes cells
+    // exactly; IVF_PQ cuts candidates in the compressed domain (persisted
+    // codes, partition-pruned by the probe) and exact-re-ranks only the
+    // pqRerank survivors per query.
     val scored =
-      if (routeIvf()) ivfIndex().scoredCandidates(qdf, cfg.nprobe)
-      else index().crossJoin(broadcast(qdf))
-        .withColumn("score", round(VectorFns.cosineSim(col("vec"), col("query_vec")), 4))
+      if (cfg.indexType == "FLAT" || !routeIvf())
+        index().crossJoin(broadcast(qdf))
+          .withColumn("score", round(VectorFns.cosineSim(col("vec"), col("query_vec")), 4))
+      else if (cfg.indexType == "IVF_PQ") {
+        val idx = ivfIndex()
+        val cand = VectorSearch.pqAdcCandidates(pqCodes(), idx.centroids, qdf,
+          cfg.pqRerank, cfg.embedDim, cfg.pqM, cfg.pqCodes, cfg.pqSeed,
+          cfg.nprobe, idCol = "chunk_id")
+        index().join(broadcast(cand), Seq("chunk_id"))
+          .join(broadcast(qdf), Seq("query_id"))
+          .withColumn("score", round(VectorFns.cosineSim(col("vec"), col("query_vec")), 4))
+      }
+      else ivfIndex().scoredCandidates(qdf, cfg.nprobe)
     val best = scored.groupBy(col("query_id"), col("query"), col("doc_id"))
       .agg(max(col("score")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
@@ -578,6 +616,23 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** What the persisted layout IS, beyond which index it derives from:
+    * serving strategy + its quantizer shape. Folded into the fingerprint so
+    * a config change (index_type flip, PQ codebook reshape/reseed — the
+    * codebooks are a pure function of these values) invalidates the layout
+    * exactly like an index change does. */
+  private def layoutDescriptor: String = cfg.indexType match {
+    case "IVF_PQ" =>
+      s"IVF_PQ;nlist=${cfg.nlist};dim=${cfg.embedDim};m=${cfg.pqM};" +
+        s"codes=${cfg.pqCodes};seed=${cfg.pqSeed}"
+    case t => s"$t;nlist=${cfg.nlist}"
+  }
+
+  /** Index-files fingerprint + layout descriptor — the full identity a
+    * persisted layout must match to serve. */
+  private def compositeFingerprint(): String =
+    s"${indexFingerprint()}|$layoutDescriptor"
+
   private def fingerprintFile = new org.apache.hadoop.fs.Path(s"$ivfPath/_INDEX_FINGERPRINT")
 
   private def persistedFingerprint(): Option[String] = {
@@ -609,16 +664,27 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    */
   def ivfIndex(): VectorSearch.IvfIndex = ivfMemo.getOrElse(synchronized {
     ivfMemo.getOrElse {
-      val fp = indexFingerprint()
+      val fp = compositeFingerprint()
       if (!persistedFingerprint().contains(fp)) {
-        // train on ~256 points per centroid (the FAISS/Milvus guidance band),
-        // capped at the library default: the sample is takeOrdered-merged on
-        // the DRIVER, so its size — not the corpus — is the build's
-        // single-threaded cost, and 256·nlist points bound it by need
-        val sample = math.min(20000, 256 * cfg.nlist)
-        val built = VectorSearch.buildIvf(index(), cfg.nlist, idCol = "chunk_id",
-          vecCol = "vec", sampleSize = sample)
+        val built = cfg.indexType match {
+          case "IVF_PQ" =>
+            // the SQL-replayable composed index (q198's shape, Engine-
+            // served): seeded coarse quantizer, codes persisted below
+            VectorSearch.buildIvfSeeded(index(), cfg.nlist, cfg.embedDim,
+              idCol = "chunk_id", vecCol = "vec")
+          case _ =>
+            // train on ~256 points per centroid (the FAISS/Milvus guidance
+            // band), capped at the library default: the sample is
+            // takeOrdered-merged on the DRIVER, so its size — not the
+            // corpus — is the build's single-threaded cost
+            val sample = math.min(20000, 256 * cfg.nlist)
+            VectorSearch.buildIvf(index(), cfg.nlist, idCol = "chunk_id",
+              vecCol = "vec", sampleSize = sample)
+        }
         VectorSearch.writeIvf(built, ivfPath)
+        if (cfg.indexType == "IVF_PQ")
+          VectorSearch.writePqCodes(built, cfg.embedDim, cfg.pqM,
+            cfg.pqCodes, cfg.pqSeed, ivfPath)
         stampFingerprint(fp)
       }
       val loaded = VectorSearch.loadIvf(spark, ivfPath, idCol = "chunk_id", vecCol = "vec")
@@ -626,6 +692,13 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       loaded
     }
   })
+
+  /** The persisted PQ codes of an IVF_PQ layout, built-if-stale via
+    * [[ivfIndex]] (one call sequences both layouts under the same lock). */
+  private def pqCodes(): DataFrame = {
+    ivfIndex() // ensures the layout (cells + codes) is current
+    VectorSearch.loadPqCodes(spark, ivfPath)
+  }
 
   /**
    * Radius search — the reference's top-k verb ([[search]]) with a

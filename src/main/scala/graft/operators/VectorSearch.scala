@@ -653,6 +653,71 @@ object VectorSearch {
       spark.read.parquet(s"$path/centroids"), idCol, vecCol, bounds)
   }
 
+  /**
+   * PQ-encode a layout's cells with seeded codebooks and PERSIST the codes
+   * hive-partitioned by cell (`path/pqcodes/cell=<c>/…`) — the compressed
+   * index rows an IVF_PQ deployment serves from (faiss stores exactly
+   * this: per inverted list, the m-byte codes). A probe's cell equi-join
+   * then partition-prunes the CODES, so unprobed cells cost no IO and no
+   * ADC work; the full-precision vectors are touched only by the
+   * exact re-rank of the few surviving candidates.
+   */
+  def writePqCodes(index: IvfIndex, dim: Int, m: Int, nCodes: Int,
+                   seed: Long, path: String): Unit = {
+    val books = pqCodebooks(dim, m, nCodes, seed)
+    pqEncode(index.cells.select(col(index.idCol), col("cell"), col(index.vecCol)),
+        index.vecCol, dim / m, books)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/pqcodes")
+  }
+
+  /** Append freshly assigned rows' codes to a persisted pqcodes layout —
+    * the incremental-extend companion of [[writePqCodes]] (rows must carry
+    * a `cell` column, e.g. from [[assignCells]]). */
+  def appendPqCodes(assigned: DataFrame, vecCol: String, dim: Int, m: Int,
+                    nCodes: Int, seed: Long, path: String): Unit = {
+    val books = pqCodebooks(dim, m, nCodes, seed)
+    pqEncode(assigned, vecCol, dim / m, books)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/pqcodes")
+  }
+
+  /** The persisted PQ codes of a layout written by [[writePqCodes]]. */
+  def loadPqCodes(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/pqcodes")
+
+  /**
+   * ADC candidate cut over persisted PQ codes: probe `nprobe` cells per
+   * query (unrounded centroid cosine, ties → lowest cell — the
+   * [[IvfIndex.search]] window), rank probed-cell codes by asymmetric
+   * distance against the broadcast LUT, keep `kCand` ids per query. The
+   * IVF_PQ serving front half; callers exact-re-rank the survivors.
+   */
+  def pqAdcCandidates(codes: DataFrame, centroids: DataFrame,
+                      queries: DataFrame, kCand: Int, dim: Int, m: Int,
+                      nCodes: Int, seed: Long, nprobe: Int, idCol: String,
+                      queryIdCol: String = "query_id",
+                      queryVecCol: String = "query_vec"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val books = pqCodebooks(dim, m, nCodes, seed)
+    val cwin = Window.partitionBy(col(queryIdCol))
+      .orderBy(VectorFns.cosineSim(col(queryVecCol), col("centroid")).desc, col("cell").asc)
+    val probed = queries.crossJoin(broadcast(centroids))
+      .withColumn("crank", row_number().over(cwin))
+      .filter(col("crank") <= nprobe)
+      .select(col(queryIdCol), col("cell"))
+    val lut = pqLut(queries, dim / m, books, queryIdCol, queryVecCol)
+    val acc = codes
+      .join(broadcast(probed), Seq("cell"))
+      .join(broadcast(lut), Seq(queryIdCol, "s", "code"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("d").cast("decimal(18,4)")).as("adist_dec"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("adist_dec").asc, col(idCol).asc)
+    acc.withColumn("crank", row_number().over(w)).filter(col("crank") <= kCand)
+      .select(col(queryIdCol), col(idCol))
+  }
+
   /** Seeded in-memory Lloyd's KMeans (deterministic): k-distinct init from a
     * seeded shuffle, fixed iteration count, empty clusters keep their old
     * centroid. Good enough for a coarse quantizer — cell quality only

@@ -459,6 +459,38 @@ object EngineQueries {
       new Engine(s, cfg).search(searchTexts)
     }),
 
+    // CONFIG-SELECTED index type: the reference's index_type knob
+    // (config.yml:79) switched to IVF_PQ — the engine builds and PERSISTS
+    // the composed index offline (seeded coarse quantizer cells + per-cell
+    // PQ codes, both hive-partitioned; the codebooks are covered by the
+    // layout fingerprint through their defining parameters), and a FRESH
+    // engine serves search() from it: probe nprobe of nlist cells, ADC
+    // candidate cut in the compressed domain (partition-pruned codes),
+    // exact cosine re-rank of the pqRerank survivors, per-doc best hit,
+    // top-limit, hydration. Every stage is seeded/data-independent, so the
+    // oracle replays the ENTIRE path — chunker, hash embed, cell
+    // assignment, probe, encode, LUT, ADC, re-rank — in SQL.
+    "q203_engine_ivfpq" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q203_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 4, // a genuinely pruned probe — the oracle replays it
+        ivfThreshold = 1L, indexType = "IVF_PQ")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs)
+      eng.update() // builds + persists cells AND pq codes (create_index)
+      val codesRoot = new java.io.File(s"$tmp/index_ivf/pqcodes")
+      require(codesRoot.isDirectory
+          && codesRoot.listFiles().exists(_.getName.startsWith("cell=")),
+        "q203: update() did not persist cell-partitioned PQ codes")
+      val fp = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$tmp/index_ivf/_INDEX_FINGERPRINT")), "UTF-8")
+      require(fp.contains("IVF_PQ"),
+        s"q203: layout fingerprint does not cover the index type: $fp")
+      new Engine(s, cfg).search(searchTexts)
+    }),
+
     // The STREAMING production loop composed end-to-end — what a deployed
     // instance of the reference actually runs (scheduler.py's periodic
     // crawl → crawler dedup-insert → vdb update → serve), here as ONE
@@ -1367,7 +1399,137 @@ object EngineQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q203: the IVF_PQ-served engine search replayed end-to-end — lifecycle
+    * chunk/embed CTEs + seeded coarse cells + seeded PQ codebooks + probe,
+    * ADC cut and exact re-rank (composing lifecycleSearchSql's replay with
+    * VectorQueries' ivfPqOracleSql shape over CHUNK vectors). */
+  private lazy val enginePqSearchSql: String = {
+    val qvalues = searchTexts.zipWithIndex
+      .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
+      .mkString(", ")
+    val cents = graft.operators.Dedup.hyperplanes(64, 16, 7L)
+    val centRows = cents.zipWithIndex.map { case (c, cell) =>
+      s"($cell, [${c.map(f => f.toDouble.toString).mkString(", ")}])"
+    }.mkString(",\n")
+    val books = graft.operators.VectorSearch.pqCodebooks(64, 4, 8, 11L)
+    val cwRows = (for ((cws, sIdx) <- books.zipWithIndex; (cw, code) <- cws.zipWithIndex)
+      yield s"($sIdx, $code, [${cw.map(f => f.toDouble.toString).mkString(", ")}])")
+      .mkString(",\n")
+    s"""WITH c AS (
+       |  SELECT doc_id, text,
+       |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
+       |  FROM documents WHERE length(text) > 0),
+       |ch AS (
+       |  SELECT doc_id, doc_id || '_' || pos AS chunk_id,
+       |    substring(text, cast(pos*64+1 as int), 128) AS chunk
+       |  FROM c),
+       |${embedSql("ch", "chunk_id, doc_id", "chunk")},
+       |nv AS (
+       |  SELECT chunk_id, doc_id,
+       |    CASE WHEN nrm > 0
+       |         THEN list_transform(cv, x -> cast(cast(x * (1.0/nrm) as float) as double))
+       |         ELSE cv END AS v,
+       |    nrm
+       |  FROM vec),
+       |q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
+       |qtok AS (
+       |  SELECT query_id, query, unnest(regexp_split_to_array(trim(query), '\\s+')) AS tk
+       |  FROM q0),
+       |qhv AS (
+       |  SELECT query_id, query, ${tokBucket("tk")} AS bucket, ${tokSign("tk")} AS sgn
+       |  FROM qtok WHERE tk <> ''),
+       |qcnt AS (
+       |  SELECT query_id, query, bucket, cast(sum(sgn) as double) AS s
+       |  FROM qhv GROUP BY ALL),
+       |qdense AS (
+       |  SELECT q0.query_id, q0.query, list(coalesce(c.s, 0.0) ORDER BY g.j) AS cv
+       |  FROM q0
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g
+       |  LEFT JOIN qcnt c ON c.query_id = q0.query_id AND c.bucket = g.j
+       |  GROUP BY ALL),
+       |qvec AS (
+       |  SELECT query_id, query, cv,
+       |    sqrt(list_reduce(list_transform(cv, x -> x*x), (a,b) -> a+b)) AS nrm
+       |  FROM qdense),
+       |qnv AS (
+       |  SELECT query_id, query,
+       |    CASE WHEN nrm > 0
+       |         THEN list_transform(cv, x -> cast(cast(x * (1.0/nrm) as float) as double))
+       |         ELSE cv END AS v,
+       |    nrm
+       |  FROM qvec),
+       |cent(cell, cvec) AS (VALUES
+       |$centRows),
+       |cw(s, code, pv) AS (VALUES
+       |$cwRows),
+       |assigned AS (
+       |  SELECT chunk_id, cell FROM (
+       |    SELECT n.chunk_id, cent.cell,
+       |      row_number() OVER (PARTITION BY n.chunk_id
+       |        ORDER BY round(CASE WHEN n.nrm = 0 THEN 0.0
+       |          ELSE list_cosine_similarity(n.v, cent.cvec) END, 4) DESC,
+       |          cent.cell ASC) AS arank
+       |    FROM nv n, cent) WHERE arank = 1),
+       |probed AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, cent.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(q.v, cent.cvec) DESC,
+       |          cent.cell ASC) AS crank
+       |    FROM qnv q, cent) WHERE crank <= 4),
+       |cscore AS (
+       |  SELECT n.chunk_id, cw.s, cw.code,
+       |    round(list_reduce(list_transform(generate_series(1, 16), j ->
+       |      (n.v[cw.s*16 + j] - cw.pv[j]) * (n.v[cw.s*16 + j] - cw.pv[j])),
+       |      (a, b) -> a + b), 4) AS d
+       |  FROM nv n, cw),
+       |codes AS (
+       |  SELECT chunk_id, s, code FROM cscore
+       |  QUALIFY row_number() OVER (PARTITION BY chunk_id, s
+       |    ORDER BY d ASC, code ASC) = 1),
+       |lut AS (
+       |  SELECT q.query_id, cw.s, cw.code,
+       |    round(list_reduce(list_transform(generate_series(1, 16), j ->
+       |      (q.v[cw.s*16 + j] - cw.pv[j]) * (q.v[cw.s*16 + j] - cw.pv[j])),
+       |      (a, b) -> a + b), 4) AS d
+       |  FROM qnv q, cw),
+       |cand0 AS (
+       |  SELECT p.query_id, a.chunk_id
+       |  FROM assigned a JOIN probed p ON a.cell = p.cell),
+       |acc AS (
+       |  SELECT c0.query_id, c0.chunk_id, sum(cast(l.d as decimal(18,4))) AS sdec
+       |  FROM cand0 c0
+       |  JOIN codes k ON k.chunk_id = c0.chunk_id
+       |  JOIN lut l ON l.query_id = c0.query_id AND l.s = k.s AND l.code = k.code
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, chunk_id FROM acc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sdec ASC, chunk_id ASC) <= 20),
+       |rer AS (
+       |  SELECT q.query_id, q.query, n.doc_id,
+       |    round(CASE WHEN n.nrm = 0 OR q.nrm = 0 THEN 0.0
+       |               ELSE list_cosine_similarity(n.v, q.v) END, 4) AS score
+       |  FROM cand cd
+       |  JOIN nv n ON n.chunk_id = cd.chunk_id
+       |  JOIN qnv q ON q.query_id = cd.query_id),
+       |best AS (
+       |  SELECT query_id, query, doc_id, max(score) AS score
+       |  FROM rer GROUP BY ALL),
+       |ranked AS (
+       |  SELECT query_id, query, doc_id, score,
+       |    cast(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) as int) AS rank
+       |  FROM best QUALIFY rank <= 4)
+       |SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
+       |  substring(d.text, 1, 200) AS preview
+       |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q203_engine_ivfpq" -> enginePqSearchSql,
+
     "q150_backup_restore" -> lifecycleSearchSql,
 
     // the chained restore must reassemble the exact post-append state —
