@@ -211,9 +211,18 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * `Observation` riding the write — no extra job).
    */
   def updateIncremental(): Long = {
-    val fresh =
+    val fresh0 =
       if (!indexExists) store()
       else store().join(index().select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    // empty-delta early-out — the scheduler's steady-state tick
+    // (scheduler.py re-fires daily whether or not the crawl found
+    // anything): pin the anti-join result ONCE (delta-sized by
+    // construction; skipped on the initial full build, where it would pin
+    // the whole corpus) and bail before any write or fingerprint churn
+    // when nothing is new, so an idle tick leaves every layout
+    // byte-identical
+    val fresh = if (indexExists) fresh0.localCheckpoint(true) else fresh0
+    if (indexExists && fresh.isEmpty) return 0L
     // a persisted IVF layout that is CURRENT for the pre-append index can be
     // extended incrementally: route the new chunks to their nearest existing
     // cell and append — the quantizer is not retrained and the layout is

@@ -530,6 +530,51 @@ object EngineQueries {
       new Engine(s, cfg).search(searchTexts) // fresh driver: serves from disk
     }),
 
+    // The production loop driven by the REAL Scheduler (scheduler.py:10-51
+    // parity — q197 composes the same flow manually; this grades the
+    // scheduler itself): init_run fires immediately with the first crawl
+    // wave, then three period ticks arrive through the injectable clock —
+    // two more waves and one EMPTY tick (nothing new crawled). Each firing
+    // is the reference's job: ingest (dedup-insert) + updateIncremental
+    // (embed only the delta, extend the persisted layout). The empty tick
+    // must append zero chunks (tick idempotence — the property the
+    // reference leans on MongoDB upserts for), the clock must have been
+    // slept exactly period×3 ms, and a fresh engine must serve the full
+    // corpus from the incrementally-built layout — hash-matching the q64
+    // replay only if every scheduled wave landed.
+    "q204_scheduler_loop" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q204_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L,
+        schedulerInitRun = true, schedulerPeriod = "day")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val waves: Long => DataFrame = {
+        case 0 => docs.filter(col("doc_id") % 2 === 0)
+        case 1 => docs.filter(col("doc_id") % 4 === 1)
+        case 2 => docs.filter(col("doc_id") % 4 === 3)
+        case _ => docs.filter(col("doc_id") % 2 === 0) // re-crawl: nothing new
+      }
+      val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val appended = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val fired = graft.streaming.Scheduler.run(cfg, maxRuns = 4,
+        job = r => {
+          eng.ingest(waves(r))
+          if (r == 0) eng.update() // offline create_index on the first wave
+          else appended += eng.updateIncremental() // extend the layout
+        },
+        sleep = ms => slept += ms)
+      require(fired == 4, s"q204: scheduler fired $fired of 4")
+      require(slept.toSeq == Seq.fill(3)(86400000L),
+        s"q204: clock slept ${slept.toSeq}, expected 3 day periods")
+      require(appended.take(2).forall(_ > 0),
+        s"q204: a crawl wave appended nothing: $appended")
+      require(appended(2) == 0L,
+        s"q204: the empty tick appended ${appended(2)} chunks — not idempotent")
+      new Engine(s, cfg).search(searchTexts) // fresh driver: serves from disk
+    }),
+
     // The VERBATIM-CONFIG lifecycle: EngineConfig.load parses a copy of the
     // reference's own nested config.yml (vdb.milvus.* config.yml:75-87,
     // vdb.text.* :88-91, scheduler.* :97-100) and the FILE's values — not
@@ -1529,6 +1574,9 @@ object EngineQueries {
 
   val oracle: Map[String, String] = Map(
     "q203_engine_ivfpq" -> enginePqSearchSql,
+
+    // the scheduler-driven loop ends at the same full-corpus serving state
+    "q204_scheduler_loop" -> lifecycleSearchSql,
 
     "q150_backup_restore" -> lifecycleSearchSql,
 

@@ -189,6 +189,35 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException](graft.streaming.Scheduler.periodSeconds("hour"))
   }
 
+  test("scheduler: an empty tick leaves the persisted IVF layout byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sched2").toString
+    val eng = new Engine(spark, EngineConfig(
+      storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L))
+    val docs = QHelpers.t(spark, sf, "documents").select("doc_id", "text")
+    def walk(f: java.io.File): Map[String, Long] =
+      if (!f.exists()) Map.empty
+      else if (f.isFile) Map(f.getPath -> (f.length() + f.lastModified()))
+      else f.listFiles().toSeq.flatMap(walk).toMap
+    // run 0 builds + persists; runs 1 and 2 arrive with nothing new —
+    // two fired periods must equal one: zero appends, zero layout churn
+    val appended = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var layoutAfterFirst: Map[String, Long] = Map.empty
+    graft.streaming.Scheduler.run("day", initRun = true, maxRuns = 3,
+      job = r => {
+        eng.ingest(docs)
+        if (r == 0) {
+          eng.update() // offline create_index persists the layout
+          layoutAfterFirst = walk(new java.io.File(s"$dir/index_ivf"))
+        } else appended += eng.updateIncremental()
+      },
+      sleep = _ => ())
+    assert(appended.toSeq == Seq(0L, 0L), appended.toSeq.toString)
+    assert(layoutAfterFirst.nonEmpty)
+    assert(walk(new java.io.File(s"$dir/index_ivf")) == layoutAfterFirst,
+      "an empty scheduled tick rewrote the persisted layout")
+  }
+
   test("RocksDB state store: stateful agg matches HDFS-backed results") {
     // the large-state lever: at 100 TB of keyed state the default in-heap
     // HDFSBackedStateStore OOMs executors; RocksDB spills to local disk.
