@@ -298,6 +298,50 @@ class StreamingSpec extends SparkSpec {
     assert(r.getLong(0) == 3L && r.getLong(1) == 60L)
   }
 
+  test("mid-write kill: a partial batch partition from a dead write is overwritten on retry") {
+    // the OTHER at-least-once failure mode (q155 covers crash-after-write;
+    // this is crash-DURING-write): part files of batch=<id> landed, the
+    // writer died before finishing, no checkpoint commit happened. The
+    // restart re-runs the batchId and the dynamic partition overwrite must
+    // replace the ENTIRE partial partition — stray files included — or the
+    // sink serves half a batch forever.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_midwrite_").toString
+    val drop = new java.io.File(s"$tmp/drop"); drop.mkdirs()
+    val staged = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    staged.coalesce(1).write.parquet(s"$tmp/w1")
+    val part = new java.io.File(s"$tmp/w1").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, new java.io.File(drop, "a.parquet").toPath)
+    val sink = s"$tmp/sink"
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    def run(): Unit =
+      spark.readStream.schema(staged.schema).parquet(drop.toString)
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (attempts.incrementAndGet() == 1) {
+            // the dying write: one part file of the batch partition lands,
+            // then the process is gone — no _SUCCESS, no commit
+            Seq((99L, 999L)).toDF("k", "v").coalesce(1)
+              .write.mode("append").parquet(s"$sink/batch=$id")
+            throw new RuntimeException("simulated mid-write kill")
+          }
+          StreamOps.idempotentAppend(batch, sink, id)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run() }
+    // the poisoned partial partition is really on disk before the retry
+    assert(spark.read.parquet(sink).filter(col("v") === 999L).count() == 1L)
+    run() // checkpoint survived: batch 0 re-runs with the SAME id
+    assert(attempts.get() >= 2)
+    val out = spark.read.parquet(sink)
+    assert(out.filter(col("v") === 999L).count() == 0L,
+      "the partial write's stray file survived the retried overwrite")
+    assert(out.count() == 3L)
+    assert(out.agg(sum(col("v"))).head.getLong(0) == 60L)
+  }
+
   test("idempotentAppend: a re-delivered batchId replaces its partition, never duplicates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_idem_").toString + "/sink"
