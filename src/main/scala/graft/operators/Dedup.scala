@@ -65,6 +65,18 @@ object Dedup {
   }
 
   /** `.observe` aggregates matching [[levelStats]]. */
+  /** Materialization width for an iterative level of `rows` rows: ~50k
+    * rows per task, clamped to [1, shuffle partitions]. Small levels (the
+    * tail of every convergence loop) would otherwise checkpoint at full
+    * width — on a 32-core box that is 32 near-empty task dispatches per
+    * level per frame, which in a 6-8 level loop is most of the loop's
+    * wall time. At corpus scale `rows` is large and the width stays at
+    * the configured maximum, so nothing narrows on a cluster. */
+  private def levelWidth(spark: SparkSession, rows: Long): Int = {
+    val np = spark.sessionState.conf.numShufflePartitions
+    math.max(1, math.min(np, ((rows + 49999L) / 50000L).toInt))
+  }
+
   private def levelObs(obs: Observation, df: DataFrame, cols: Seq[String]): DataFrame =
     df.observe(obs, count(lit(1)).as("n"), chkCol(cols).as("chk"))
 
@@ -489,29 +501,33 @@ object Dedup {
     var (labels, labelIds) = checkpointTracked(levelObs(obs0,
       sym.select(col("src").as("node")).distinct().withColumn("label", col("node")),
       Seq("node", "label")))
-    var (_, curChk) = levelStats(obs0, labels, Seq("node", "label"))
+    var (curRows, curChk) = levelStats(obs0, labels, Seq("node", "label"))
     var i = 0
     var changed = 1L
     while (changed > 0 && i < maxIters) {
       val viaNeighbor = sym.join(labels.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("label"))
       val obs = Observation()
+      // the label set's size is KNOWN (last level's observed count — the
+      // node set never grows), so the level materializes at a row-count-
+      // proportional width instead of 32 near-empty tasks (levelWidth)
       val (next, nextIds) = checkpointTracked(levelObs(obs,
-        labels.unionAll(viaNeighbor).groupBy("node").agg(min("label").as("label")),
+        labels.unionAll(viaNeighbor).groupBy("node").agg(min("label").as("label"))
+          .coalesce(levelWidth(spark, curRows)),
         Seq("node", "label")))
       // convergence: min-label propagation only ever SHRINKS labels, so a
       // round that changes anything changes the (node,label) set. The
       // content checksum rides the checkpoint job (no extra pass); only an
       // APPARENT fixpoint (equal checksum) pays the exact node-keyed diff
       // that confirms it — once, at the end, not every round.
-      val (_, nextChk) = levelStats(obs, next, Seq("node", "label"))
+      val (nextRows, nextChk) = levelStats(obs, next, Seq("node", "label"))
       changed =
         if (nextChk != curChk) 1L
         else next.join(labels.withColumnRenamed("label", "prev"), "node")
           .filter(col("label") =!= col("prev"))
           .count()
       freeIds(spark, labelIds)
-      labels = next; labelIds = nextIds; curChk = nextChk
+      labels = next; labelIds = nextIds; curChk = nextChk; curRows = nextRows
       i += 1
     }
     sym.unpersist()
@@ -585,8 +601,10 @@ object Dedup {
       // materialization boundary Spark recomputes the whole inner subtree
       // per branch — the same no-cross-branch-CSE lesson as q57.)
       val obs = Observation()
+      // edge levels only ever shrink after the first round — materialize
+      // at a width proportional to the last observed level size
       val (next, nextIds) = checkpointTracked(levelObs(obs,
-        starRound(cur), Seq("u", "v")))
+        starRound(cur).coalesce(levelWidth(spark, curCount)), Seq("u", "v")))
       // exact fixpoint on two DISTINCT sets, paid for lazily: count and
       // content checksum ride the checkpoint materialization (no extra job
       // per round — this was ~1 s/round of fixed job overhead); only an

@@ -52,8 +52,16 @@ object LinkRank {
     // out-degree rides with each edge; materialized ONCE — every round scans
     // these cached blocks instead of re-running the dedup/union lineage
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // WIDTH PIN (the round-7 CPU-stage lesson): without the explicit
+    // repartition, AQE coalesces the small-bytes join output to a handful
+    // of partitions and the checkpoint materializes at that width — then
+    // EVERY iteration's join runs 2-3 tasks wide on a 32-core box. An
+    // explicit keyed repartition is exempt from AQE coalescing, and keying
+    // on `src` is the layout each round's join wants anyway.
+    val np = edges.sparkSession.sessionState.conf.numShufflePartitions
     val ed = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(np, col("src"))
       .localCheckpoint(true)
     // The rounds CHAIN LAZILY: each round's plan consumes the previous one
     // exactly once (a linear chain — the no-cross-branch-CSE hazard needs a

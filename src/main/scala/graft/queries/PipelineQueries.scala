@@ -928,11 +928,21 @@ object PipelineQueries {
     }),
 
     "q87_link_authority" -> ((s, dir) => {
+      // width discipline (the round-7 CPU-stage lesson): the testdata
+      // parquet is single-row-group, so the scan arrives 1-2 partitions
+      // wide — round-robin repartition BEFORE the distinct so its partial
+      // agg runs at full width; and derive both edge directions from ONE
+      // pass over the distinct pairs (explode) instead of a union whose
+      // second branch re-runs the scan+distinct
+      val np = s.sessionState.conf.numShufflePartitions
       val pairs = t(s, dir, "lineitem")
         .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sup"))
+        .repartition(np)
         .distinct()
-      val edges = pairs.select(col("p").as("src"), col("sup").as("dst"))
-        .union(pairs.select(col("sup").as("src"), col("p").as("dst")))
+      val edges = pairs.select(explode(array(
+          struct(col("p").as("src"), col("sup").as("dst")),
+          struct(col("sup").as("src"), col("p").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
       graft.operators.LinkRank.pageRank(edges, iters = 5)
         .orderBy(col("rank").desc, col("node").asc)
         .limit(30)
