@@ -97,7 +97,8 @@ object Scale {
     val only: Set[String] = args.collectFirst {
       case a if a.startsWith("ops=") => a.stripPrefix("ops=").split(",").toSet
     }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective",
-      "incdedup", "cc", "export", "spans", "invidx", "pq", "maxsim", "ivfpq"))
+      "incdedup", "cc", "export", "spans", "invidx", "pq", "maxsim", "ivfpq",
+      "snm"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -351,6 +352,27 @@ object Scale {
           .groupBy(col("doc_id"))
           .agg(sum(col("m").cast("decimal(18,6)")).as("score"))
           .count()
+      }
+    }
+    // 11. Sorted-neighborhood pairing (q200/q201 shapes) under a
+    //     DELIBERATELY HOT prefix block: 20% of documents share one
+    //     12-char boilerplate opening, so a blk-only join with a rank
+    //     post-filter would materialize (n/5)² rows in that block — the
+    //     exploded (blk, rnk) equi-join and the global fringe slide must
+    //     both stay linear in n·w. w = 3.
+    if (only("snm")) docLadder.foreach { case (s, n) =>
+      val hot = corpus(spark, n)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("BOILERPLATE "), col("text"))).otherwise(col("text")))
+        .withColumn("blk", substring(col("text"), 1, 12))
+        .withColumn("len", length(col("text")))
+        .select(col("doc_id"), col("blk"), col("len"))
+      measure("snm_blocked", s, n) {
+        Dedup.snmCandidates(hot, "blk", Seq("len"), "doc_id", 3).count()
+      }
+      measure("snm_global", s, n) {
+        Dedup.snmGlobalPairs(hot, Seq("blk", "len"), "doc_id", 3).count()
       }
     }
     out.close()
