@@ -282,6 +282,12 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
               VectorSearch.appendPqCodes(
                 assigned.select(col("chunk_id"), col("cell"), col("vec")),
                 "vec", cfg.embedDim, cfg.pqM, cfg.pqCodes, cfg.pqSeed, ivfPath)
+            // SQ8 codes for the appended batch, under the STORED bounds
+            // (trained-quantizer contract: out-of-range values clip)
+            if (cfg.indexType == "IVF_SQ8")
+              VectorSearch.appendSq8(
+                assigned.select(col("doc_id"), col("chunk_id"), col("cell"), col("vec")),
+                "vec", ivfPath)
           }
           // the layout now reflects the post-append index (append died
           // midway → fingerprint stays stale → next ivfIndex() rebuilds;
@@ -563,6 +569,13 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
           .join(broadcast(qdf), Seq("query_id"))
           .withColumn("score", round(VectorFns.cosineSim(col("vec"), col("query_vec")), 4))
       }
+      else if (cfg.indexType == "IVF_SQ8") {
+        // probe-pruned compressed scan: scores come from the SQ8
+        // reconstructions (asymmetric, q145's scoring) — never the full
+        // vectors, which IVF_SQ8 serving does not read at all
+        val idx = ivfIndex()
+        VectorSearch.sq8ScoredCandidates(spark, ivfPath, idx.centroids, qdf, cfg.nprobe)
+      }
       else ivfIndex().scoredCandidates(qdf, cfg.nprobe)
     val best = scored.groupBy(col("query_id"), col("query"), col("doc_id"))
       .agg(max(col("score")).as("score"))
@@ -634,6 +647,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     case "IVF_PQ" =>
       s"IVF_PQ;nlist=${cfg.nlist};dim=${cfg.embedDim};m=${cfg.pqM};" +
         s"codes=${cfg.pqCodes};seed=${cfg.pqSeed}"
+    case "IVF_SQ8" => s"IVF_SQ8;nlist=${cfg.nlist};dim=${cfg.embedDim}"
     case t => s"$t;nlist=${cfg.nlist}"
   }
 
@@ -676,7 +690,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       val fp = compositeFingerprint()
       if (!persistedFingerprint().contains(fp)) {
         val built = cfg.indexType match {
-          case "IVF_PQ" =>
+          case "IVF_PQ" | "IVF_SQ8" =>
             // the SQL-replayable composed index (q198's shape, Engine-
             // served): seeded coarse quantizer, codes persisted below
             VectorSearch.buildIvfSeeded(index(), cfg.nlist, cfg.embedDim,
@@ -694,6 +708,8 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         if (cfg.indexType == "IVF_PQ")
           VectorSearch.writePqCodes(built, cfg.embedDim, cfg.pqM,
             cfg.pqCodes, cfg.pqSeed, ivfPath)
+        if (cfg.indexType == "IVF_SQ8")
+          VectorSearch.writeSq8(built, ivfPath)
         stampFingerprint(fp)
       }
       val loaded = VectorSearch.loadIvf(spark, ivfPath, idCol = "chunk_id", vecCol = "vec")

@@ -718,6 +718,102 @@ object VectorSearch {
       .select(col(queryIdCol), col(idCol))
   }
 
+  /** The SQ8 code column: per-dim affine quantization to [0,255] against
+    * broadcast-literal bounds, clamped — build-time vectors are inside the
+    * bounds by construction (no-op clamp); incrementally appended vectors
+    * may fall outside and clip, exactly like faiss's trained
+    * ScalarQuantizer. Codes are ints here for oracle-replayable arithmetic;
+    * a production layout would pack them to bytes. */
+  private def sq8Codes(vec: Column, mnLit: Column, mxLit: Column): Column =
+    transform(vec, (x, i) => {
+      val mn = element_at(mnLit, (i + 1).cast("int"))
+      val mx = element_at(mxLit, (i + 1).cast("int"))
+      val c = when(mx === mn, lit(0.0))
+        .otherwise(floor((x.cast("double") - mn) * 255.0 / (mx - mn) + 0.5))
+      least(greatest(c, lit(0.0)), lit(255.0)).cast("int")
+    })
+
+  /** Reconstruction r_i = mn_i + c_i·(mx_i−mn_i)/255 — the asymmetric
+    * scoring side of SQ8 (full-precision query vs reconstructed corpus). */
+  private def sq8Recon(codes: Column, mnLit: Column, mxLit: Column): Column =
+    transform(codes, (c, i) => {
+      val mn = element_at(mnLit, (i + 1).cast("int"))
+      val mx = element_at(mxLit, (i + 1).cast("int"))
+      mn + c.cast("double") * (mx - mn) / 255.0
+    })
+
+  /** Collect a layout's per-dim SQ8 bounds as two literal arrays. */
+  private def sq8BoundsLit(bounds: DataFrame): (Column, Column) = {
+    val b = bounds.collect().map(r => (r.getInt(r.fieldIndex("i")),
+      r.getDouble(r.fieldIndex("mn")), r.getDouble(r.fieldIndex("mx")))).sortBy(_._1)
+    (array(b.map(x => lit(x._2)).toIndexedSeq: _*).cast("array<double>"),
+      array(b.map(x => lit(x._3)).toIndexedSeq: _*).cast("array<double>"))
+  }
+
+  /**
+   * Persist the SQ8 compressed companion of an IVF layout: per-dim min/max
+   * bounds (exact aggregates over the indexed vectors — dim rows) and the
+   * per-row quantized codes, hive-partitioned by cell so a probe partition-
+   * prunes the compressed scan (Milvus IVF_SQ8's on-disk shape). All
+   * non-vector columns of the cells ride through with the codes.
+   */
+  def writeSq8(index: IvfIndex, path: String): Unit = {
+    val bounds = index.cells
+      .select(posexplode(col(index.vecCol)).as(Seq("i", "x")))
+      .withColumn("x", col("x").cast("double"))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .localCheckpoint(true)
+    bounds.coalesce(1).write.mode("overwrite").parquet(s"$path/sq8bounds")
+    val (mnLit, mxLit) = sq8BoundsLit(bounds)
+    index.cells
+      .withColumn("codes", sq8Codes(col(index.vecCol), mnLit, mxLit))
+      .drop(index.vecCol)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/sq8codes")
+  }
+
+  /** Append freshly assigned rows' SQ8 codes under the STORED bounds (the
+    * trained-quantizer contract: bounds are build-time state; out-of-range
+    * appended values clip). `assigned` must carry a `cell` column. */
+  def appendSq8(assigned: DataFrame, vecCol: String, path: String): Unit = {
+    val spark = assigned.sparkSession
+    val (mnLit, mxLit) = sq8BoundsLit(spark.read.parquet(s"$path/sq8bounds"))
+    assigned
+      .withColumn("codes", sq8Codes(col(vecCol), mnLit, mxLit))
+      .drop(vecCol)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/sq8codes")
+  }
+
+  /**
+   * IVF_SQ8 serving: probe `nprobe` cells per query (the
+   * [[IvfIndex.search]] centroid window), reconstruct ONLY the probed
+   * cells' codes against the stored bounds, and score the full-precision
+   * query against the reconstructions (asymmetric SQ8, q145's scoring).
+   * Returns every probed-cell row scored, with all code columns and all
+   * query columns retained — the [[IvfIndex.scoredCandidates]] contract,
+   * so Engine.search's per-document reduce consumes it directly.
+   */
+  def sq8ScoredCandidates(spark: org.apache.spark.sql.SparkSession, path: String,
+                          centroids: DataFrame, queries: DataFrame, nprobe: Int,
+                          queryIdCol: String = "query_id",
+                          queryVecCol: String = "query_vec",
+                          scoreScale: Int = 4): DataFrame = {
+    val (mnLit, mxLit) = sq8BoundsLit(spark.read.parquet(s"$path/sq8bounds"))
+    val cwin = Window.partitionBy(col(queryIdCol))
+      .orderBy(VectorFns.cosineSim(col(queryVecCol), col("centroid")).desc, col("cell").asc)
+    val probed = queries.crossJoin(broadcast(centroids))
+      .withColumn("crank", row_number().over(cwin))
+      .filter(col("crank") <= nprobe)
+      .drop("crank", "centroid")
+    spark.read.parquet(s"$path/sq8codes")
+      .join(broadcast(probed), "cell")
+      .withColumn("score", round(VectorFns.cosineSim(
+        sq8Recon(col("codes"), mnLit, mxLit), col(queryVecCol)), scoreScale))
+      .drop("codes")
+  }
+
   /** Seeded in-memory Lloyd's KMeans (deterministic): k-distinct init from a
     * seeded shuffle, fixed iteration count, empty clusters keep their old
     * centroid. Good enough for a coarse quantizer — cell quality only

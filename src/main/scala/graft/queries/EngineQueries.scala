@@ -530,6 +530,32 @@ object EngineQueries {
       new Engine(s, cfg).search(searchTexts) // fresh driver: serves from disk
     }),
 
+    // index_type = IVF_SQ8 — the third config-selected serving strategy
+    // (Milvus IVF_SQ8): seeded coarse cells + per-dim min/max bounds +
+    // byte-range codes all persisted offline; serving probes nprobe cells
+    // and scores the full-precision query against the RECONSTRUCTIONS of
+    // only the probed cells' codes (asymmetric SQ8, q145's scoring — the
+    // full vectors are never read at serve time). Bounds are exact
+    // aggregates and the quantizer is seeded, so the oracle replays the
+    // entire path.
+    "q205_engine_ivfsq8" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q205_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 4, ivfThreshold = 1L, indexType = "IVF_SQ8")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs)
+      eng.update()
+      val codesRoot = new java.io.File(s"$tmp/index_ivf/sq8codes")
+      require(codesRoot.isDirectory
+          && codesRoot.listFiles().exists(_.getName.startsWith("cell=")),
+        "q205: update() did not persist cell-partitioned SQ8 codes")
+      require(new java.io.File(s"$tmp/index_ivf/sq8bounds").isDirectory,
+        "q205: update() did not persist the SQ8 bounds")
+      new Engine(s, cfg).search(searchTexts)
+    }),
+
     // The production loop driven by the REAL Scheduler (scheduler.py:10-51
     // parity — q197 composes the same flow manually; this grades the
     // scheduler itself): init_run fires immediately with the first crawl
@@ -1444,11 +1470,12 @@ object EngineQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** q203: the IVF_PQ-served engine search replayed end-to-end — lifecycle
-    * chunk/embed CTEs + seeded coarse cells + seeded PQ codebooks + probe,
-    * ADC cut and exact re-rank (composing lifecycleSearchSql's replay with
-    * VectorQueries' ivfPqOracleSql shape over CHUNK vectors). */
-  private lazy val enginePqSearchSql: String = {
+  /** Shared oracle prefix for the engine's seeded-quantizer index types
+    * (q203 IVF_PQ, q205 IVF_SQ8): lifecycle chunk/embed CTEs, query embed,
+    * seeded centroid VALUES, rounded-cosine cell assignment and the
+    * nprobe-cell probe window — everything up to the compressed scoring,
+    * which each index type appends. */
+  private def engineSeededPrefixSql(nprobe: Int): String = {
     val qvalues = searchTexts.zipWithIndex
       .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
       .mkString(", ")
@@ -1456,11 +1483,7 @@ object EngineQueries {
     val centRows = cents.zipWithIndex.map { case (c, cell) =>
       s"($cell, [${c.map(f => f.toDouble.toString).mkString(", ")}])"
     }.mkString(",\n")
-    val books = graft.operators.VectorSearch.pqCodebooks(64, 4, 8, 11L)
-    val cwRows = (for ((cws, sIdx) <- books.zipWithIndex; (cw, code) <- cws.zipWithIndex)
-      yield s"($sIdx, $code, [${cw.map(f => f.toDouble.toString).mkString(", ")}])")
-      .mkString(",\n")
-    s"""WITH c AS (
+    s"""c AS (
        |  SELECT doc_id, text,
        |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
        |  FROM documents WHERE length(text) > 0),
@@ -1505,8 +1528,6 @@ object EngineQueries {
        |  FROM qvec),
        |cent(cell, cvec) AS (VALUES
        |$centRows),
-       |cw(s, code, pv) AS (VALUES
-       |$cwRows),
        |assigned AS (
        |  SELECT chunk_id, cell FROM (
        |    SELECT n.chunk_id, cent.cell,
@@ -1521,7 +1542,20 @@ object EngineQueries {
        |      row_number() OVER (PARTITION BY q.query_id
        |        ORDER BY list_cosine_similarity(q.v, cent.cvec) DESC,
        |          cent.cell ASC) AS crank
-       |    FROM qnv q, cent) WHERE crank <= 4),
+       |    FROM qnv q, cent) WHERE crank <= $nprobe)""".stripMargin
+  }
+
+  /** q203: the IVF_PQ-served engine search replayed end-to-end — the shared
+    * seeded prefix + seeded PQ codebooks, ADC cut and exact re-rank
+    * (VectorQueries' ivfPqOracleSql shape over CHUNK vectors). */
+  private lazy val enginePqSearchSql: String = {
+    val books = graft.operators.VectorSearch.pqCodebooks(64, 4, 8, 11L)
+    val cwRows = (for ((cws, sIdx) <- books.zipWithIndex; (cw, code) <- cws.zipWithIndex)
+      yield s"($sIdx, $code, [${cw.map(f => f.toDouble.toString).mkString(", ")}])")
+      .mkString(",\n")
+    s"""WITH ${engineSeededPrefixSql(4)},
+       |cw(s, code, pv) AS (VALUES
+       |$cwRows),
        |cscore AS (
        |  SELECT n.chunk_id, cw.s, cw.code,
        |    round(list_reduce(list_transform(generate_series(1, 16), j ->
@@ -1572,8 +1606,44 @@ object EngineQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q205: the IVF_SQ8-served engine search replayed end-to-end — the
+    * shared seeded prefix + exact per-dim bounds, affine byte quantization,
+    * reconstruction, probe-pruned asymmetric scoring (q145's SQ8 spelling
+    * over CHUNK vectors), per-doc best, top-k, hydration. */
+  private lazy val engineSq8SearchSql: String =
+    s"""WITH ${engineSeededPrefixSql(4)},
+       |cox AS (
+       |  SELECT chunk_id, doc_id, i, v[i] AS x
+       |  FROM nv, unnest(generate_series(1, 64)) AS u(i)),
+       |b AS (SELECT i, min(x) AS mn, max(x) AS mx FROM cox GROUP BY i),
+       |rec AS (
+       |  SELECT chunk_id, doc_id, list(mn + (CASE WHEN mx = mn THEN 0.0
+       |      ELSE floor((x - mn) * 255.0 / (mx - mn) + 0.5) END)
+       |      * (mx - mn) / 255.0 ORDER BY i) AS rv
+       |  FROM cox JOIN b USING (i) GROUP BY chunk_id, doc_id),
+       |sc AS (
+       |  SELECT p.query_id, q.query, r.doc_id,
+       |    round(list_cosine_similarity(r.rv, q.v), 4) AS score
+       |  FROM rec r
+       |  JOIN assigned a USING (chunk_id)
+       |  JOIN probed p ON p.cell = a.cell
+       |  JOIN qnv q ON q.query_id = p.query_id),
+       |best AS (
+       |  SELECT query_id, query, doc_id, max(score) AS score
+       |  FROM sc GROUP BY ALL),
+       |ranked AS (
+       |  SELECT query_id, query, doc_id, score,
+       |    cast(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) as int) AS rank
+       |  FROM best QUALIFY rank <= 4)
+       |SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
+       |  substring(d.text, 1, 200) AS preview
+       |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+       |ORDER BY query_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q203_engine_ivfpq" -> enginePqSearchSql,
+    "q205_engine_ivfsq8" -> engineSq8SearchSql,
 
     // the scheduler-driven loop ends at the same full-corpus serving state
     "q204_scheduler_loop" -> lifecycleSearchSql,

@@ -502,6 +502,37 @@ class EngineSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("IVF_SQ8: codes cover every chunk across incremental extend; serving rewrites nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L, indexType = "IVF_SQ8")
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs.filter(col("doc_id") % 2 === 0))
+    eng.update()
+    val codes = spark.read.parquet(s"$dir/index_ivf/sq8codes")
+    assert(codes.count() == eng.index().count())
+    assert(codes.columns.toSet == Set("doc_id", "chunk_id", "codes", "cell"))
+    // incremental extend under STORED bounds: every appended chunk gets a
+    // code row; the quantizer (bounds) is not retrained
+    val boundsBefore = spark.read.parquet(s"$dir/index_ivf/sq8bounds")
+      .collect().map(_.toString).sorted.toSeq
+    eng.ingest(docs)
+    assert(eng.updateIncremental() > 0)
+    assert(spark.read.parquet(s"$dir/index_ivf/sq8codes").count() == eng.index().count())
+    assert(spark.read.parquet(s"$dir/index_ivf/sq8bounds")
+      .collect().map(_.toString).sorted.toSeq == boundsBefore, "bounds were retrained")
+    // a fresh engine serves from the compressed layout without rebuilding
+    def walk(f: java.io.File): Map[String, Long] =
+      if (f.isFile) Map(f.getPath -> (f.length() + f.lastModified()))
+      else f.listFiles().toSeq.flatMap(walk).toMap
+    val all = walk(new java.io.File(s"$dir/index_ivf"))
+    val out = new Engine(spark, cfg).search(Seq("data processing pipeline"))
+    assert(out.count() > 0)
+    assert(walk(new java.io.File(s"$dir/index_ivf")) == all,
+      "an IVF_SQ8 search rewrote the persisted layout")
+  }
+
   test("searchRadius: IVF routing equals brute; bounds stay sound across incremental extend") {
     val dir = java.nio.file.Files.createTempDirectory("graft-radius").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
