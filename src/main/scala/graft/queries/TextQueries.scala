@@ -600,6 +600,57 @@ object TextQueries {
             .as("n_planted"))
     }),
 
+    // MULTI-PASS sorted-neighborhood dedup — the classic SNM discipline
+    // (Hernández & Stolfo's merge/purge): ONE sort key misses duplicates
+    // whose difference lands in the key, so run several passes under
+    // INDEPENDENT keys and union the candidates. Pass A keys on the text
+    // PREFIX (catches truncated-tail copies, Off1); pass B keys on the
+    // text SUFFIX (catches prefix-edited copies, Off2 — invisible to pass
+    // A because the edit moved them to a different prefix block). The
+    // planted Off2 family also makes "EDITED VERSI…" a deliberately hot
+    // prefix block in pass A — linear by the exploded-rank join. Both
+    // passes are the O(n·w) blocked pairing; pairs union + distinct; one
+    // exact-Jaccard verify; graded with per-family planted counts proving
+    // each pass contributed pairs the other could not see.
+    "q206_snm_multipass" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val corpus = base.select(col("doc_id").as("id"), col("text"))
+        .unionAll(base.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + Off1).as("id"),
+            col("text").substr(lit(1), greatest(length(col("text")) - 30, lit(1)))
+              .as("text")))
+        .unionAll(base.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + Off2).as("id"),
+            concat(lit("EDITED VERSION "), col("text")).as("text")))
+        .withColumn("toks", array_distinct(split(lower(trim(col("text"))), "\\s+")))
+        .withColumn("blk_a", substring(col("text"), 1, 12))
+        .withColumn("blk_b",
+          expr("substring(text, greatest(length(text) - 11, 1), 12)"))
+        .withColumn("len", length(col("text")).cast("long"))
+      val passA = Dedup.snmCandidates(
+        corpus.select(col("id"), col("blk_a"), col("len")), "blk_a", Seq("len"), "id", 3)
+      val passB = Dedup.snmCandidates(
+        corpus.select(col("id"), col("blk_b"), col("len")), "blk_b", Seq("len"), "id", 3)
+      val cand = passA.select("id_a", "id_b")
+        .unionAll(passB.select("id_a", "id_b")).distinct()
+      val toks = corpus.select(col("id"), col("toks"))
+      cand
+        .join(toks.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+        .join(toks.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+        .withColumn("inter",
+          size(filter(col("ta"), tk => array_contains(col("tb"), tk))).cast("long"))
+        .withColumn("uni", size(col("ta")) + size(col("tb")) - col("inter"))
+        .withColumn("j_bp", expr("(10000 * inter) DIV greatest(uni, 1)"))
+        .filter(col("j_bp") >= 3000)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("id_a")).as("sum_a"), sum(col("id_b")).as("sum_b"),
+          sum(col("j_bp")).as("sum_j_bp"),
+          sum(when(abs(col("id_a") - col("id_b")) === Off1, 1L).otherwise(0L))
+            .as("n_planted_trunc"),
+          sum(when(abs(col("id_a") - col("id_b")) === Off2, 1L).otherwise(0L))
+            .as("n_planted_prefix"))
+    }),
+
     // Quality-ARBITRATED dedup resolution — q79 keeps the min-id member
     // per near-dup cluster; a curation pipeline keeps the BEST member
     // (dedup-then-arbitrate, the RefinedWeb/FineWeb move). Same LSH pairs
@@ -1167,6 +1218,62 @@ object TextQueries {
          |  cast(sum(CASE WHEN id_a - id_b = $Off1 OR id_b - id_a = $Off1
          |    THEN 1 ELSE 0 END) as bigint) AS n_planted
          |FROM v WHERE j_bp >= 3000""".stripMargin,
+
+    "q206_snm_multipass" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |corpus AS (
+         |  SELECT doc_id AS id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + $Off1 AS id,
+         |    substring(text, 1, cast(greatest(length(text) - 30, 1) as int)) AS text
+         |  FROM base WHERE doc_id % 25 = 0
+         |  UNION ALL
+         |  SELECT doc_id + $Off2 AS id, 'EDITED VERSION ' || text AS text
+         |  FROM base WHERE doc_id % 25 = 0),
+         |tok AS (
+         |  SELECT id, text,
+         |    list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks,
+         |    substring(text, 1, 12) AS blk_a,
+         |    substring(text, cast(greatest(length(text) - 11, 1) as int), 12) AS blk_b,
+         |    cast(length(text) as bigint) AS len
+         |  FROM corpus),
+         |ra AS (
+         |  SELECT id, blk_a AS blk,
+         |    cast(row_number() OVER (PARTITION BY blk_a ORDER BY len, id) as bigint) AS rnk
+         |  FROM tok),
+         |rb AS (
+         |  SELECT id, blk_b AS blk,
+         |    cast(row_number() OVER (PARTITION BY blk_b ORDER BY len, id) as bigint) AS rnk
+         |  FROM tok),
+         |pa AS (
+         |  SELECT a.id AS id_a, b.id AS id_b FROM ra a JOIN ra b
+         |  ON a.blk = b.blk AND b.rnk > a.rnk AND b.rnk <= a.rnk + 3),
+         |pb AS (
+         |  SELECT a.id AS id_a, b.id AS id_b FROM rb a JOIN rb b
+         |  ON a.blk = b.blk AND b.rnk > a.rnk AND b.rnk <= a.rnk + 3),
+         |cand AS (
+         |  SELECT DISTINCT id_a, id_b FROM
+         |  (SELECT * FROM pa UNION ALL SELECT * FROM pb)),
+         |v AS (
+         |  SELECT c.id_a, c.id_b,
+         |    cast(len(list_filter(ta.toks, t -> list_contains(tb.toks, t))) as bigint)
+         |      AS inter,
+         |    cast(len(ta.toks) + len(tb.toks) as bigint) AS stot
+         |  FROM cand c
+         |  JOIN tok ta ON ta.id = c.id_a
+         |  JOIN tok tb ON tb.id = c.id_b),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    (10000 * inter) // greatest(stot - inter, 1) AS j_bp
+         |  FROM v)
+         |SELECT count(*) AS n_pairs,
+         |  cast(sum(id_a) as bigint) AS sum_a, cast(sum(id_b) as bigint) AS sum_b,
+         |  cast(sum(j_bp) as bigint) AS sum_j_bp,
+         |  cast(sum(CASE WHEN abs(id_a - id_b) = $Off1 THEN 1 ELSE 0 END) as bigint)
+         |    AS n_planted_trunc,
+         |  cast(sum(CASE WHEN abs(id_a - id_b) = $Off2 THEN 1 ELSE 0 END) as bigint)
+         |    AS n_planted_prefix
+         |FROM j WHERE j_bp >= 3000""".stripMargin,
 
     "q201_snm_global" ->
       s"""WITH corpus AS ($resolveCorpusSql),
