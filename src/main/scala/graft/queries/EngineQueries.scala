@@ -556,6 +556,24 @@ object EngineQueries {
       new Engine(s, cfg).search(searchTexts)
     }),
 
+    // Engine.searchRadius graded end-to-end — the radius verb over the
+    // persisted layout (faiss range_search beside the reference's top-k):
+    // ivfThreshold=1 forces the IVF route, so serving goes through the
+    // cell-bound-pruned rangeSearch — whose angular bound is SOUND, so the
+    // output must hash-match the brute replay (the oracle knows nothing of
+    // cells or bounds). Per query: every document with any chunk at
+    // rounded cosine ≥ 0.3, best chunk score, qualifying-chunk count.
+    "q207_engine_radius" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q207_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      new Engine(s, cfg).searchRadius(searchTexts, 0.3)
+    }),
+
     // The production loop driven by the REAL Scheduler (scheduler.py:10-51
     // parity — q197 composes the same flow manually; this grades the
     // scheduler itself): init_run fires immediately with the first crawl
@@ -1641,9 +1659,27 @@ object EngineQueries {
        |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
        |ORDER BY query_id, rank""".stripMargin
 
+  /** q207: the radius verb replayed — chunk/embed prefix (the seeded
+    * prefix's quantizer CTEs go unreferenced and unevaluated), chunk-level
+    * scoring with the zero-norm guard, threshold filter, per-doc census. */
+  private lazy val engineRadiusSql: String =
+    s"""WITH ${engineSeededPrefixSql(4)},
+       |scored AS (
+       |  SELECT q.query_id, q.query, n.doc_id,
+       |    round(CASE WHEN n.nrm = 0 OR q.nrm = 0 THEN 0.0
+       |               ELSE list_cosine_similarity(n.v, q.v) END, 4) AS score
+       |  FROM nv n CROSS JOIN qnv q),
+       |hits AS (
+       |  SELECT query_id, query, doc_id, max(score) AS score,
+       |    count(*) AS n_chunks
+       |  FROM scored WHERE score >= 0.3 GROUP BY ALL)
+       |SELECT query_id, query, doc_id, score, cast(n_chunks as bigint) AS n_chunks
+       |FROM hits ORDER BY query_id, score DESC, doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q203_engine_ivfpq" -> enginePqSearchSql,
     "q205_engine_ivfsq8" -> engineSq8SearchSql,
+    "q207_engine_radius" -> engineRadiusSql,
 
     // the scheduler-driven loop ends at the same full-corpus serving state
     "q204_scheduler_loop" -> lifecycleSearchSql,
