@@ -533,6 +533,27 @@ class EngineSpec extends SparkSpec {
       "an IVF_SQ8 search rewrote the persisted layout")
   }
 
+  test("IVF_PQ / IVF_SQ8 serving: the compressed-code scans carry a partition filter") {
+    // the probe's cell equi-join must prune the CODE layouts' partitions
+    // just like the IVF_FLAT cell scan — otherwise the compressed index
+    // reads corpus-wide codes and the probe bought nothing
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    for (it <- Seq("IVF_PQ", "IVF_SQ8")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-pf-$it").toString
+      val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+        nlist = 8, nprobe = 2, ivfThreshold = 1L, indexType = it)
+      val eng = new Engine(spark, cfg)
+      eng.ingest(docs)
+      eng.update()
+      val df = eng.search(Seq("data processing pipeline"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning")
+          || plan.contains("PartitionFilters: [isnotnull(cell"),
+        s"$it: ${plan.take(2000)}")
+    }
+  }
+
   test("searchRadius: IVF routing equals brute; bounds stay sound across incremental extend") {
     val dir = java.nio.file.Files.createTempDirectory("graft-radius").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
