@@ -98,7 +98,7 @@ object Scale {
       case a if a.startsWith("ops=") => a.stripPrefix("ops=").split(",").toSet
     }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective",
       "incdedup", "cc", "export", "spans", "invidx", "pq", "maxsim", "ivfpq",
-      "snm"))
+      "snm", "rangeivf"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -354,6 +354,36 @@ object Scale {
           .count()
       }
     }
+    // 12. IVF range search, pruned vs exact (q202/q207 shapes): CLUSTERED
+    //     vectors (32 well-separated directions + noise — near-random
+    //     vectors give every cell a ~90° radius and nothing can prune,
+    //     which is also why IVF itself needs clustered data to pay), high
+    //     threshold, persisted layout. The pruned scan must stay exact
+    //     (same out_rows) while reading a shrinking fraction of cells.
+    if (only("rangeivf")) vecLadder.foreach { case (s, n) =>
+      val clustered = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          (when(j === pmod(col("id"), lit(32)).cast("int"), 1.0d).otherwise(0.0d)
+            + (pmod(xxhash64(col("id"), j, lit(9)), lit(201)) - 100)
+              .cast("double") / 1000.0d).cast("float")).as("embedding"))
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_scale_rivf_$s").toString
+      val built = VectorSearch.buildIvf(clustered, nlist = 32)
+      VectorSearch.writeIvf(built, dir)
+      val loaded = VectorSearch.loadIvf(spark, dir)
+      val queries = clustered.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        .localCheckpoint(true)
+      measure("range_pruned", s, n) {
+        loaded.rangeSearch(queries, 0.85).count()
+      }
+      measure("range_exact", s, n) {
+        clustered.crossJoin(broadcast(queries))
+          .withColumn("score", round(
+            graft.functions.VectorFns.cosineSim(col("embedding"), col("query_vec")), 4))
+          .filter(col("score") >= 0.85).count()
+      }
+    }
+
     // 11. Sorted-neighborhood pairing (q200/q201 shapes) under a
     //     DELIBERATELY HOT prefix block: 20% of documents share one
     //     12-char boilerplate opening, so a blk-only join with a rank
