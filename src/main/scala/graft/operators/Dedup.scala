@@ -876,7 +876,9 @@ object Dedup {
    * Catalyst's window functions can't express without a single-partition
    * Window — the thing that dies at scale. Emits (id_a, id_b) with global
    * positions (pos_a, pos_b), pos_b - pos_a ∈ [1, window]. Deterministic:
-   * the sort key is totalized by the `idCol` tie-break.
+   * the sort key is totalized by the `idCol` tie-break. `idCol` must be
+   * LONG (the fringe rows travel as primitive (pos, id) pairs); hash or
+   * dense-rank string keys to longs first.
    */
   def snmGlobalPairs(df: DataFrame, sortCols: Seq[String], idCol: String,
                      window: Int, numPartitions: Int = 0): DataFrame = {
