@@ -33,9 +33,22 @@ object Bench {
       }
       ((System.nanoTime() - t0) / 1e9, err)
     }
+    // free each query's residue before the next timing: the RETURNED frame
+    // of checkpoint-materializing operators (nearDupPairs, CC labels,
+    // engine verbs…) holds localCheckpoint blocks the query itself cannot
+    // release — across 200+ queries × 2 runs they accrete into executor
+    // memory pressure that inflates the big-shuffle queries late in the
+    // suite (the q118 suite-vs-isolated gap)
+    def release(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (t1, e1) = timeOnce(fn)
+      release()
       val (t2, e2) = timeOnce(fn)
+      release()
       name -> (math.min(t1, t2), e1.orElse(e2))
     }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
