@@ -280,7 +280,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
             // appended batch with the SAME seeded codebooks and append
             if (cfg.indexType == "IVF_PQ")
               VectorSearch.appendPqCodes(
-                assigned.select(col("chunk_id"), col("cell"), col("vec")),
+                assigned.select(col("doc_id"), col("chunk_id"), col("cell"), col("vec")),
                 "vec", cfg.embedDim, cfg.pqM, cfg.pqCodes, cfg.pqSeed, ivfPath)
             // SQ8 codes for the appended batch, under the STORED bounds
             // (trained-quantizer contract: out-of-range values clip)
@@ -341,12 +341,63 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .localCheckpoint(true) // pin BEFORE overwriting the path being read
     s2.write.mode("overwrite").parquet(cfg.storePath)
     if (indexExists) {
+      // decided BEFORE the rewrite flips the index fingerprint: a layout
+      // that was current can be MAINTAINED (delta-sized) instead of
+      // rebuilt (corpus-sized)
+      val layoutCurrent = persistedFingerprint().contains(compositeFingerprint())
       val i2 = index().join(broadcast(key), Seq(keyCol), "left_anti")
         .localCheckpoint(true)
-      i2.write.mode("overwrite").parquet(cfg.indexPath)
-      invalidateIvf()
+      synchronized { // the ivfIndex() monitor — no rebuild may interleave
+        i2.write.mode("overwrite").parquet(cfg.indexPath)
+        invalidateIvf()
+        if (layoutCurrent) maintainLayoutAfterDelete(key, keyCol)
+      }
     }
     Option(obs.get("removed")).map(_.asInstanceOf[Long]).getOrElse(0L)
+  }
+
+  /**
+   * Delta-sized maintenance of the persisted layout after [[delete]]:
+   * anti-join ONLY the affected cells' rows (and, for IVF_PQ / IVF_SQ8,
+   * their code rows) against the delete set and dynamic-partition-
+   * overwrite just those cell directories, then re-stamp — the quantizer,
+   * the untouched cells, the bounds (removals only shrink a cell's
+   * angular radius, so the stored minima stay sound upper bounds) and the
+   * codebooks all stand. Without this, every per-document delete pays a
+   * full corpus-sized quantizer rebuild on the next search. Falls back to
+   * the stale-fingerprint rebuild when a cell empties completely (a
+   * dynamic overwrite cannot clear a partition it writes no rows into) —
+   * rare, and merely the old cost, never a correctness risk.
+   */
+  private def maintainLayoutAfterDelete(key: DataFrame, keyCol: String): Unit = {
+    val cellsPath = s"$ivfPath/cells"
+    val cells = spark.read.parquet(cellsPath)
+    val affected = cells.join(broadcast(key), Seq(keyCol), "left_semi")
+      .select(col("cell")).distinct().collect().map(_.getInt(0))
+    if (affected.isEmpty) {
+      // no indexed chunk of any deleted doc lives in the layout — it is
+      // already exact for the post-delete index
+      stampFingerprint(compositeFingerprint())
+      return
+    }
+    def prune(path: String): Boolean = {
+      val df = spark.read.parquet(path)
+      val aff = df.filter(col("cell").isInCollection(affected.toSeq))
+      val kept = aff.join(broadcast(key), Seq(keyCol), "left_anti")
+        .localCheckpoint(true) // pin BEFORE overwriting partitions being read
+      val keptCells = kept.select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
+      if (keptCells.size != affected.length) return false // a cell emptied
+      kept.repartition(col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(path)
+      true
+    }
+    var ok = prune(cellsPath)
+    if (ok && cfg.indexType == "IVF_PQ") ok = prune(s"$ivfPath/pqcodes")
+    if (ok && cfg.indexType == "IVF_SQ8") ok = prune(s"$ivfPath/sq8codes")
+    if (ok) stampFingerprint(compositeFingerprint())
+    // else: fingerprint stays stale → the next ivfIndex() rebuilds (safe)
   }
 
   /**
@@ -390,12 +441,23 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       (files, true)
     }
     val (sf, sChanged) = rewrite(cfg.storePath, "doc_id")
-    val (ifn, iChanged) =
-      if (indexExists) rewrite(cfg.indexPath, "doc_id") else (0L, false)
-    // plan validity, not content: the old memo's file listing points at
-    // deleted part files — but ONLY when a rewrite actually happened; a
-    // healthy layout skipped above leaves the memo exactly as valid as it was
-    if (sChanged || iChanged) invalidateIvf()
+    // decided BEFORE the index rewrite flips its fingerprint
+    val layoutCurrent = indexExists &&
+      persistedFingerprint().contains(compositeFingerprint())
+    val (ifn, iChanged) = synchronized {
+      val r = if (indexExists) rewrite(cfg.indexPath, "doc_id") else (0L, false)
+      // plan validity, not content: the old memo's file listing points at
+      // deleted part files — but ONLY when a rewrite actually happened; a
+      // healthy layout skipped above leaves the memo exactly as valid as it was
+      if (sChanged || r._2) invalidateIvf()
+      // compaction changes FILES, never CONTENT: a layout that was current
+      // still describes the compacted index exactly — re-stamp instead of
+      // letting the fingerprint mismatch force a corpus-sized quantizer
+      // rebuild on the next search (under the ivfIndex() monitor so no
+      // concurrent rebuild interleaves the rewrite and the stamp)
+      if (r._2 && layoutCurrent) stampFingerprint(compositeFingerprint())
+      r
+    }
     (sf, ifn)
   }
 

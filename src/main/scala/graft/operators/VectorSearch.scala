@@ -665,8 +665,10 @@ object VectorSearch {
   def writePqCodes(index: IvfIndex, dim: Int, m: Int, nCodes: Int,
                    seed: Long, path: String): Unit = {
     val books = pqCodebooks(dim, m, nCodes, seed)
-    pqEncode(index.cells.select(col(index.idCol), col("cell"), col(index.vecCol)),
-        index.vecCol, dim / m, books)
+    // ALL non-vector cell columns ride through the encode (pqEncode's
+    // passthrough) — the layout's delete maintenance anti-joins the codes
+    // on the same key the index rows carry
+    pqEncode(index.cells, index.vecCol, dim / m, books)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/pqcodes")
   }

@@ -434,21 +434,21 @@ class EngineSpec extends SparkSpec {
     eng.update()
     def fp() = scala.io.Source.fromFile(s"$dir/index_ivf/_INDEX_FINGERPRINT").mkString
     val fp1 = fp()
-    // delete() rewrites the index WITHOUT touching the layout — the
-    // genuinely-stale case (updateIncremental would EXTEND and re-stamp,
-    // which is the other test): the layout still describes deleted chunks
-    val removed = eng.delete(docs.filter(col("doc_id") % 5 === 0).select("doc_id"))
-    assert(removed > 0)
-    assert(fp() == fp1, "fixture broken: delete() must leave the stale layout on disk")
+    // an OUT-OF-BAND index rewrite — not through the engine's verbs, which
+    // now all MAINTAIN the layout (extend re-stamps, delete prunes cells,
+    // compact re-stamps): the genuinely-stale case a fingerprint exists for
+    val pruned = eng.index().filter(col("doc_id") % 5 =!= 0).localCheckpoint(true)
+    pruned.write.mode("overwrite").parquet(s"$dir/index")
+    assert(fp() == fp1, "fixture broken: the out-of-band rewrite must leave the stale layout")
     // a FRESH engine must detect the mismatch and REBUILD before serving —
-    // serving the stale layout would resurrect deleted documents
+    // serving the stale layout would resurrect the rewritten-away chunks
     val eng2 = new Engine(spark, cfg)
     val hits = eng2.search(Seq("data processing pipeline"))
     assert(hits.filter(col("doc_id") % 5 === 0).count() == 0,
-      "search served deleted documents from a stale persisted layout")
+      "search served vanished documents from a stale persisted layout")
     assert(fp() != fp1, "the rebuild did not re-stamp the fingerprint")
-    assert(eng2.ivfIndex().cells.count() == eng.index().count(),
-      "rebuilt layout does not match the post-delete index")
+    assert(eng2.ivfIndex().cells.count() == eng2.index().count(),
+      "rebuilt layout does not match the rewritten index")
   }
 
   test("persisted IVF: updateIncremental extends the layout — no retrain, no rewrite") {
@@ -552,6 +552,83 @@ class EngineSpec extends SparkSpec {
           || plan.contains("PartitionFilters: [isnotnull(cell"),
         s"$it: ${plan.take(2000)}")
     }
+  }
+
+  test("delete maintains the persisted layout in place — no quantizer rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delmaint").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs)
+    eng.update()
+    val centroidsBefore = walk(new java.io.File(s"$dir/index_ivf/centroids"))
+    val removed = eng.delete(docs.filter(col("doc_id") % 7 === 0).select("doc_id"))
+    assert(removed > 0)
+    // the deleted docs' chunks are gone from the LAYOUT itself
+    assert(spark.read.parquet(s"$dir/index_ivf/cells")
+      .filter(col("doc_id") % 7 === 0).count() == 0L)
+    assert(spark.read.parquet(s"$dir/index_ivf/cells").count() == eng.index().count())
+    // a fresh engine serves the maintained layout: the quantizer was not
+    // retrained and serving rewrites nothing
+    assert(walk(new java.io.File(s"$dir/index_ivf/centroids")) == centroidsBefore,
+      "delete retrained the quantizer")
+    val all = walk(new java.io.File(s"$dir/index_ivf"))
+    val served = new Engine(spark, cfg).search(Seq("data processing pipeline"))
+      .collect().map(_.toString).toSeq
+    assert(walk(new java.io.File(s"$dir/index_ivf")) == all,
+      "serving after delete rebuilt the layout")
+    // and the results equal an engine built from scratch on the survivors
+    val ctl = EngineConfig(storePath = s"$dir/cstore", indexPath = s"$dir/cindex",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val control = new Engine(spark, ctl)
+    control.ingest(docs.filter(col("doc_id") % 7 =!= 0))
+    control.update()
+    assert(served == control.search(Seq("data processing pipeline"))
+      .collect().map(_.toString).toSeq)
+  }
+
+  test("delete maintenance prunes the compressed code layouts too (IVF_PQ / IVF_SQ8)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    for ((it, codesDir) <- Seq("IVF_PQ" -> "pqcodes", "IVF_SQ8" -> "sq8codes")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-delc-$it").toString
+      val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+        nlist = 8, nprobe = 8, ivfThreshold = 1L, indexType = it)
+      val eng = new Engine(spark, cfg)
+      eng.ingest(docs)
+      eng.update()
+      assert(eng.delete(docs.filter(col("doc_id") % 7 === 0).select("doc_id")) > 0)
+      val codes = spark.read.parquet(s"$dir/index_ivf/$codesDir")
+      assert(codes.filter(col("doc_id") % 7 === 0).count() == 0L,
+        s"$it: deleted docs' codes survived")
+      val perChunk = if (it == "IVF_PQ") 4L else 1L // m subspace rows vs one row
+      assert(codes.count() == eng.index().count() * perChunk, s"$it: code coverage broken")
+      // maintained layout serves without a rebuild
+      val all = walk(new java.io.File(s"$dir/index_ivf"))
+      assert(new Engine(spark, cfg).search(Seq("data processing pipeline")).count() > 0)
+      assert(walk(new java.io.File(s"$dir/index_ivf")) == all,
+        s"$it: serving after delete rebuilt the layout")
+    }
+  }
+
+  test("compact re-stamps the layout — a file-only rewrite forces no rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compmaint").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    // fragment the index across appends so compact really rewrites
+    eng.ingest(docs.filter(col("doc_id") % 2 === 0)); eng.update()
+    eng.ingest(docs); eng.updateIncremental()
+    val nIndex = eng.index().count()
+    eng.compact(maxRecordsPerFile = 1000000L)
+    assert(eng.index().count() == nIndex)
+    // serving after the compaction must come straight from the persisted
+    // layout — zero layout writes (the re-stamp made it current again)
+    val all = walk(new java.io.File(s"$dir/index_ivf"))
+    new Engine(spark, cfg).search(Seq("data processing pipeline")).count()
+    assert(walk(new java.io.File(s"$dir/index_ivf")) == all,
+      "a content-preserving compaction forced a quantizer rebuild")
   }
 
   test("searchRadius: IVF routing equals brute; bounds stay sound across incremental extend") {
