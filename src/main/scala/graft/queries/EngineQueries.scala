@@ -574,6 +574,59 @@ object EngineQueries {
       new Engine(s, cfg).searchRadius(searchTexts, 0.3)
     }),
 
+    // Per-document delete at IVF scale with IN-PLACE layout maintenance:
+    // delete() anti-joins only the AFFECTED cells against the delete set
+    // and dynamic-partition-overwrites those directories — quantizer,
+    // untouched cells and bounds all stand, and the re-stamped layout
+    // serves a FRESH engine with no rebuild (EngineSpec gates the no-write
+    // property; here the cells layout is required free of deleted chunks
+    // before serving). Results must hash-match the survivor-corpus
+    // lifecycle replay — which only holds if the maintained layout is
+    // exactly the post-delete index.
+    "q208_delete_maintained" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q208_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs)
+      eng.update()
+      val removed = eng.delete(docs.filter(col("doc_id") % 7 === 0).select("doc_id"))
+      require(removed > 0, "q208: delete removed nothing")
+      require(s.read.parquet(s"$tmp/index_ivf/cells")
+          .filter(col("doc_id") % 7 === 0).count() == 0L,
+        "q208: deleted chunks survived in the maintained layout")
+      new Engine(s, cfg).search(searchTexts)
+    }),
+
+    // Compaction mid-lifecycle: appends fragment the store and index,
+    // compact() bin-packs both — and because a compaction changes FILES,
+    // never CONTENT, the engine re-stamps the persisted layout instead of
+    // letting the fingerprint mismatch force a quantizer rebuild
+    // (EngineSpec gates the zero-write serve). A fresh engine then serves
+    // the compacted corpus; results must hash-match the full-corpus
+    // lifecycle replay — which only holds if the rewrite lost and
+    // duplicated nothing.
+    "q209_compact_serve" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q209_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs.filter(col("doc_id") % 2 === 0))
+      eng.update()
+      eng.ingest(docs) // odd half appends → both layouts fragment
+      eng.updateIncremental()
+      val (sFiles, iFiles) = eng.compact(maxRecordsPerFile = 1000000L)
+      require(sFiles >= 1 && iFiles >= 1, "q209: compact did not bin-pack")
+      require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$tmp/index_ivf/_INDEX_FINGERPRINT")),
+        "q209: compaction lost the layout stamp")
+      new Engine(s, cfg).search(searchTexts)
+    }),
+
     // The production loop driven by the REAL Scheduler (scheduler.py:10-51
     // parity — q197 composes the same flow manually; this grades the
     // scheduler itself): init_run fires immediately with the first crawl
@@ -1680,6 +1733,16 @@ object EngineQueries {
     "q203_engine_ivfpq" -> enginePqSearchSql,
     "q205_engine_ivfsq8" -> engineSq8SearchSql,
     "q207_engine_radius" -> engineRadiusSql,
+
+    // the full lifecycle replay over the SURVIVOR corpus — the maintained
+    // layout must serve exactly what a from-scratch build over the
+    // survivors would
+    "q208_delete_maintained" -> lifecycleSearchSql.replace(
+      "FROM documents WHERE length(text) > 0",
+      "FROM documents WHERE length(text) > 0 AND doc_id % 7 <> 0"),
+
+    // compaction must be invisible to results: the full-corpus replay
+    "q209_compact_serve" -> lifecycleSearchSql,
 
     // the scheduler-driven loop ends at the same full-corpus serving state
     "q204_scheduler_loop" -> lifecycleSearchSql,
