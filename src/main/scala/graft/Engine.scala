@@ -299,11 +299,22 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     }
   }
 
+  /** Round-robin width pin for narrow CPU-per-row stages whose input
+    * arrives in fewer partitions than the configured width (single-file
+    * store/index layouts, freshly compacted tables, small deltas): the
+    * q87 lesson — without it the embed / assignment / encode passes run
+    * on ONE core. A no-op at corpus scale, where inputs are already wide;
+    * the guard keeps the extra exchange off the big-data path. */
+  private def widen(df: DataFrame): DataFrame = {
+    val np = spark.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < np) df.repartition(np) else df
+  }
+
   /** Overlapping chunks (`vdb.py:66-74`), chunk ids `doc_id_pos`
     * (`vdb.py:70`), per-partition batched embedding (`vdb.py:76-79`) —
     * the narrow stage both [[update]] and [[updateIncremental]] write. */
   private def chunkEmbed(docs: DataFrame): DataFrame = {
-    val chunks = docs
+    val chunks = widen(docs)
       .select(col("doc_id"),
         posexplode(TextFns.chunk(col("text"), cfg.chunkSize, cfg.chunkOverlap))
           .as(Seq("pos", "chunk")))
@@ -755,7 +766,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
           case "IVF_PQ" | "IVF_SQ8" =>
             // the SQL-replayable composed index (q198's shape, Engine-
             // served): seeded coarse quantizer, codes persisted below
-            VectorSearch.buildIvfSeeded(index(), cfg.nlist, cfg.embedDim,
+            VectorSearch.buildIvfSeeded(widen(index()), cfg.nlist, cfg.embedDim,
               idCol = "chunk_id", vecCol = "vec")
           case _ =>
             // train on ~256 points per centroid (the FAISS/Milvus guidance
@@ -763,7 +774,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
             // takeOrdered-merged on the DRIVER, so its size — not the
             // corpus — is the build's single-threaded cost
             val sample = math.min(20000, 256 * cfg.nlist)
-            VectorSearch.buildIvf(index(), cfg.nlist, idCol = "chunk_id",
+            VectorSearch.buildIvf(widen(index()), cfg.nlist, idCol = "chunk_id",
               vecCol = "vec", sampleSize = sample)
         }
         VectorSearch.writeIvf(built, ivfPath)
