@@ -216,12 +216,11 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       else store().join(index().select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     // empty-delta early-out — the scheduler's steady-state tick
     // (scheduler.py re-fires daily whether or not the crawl found
-    // anything): pin the anti-join result ONCE (delta-sized by
-    // construction; skipped on the initial full build, where it would pin
-    // the whole corpus) and bail before any write or fingerprint churn
-    // when nothing is new, so an idle tick leaves every layout
-    // byte-identical
-    val fresh = if (indexExists) fresh0.localCheckpoint(true) else fresh0
+    // anything): one early-terminating existence probe on the lazy
+    // anti-join (no materialization, no storage) bails before any write
+    // or fingerprint churn when nothing is new, so an idle tick leaves
+    // every layout byte-identical
+    val fresh = fresh0
     if (indexExists && fresh.isEmpty) return 0L
     // a persisted IVF layout that is CURRENT for the pre-append index can be
     // extended incrementally: route the new chunks to their nearest existing
@@ -238,10 +237,16 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       invalidateIvf()
       obs.get("chunks").asInstanceOf[Long]
     } else {
-      // pin: the embedded batch feeds BOTH the index append and the cell
-      // append — without it the embed stage re-executes per branch. The
-      // embed (the expensive part) runs here, OUTSIDE the monitor.
-      val pinned = chunks.localCheckpoint(true)
+      // ONE pin serves every consumer: the embedded batch is assigned its
+      // cells up front and checkpointed ONCE — the index append (codes
+      // minus the cell column), the cell append, the bound merge and the
+      // PQ/SQ8 code appends all read the same materialization, so the
+      // embed and the assignment each run exactly once. The embed (the
+      // expensive part) runs here, OUTSIDE the monitor.
+      val layout = VectorSearch.loadIvf(spark, ivfPath, idCol = "chunk_id", vecCol = "vec")
+      val cents = VectorSearch.collectCentroids(layout.centroids)
+      val assigned = VectorSearch.assignCells(chunks, cents, "vec")
+        .localCheckpoint(true)
       // the extend sequence (index append → cell append → stamp) holds the
       // SAME monitor ivfIndex() synchronizes on: a concurrent search that
       // sees the mid-extend fingerprint mismatch would otherwise launch a
@@ -251,15 +256,11 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         // re-check under the lock: a concurrent rebuild/extend may have
         // moved the layout since the cheap pre-embed check
         val extendLayout = persistedFingerprint().contains(compositeFingerprint())
-        pinned.write.mode("append").parquet(cfg.indexPath)
+        assigned.drop("cell").write.mode("append").parquet(cfg.indexPath)
         invalidateIvf()
         val n = obs.get("chunks").asInstanceOf[Long]
         if (extendLayout) {
           if (n > 0) {
-            val layout = VectorSearch.loadIvf(spark, ivfPath, idCol = "chunk_id", vecCol = "vec")
-            val cents = VectorSearch.collectCentroids(layout.centroids)
-            val assigned = VectorSearch.assignCells(pinned, cents, "vec")
-              .localCheckpoint(true) // feeds the cell append AND the bound merge
             assigned.repartition(col("cell"))
               .write.mode("append").partitionBy("cell").parquet(s"$ivfPath/cells")
             // keep the range-search cell bounds SOUND under the append: an
