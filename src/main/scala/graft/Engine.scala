@@ -261,22 +261,34 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         val n = obs.get("chunks").asInstanceOf[Long]
         if (extendLayout) {
           if (n > 0) {
-            assigned.repartition(col("cell"))
-              .write.mode("append").partitionBy("cell").parquet(s"$ivfPath/cells")
             // keep the range-search cell bounds SOUND under the append: an
             // appended chunk farther from its centroid than any existing
-            // member would widen the cell's angular radius — merge the
-            // batch's per-cell minima into the stored bounds (nlist-sized)
-            val batchBounds = assigned
-              .join(broadcast(layout.centroids), "cell")
-              .groupBy(col("cell"))
-              .agg(min(graft.functions.VectorFns.cosineSim(col("vec"), col("centroid")))
-                .as("min_cos"))
-            val merged = layout.boundsOpt.getOrElse(layout.cellBounds())
-              .unionByName(batchBounds)
-              .groupBy(col("cell")).agg(min(col("min_cos")).as("min_cos"))
-              .localCheckpoint(true) // pin BEFORE overwriting the path being read
-            merged.coalesce(1).write.mode("overwrite").parquet(s"$ivfPath/bounds")
+            // member would widen the cell's angular radius. The batch's
+            // per-cell minima ride the cells-append job as an Observation
+            // (nlist conditional aggregates — metadata-sized, zero extra
+            // scans); the merge with the stored minima is nlist rows of
+            // driver arithmetic.
+            val bObs = org.apache.spark.sql.Observation()
+            val cellMins = cents.indices.map(c =>
+              min(when(col("cell") === c,
+                VectorFns.cosineSim(col("vec"), typedLit(cents(c).toSeq))))
+                .as(s"m$c"))
+            assigned.observe(bObs, cellMins.head, cellMins.tail: _*)
+              .repartition(col("cell"))
+              .write.mode("append").partitionBy("cell").parquet(s"$ivfPath/cells")
+            val stored = layout.boundsOpt.getOrElse(layout.cellBounds())
+              .collect().map(r => r.getInt(r.fieldIndex("cell")) ->
+                r.getDouble(r.fieldIndex("min_cos"))).toMap
+            val merged = cents.indices.flatMap { c =>
+              val batchMin = Option(bObs.get(s"m$c")).map(_.asInstanceOf[Double])
+              (stored.get(c).toSeq ++ batchMin.toSeq) match {
+                case Nil => None
+                case vs => Some((c, vs.min))
+              }
+            }
+            import spark.implicits._
+            merged.toDF("cell", "min_cos")
+              .coalesce(1).write.mode("overwrite").parquet(s"$ivfPath/bounds")
             // an IVF_PQ layout also carries persisted codes — encode the
             // appended batch with the SAME seeded codebooks and append
             if (cfg.indexType == "IVF_PQ")
