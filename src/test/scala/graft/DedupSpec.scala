@@ -290,6 +290,34 @@ class DedupSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("snmGlobalPairs property: equals brute force on random sizes/keys/windows/layouts") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop}
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      keyMod <- Gen.choose(1, 20) // collision-heavy keys stress the tie-break
+      w <- Gen.choose(1, 8)
+      np <- Gen.choose(1, 40) // layouts from 1 partition to far-more-than-rows
+      salt <- Gen.choose(0, 1000)
+    } yield (n, keyMod, w, np, salt)
+    val prop = Prop.forAll(gen) { case (n, keyMod, w, np, salt) =>
+      val data = (0 until n).map(i => (i.toLong, ((i * 31 + salt) % keyMod).toLong))
+        .toDF("id", "key")
+      val got = Dedup.snmGlobalPairs(data, Seq("key"), "id", w, np)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val order = (0 until n).map(i => (((i * 31 + salt) % keyMod).toLong, i.toLong))
+        .sorted.map(_._2)
+      val want = (for {
+        i <- order.indices
+        j <- (i + 1) to math.min(i + w, order.length - 1)
+      } yield (order(i), order(j))).toSet
+      got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("snmGlobalPairs: window crosses partition boundaries exactly (incl. tiny partitions)") {
     import spark.implicits._
     // adversarial layout: more partitions than fit comfortably — range

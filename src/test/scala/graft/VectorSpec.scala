@@ -228,6 +228,44 @@ class VectorSpec extends SparkSpec {
     assert(probes < 8, s"no cell was pruned at t=0.9 (probe set $probes of 8)")
   }
 
+  test("rangeSearch property: pruned equals brute at random thresholds/cluster shapes") {
+    import spark.implicits._
+    val gen = for {
+      nlist <- Gen.choose(2, 8)
+      nClusters <- Gen.choose(1, 6)
+      noise <- Gen.choose(1, 40) // per-mille perturbation
+      t <- Gen.choose(-40, 95).map(_ / 100.0)
+      salt <- Gen.choose(0, 1000)
+    } yield (nlist, nClusters, noise, t, salt)
+    val prop = Prop.forAll(gen) { case (nlist, nClusters, noise, t, salt) =>
+      val n = 150
+      val vecs = (0 until n).map { i =>
+        val c = i % nClusters
+        val v = Array.tabulate(8)(j =>
+          (if (j == c % 8) 1.0f else 0.0f) +
+            noise / 1000.0f * (((i * 13 + j * 7 + salt) % 19) - 9))
+        (i.toLong, v.toSeq)
+      }.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+        .localCheckpoint(true)
+      val idx = VectorSearch.buildIvf(vecs, nlist, sampleSize = 64)
+      val q = vecs.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val got = idx.rangeSearch(q, t).select("query_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = vecs.crossJoin(broadcast(q))
+        .withColumn("score",
+          round(graft.functions.VectorFns.cosineSim(col("embedding"), col("query_vec")), 4))
+        .filter(col("score") >= t)
+        .select("query_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == brute
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("LSH-bucketed top-k has sane recall against exact search") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
