@@ -214,14 +214,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val fresh0 =
       if (!indexExists) store()
       else store().join(index().select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-    // empty-delta early-out — the scheduler's steady-state tick
-    // (scheduler.py re-fires daily whether or not the crawl found
-    // anything): one early-terminating existence probe on the lazy
-    // anti-join (no materialization, no storage) bails before any write
-    // or fingerprint churn when nothing is new, so an idle tick leaves
-    // every layout byte-identical
     val fresh = fresh0
-    if (indexExists && fresh.isEmpty) return 0L
     // a persisted IVF layout that is CURRENT for the pre-append index can be
     // extended incrementally: route the new chunks to their nearest existing
     // cell and append — the quantizer is not retrained and the layout is
@@ -238,7 +231,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       obs.get("chunks").asInstanceOf[Long]
     } else {
       // ONE pin serves every consumer: the embedded batch is assigned its
-      // cells up front and checkpointed ONCE — the index append (codes
+      // cells up front and checkpointed ONCE — the index append (rows
       // minus the cell column), the cell append, the bound merge and the
       // PQ/SQ8 code appends all read the same materialization, so the
       // embed and the assignment each run exactly once. The embed (the
@@ -247,6 +240,13 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       val cents = VectorSearch.collectCentroids(layout.centroids)
       val assigned = VectorSearch.assignCells(chunks, cents, "vec")
         .localCheckpoint(true)
+      // empty-delta early-out — the scheduler's steady-state tick
+      // (scheduler.py re-fires daily whether or not the crawl found
+      // anything): the observed count is known once the checkpoint
+      // materializes, BEFORE anything is written — an idle tick performs
+      // no write and no fingerprint churn, leaving every layout
+      // byte-identical, and a real tick pays no extra existence probe
+      if (obs.get("chunks").asInstanceOf[Long] == 0L) return 0L
       // the extend sequence (index append → cell append → stamp) holds the
       // SAME monitor ivfIndex() synchronizes on: a concurrent search that
       // sees the mid-extend fingerprint mismatch would otherwise launch a
