@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{TextFns, VectorFns}
 import graft.operators.{Backup, Ingest, VectorSearch}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -611,16 +611,16 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * update, updateIncremental, delete, compact, restore). */
   @volatile private var indexCountMemo: Option[Long] = None
 
+  /** Memoized index chunk count (parquet footer metadata — no data IO). */
+  private def indexCount(): Long = indexCountMemo.getOrElse {
+    val c = if (indexExists) index().count() else 0L
+    indexCountMemo = Some(c)
+    c
+  }
+
   /** True when [[search]] routes through the IVF probe: the current index
     * is at/above `cfg.ivfThreshold` chunks. */
-  private[graft] def routeIvf(): Boolean = {
-    val n = indexCountMemo.getOrElse {
-      val c = if (indexExists) index().count() else 0L
-      indexCountMemo = Some(c)
-      c
-    }
-    n >= cfg.ivfThreshold
-  }
+  private[graft] def routeIvf(): Boolean = indexCount() >= cfg.ivfThreshold
 
   /**
    * Semantic search: returns up to `cfg.limit` documents per query, best
@@ -633,8 +633,38 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * probed cells (the path that survives corpus scale — with the
    * reference's own nprobe = nlist both paths are exhaustive and agree).
    */
-  def search(queries: Seq[String]): DataFrame = {
-    val qdf = queryDf(queries)
+  def search(queries: Seq[String]): DataFrame =
+    searchImpl(queryDf(queries), None)
+
+  /**
+   * Filtered semantic search — [[search]] restricted to documents matching
+   * a metadata predicate (Milvus's `expr` parameter on `collection.search`,
+   * the hybrid scalar-filter + vector verb beside `vdb.py:94-100`'s
+   * unfiltered call). Only matching documents are eligible hits; the
+   * top-`cfg.limit` is taken WITHIN the eligible set, never post-hoc over
+   * an unfiltered top-k (post-filtering can return fewer than k or miss
+   * eligible hits — the classic filtered-ANN recall trap).
+   *
+   * The eligibility set is applied as early as each strategy allows — the
+   * bitset-during-scan discipline: the brute scan semi-joins the index
+   * BEFORE the per-query scoring multiply; IVF_PQ gates the compressed
+   * codes BEFORE ADC ranking, so ineligible docs can't crowd eligible ones
+   * out of the `pqRerank` cut; the cell-pruned paths gate their probed
+   * candidates before the top-k reduce. The predicate evaluates against
+   * store columns (ingest a metadata-bearing frame to filter on it).
+   */
+  def searchWhere(queries: Seq[String], pred: Column): DataFrame = {
+    val eligible = store().filter(pred).select(col("doc_id")).distinct()
+    searchImpl(queryDf(queries), Some(eligible))
+  }
+
+  private def searchImpl(qdf: DataFrame,
+                         eligible: Option[DataFrame]): DataFrame = {
+    // eligibility gate: a doc_id semi-join, broadcast-or-shuffle by AQE's
+    // runtime sizing (a selective predicate broadcasts; a 90%-pass
+    // predicate at 100 TB must not)
+    def gate(df: DataFrame): DataFrame =
+      eligible.fold(df)(e => df.join(e, Seq("doc_id"), "left_semi"))
     // chunk-level scoring against the broadcast query side, then the
     // per-parent best-hit reduce (vdb.py:104-110) and top-k per query.
     // The scoring strategy is the configured index_type (config.yml:79):
@@ -644,11 +674,11 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     // pqRerank survivors per query.
     val scored =
       if (cfg.indexType == "FLAT" || !routeIvf())
-        index().crossJoin(broadcast(qdf))
+        gate(index()).crossJoin(broadcast(qdf))
           .withColumn("score", round(VectorFns.cosineSim(col("vec"), col("query_vec")), 4))
       else if (cfg.indexType == "IVF_PQ") {
         val idx = ivfIndex()
-        val cand = VectorSearch.pqAdcCandidates(pqCodes(), idx.centroids, qdf,
+        val cand = VectorSearch.pqAdcCandidates(gate(pqCodes()), idx.centroids, qdf,
           cfg.pqRerank, cfg.embedDim, cfg.pqM, cfg.pqCodes, cfg.pqSeed,
           cfg.nprobe, idCol = "chunk_id")
         index().join(broadcast(cand), Seq("chunk_id"))
@@ -660,9 +690,9 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         // reconstructions (asymmetric, q145's scoring) — never the full
         // vectors, which IVF_SQ8 serving does not read at all
         val idx = ivfIndex()
-        VectorSearch.sq8ScoredCandidates(spark, ivfPath, idx.centroids, qdf, cfg.nprobe)
+        gate(VectorSearch.sq8ScoredCandidates(spark, ivfPath, idx.centroids, qdf, cfg.nprobe))
       }
-      else ivfIndex().scoredCandidates(qdf, cfg.nprobe)
+      else gate(ivfIndex().scoredCandidates(qdf, cfg.nprobe))
     val best = scored.groupBy(col("query_id"), col("query"), col("doc_id"))
       .agg(max(col("score")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
@@ -797,12 +827,76 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         if (cfg.indexType == "IVF_SQ8")
           VectorSearch.writeSq8(built, ivfPath)
         stampFingerprint(fp)
+        // record the training population: [[maintain]]'s growth policy
+        // measures appended-since-retrain against this stamp
+        stampBuildCount(indexCount())
       }
       val loaded = VectorSearch.loadIvf(spark, ivfPath, idCol = "chunk_id", vecCol = "vec")
       ivfMemo = Some(loaded)
       loaded
     }
   })
+
+  /**
+   * Quantizer-health maintenance — the retrain policy a long-lived IVF
+   * deployment runs beside compaction (faiss/Milvus guidance: a coarse
+   * quantizer trained on N vectors degrades as the population drifts away
+   * from it; [[updateIncremental]] deliberately never retrains, so growth
+   * accumulates). One metadata-only check: if chunks appended since the
+   * layout was last TRAINED exceed `maxGrowth` × the training population,
+   * rebuild the layout offline now (the scheduled-maintenance slot) instead
+   * of letting probe recall decay; otherwise touch nothing — an under-
+   * threshold call leaves every layout byte identical. A stale-fingerprint
+   * layout is rebuilt regardless (the next search would have paid that
+   * build anyway — better in the maintenance window). Returns the decision
+   * row: training population, current population, growth fraction, action.
+   * At 100 TB the check costs two metadata reads; the rebuild, when taken,
+   * costs exactly one offline create_index.
+   */
+  def maintain(maxGrowth: Double): DataFrame = {
+    val now = indexCount()
+    val atBuild = persistedBuildCount()
+    val layoutCurrent = persistedFingerprint().contains(compositeFingerprint())
+    val growth = atBuild match {
+      case Some(b) if b > 0L => (now - b).toDouble / b
+      case _ => 0.0
+    }
+    val retrain = cfg.indexType != "FLAT" && routeIvf() &&
+      (!layoutCurrent || growth > maxGrowth)
+    if (retrain) synchronized {
+      // force the retrain even over a current stamp: drop the stamp and the
+      // memo under the ivfIndex() monitor, then build. A crash between the
+      // drop and the build degrades to the rebuild-on-next-search path.
+      val f = fingerprintFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(fingerprintFile, false)
+      ivfMemo = None
+      ivfIndex()
+    }
+    spark.range(1).select(
+      lit(atBuild.getOrElse(0L)).as("n_at_build"),
+      lit(now).as("n_chunks"),
+      round(lit(growth), 4).as("growth"),
+      lit(retrain).as("retrained"))
+  }
+
+  private def buildCountFile =
+    new org.apache.hadoop.fs.Path(s"$ivfPath/_BUILD_COUNT")
+
+  private def stampBuildCount(n: Long): Unit = {
+    val f = buildCountFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(buildCountFile, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def persistedBuildCount(): Option[Long] = {
+    val f = buildCountFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(buildCountFile)) None
+    else {
+      val in = f.open(buildCountFile)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
 
   /** The persisted PQ codes of an IVF_PQ layout, built-if-stale via
     * [[ivfIndex]] (one call sequences both layouts under the same lock). */

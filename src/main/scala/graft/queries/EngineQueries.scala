@@ -627,6 +627,61 @@ object EngineQueries {
       new Engine(s, cfg).search(searchTexts)
     }),
 
+    // Filtered vector search — Milvus's `expr` parameter on
+    // collection.search (the hybrid scalar-predicate + ANN verb beside the
+    // reference's unfiltered vdb.py:94-100 call): ingest the corpus WITH
+    // its metadata columns, index everything, then search restricted to
+    // lang='en' documents. The top-4 is taken WITHIN the eligible set
+    // (pre-filtering — the eligibility semi-join gates the candidates
+    // before the top-k reduce; a post-filtered top-k would miss eligible
+    // hits whenever an ineligible doc out-scores them, and the oracle —
+    // which chunks and scores ONLY eligible docs — would catch exactly
+    // that). nprobe = nlist keeps the IVF route exhaustive, so the graded
+    // property is the filter semantics, not probe recall.
+    "q210_filtered_search" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q210_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text", "lang"))
+      eng.update()
+      new Engine(s, cfg).searchWhere(searchTexts, col("lang") === "en")
+    }),
+
+    // Quantizer-health maintenance (Engine.maintain): updateIncremental
+    // NEVER retrains the coarse quantizer, so a long-lived deployment's
+    // layout drifts from its training population; the faiss/Milvus answer
+    // is a growth-triggered offline retrain. Train on 80% of the corpus,
+    // extend with the remaining 20% (growth ≈ 0.25), then drive the policy
+    // through three ticks: under-threshold (0.5 — must touch nothing),
+    // over-threshold (0.1 — must retrain offline and reset the baseline),
+    // and again post-retrain (0.1 — must be a no-op, proving the baseline
+    // reset). Serving after maintenance must hash-match the full-corpus
+    // replay — retraining may move every cell boundary but never a result.
+    "q211_ivf_maintain" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q211_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs.filter(col("doc_id") % 5 =!= 0))
+      eng.update() // trains the quantizer; stamps the training population
+      eng.ingest(docs)
+      eng.updateIncremental() // extends the layout — no retrain, growth accrues
+      val d1 = eng.maintain(maxGrowth = 0.5).head
+      require(!d1.getBoolean(3) && d1.getLong(0) < d1.getLong(1),
+        s"q211: under-threshold maintain must be a no-op, got $d1")
+      val d2 = new Engine(s, cfg).maintain(maxGrowth = 0.1).head
+      require(d2.getBoolean(3), s"q211: over-threshold maintain must retrain, got $d2")
+      val eng3 = new Engine(s, cfg)
+      val d3 = eng3.maintain(maxGrowth = 0.1).head
+      require(!d3.getBoolean(3) && d3.getLong(0) == d3.getLong(1),
+        s"q211: retrain must reset the growth baseline, got $d3")
+      eng3.search(searchTexts)
+    }),
+
     // The production loop driven by the REAL Scheduler (scheduler.py:10-51
     // parity — q197 composes the same flow manually; this grades the
     // scheduler itself): init_run fires immediately with the first crawl
@@ -1743,6 +1798,17 @@ object EngineQueries {
 
     // compaction must be invisible to results: the full-corpus replay
     "q209_compact_serve" -> lifecycleSearchSql,
+
+    // filtered search: the oracle chunks and scores ONLY the eligible
+    // (lang='en') documents — equal to indexing everything and gating
+    // candidates before top-k, the engine's pre-filter shape
+    "q210_filtered_search" -> lifecycleSearchSql.replace(
+      "FROM documents WHERE length(text) > 0",
+      "FROM documents WHERE length(text) > 0 AND lang = 'en'"),
+
+    // maintenance may move every cell boundary but never a result: the
+    // full-corpus replay
+    "q211_ivf_maintain" -> lifecycleSearchSql,
 
     // the scheduler-driven loop ends at the same full-corpus serving state
     "q204_scheduler_loop" -> lifecycleSearchSql,

@@ -661,6 +661,119 @@ class EngineSpec extends SparkSpec {
         s"radius $t after extend: IVF-routed census diverged from brute")
     }
   }
+
+  private def hitCensus(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+    df.collect().map(r => (r.getLong(r.fieldIndex("query_id")),
+      r.getLong(r.fieldIndex("doc_id")), r.getDouble(r.fieldIndex("score")),
+      r.getInt(r.fieldIndex("rank")))).toSet
+
+  test("searchWhere pre-filters: eligible docs outside the unfiltered top-k still surface") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fsearch").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    val qs = Seq("data processing pipeline", "machine learning")
+    val pred = col("source") === "src7" // selective: crowd-out is guaranteed
+    // brute, pruned IVF_FLAT, and IVF_SQ8: the gate commutes with the
+    // scoring strategy, so filtered top-k must equal a re-ranked post-filter
+    // of an EXHAUSTIVE-k search (the independent expected — no shared code
+    // path with the gate)
+    for ((tag, mk) <- Seq[(String, String => EngineConfig)](
+      ("brute", d => EngineConfig(storePath = s"$d/s", indexPath = s"$d/i")),
+      ("ivf", d => EngineConfig(storePath = s"$d/s", indexPath = s"$d/i",
+        nlist = 8, nprobe = 3, ivfThreshold = 1L)),
+      ("sq8", d => EngineConfig(storePath = s"$d/s", indexPath = s"$d/i",
+        nlist = 8, nprobe = 3, ivfThreshold = 1L, indexType = "IVF_SQ8")))) {
+      val d = s"$dir/$tag"
+      val cfg = mk(d)
+      val eng = new Engine(spark, cfg)
+      eng.ingest(docs)
+      eng.update()
+      val got = hitCensus(eng.searchWhere(qs, pred))
+      val all = new Engine(spark, cfg.copy(limit = 1000000))
+        .search(qs).collect()
+        .map(r => (r.getLong(r.fieldIndex("query_id")),
+          r.getLong(r.fieldIndex("doc_id")), r.getDouble(r.fieldIndex("score"))))
+      val eligibleIds = docs.filter(pred).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val want = all.filter(t => eligibleIds(t._2)).groupBy(_._1).toSeq.flatMap {
+        case (q, hits) => hits.sortBy(t => (-t._3, t._2)).take(cfg.limit)
+          .zipWithIndex.map { case ((qq, doc, sc), i) => (qq, doc, sc, i + 1) }
+      }.toSet
+      assert(got == want, s"$tag: filtered search != re-ranked post-filter of exhaustive k")
+      // the test is only meaningful if the filter actually changed the set
+      val unfTop = hitCensus(eng.search(qs)).map(t => (t._1, t._2))
+      assert(got.exists(t => !unfTop((t._1, t._2))),
+        s"$tag: fixture too weak — every filtered hit was already in the unfiltered top-k")
+      assert(hitCensus(eng.searchWhere(qs, lit(false))).isEmpty,
+        s"$tag: an unsatisfiable predicate must return no hits")
+    }
+    // IVF_PQ gates the compressed codes BEFORE the ADC rerank cut, so the
+    // expected is an eligible-only-corpus engine (valid because the seeded
+    // coarse quantizer and codebooks are data-independent): an eligible doc
+    // outside the unfiltered rerank cut must still surface
+    val full = new Engine(spark, EngineConfig(storePath = s"$dir/pq/s",
+      indexPath = s"$dir/pq/i", nlist = 8, nprobe = 3, ivfThreshold = 1L,
+      indexType = "IVF_PQ"))
+    full.ingest(docs); full.update()
+    val elig = new Engine(spark, EngineConfig(storePath = s"$dir/pqe/s",
+      indexPath = s"$dir/pqe/i", nlist = 8, nprobe = 3, ivfThreshold = 1L,
+      indexType = "IVF_PQ"))
+    elig.ingest(docs.filter(pred)); elig.update()
+    assert(hitCensus(full.searchWhere(qs, pred)) == hitCensus(elig.search(qs)),
+      "IVF_PQ: gated-codes search != eligible-only-corpus search")
+  }
+
+  test("searchWhere (brute route) pushes the eligibility semi-join below the scoring cross join") {
+    val eng = freshEngine()
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang"))
+    eng.update()
+    val df = eng.searchWhere(Seq("vector search"), col("lang") === "en")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val bnlj = plan.indexOf("BroadcastNestedLoopJoin")
+    val semi = plan.indexOf("LeftSemi")
+    // tree-strings print parents before children: the semi-join gate must
+    // sit BELOW the scoring cross join (ineligible chunks are never scored)
+    assert(bnlj >= 0 && semi > bnlj,
+      s"eligibility gate not below the scoring join (bnlj=$bnlj semi=$semi)\n${plan.take(3000)}")
+  }
+
+  test("maintain: retrain fires only over the growth threshold and resets the baseline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs.filter(col("doc_id") % 3 =!= 0))
+    eng.update()
+    eng.ingest(docs)
+    eng.updateIncremental() // growth ≈ 0.5 accrues, no retrain
+    val before = walk(new java.io.File(s"$dir/index_ivf"))
+    val d1 = eng.maintain(maxGrowth = 5.0).head
+    assert(!d1.getBoolean(3), s"under-threshold maintain retrained: $d1")
+    assert(walk(new java.io.File(s"$dir/index_ivf")) == before,
+      "a no-op maintain touched the layout")
+    val d2 = eng.maintain(maxGrowth = 0.2).head
+    assert(d2.getBoolean(3), s"over-threshold maintain did not retrain: $d2")
+    assert(d2.getLong(0) < d2.getLong(1), s"decision row lost the growth evidence: $d2")
+    // baseline reset: a fresh engine sees zero growth, and even the most
+    // aggressive threshold is a no-op
+    val d3 = new Engine(spark, cfg).maintain(maxGrowth = 0.0).head
+    assert(!d3.getBoolean(3) && d3.getLong(0) == d3.getLong(1),
+      s"retrain did not reset the baseline: $d3")
+    // the retrained layout serves the full corpus exactly
+    val brute = new Engine(spark, EngineConfig(storePath = s"$dir/store",
+      indexPath = s"$dir/index")) // threshold default: never routes IVF
+    assert(hitCensus(new Engine(spark, cfg).search(Seq("data processing pipeline")))
+      == hitCensus(brute.search(Seq("data processing pipeline"))),
+      "post-retrain serving diverged from brute")
+    // a FLAT engine never has a layout to maintain: always a no-op
+    val flat = new Engine(spark, EngineConfig(storePath = s"$dir/store",
+      indexPath = s"$dir/index", indexType = "FLAT", ivfThreshold = 1L))
+    assert(!flat.maintain(maxGrowth = 0.0).head.getBoolean(3),
+      "maintain retrained a FLAT engine")
+  }
 }
 
 object SparkEntryTestHelpers {
