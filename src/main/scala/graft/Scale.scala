@@ -98,7 +98,7 @@ object Scale {
       case a if a.startsWith("ops=") => a.stripPrefix("ops=").split(",").toSet
     }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective",
       "incdedup", "cc", "export", "spans", "invidx", "pq", "maxsim", "ivfpq",
-      "snm", "rangeivf"))
+      "snm", "rangeivf", "filtered"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -382,6 +382,35 @@ object Scale {
             graft.functions.VectorFns.cosineSim(col("embedding"), col("query_vec")), 4))
           .filter(col("score") >= 0.85).count()
       }
+    }
+
+    // 10b. Filtered ANN search (Engine.searchWhere's gate shape): the
+    //      probe-pruned candidate set semi-joined against a 10% eligibility
+    //      set, vs the unfiltered probe. The claim under measurement: the
+    //      gate's cost tracks the CANDIDATE set (it broadcasts the small
+    //      eligible side or semi-joins candidates — both o(corpus)), so the
+    //      filtered search's shuffle stays within a constant of the
+    //      unfiltered probe at every scale — never a second corpus pass.
+    if (only("filtered")) vecLadder.foreach { case (s, n) =>
+      val nlist = math.max(16, math.sqrt(n.toDouble).toInt / 2)
+      val nprobe = math.max(4, nlist / 16)
+      val corpusVecs = vectors(spark, n, 0)
+      val idx = VectorSearch.buildIvf(corpusVecs, nlist)
+      idx.cells.cache().count()
+      val queries = vectors(spark, 256, 1)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        .localCheckpoint(true)
+      val eligible = corpusVecs.select(col("vec_id"))
+        .filter(pmod(col("vec_id"), lit(10)) === 0)
+      idx.scoredCandidates(queries.limit(8), nprobe).count() // warm
+      measure("ann_probe_unfiltered", s, n) {
+        idx.scoredCandidates(queries, nprobe).count()
+      }
+      measure("ann_probe_filtered", s, n) {
+        idx.scoredCandidates(queries, nprobe)
+          .join(eligible, Seq("vec_id"), "left_semi").count()
+      }
+      idx.cells.unpersist(blocking = false)
     }
 
     // 11. Sorted-neighborhood pairing (q200/q201 shapes) under a
