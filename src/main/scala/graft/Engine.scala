@@ -658,20 +658,21 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     searchImpl(queryDf(queries), Some(eligible))
   }
 
-  private def searchImpl(qdf: DataFrame,
-                         eligible: Option[DataFrame]): DataFrame = {
+  /** Chunk-level scoring against the broadcast query side through the
+    * configured serving strategy (index_type, config.yml:79): FLAT and
+    * sub-threshold indexes brute-scan; IVF_FLAT prunes cells exactly;
+    * IVF_PQ cuts candidates in the compressed domain (persisted codes,
+    * partition-pruned by the probe) and exact-re-ranks only the pqRerank
+    * survivors per query; IVF_SQ8 scores reconstructions of probed cells.
+    * `eligible` is [[searchWhere]]'s gate, applied as early as each
+    * strategy allows. */
+  private def scoredChunks(qdf: DataFrame,
+                           eligible: Option[DataFrame]): DataFrame = {
     // eligibility gate: a doc_id semi-join, broadcast-or-shuffle by AQE's
     // runtime sizing (a selective predicate broadcasts; a 90%-pass
     // predicate at 100 TB must not)
     def gate(df: DataFrame): DataFrame =
       eligible.fold(df)(e => df.join(e, Seq("doc_id"), "left_semi"))
-    // chunk-level scoring against the broadcast query side, then the
-    // per-parent best-hit reduce (vdb.py:104-110) and top-k per query.
-    // The scoring strategy is the configured index_type (config.yml:79):
-    // FLAT and sub-threshold indexes brute-scan; IVF_FLAT prunes cells
-    // exactly; IVF_PQ cuts candidates in the compressed domain (persisted
-    // codes, partition-pruned by the probe) and exact-re-ranks only the
-    // pqRerank survivors per query.
     val scored =
       if (cfg.indexType == "FLAT" || !routeIvf())
         gate(index()).crossJoin(broadcast(qdf))
@@ -693,7 +694,14 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         gate(VectorSearch.sq8ScoredCandidates(spark, ivfPath, idx.centroids, qdf, cfg.nprobe))
       }
       else gate(ivfIndex().scoredCandidates(qdf, cfg.nprobe))
-    val best = scored.groupBy(col("query_id"), col("query"), col("doc_id"))
+    scored
+  }
+
+  private def searchImpl(qdf: DataFrame,
+                         eligible: Option[DataFrame]): DataFrame = {
+    // per-parent best-hit reduce (vdb.py:104-110) and top-k per query
+    val best = scoredChunks(qdf, eligible)
+      .groupBy(col("query_id"), col("query"), col("doc_id"))
       .agg(max(col("score")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -705,6 +713,81 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     store().join(broadcast(topk), "doc_id")
       .select(col("query_id"), col("query"), col("doc_id"), col("score"),
         col("rank"), substring(col("text"), 1, 200).as("preview"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
+   * Hybrid retrieval — Milvus 2.4's `hybrid_search` verb (multi-ranker +
+   * rank fusion) over this engine's two native rankers: the vector ranking
+   * ([[search]]'s per-doc best chunk score through the configured serving
+   * strategy) and an integral BM25 lexical ranking over the store
+   * (k1=1.2, b=0.75 in basis points — every score an exact integer, so the
+   * fusion replays relationally). Each ranking pools its top `kPool` docs
+   * per query; reciprocal-rank fusion (k=60, contributions in ppm —
+   * integer-exact, no score calibration across rankers) merges them and
+   * the top `cfg.limit` is hydrated.
+   *
+   * Scale shape: the vector side inherits the serving strategy's pruning
+   * (probed cells / compressed codes); the lexical side is one token
+   * explode over the store shuffled on (doc_id, tok) — the on-line
+   * spelling; a standing deployment would serve it from the persisted
+   * inverted index ([[graft.operators.InvertedIndex]]) instead. Both
+   * rankings cut to kPool per query BEFORE the fusion join, so the fusion
+   * and hydration sides are metadata-sized regardless of corpus scale.
+   */
+  def hybridSearch(queries: Seq[String], kPool: Int = 100): DataFrame = {
+    val qdf = queryDf(queries)
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    val vrank = scoredChunks(qdf, None)
+      .groupBy(col("query_id"), col("doc_id")).agg(max(col("score")).as("score"))
+      .withColumn("vec_rank", row_number().over(wv))
+      .filter(col("vec_rank") <= kPool)
+      .select(col("query_id"), col("doc_id"), col("vec_rank").cast("long").as("vec_rank"))
+    // lexical side: the query terms fan the per-(doc, term) tf out per
+    // query; corpus stats (dl, N, T) computed once for all queries
+    import spark.implicits._
+    val qterms = queries.zipWithIndex.flatMap { case (q, i) =>
+      q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (i.toLong, t))
+    }.toDF("query_id", "tok")
+    val toks = store()
+      .select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val corp = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
+    val tf = toks.join(broadcast(qterms.select("tok").distinct()), Seq("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("bm25_bp").desc, col("doc_id").asc)
+    val lrank = tf.join(broadcast(qterms), Seq("tok"))
+      .join(broadcast(dfT), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corp))
+      .withColumn("idf_bp", expr("(10000 * (2*n_docs - 2*df + 1)) DIV (2*df + 1)"))
+      .withColumn("tf_bp",
+        expr("(10000 * 22 * t_toks * tf) DIV (10 * t_toks * tf + 3 * t_toks + 9 * dl * n_docs)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr("(idf_bp * tf_bp) DIV 10000")).as("bm25_bp"))
+      .withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= kPool)
+      .select(col("query_id"), col("doc_id"), col("lex_rank").cast("long").as("lex_rank"))
+    // reciprocal-rank fusion, k=60: contributions in ppm stay integers
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+    val top = lrank.join(vrank, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr("1000000 DIV (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 DIV (60 + vec_rank)"), lit(0L)))
+      .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
+      .withColumn("vec_rank", coalesce(col("vec_rank"), lit(0L)))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= cfg.limit)
+    store().join(broadcast(top), "doc_id")
+      .join(broadcast(qdf.select(col("query_id"), col("query"))), Seq("query_id"))
+      .select(col("query_id"), col("query"), col("doc_id"), col("lex_rank"),
+        col("vec_rank"), col("rrf_ppm"), col("rank"),
+        substring(col("text"), 1, 200).as("preview"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -916,11 +999,28 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * bound is sound), so routing never changes results, only the IO:
    * qualifying cells are read, the rest are partition-pruned.
    */
-  def searchRadius(queries: Seq[String], threshold: Double): DataFrame = {
-    val qdf = queryDf(queries)
+  def searchRadius(queries: Seq[String], threshold: Double): DataFrame =
+    radiusImpl(queryDf(queries), threshold, None)
+
+  /** Filtered radius search — [[searchRadius]] restricted to documents
+    * matching a metadata predicate, completing the predicate × verb matrix
+    * ([[searchWhere]] is the top-k cell). Brute scans gate BEFORE the
+    * scoring multiply; the IVF route gates the (already radius-pruned)
+    * qualifying chunks — the bound prune is query-side only, so the gate
+    * commutes with it and pruned results stay exact. */
+  def searchRadiusWhere(queries: Seq[String], threshold: Double,
+                        pred: Column): DataFrame = {
+    val eligible = store().filter(pred).select(col("doc_id")).distinct()
+    radiusImpl(queryDf(queries), threshold, Some(eligible))
+  }
+
+  private def radiusImpl(qdf: DataFrame, threshold: Double,
+                         eligible: Option[DataFrame]): DataFrame = {
+    def gate(df: DataFrame): DataFrame =
+      eligible.fold(df)(e => df.join(e, Seq("doc_id"), "left_semi"))
     val hits =
-      if (routeIvf()) ivfIndex().rangeSearch(qdf, threshold)
-      else index().crossJoin(broadcast(qdf))
+      if (routeIvf()) gate(ivfIndex().rangeSearch(qdf, threshold))
+      else gate(index()).crossJoin(broadcast(qdf))
         .withColumn("score",
           round(VectorFns.cosineSim(col("vec"), col("query_vec")), 4))
         .filter(col("score") >= threshold)

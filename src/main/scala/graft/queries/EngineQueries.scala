@@ -682,6 +682,42 @@ object EngineQueries {
       eng3.search(searchTexts)
     }),
 
+    // The predicate × verb matrix completed: filtered RADIUS search (q210
+    // is the top-k cell). ivfThreshold=1 routes through the cell-bound-
+    // pruned rangeSearch; the eligibility gate commutes with the (sound,
+    // query-side-only) bound prune, so the output must hash-match a brute
+    // replay over the eligible corpus only.
+    "q213_filtered_radius" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q213_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text", "lang"))
+      eng.update()
+      new Engine(s, cfg).searchRadiusWhere(searchTexts, 0.3, col("lang") === "en")
+    }),
+
+    // Hybrid retrieval as an ENGINE verb — Milvus 2.4's hybrid_search
+    // (multi-ranker + rank fusion) over the engine's two native rankers:
+    // the chunked vector ranking (per-doc best chunk, the q64 path) and an
+    // integral BM25 ranking over the store, each pooled to its top-100 per
+    // query, fused by reciprocal rank (k=60, ppm integers — rank fusion
+    // needs no score calibration, which is why it replays hash-exactly).
+    // The oracle recomputes BOTH rankings and the fusion relationally; a
+    // doc surfacing on lexical evidence alone (vec_rank=0) or vector
+    // evidence alone (lex_rank=0) is part of the graded contract.
+    "q212_engine_hybrid" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q212_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      new Engine(s, cfg).hybridSearch(searchTexts)
+    }),
+
     // The production loop driven by the REAL Scheduler (scheduler.py:10-51
     // parity — q197 composes the same flow manually; this grades the
     // scheduler itself): init_run fires immediately with the first crawl
@@ -1528,6 +1564,124 @@ object EngineQueries {
   /** The engine-lifecycle search replay (chunker + hash-embed + cosine
     * top-k + hydration, q64's oracle). Shared by q150: a restored snapshot
     * must search EXACTLY like the engine the snapshot was taken from. */
+  /** q212's replay: the chunked vector ranking (lifecycle CTEs), the
+    * integral BM25 ranking, and the reciprocal-rank fusion — all
+    * relational, so the engine's hybridSearch is hash-checked end-to-end. */
+  private lazy val hybridSearchSql: String = {
+    val qvalues = searchTexts.zipWithIndex
+      .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
+      .mkString(", ")
+    val qtvalues = searchTexts.zipWithIndex.flatMap { case (q, i) =>
+      q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => s"(cast($i as bigint), '${t.replace("'", "''")}')")
+    }.mkString(", ")
+    s"""WITH c AS (
+       |  SELECT doc_id, text,
+       |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
+       |  FROM documents WHERE length(text) > 0),
+       |ch AS (
+       |  SELECT doc_id, doc_id || '_' || pos AS chunk_id,
+       |    substring(text, cast(pos*64+1 as int), 128) AS chunk
+       |  FROM c),
+       |${embedSql("ch", "chunk_id, doc_id", "chunk")},
+       |nv AS (
+       |  SELECT chunk_id, doc_id,
+       |    CASE WHEN nrm > 0
+       |         THEN list_transform(cv, x -> cast(cast(x * (1.0/nrm) as float) as double))
+       |         ELSE cv END AS v,
+       |    nrm
+       |  FROM vec),
+       |q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
+       |qtok AS (
+       |  SELECT query_id, query, unnest(regexp_split_to_array(trim(query), '\\s+')) AS tk
+       |  FROM q0),
+       |qhv AS (
+       |  SELECT query_id, query, ${tokBucket("tk")} AS bucket, ${tokSign("tk")} AS sgn
+       |  FROM qtok WHERE tk <> ''),
+       |qcnt AS (
+       |  SELECT query_id, query, bucket, cast(sum(sgn) as double) AS s
+       |  FROM qhv GROUP BY ALL),
+       |qdense AS (
+       |  SELECT q0.query_id, q0.query, list(coalesce(c.s, 0.0) ORDER BY g.j) AS cv
+       |  FROM q0
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g
+       |  LEFT JOIN qcnt c ON c.query_id = q0.query_id AND c.bucket = g.j
+       |  GROUP BY ALL),
+       |qvec AS (
+       |  SELECT query_id, query, cv,
+       |    sqrt(list_reduce(list_transform(cv, x -> x*x), (a,b) -> a+b)) AS nrm
+       |  FROM qdense),
+       |qnv AS (
+       |  SELECT query_id, query,
+       |    CASE WHEN nrm > 0
+       |         THEN list_transform(cv, x -> cast(cast(x * (1.0/nrm) as float) as double))
+       |         ELSE cv END AS v,
+       |    nrm
+       |  FROM qvec),
+       |scored AS (
+       |  SELECT q.query_id, n.doc_id,
+       |    round(CASE WHEN n.nrm = 0 OR q.nrm = 0 THEN 0.0
+       |               ELSE list_cosine_similarity(n.v, q.v) END, 4) AS score
+       |  FROM nv n CROSS JOIN qnv q),
+       |best AS (
+       |  SELECT query_id, doc_id, max(score) AS score
+       |  FROM scored GROUP BY ALL),
+       |vrank AS (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS vec_rank
+       |  FROM best QUALIFY vec_rank <= 100),
+       |ltok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS ltk
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM ltok GROUP BY doc_id),
+       |corp AS (SELECT count(*) AS n_docs, sum(dl) AS t_toks FROM dl),
+       |qt AS (SELECT * FROM (VALUES $qtvalues) t(query_id, ltk)),
+       |tf AS (
+       |  SELECT doc_id, ltk, count(*) AS tf FROM ltok
+       |  WHERE ltk IN (SELECT DISTINCT ltk FROM qt) GROUP BY doc_id, ltk),
+       |dft AS (SELECT ltk, count(*) AS df FROM tf GROUP BY ltk),
+       |bm AS (
+       |  SELECT q.query_id, x.doc_id, sum((x.idf_bp * x.tf_bp) // 10000) AS bm25_bp
+       |  FROM (
+       |    SELECT t.doc_id, t.ltk,
+       |      (10000 * (2*c2.n_docs - 2*d.df + 1)) // (2*d.df + 1) AS idf_bp,
+       |      (10000 * 22 * c2.t_toks * t.tf)
+       |        // (10 * c2.t_toks * t.tf + 3 * c2.t_toks + 9 * l.dl * c2.n_docs) AS tf_bp
+       |    FROM tf t JOIN dft d USING (ltk) JOIN dl l USING (doc_id) CROSS JOIN corp c2) x
+       |  JOIN qt q ON q.ltk = x.ltk
+       |  GROUP BY q.query_id, x.doc_id),
+       |lex AS (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY bm25_bp DESC, doc_id ASC) AS lex_rank
+       |  FROM bm QUALIFY lex_rank <= 100),
+       |f AS (
+       |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+       |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |    coalesce(l.lex_rank, 0) AS lex_rank0,
+       |    coalesce(v.vec_rank, 0) AS vec_rank0,
+       |    coalesce(1000000 // (60 + l.lex_rank), 0)
+       |      + coalesce(1000000 // (60 + v.vec_rank), 0) AS rrf_ppm
+       |  FROM lex l FULL OUTER JOIN vrank v
+       |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, lex_rank0, vec_rank0, rrf_ppm,
+       |    cast(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_ppm DESC, doc_id ASC) as int) AS rank
+       |  FROM f QUALIFY rank <= 4)
+       |SELECT r.query_id, q.query, r.doc_id,
+       |  cast(r.lex_rank0 as bigint) AS lex_rank,
+       |  cast(r.vec_rank0 as bigint) AS vec_rank,
+       |  cast(r.rrf_ppm as bigint) AS rrf_ppm, r.rank,
+       |  substring(d.text, 1, 200) AS preview
+       |FROM ranked r
+       |JOIN (SELECT * FROM (VALUES $qvalues) t(query_id, query)) q
+       |  ON q.query_id = r.query_id
+       |JOIN documents d ON d.doc_id = r.doc_id
+       |ORDER BY r.query_id, r.rank""".stripMargin
+  }
+
   private lazy val lifecycleSearchSql: String = {
     // chunker replay (q15's oracle spelling, size=128/overlap=64), then
     // the hash-embed replay for chunks and queries, then search replay
@@ -1809,6 +1963,14 @@ object EngineQueries {
     // maintenance may move every cell boundary but never a result: the
     // full-corpus replay
     "q211_ivf_maintain" -> lifecycleSearchSql,
+
+    // both rankings and the fusion replayed relationally
+    "q212_engine_hybrid" -> hybridSearchSql,
+
+    // radius replay over the eligible (lang='en') corpus only
+    "q213_filtered_radius" -> engineRadiusSql.replace(
+      "FROM documents WHERE length(text) > 0",
+      "FROM documents WHERE length(text) > 0 AND lang = 'en'"),
 
     // the scheduler-driven loop ends at the same full-corpus serving state
     "q204_scheduler_loop" -> lifecycleSearchSql,

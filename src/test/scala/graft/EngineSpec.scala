@@ -660,6 +660,18 @@ class EngineSpec extends SparkSpec {
       assert(census(bruteEng.searchRadius(qs, t)) == census(ivfEng.searchRadius(qs, t)),
         s"radius $t after extend: IVF-routed census diverged from brute")
     }
+    // filtered radius: the eligibility gate commutes with the bound prune —
+    // brute and IVF-routed filtered censuses agree, and both equal the
+    // unfiltered census restricted to eligible docs
+    val pred = col("doc_id") % 3 === 0
+    val eligibleIds = docs.filter(pred).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val wantFiltered = census(bruteEng.searchRadius(qs, 0.3))
+      .filter(h => eligibleIds(h._2))
+    assert(census(bruteEng.searchRadiusWhere(qs, 0.3, pred)) == wantFiltered,
+      "brute filtered radius != post-filtered unfiltered census")
+    assert(census(ivfEng.searchRadiusWhere(qs, 0.3, pred)) == wantFiltered,
+      "IVF filtered radius != post-filtered unfiltered census")
   }
 
   private def hitCensus(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
@@ -737,6 +749,39 @@ class EngineSpec extends SparkSpec {
     // sit BELOW the scoring cross join (ineligible chunks are never scored)
     assert(bnlj >= 0 && semi > bnlj,
       s"eligibility gate not below the scoring join (bnlj=$bnlj semi=$semi)\n${plan.take(3000)}")
+  }
+
+  test("hybridSearch fuses lexical and vector evidence by reciprocal rank") {
+    val eng = freshEngine()
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"))
+    eng.update()
+    val qs = Seq("data processing pipeline", "machine learning")
+    val rows = eng.hybridSearch(qs).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L))
+    byQ.values.foreach { hits =>
+      assert(hits.length <= 4)
+      val ppm = hits.sortBy(_.getInt(6)).map(_.getLong(5))
+      assert(ppm.sameElements(ppm.sorted(Ordering[Long].reverse)),
+        "rrf_ppm must be non-increasing in rank")
+      hits.foreach { r =>
+        val (lex, vec, ppmV) = (r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(lex >= 0 && vec >= 0 && (lex > 0 || vec > 0),
+          "a fused hit needs at least one ranking's evidence")
+        // ppm is exactly the sum of the two (possibly absent) contributions
+        val want = (if (lex > 0) 1000000L / (60 + lex) else 0L) +
+          (if (vec > 0) 1000000L / (60 + vec) else 0L)
+        assert(ppmV == want, s"rrf_ppm $ppmV != recomputed $want for $r")
+      }
+    }
+    // the fusion is not a relabeled vector search: lexical evidence must
+    // move at least one query's top-k away from the pure vector top-k
+    val vecTop = eng.search(qs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val hybTop = byQ.view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(qs.indices.exists(i => hybTop(i.toLong) != vecTop(i.toLong)),
+      "fixture too weak: hybrid top-k equals vector top-k for every query")
   }
 
   test("maintain: retrain fires only over the growth threshold and resets the baseline") {
