@@ -46,7 +46,12 @@ final case class EngineConfig(
     pqM: Int = 4,
     pqCodes: Int = 8,
     pqSeed: Long = 11L,
-    pqRerank: Int = 20)
+    pqRerank: Int = 20,
+    // Milvus's partition_key_field: when set, the index is hive-partitioned
+    // by this document column and searchPartitions prunes scans to the
+    // named partitions (the multi-tenancy discipline — a tenant-scoped
+    // search never reads another tenant's directories)
+    partitionKey: String = "")
 
 object EngineConfig {
   /**
@@ -97,7 +102,8 @@ object EngineConfig {
       pqM = int(4, "pq_m"),
       pqCodes = int(8, "pq_codes"),
       pqSeed = get("pq_seed").map(_.toLong).getOrElse(11L),
-      pqRerank = int(20, "pq_rerank"))
+      pqRerank = int(20, "pq_rerank"),
+      partitionKey = get("vdb.milvus.partition_key", "partition_key").getOrElse(""))
   }
 
   /**
@@ -187,8 +193,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * write — the reference's `renew` collection lifecycle (`vdb.py:196-212`).
    */
   def update(): Unit = {
-    chunkEmbed(store())
-      .write.mode("overwrite").parquet(cfg.indexPath)
+    writeIndexRows(chunkEmbed(store()), "overwrite")
     invalidateIvf()
     // the reference's create_index is part of the update lifecycle
     // (vdb.py:209-211: renew → insert → create_index) — when the fresh
@@ -226,7 +231,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val obs = org.apache.spark.sql.Observation()
     val chunks = chunkEmbed(fresh).observe(obs, count(lit(1)).as("chunks"))
     if (!maybeExtend) {
-      chunks.write.mode("append").parquet(cfg.indexPath)
+      writeIndexRows(chunks, "append")
       invalidateIvf()
       obs.get("chunks").asInstanceOf[Long]
     } else {
@@ -256,7 +261,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         // re-check under the lock: a concurrent rebuild/extend may have
         // moved the layout since the cheap pre-embed check
         val extendLayout = persistedFingerprint().contains(compositeFingerprint())
-        assigned.drop("cell").write.mode("append").parquet(cfg.indexPath)
+        writeIndexRows(assigned.drop("cell"), "append")
         invalidateIvf()
         val n = obs.get("chunks").asInstanceOf[Long]
         if (extendLayout) {
@@ -327,17 +332,30 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * (`vdb.py:70`), per-partition batched embedding (`vdb.py:76-79`) —
     * the narrow stage both [[update]] and [[updateIncremental]] write. */
   private def chunkEmbed(docs: DataFrame): DataFrame = {
+    // a configured partition key rides every index row so the partitioned
+    // write and partition-scoped scans can key on it
+    val extra = if (cfg.partitionKey.nonEmpty) Seq(col(cfg.partitionKey)) else Nil
     val chunks = widen(docs)
-      .select(col("doc_id"),
+      .select(col("doc_id") +: extra :+
         posexplode(TextFns.chunk(col("text"), cfg.chunkSize, cfg.chunkOverlap))
-          .as(Seq("pos", "chunk")))
-      .select(col("doc_id"),
-        TextFns.chunkId(col("doc_id"), col("pos")).as("chunk_id"), col("chunk"))
+          .as(Seq("pos", "chunk")): _*)
+      .select(col("doc_id") +: extra :+
+        TextFns.chunkId(col("doc_id"), col("pos")).as("chunk_id") :+ col("chunk"): _*)
     val m = model // don't close over the Engine (it holds the SparkSession)
     VectorFns.embedPartitions(chunks, "chunk", "vec", m.dim, cfg.batchSize,
         m.embedBatch)
-      .select("doc_id", "chunk_id", "vec")
+      .select(col("doc_id") +: extra :+ col("chunk_id") :+ col("vec"): _*)
   }
+
+  /** Write index rows honoring the configured partition layout: with a
+    * partition key the rows cluster by key first (one task per partition
+    * directory — at real scale `repartition(n, key)`) and hive-partition
+    * on it; without one, a flat parquet write. */
+  private def writeIndexRows(df: DataFrame, mode: String): Unit =
+    if (cfg.partitionKey.nonEmpty)
+      df.repartition(col(cfg.partitionKey)).write.mode(mode)
+        .partitionBy(cfg.partitionKey).parquet(cfg.indexPath)
+    else df.write.mode(mode).parquet(cfg.indexPath)
 
   /**
    * Forget documents (the delete side of the lifecycle; the reference can
@@ -372,7 +390,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       val i2 = index().join(broadcast(key), Seq(keyCol), "left_anti")
         .localCheckpoint(true)
       synchronized { // the ivfIndex() monitor — no rebuild may interleave
-        i2.write.mode("overwrite").parquet(cfg.indexPath)
+        writeIndexRows(i2, "overwrite")
         invalidateIvf()
         if (layoutCurrent) maintainLayoutAfterDelete(key, keyCol)
       }
@@ -658,6 +676,25 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     searchImpl(queryDf(queries), Some(eligible))
   }
 
+  /**
+   * Partition-scoped search — Milvus's `partition_names` parameter over a
+   * `partition_key`-configured collection: the index is hive-partitioned by
+   * `cfg.partitionKey` ([[writeIndexRows]]), and a search naming its
+   * tenants reads ONLY those partition directories (the predicate reaches
+   * the index scan as a PartitionFilter — [[searchWhere]]'s semi-join gate
+   * is the general-predicate tool; this is the zero-IO-outside-the-tenant
+   * tool). On the compressed/cell layouts (partitioned by cell, the key
+   * riding as a data column) the same predicate gates codes before the
+   * rerank cut and candidates before top-k — scope semantics identical,
+   * pruning becomes row-group-level.
+   */
+  def searchPartitions(queries: Seq[String], partitions: Seq[String]): DataFrame = {
+    require(cfg.partitionKey.nonEmpty,
+      "searchPartitions requires cfg.partitionKey (Milvus partition_key_field)")
+    searchImpl(queryDf(queries), None,
+      Some(col(cfg.partitionKey).isin(partitions: _*)))
+  }
+
   /** Chunk-level scoring against the broadcast query side through the
     * configured serving strategy (index_type, config.yml:79): FLAT and
     * sub-threshold indexes brute-scan; IVF_FLAT prunes cells exactly;
@@ -667,19 +704,27 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * `eligible` is [[searchWhere]]'s gate, applied as early as each
     * strategy allows. */
   private def scoredChunks(qdf: DataFrame,
-                           eligible: Option[DataFrame]): DataFrame = {
+                           eligible: Option[DataFrame],
+                           scope: Option[Column] = None): DataFrame = {
     // eligibility gate: a doc_id semi-join, broadcast-or-shuffle by AQE's
     // runtime sizing (a selective predicate broadcasts; a 90%-pass
     // predicate at 100 TB must not)
     def gate(df: DataFrame): DataFrame =
       eligible.fold(df)(e => df.join(e, Seq("doc_id"), "left_semi"))
+    // partition scope ([[searchPartitions]]): a plain predicate on index
+    // columns — on a partition-keyed layout it reaches the scan as a
+    // PartitionFilter (zero IO outside the named tenants); Catalyst pushes
+    // it below the scoring join on every strategy. For IVF_PQ it must gate
+    // the CODES (like eligible) so out-of-scope docs can't crowd the
+    // rerank cut.
+    def scoped(df: DataFrame): DataFrame = scope.fold(df)(p => df.filter(p))
     val scored =
       if (cfg.indexType == "FLAT" || !routeIvf())
-        gate(index()).crossJoin(broadcast(qdf))
+        gate(scoped(index())).crossJoin(broadcast(qdf))
           .withColumn("score", round(VectorFns.cosineSim(col("vec"), col("query_vec")), 4))
       else if (cfg.indexType == "IVF_PQ") {
         val idx = ivfIndex()
-        val cand = VectorSearch.pqAdcCandidates(gate(pqCodes()), idx.centroids, qdf,
+        val cand = VectorSearch.pqAdcCandidates(gate(scoped(pqCodes())), idx.centroids, qdf,
           cfg.pqRerank, cfg.embedDim, cfg.pqM, cfg.pqCodes, cfg.pqSeed,
           cfg.nprobe, idCol = "chunk_id")
         index().join(broadcast(cand), Seq("chunk_id"))
@@ -691,16 +736,17 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         // reconstructions (asymmetric, q145's scoring) — never the full
         // vectors, which IVF_SQ8 serving does not read at all
         val idx = ivfIndex()
-        gate(VectorSearch.sq8ScoredCandidates(spark, ivfPath, idx.centroids, qdf, cfg.nprobe))
+        gate(scoped(VectorSearch.sq8ScoredCandidates(spark, ivfPath, idx.centroids, qdf, cfg.nprobe)))
       }
-      else gate(ivfIndex().scoredCandidates(qdf, cfg.nprobe))
+      else gate(scoped(ivfIndex().scoredCandidates(qdf, cfg.nprobe)))
     scored
   }
 
   private def searchImpl(qdf: DataFrame,
-                         eligible: Option[DataFrame]): DataFrame = {
+                         eligible: Option[DataFrame],
+                         scope: Option[Column] = None): DataFrame = {
     // per-parent best-hit reduce (vdb.py:104-110) and top-k per query
-    val best = scoredChunks(qdf, eligible)
+    val best = scoredChunks(qdf, eligible, scope)
       .groupBy(col("query_id"), col("query"), col("doc_id"))
       .agg(max(col("score")).as("score"))
     val w = org.apache.spark.sql.expressions.Window

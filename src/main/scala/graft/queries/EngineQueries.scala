@@ -698,6 +698,27 @@ object EngineQueries {
       new Engine(s, cfg).searchRadiusWhere(searchTexts, 0.3, col("lang") === "en")
     }),
 
+    // Partition-keyed multi-tenancy — Milvus's partition_key_field +
+    // partition_names search parameter: the index is hive-partitioned by
+    // the document's source column, and a search naming its tenants reads
+    // ONLY those partition directories (EngineSpec plan-gates the
+    // PartitionFilters; the runtime require gates the on-disk hive
+    // layout). Results must hash-match the lifecycle replay restricted to
+    // the named tenants — the top-k is taken WITHIN the scope.
+    "q214_partition_search" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q214_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        partitionKey = "source") // default ivfThreshold: the partition-pruned brute scan
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text", "source"))
+      eng.update()
+      require(new java.io.File(s"$tmp/index").listFiles()
+          .exists(_.getName.startsWith("source=")),
+        "q214: update() did not hive-partition the index by the partition key")
+      new Engine(s, cfg).searchPartitions(searchTexts, Seq("src3", "src7", "src11"))
+    }),
+
     // Hybrid retrieval as an ENGINE verb — Milvus 2.4's hybrid_search
     // (multi-ranker + rank fusion) over the engine's two native rankers:
     // the chunked vector ranking (per-doc best chunk, the q64 path) and an
@@ -1971,6 +1992,11 @@ object EngineQueries {
     "q213_filtered_radius" -> engineRadiusSql.replace(
       "FROM documents WHERE length(text) > 0",
       "FROM documents WHERE length(text) > 0 AND lang = 'en'"),
+
+    // the lifecycle replay restricted to the named tenants
+    "q214_partition_search" -> lifecycleSearchSql.replace(
+      "FROM documents WHERE length(text) > 0",
+      "FROM documents WHERE length(text) > 0 AND source IN ('src3', 'src7', 'src11')"),
 
     // the scheduler-driven loop ends at the same full-corpus serving state
     "q204_scheduler_loop" -> lifecycleSearchSql,

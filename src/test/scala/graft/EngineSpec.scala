@@ -751,6 +751,43 @@ class EngineSpec extends SparkSpec {
       s"eligibility gate not below the scoring join (bnlj=$bnlj semi=$semi)\n${plan.take(3000)}")
   }
 
+  test("partition-keyed index: searchPartitions prunes the scan to the named tenants") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pkey").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      partitionKey = "source") // default threshold: the brute (scan-pruned) route
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    eng.ingest(half)
+    eng.update()
+    // incremental appends land INSIDE the hive layout, not at the root
+    eng.ingest(docs)
+    assert(eng.updateIncremental() > 0)
+    val root = new java.io.File(s"$dir/index")
+    assert(root.listFiles().exists(_.getName.startsWith("source=")),
+      "index is not hive-partitioned by the partition key")
+    assert(!root.listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "an append wrote data files OUTSIDE the partition layout")
+    val qs = Seq("data processing pipeline", "machine learning")
+    val parts = Seq("src3", "src7")
+    val df = eng.searchPartitions(qs, parts)
+    df.collect()
+    // the tenant scope must reach the index scan as a PARTITION filter —
+    // directories of unnamed tenants are never read
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*source[^\\]]*\\].*"),
+      s"tenant scope did not become a partition filter\n${plan.take(3000)}")
+    // scope semantics == the general-predicate gate on the same predicate
+    assert(hitCensus(df) ==
+      hitCensus(eng.searchWhere(qs, col("source").isin(parts: _*))),
+      "searchPartitions != searchWhere on the partition-key predicate")
+    // and the IVF-routed engine over the SAME layout agrees (exhaustive probe)
+    val ivfEng = new Engine(spark, cfg.copy(nlist = 8, nprobe = 8, ivfThreshold = 1L))
+    assert(hitCensus(ivfEng.searchPartitions(qs, parts)) == hitCensus(df),
+      "IVF-routed partition scope diverged from the scan-pruned brute route")
+  }
+
   test("hybridSearch fuses lexical and vector evidence by reciprocal rank") {
     val eng = freshEngine()
     eng.ingest(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"))
