@@ -742,9 +742,25 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     scored
   }
 
+  /**
+   * Result paging — Milvus's `offset` search parameter (and the page verb
+   * under its `search_iterator`): ranks (offset, offset+pageSize] of the
+   * SAME total ranking [[search]] serves page 1 of. The rank column stays
+   * absolute, so consecutive pages concatenate into the full ranking with
+   * no seam. Deep paging costs what top-(offset+pageSize) costs — the
+   * ranking work is shared; only the filter window moves.
+   */
+  def searchPage(queries: Seq[String], offset: Int, pageSize: Int): DataFrame = {
+    require(offset >= 0 && pageSize > 0, s"bad page: offset=$offset size=$pageSize")
+    searchImpl(queryDf(queries), None, None, offset, pageSize)
+  }
+
   private def searchImpl(qdf: DataFrame,
                          eligible: Option[DataFrame],
-                         scope: Option[Column] = None): DataFrame = {
+                         scope: Option[Column] = None,
+                         offset: Int = 0,
+                         pageSize: Int = 0): DataFrame = {
+    val limit = if (pageSize > 0) pageSize else cfg.limit
     // per-parent best-hit reduce (vdb.py:104-110) and top-k per query
     val best = scoredChunks(qdf, eligible, scope)
       .groupBy(col("query_id"), col("query"), col("doc_id"))
@@ -754,11 +770,50 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .orderBy(col("score").desc, col("doc_id").asc)
     val topk = best
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= cfg.limit)
+      .filter(col("rank") > offset && col("rank") <= offset + limit)
     // hydration join (vdb.py:113-119): hits side is tiny ⇒ broadcast
     store().join(broadcast(topk), "doc_id")
       .select(col("query_id"), col("query"), col("doc_id"), col("score"),
         col("rank"), substring(col("text"), 1, 200).as("preview"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
+   * Grouping search — Milvus 2.4's `group_by_field` search parameter: the
+   * top `cfg.limit` GROUPS per query (distinct values of a document
+   * column), each represented by its best-scoring document — the
+   * diversity-enforcing verb (a plain top-k can fill up with one source's
+   * near-duplicates). Ranking: per-doc best chunk score through the
+   * configured serving strategy, reduced to the best doc per (query,
+   * group), then top-k groups. When the index already carries the field
+   * (a [[EngineConfig.partitionKey]] layout) group attribution is FREE —
+   * no store join; otherwise one doc-keyed join attaches it.
+   */
+  def searchGrouped(queries: Seq[String], groupField: String): DataFrame = {
+    val qdf = queryDf(queries)
+    val sc = scoredChunks(qdf, None)
+    val carried = cfg.partitionKey.nonEmpty && cfg.partitionKey == groupField
+    val best =
+      if (carried)
+        sc.groupBy(col("query_id"), col("query"), col("doc_id"), col(groupField))
+          .agg(max(col("score")).as("score"))
+      else
+        sc.groupBy(col("query_id"), col("query"), col("doc_id"))
+          .agg(max(col("score")).as("score"))
+          .join(store().select(col("doc_id"), col(groupField)), Seq("doc_id"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col(groupField))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val repr = best.withColumn("gr", row_number().over(wg))
+      .filter(col("gr") === 1).drop("gr")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val topg = repr.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cfg.limit)
+    store().select(col("doc_id"), col("text")).join(broadcast(topg), "doc_id")
+      .select(col("query_id"), col("query"), col(groupField), col("doc_id"),
+        col("score"), col("rank"), substring(col("text"), 1, 200).as("preview"))
       .orderBy(col("query_id"), col("rank"))
   }
 

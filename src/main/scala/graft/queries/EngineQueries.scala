@@ -698,6 +698,39 @@ object EngineQueries {
       new Engine(s, cfg).searchRadiusWhere(searchTexts, 0.3, col("lang") === "en")
     }),
 
+    // Grouping search — Milvus 2.4's group_by_field: top-4 SOURCES per
+    // query, each represented by its best document (the diversity verb —
+    // a plain top-k can fill up with one source's near-duplicates). The
+    // index is partition-keyed on the same field, so group attribution
+    // rides the index rows — zero store joins before hydration. The
+    // oracle replays doc ranking → per-(query, source) best → top-4
+    // groups relationally.
+    "q218_grouped_search" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q218_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        partitionKey = "source")
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text", "source"))
+      eng.update()
+      new Engine(s, cfg).searchGrouped(searchTexts, "source")
+    }),
+
+    // Result paging — Milvus's offset search parameter / the
+    // search_iterator page verb: ranks 5..12 of the SAME total ranking
+    // q64 serves page 1 of. The rank column stays absolute (consecutive
+    // pages concatenate seamlessly); the oracle replay just moves the
+    // QUALIFY window, so any off-by-one or re-ranking drift hash-fails.
+    "q215_search_pagination" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q215_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      eng.searchPage(searchTexts, offset = 4, pageSize = 8)
+    }),
+
     // Partition-keyed multi-tenancy — Milvus's partition_key_field +
     // partition_names search parameter: the index is hive-partitioned by
     // the document's source column, and a search naming its tenants reads
@@ -782,6 +815,43 @@ object EngineQueries {
       require(appended(2) == 0L,
         s"q204: the empty tick appended ${appended(2)} chunks — not idempotent")
       new Engine(s, cfg).search(searchTexts) // fresh driver: serves from disk
+    }),
+
+    // The maintenance window INSIDE the scheduled production loop: each
+    // tick runs the reference's job (ingest + incremental index) and then
+    // Engine.maintain(0.4) — the retrain policy as part of the schedule,
+    // exactly where a deployment puts it. Wave sizes are chosen so growth
+    // crosses the threshold exactly once (50% after wave 1 → retrain;
+    // baseline resets; 33% after wave 2 → no-op; empty tick → no-op): the
+    // loop must retrain EXACTLY once and the empty tick must leave every
+    // layout byte untouched. Serving afterwards hash-matches the
+    // full-corpus replay regardless of where the cell boundaries ended up.
+    "q216_scheduled_maintain" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q216_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L,
+        schedulerInitRun = true, schedulerPeriod = "day")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val waves: Long => DataFrame = {
+        case 0 => docs.filter(col("doc_id") % 2 === 0) // train on half
+        case 1 => docs.filter(col("doc_id") % 4 === 1) // +~50% growth
+        case 2 => docs.filter(col("doc_id") % 4 === 3) // +~33% of new baseline
+        case _ => docs.filter(col("doc_id") % 2 === 0) // re-crawl: nothing new
+      }
+      val retrains = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+      val fired = graft.streaming.Scheduler.run(cfg, maxRuns = 4,
+        job = r => {
+          eng.ingest(waves(r))
+          if (r == 0) eng.update() else eng.updateIncremental()
+          retrains += eng.maintain(maxGrowth = 0.4).head.getBoolean(3)
+        },
+        sleep = _ => ())
+      require(fired == 4, s"q216: scheduler fired $fired of 4")
+      require(retrains.toSeq == Seq(false, true, false, false),
+        s"q216: retrain pattern ${retrains.toSeq}, expected exactly one at wave 1")
+      new Engine(s, cfg).search(searchTexts)
     }),
 
     // The VERBATIM-CONFIG lifecycle: EngineConfig.load parses a copy of the
@@ -1997,6 +2067,43 @@ object EngineQueries {
     "q214_partition_search" -> lifecycleSearchSql.replace(
       "FROM documents WHERE length(text) > 0",
       "FROM documents WHERE length(text) > 0 AND source IN ('src3', 'src7', 'src11')"),
+
+    // the same total ranking, QUALIFY window moved to ranks 5..12
+    "q215_search_pagination" -> lifecycleSearchSql.replace(
+      "QUALIFY rank <= 4", "QUALIFY rank > 4 AND rank <= 12"),
+
+    // the scheduled loop with its maintenance window ends at the same
+    // full-corpus serving state — retrains move cells, never results
+    "q216_scheduled_maintain" -> lifecycleSearchSql,
+
+    // doc ranking → per-(query, source) best → top-4 groups
+    "q218_grouped_search" -> lifecycleSearchSql.replace(
+      """ranked AS (
+  SELECT query_id, query, doc_id, score,
+    cast(row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id ASC) as int) AS rank
+  FROM best QUALIFY rank <= 4)
+SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
+  substring(d.text, 1, 200) AS preview
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+ORDER BY query_id, rank""",
+      """g AS (
+  SELECT b.query_id, b.query, b.doc_id, b.score, d.source
+  FROM best b JOIN documents d ON d.doc_id = b.doc_id),
+repr AS (
+  SELECT query_id, query, source, doc_id, score,
+    row_number() OVER (PARTITION BY query_id, source
+      ORDER BY score DESC, doc_id ASC) AS gr
+  FROM g QUALIFY gr = 1),
+ranked AS (
+  SELECT query_id, query, source, doc_id, score,
+    cast(row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id ASC) as int) AS rank
+  FROM repr QUALIFY rank <= 4)
+SELECT r.query_id, r.query, r.source, r.doc_id, r.score, r.rank,
+  substring(d.text, 1, 200) AS preview
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+ORDER BY query_id, rank"""),
 
     // the scheduler-driven loop ends at the same full-corpus serving state
     "q204_scheduler_loop" -> lifecycleSearchSql,

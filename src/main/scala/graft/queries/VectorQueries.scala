@@ -367,6 +367,41 @@ object VectorQueries {
     // scoring of the full-precision query against reconstructions. The 4×
     // compression tier between full floats and PQ's 16-32×; bounds are
     // exact aggregates so the whole path replays in SQL.
+    // BINARY-vector search (Milvus BINARY_FLAT with HAMMING / JACCARD
+    // metrics, faiss IndexBinaryFlat): sign-binarize the float embeddings
+    // into 2 packed longs (dims 0-31 → lo, 32-63 → hi; 32× compression —
+    // the cheap sketch tier below SQ8/PQ), then score by popcount
+    // arithmetic — Hamming = bit_count(xor) over both words, Jaccard
+    // similarity = |AND| / |OR| in integer basis points. Codegen'd bit ops
+    // end to end: no arrays survive past the binarize map, so the scoring
+    // scan moves 16 bytes per corpus row. At 100 TB this tier is the
+    // pre-filter in front of exact re-ranking (q20's SimHash buckets are
+    // the indexed spelling of the same idea). Top-5 per query by (Hamming
+    // asc, id asc); both metrics replay bit-exactly in SQL.
+    "q217_hamming_topk" -> ((s, dir) => {
+      val pack = (from: Int) =>
+        s"aggregate(zip_with(slice(embedding, $from, 32), sequence(0, 31), " +
+          "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
+      val codes = t(s, dir, "embeddings")
+        .selectExpr("vec_id", s"${pack(1)} AS lo", s"${pack(33)} AS hi")
+      val q = codes.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+      codes.filter(col("vec_id") >= 3)
+        .crossJoin(broadcast(q))
+        .withColumn("hamming",
+          expr("cast(bit_count(lo ^ qlo) + bit_count(hi ^ qhi) as bigint)"))
+        .withColumn("jaccard_bp", expr(
+          """cast(CASE WHEN bit_count(lo | qlo) + bit_count(hi | qhi) = 0 THEN 10000
+            |ELSE (10000 * (bit_count(lo & qlo) + bit_count(hi & qhi)))
+            |  DIV (bit_count(lo | qlo) + bit_count(hi | qhi)) END as bigint)""".stripMargin))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id"), col("hamming"), col("jaccard_bp"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // RANGE search — the OTHER search verb production vector stores expose
     // beside top-k (faiss range_search, Milvus radius search): ALL
     // neighbors at/above a similarity threshold, not a fixed k — the shape
@@ -792,6 +827,32 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "q151_semantic_dedup" -> semanticDedupOracleSql,
+
+    "q217_hamming_topk" ->
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS j
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id,
+        |    bit_or(CASE WHEN v > 0 AND j <= 32 THEN (1::BIGINT << (j-1)) ELSE 0 END) AS lo,
+        |    bit_or(CASE WHEN v > 0 AND j > 32 THEN (1::BIGINT << (j-33)) ELSE 0 END) AS hi
+        |  FROM ex GROUP BY vec_id),
+        |q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM codes WHERE vec_id < 3),
+        |s AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    cast(bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi)) as bigint) AS hamming,
+        |    cast(CASE WHEN bit_count(c.lo | q.qlo) + bit_count(c.hi | q.qhi) = 0 THEN 10000
+        |         ELSE (10000 * (bit_count(c.lo & q.qlo) + bit_count(c.hi & q.qhi)))
+        |           // (bit_count(c.lo | q.qlo) + bit_count(c.hi | q.qhi)) END as bigint) AS jaccard_bp
+        |  FROM codes c CROSS JOIN q WHERE c.vec_id >= 3),
+        |r AS (
+        |  SELECT query_id, vec_id, hamming, jaccard_bp,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming ASC, vec_id ASC) as int) AS rank
+        |  FROM s QUALIFY rank <= 5)
+        |SELECT query_id, vec_id, hamming, jaccard_bp, rank
+        |FROM r ORDER BY query_id, rank""".stripMargin,
 
     "q154_embedding_drift" ->
       """WITH q AS (

@@ -751,6 +751,57 @@ class EngineSpec extends SparkSpec {
       s"eligibility gate not below the scoring join (bnlj=$bnlj semi=$semi)\n${plan.take(3000)}")
   }
 
+  test("searchGrouped: one hit per group; carried-field and store-join paths agree") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gsearch").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    val qs = Seq("data processing pipeline", "machine learning")
+    // partition-keyed engine: group attribution rides the index rows
+    val keyed = new Engine(spark, EngineConfig(storePath = s"$dir/ks",
+      indexPath = s"$dir/ki", partitionKey = "source"))
+    keyed.ingest(docs); keyed.update()
+    // plain engine: group attribution via the store join
+    val plain = new Engine(spark, EngineConfig(storePath = s"$dir/ps",
+      indexPath = s"$dir/pi"))
+    plain.ingest(docs); plain.update()
+    def census(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, Double, Int)] =
+      df.collect().map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getString(r.fieldIndex("source")), r.getLong(r.fieldIndex("doc_id")),
+        r.getDouble(r.fieldIndex("score")), r.getInt(r.fieldIndex("rank")))).toSet
+    val a = census(keyed.searchGrouped(qs, "source"))
+    assert(a == census(plain.searchGrouped(qs, "source")),
+      "carried-field and store-join group attribution diverged")
+    // diversity contract: groups are distinct within a query
+    a.groupBy(_._1).values.foreach { hits =>
+      assert(hits.map(_._2).size == hits.size, "a group surfaced twice in one query")
+    }
+    // the keyed path plans NO join with the store before hydration: exactly
+    // one BroadcastHashJoin (hydration) in the keyed plan, two in the plain
+    val keyedPlan = keyed.searchGrouped(qs, "source")
+      .queryExecution.executedPlan.toString
+    val plainPlan = plain.searchGrouped(qs, "source")
+      .queryExecution.executedPlan.toString
+    def nJoins(p: String) = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nJoins(keyedPlan) < nJoins(plainPlan),
+      s"carried-field path did not save the attribution join " +
+        s"(keyed=${nJoins(keyedPlan)}, plain=${nJoins(plainPlan)})")
+  }
+
+  test("searchPage: absolute ranks, seamless page concatenation, page 1 == search") {
+    val eng = freshEngine()
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"))
+    eng.update()
+    val qs = Seq("data processing pipeline", "machine learning")
+    assert(hitCensus(eng.searchPage(qs, 0, 4)) == hitCensus(eng.search(qs)),
+      "page 1 at cfg.limit must equal search")
+    val p1 = hitCensus(eng.searchPage(qs, 0, 4))
+    val p2 = hitCensus(eng.searchPage(qs, 4, 4))
+    val both = hitCensus(eng.searchPage(qs, 0, 8))
+    assert((p1 ++ p2) == both, "two consecutive pages must concatenate seamlessly")
+    assert(p2.forall(h => h._4 > 4 && h._4 <= 8), "page 2 ranks must stay absolute")
+    intercept[IllegalArgumentException](eng.searchPage(qs, -1, 4))
+  }
+
   test("partition-keyed index: searchPartitions prunes the scan to the named tenants") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pkey").toString
     val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
