@@ -98,7 +98,7 @@ object Scale {
       case a if a.startsWith("ops=") => a.stripPrefix("ops=").split(",").toSet
     }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective",
       "incdedup", "cc", "export", "spans", "invidx", "pq", "maxsim", "ivfpq",
-      "snm", "rangeivf", "filtered"))
+      "snm", "rangeivf", "filtered", "binary"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -381,6 +381,40 @@ object Scale {
           .withColumn("score", round(
             graft.functions.VectorFns.cosineSim(col("embedding"), col("query_vec")), 4))
           .filter(col("score") >= 0.85).count()
+      }
+    }
+
+    // 10c. Binary-sketch scoring tier (q217's shape) vs full-float cosine:
+    //      sign-binarize to 2 packed longs (one narrow map), then score 256
+    //      queries by popcount arithmetic. The claim under measurement: the
+    //      binary scan's cost per row is a small constant of the float
+    //      scan's (16 bytes + 4 bit-ops vs 256 bytes + 64 FMAs per pair),
+    //      so the sketch tier is the affordable pre-filter at corpus scale.
+    if (only("binary")) vecLadder.foreach { case (s, n) =>
+      val pack = (from: Int) =>
+        s"aggregate(zip_with(slice(embedding, $from, 32), sequence(0, 31), " +
+          "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
+      val corpusVecs = vectors(spark, n, 0)
+      val codes = corpusVecs
+        .selectExpr("vec_id", s"${pack(1)} AS lo", s"${pack(33)} AS hi")
+        .localCheckpoint(true)
+      val qf = vectors(spark, 1024, 1)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        .localCheckpoint(true)
+      val qb = qf.selectExpr("query_id", "query_vec AS embedding")
+        .selectExpr("query_id", s"${pack(1)} AS qlo", s"${pack(33)} AS qhi")
+        .localCheckpoint(true)
+      measure("binary_hamming_scan", s, n) {
+        codes.crossJoin(broadcast(qb))
+          .selectExpr("query_id", "vec_id",
+            "bit_count(lo ^ qlo) + bit_count(hi ^ qhi) AS d")
+          .groupBy(col("query_id")).agg(min(col("d"))).count()
+      }
+      measure("float_cosine_scan", s, n) {
+        corpusVecs.crossJoin(broadcast(qf))
+          .select(col("query_id"), col("vec_id"),
+            graft.functions.VectorFns.cosineSim(col("embedding"), col("query_vec")).as("c"))
+          .groupBy(col("query_id")).agg(max(col("c"))).count()
       }
     }
 
