@@ -863,6 +863,11 @@ class EngineSpec extends SparkSpec {
         assert(ppmV == want, s"rrf_ppm $ppmV != recomputed $want for $r")
       }
     }
+    // plan shape: no cartesian anywhere (the only cross joins carry
+    // broadcast sides — corp stats, query vectors), and the corpus-side
+    // token/doc-length join may shuffle but never broadcasts the corpus
+    val plan = eng.hybridSearch(qs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
     // the fusion is not a relabeled vector search: lexical evidence must
     // move at least one query's top-k away from the pure vector top-k
     val vecTop = eng.search(qs).collect()
