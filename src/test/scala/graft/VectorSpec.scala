@@ -328,4 +328,30 @@ class VectorSpec extends SparkSpec {
       && chain(thrown).exists(c => Option(c.getMessage).exists(_.contains("contract violation"))),
       s"expected the contract violation to fail the job, got: $thrown")
   }
+
+  test("q217 bit-pack: SQL packing matches a plain-Scala reference on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    // random vectors incl. exact zeros (sign boundary) and all-negative rows
+    val vecs: Seq[(Long, Array[Float])] = (0L until 64L).map { i =>
+      i -> Array.fill(64)(rnd.nextInt(5) match {
+        case 0 => 0.0f
+        case 1 => -rnd.nextFloat()
+        case _ => (rnd.nextFloat() - 0.5f) * 2f
+      })
+    }
+    def packRef(v: Array[Float], from: Int): Long =
+      (0 until 32).foldLeft(0L)((acc, i) =>
+        if (v(from + i) > 0f) acc | (1L << i) else acc)
+    val pack = (from: Int) =>
+      s"aggregate(zip_with(slice(embedding, $from, 32), sequence(0, 31), " +
+        "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
+    val got = vecs.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", s"${pack(1)} AS lo", s"${pack(33)} AS hi")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == (packRef(v, 0), packRef(v, 32)),
+        s"pack mismatch for vec $id")
+    }
+  }
 }
