@@ -751,6 +751,43 @@ class EngineSpec extends SparkSpec {
       s"eligibility gate not below the scoring join (bnlj=$bnlj semi=$semi)\n${plan.take(3000)}")
   }
 
+  test("concurrent searches during an incremental extend leave the layout duplicate-free") {
+    // the round-8 advice race: a search that sees the mid-extend fingerprint
+    // mismatch must NOT launch a rebuild whose overwrite interleaves with
+    // the in-flight cells append (duplicated chunk rows under a matching
+    // stamp). The extend sequence holds the ivfIndex() monitor; this spec
+    // hammers search() from 3 threads across the whole extend window and
+    // then audits the persisted layout for exactly-once chunk rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft-race").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs.filter(col("doc_id") % 2 === 0))
+    eng.update()
+    eng.ingest(docs)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 3).map { _ =>
+      new Thread(() => {
+        while (!stop.get()) {
+          try eng.search(Seq("data processing pipeline")).count()
+          catch { case t: Throwable => errs.add(t); stop.set(true) }
+        }
+      })
+    }
+    threads.foreach(_.start())
+    val appended = try eng.updateIncremental()
+    finally { stop.set(true); threads.foreach(_.join(60000)) }
+    assert(appended > 0)
+    assert(errs.isEmpty, s"a concurrent search failed: ${errs.peek()}")
+    val cells = spark.read.parquet(s"$dir/index_ivf/cells")
+    assert(cells.count() == eng.index().count(),
+      "layout row count diverged from the index after a contended extend")
+    assert(cells.select("chunk_id").distinct().count() == cells.count(),
+      "a contended extend duplicated chunk rows in the persisted layout")
+  }
+
   test("searchGrouped: one hit per group; carried-field and store-join paths agree") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gsearch").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet")
