@@ -698,6 +698,38 @@ object EngineQueries {
       new Engine(s, cfg).searchRadiusWhere(searchTexts, 0.3, col("lang") === "en")
     }),
 
+    // Blue/green MODEL MIGRATION — the most expensive day-2 operation a
+    // vector deployment runs: upgrading the embedding model re-embeds the
+    // whole corpus (embed.py's model is a config choice, so this WILL
+    // happen). The discipline: build the new model's index at a NEW path
+    // while v1 keeps serving (the run asserts v1 answers mid-migration AND
+    // that the v2 build wrote no byte into v1's index — blue/green, not
+    // in-place), then cut over by config flip (the alias swap). Results
+    // after cutover must hash-match the NEW model's lifecycle replay.
+    "q219_model_migration" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q219_${runSeq.incrementAndGet()}_").toString
+      val v1 = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index_v1")
+      val engV1 = new Engine(s, v1)
+      engV1.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      engV1.update() // v1 (hash model) serves production
+      def snap(p: String): Map[String, Long] = {
+        def go(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(go) else Seq(f)
+        go(new java.io.File(p)).map(f => f.getPath -> f.lastModified()).toMap
+      }
+      val v1Before = snap(s"$tmp/index_v1")
+      // the offline re-embed: same store, new model, NEW index path
+      val v2 = v1.copy(indexPath = s"$tmp/index_v2")
+      new Engine(s, v2, LetterEmbedder).update()
+      require(engV1.search(searchTexts).count() > 0,
+        "q219: v1 must keep serving during the migration")
+      require(snap(s"$tmp/index_v1") == v1Before,
+        "q219: the v2 build touched v1's index — not blue/green")
+      // cutover: a fresh driver on the v2 config serves the new model
+      new Engine(s, v2, LetterEmbedder).search(searchTexts)
+    }),
+
     // Grouping search — Milvus 2.4's group_by_field: top-4 SOURCES per
     // query, each represented by its best document (the diversity verb —
     // a plain top-k can fill up with one source's near-duplicates). The
@@ -1655,6 +1687,42 @@ object EngineQueries {
   /** The engine-lifecycle search replay (chunker + hash-embed + cosine
     * top-k + hydration, q64's oracle). Shared by q150: a restored snapshot
     * must search EXACTLY like the engine the snapshot was taken from. */
+  /** q120/q219's replay: the LetterEmbedder lifecycle relationally. */
+  private lazy val letterLifecycleSql: String = {
+
+      val qvalues = searchTexts.zipWithIndex
+        .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
+         |  FROM documents WHERE length(text) > 0),
+         |ch AS (
+         |  SELECT doc_id, doc_id || '_' || pos AS chunk_id,
+         |    substring(text, cast(pos*64+1 as int), 128) AS chunk
+         |  FROM c),
+         |${letterEmbedSql("ch", "chunk_id, doc_id", "chunk", "e")},
+         |q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
+         |${letterEmbedSql("q0", "query_id, query", "query", "qe")},
+         |scored AS (
+         |  SELECT q.query_id, q.query, n.doc_id,
+         |    round(CASE WHEN n.nrm2 = 0 OR q.nrm2 = 0 THEN 0.0
+         |               ELSE list_cosine_similarity(n.v, q.v) END, 4) AS score
+         |  FROM ev n CROSS JOIN qev q),
+         |best AS (
+         |  SELECT query_id, query, doc_id, max(score) AS score
+         |  FROM scored GROUP BY ALL),
+         |ranked AS (
+         |  SELECT query_id, query, doc_id, score,
+         |    cast(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id ASC) as int) AS rank
+         |  FROM best QUALIFY rank <= 4)
+         |SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
+         |  substring(d.text, 1, 200) AS preview
+         |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+         |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q212's replay: the chunked vector ranking (lifecycle CTEs), the
     * integral BM25 ranking, and the reciprocal-rank fusion — all
     * relational, so the engine's hybridSearch is hash-checked end-to-end. */
@@ -2218,39 +2286,12 @@ ORDER BY query_id, rank"""),
          |FROM final GROUP BY 1 ORDER BY part""".stripMargin
     },
 
-    "q120_engine_model_seam" -> {
-      val qvalues = searchTexts.zipWithIndex
-        .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
-        .mkString(", ")
-      s"""WITH c AS (
-         |  SELECT doc_id, text,
-         |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
-         |  FROM documents WHERE length(text) > 0),
-         |ch AS (
-         |  SELECT doc_id, doc_id || '_' || pos AS chunk_id,
-         |    substring(text, cast(pos*64+1 as int), 128) AS chunk
-         |  FROM c),
-         |${letterEmbedSql("ch", "chunk_id, doc_id", "chunk", "e")},
-         |q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
-         |${letterEmbedSql("q0", "query_id, query", "query", "qe")},
-         |scored AS (
-         |  SELECT q.query_id, q.query, n.doc_id,
-         |    round(CASE WHEN n.nrm2 = 0 OR q.nrm2 = 0 THEN 0.0
-         |               ELSE list_cosine_similarity(n.v, q.v) END, 4) AS score
-         |  FROM ev n CROSS JOIN qev q),
-         |best AS (
-         |  SELECT query_id, query, doc_id, max(score) AS score
-         |  FROM scored GROUP BY ALL),
-         |ranked AS (
-         |  SELECT query_id, query, doc_id, score,
-         |    cast(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, doc_id ASC) as int) AS rank
-         |  FROM best QUALIFY rank <= 4)
-         |SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
-         |  substring(d.text, 1, 200) AS preview
-         |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
-         |ORDER BY query_id, rank""".stripMargin
-    },
+    "q120_engine_model_seam" -> letterLifecycleSql,
+
+    // blue/green model migration ends serving the NEW model's index — the
+    // letter-model lifecycle replay is the cutover proof
+    "q219_model_migration" -> letterLifecycleSql,
+
 
     // q120's replay with the checkpoint model's weight matrix in place of
     // the letter weights — the whole update→search lifecycle under weights
