@@ -225,6 +225,7 @@ class EngineSpec extends SparkSpec {
         |index_path: /tmp/graft/index   # inline comment
         |chunk_size: 256
         |nprobe: 16
+        |partition_key: source
         |unknown_key: ignored
         |""".stripMargin)
     val cfg = EngineConfig.load(f.toString)
@@ -232,6 +233,7 @@ class EngineSpec extends SparkSpec {
     assert(cfg.indexPath == "/tmp/graft/index")
     assert(cfg.chunkSize == 256)
     assert(cfg.nprobe == 16)
+    assert(cfg.partitionKey == "source")
     assert(cfg.chunkOverlap == 64 && cfg.limit == 4) // defaults survive
   }
 
