@@ -182,6 +182,36 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   def ingest(docs: DataFrame, keyCol: String = "doc_id"): Unit =
     Ingest.dedupAppend(docs, cfg.storePath, keyCol)
 
+  /**
+   * Upsert — Milvus's `upsert` verb (replace by primary key), the ONE
+   * mutation [[ingest]]'s insert-if-absent discipline cannot express: a
+   * re-crawled document whose content CHANGED must replace its stored row
+   * and its index chunks (updateIncremental's soundness note assumes
+   * doc_id text never changes — upsert is the verb that repairs that
+   * assumption when it breaks). Semantics: rows identical to a stored row
+   * are no-ops (so a full-corpus re-upsert is idempotent, the crawler
+   * contract); rows whose key exists with different content replace it
+   * (delete + append); new keys append. Cost is delta-proportional where
+   * it can be — the changed set pins once (one all-column anti join), only
+   * its documents re-embed, and [[delete]]'s layout maintenance keeps the
+   * persisted cells/codes in place — plus delete's two anti-join rewrites
+   * (the store/index files containing replaced rows must be rewritten;
+   * at 100 TB that is the floor any copy-on-write replace pays).
+   * `incoming` must carry the store's schema. Returns changed-row count.
+   */
+  def upsert(incoming: DataFrame, keyCol: String = "doc_id"): Long = {
+    val changed = incoming
+      .join(store(), incoming.columns.toSeq, "left_anti")
+      .localCheckpoint(true) // delta-sized pin: one derivation, three consumers
+    val n = changed.count()
+    if (n > 0) {
+      delete(changed.select(keyCol), keyCol) // old versions leave store+index+layout
+      ingest(changed, keyCol)                // now absent ⇒ appends the new versions
+      updateIncremental()                    // re-embed ONLY the replaced documents
+    }
+    n
+  }
+
   /** The document store as a DataFrame. */
   def store(): DataFrame = spark.read.parquet(cfg.storePath)
 

@@ -698,6 +698,36 @@ object EngineQueries {
       new Engine(s, cfg).searchRadiusWhere(searchTexts, 0.3, col("lang") === "en")
     }),
 
+    // UPSERT — Milvus's replace-by-primary-key verb, the one mutation
+    // ingest's insert-if-absent cannot express: a re-crawl where 10% of
+    // documents CHANGED content. The changed tenth replaces its store row
+    // and its index chunks (delete's in-place layout maintenance + a
+    // delta-only re-embed); identical rows are no-ops, so the immediate
+    // second upsert of the same snapshot must change zero rows (the
+    // crawler idempotence contract, now under mutation). Serving
+    // afterwards must hash-match the lifecycle replay over the MODIFIED
+    // corpus — previews included, so a stale store row or a surviving old
+    // chunk both hash-fail.
+    "q220_engine_upsert" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q220_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs)
+      eng.update()
+      val v2 = docs.withColumn("text",
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" graft updated")))
+          .otherwise(col("text")))
+      val changed = eng.upsert(v2)
+      require(changed == docs.filter(col("doc_id") % 10 === 0).count(),
+        s"q220: upsert changed $changed rows, expected the modified tenth")
+      require(eng.upsert(v2) == 0L,
+        "q220: re-upserting the same snapshot must be a no-op")
+      new Engine(s, cfg).search(searchTexts)
+    }),
+
     // Blue/green MODEL MIGRATION — the most expensive day-2 operation a
     // vector deployment runs: upgrading the embedding model re-embeds the
     // whole corpus (embed.py's model is a config choice, so this WILL
@@ -2139,6 +2169,20 @@ object EngineQueries {
     // the same total ranking, QUALIFY window moved to ranks 5..12
     "q215_search_pagination" -> lifecycleSearchSql.replace(
       "QUALIFY rank <= 4", "QUALIFY rank > 4 AND rank <= 12"),
+
+    // the lifecycle replay over the MODIFIED corpus (both the chunk scan
+    // and the hydration preview read the upserted text)
+    "q220_engine_upsert" -> lifecycleSearchSql
+      .replace("WITH c AS (",
+        """WITH mdocs AS (
+  SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN text || ' graft updated'
+                      ELSE text END AS text
+  FROM documents),
+c AS (""")
+      .replace("FROM documents WHERE length(text) > 0",
+        "FROM mdocs WHERE length(text) > 0")
+      .replace("JOIN documents d ON d.doc_id = r.doc_id",
+        "JOIN mdocs d ON d.doc_id = r.doc_id"),
 
     // the scheduled loop with its maintenance window ends at the same
     // full-corpus serving state — retrains move cells, never results

@@ -753,6 +753,37 @@ class EngineSpec extends SparkSpec {
       s"eligibility gate not below the scoring join (bnlj=$bnlj semi=$semi)\n${plan.take(3000)}")
   }
 
+  test("upsert: replaces changed docs, appends new, no-ops identical; layout stays exactly-once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    eng.ingest(half); eng.update()
+    assert(eng.upsert(half) == 0L, "re-upserting stored content must be a no-op")
+    val v2 = docs.withColumn("text",
+      when(col("doc_id") % 4 === 0, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")))
+    val expected = (docs.count() - half.count()) +
+      half.filter(col("doc_id") % 4 === 0).count()
+    assert(eng.upsert(v2) == expected, "changed = new docs + modified stored docs")
+    assert(eng.store().count() == docs.count())
+    assert(eng.store().join(v2, Seq("doc_id", "text"), "left_anti").count() == 0,
+      "a stale pre-upsert row survived in the store")
+    assert(eng.fsck().collect().head.getAs[Boolean]("consistent"))
+    val cells = spark.read.parquet(s"$dir/index_ivf/cells")
+    assert(cells.count() == eng.index().count())
+    assert(cells.select("chunk_id").distinct().count() == cells.count(),
+      "upsert left duplicate chunk rows in the maintained layout")
+    // serving equals a from-scratch engine over the v2 corpus
+    val fresh = new Engine(spark, cfg.copy(storePath = s"$dir/fs", indexPath = s"$dir/fi"))
+    fresh.ingest(v2); fresh.update()
+    val qs = Seq("data processing pipeline", "machine learning")
+    assert(hitCensus(eng.search(qs)) == hitCensus(fresh.search(qs)),
+      "post-upsert serving diverged from a from-scratch build over the same content")
+  }
+
   test("concurrent searches during an incremental extend leave the layout duplicate-free") {
     // the round-8 advice race: a search that sees the mid-extend fingerprint
     // mismatch must NOT launch a rebuild whose overwrite interleaves with
