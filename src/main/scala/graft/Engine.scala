@@ -216,6 +216,107 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   def store(): DataFrame = spark.read.parquet(cfg.storePath)
 
   /**
+   * Scalar retrieval — Milvus's `query(expr, output_fields, limit, offset)`
+   * verb, the no-vector half of the read API (`vdb.py` only searches; a
+   * deployment also asks "give me these documents' fields by filter").
+   * The primary key always rides the projection (Milvus returns the pk
+   * unconditionally); paging orders by it (Milvus's documented query-paging
+   * order). The predicate and projection reach the parquet scan as
+   * PushedFilters / ReadSchema, and the paged form is a distributed
+   * top-(offset+limit) — never a global sort — so a point-ish query on a
+   * 100 TB store reads the row groups its filter selects, nothing more.
+   */
+  def query(pred: Column, outputFields: Seq[String] = Nil,
+            limit: Int = 0, offset: Int = 0): DataFrame = {
+    require(offset == 0 || limit > 0, "offset requires a limit (Milvus rule)")
+    val cols = ("doc_id" +: outputFields).distinct.map(col(_))
+    val base = store().filter(pred).select(cols: _*)
+    if (limit <= 0) base
+    else {
+      val top = base.orderBy(col("doc_id")).limit(offset + limit)
+      if (offset == 0) top
+      else { // rank only the driver-sized top-(offset+limit), never the corpus
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+        top.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") > offset).drop("__rn")
+      }
+    }
+  }
+
+  /**
+   * Point hydration — Milvus's `get(ids, output_fields)`: the pk-list
+   * special case of [[query]]. The id list becomes a pushed `In` filter,
+   * so on a [[compact]]ed (range-clustered) store a point get opens only
+   * the O(1) files whose footer min/max straddle the requested keys —
+   * the difference between a dashboard lookup and a corpus scan.
+   */
+  def get(ids: Seq[Long], outputFields: Seq[String] = Nil): DataFrame = {
+    require(ids.nonEmpty, "get() needs at least one id")
+    query(col("doc_id").isInCollection(ids), outputFields)
+  }
+
+  /**
+   * Collection metadata — Milvus's `describe_collection` + `num_entities`
+   * in one row: the stats a deployment's dashboards poll between
+   * maintenance windows. Counts are parquet-footer-sized scans;
+   * `layout_current` reports whether the persisted IVF layout's
+   * fingerprint matches the live index (false means the next IVF-routed
+   * search pays a rebuild — the signal a maintenance loop watches).
+   */
+  def describe(): DataFrame = {
+    val nChunks = if (indexExists) indexCount() else 0L
+    val current = indexExists && persistedFingerprint().contains(compositeFingerprint())
+    store().agg(count(lit(1)).as("n_docs")).select(
+      col("n_docs"),
+      lit(nChunks).as("n_chunks"),
+      lit(cfg.indexType).as("index_type"),
+      lit(cfg.nlist.toLong).as("nlist"),
+      lit(cfg.nprobe.toLong).as("nprobe"),
+      lit(cfg.limit.toLong).as("k"),
+      lit(cfg.partitionKey).as("partition_key"),
+      lit(current).as("layout_current"))
+  }
+
+  /**
+   * Batched retrieval — Milvus's `query_iterator`: the full result set of
+   * a filter, delivered in pk-ordered pages with no duplicate and no miss
+   * across page seams. Spelled as KEYSET pagination (`doc_id > cursor`,
+   * the cursor being the previous page's last pk) rather than offset
+   * pagination, because offsets re-rank the whole prefix every page —
+   * page p of an offset scan costs O(p·batch) and a full drain costs
+   * O(n²/batch) — while each keyset page is an independent
+   * top-`batchSize` whose `GreaterThan(doc_id, cursor)` predicate reaches
+   * the scan as a PushedFilter; after [[compact]]'s range-clustering,
+   * parquet min/max footer stats skip every file below the cursor, so a
+   * full drain costs O(n) total IO regardless of page count. Each page is
+   * a live plan computed twice (once to advance the cursor, once when the
+   * caller consumes it) — both are pruned top-k scans, and the pk order
+   * makes the recomputation deterministic.
+   */
+  def queryIterator(pred: Column, outputFields: Seq[String] = Nil,
+                    batchSize: Int = 1000): Iterator[DataFrame] = {
+    require(batchSize > 0, s"bad batchSize $batchSize")
+    val cols = ("doc_id" +: outputFields).distinct.map(col(_))
+    new Iterator[DataFrame] {
+      private var cursor = Long.MinValue
+      private def fetch(): Option[DataFrame] = {
+        val page = store().filter(pred && col("doc_id") > cursor)
+          .orderBy(col("doc_id")).limit(batchSize).select(cols: _*)
+        val mx = page.agg(org.apache.spark.sql.functions.max(col("doc_id"))).head()
+        if (mx.isNullAt(0)) None
+        else { cursor = mx.getLong(0); Some(page) }
+      }
+      private var staged: Option[DataFrame] = fetch()
+      override def hasNext: Boolean = staged.isDefined
+      override def next(): DataFrame = {
+        val p = staged.getOrElse(throw new NoSuchElementException("drained"))
+        staged = fetch()
+        p
+      }
+    }
+  }
+
+  /**
    * (Re)build the vector index from the store: overlapping chunks
    * (`vdb.py:66-74`), chunk ids `doc_id_pos` (`vdb.py:70`), per-partition
    * batched embedding (`vdb.py:76-79`; deterministic hash embedder in the
@@ -441,25 +542,35 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * dynamic overwrite cannot clear a partition it writes no rows into) —
    * rare, and merely the old cost, never a correctness risk.
    */
-  private def maintainLayoutAfterDelete(key: DataFrame, keyCol: String): Unit = {
+  private def maintainLayoutAfterDelete(key: DataFrame, keyCol: String): Unit =
+    maintainLayoutRemoving(
+      _.join(broadcast(key), Seq(keyCol), "left_semi"),
+      _.join(broadcast(key), Seq(keyCol), "left_anti"))
+
+  /** The shared delta-sized layout prune behind [[delete]] and
+    * [[dropPartition]]: `removed` selects the rows leaving a layout frame,
+    * `kept` its complement (a broadcast key join for delete; a partition-
+    * key predicate for dropPartition). */
+  private def maintainLayoutRemoving(removed: DataFrame => DataFrame,
+                                     kept: DataFrame => DataFrame): Unit = {
     val cellsPath = s"$ivfPath/cells"
     val cells = spark.read.parquet(cellsPath)
-    val affected = cells.join(broadcast(key), Seq(keyCol), "left_semi")
+    val affected = removed(cells)
       .select(col("cell")).distinct().collect().map(_.getInt(0))
     if (affected.isEmpty) {
-      // no indexed chunk of any deleted doc lives in the layout — it is
-      // already exact for the post-delete index
+      // no indexed chunk of any removed doc lives in the layout — it is
+      // already exact for the post-removal index
       stampFingerprint(compositeFingerprint())
       return
     }
     def prune(path: String): Boolean = {
       val df = spark.read.parquet(path)
       val aff = df.filter(col("cell").isInCollection(affected.toSeq))
-      val kept = aff.join(broadcast(key), Seq(keyCol), "left_anti")
+      val keptRows = kept(aff)
         .localCheckpoint(true) // pin BEFORE overwriting partitions being read
-      val keptCells = kept.select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
+      val keptCells = keptRows.select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
       if (keptCells.size != affected.length) return false // a cell emptied
-      kept.repartition(col("cell"))
+      keptRows.repartition(col("cell"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell").parquet(path)
@@ -470,6 +581,50 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     if (ok && cfg.indexType == "IVF_SQ8") ok = prune(s"$ivfPath/sq8codes")
     if (ok) stampFingerprint(compositeFingerprint())
     // else: fingerprint stays stale → the next ivfIndex() rebuilds (safe)
+  }
+
+  /**
+   * Tenant removal — Milvus's `drop_partition` over a `partition_key`
+   * collection: every document of the named tenants leaves the store, the
+   * index, and the persisted IVF layout. What [[delete]] must do with a
+   * corpus-sized anti-join rewrite, this verb does with tenant-sized work:
+   * the store rewrite is a pushed-down predicate scan (no join), and the
+   * index side is a METADATA operation — the named tenants' hive
+   * directories are removed; no byte of any other tenant's index files is
+   * read or rewritten (at 100 TB the difference between "drop a tenant"
+   * taking seconds and taking an index-rewrite maintenance window). The
+   * cell layout is partitioned by cell with the tenant key riding as a
+   * data column, so it prunes via [[maintainLayoutRemoving]] with a
+   * predicate — affected cells only, no rebuild. Idempotent: re-dropping
+   * removes 0 rows and leaves the layout stamped. Returns store documents
+   * removed.
+   */
+  def dropPartition(partitions: Seq[String]): Long = {
+    require(cfg.partitionKey.nonEmpty,
+      "dropPartition requires cfg.partitionKey (Milvus partition_key_field)")
+    require(partitions.nonEmpty, "no partitions named")
+    val k = cfg.partitionKey
+    val hit = col(k).isInCollection(partitions)
+    val obs = org.apache.spark.sql.Observation()
+    val s2 = store()
+      .observe(obs, sum(when(hit, 1L).otherwise(0L)).as("removed"))
+      .filter(!hit)
+      .localCheckpoint(true) // pin BEFORE overwriting the path being read
+    s2.write.mode("overwrite").parquet(cfg.storePath)
+    if (indexExists) {
+      // decided BEFORE the directory drop flips the index fingerprint
+      val layoutCurrent = persistedFingerprint().contains(compositeFingerprint())
+      val fs = new org.apache.hadoop.fs.Path(cfg.indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      synchronized { // the ivfIndex() monitor — no rebuild may interleave
+        partitions.foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"${cfg.indexPath}/$k=$v"), true)
+        }
+        invalidateIvf()
+        if (layoutCurrent) maintainLayoutRemoving(_.filter(hit), _.filter(!hit))
+      }
+    }
+    Option(obs.get("removed")).map(_.asInstanceOf[Long]).getOrElse(0L)
   }
 
   /**
@@ -512,12 +667,41 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         .parquet(path)
       (files, true)
     }
+    // a partition-keyed index keeps its hive layout through compaction:
+    // per-tenant bin-packing (clustered so one task owns one tenant → one
+    // file per directory at the target), written as a partitionBy overwrite
+    // so PartitionFilters pruning survives the rewrite. The flat rewrite's
+    // root listing sees only `key=` dirs and would no-op (the documented
+    // round-9 gap this path closes).
+    def rewritePartitioned(path: String, key: String): (Long, Boolean) = {
+      val df = spark.read.parquet(path)
+      val perTenant = df.groupBy(col(key)).count().collect()
+      val files = perTenant.map(r =>
+        math.max(1L, (r.getLong(1) + maxRecordsPerFile - 1) / maxRecordsPerFile)).sum
+      val pth = new org.apache.hadoop.fs.Path(path)
+      val fsys = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fsys.listFiles(pth, true)
+      var currentFiles = 0
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (!f.startsWith("_") && !f.startsWith(".")) currentFiles += 1
+      }
+      if (currentFiles <= files) return (files, false)
+      df.repartition(col(key)).sortWithinPartitions(key, "doc_id")
+        .localCheckpoint(true) // pin BEFORE overwriting the path being read
+        .write.mode("overwrite").option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy(key).parquet(path)
+      (files, true)
+    }
     val (sf, sChanged) = rewrite(cfg.storePath, "doc_id")
     // decided BEFORE the index rewrite flips its fingerprint
     val layoutCurrent = indexExists &&
       persistedFingerprint().contains(compositeFingerprint())
     val (ifn, iChanged) = synchronized {
-      val r = if (indexExists) rewrite(cfg.indexPath, "doc_id") else (0L, false)
+      val r =
+        if (!indexExists) (0L, false)
+        else if (cfg.partitionKey.nonEmpty) rewritePartitioned(cfg.indexPath, cfg.partitionKey)
+        else rewrite(cfg.indexPath, "doc_id")
       // plan validity, not content: the old memo's file listing points at
       // deleted part files — but ONLY when a rewrite actually happened; a
       // healthy layout skipped above leaves the memo exactly as valid as it was
@@ -922,6 +1106,44 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /**
+   * Two-stage retrieval — recall by vector, precision by a cross scorer
+   * (the rerank step every production RAG/retrieval pipeline runs; Milvus
+   * 2.4 ships it as the search Function/rerank hook): the configured
+   * serving strategy pools the top-`kPool` documents per query (cheap,
+   * index-pruned), ONLY those kPool·queries texts hydrate, and the batched
+   * [[Engine.CrossScorer]] reads each (query, text) pair together —
+   * the signal a bi-encoder structurally cannot produce. Final order:
+   * cross score, vector score, then pk (total, replayable). At 100 TB the
+   * expensive model runs on kPool·queries rows — never the corpus; the
+   * hydration join broadcasts the pool against the store scan.
+   */
+  def searchRerank(queries: Seq[String], kPool: Int = 20,
+                   scorer: Engine.CrossScorer = Engine.LexicalCrossScorer): DataFrame = {
+    require(kPool >= cfg.limit, s"kPool=$kPool must cover the final top-${cfg.limit}")
+    val qdf = queryDf(queries)
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("vec_score").desc, col("doc_id").asc)
+    val pool = scoredChunks(qdf, None)
+      .groupBy(col("query_id"), col("query"), col("doc_id"))
+      .agg(max(col("score")).as("vec_score"))
+      .withColumn("vec_rank", row_number().over(wp))
+      .filter(col("vec_rank") <= kPool)
+      .drop("vec_rank")
+    val hydrated = store().select(col("doc_id"), col("text"))
+      .join(broadcast(pool), Seq("doc_id"))
+    val scored = Engine.crossScore(hydrated, "query", "text", "ce_bp",
+      cfg.batchSize, scorer)
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("ce_bp").desc, col("vec_score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= cfg.limit)
+      .select(col("query_id"), col("query"), col("doc_id"), col("ce_bp"),
+        col("vec_score"), col("rank"), substring(col("text"), 1, 200).as("preview"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Memoized handle on the PERSISTED IVF layout — building the quantizer
     * is an OFFLINE step (the reference's create_index, vdb.py:209-211),
     * never part of a search. The memo holds only a lazy plan over the
@@ -1195,5 +1417,60 @@ object Engine {
   final case class HashEmbedder(dim: Int) extends Embedder {
     def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
       texts.map(VectorFns.hashEmbed(_, dim))
+  }
+
+  /**
+   * Second-stage scorer contract — the cross-encoder slot of a two-stage
+   * retrieval pipeline (recall by vector similarity, precision by a pair
+   * scorer that reads query AND document together — the standard rerank
+   * step Milvus 2.4 ships as its Function/rerank hook). Batched like
+   * [[Embedder]] (one call per batch of pairs — a real model amortizes
+   * its forward pass) and integral (basis points) so results replay
+   * hash-exactly; a transformer cross-encoder drops in per-JVM the same
+   * way [[graft.functions.FileEmbedder]] does for [[Embedder]].
+   */
+  trait CrossScorer extends Serializable {
+    /** One batched forward pass: a relevance score in basis points per
+      * (query, documentText) pair. */
+    def scoreBatch(pairs: Seq[(String, String)]): Seq[Long]
+  }
+
+  /** The harness default: token-set Jaccard overlap in basis points —
+    * deterministic, vocabulary-free, SQL-replayable (the oracle recomputes
+    * it relationally), and a genuinely different signal from the vector
+    * stage (exact lexical overlap vs hashed-feature cosine). */
+  object LexicalCrossScorer extends CrossScorer {
+    def scoreBatch(pairs: Seq[(String, String)]): Seq[Long] = pairs.map {
+      case (q, t) =>
+        def toks(s: String): Set[String] =
+          s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSet
+        val a = toks(q); val b = toks(t)
+        if (a.isEmpty || b.isEmpty) 0L
+        else 10000L * a.intersect(b).size / a.union(b).size
+    }
+  }
+
+  /** Append `outCol` (long) scoring each row's (qCol, tCol) pair through
+    * the batched [[CrossScorer]] — the mapPartitions shape of
+    * [[graft.functions.VectorFns.embedPartitions]]: narrow, one scorer
+    * call per `batchSize` rows, no shuffle. */
+  private[graft] def crossScore(df: DataFrame, qCol: String, tCol: String,
+                                outCol: String, batchSize: Int,
+                                scorer: CrossScorer): DataFrame = {
+    val schema = df.schema.add(org.apache.spark.sql.types.StructField(
+      outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val qi = df.schema.fieldIndex(qCol)
+    val ti = df.schema.fieldIndex(tCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val scores = scorer.scoreBatch(batch.map(r => (r.getString(qi), r.getString(ti))))
+        require(scores.length == batch.length,
+          s"scorer returned ${scores.length} scores for a ${batch.length}-pair batch")
+        batch.iterator.zip(scores.iterator).map { case (r, s) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)
+        }
+      }
+    }(enc)
   }
 }

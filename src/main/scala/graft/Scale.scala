@@ -98,7 +98,7 @@ object Scale {
       case a if a.startsWith("ops=") => a.stripPrefix("ops=").split(",").toSet
     }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective",
       "incdedup", "cc", "export", "spans", "invidx", "pq", "maxsim", "ivfpq",
-      "snm", "rangeivf", "filtered", "binary"))
+      "snm", "rangeivf", "filtered", "binary", "drain"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -467,6 +467,37 @@ object Scale {
       measure("snm_global", s, n) {
         Dedup.snmGlobalPairs(hot, Seq("blk", "len"), "doc_id", 3).count()
       }
+    }
+
+    // 12. Scalar read-API drain (q222's claim under measurement): draining
+    //     a filtered store in pages via KEYSET pagination
+    //     (Engine.queryIterator — doc_id > cursor pushed into the scan of a
+    //     range-clustered store) vs naive OFFSET pagination (each page a
+    //     top-(offset+batch) over the whole filter). Both drain the same
+    //     50 pages; keyset wall should grow ~linearly with n while offset
+    //     pays the triangular re-rank (page p re-selects p·batch rows) —
+    //     the reason query_iterator exists in Milvus and queryIterator
+    //     spells it keyset here.
+    if (only("drain")) docLadder.foreach { case (s, n) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-drain-").toString
+      corpus(spark, n).select(col("doc_id"), col("source"))
+        .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$base/store")
+      val eng = new Engine(spark, EngineConfig(s"$base/store", s"$base/index"))
+      val batch = math.max(100L, n / 50L).toInt
+      measure("drain_keyset", s, n) {
+        eng.queryIterator(col("doc_id") >= 0, Nil, batch).map(_.count()).sum
+      }
+      measure("drain_offset", s, n) {
+        var got = 0L
+        var off = 0L
+        while (off < n) {
+          got += eng.query(col("doc_id") >= 0, Nil, batch, off.toInt).count()
+          off += batch
+        }
+        got
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }
     out.close()
     spark.stop()

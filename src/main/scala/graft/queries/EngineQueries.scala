@@ -728,6 +728,120 @@ object EngineQueries {
       new Engine(s, cfg).search(searchTexts)
     }),
 
+    // Scalar retrieval — Milvus's query(expr, output_fields, limit, offset)
+    // verb, the no-vector half of the read API: filtered field retrieval
+    // with pk-ordered paging. The predicate and the 4-column projection
+    // both reach the parquet scan (PushedFilters / ReadSchema — EngineSpec
+    // plan-gates it), and the page is a distributed top-(offset+limit),
+    // never a global sort. The oracle is the literal SQL spelling.
+    "q221_engine_query" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q221_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents"))
+      eng.query(col("lang") === "en" && col("n_chars") > 200,
+        Seq("lang", "n_chars", "source"), limit = 100, offset = 10)
+    }),
+
+    // Batched retrieval — Milvus's query_iterator: the FULL result of a
+    // filter delivered in pk-ordered keyset pages (doc_id > cursor, each
+    // page an independent pushed-filter top-batch — a drain costs O(n)
+    // total IO where offset paging costs O(n²/batch); after compact()'s
+    // range-clustering the cursor skips whole files via footer min/max).
+    // Graded on the seam property: the concatenation of every page must
+    // hash-match the one-shot filter — a duplicated or dropped row at any
+    // page boundary fails. The runtime require pins that it actually paged.
+    "q222_query_iterator" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q222_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents")
+      eng.ingest(docs)
+      val pages = eng.queryIterator(col("lang") === "en",
+        Seq("n_chars", "source"), batchSize = 128).toSeq
+      val n = docs.filter(col("lang") === "en").count()
+      require(pages.length == ((n + 127) / 128).toInt,
+        s"q222: ${pages.length} pages for $n rows at batch 128")
+      pages.reduce(_.unionAll(_))
+    }),
+
+    // Tenant removal — Milvus's drop_partition over a partition_key
+    // collection: the named tenants leave the store (pushed-predicate
+    // rewrite, no join), the index (their hive directories are REMOVED —
+    // a metadata operation; no other tenant's file is read or rewritten,
+    // EngineSpec gates mtimes) and the persisted IVF layout (pruned in
+    // place, affected cells only — no rebuild). Re-dropping is a no-op.
+    // Serving afterwards must hash-match the lifecycle replay over the
+    // surviving tenants.
+    "q223_drop_partition" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q223_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        partitionKey = "source", nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      eng.ingest(docs)
+      eng.update() // persists + stamps the IVF layout (exhaustive probe ⇒ exact)
+      val gone = Seq("src3", "src7")
+      val removed = eng.dropPartition(gone)
+      require(removed == docs.filter(col("source").isin(gone: _*)).count(),
+        s"q223: dropPartition removed $removed rows")
+      require(eng.dropPartition(gone) == 0L, "q223: re-drop must be a no-op")
+      new Engine(s, cfg).search(searchTexts)
+    }),
+
+    // Point hydration — Milvus's get(ids, output_fields): the pk-list
+    // special case of the scalar read API. The id list is a pushed In
+    // filter; on a compacted range-clustered store a point get opens O(1)
+    // files. The oracle is the literal IN-list SQL.
+    "q224_engine_get" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q224_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents"))
+      eng.get(Seq(5L, 42L, 137L, 400L), Seq("lang", "source", "n_chars"))
+    }),
+
+    // Collection metadata — Milvus's describe_collection + num_entities:
+    // the one-row stats frame a deployment's dashboards poll. Counts are
+    // footer-sized scans; layout_current must read TRUE from a FRESH
+    // engine (the fingerprint rides the persisted layout, not the JVM).
+    // The oracle recomputes both counts (docs; chunker-replay chunks) and
+    // pins the config constants.
+    "q225_engine_describe" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q225_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      new Engine(s, cfg).describe()
+    }),
+
+    // Two-stage retrieval — the cross-encoder RERANK step (Milvus 2.4's
+    // search Function/rerank hook): vector recall pools top-20 docs per
+    // query through the IVF layout, only those texts hydrate, and the
+    // batched CrossScorer reads each (query, text) PAIR — here the
+    // deterministic lexical-overlap scorer in basis points, so the oracle
+    // replays recall, hydration, pair scoring and the final
+    // (ce, vec, pk) order hash-exactly. A doc with rank-20 vector recall
+    // but top lexical overlap must surface — that reordering is the
+    // graded contract.
+    "q226_search_rerank" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q226_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      new Engine(s, cfg).searchRerank(searchTexts, kPool = 20)
+    }),
+
     // Blue/green MODEL MIGRATION — the most expensive day-2 operation a
     // vector deployment runs: upgrading the embedding model re-embeds the
     // whole corpus (embed.py's model is a config choice, so this WILL
@@ -2183,6 +2297,73 @@ c AS (""")
         "FROM mdocs WHERE length(text) > 0")
       .replace("JOIN documents d ON d.doc_id = r.doc_id",
         "JOIN mdocs d ON d.doc_id = r.doc_id"),
+
+    // the literal IN-list spelling of Milvus get(ids, output_fields)
+    "q224_engine_get" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (5, 42, 137, 400)""".stripMargin,
+
+    // both counts recomputed (docs; chunker-replay chunks) + config pins;
+    // layout_current graded TRUE — a lost fingerprint stamp hash-fails
+    "q225_engine_describe" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |       (SELECT count(*) FROM c) AS n_chunks,
+        |       'IVF_FLAT' AS index_type,
+        |       cast(16 as bigint) AS nlist,
+        |       cast(16 as bigint) AS nprobe,
+        |       cast(4 as bigint) AS k,
+        |       '' AS partition_key,
+        |       true AS layout_current""".stripMargin,
+
+    // recall pool widened to 20, then the lexical pair score and the
+    // (ce, vec, pk) rerank replayed relationally
+    "q226_search_rerank" -> lifecycleSearchSql.replace(
+      """FROM best QUALIFY rank <= 4)
+        |SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
+        |  substring(d.text, 1, 200) AS preview
+        |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+        |ORDER BY query_id, rank""".stripMargin,
+      """FROM best QUALIFY rank <= 20),
+        |pooled AS (
+        |  SELECT r.query_id, r.query, r.doc_id, r.score AS vec_score, d.text,
+        |    list_filter(list_distinct(regexp_split_to_array(trim(lower(r.query)), '\s+')), x -> x <> '') AS qt,
+        |    list_filter(list_distinct(regexp_split_to_array(trim(lower(d.text)), '\s+')), x -> x <> '') AS tt
+        |  FROM ranked r JOIN documents d ON d.doc_id = r.doc_id),
+        |ce AS (
+        |  SELECT query_id, query, doc_id, vec_score, text,
+        |    CASE WHEN len(qt) = 0 OR len(tt) = 0 THEN cast(0 as bigint)
+        |         ELSE cast((10000 * len(list_distinct(list_intersect(qt, tt))))
+        |              // len(list_distinct(qt || tt)) as bigint) END AS ce_bp
+        |  FROM pooled),
+        |reranked AS (
+        |  SELECT query_id, query, doc_id, ce_bp, vec_score, text,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ce_bp DESC, vec_score DESC, doc_id ASC) as int) AS rank
+        |  FROM ce QUALIFY rank <= 4)
+        |SELECT query_id, query, doc_id, ce_bp, vec_score, rank,
+        |  substring(text, 1, 200) AS preview
+        |FROM reranked ORDER BY query_id, rank""".stripMargin),
+
+    // the literal SQL spelling of Milvus query(expr, output_fields,
+    // limit, offset): pk-ordered page of the filtered store
+    "q221_engine_query" ->
+      """SELECT doc_id, lang, n_chars, source FROM documents
+        |WHERE lang = 'en' AND n_chars > 200
+        |ORDER BY doc_id LIMIT 100 OFFSET 10""".stripMargin,
+
+    // the drained iterator must reassemble the one-shot filter exactly —
+    // any page-seam duplicate or miss hash-fails
+    "q222_query_iterator" ->
+      "SELECT doc_id, n_chars, source FROM documents WHERE lang = 'en'",
+
+    // the lifecycle replay over the surviving tenants only
+    "q223_drop_partition" -> lifecycleSearchSql.replace(
+      "FROM documents WHERE length(text) > 0",
+      "FROM documents WHERE length(text) > 0 AND source NOT IN ('src3', 'src7')"),
 
     // the scheduled loop with its maintenance window ends at the same
     // full-corpus serving state — retrains move cells, never results

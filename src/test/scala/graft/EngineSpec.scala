@@ -784,6 +784,123 @@ class EngineSpec extends SparkSpec {
       "post-upsert serving diverged from a from-scratch build over the same content")
   }
 
+  test("query: scalar retrieval — pushed filter, pk always returned, pk-ordered paging") {
+    val eng = freshEngine()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    eng.ingest(docs)
+    val pred = col("lang") === "en" && col("n_chars") > 200
+    val full = eng.query(pred, Seq("lang", "n_chars"))
+    assert(full.columns.toSeq == Seq("doc_id", "lang", "n_chars"),
+      "the primary key must lead the projection (Milvus returns pk unconditionally)")
+    val expected = docs.filter(pred).select("doc_id", "lang", "n_chars")
+    assert(full.exceptAll(expected).isEmpty && expected.exceptAll(full).isEmpty,
+      "query(expr) != the filtered store")
+    // the predicate must reach the parquet scan, not run post-scan
+    val plan = full.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(n_chars,200") && plan.contains("EqualTo(lang,en"),
+      s"filter not pushed to the scan\n${plan.take(2000)}")
+    // paging: pk order, offset skipped, limit honored
+    val ids = docs.filter(pred).select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    val page = eng.query(pred, Nil, limit = 5, offset = 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(page.sameElements(ids.slice(3, 8)), "paged query != ranks 4..8 by pk")
+    intercept[IllegalArgumentException](eng.query(pred, Nil, limit = 0, offset = 2))
+  }
+
+  test("queryIterator: keyset pages drain with no dup and no miss; cursor pushed to scan") {
+    val eng = freshEngine()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    eng.ingest(docs)
+    val pred = col("lang") === "en"
+    val n = docs.filter(pred).count()
+    val pages = eng.queryIterator(pred, Seq("source"), batchSize = 64).toSeq
+    assert(pages.length == ((n + 63) / 64), s"wrong page count for $n rows")
+    val got = pages.flatMap(_.select("doc_id").collect().map(_.getLong(0)))
+    val exp = docs.filter(pred).select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exp, "concatenated pages must be the pk-ordered result, no dup no miss")
+    assert(pages.init.forall(_.count() == 64), "non-final pages must be full")
+    // the keyset cursor is a pushed scan predicate — THE property that makes
+    // a full drain O(n) instead of offset-paging's O(n²/batch)
+    val p2plan = pages(1).queryExecution.executedPlan.toString
+    assert(p2plan.contains("GreaterThan(doc_id"),
+      s"page-2 cursor did not reach PushedFilters\n${p2plan.take(2000)}")
+    assert(eng.queryIterator(lit(false), Nil, 64).isEmpty, "empty result ⇒ empty iterator")
+  }
+
+  test("dropPartition: tenant leaves store+index+layout; kept tenants' files untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-droppart").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      partitionKey = "source", nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    eng.ingest(docs); eng.update() // update persists + stamps the IVF layout
+    val keptDir = new java.io.File(s"$dir/index/source=src1")
+    val keptBefore = keptDir.listFiles().map(f => (f.getName, f.lastModified)).toSet
+    val dropped = Seq("src3", "src7")
+    val expect = docs.filter(col("source").isin(dropped: _*)).count()
+    assert(eng.dropPartition(dropped) == expect, "removed-count != tenant row count")
+    assert(!new java.io.File(s"$dir/index/source=src3").exists()
+      && !new java.io.File(s"$dir/index/source=src7").exists(),
+      "dropped tenants' index directories survived")
+    assert(keptDir.listFiles().map(f => (f.getName, f.lastModified)).toSet == keptBefore,
+      "a kept tenant's index files were rewritten — the drop must be metadata-only")
+    assert(eng.store().filter(col("source").isin(dropped: _*)).count() == 0)
+    assert(eng.fsck().collect().head.getAs[Boolean]("consistent"))
+    // the persisted layout was MAINTAINED (tenant rows pruned in place), not
+    // left stale for a corpus-sized rebuild
+    val cells = spark.read.parquet(s"$dir/index_ivf/cells")
+    assert(cells.filter(col("source").isin(dropped: _*)).count() == 0,
+      "dropped tenants' chunks survived in the persisted layout")
+    assert(cells.count() == eng.index().count()
+      && cells.select("chunk_id").distinct().count() == cells.count(),
+      "layout is not exactly-once after the drop")
+    assert(eng.dropPartition(dropped) == 0L, "re-drop must be a no-op")
+    // serving parity with a from-scratch engine over the surviving corpus
+    val fresh = new Engine(spark, cfg.copy(storePath = s"$dir/fs", indexPath = s"$dir/fi"))
+    fresh.ingest(docs.filter(!col("source").isin(dropped: _*))); fresh.update()
+    val qs = Seq("data processing pipeline", "machine learning")
+    assert(hitCensus(eng.search(qs)) == hitCensus(fresh.search(qs)),
+      "post-drop serving diverged from a from-scratch build over the kept tenants")
+    intercept[IllegalArgumentException](freshEngine().dropPartition(Seq("x")))
+  }
+
+  test("compact on a partition-keyed index cures per-tenant small files, keeps the layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pcompact").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      partitionKey = "source")
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    // three append waves ⇒ several part files per tenant directory
+    eng.ingest(docs.filter(col("doc_id") % 3 === 0)); eng.update()
+    eng.ingest(docs.filter(col("doc_id") % 3 === 1)); assert(eng.updateIncremental() > 0)
+    eng.ingest(docs); assert(eng.updateIncremental() > 0)
+    def tenantFiles(): Map[String, Int] =
+      new java.io.File(s"$dir/index").listFiles().filter(_.getName.startsWith("source="))
+        .map(d => d.getName -> d.listFiles().count(f =>
+          f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))).toMap
+    val before = tenantFiles()
+    assert(before.values.exists(_ > 1), "fixture failed to accrete small files")
+    val pre = hitCensus(eng.search(Seq("data processing pipeline", "machine learning")))
+    eng.compact()
+    val after = tenantFiles()
+    assert(after.keySet == before.keySet, "compaction dropped a tenant directory")
+    assert(after.values.forall(_ == 1), s"tenants not bin-packed to one file: $after")
+    assert(eng.index().count() == spark.read.parquet(s"$dir/index").count())
+    // a second compact in a maintenance loop must skip (selective guard)
+    val stamp = tenantFiles().map { case (k, _) =>
+      k -> new java.io.File(s"$dir/index/$k").listFiles().map(_.lastModified).toSet }
+    eng.compact()
+    assert(tenantFiles().map { case (k, _) =>
+      k -> new java.io.File(s"$dir/index/$k").listFiles().map(_.lastModified).toSet } == stamp,
+      "an already-compact layout was rewritten again")
+    assert(hitCensus(eng.search(Seq("data processing pipeline", "machine learning"))) == pre,
+      "compaction changed search results")
+  }
+
   test("concurrent searches during an incremental extend leave the layout duplicate-free") {
     // the round-8 advice race: a search that sees the mid-extend fingerprint
     // mismatch must NOT launch a rebuild whose overwrite interleaves with
