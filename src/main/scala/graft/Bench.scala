@@ -39,16 +39,24 @@ object Bench {
     // release — across 200+ queries × 2 runs they accrete into executor
     // memory pressure that inflates the big-shuffle queries late in the
     // suite (the q118 suite-vs-isolated gap)
-    def release(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+    // only residue CREATED by the timed query is released: a blanket
+    // getPersistentRDDs unpersist would also drop localCheckpoint blocks a
+    // frame memoized ACROSS queries depends on (a localCheckpointed RDD
+    // cannot be recomputed after unpersist — reuse would throw
+    // block-not-found), so snapshot the persistent set before the timing
+    // and free only the delta
+    def release(before: Set[Int]): Unit = {
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!before.contains(id)) rdd.unpersist(blocking = false) }
       spark.catalog.clearCache()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val pre1 = spark.sparkContext.getPersistentRDDs.keySet.toSet
       val (t1, e1) = timeOnce(fn)
-      release()
+      release(pre1)
+      val pre2 = spark.sparkContext.getPersistentRDDs.keySet.toSet
       val (t2, e2) = timeOnce(fn)
-      release()
+      release(pre2)
       name -> (math.min(t1, t2), e1.orElse(e2))
     }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
@@ -83,7 +91,11 @@ object Bench {
     val bestTotal = best.map(_._2).sum
     try java.nio.file.Files.write(bestPath, bestJson.getBytes("UTF-8"))
     catch { case _: Throwable => () } // a read-only CWD must not fail the bench
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_best":$bestJson,"best_total":$bestTotal,"errors":$errs,"sf":"$sfDir"}""")
+    // stop Spark BEFORE printing: the driver tail-parses stdout for the one
+    // JSON line, and shutdown logging after the println left BENCH_r{7,8,9}
+    // .json's `parsed` field null — the JSON must be the LAST line emitted
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_best":$bestJson,"best_total":$bestTotal,"errors":$errs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -178,9 +178,14 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       else Engine.HashEmbedder(cfg.embedDim))
 
   /** Dedup-append documents (must carry `doc_id` and `text`). Re-ingesting
-    * the same batch is a no-op. */
+    * the same batch is a no-op. With `cfg.partitionKey` set the store is
+    * hive-partitioned by it, mirroring the index layout — Milvus partitions
+    * physically isolate tenant segments, so [[dropPartition]] is a
+    * directory delete on BOTH layouts and tenant-scoped predicates prune
+    * the store scan. */
   def ingest(docs: DataFrame, keyCol: String = "doc_id"): Unit =
-    Ingest.dedupAppend(docs, cfg.storePath, keyCol)
+    Ingest.dedupAppend(docs, cfg.storePath, keyCol,
+      Option(cfg.partitionKey).filter(_.nonEmpty))
 
   /**
    * Upsert — Milvus's `upsert` verb (replace by primary key), the ONE
@@ -198,18 +203,50 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * (the store/index files containing replaced rows must be rewritten;
    * at 100 TB that is the floor any copy-on-write replace pays).
    * `incoming` must carry the store's schema. Returns changed-row count.
+   *
+   * Change detection is DIGEST-KEYED: each side reduces to
+   * `(key, sha2(to_json(struct(all columns, name-sorted)), 256))` before the
+   * anti join, so (a) only id+digest pairs shuffle — never document text as
+   * join-key bytes (at 100 TB an all-column join hashes and exchanges the
+   * corpus twice), and (b) comparison is NULL-SAFE: a stored row containing
+   * a NULL column renders the same JSON as its identical incoming row
+   * (`to_json` omits null fields deterministically), where a plain
+   * all-column equi-join would treat NULL ≠ NULL and re-upsert such rows
+   * forever, breaking the idempotent no-op contract.
    */
   def upsert(incoming: DataFrame, keyCol: String = "doc_id"): Long = {
-    val changed = incoming
-      .join(store(), incoming.columns.toSeq, "left_anti")
+    // name-sorted column order on BOTH sides: the digest must not depend on
+    // the projection order the caller happened to use
+    val cols = store().columns.sorted.toSeq
+    require(incoming.columns.sorted.toSeq == cols,
+      s"upsert: incoming schema ${incoming.columns.sorted.mkString(",")} != " +
+        s"store schema ${cols.mkString(",")}")
+    val changedKeys = upsertChangedKeys(incoming, keyCol)
       .localCheckpoint(true) // delta-sized pin: one derivation, three consumers
-    val n = changed.count()
+    val n = changedKeys.count()
     if (n > 0) {
-      delete(changed.select(keyCol), keyCol) // old versions leave store+index+layout
-      ingest(changed, keyCol)                // now absent ⇒ appends the new versions
-      updateIncremental()                    // re-embed ONLY the replaced documents
+      // hydrate the changed rows delta-sized: the changed-key set broadcasts
+      // against the incoming scan, so full rows never shuffle at all
+      val changed = incoming.join(broadcast(changedKeys), Seq(keyCol), "left_semi")
+        .localCheckpoint(true)
+      delete(changedKeys, keyCol) // old versions leave store+index+layout
+      ingest(changed, keyCol)     // now absent ⇒ appends the new versions
+      updateIncremental()         // re-embed ONLY the replaced documents
     }
     n
+  }
+
+  /** [[upsert]]'s change-detection plan, exposed for the plan gate: keys of
+    * incoming rows whose `(key, row digest)` is absent from the store. Both
+    * join inputs are the two-column `(key, digest)` projection — the spec
+    * asserts no wider column reaches the join. */
+  private[graft] def upsertChangedKeys(incoming: DataFrame, keyCol: String): DataFrame = {
+    val cols = store().columns.sorted.toSeq
+    def slim(df: DataFrame): DataFrame = df.select(
+      col(keyCol), sha2(to_json(struct(cols.map(col): _*)), 256).as("__dg"))
+    slim(incoming)
+      .join(slim(store()), Seq(keyCol, "__dg"), "left_anti")
+      .select(keyCol)
   }
 
   /** The document store as a DataFrame. */
@@ -289,9 +326,13 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * the scan as a PushedFilter; after [[compact]]'s range-clustering,
    * parquet min/max footer stats skip every file below the cursor, so a
    * full drain costs O(n) total IO regardless of page count. Each page is
-   * a live plan computed twice (once to advance the cursor, once when the
-   * caller consumes it) — both are pruned top-k scans, and the pk order
-   * makes the recomputation deterministic.
+   * PINNED (`localCheckpoint` — batch-sized, cheap) the moment it is
+   * computed, so the cursor advance and the caller's consumption read the
+   * same materialization: a concurrent delete/upsert/compact between the
+   * two can neither change a page's contents nor fail it on deleted part
+   * files (the no-duplicate/no-miss seam contract holds under mutation;
+   * rows removed AFTER their page was cut still appear — snapshot-at-page
+   * semantics, the same guarantee Milvus documents for its iterator).
    */
   def queryIterator(pred: Column, outputFields: Seq[String] = Nil,
                     batchSize: Int = 1000): Iterator[DataFrame] = {
@@ -302,6 +343,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       private def fetch(): Option[DataFrame] = {
         val page = store().filter(pred && col("doc_id") > cursor)
           .orderBy(col("doc_id")).limit(batchSize).select(cols: _*)
+          .localCheckpoint(true) // pin: cursor advance + consumption see one snapshot
         val mx = page.agg(org.apache.spark.sql.functions.max(col("doc_id"))).head()
         if (mx.isNullAt(0)) None
         else { cursor = mx.getLong(0); Some(page) }
@@ -501,18 +543,10 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * Returns the number of store documents removed.
    */
   def delete(ids: DataFrame, keyCol: String = "doc_id"): Long = {
-    // removed-count rides the rewrite via an Observation on the pinned
-    // materialization — no separate store().count() jobs (a left join with
-    // a delete mark makes one pass count AND filter; the CollectMetrics
-    // node sits below the checkpoint, so the overwrite replays nothing)
     val key = ids.select(keyCol).distinct()
-    val obs = org.apache.spark.sql.Observation()
-    val s2 = store()
-      .join(broadcast(key.withColumn("__del", lit(true))), Seq(keyCol), "left")
-      .observe(obs, sum(when(col("__del"), 1L).otherwise(0L)).as("removed"))
-      .filter(col("__del").isNull).drop("__del")
-      .localCheckpoint(true) // pin BEFORE overwriting the path being read
-    s2.write.mode("overwrite").parquet(cfg.storePath)
+    val removed =
+      if (cfg.partitionKey.nonEmpty) deleteFromPartitionedStore(key, keyCol)
+      else deleteFromFlatStore(key, keyCol)
     if (indexExists) {
       // decided BEFORE the rewrite flips the index fingerprint: a layout
       // that was current can be MAINTAINED (delta-sized) instead of
@@ -526,7 +560,62 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         if (layoutCurrent) maintainLayoutAfterDelete(key, keyCol)
       }
     }
+    removed
+  }
+
+  /** [[delete]]'s store rewrite on a FLAT layout: one broadcast anti join,
+    * copy-on-write over the whole store (the removed-count rides the
+    * rewrite via an Observation — no separate count job). */
+  private def deleteFromFlatStore(key: DataFrame, keyCol: String): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    val s2 = store()
+      .join(broadcast(key.withColumn("__del", lit(true))), Seq(keyCol), "left")
+      .observe(obs, sum(when(col("__del"), 1L).otherwise(0L)).as("removed"))
+      .filter(col("__del").isNull).drop("__del")
+      .localCheckpoint(true) // pin BEFORE overwriting the path being read
+    s2.write.mode("overwrite").parquet(cfg.storePath)
     Option(obs.get("removed")).map(_.asInstanceOf[Long]).getOrElse(0L)
+  }
+
+  /**
+   * [[delete]]'s store rewrite on a `partition_key` layout, TENANT-sized
+   * instead of corpus-sized: a slim (key, tenant) scan finds which tenants
+   * hold removed rows, only THOSE tenants' kept rows are rewritten via a
+   * dynamic partition overwrite, and a tenant emptied by the delete leaves
+   * as a directory delete (a dynamic overwrite cannot clear a partition it
+   * writes no rows into). Every other tenant's store files are never read
+   * or rewritten — on a 100 TB multi-tenant store a delete touching one
+   * tenant costs that tenant's rewrite, not the corpus's.
+   */
+  private def deleteFromPartitionedStore(key: DataFrame, keyCol: String): Long = {
+    val k = cfg.partitionKey
+    val hits = store().select(col(keyCol), col(k))
+      .join(broadcast(key), Seq(keyCol), "left_semi")
+      .localCheckpoint(true) // slim: (key, tenant) of removed rows only
+    val n = hits.count()
+    if (n == 0) return 0L
+    val affected = hits.select(col(k)).distinct().collect()
+      .map(r => Option(r.get(0)).map(_.toString).orNull)
+    val keptOfAffected = store()
+      .filter(col(k).isInCollection(affected.toSeq))
+      .join(broadcast(key), Seq(keyCol), "left_anti")
+      .localCheckpoint(true) // pin BEFORE overwriting partitions being read
+    val keptTenants = keptOfAffected.select(col(k)).distinct().collect()
+      .map(r => Option(r.get(0)).map(_.toString).orNull).toSet
+    val emptied = affected.filterNot(keptTenants)
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(cfg.storePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${cfg.storePath}/${escapedPartitionDir(k, v)}"), true)
+      }
+    }
+    if (keptTenants.nonEmpty)
+      keptOfAffected.repartition(col(k)).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(k).parquet(cfg.storePath)
+    n
   }
 
   /**
@@ -586,45 +675,74 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   /**
    * Tenant removal — Milvus's `drop_partition` over a `partition_key`
    * collection: every document of the named tenants leaves the store, the
-   * index, and the persisted IVF layout. What [[delete]] must do with a
-   * corpus-sized anti-join rewrite, this verb does with tenant-sized work:
-   * the store rewrite is a pushed-down predicate scan (no join), and the
-   * index side is a METADATA operation — the named tenants' hive
-   * directories are removed; no byte of any other tenant's index files is
-   * read or rewritten (at 100 TB the difference between "drop a tenant"
-   * taking seconds and taking an index-rewrite maintenance window). The
+   * index, and the persisted IVF layout. What [[delete]] must do with
+   * anti-join rewrites, this verb does with METADATA operations on BOTH
+   * primary layouts: the store and the index are each hive-partitioned by
+   * the tenant key ([[ingest]] / [[writeIndexRows]]), so the named
+   * tenants' directories are simply removed — no byte of any other
+   * tenant's store or index files is read or rewritten (at 100 TB the
+   * difference between "drop a tenant" taking seconds and taking a
+   * corpus-rewrite maintenance window; the removed-count is a
+   * partition-pruned footer count over the dropped tenants only). The
    * cell layout is partitioned by cell with the tenant key riding as a
    * data column, so it prunes via [[maintainLayoutRemoving]] with a
    * predicate — affected cells only, no rebuild. Idempotent: re-dropping
    * removes 0 rows and leaves the layout stamped. Returns store documents
    * removed.
    */
+  /** Hive directory name `key=value` with BOTH sides escaped the way
+    * Spark's partitioned write escapes them (ExternalCatalogUtils — '%XX'
+    * for chars Hive path-escapes), so metadata deletes address the exact
+    * directory the write created. */
+  private def escapedPartitionDir(k: String, v: String): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    s"${escapePathName(k)}=${escapePathName(v)}"
+  }
+
   def dropPartition(partitions: Seq[String]): Long = {
     require(cfg.partitionKey.nonEmpty,
       "dropPartition requires cfg.partitionKey (Milvus partition_key_field)")
     require(partitions.nonEmpty, "no partitions named")
     val k = cfg.partitionKey
     val hit = col(k).isInCollection(partitions)
-    val obs = org.apache.spark.sql.Observation()
-    val s2 = store()
-      .observe(obs, sum(when(hit, 1L).otherwise(0L)).as("removed"))
-      .filter(!hit)
-      .localCheckpoint(true) // pin BEFORE overwriting the path being read
-    s2.write.mode("overwrite").parquet(cfg.storePath)
+    // removed-count BEFORE the drop: the predicate is a PartitionFilter, so
+    // this is a footer count over the dropped tenants' directories only
+    val removed = store().filter(hit).count()
+    val fs = new org.apache.hadoop.fs.Path(cfg.storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // escape values EXACTLY the way Spark's hive-partitioned write named the
+    // directories (spaces, '/', '=', '%', unicode…): a raw interpolation
+    // would miss the escaped dir and silently leave the tenant's files on
+    // disk while reporting success
+    def dropDir(root: String, v: String): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(s"$root/${escapedPartitionDir(k, v)}")
+      fs.delete(dir, true)
+      require(!fs.exists(dir), s"dropPartition: directory $dir survived the delete")
+    }
+    // store side: a metadata operation — the tenants' hive directories
+    // leave. A LEGACY store ingested flat before partition_key was
+    // configured has no tenant directories; it pays the old copy-on-write
+    // predicate rewrite once (and is partitioned from then on).
+    val kPrefix = escapedPartitionDir(k, "") // "<escaped-k>="
+    val storeIsPartitioned = fs.listStatus(new org.apache.hadoop.fs.Path(cfg.storePath))
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith(kPrefix))
+    if (storeIsPartitioned) partitions.foreach(dropDir(cfg.storePath, _))
+    else if (removed > 0) {
+      val s2 = store().filter(!hit)
+        .localCheckpoint(true) // pin BEFORE overwriting the path being read
+      s2.repartition(col(k)).write.mode("overwrite")
+        .partitionBy(k).parquet(cfg.storePath)
+    }
     if (indexExists) {
       // decided BEFORE the directory drop flips the index fingerprint
       val layoutCurrent = persistedFingerprint().contains(compositeFingerprint())
-      val fs = new org.apache.hadoop.fs.Path(cfg.indexPath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       synchronized { // the ivfIndex() monitor — no rebuild may interleave
-        partitions.foreach { v =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"${cfg.indexPath}/$k=$v"), true)
-        }
+        partitions.foreach(dropDir(cfg.indexPath, _))
         invalidateIvf()
         if (layoutCurrent) maintainLayoutRemoving(_.filter(hit), _.filter(!hit))
       }
     }
-    Option(obs.get("removed")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    removed
   }
 
   /**
@@ -693,7 +811,9 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         .partitionBy(key).parquet(path)
       (files, true)
     }
-    val (sf, sChanged) = rewrite(cfg.storePath, "doc_id")
+    val (sf, sChanged) =
+      if (cfg.partitionKey.nonEmpty) rewritePartitioned(cfg.storePath, cfg.partitionKey)
+      else rewrite(cfg.storePath, "doc_id")
     // decided BEFORE the index rewrite flips its fingerprint
     val layoutCurrent = indexExists &&
       persistedFingerprint().contains(compositeFingerprint())
@@ -985,8 +1105,12 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val topk = best
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") > offset && col("rank") <= offset + limit)
-    // hydration join (vdb.py:113-119): hits side is tiny ⇒ broadcast
-    store().join(broadcast(topk), "doc_id")
+    // hydration join (vdb.py:113-119): hits side is tiny ⇒ broadcast. A
+    // tenant-scoped search ([[searchPartitions]]) carries its scope onto the
+    // hydration scan too: on a partition-keyed STORE the predicate is a
+    // PartitionFilter, so hydration never lists other tenants' directories
+    val hydration = scope.fold(store())(p => store().filter(p))
+    hydration.join(broadcast(topk), "doc_id")
       .select(col("query_id"), col("query"), col("doc_id"), col("score"),
         col("rank"), substring(col("text"), 1, 200).as("preview"))
       .orderBy(col("query_id"), col("rank"))

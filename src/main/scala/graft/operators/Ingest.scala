@@ -91,13 +91,24 @@ object Ingest {
     * twice is a no-op (the I2 exactly-once-ish contract). Only a genuinely
     * absent store skips the anti join — any read failure on an existing
     * store (corrupt footer, permissions, transient FS error) propagates,
-    * because silently re-appending the whole batch would break idempotence. */
-  def dedupAppend(incoming: DataFrame, storePath: String, keyCol: String): Unit = {
+    * because silently re-appending the whole batch would break idempotence.
+    *
+    * With `partitionCol` set (the engine's `partition_key` multi-tenancy
+    * discipline) the append hive-partitions on it — rows cluster by tenant
+    * first so each batch lands one file per touched directory — which makes
+    * tenant drops metadata-only directory deletes and gives tenant-scoped
+    * predicates PartitionFilter pruning on the STORE, not just the index. */
+  def dedupAppend(incoming: DataFrame, storePath: String, keyCol: String,
+                  partitionCol: Option[String] = None): Unit = {
     val spark = incoming.sparkSession
     val novel =
       if (storeExists(spark, storePath))
         newRows(incoming, spark.read.parquet(storePath), keyCol)
       else incoming
-    novel.write.mode("append").parquet(storePath)
+    partitionCol match {
+      case Some(k) =>
+        novel.repartition(col(k)).write.mode("append").partitionBy(k).parquet(storePath)
+      case None => novel.write.mode("append").parquet(storePath)
+    }
   }
 }

@@ -837,16 +837,28 @@ class EngineSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text", "source")
     eng.ingest(docs); eng.update() // update persists + stamps the IVF layout
+    // the STORE is hive-partitioned by the tenant key too (round-10: Milvus
+    // partitions physically isolate tenant segments in BOTH layouts)
+    assert(new java.io.File(s"$dir/store").listFiles()
+      .exists(_.getName.startsWith("source=")),
+      "ingest under partition_key did not hive-partition the store")
     val keptDir = new java.io.File(s"$dir/index/source=src1")
     val keptBefore = keptDir.listFiles().map(f => (f.getName, f.lastModified)).toSet
+    val keptStoreDir = new java.io.File(s"$dir/store/source=src1")
+    val keptStoreBefore = keptStoreDir.listFiles().map(f => (f.getName, f.lastModified)).toSet
     val dropped = Seq("src3", "src7")
     val expect = docs.filter(col("source").isin(dropped: _*)).count()
     assert(eng.dropPartition(dropped) == expect, "removed-count != tenant row count")
     assert(!new java.io.File(s"$dir/index/source=src3").exists()
       && !new java.io.File(s"$dir/index/source=src7").exists(),
       "dropped tenants' index directories survived")
+    assert(!new java.io.File(s"$dir/store/source=src3").exists()
+      && !new java.io.File(s"$dir/store/source=src7").exists(),
+      "dropped tenants' STORE directories survived")
     assert(keptDir.listFiles().map(f => (f.getName, f.lastModified)).toSet == keptBefore,
       "a kept tenant's index files were rewritten — the drop must be metadata-only")
+    assert(keptStoreDir.listFiles().map(f => (f.getName, f.lastModified)).toSet == keptStoreBefore,
+      "a kept tenant's STORE files were rewritten — the drop must be metadata-only")
     assert(eng.store().filter(col("source").isin(dropped: _*)).count() == 0)
     assert(eng.fsck().collect().head.getAs[Boolean]("consistent"))
     // the persisted layout was MAINTAINED (tenant rows pruned in place), not
@@ -865,6 +877,67 @@ class EngineSpec extends SparkSpec {
     assert(hitCensus(eng.search(qs)) == hitCensus(fresh.search(qs)),
       "post-drop serving diverged from a from-scratch build over the kept tenants")
     intercept[IllegalArgumentException](freshEngine().dropPartition(Seq("x")))
+  }
+
+  test("dropPartition: hive-escaped tenant values leave zero residue on disk") {
+    // values Hive path-escapes (space, '=', '/', '%'): a raw s"$k=$v"
+    // interpolation would miss the escaped directory and silently leave the
+    // tenant's files behind while reporting success (the round-9 advice)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dropesc").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      partitionKey = "source", nlist = 4, nprobe = 4, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    val weird = "src 3=a/b%c"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 5 === 0, lit(weird)).otherwise(col("source")).as("source"))
+    eng.ingest(docs); eng.update()
+    val expect = docs.filter(col("source") === weird).count()
+    assert(expect > 0, "fixture produced no rows for the escaped tenant")
+    assert(eng.dropPartition(Seq(weird)) == expect)
+    def residue(root: String): Boolean = new java.io.File(root).listFiles()
+      .exists(d => d.getName.startsWith("source=") && d.getName.contains("src%20"))
+    assert(!residue(s"$dir/store") && !residue(s"$dir/index"),
+      "the escaped tenant's directories survived the drop")
+    assert(eng.store().filter(col("source") === weird).count() == 0
+      && eng.index().filter(col("source") === weird).count() == 0,
+      "escaped-tenant rows survived")
+    assert(eng.fsck().collect().head.getAs[Boolean]("consistent"))
+  }
+
+  test("upsert: change detection is null-safe and shuffles only (key, digest)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upnull").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
+    val eng = new Engine(spark, cfg)
+    // a store column holding NULLs: the round-9 all-column anti join treated
+    // NULL ≠ NULL, so these rows re-upserted forever (the medium advice)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 3 === 0, col("lang")).otherwise(lit(null)).as("lang"))
+    eng.ingest(docs); eng.update()
+    assert(eng.upsert(docs) == 0L,
+      "re-upserting identical rows containing NULL columns must be a no-op")
+    // changed rows are still detected — including a NULL flipping to a value
+    val v2 = docs.withColumn("lang",
+      when(col("doc_id") % 6 === 1, lit("xx")).otherwise(col("lang")))
+    assert(eng.upsert(v2) == docs.filter(col("doc_id") % 6 === 1).count(),
+      "a NULL→value change went undetected")
+    assert(eng.upsert(v2) == 0L, "idempotence after the null-flip upsert")
+    // plan gate: the anti join's keys are exactly (doc_id, __dg) — document
+    // text never rides the shuffle as join-key bytes
+    val plan = eng.upsertChangedKeys(v2, "doc_id").queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty, "no join in the change-detection plan")
+    joins.foreach { j =>
+      val keyNames = j.condition.toSeq.flatMap(_.references.toSeq).map(_.name).toSet
+      assert(keyNames.subsetOf(Set("doc_id", "__dg")),
+        s"change detection joins on $keyNames — must be only (doc_id, __dg)")
+      j.children.foreach { side =>
+        assert(side.output.map(_.name).toSet.subsetOf(Set("doc_id", "__dg")),
+          s"a join input carries ${side.output.map(_.name)} — wider than (key, digest)")
+      }
+    }
   }
 
   test("compact on a partition-keyed index cures per-tenant small files, keeps the layout") {

@@ -476,4 +476,23 @@ class PlanSpec extends SparkSpec {
       .mkString("\n")
     assert(keyLines.contains("rnk_b"), s"rank not in join keys:\n${plan.take(3000)}")
   }
+
+  test("tenant-scoped search prunes BOTH layouts: index scan and hydration scan carry PartitionFilters") {
+    // the store is hive-partitioned by partition_key (round-10), so a
+    // searchPartitions call must never list another tenant's directories —
+    // neither when scoring chunks NOR when hydrating hits
+    val dir = java.nio.file.Files.createTempDirectory("graft-planpart").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      partitionKey = "source")
+    val eng = new Engine(spark, cfg)
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source"))
+    eng.update()
+    val plan = formatted(
+      new Engine(spark, cfg).searchPartitions(Seq("vector search"), Seq("src3", "src7")))
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    // two pruned scans: the index (chunk scoring) and the store (hydration)
+    assert(pf.count(_.contains("source")) >= 2,
+      s"expected 2 source-pruned scans, got:\n${pf.mkString("\n")}\n${plan.take(3000)}")
+  }
 }
