@@ -375,6 +375,9 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     // and skip the build entirely (as does index_type FLAT, which never
     // serves from a layout)
     if (cfg.indexType != "FLAT" && routeIvf()) ivfIndex()
+    // a hybrid deployment (lexical layout on disk) keeps its postings in
+    // the same offline window — rebuild them over the renewed store
+    if (lexExists) synchronized { buildLex() }
   }
 
   /**
@@ -406,6 +409,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     if (!maybeExtend) {
       writeIndexRows(chunks, "append")
       invalidateIvf()
+      maintainLexIfStale()
       obs.get("chunks").asInstanceOf[Long]
     } else {
       // ONE pin serves every consumer: the embedded batch is assigned its
@@ -424,7 +428,9 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       // materializes, BEFORE anything is written — an idle tick performs
       // no write and no fingerprint churn, leaving every layout
       // byte-identical, and a real tick pays no extra existence probe
-      if (obs.get("chunks").asInstanceOf[Long] == 0L) return 0L
+      // (maintainLexIfStale is fingerprint-gated the same way: a truly
+      // idle tick touches nothing)
+      if (obs.get("chunks").asInstanceOf[Long] == 0L) { maintainLexIfStale(); return 0L }
       // the extend sequence (index append → cell append → stamp) holds the
       // SAME monitor ivfIndex() synchronizes on: a concurrent search that
       // sees the mid-extend fingerprint mismatch would otherwise launch a
@@ -485,10 +491,19 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
           // stamping LAST keeps the crash window safe)
           stampFingerprint(compositeFingerprint())
         }
+        maintainLexIfStale()
         n
       }
     }
   }
+
+  /** Lexical-layout sibling of the extend path: a no-op unless a lexical
+    * layout exists AND the store moved since its stamp (idle scheduler
+    * ticks touch nothing); otherwise append the uncovered documents'
+    * postings ([[extendLex]]). */
+  private def maintainLexIfStale(): Unit =
+    if (lexExists && !readStamp(lexStampFile).contains(lexFingerprint()))
+      extendLex()
 
   /** Round-robin width pin for narrow CPU-per-row stages whose input
     * arrives in fewer partitions than the configured width (single-file
@@ -547,6 +562,10 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val removed =
       if (cfg.partitionKey.nonEmpty) deleteFromPartitionedStore(key, keyCol)
       else deleteFromFlatStore(key, keyCol)
+    // removals are the one mutation the lexical layout cannot absorb
+    // delta-sized (postings of removed docs poison df/stats): drop its
+    // stamp; the next hybrid call rebuilds offline
+    if (removed > 0) invalidateLex()
     if (indexExists) {
       // decided BEFORE the rewrite flips the index fingerprint: a layout
       // that was current can be MAINTAINED (delta-sized) instead of
@@ -719,6 +738,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       fs.delete(dir, true)
       require(!fs.exists(dir), s"dropPartition: directory $dir survived the delete")
     }
+    if (removed > 0) invalidateLex() // removals ⇒ lexical rebuild on next use
     // store side: a metadata operation — the tenants' hive directories
     // leave. A LEGACY store ingested flat before partition_key was
     // configured has no tenant directories; it pays the old copy-on-write
@@ -811,9 +831,14 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         .partitionBy(key).parquet(path)
       (files, true)
     }
+    // decided BEFORE the store rewrite flips its fingerprint: compaction
+    // changes files, never content, so a current lexical layout is
+    // re-stamped rather than rebuilt
+    val lexWasCurrent = readStamp(lexStampFile).contains(lexFingerprint())
     val (sf, sChanged) =
       if (cfg.partitionKey.nonEmpty) rewritePartitioned(cfg.storePath, cfg.partitionKey)
       else rewrite(cfg.storePath, "doc_id")
+    if (sChanged && lexWasCurrent) writeStamp(lexStampFile, lexFingerprint())
     // decided BEFORE the index rewrite flips its fingerprint
     val layoutCurrent = indexExists &&
       persistedFingerprint().contains(compositeFingerprint())
@@ -939,6 +964,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val n = Backup.restore(spark,
       Map("store" -> cfg.storePath, "index" -> cfg.indexPath), path)
     invalidateIvf()
+    invalidateLex() // the store was replaced wholesale
     n
   }
 
@@ -1089,6 +1115,68 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     searchImpl(queryDf(queries), None, None, offset, pageSize)
   }
 
+  /**
+   * Full-ranking drain — Milvus's `search_iterator` (the vector sibling of
+   * [[queryIterator]]'s scalar drain): EVERY document ranked for one
+   * query, delivered in (score desc, pk asc) keyset pages. The corpus
+   * scoring pass runs ONCE — the per-doc best-score reduction is pinned
+   * (localCheckpoint; slim, one (doc_id, score) row per document) and each
+   * page is an independent top-`batchSize` over the pinned frame behind
+   * the cursor predicate `score < s OR (score = s AND doc_id > d)` — so no
+   * page re-ranks its prefix: where offset paging pays O(p·batch) at page
+   * p (O(n²/batch) for a full drain, the [[searchPage]] shape), the drain
+   * here costs one scoring pass plus O(n) total paging work. Ranks are
+   * ABSOLUTE (rows drained + page-local position), so the concatenation of
+   * all pages is exactly the full ranking with no seam — no duplicate, no
+   * miss, ties broken by pk. Hydration joins per page (page-sized,
+   * broadcast). Pages are pinned at cut time, so a concurrent mutation
+   * can't tear a page (the [[queryIterator]] snapshot-at-page contract).
+   */
+  def searchIterator(query: String, batchSize: Int = 100): Iterator[DataFrame] = {
+    require(batchSize > 0, s"bad batchSize $batchSize")
+    val best = scoredChunks(queryDf(Seq(query)), None)
+      .groupBy(col("query_id"), col("query"), col("doc_id"))
+      .agg(max(col("score")).as("score"))
+      .localCheckpoint(true) // ONE corpus scoring pass for the whole drain
+    new Iterator[DataFrame] {
+      private var lastScore = Double.MaxValue
+      private var lastDoc = Long.MinValue
+      private var drained = 0L
+      private def fetch(): Option[DataFrame] = {
+        val page = best.filter(col("score") < lastScore ||
+            (col("score") === lastScore && col("doc_id") > lastDoc))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(batchSize)
+          .localCheckpoint(true) // pin: cursor advance + consumption, one snapshot
+        // the cursor is the page's LAST (score, doc_id) in drain order
+        val tail = page.orderBy(col("score").asc, col("doc_id").desc).limit(1).collect()
+        if (tail.isEmpty) None
+        else {
+          val n = page.count()
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("doc_id").asc)
+          val out = store().join(broadcast(page), "doc_id")
+            .withColumn("rank", (row_number().over(w) + lit(drained)).cast("int"))
+            .select(col("query_id"), col("query"), col("doc_id"), col("score"),
+              col("rank"), substring(col("text"), 1, 200).as("preview"))
+            .orderBy(col("rank"))
+          lastScore = tail.head.getAs[Double]("score")
+          lastDoc = tail.head.getAs[Long]("doc_id")
+          drained += n
+          Some(out)
+        }
+      }
+      private var staged: Option[DataFrame] = fetch()
+      override def hasNext: Boolean = staged.isDefined
+      override def next(): DataFrame = {
+        val p = staged.getOrElse(throw new NoSuchElementException("drained"))
+        staged = fetch()
+        p
+      }
+    }
+  }
+
   private def searchImpl(qdf: DataFrame,
                          eligible: Option[DataFrame],
                          scope: Option[Column] = None,
@@ -1155,24 +1243,125 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------------
+  // Persisted lexical (BM25) layout — the inverted-index sibling of the IVF
+  // cell layout: postings hive-partitioned by token hash bucket
+  // (InvertedIndex's discipline), each posting row CARRYING its document's
+  // length so serving needs no corpus-wide dl join, plus a slim coverage
+  // table (doclens) for delta-sized extends and a one-row stats file.
+  // hybridSearch's lexical ranking reads ONLY the query terms' bucket
+  // directories — at 100 TB a hybrid query batch costs the matched
+  // postings, never a corpus re-tokenization (the round-9 q212 weak item).
+  // ---------------------------------------------------------------------
+
+  /** Root of the persisted lexical layout. */
+  private def lexPath: String = s"${cfg.indexPath}_lex"
+
+  private def lexStampFile = new org.apache.hadoop.fs.Path(s"$lexPath/_STORE_FINGERPRINT")
+
+  /** What the lexical layout derives from (the STORE) + what it is. */
+  private def lexFingerprint(): String =
+    s"${pathFingerprint(cfg.storePath)}|LEX;buckets=${graft.operators.InvertedIndex.nBuckets}"
+
+  /** A lexical layout exists on disk (current or not) — the signal that
+    * this deployment serves hybrid queries, so index-lifecycle verbs keep
+    * the layout maintained rather than leaving it to rot. */
+  private def lexExists: Boolean = readStamp(lexStampFile).isDefined
+
+  /** Content mutations the lexical layout cannot absorb delta-sized
+    * (delete / dropPartition / restore rewrite or remove document text):
+    * drop the stamp so the next hybrid call rebuilds instead of serving
+    * postings of removed or replaced documents. */
+  private def invalidateLex(): Unit = {
+    val f = lexStampFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(lexStampFile, false)
+  }
+
+  /** Serve-gate: (re)build the lexical layout iff its stamp doesn't match
+    * the live store (same build-if-stale monitor discipline as
+    * [[ivfIndex]]). */
+  private def ensureLex(): Unit =
+    if (!readStamp(lexStampFile).contains(lexFingerprint())) synchronized {
+      if (!readStamp(lexStampFile).contains(lexFingerprint())) buildLex()
+    }
+
+  /** Full offline build: one tokenize pass over the store → per-(doc, tok)
+    * tf joined with per-doc length, bucket-partitioned postings + doclens
+    * coverage + one-row corpus stats, then the stamp (LAST — a build that
+    * dies midway stays stale and rebuilds). */
+  private def buildLex(): Unit = {
+    val toks = widen(store())
+      .select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true) // one derivation: postings join + coverage + stats
+    val posts = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("tb", graft.operators.InvertedIndex.bucket(col("tok")))
+    posts.repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$lexPath/postings")
+    dl.write.mode("overwrite").parquet(s"$lexPath/doclens")
+    dl.agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("t_toks"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$lexPath/stats")
+    writeStamp(lexStampFile, lexFingerprint())
+  }
+
+  /** Delta-sized maintenance on the ingest path ([[updateIncremental]]'s
+    * lexical sibling): documents absent from the coverage table — exactly
+    * the ingested-since-last-build set; dedup-append means a covered doc's
+    * text never changed (text mutations go through [[delete]], which
+    * invalidates) — append their postings and doclens rows, bump the stats
+    * by the observed delta, restamp. Cost is proportional to the NEW
+    * documents; the existing buckets' files are appended to, never
+    * rewritten. */
+  private def extendLex(): Unit = synchronized {
+    if (!lexExists) return
+    val covered = spark.read.parquet(s"$lexPath/doclens").select(col("doc_id"))
+    val fresh = store().join(covered, Seq("doc_id"), "left_anti")
+    val toks = widen(fresh)
+      .select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true)
+    val delta = dl.agg(coalesce(count(lit(1)), lit(0L)),
+      coalesce(sum(col("dl")), lit(0L))).head()
+    if (delta.getLong(0) > 0L) {
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .join(dl, Seq("doc_id"))
+        .withColumn("tb", graft.operators.InvertedIndex.bucket(col("tok")))
+        .repartition(col("tb"))
+        .write.mode("append").partitionBy("tb").parquet(s"$lexPath/postings")
+      dl.write.mode("append").parquet(s"$lexPath/doclens")
+      val st = spark.read.parquet(s"$lexPath/stats").head()
+      import spark.implicits._
+      Seq((st.getLong(0) + delta.getLong(0), st.getLong(1) + delta.getLong(1)))
+        .toDF("n_docs", "t_toks")
+        .coalesce(1).write.mode("overwrite").parquet(s"$lexPath/stats")
+    }
+    writeStamp(lexStampFile, lexFingerprint())
+  }
+
   /**
    * Hybrid retrieval — Milvus 2.4's `hybrid_search` verb (multi-ranker +
    * rank fusion) over this engine's two native rankers: the vector ranking
    * ([[search]]'s per-doc best chunk score through the configured serving
-   * strategy) and an integral BM25 lexical ranking over the store
-   * (k1=1.2, b=0.75 in basis points — every score an exact integer, so the
-   * fusion replays relationally). Each ranking pools its top `kPool` docs
-   * per query; reciprocal-rank fusion (k=60, contributions in ppm —
+   * strategy) and an integral BM25 lexical ranking (k1=1.2, b=0.75; tf in
+   * basis points, idf a piecewise-linear integer log2 of Lucene's
+   * `1 + (N-df+0.5)/(df+0.5)` — every score an exact integer, so the
+   * fusion replays relationally while term weight grows logarithmically
+   * with rarity, real BM25 shape). Each ranking pools its top `kPool`
+   * docs per query; reciprocal-rank fusion (k=60, contributions in ppm —
    * integer-exact, no score calibration across rankers) merges them and
    * the top `cfg.limit` is hydrated.
    *
    * Scale shape: the vector side inherits the serving strategy's pruning
-   * (probed cells / compressed codes); the lexical side is one token
-   * explode over the store shuffled on (doc_id, tok) — the on-line
-   * spelling; a standing deployment would serve it from the persisted
-   * inverted index ([[graft.operators.InvertedIndex]]) instead. Both
-   * rankings cut to kPool per query BEFORE the fusion join, so the fusion
-   * and hydration sides are metadata-sized regardless of corpus scale.
+   * (probed cells / compressed codes); the lexical side serves from the
+   * PERSISTED inverted layout ([[buildLex]] — built at first use, kept
+   * fresh by [[updateIncremental]], rebuilt after content mutations): the
+   * query terms' hash buckets become PartitionFilters, so the scan reads
+   * at most `nTerms` of the bucket directories — postings volume, never
+   * corpus volume — and document length rides each posting row, so no
+   * corpus-wide dl join exists in the serving plan. Both rankings cut to
+   * kPool per query BEFORE the fusion join, so the fusion and hydration
+   * sides are metadata-sized regardless of corpus scale.
    */
   def hybridSearch(queries: Seq[String], kPool: Int = 100): DataFrame = {
     val qdf = queryDf(queries)
@@ -1183,29 +1372,43 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .withColumn("vec_rank", row_number().over(wv))
       .filter(col("vec_rank") <= kPool)
       .select(col("query_id"), col("doc_id"), col("vec_rank").cast("long").as("vec_rank"))
-    // lexical side: the query terms fan the per-(doc, term) tf out per
-    // query; corpus stats (dl, N, T) computed once for all queries
+    // lexical side, served from the persisted inverted layout: the query
+    // terms' buckets prune the postings scan (PartitionFilters), document
+    // frequency is an exact aggregate over the pruned postings (a token's
+    // postings all live in its bucket), dl rides each posting row, and the
+    // corpus stats are a one-row read — nothing in this plan scales with
+    // the corpus, only with the matched postings
+    ensureLex()
     import spark.implicits._
     val qterms = queries.zipWithIndex.flatMap { case (q, i) =>
       q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
         .map(t => (i.toLong, t))
     }.toDF("query_id", "tok")
-    val toks = store()
-      .select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val corp = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
-    val tf = toks.join(broadcast(qterms.select("tok").distinct()), Seq("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val st = spark.read.parquet(s"$lexPath/stats").head()
+    val nDocs = st.getLong(st.fieldIndex("n_docs"))
+    val tToks = st.getLong(st.fieldIndex("t_toks"))
+    val terms = queries.flatMap(
+      _.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)).distinct
+    val buckets = terms.map(graft.operators.InvertedIndex.bucketOfTerm).distinct
+    val posts = spark.read.parquet(s"$lexPath/postings")
+      .filter(col("tb").isInCollection(buckets) && col("tok").isInCollection(terms))
+    val dfT = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wl = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("bm25_bp").desc, col("doc_id").asc)
-    val lrank = tf.join(broadcast(qterms), Seq("tok"))
+    // idf: piecewise-linear integer log2 of Lucene's 1 + (N-df+0.5)/(df+0.5)
+    // = (2N+2)/(2df+1), computed at 1024× fixed point — e is floor(log2)
+    // via the bit length (bin()), exact and engine-portable; the fraction
+    // interpolates linearly within the octave in basis points
+    val lrank = posts.join(broadcast(qterms), Seq("tok"))
       .join(broadcast(dfT), Seq("tok"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(corp))
-      .withColumn("idf_bp", expr("(10000 * (2*n_docs - 2*df + 1)) DIV (2*df + 1)"))
-      .withColumn("tf_bp",
-        expr("(10000 * 22 * t_toks * tf) DIV (10 * t_toks * tf + 3 * t_toks + 9 * dl * n_docs)"))
+      .withColumn("s_k", expr(s"(1024 * (2 * cast($nDocs as bigint) + 2)) DIV (2*df + 1)"))
+      .withColumn("e_k", expr("length(bin(s_k)) - 1"))
+      .withColumn("idf_bp", expr("10000 * e_k" +
+        " + (10000 * (s_k - shiftleft(cast(1 as bigint), e_k)))" +
+        " DIV shiftleft(cast(1 as bigint), e_k) - 100000"))
+      .withColumn("tf_bp", expr(s"(10000 * 22 * cast($tToks as bigint) * tf)" +
+        s" DIV (10 * cast($tToks as bigint) * tf + 3 * cast($tToks as bigint)" +
+        s" + 9 * dl * cast($nDocs as bigint))"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(expr("(idf_bp * tf_bp) DIV 10000")).as("bm25_bp"))
       .withColumn("lex_rank", row_number().over(wl))
@@ -1296,8 +1499,12 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * (the [[graft.operators.Backup]] manifest machinery computes per-file
     * SHA-256 distributed; wire its digest set in here at the cost of one
     * full read per fingerprint). */
-  private def indexFingerprint(): String = {
-    val p = new org.apache.hadoop.fs.Path(cfg.indexPath)
+  private def indexFingerprint(): String = pathFingerprint(cfg.indexPath)
+
+  /** [[indexFingerprint]]'s mechanism over any layout root (the store for
+    * the lexical index, the index for the IVF layout). */
+  private def pathFingerprint(path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) return "absent"
     val it = f.listFiles(p, true)
@@ -1334,21 +1541,25 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
 
   private def fingerprintFile = new org.apache.hadoop.fs.Path(s"$ivfPath/_INDEX_FINGERPRINT")
 
-  private def persistedFingerprint(): Option[String] = {
-    val f = fingerprintFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(fingerprintFile)) None
+  private def readStamp(p: org.apache.hadoop.fs.Path): Option[String] = {
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
     else {
-      val in = f.open(fingerprintFile)
+      val in = f.open(p)
       try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
       finally in.close()
     }
   }
 
-  private def stampFingerprint(fp: String): Unit = {
-    val f = fingerprintFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = f.create(fingerprintFile, true)
-    try out.write(fp.getBytes("UTF-8")) finally out.close()
+  private def writeStamp(p: org.apache.hadoop.fs.Path, v: String): Unit = {
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write(v.getBytes("UTF-8")) finally out.close()
   }
+
+  private def persistedFingerprint(): Option[String] = readStamp(fingerprintFile)
+
+  private def stampFingerprint(fp: String): Unit = writeStamp(fingerprintFile, fp)
 
   /**
    * The IVF layout for the current index, SERVED FROM DISK: on first use

@@ -34,50 +34,116 @@ import java.util.concurrent.atomic.AtomicInteger
  * body with the runtime call; nothing else moves.
  */
 final case class FileEmbedder(modelPath: String) extends graft.Engine.Embedder {
-  @transient private lazy val model: FileEmbedder.Model = FileEmbedder.load(modelPath)
+  @transient private lazy val model: FileEmbedder.Ckpt = FileEmbedder.load(modelPath)
   def dim: Int = model.dim
   def embedBatch(texts: Seq[String]): Seq[Array[Float]] = model.forward(texts)
 }
 
 object FileEmbedder {
 
-  /** A dense linear layer over per-character count features: for input text
-    * `t`, feature vector c_j = count of `features(j)` in `t`, output
-    * x_i = Σ_j w(i)(j)·c_j, then L2-normalized with the same
-    * double-accumulate / float-cast contract as
-    * [[VectorFns.hashEmbed]] so a SQL oracle can replay it bit-exactly. */
-  final case class Model(features: Array[Char], w: Array[Array[Double]]) {
+  /** A loaded checkpoint: any topology with the batched-forward contract.
+    * [[Model]] is the single linear layer; [[MlpModel]] an arbitrary stack
+    * of weight tensors with per-layer activation tags — the seam must
+    * prove arbitrary model TOPOLOGIES round-trip the checkpoint file, not
+    * one hardcoded shape. */
+  sealed trait Ckpt extends Serializable {
+    def dim: Int
+    def forward(texts: Seq[String]): Seq[Array[Float]]
+  }
+
+  /** Per-character count features for input text `t`: c_j = count of
+    * `features(j)` in `t` — the deterministic "tokenizer" both model
+    * shapes share and a SQL oracle replays with the length-difference
+    * trick. */
+  private def charCounts(features: Array[Char], t: String): Array[Double] = {
+    val nf = features.length
+    val c = new Array[Double](nf)
+    var j = 0
+    while (j < nf) {
+      var cnt = 0; var k = 0
+      while (k < t.length) { if (t.charAt(k) == features(j)) cnt += 1; k += 1 }
+      c(j) = cnt.toDouble
+      j += 1
+    }
+    c
+  }
+
+  /** L2-normalize with the double-accumulate / float-cast contract of
+    * [[VectorFns.hashEmbed]], so a SQL oracle replays it bit-exactly. */
+  private def normalize(x: Array[Double]): Array[Float] = {
+    var n2 = 0.0; var i = 0
+    while (i < x.length) { n2 += x(i) * x(i); i += 1 }
+    val out = new Array[Float](x.length)
+    if (n2 > 0) {
+      val inv = 1.0 / math.sqrt(n2)
+      i = 0
+      while (i < x.length) { out(i) = (x(i) * inv).toFloat; i += 1 }
+    }
+    out
+  }
+
+  /** One dense matrix-multiply, accumulated in input order (j ascending) so
+    * the SQL literal sum `w0*c0 + w1*c1 + …` replays it bit-exactly. */
+  private def dense(w: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+    val out = new Array[Double](w.length)
+    var i = 0
+    while (i < w.length) {
+      var s = 0.0; var j = 0
+      val row = w(i)
+      while (j < row.length) { s += row(j) * v(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    out
+  }
+
+  /** A dense linear layer over per-character count features: x = W·c, then
+    * L2-normalized. The `GRAFT-LINEAR 1` checkpoint shape. */
+  final case class Model(features: Array[Char], w: Array[Array[Double]]) extends Ckpt {
     val dim: Int = w.length
     require(w.forall(_.length == features.length),
       s"weight rows must match feature count ${features.length}")
+    def forward(texts: Seq[String]): Seq[Array[Float]] =
+      texts.map(t => normalize(dense(w, charCounts(features, t))))
+  }
 
+  /** One MLP layer: a weight tensor + an activation tag. Activations are
+    * restricted to the EXACTLY-replayable set (selection functions, no
+    * transcendentals — an oracle must reproduce the forward pass
+    * bit-for-bit; a real runtime swaps this enum for its own kernel). */
+  final case class Layer(w: Array[Array[Double]], activation: String) {
+    require(activation == "relu" || activation == "none",
+      s"unknown activation '$activation' (relu|none)")
+  }
+
+  /** A multi-layer perceptron over the same count features: an ARBITRARY
+    * list of weight tensors with activation tags, chained shape-checked —
+    * h⁰ = counts; hᵏ = actₖ(Wₖ·hᵏ⁻¹); output = normalize(hᴸ). The
+    * `GRAFT-MLP 1` checkpoint shape: the seam now proves a topology the
+    * loader has never seen (layer count, widths, activations all live in
+    * the FILE, not the code). */
+  final case class MlpModel(features: Array[Char], layers: List[Layer]) extends Ckpt {
+    require(layers.nonEmpty, "an MLP needs at least one layer")
+    require(layers.head.w.forall(_.length == features.length),
+      s"layer-1 width must match feature count ${features.length}")
+    layers.sliding(2).foreach {
+      case List(a, b) =>
+        require(b.w.forall(_.length == a.w.length),
+          s"layer widths don't chain: ${a.w.length} -> rows expect ${b.w.head.length}")
+      case _ => ()
+    }
+    val dim: Int = layers.last.w.length
     def forward(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
-      val nf = features.length
-      val c = new Array[Int](nf)
-      var j = 0
-      while (j < nf) {
-        var cnt = 0; var k = 0
-        while (k < t.length) { if (t.charAt(k) == features(j)) cnt += 1; k += 1 }
-        c(j) = cnt
-        j += 1
+      var v = charCounts(features, t)
+      layers.foreach { l =>
+        val y = dense(l.w, v)
+        if (l.activation == "relu") {
+          var i = 0
+          while (i < y.length) { if (!(y(i) > 0)) y(i) = 0.0; i += 1 }
+        }
+        v = y
       }
-      val x = new Array[Double](dim)
-      var i = 0
-      while (i < dim) {
-        var s = 0.0; j = 0
-        while (j < nf) { s += w(i)(j) * c(j); j += 1 }
-        x(i) = s
-        i += 1
-      }
-      var n2 = 0.0; i = 0
-      while (i < dim) { n2 += x(i) * x(i); i += 1 }
-      val out = new Array[Float](dim)
-      if (n2 > 0) {
-        val inv = 1.0 / math.sqrt(n2)
-        i = 0
-        while (i < dim) { out(i) = (x(i) * inv).toFloat; i += 1 }
-      }
-      out
+      normalize(v)
     }
   }
 
@@ -85,7 +151,7 @@ object FileEmbedder {
     * tasks hit the cache instead of re-reading the file. */
   val loadCount = new AtomicInteger(0)
 
-  private val cache = new ConcurrentHashMap[String, Model]()
+  private val cache = new ConcurrentHashMap[String, Ckpt]()
 
   /** Versioned plain-text checkpoint:
     * {{{
@@ -105,16 +171,53 @@ object FileEmbedder {
     Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
   }
 
-  def load(path: String): Model =
+  /** Multi-layer checkpoint — the topology lives in the FILE:
+    * {{{
+    * GRAFT-MLP 1
+    * features aeiounst
+    * layers 2
+    * layer 8 8 relu     (rows cols activation)
+    * …8 weight rows…
+    * layer 8 8 none
+    * …8 weight rows…
+    * }}} */
+  def saveMlp(path: String, model: MlpModel): Unit = {
+    val sb = new StringBuilder
+    sb.append("GRAFT-MLP 1\n")
+    sb.append("features ").append(new String(model.features)).append('\n')
+    sb.append("layers ").append(model.layers.length).append('\n')
+    model.layers.foreach { l =>
+      sb.append(s"layer ${l.w.length} ${l.w.head.length} ${l.activation}\n")
+      l.w.foreach { row => sb.append(row.mkString(" ")).append('\n') }
+    }
+    Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def load(path: String): Ckpt =
     cache.computeIfAbsent(path, p => {
       loadCount.incrementAndGet()
       val lines = new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8)
         .split("\n").filter(_.nonEmpty)
-      require(lines(0) == "GRAFT-LINEAR 1", s"unknown checkpoint format: ${lines(0)}")
-      val features = lines(1).stripPrefix("features ").toCharArray
-      val dim = lines(2).stripPrefix("dim ").toInt
-      val w = lines.slice(3, 3 + dim).map(_.split(" ").map(_.toDouble))
-      Model(features, w)
+      lines(0) match {
+        case "GRAFT-LINEAR 1" =>
+          val features = lines(1).stripPrefix("features ").toCharArray
+          val dim = lines(2).stripPrefix("dim ").toInt
+          val w = lines.slice(3, 3 + dim).map(_.split(" ").map(_.toDouble))
+          Model(features, w)
+        case "GRAFT-MLP 1" =>
+          val features = lines(1).stripPrefix("features ").toCharArray
+          val nLayers = lines(2).stripPrefix("layers ").toInt
+          var at = 3
+          val layers = List.fill(nLayers) {
+            val Array(_, rows, _, act) = lines(at).split(" ")
+            val w = lines.slice(at + 1, at + 1 + rows.toInt)
+              .map(_.split(" ").map(_.toDouble))
+            at += 1 + rows.toInt
+            Layer(w, act)
+          }
+          MlpModel(features, layers)
+        case h => throw new IllegalArgumentException(s"unknown checkpoint format: $h")
+      }
     })
 
   /** Deterministic "trained" parameters from a seed (an LCG over a

@@ -69,6 +69,18 @@ object EngineQueries {
   private[graft] lazy val q156Model = graft.functions.FileEmbedder.Model(
     "aeiounst".toCharArray, graft.functions.FileEmbedder.syntheticWeights(42L, 8, 8))
 
+  /** q229's checkpoint: a TWO-layer MLP (8×8 relu → 8×8 linear) over the
+    * same letter-count features, both weight tensors derived from seeds via
+    * the pure [[graft.functions.FileEmbedder.syntheticWeights]] grid — the
+    * oracle re-derives the same 3-decimal literals independently. */
+  private[graft] lazy val q229Model = graft.functions.FileEmbedder.MlpModel(
+    "aeiounst".toCharArray,
+    List(
+      graft.functions.FileEmbedder.Layer(
+        graft.functions.FileEmbedder.syntheticWeights(7L, 8, 8), "relu"),
+      graft.functions.FileEmbedder.Layer(
+        graft.functions.FileEmbedder.syntheticWeights(13L, 8, 8), "none")))
+
   val queries: Map[String, Q] = Map(
     // The whole Engine lifecycle as ONE graded query: dedup-ingest the
     // corpus twice (the second pass must append nothing — crawler.py:39-50's
@@ -840,6 +852,96 @@ object EngineQueries {
       eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
       eng.update()
       new Engine(s, cfg).searchRerank(searchTexts, kPool = 20)
+    }),
+
+    // Full-ranking drain — Milvus's search_iterator, the vector sibling of
+    // q222's scalar keyset iterator: ONE corpus scoring pass (the per-doc
+    // best-score frame pins once), then (score desc, pk asc)-keyset pages
+    // that never re-rank their prefix (offset paging pays O(p·batch) at
+    // page p; the drain here is O(n) after the single scoring pass). Ranks
+    // stay ABSOLUTE across pages, so the concatenation of every page must
+    // hash-match the one-shot full ranking the oracle computes — a
+    // duplicated, dropped or re-ordered row at any page seam fails, as
+    // does any tie (rounded scores tie constantly) broken differently.
+    "q227_search_iterator" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q227_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      val pages = new Engine(s, cfg)
+        .searchIterator(searchTexts.head, batchSize = 192).toSeq
+      val total = pages.map(_.count()).sum
+      require(pages.length == ((total + 191) / 192).toInt,
+        s"q227: ${pages.length} pages for $total ranked docs at batch 192")
+      require(pages.length >= 2, s"q227: ${pages.length} page(s) — the drain never paged")
+      pages.reduce(_.unionAll(_))
+    }),
+
+    // STREAMING UPSERT — the scheduler's daily re-crawl IS an upsert
+    // stream (scheduler.py:21-33 + crawler.py:39-50: re-fetched documents
+    // whose content changed must replace): a CDC micro-batch of modified
+    // documents flows through Engine.upsert under foreachBatch, and the
+    // SAME batch re-delivered (Spark's foreachBatch is at-least-once after
+    // a failure) must settle to the one-shot result — the digest-keyed
+    // change detection makes redelivery a 0-row no-op, the idempotence
+    // batch sinks need. Serving afterwards must hash-match the lifecycle
+    // replay over the MUTATED corpus — scores AND previews re-derive from
+    // the new text, so a stale store row, a surviving old chunk, or a
+    // double-applied update all hash-fail.
+    "q228_stream_upsert" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q228_${runSeq.incrementAndGet()}_")
+      val drop = java.nio.file.Files.createDirectory(tmp.resolve("drop"))
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs)
+      eng.update() // the standing corpus serves; CDC arrives as a stream
+      val cdc = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(col("text"), lit(" graft cdc")))
+      stageFile(cdc, tmp.resolve("w1"), drop, "a.parquet")
+      stageFile(cdc, tmp.resolve("w2"), drop, "b.parquet") // re-delivery, byte-identical
+      val changed = scala.collection.mutable.ArrayBuffer.empty[Long]
+      s.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1")
+        .parquet(drop.toString)
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          changed += eng.upsert(batch.localCheckpoint(true))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      require(changed.length == 2, s"q228: expected 2 micro-batches, saw $changed")
+      require(changed(0) == cdc.count(),
+        s"q228: first CDC batch changed ${changed(0)} rows, expected the modified tenth")
+      require(changed(1) == 0L,
+        s"q228: the re-delivered batch changed ${changed(1)} rows — not idempotent")
+      new Engine(s, cfg).search(searchTexts) // fresh driver: serves from disk
+    }),
+
+    // The checkpoint-file model seam over an ARBITRARY topology: q156
+    // proved a linear layer round-trips the file; this loads a TWO-layer
+    // MLP (8×8 relu → 8×8 linear) whose layer count, widths and activation
+    // tags all live in the checkpoint, not the code — the shape a real
+    // ONNX graph has. Both documents and queries flow through the loaded
+    // stack; the oracle re-derives the same weight literals from the seeds
+    // (pure function) and replays counts → W₁·c → relu → W₂·h →
+    // float-normalize → cosine top-k → hydration relationally.
+    "q229_mlp_checkpoint" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q229_${runSeq.incrementAndGet()}_").toString
+      val mpath = s"$tmp/model.ckpt"
+      graft.functions.FileEmbedder.saveMlp(mpath, q229Model)
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg, graft.functions.FileEmbedder(mpath))
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      eng.search(searchTexts)
     }),
 
     // Blue/green MODEL MIGRATION — the most expensive day-2 operation a
@@ -1828,6 +1930,46 @@ object EngineQueries {
        |  FROM ${p}n)""".stripMargin
   }
 
+  /** DuckDB spelling of [[q229Model]] (the two-layer MLP checkpoint) over
+    * relation `rel`: per-feature char counts → W₁·c as a list of literal
+    * left-to-right sums (bit-exact vs the Scala j-ascending accumulate) →
+    * relu via list_transform (CASE, matching the Scala `> 0` selection —
+    * NaN and −0.0 both map to 0.0 on both sides) → W₂·h over 1-indexed
+    * list elements → float-cast normalize. Emits CTEs `<p>x`, `<p>n`,
+    * `<p>v` — the [[letterEmbedSql]] shape, so the lifecycle CTEs splice
+    * unchanged. */
+  private def mlpEmbedSql(rel: String, ids: String, textCol: String,
+                          p: String): String = {
+    val m = q229Model
+    val counts = m.features.map(ch =>
+      s"(length($textCol) - length(replace($textCol, '$ch', '')))")
+    val l1 = m.layers.head.w.map { row =>
+      row.zip(counts).map { case (w, c) => s"$w * $c" }.mkString(" + ")
+    }.mkString(",\n      ")
+    val l2 = m.layers(1).w.map { row =>
+      row.zipWithIndex.map { case (w, j) => s"$w * h[${j + 1}]" }.mkString(" + ")
+    }.mkString(",\n      ")
+    s"""${p}h0 AS (
+       |  SELECT $ids, [$l1] AS h0 FROM $rel),
+       |${p}h AS (
+       |  SELECT $ids,
+       |    list_transform(h0, v -> CASE WHEN v > 0 THEN v ELSE 0.0 END) AS h
+       |  FROM ${p}h0),
+       |${p}x AS (
+       |  SELECT $ids, [$l2] AS x FROM ${p}h),
+       |${p}n AS (
+       |  SELECT $ids, x,
+       |    list_reduce(list_transform(x, v -> v*v), (a,b) -> a+b) AS nrm2
+       |  FROM ${p}x),
+       |${p}v AS (
+       |  SELECT $ids,
+       |    CASE WHEN nrm2 > 0
+       |         THEN list_transform(x, v -> cast(cast(v * (1.0/sqrt(nrm2)) as float) as double))
+       |         ELSE x END AS v,
+       |    nrm2
+       |  FROM ${p}n)""".stripMargin
+  }
+
   /** The engine-lifecycle search replay (chunker + hash-embed + cosine
     * top-k + hydration, q64's oracle). Shared by q150: a restored snapshot
     * must search EXACTLY like the engine the snapshot was taken from. */
@@ -1947,11 +2089,17 @@ object EngineQueries {
        |bm AS (
        |  SELECT q.query_id, x.doc_id, sum((x.idf_bp * x.tf_bp) // 10000) AS bm25_bp
        |  FROM (
-       |    SELECT t.doc_id, t.ltk,
-       |      (10000 * (2*c2.n_docs - 2*d.df + 1)) // (2*d.df + 1) AS idf_bp,
-       |      (10000 * 22 * c2.t_toks * t.tf)
-       |        // (10 * c2.t_toks * t.tf + 3 * c2.t_toks + 9 * l.dl * c2.n_docs) AS tf_bp
-       |    FROM tf t JOIN dft d USING (ltk) JOIN dl l USING (doc_id) CROSS JOIN corp c2) x
+       |    SELECT doc_id, ltk,
+       |      10000 * (length(bin(s)) - 1)
+       |        + (10000 * (s - (1::BIGINT << (length(bin(s)) - 1))))
+       |          // (1::BIGINT << (length(bin(s)) - 1)) - 100000 AS idf_bp,
+       |      tf_bp
+       |    FROM (
+       |      SELECT t.doc_id, t.ltk,
+       |        (1024 * (2*c2.n_docs + 2)) // (2*d.df + 1) AS s,
+       |        (10000 * 22 * c2.t_toks * t.tf)
+       |          // (10 * c2.t_toks * t.tf + 3 * c2.t_toks + 9 * l.dl * c2.n_docs) AS tf_bp
+       |      FROM tf t JOIN dft d USING (ltk) JOIN dl l USING (doc_id) CROSS JOIN corp c2) y) x
        |  JOIN qt q ON q.ltk = x.ltk
        |  GROUP BY q.query_id, x.doc_id),
        |lex AS (
@@ -2269,6 +2417,59 @@ object EngineQueries {
 
     // both rankings and the fusion replayed relationally
     "q212_engine_hybrid" -> hybridSearchSql,
+
+    // the drained pages reassemble the FULL ranking of the first search
+    // text: same lifecycle replay, first query only, no top-k cut
+    "q227_search_iterator" -> lifecycleSearchSql
+      .replace("t(query_id, query))", "t(query_id, query) WHERE query_id = 0)")
+      .replace("FROM best QUALIFY rank <= 4)", "FROM best)"),
+
+    // the streamed CDC settles to the lifecycle replay over the MUTATED
+    // corpus: scores and previews both re-derive from the new text
+    "q228_stream_upsert" -> lifecycleSearchSql
+      .replace("WITH c AS (",
+        "WITH documents2 AS (\n  SELECT doc_id," +
+          " CASE WHEN doc_id % 10 = 0 THEN text || ' graft cdc' ELSE text END AS text" +
+          " FROM documents),\nc AS (")
+      .replace("FROM documents WHERE length(text) > 0",
+        "FROM documents2 WHERE length(text) > 0")
+      .replace("JOIN documents d", "JOIN documents2 d"),
+
+    // q229: the MLP-checkpoint lifecycle relationally (q156's shape with
+    // the two-layer forward)
+    "q229_mlp_checkpoint" -> {
+      val qvalues = searchTexts.zipWithIndex
+        .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
+         |  FROM documents WHERE length(text) > 0),
+         |ch AS (
+         |  SELECT doc_id, doc_id || '_' || pos AS chunk_id,
+         |    substring(text, cast(pos*64+1 as int), 128) AS chunk
+         |  FROM c),
+         |${mlpEmbedSql("ch", "chunk_id, doc_id", "chunk", "e")},
+         |q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
+         |${mlpEmbedSql("q0", "query_id, query", "query", "qe")},
+         |scored AS (
+         |  SELECT q.query_id, q.query, n.doc_id,
+         |    round(CASE WHEN n.nrm2 = 0 OR q.nrm2 = 0 THEN 0.0
+         |               ELSE list_cosine_similarity(n.v, q.v) END, 4) AS score
+         |  FROM ev n CROSS JOIN qev q),
+         |best AS (
+         |  SELECT query_id, query, doc_id, max(score) AS score
+         |  FROM scored GROUP BY ALL),
+         |ranked AS (
+         |  SELECT query_id, query, doc_id, score,
+         |    cast(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id ASC) as int) AS rank
+         |  FROM best QUALIFY rank <= 4)
+         |SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
+         |  substring(d.text, 1, 200) AS preview
+         |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     // radius replay over the eligible (lang='en') corpus only
     "q213_filtered_radius" -> engineRadiusSql.replace(

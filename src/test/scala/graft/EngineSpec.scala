@@ -829,6 +829,79 @@ class EngineSpec extends SparkSpec {
     assert(eng.queryIterator(lit(false), Nil, 64).isEmpty, "empty result ⇒ empty iterator")
   }
 
+  test("streaming upsert: a CDC batch re-delivered after a crash settles to the one-shot result") {
+    // the at-least-once failure mode of q228's loop: the upsert APPLIED,
+    // the process died before the checkpoint committed, the restart
+    // re-delivers the same batch. The digest-keyed change detection makes
+    // the redelivery a 0-row no-op — without it the replay would delete,
+    // re-append and re-embed the same documents a second time.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-supsert").toString
+    val drop = new java.io.File(s"$tmp/drop"); drop.mkdirs()
+    val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs); eng.update()
+    val cdc = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+    cdc.coalesce(1).write.parquet(s"$tmp/w1")
+    val part = new java.io.File(s"$tmp/w1").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, new java.io.File(drop, "a.parquet").toPath)
+    val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    def run(): Unit =
+      spark.readStream.schema(docs.schema).parquet(drop.toString)
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          applied += eng.upsert(batch.localCheckpoint(true))
+          if (attempts.incrementAndGet() == 1)
+            throw new RuntimeException("simulated post-apply kill")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run() }
+    run() // checkpoint survived: the same batch re-delivers
+    assert(applied.toSeq == Seq(cdc.count(), 0L),
+      s"redelivery was not a digest no-op: $applied")
+    assert(eng.fsck().collect().head.getAs[Boolean]("consistent"))
+    // final state equals a one-shot build over the mutated corpus
+    val v2 = docs.withColumn("text",
+      when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")))
+    val fresh = new Engine(spark, cfg.copy(storePath = s"$tmp/fs", indexPath = s"$tmp/fi"))
+    fresh.ingest(v2); fresh.update()
+    val qs = Seq("data processing pipeline", "machine learning")
+    assert(hitCensus(eng.search(qs)) == hitCensus(fresh.search(qs)),
+      "the crashed-and-redelivered CDC stream diverged from the one-shot result")
+  }
+
+  test("searchIterator: keyset pages reassemble the full ranking with no seam") {
+    val eng = freshEngine()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs); eng.update()
+    val q = "data processing pipeline"
+    val pages = eng.searchIterator(q, batchSize = 97).toSeq // odd size: force ragged seams
+    assert(pages.length >= 2, "fixture too small to page")
+    val drained = pages.map(_.collect().toSeq)
+    // within each page: ranks contiguous, drain order total
+    val all = drained.flatten
+    val ranks = all.map(_.getInt(4))
+    assert(ranks == (1 to all.length), s"ranks not absolute/contiguous: ${ranks.take(20)}")
+    val pairs = all.map(r => (r.getDouble(3), r.getLong(2)))
+    assert(pairs == pairs.sortBy { case (s2, d) => (-s2, d) },
+      "drain order is not (score desc, pk asc)")
+    assert(all.map(_.getLong(2)).distinct.length == all.length, "a doc appeared twice")
+    // the drain covers every ranked doc and page 1 equals search()'s top-k
+    assert(all.length == eng.index().select("doc_id").distinct().count().toInt,
+      "the drain missed ranked documents")
+    val top = eng.searchPage(Seq(q), 0, 97).collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getInt(4))).toSeq
+    assert(drained.head.map(r => (r.getLong(2), r.getDouble(3), r.getInt(4))) == top,
+      "page 1 diverged from searchPage's ranking")
+  }
+
   test("dropPartition: tenant leaves store+index+layout; kept tenants' files untouched") {
     val dir = java.nio.file.Files.createTempDirectory("graft-droppart").toString
     val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
@@ -1135,6 +1208,56 @@ class EngineSpec extends SparkSpec {
     val hybTop = byQ.view.mapValues(_.map(_.getLong(2)).toSet).toMap
     assert(qs.indices.exists(i => hybTop(i.toLong) != vecTop(i.toLong)),
       "fixture too weak: hybrid top-k equals vector top-k for every query")
+  }
+
+  test("hybridSearch: lexical ranking serves from persisted postings, extended delta-sized") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lex").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs.filter(col("doc_id") % 2 === 0)); eng.update()
+    val qs = Seq("data processing pipeline", "machine learning")
+    def census(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val h1 = census(eng.hybridSearch(qs))
+    // first use built the layout: bucket-partitioned postings + doclens + stats
+    val postsRoot = new java.io.File(s"$dir/index_lex/postings")
+    assert(postsRoot.listFiles().exists(_.getName.startsWith("tb=")),
+      "lexical postings are not hive-partitioned by token bucket")
+    assert(new java.io.File(s"$dir/index_lex/stats").isDirectory)
+    // a second call serves the SAME result from the layout (no rebuild:
+    // every file survives byte-identically)
+    def fileStamps(): Set[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(postsRoot).filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+        .map(f => (f.getPath, f.lastModified)).toSet
+    }
+    val stamps1 = fileStamps()
+    assert(census(eng.hybridSearch(qs)) == h1)
+    assert(fileStamps() == stamps1, "a repeat hybrid call rebuilt the lexical layout")
+    // the ingest → updateIncremental tick EXTENDS the postings (old files
+    // survive; new docs' postings append) and hybrid equals a from-scratch
+    // engine over the full corpus
+    eng.ingest(docs)
+    assert(eng.updateIncremental() > 0)
+    val stamps2 = fileStamps()
+    assert(stamps1.subsetOf(stamps2),
+      "the incremental tick rewrote existing postings files — extend must append")
+    assert(stamps2.size > stamps1.size, "no postings were appended for the new docs")
+    val fresh = new Engine(spark, cfg.copy(storePath = s"$dir/fs", indexPath = s"$dir/fi"))
+    fresh.ingest(docs); fresh.update()
+    assert(census(eng.hybridSearch(qs)) == census(fresh.hybridSearch(qs)),
+      "extended lexical layout diverged from a from-scratch build")
+    // deletes invalidate: postings of removed docs must not poison df/stats
+    val gone = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+    eng.delete(gone)
+    val fresh2 = new Engine(spark, cfg.copy(storePath = s"$dir/f2s", indexPath = s"$dir/f2i"))
+    fresh2.ingest(docs.filter(col("doc_id") % 7 =!= 0)); fresh2.update()
+    assert(census(eng.hybridSearch(qs)) == census(fresh2.hybridSearch(qs)),
+      "post-delete hybrid served stale postings")
   }
 
   test("maintain: retrain fires only over the growth threshold and resets the baseline") {

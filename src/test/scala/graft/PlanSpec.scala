@@ -495,4 +495,22 @@ class PlanSpec extends SparkSpec {
     assert(pf.count(_.contains("source")) >= 2,
       s"expected 2 source-pruned scans, got:\n${pf.mkString("\n")}\n${plan.take(3000)}")
   }
+
+  test("hybridSearch's lexical scan prunes to the query terms' token-bucket directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-planlex").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"))
+    eng.update()
+    val plan = formatted(eng.hybridSearch(Seq("data processing pipeline")))
+    // the postings scan must carry a tb PartitionFilter (at most nTerms of
+    // the nBuckets directories are listed) — the round-9 weak item was a
+    // full-store re-tokenization on every hybrid call
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*tb.*"),
+      s"no token-bucket PartitionFilter in the lexical scan:\n${plan.take(3000)}")
+    // and the corpus-wide tokenize explode is gone from the serving plan
+    assert(!plan.contains("Generate explode"),
+      s"hybrid serving still explodes the store into tokens:\n${plan.take(3000)}")
+  }
 }
