@@ -505,6 +505,53 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     if (lexExists && !readStamp(lexStampFile).contains(lexFingerprint()))
       extendLex()
 
+  /**
+   * The lexical (BM25) ranking of [[hybridSearch]], served from the
+   * persisted inverted layout: the query terms' buckets prune the postings
+   * scan (PartitionFilters), document frequency is an exact aggregate over
+   * the pruned postings (a token's postings all live in its bucket), dl
+   * rides each posting row, and the corpus stats are a one-row read —
+   * nothing in this plan scales with the corpus, only with the matched
+   * postings. idf is a piecewise-linear integer log2 of Lucene's
+   * `1 + (N-df+0.5)/(df+0.5)` = (2N+2)/(2df+1) at 1024× fixed point — the
+   * exponent is the bit length (`bin()`), exact and engine-portable; the
+   * fraction interpolates linearly within the octave in basis points.
+   */
+  private[graft] def lexicalRank(queries: Seq[String], kPool: Int): DataFrame = {
+    ensureLex()
+    import spark.implicits._
+    val qterms = queries.zipWithIndex.flatMap { case (q, i) =>
+      q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (i.toLong, t))
+    }.toDF("query_id", "tok")
+    val st = spark.read.parquet(s"$lexPath/stats").head()
+    val nDocs = st.getLong(st.fieldIndex("n_docs"))
+    val tToks = st.getLong(st.fieldIndex("t_toks"))
+    val terms = queries.flatMap(
+      _.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)).distinct
+    val buckets = terms.map(graft.operators.InvertedIndex.bucketOfTerm).distinct
+    val posts = spark.read.parquet(s"$lexPath/postings")
+      .filter(col("tb").isInCollection(buckets) && col("tok").isInCollection(terms))
+    val dfT = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("bm25_bp").desc, col("doc_id").asc)
+    posts.join(broadcast(qterms), Seq("tok"))
+      .join(broadcast(dfT), Seq("tok"))
+      .withColumn("s_k", expr(s"(1024 * (2 * cast($nDocs as bigint) + 2)) DIV (2*df + 1)"))
+      .withColumn("e_k", expr("length(bin(s_k)) - 1"))
+      .withColumn("idf_bp", expr("10000 * e_k" +
+        " + (10000 * (s_k - shiftleft(cast(1 as bigint), e_k)))" +
+        " DIV shiftleft(cast(1 as bigint), e_k) - 100000"))
+      .withColumn("tf_bp", expr(s"(10000 * 22 * cast($tToks as bigint) * tf)" +
+        s" DIV (10 * cast($tToks as bigint) * tf + 3 * cast($tToks as bigint)" +
+        s" + 9 * dl * cast($nDocs as bigint))"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr("(idf_bp * tf_bp) DIV 10000")).as("bm25_bp"))
+      .withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= kPool)
+      .select(col("query_id"), col("doc_id"), col("lex_rank").cast("long").as("lex_rank"))
+  }
+
   /** Round-robin width pin for narrow CPU-per-row stages whose input
     * arrives in fewer partitions than the configured width (single-file
     * store/index layouts, freshly compacted tables, small deltas): the
@@ -1372,48 +1419,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .withColumn("vec_rank", row_number().over(wv))
       .filter(col("vec_rank") <= kPool)
       .select(col("query_id"), col("doc_id"), col("vec_rank").cast("long").as("vec_rank"))
-    // lexical side, served from the persisted inverted layout: the query
-    // terms' buckets prune the postings scan (PartitionFilters), document
-    // frequency is an exact aggregate over the pruned postings (a token's
-    // postings all live in its bucket), dl rides each posting row, and the
-    // corpus stats are a one-row read — nothing in this plan scales with
-    // the corpus, only with the matched postings
-    ensureLex()
-    import spark.implicits._
-    val qterms = queries.zipWithIndex.flatMap { case (q, i) =>
-      q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
-        .map(t => (i.toLong, t))
-    }.toDF("query_id", "tok")
-    val st = spark.read.parquet(s"$lexPath/stats").head()
-    val nDocs = st.getLong(st.fieldIndex("n_docs"))
-    val tToks = st.getLong(st.fieldIndex("t_toks"))
-    val terms = queries.flatMap(
-      _.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)).distinct
-    val buckets = terms.map(graft.operators.InvertedIndex.bucketOfTerm).distinct
-    val posts = spark.read.parquet(s"$lexPath/postings")
-      .filter(col("tb").isInCollection(buckets) && col("tok").isInCollection(terms))
-    val dfT = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val wl = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("bm25_bp").desc, col("doc_id").asc)
-    // idf: piecewise-linear integer log2 of Lucene's 1 + (N-df+0.5)/(df+0.5)
-    // = (2N+2)/(2df+1), computed at 1024× fixed point — e is floor(log2)
-    // via the bit length (bin()), exact and engine-portable; the fraction
-    // interpolates linearly within the octave in basis points
-    val lrank = posts.join(broadcast(qterms), Seq("tok"))
-      .join(broadcast(dfT), Seq("tok"))
-      .withColumn("s_k", expr(s"(1024 * (2 * cast($nDocs as bigint) + 2)) DIV (2*df + 1)"))
-      .withColumn("e_k", expr("length(bin(s_k)) - 1"))
-      .withColumn("idf_bp", expr("10000 * e_k" +
-        " + (10000 * (s_k - shiftleft(cast(1 as bigint), e_k)))" +
-        " DIV shiftleft(cast(1 as bigint), e_k) - 100000"))
-      .withColumn("tf_bp", expr(s"(10000 * 22 * cast($tToks as bigint) * tf)" +
-        s" DIV (10 * cast($tToks as bigint) * tf + 3 * cast($tToks as bigint)" +
-        s" + 9 * dl * cast($nDocs as bigint))"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(expr("(idf_bp * tf_bp) DIV 10000")).as("bm25_bp"))
-      .withColumn("lex_rank", row_number().over(wl))
-      .filter(col("lex_rank") <= kPool)
-      .select(col("query_id"), col("doc_id"), col("lex_rank").cast("long").as("lex_rank"))
+    val lrank = lexicalRank(queries, kPool)
     // reciprocal-rank fusion, k=60: contributions in ppm stay integers
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("rrf_ppm").desc, col("doc_id").asc)

@@ -98,7 +98,7 @@ object Scale {
       case a if a.startsWith("ops=") => a.stripPrefix("ops=").split(",").toSet
     }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective",
       "incdedup", "cc", "export", "spans", "invidx", "pq", "maxsim", "ivfpq",
-      "snm", "rangeivf", "filtered", "binary", "drain"))
+      "snm", "rangeivf", "filtered", "binary", "drain", "lexserve", "vecdrain"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -496,6 +496,49 @@ object Scale {
           off += batch
         }
         got
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+    // 19. Persisted-lexical hybrid serving (round-10 task 2): the claim
+    //     under measurement — the BM25 ranking's SERVING cost tracks the
+    //     matched postings (result size), not the corpus. The build pass
+    //     (one tokenize + two shuffles) is measured separately; serving
+    //     wall/shuffle should stay near-flat across 1x→100x while the
+    //     corpus (and its build cost) grows 100x, because the probe reads
+    //     only the query terms' bucket directories.
+    if (only("lexserve")) docLadder.foreach { case (s, n) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-lex-").toString
+      corpus(spark, n).select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$base/store")
+      val eng = new Engine(spark, EngineConfig(s"$base/store", s"$base/index"))
+      val qs = Seq("t3 t17 t41", "t5 t99") // token ids "t<k>" exist at every scale (vocab >= 1000)
+      measure("lexserve_build", s, n) {
+        eng.lexicalRank(qs, 100).count() // first call builds + stamps the layout
+      }
+      measure("lexserve_query", s, n) {
+        eng.lexicalRank(qs, 100).count() // steady-state: pruned postings probe
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+    // 20. search_iterator vs offset paging over the vector ranking
+    //     (round-10 task 7): drain the top-5000 ranks in 500-row pages.
+    //     The keyset iterator pays ONE corpus scoring pass (pinned) plus a
+    //     cheap top-500 per page; offset paging re-scores the corpus for
+    //     every page (10 passes here) — the gap is the pass count and
+    //     widens linearly with drain depth.
+    if (only("vecdrain")) vecLadder.foreach { case (s, n) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-vdrain-").toString
+      corpus(spark, n).select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$base/store")
+      val eng = new Engine(spark, EngineConfig(s"$base/store", s"$base/index"))
+      eng.update() // untimed: offline chunk+embed build
+      val q = "t3 t17 t41"
+      val pages = 10; val batch = 500
+      measure("vecdrain_keyset", s, n) {
+        eng.searchIterator(q, batch).take(pages).map(_.count()).sum
+      }
+      measure("vecdrain_offset", s, n) {
+        (0 until pages).map(p => eng.searchPage(Seq(q), p * batch, batch).count()).sum
       }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }

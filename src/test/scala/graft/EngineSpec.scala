@@ -822,10 +822,27 @@ class EngineSpec extends SparkSpec {
     assert(got == exp, "concatenated pages must be the pk-ordered result, no dup no miss")
     assert(pages.init.forall(_.count() == 64), "non-final pages must be full")
     // the keyset cursor is a pushed scan predicate — THE property that makes
-    // a full drain O(n) instead of offset-paging's O(n²/batch)
-    val p2plan = pages(1).queryExecution.executedPlan.toString
+    // a full drain O(n) instead of offset-paging's O(n²/batch). The page a
+    // caller receives is a PINNED snapshot (Scan ExistingRDD), so the gate
+    // checks the pre-pin plan fetch() executes: the cursor conjunct on the
+    // live store scan.
+    val prePin = eng.store().filter(pred && col("doc_id") > 100L)
+      .orderBy(col("doc_id")).limit(64)
+    prePin.collect()
+    val p2plan = prePin.queryExecution.executedPlan.toString
     assert(p2plan.contains("GreaterThan(doc_id"),
-      s"page-2 cursor did not reach PushedFilters\n${p2plan.take(2000)}")
+      s"the cursor conjunct did not reach PushedFilters\n${p2plan.take(2000)}")
+    // snapshot-at-page under mutation (the round-9 advice): a page already
+    // cut must stay readable and correct after a concurrent delete rewrites
+    // the store's part files mid-drain — here the delete removes the first
+    // page's own rows, so an unpinned page would either throw on the
+    // deleted files or silently lose its rows on recomputation
+    val it2 = eng.queryIterator(pred, Seq("source"), batchSize = 64)
+    val first = it2.next()
+    assert(eng.delete(first.select("doc_id")) == 64L)
+    val rest = it2.toSeq
+    assert((first +: rest).flatMap(_.select("doc_id").collect().map(_.getLong(0))) == exp,
+      "a mid-drain store rewrite tore the page seam")
     assert(eng.queryIterator(lit(false), Nil, 64).isEmpty, "empty result ⇒ empty iterator")
   }
 
