@@ -618,10 +618,17 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       // that was current can be MAINTAINED (delta-sized) instead of
       // rebuilt (corpus-sized)
       val layoutCurrent = persistedFingerprint().contains(compositeFingerprint())
-      val i2 = index().join(broadcast(key), Seq(keyCol), "left_anti")
-        .localCheckpoint(true)
       synchronized { // the ivfIndex() monitor — no rebuild may interleave
-        writeIndexRows(i2, "overwrite")
+        if (cfg.partitionKey.nonEmpty)
+          // tenant-sized, like the store side: only tenants holding removed
+          // chunks rewrite (dynamic overwrite); other tenants' index files
+          // are never read or written
+          pruneKeyedPartitions(cfg.indexPath, key, keyCol)
+        else {
+          val i2 = index().join(broadcast(key), Seq(keyCol), "left_anti")
+            .localCheckpoint(true)
+          writeIndexRows(i2, "overwrite")
+        }
         invalidateIvf()
         if (layoutCurrent) maintainLayoutAfterDelete(key, keyCol)
       }
@@ -643,26 +650,34 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     Option(obs.get("removed")).map(_.asInstanceOf[Long]).getOrElse(0L)
   }
 
+  /** [[delete]]'s store rewrite on a `partition_key` layout — see
+    * [[pruneKeyedPartitions]]. */
+  private def deleteFromPartitionedStore(key: DataFrame, keyCol: String): Long =
+    pruneKeyedPartitions(cfg.storePath, key, keyCol)
+
   /**
-   * [[delete]]'s store rewrite on a `partition_key` layout, TENANT-sized
-   * instead of corpus-sized: a slim (key, tenant) scan finds which tenants
-   * hold removed rows, only THOSE tenants' kept rows are rewritten via a
-   * dynamic partition overwrite, and a tenant emptied by the delete leaves
-   * as a directory delete (a dynamic overwrite cannot clear a partition it
-   * writes no rows into). Every other tenant's store files are never read
-   * or rewritten — on a 100 TB multi-tenant store a delete touching one
-   * tenant costs that tenant's rewrite, not the corpus's.
+   * Remove keyed rows from a hive-partitioned layout (the store OR the
+   * index), TENANT-sized instead of corpus-sized: a slim (key, tenant)
+   * scan finds which tenants hold removed rows, only THOSE tenants' kept
+   * rows are rewritten via a dynamic partition overwrite, and a tenant
+   * emptied by the delete leaves as a directory delete (a dynamic
+   * overwrite cannot clear a partition it writes no rows into). Every
+   * other tenant's files are never read or rewritten — on a 100 TB
+   * multi-tenant layout a delete touching one tenant costs that tenant's
+   * rewrite, not the corpus's. Returns rows removed.
    */
-  private def deleteFromPartitionedStore(key: DataFrame, keyCol: String): Long = {
+  private def pruneKeyedPartitions(path: String, key: DataFrame,
+                                   keyCol: String): Long = {
     val k = cfg.partitionKey
-    val hits = store().select(col(keyCol), col(k))
+    val df = spark.read.parquet(path)
+    val hits = df.select(col(keyCol), col(k))
       .join(broadcast(key), Seq(keyCol), "left_semi")
       .localCheckpoint(true) // slim: (key, tenant) of removed rows only
     val n = hits.count()
     if (n == 0) return 0L
     val affected = hits.select(col(k)).distinct().collect()
       .map(r => Option(r.get(0)).map(_.toString).orNull)
-    val keptOfAffected = store()
+    val keptOfAffected = df
       .filter(col(k).isInCollection(affected.toSeq))
       .join(broadcast(key), Seq(keyCol), "left_anti")
       .localCheckpoint(true) // pin BEFORE overwriting partitions being read
@@ -670,17 +685,17 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .map(r => Option(r.get(0)).map(_.toString).orNull).toSet
     val emptied = affected.filterNot(keptTenants)
     if (emptied.nonEmpty) {
-      val fs = new org.apache.hadoop.fs.Path(cfg.storePath)
+      val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       emptied.foreach { v =>
         fs.delete(new org.apache.hadoop.fs.Path(
-          s"${cfg.storePath}/${escapedPartitionDir(k, v)}"), true)
+          s"$path/${escapedPartitionDir(k, v)}"), true)
       }
     }
     if (keptTenants.nonEmpty)
       keptOfAffected.repartition(col(k)).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(k).parquet(cfg.storePath)
+        .partitionBy(k).parquet(path)
     n
   }
 

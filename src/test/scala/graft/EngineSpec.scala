@@ -969,6 +969,40 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](freshEngine().dropPartition(Seq("x")))
   }
 
+  test("delete on a partition-keyed engine rewrites only the affected tenants' files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pdel").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      partitionKey = "source", nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    eng.ingest(docs); eng.update()
+    // the delete set lives entirely in ONE tenant
+    val victim = docs.filter(col("source") === "src3")
+      .select("doc_id").limit(10).localCheckpoint(true)
+    val nVictim = victim.count()
+    def stamps(root: String, tenant: String): Set[(String, Long)] =
+      new java.io.File(s"$root/source=$tenant").listFiles()
+        .map(f => (f.getName, f.lastModified)).toSet
+    val keptStore = stamps(s"$dir/store", "src1")
+    val keptIndex = stamps(s"$dir/index", "src1")
+    assert(eng.delete(victim) == nVictim)
+    assert(stamps(s"$dir/store", "src1") == keptStore,
+      "delete rewrote an unaffected tenant's STORE files")
+    assert(stamps(s"$dir/index", "src1") == keptIndex,
+      "delete rewrote an unaffected tenant's INDEX files")
+    assert(eng.store().join(victim, Seq("doc_id"), "left_semi").count() == 0
+      && eng.index().join(victim, Seq("doc_id"), "left_semi").count() == 0,
+      "deleted docs survived a layout")
+    assert(eng.fsck().collect().head.getAs[Boolean]("consistent"))
+    // serving parity with a from-scratch build over the survivors
+    val fresh = new Engine(spark, cfg.copy(storePath = s"$dir/fs", indexPath = s"$dir/fi"))
+    fresh.ingest(docs.join(victim, Seq("doc_id"), "left_anti")); fresh.update()
+    val qs = Seq("data processing pipeline", "machine learning")
+    assert(hitCensus(eng.search(qs)) == hitCensus(fresh.search(qs)),
+      "tenant-pruned delete diverged from a from-scratch build")
+  }
+
   test("dropPartition: hive-escaped tenant values leave zero residue on disk") {
     // values Hive path-escapes (space, '=', '/', '%'): a raw s"$k=$v"
     // interpolation would miss the escaped directory and silently leave the
