@@ -167,7 +167,11 @@ object EngineQueries {
       val bm25 = tf.join(broadcast(dfT), "tok")
         .join(dl, "doc_id")
         .crossJoin(broadcast(corp))
-        .withColumn("idf_bp", expr("(10000 * (2*n_docs - 2*df + 1)) DIV (2*df + 1)"))
+        .withColumn("s_k", expr("(1024 * (2*n_docs + 2)) DIV (2*df + 1)"))
+        .withColumn("e_k", expr("length(bin(s_k)) - 1"))
+        .withColumn("idf_bp", expr("10000 * e_k" +
+          " + (10000 * (s_k - shiftleft(cast(1 as bigint), e_k)))" +
+          " DIV shiftleft(cast(1 as bigint), e_k) - 100000"))
         .withColumn("tf_bp",
           expr("(10000 * 22 * t_toks * tf) DIV (10 * t_toks * tf + 3 * t_toks + 9 * dl * n_docs)"))
         .groupBy(col("doc_id"))
@@ -871,11 +875,15 @@ object EngineQueries {
       val eng = new Engine(s, cfg)
       eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
       eng.update()
+      // page size scales with the corpus so the drain is 4 pages at EVERY
+      // scale factor — the seam property is exercised everywhere and the
+      // per-page fixed costs don't balloon the query at sf0.1
+      val batch = math.max(1L, (t(s, dir, "documents").count() + 3) / 4).toInt
       val pages = new Engine(s, cfg)
-        .searchIterator(searchTexts.head, batchSize = 192).toSeq
+        .searchIterator(searchTexts.head, batchSize = batch).toSeq
       val total = pages.map(_.count()).sum
-      require(pages.length == ((total + 191) / 192).toInt,
-        s"q227: ${pages.length} pages for $total ranked docs at batch 192")
+      require(pages.length == ((total + batch - 1) / batch).toInt,
+        s"q227: ${pages.length} pages for $total ranked docs at batch $batch")
       require(pages.length >= 2, s"q227: ${pages.length} page(s) — the drain never paged")
       pages.reduce(_.unionAll(_))
     }),
@@ -2806,11 +2814,17 @@ ORDER BY query_id, rank"""),
          |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
          |bm AS (
          |  SELECT doc_id, sum((idf_bp * tf_bp) // 10000) AS bm25_bp FROM (
-         |    SELECT t.doc_id,
-         |      (10000 * (2*c.n_docs - 2*d.df + 1)) // (2*d.df + 1) AS idf_bp,
-         |      (10000 * 22 * c.t_toks * t.tf)
-         |        // (10 * c.t_toks * t.tf + 3 * c.t_toks + 9 * l.dl * c.n_docs) AS tf_bp
-         |    FROM tf t JOIN dft d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN corp c)
+         |    SELECT doc_id,
+         |      10000 * (length(bin(s)) - 1)
+         |        + (10000 * (s - (1::BIGINT << (length(bin(s)) - 1))))
+         |          // (1::BIGINT << (length(bin(s)) - 1)) - 100000 AS idf_bp,
+         |      tf_bp
+         |    FROM (
+         |      SELECT t.doc_id,
+         |        (1024 * (2*c.n_docs + 2)) // (2*d.df + 1) AS s,
+         |        (10000 * 22 * c.t_toks * t.tf)
+         |          // (10 * c.t_toks * t.tf + 3 * c.t_toks + 9 * l.dl * c.n_docs) AS tf_bp
+         |      FROM tf t JOIN dft d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN corp c) y)
          |  GROUP BY doc_id),
          |lex AS (
          |  SELECT doc_id, row_number() OVER (ORDER BY bm25_bp DESC, doc_id ASC) AS lex_rank

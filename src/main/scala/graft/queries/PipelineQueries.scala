@@ -475,11 +475,15 @@ object PipelineQueries {
     }),
 
     // BM25 ranking (Robertson/Sparck Jones; the scoring Lucene/ES run on an
-    // inverted index) in pure INTEGER basis points — the log-free discipline
-    // this suite grades floating formulas under (q75/q78 lesson: Math.log vs
-    // libm log drift by ulps across engines). With k1 = 6/5, b = 3/4 and
-    // the idf RATIO (N−df+½)/(df+½) = (2N−2df+1)/(2df+1):
-    //   idf_bp  = (10000·(2N−2df+1)) DIV (2df+1)
+    // inverted index) in pure INTEGER basis points — no Math.log anywhere,
+    // the discipline this suite grades floating formulas under (q75/q78
+    // lesson: Math.log vs libm log drift by ulps across engines). The idf
+    // is a piecewise-linear integer log2 of Lucene's 1 + (N−df+½)/(df+½)
+    // = (2N+2)/(2df+1) at 1024× fixed point: the exponent is the bit
+    // length (bin()), exact and engine-portable, the fraction interpolates
+    // within the octave in bp. With k1 = 6/5, b = 3/4:
+    //   s       = (1024·(2N+2)) DIV (2df+1);  e = len(bin(s))−1
+    //   idf_bp  = 10000·e + (10000·(s−2^e)) DIV 2^e − 100000
     //   tf_bp   = (10000·22·T·tf) DIV (10·T·tf + 3·T + 9·dl·N)   [T = Σdl]
     //   term_bp = (idf_bp·tf_bp) DIV 10000, summed per doc.
     // Integer-overflow headroom: 10000·22·T·tf < 2^63 up to T ≈ 4e12 total
@@ -499,7 +503,11 @@ object PipelineQueries {
       tf.join(broadcast(dfT), "tok")
         .join(dl, "doc_id")
         .crossJoin(broadcast(corp))
-        .withColumn("idf_bp", expr("(10000 * (2*n_docs - 2*df + 1)) DIV (2*df + 1)"))
+        .withColumn("s_k", expr("(1024 * (2*n_docs + 2)) DIV (2*df + 1)"))
+        .withColumn("e_k", expr("length(bin(s_k)) - 1"))
+        .withColumn("idf_bp", expr("10000 * e_k" +
+          " + (10000 * (s_k - shiftleft(cast(1 as bigint), e_k)))" +
+          " DIV shiftleft(cast(1 as bigint), e_k) - 100000"))
         .withColumn("tf_bp",
           expr("(10000 * 22 * t_toks * tf) DIV (10 * t_toks * tf + 3 * t_toks + 9 * dl * n_docs)"))
         .groupBy(col("doc_id"))
@@ -1357,10 +1365,16 @@ object PipelineQueries {
         |  WHERE tok IN ('spark', 'data', 'model') GROUP BY doc_id, tok),
         |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
         |scored AS (
-        |  SELECT t.doc_id,
-        |    ((10000 * (2*n_docs - 2*df + 1)) // (2*df + 1)) AS idf_bp,
-        |    ((10000 * 22 * t_toks * tf) // (10 * t_toks * tf + 3 * t_toks + 9 * dl.dl * n_docs)) AS tf_bp
-        |  FROM tf t JOIN dft USING (tok) JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN corp)
+        |  SELECT doc_id,
+        |    10000 * (length(bin(s)) - 1)
+        |      + (10000 * (s - (1::BIGINT << (length(bin(s)) - 1))))
+        |        // (1::BIGINT << (length(bin(s)) - 1)) - 100000 AS idf_bp,
+        |    tf_bp
+        |  FROM (
+        |    SELECT t.doc_id,
+        |      ((1024 * (2*n_docs + 2)) // (2*df + 1)) AS s,
+        |      ((10000 * 22 * t_toks * tf) // (10 * t_toks * tf + 3 * t_toks + 9 * dl.dl * n_docs)) AS tf_bp
+        |    FROM tf t JOIN dft USING (tok) JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN corp) y)
         |SELECT doc_id, cast(sum((idf_bp * tf_bp) // 10000) as bigint) AS bm25_bp,
         |  count(*) AS n_terms
         |FROM scored GROUP BY doc_id
