@@ -315,6 +315,28 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   }
 
   /**
+   * Per-tenant stats — Milvus's `get_partition_stats` over a
+   * `partition_key` collection: one row per tenant with its document and
+   * chunk counts. Both sides are column-less counts grouped on the
+   * partition column, which Spark answers from directory names + parquet
+   * footer row counts — no data column is read, so the verb stays
+   * dashboard-cheap at any corpus size.
+   */
+  def describePartitions(): DataFrame = {
+    require(cfg.partitionKey.nonEmpty,
+      "describePartitions requires cfg.partitionKey (Milvus partition_key_field)")
+    val k = cfg.partitionKey
+    val docs = store().groupBy(col(k)).agg(count(lit(1)).as("n_docs"))
+    val chunks =
+      if (indexExists) index().groupBy(col(k)).agg(count(lit(1)).as("n_chunks"))
+      else store().select(col(k)).filter(lit(false))
+        .groupBy(col(k)).agg(count(lit(1)).as("n_chunks"))
+    docs.join(chunks, Seq(k), "left")
+      .select(col(k), col("n_docs"), coalesce(col("n_chunks"), lit(0L)).as("n_chunks"))
+      .orderBy(col(k))
+  }
+
+  /**
    * Batched retrieval — Milvus's `query_iterator`: the full result set of
    * a filter, delivered in pk-ordered pages with no duplicate and no miss
    * across page seams. Spelled as KEYSET pagination (`doc_id > cursor`,
@@ -549,7 +571,8 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .agg(sum(expr("(idf_bp * tf_bp) DIV 10000")).as("bm25_bp"))
       .withColumn("lex_rank", row_number().over(wl))
       .filter(col("lex_rank") <= kPool)
-      .select(col("query_id"), col("doc_id"), col("lex_rank").cast("long").as("lex_rank"))
+      .select(col("query_id"), col("doc_id"),
+        col("lex_rank").cast("long").as("lex_rank"), col("bm25_bp"))
   }
 
   /** Round-robin width pin for narrow CPU-per-row stages whose input
@@ -1434,7 +1457,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .withColumn("vec_rank", row_number().over(wv))
       .filter(col("vec_rank") <= kPool)
       .select(col("query_id"), col("doc_id"), col("vec_rank").cast("long").as("vec_rank"))
-    val lrank = lexicalRank(queries, kPool)
+    val lrank = lexicalRank(queries, kPool).drop("bm25_bp")
     // reciprocal-rank fusion, k=60: contributions in ppm stay integers
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("rrf_ppm").desc, col("doc_id").asc)
@@ -1450,6 +1473,63 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .join(broadcast(qdf.select(col("query_id"), col("query"))), Seq("query_id"))
       .select(col("query_id"), col("query"), col("doc_id"), col("lex_rank"),
         col("vec_rank"), col("rrf_ppm"), col("rank"),
+        substring(col("text"), 1, 200).as("preview"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
+   * Weighted fusion — Milvus 2.4 `hybrid_search`'s WeightedRanker, the
+   * score-combining alternative to [[hybridSearch]]'s RRFRanker: each
+   * ranking's pooled scores MIN-MAX normalize to [0, 10000] bp per query
+   * (Milvus normalizes raw similarities before weighting for the same
+   * reason — BM25 and cosine live on incomparable scales), the fused
+   * score is `(wLex·normL + wVec·normV) DIV 10000`, and the top
+   * `cfg.limit` hydrates. A doc absent from one ranking's pool
+   * contributes 0 from that ranker. Everything is integer arithmetic
+   * (the vector score enters as floor(score·10⁴ + ½)), so the fusion
+   * replays relationally. Scale shape is [[hybridSearch]]'s: both pools
+   * cut to kPool per query before the fusion join; the min-max stats are
+   * kPool-sized per-query aggregates.
+   */
+  def hybridSearchWeighted(queries: Seq[String], wLexBp: Long = 5000L,
+                           wVecBp: Long = 5000L, kPool: Int = 100): DataFrame = {
+    require(wLexBp >= 0 && wVecBp >= 0 && wLexBp + wVecBp > 0,
+      s"bad weights: lex=$wLexBp vec=$wVecBp")
+    val qdf = queryDf(queries)
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    val vpool = scoredChunks(qdf, None)
+      .groupBy(col("query_id"), col("doc_id")).agg(max(col("score")).as("score"))
+      .withColumn("vec_rank", row_number().over(wv))
+      .filter(col("vec_rank") <= kPool)
+      .select(col("query_id"), col("doc_id"),
+        expr("cast(floor(score * 10000 + 0.5) as bigint)").as("vs"))
+    val lpool = lexicalRank(queries, kPool)
+      .select(col("query_id"), col("doc_id"), col("bm25_bp"))
+    def stats(df: DataFrame, c: String): DataFrame = df.groupBy(col("query_id"))
+      .agg(min(col(c)).as(s"${c}_mn"), max(col(c)).as(s"${c}_mx"))
+    val fusedW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("fused_bp").desc, col("doc_id").asc)
+    val top = lpool.join(vpool, Seq("query_id", "doc_id"), "full_outer")
+      .join(broadcast(stats(lpool, "bm25_bp")), Seq("query_id"), "left")
+      .join(broadcast(stats(vpool, "vs")), Seq("query_id"), "left")
+      .withColumn("lex_norm_bp", expr(
+        "CASE WHEN bm25_bp IS NULL THEN 0" +
+          " WHEN bm25_bp_mx > bm25_bp_mn" +
+          " THEN (10000 * (bm25_bp - bm25_bp_mn)) DIV (bm25_bp_mx - bm25_bp_mn)" +
+          " ELSE 10000 END"))
+      .withColumn("vec_norm_bp", expr(
+        "CASE WHEN vs IS NULL THEN 0" +
+          " WHEN vs_mx > vs_mn THEN (10000 * (vs - vs_mn)) DIV (vs_mx - vs_mn)" +
+          " ELSE 10000 END"))
+      .withColumn("fused_bp",
+        expr(s"($wLexBp * lex_norm_bp + $wVecBp * vec_norm_bp) DIV 10000"))
+      .withColumn("rank", row_number().over(fusedW))
+      .filter(col("rank") <= cfg.limit)
+    store().join(broadcast(top), "doc_id")
+      .join(broadcast(qdf.select(col("query_id"), col("query"))), Seq("query_id"))
+      .select(col("query_id"), col("query"), col("doc_id"), col("lex_norm_bp"),
+        col("vec_norm_bp"), col("fused_bp"), col("rank"),
         substring(col("text"), 1, 200).as("preview"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -1751,6 +1831,64 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
 }
 
 object Engine {
+
+  /**
+   * Collection ALIAS — Milvus's `create_alias` / `alter_alias`: a pointer
+   * file holding the flat config of the collection it names. Serving
+   * resolves the pointer at engine construction ([[forAlias]]), so
+   * re-pointing the alias is the ATOMIC blue/green cutover verb (q219
+   * flips configs by hand; production flips the alias): the write lands
+   * in a temp file and renames over the pointer, so a concurrent resolve
+   * sees the old or the new collection, never a torn one. The same call
+   * creates and alters — Milvus's two verbs differ only in whether the
+   * alias already exists.
+   */
+  def writeAlias(spark: SparkSession, path: String, cfg: EngineConfig): Unit = {
+    val entries = Seq(
+      "store_path" -> cfg.storePath,
+      "index_path" -> cfg.indexPath,
+      "chunk_size" -> cfg.chunkSize.toString,
+      "chunk_overlap" -> cfg.chunkOverlap.toString,
+      "embed_dim" -> cfg.embedDim.toString,
+      "batch_size" -> cfg.batchSize.toString,
+      "nlist" -> cfg.nlist.toString,
+      "nprobe" -> cfg.nprobe.toString,
+      "limit" -> cfg.limit.toString,
+      "ivf_threshold" -> cfg.ivfThreshold.toString,
+      "init_run" -> cfg.schedulerInitRun.toString,
+      "period" -> cfg.schedulerPeriod,
+      "model_path" -> cfg.modelPath,
+      "ivf_path" -> cfg.ivfPath,
+      "index_type" -> cfg.indexType,
+      "pq_m" -> cfg.pqM.toString,
+      "pq_codes" -> cfg.pqCodes.toString,
+      "pq_seed" -> cfg.pqSeed.toString,
+      "pq_rerank" -> cfg.pqRerank.toString,
+      "partition_key" -> cfg.partitionKey)
+      // an empty value would open a NESTED level in the flat-yaml parser —
+      // omit it and let the case-class default apply on load
+      .filter(_._2.nonEmpty)
+      .map { case (k, v) => s"$k: $v" }.mkString("", "\n", "\n")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(entries.getBytes("UTF-8")) finally out.close()
+    // POSIX rename overwrites atomically; HDFS refuses and needs the
+    // delete-then-rename fallback (a fs with a non-atomic fallback window
+    // should front the alias with its own atomic primitive)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"alias rename failed: $tmp -> $p")
+    }
+  }
+
+  /** Resolve an alias pointer to a live engine (the serving side of
+    * [[writeAlias]]): one config read per construction, so a process that
+    * builds its engine per request-batch follows alias flips without
+    * restarts. */
+  def forAlias(spark: SparkSession, path: String): Engine =
+    new Engine(spark, EngineConfig.load(path))
 
   /**
    * The embedding-model contract (`embed.py:21-39`: tokenize → forward →

@@ -952,6 +952,67 @@ object EngineQueries {
       eng.search(searchTexts)
     }),
 
+    // COLLECTION ALIAS — Milvus's create_alias / alter_alias, the verb a
+    // production deployment actually flips for blue/green (q219 flips
+    // configs by hand; this grades the pointer): v1 (hash model) serves
+    // through the alias, v2 (checkpoint model, NEW index path) builds
+    // offline, then ONE atomic alias write cuts over — the final serving
+    // must hash-match the checkpoint model's lifecycle replay, which holds
+    // only if the alias resolution really re-points (a cached or torn
+    // pointer would keep serving v1's hash-model ranking).
+    "q230_alias_swap" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q230_${runSeq.incrementAndGet()}_").toString
+      val alias = s"$tmp/collection.alias"
+      val v1 = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/i1")
+      val e1 = new Engine(s, v1)
+      e1.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      e1.update()
+      Engine.writeAlias(s, alias, v1) // create_alias
+      require(Engine.forAlias(s, alias).search(searchTexts).count() > 0,
+        "q230: the alias must serve v1 before the cutover")
+      val mpath = s"$tmp/model.ckpt"
+      graft.functions.FileEmbedder.save(mpath, q156Model)
+      val v2 = v1.copy(indexPath = s"$tmp/i2", modelPath = mpath)
+      new Engine(s, v2).update() // offline re-embed; the alias still names v1
+      Engine.writeAlias(s, alias, v2) // alter_alias: the atomic cutover
+      Engine.forAlias(s, alias).search(searchTexts)
+    }),
+
+    // Per-tenant stats — Milvus's get_partition_stats over a partition_key
+    // collection: one row per tenant with document and chunk counts. Both
+    // counts group on the partition column only, answered from directory
+    // names + parquet footer row counts — no data column read (the verb a
+    // tenancy dashboard polls at any corpus size). The oracle replays the
+    // doc counts and the chunker's per-doc chunk-count formula.
+    "q231_partition_stats" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q231_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        partitionKey = "source")
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text", "source"))
+      eng.update()
+      new Engine(s, cfg).describePartitions()
+    }),
+
+    // Weighted fusion — Milvus 2.4 hybrid_search's WeightedRanker (the
+    // alternative to q212's RRFRanker): pooled scores min-max normalize to
+    // [0, 10000] bp per query, fuse at 7000 lexical / 3000 vector, top-4
+    // hydrates. Asymmetric weights are part of the graded contract — a doc
+    // with strong lexical but weak vector evidence must outrank the
+    // converse, which RRF (rank-only) cannot express.
+    "q232_weighted_fusion" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q232_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      new Engine(s, cfg).hybridSearchWeighted(searchTexts, wLexBp = 7000L, wVecBp = 3000L)
+    }),
+
     // Blue/green MODEL MIGRATION — the most expensive day-2 operation a
     // vector deployment runs: upgrading the embedding model re-embeds the
     // whole corpus (embed.py's model is a config choice, so this WILL
@@ -2141,6 +2202,108 @@ object EngineQueries {
        |ORDER BY r.query_id, r.rank""".stripMargin
   }
 
+  /** q156/q230's replay: the checkpoint linear-layer lifecycle — chunk →
+    * char-counts → W·c (seed-derived literals) → float-normalize → cosine
+    * top-k → hydration, all relational. */
+  private lazy val fileEmbedderLifecycleSql: String = {
+    val qvalues = searchTexts.zipWithIndex
+      .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
+      .mkString(", ")
+    s"""WITH c AS (
+       |  SELECT doc_id, text,
+       |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
+       |  FROM documents WHERE length(text) > 0),
+       |ch AS (
+       |  SELECT doc_id, doc_id || '_' || pos AS chunk_id,
+       |    substring(text, cast(pos*64+1 as int), 128) AS chunk
+       |  FROM c),
+       |${matrixEmbedSql("ch", "chunk_id, doc_id", "chunk", "e")},
+       |q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
+       |${matrixEmbedSql("q0", "query_id, query", "query", "qe")},
+       |scored AS (
+       |  SELECT q.query_id, q.query, n.doc_id,
+       |    round(CASE WHEN n.nrm2 = 0 OR q.nrm2 = 0 THEN 0.0
+       |               ELSE list_cosine_similarity(n.v, q.v) END, 4) AS score
+       |  FROM ev n CROSS JOIN qev q),
+       |best AS (
+       |  SELECT query_id, query, doc_id, max(score) AS score
+       |  FROM scored GROUP BY ALL),
+       |ranked AS (
+       |  SELECT query_id, query, doc_id, score,
+       |    cast(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) as int) AS rank
+       |  FROM best QUALIFY rank <= 4)
+       |SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
+       |  substring(d.text, 1, 200) AS preview
+       |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q232's replay: hybridSearchSql's scoring CTEs (per-doc best vector
+    * score + integral BM25) with the WeightedRanker fusion instead of RRF —
+    * per-query min-max normalization to [0, 10000] bp, weights 7000/3000.
+    * Built by surgery on [[hybridSearchSql]] (the scoring prefix is shared
+    * by construction); the requires pin the surgery keys so a prefix edit
+    * can't silently leave the RRF tail in place. */
+  private lazy val weightedHybridSql: String = {
+    val vrankKey =
+      """vrank AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id ASC) AS vec_rank
+        |  FROM best QUALIFY vec_rank <= 100),""".stripMargin
+    val vpool =
+      """vpool AS (
+        |  SELECT query_id, doc_id, cast(floor(score * 10000 + 0.5) as bigint) AS vs,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id ASC) AS vec_rank
+        |  FROM best QUALIFY vec_rank <= 100),""".stripMargin
+    val lexKey = "lex AS (" // the RRF tail starts here; everything after is replaced
+    val tail =
+      """lpool AS (
+        |  SELECT query_id, doc_id, bm25_bp,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25_bp DESC, doc_id ASC) AS lex_rank
+        |  FROM bm QUALIFY lex_rank <= 100),
+        |lstat AS (SELECT query_id, min(bm25_bp) AS lmn, max(bm25_bp) AS lmx
+        |          FROM lpool GROUP BY query_id),
+        |vstat AS (SELECT query_id, min(vs) AS vmn, max(vs) AS vmx
+        |          FROM vpool GROUP BY query_id),
+        |f AS (
+        |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+        |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |    CASE WHEN l.doc_id IS NULL THEN 0
+        |         WHEN s.lmx > s.lmn THEN (10000 * (l.bm25_bp - s.lmn)) // (s.lmx - s.lmn)
+        |         ELSE 10000 END AS lex_norm_bp,
+        |    CASE WHEN v.doc_id IS NULL THEN 0
+        |         WHEN t.vmx > t.vmn THEN (10000 * (v.vs - t.vmn)) // (t.vmx - t.vmn)
+        |         ELSE 10000 END AS vec_norm_bp
+        |  FROM lpool l FULL OUTER JOIN vpool v
+        |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+        |  LEFT JOIN lstat s ON s.query_id = coalesce(l.query_id, v.query_id)
+        |  LEFT JOIN vstat t ON t.query_id = coalesce(l.query_id, v.query_id)),
+        |ranked AS (
+        |  SELECT query_id, doc_id, lex_norm_bp, vec_norm_bp,
+        |    (7000 * lex_norm_bp + 3000 * vec_norm_bp) // 10000 AS fused_bp,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY (7000 * lex_norm_bp + 3000 * vec_norm_bp) // 10000 DESC,
+        |        doc_id ASC) as int) AS rank
+        |  FROM f QUALIFY rank <= 4)
+        |SELECT r.query_id, q.query, r.doc_id,
+        |  cast(r.lex_norm_bp as bigint) AS lex_norm_bp,
+        |  cast(r.vec_norm_bp as bigint) AS vec_norm_bp,
+        |  cast(r.fused_bp as bigint) AS fused_bp, r.rank,
+        |  substring(d.text, 1, 200) AS preview
+        |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+        |JOIN q0 q ON q.query_id = r.query_id
+        |ORDER BY r.query_id, r.rank""".stripMargin
+    require(hybridSearchSql.contains(vrankKey), "q232 surgery: vrank key drifted")
+    val base = hybridSearchSql.replace(vrankKey, vpool)
+    val at = base.indexOf(lexKey)
+    require(at >= 0, "q232 surgery: lex key drifted")
+    base.substring(0, at) + tail
+  }
+
   private lazy val lifecycleSearchSql: String = {
     // chunker replay (q15's oracle spelling, size=128/overlap=64), then
     // the hash-embed replay for chunks and queries, then search replay
@@ -2730,39 +2893,23 @@ ORDER BY query_id, rank"""),
     // q120's replay with the checkpoint model's weight matrix in place of
     // the letter weights — the whole update→search lifecycle under weights
     // that only exist in a file the engine loaded
-    "q156_file_embedder" -> {
-      val qvalues = searchTexts.zipWithIndex
-        .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
-        .mkString(", ")
-      s"""WITH c AS (
-         |  SELECT doc_id, text,
-         |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
-         |  FROM documents WHERE length(text) > 0),
-         |ch AS (
-         |  SELECT doc_id, doc_id || '_' || pos AS chunk_id,
-         |    substring(text, cast(pos*64+1 as int), 128) AS chunk
-         |  FROM c),
-         |${matrixEmbedSql("ch", "chunk_id, doc_id", "chunk", "e")},
-         |q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
-         |${matrixEmbedSql("q0", "query_id, query", "query", "qe")},
-         |scored AS (
-         |  SELECT q.query_id, q.query, n.doc_id,
-         |    round(CASE WHEN n.nrm2 = 0 OR q.nrm2 = 0 THEN 0.0
-         |               ELSE list_cosine_similarity(n.v, q.v) END, 4) AS score
-         |  FROM ev n CROSS JOIN qev q),
-         |best AS (
-         |  SELECT query_id, query, doc_id, max(score) AS score
-         |  FROM scored GROUP BY ALL),
-         |ranked AS (
-         |  SELECT query_id, query, doc_id, score,
-         |    cast(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, doc_id ASC) as int) AS rank
-         |  FROM best QUALIFY rank <= 4)
-         |SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
-         |  substring(d.text, 1, 200) AS preview
-         |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
-         |ORDER BY query_id, rank""".stripMargin
-    },
+    "q156_file_embedder" -> fileEmbedderLifecycleSql,
+
+    // q230 serves the SAME checkpoint model after the alias flip, so the
+    // post-cutover ranking is q156's replay verbatim
+    "q230_alias_swap" -> fileEmbedderLifecycleSql,
+
+    // q231: per-tenant doc counts + the chunker count formula per doc
+    "q231_partition_stats" ->
+      """SELECT source, cast(count(*) as bigint) AS n_docs,
+        |  cast(coalesce(sum(CASE WHEN length(text) > 0
+        |    THEN cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)
+        |    ELSE 0 END), 0) as bigint) AS n_chunks
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // q232: the WeightedRanker fusion replay (shared scoring prefix with
+    // q212, min-max normalization + 7000/3000 weights)
+    "q232_weighted_fusion" -> weightedHybridSql,
 
     "q64_engine_lifecycle" -> lifecycleSearchSql,
     "q188_ivf_persisted_search" -> lifecycleSearchSql,

@@ -1311,6 +1311,88 @@ class EngineSpec extends SparkSpec {
       "post-delete hybrid served stale postings")
   }
 
+  test("alias: create/alter round-trips every knob; serving follows the flip; writes are rename-atomic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-alias").toString
+    val alias = s"$dir/c.alias"
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/i1",
+      chunkSize = 96, chunkOverlap = 32, embedDim = 32, batchSize = 64,
+      nlist = 8, nprobe = 4, limit = 3, ivfThreshold = 7L,
+      schedulerInitRun = false, schedulerPeriod = "hour",
+      indexType = "IVF_PQ", pqM = 8, pqCodes = 16, pqSeed = 23L, pqRerank = 10,
+      partitionKey = "source", ivfPath = s"$dir/ivf")
+    Engine.writeAlias(spark, alias, cfg)
+    assert(EngineConfig.load(alias) == cfg, "alias round-trip lost a knob")
+    // empty-string knobs must round-trip to their defaults, not break parse
+    val plain = cfg.copy(modelPath = "", ivfPath = "", partitionKey = "")
+    Engine.writeAlias(spark, alias, plain) // alter: overwrite in place
+    assert(EngineConfig.load(alias) == plain)
+    // no torn pointer: the temp never lingers, the file always parses
+    assert(!new java.io.File(s"$alias.tmp").exists(), "alias temp file lingered")
+    // serving follows the flip
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val v1 = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/v1")
+    val e1 = new Engine(spark, v1); e1.ingest(docs); e1.update()
+    Engine.writeAlias(spark, alias, v1)
+    val mpath = s"$dir/m.ckpt"
+    graft.functions.FileEmbedder.save(mpath,
+      graft.functions.FileEmbedder.Model("aeiounst".toCharArray,
+        graft.functions.FileEmbedder.syntheticWeights(42L, 8, 8)))
+    val v2 = v1.copy(indexPath = s"$dir/v2", modelPath = mpath)
+    new Engine(spark, v2).update()
+    val before = hitCensus(Engine.forAlias(spark, alias).search(Seq("graph node edge label")))
+    Engine.writeAlias(spark, alias, v2)
+    val after = hitCensus(Engine.forAlias(spark, alias).search(Seq("graph node edge label")))
+    assert(before == hitCensus(e1.search(Seq("graph node edge label"))))
+    assert(after == hitCensus(new Engine(spark, v2).search(Seq("graph node edge label"))))
+    assert(before != after, "fixture too weak: both models rank identically")
+  }
+
+  test("describePartitions: per-tenant counts read no data column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pstats").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      partitionKey = "source")
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    eng.ingest(docs); eng.update()
+    val out = eng.describePartitions().collect()
+    val expDocs = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(r => r.getString(0) -> r.getLong(1)).toMap == expDocs)
+    assert(out.forall(r => r.getLong(2) >= r.getLong(1)),
+      "a tenant has fewer chunks than documents")
+    assert(eng.index().count() == out.map(_.getLong(2)).sum)
+    // the scans group on the partition column only: no data column is read
+    val plan = eng.describePartitions().queryExecution.executedPlan.toString
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(_.contains("struct<>")),
+      s"describePartitions read data columns:\n${reads.mkString("\n")}")
+    intercept[IllegalArgumentException](freshEngine().describePartitions())
+  }
+
+  test("hybridSearchWeighted: min-max normalized fusion honors the weights") {
+    val eng = freshEngine()
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"))
+    eng.update()
+    val qs = Seq("data processing pipeline", "machine learning")
+    val rows = eng.hybridSearchWeighted(qs, wLexBp = 7000L, wVecBp = 3000L).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ln, vn, fused) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(ln >= 0 && ln <= 10000 && vn >= 0 && vn <= 10000,
+        s"normalized score out of [0, 10000]: $r")
+      assert(fused == (7000 * ln + 3000 * vn) / 10000,
+        s"fused_bp != weighted combination for $r")
+    }
+    // the weights matter: an all-lexical ranking differs from an all-vector one
+    val lexOnly = eng.hybridSearchWeighted(qs, wLexBp = 10000L, wVecBp = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(6))).toSet
+    val vecOnly = eng.hybridSearchWeighted(qs, wLexBp = 0L, wVecBp = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(6))).toSet
+    assert(lexOnly != vecOnly, "fixture too weak: weights don't change the ranking")
+    intercept[IllegalArgumentException](eng.hybridSearchWeighted(qs, 0L, 0L))
+  }
+
   test("maintain: retrain fires only over the growth threshold and resets the baseline") {
     val dir = java.nio.file.Files.createTempDirectory("graft-maint").toString
     val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
