@@ -1213,16 +1213,22 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * here costs one scoring pass plus O(n) total paging work. Ranks are
    * ABSOLUTE (rows drained + page-local position), so the concatenation of
    * all pages is exactly the full ranking with no seam — no duplicate, no
-   * miss, ties broken by pk. Hydration joins per page (page-sized,
-   * broadcast). Pages are pinned at cut time, so a concurrent mutation
-   * can't tear a page (the [[queryIterator]] snapshot-at-page contract).
+   * miss, ties broken by pk. Hydration happens ONCE, into the pinned
+   * frame (one keyed join of two doc-count-sized sides) — a per-page
+   * hydration join would re-scan the store n/batch times over a full
+   * drain, the hidden corpus-scan loop this verb exists to avoid; the
+   * price is previews riding the pin (~preview bytes × ranked docs).
+   * Pages are pinned at cut time, so a concurrent mutation can't tear a
+   * page (the [[queryIterator]] snapshot-at-page contract).
    */
   def searchIterator(query: String, batchSize: Int = 100): Iterator[DataFrame] = {
     require(batchSize > 0, s"bad batchSize $batchSize")
     val best = scoredChunks(queryDf(Seq(query)), None)
       .groupBy(col("query_id"), col("query"), col("doc_id"))
       .agg(max(col("score")).as("score"))
-      .localCheckpoint(true) // ONE corpus scoring pass for the whole drain
+      .join(store().select(col("doc_id"),
+        substring(col("text"), 1, 200).as("preview")), Seq("doc_id"))
+      .localCheckpoint(true) // ONE scoring pass + ONE hydration for the drain
     new Iterator[DataFrame] {
       private var lastScore = Double.MaxValue
       private var lastDoc = Long.MinValue
@@ -1241,10 +1247,10 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("query_id"))
             .orderBy(col("score").desc, col("doc_id").asc)
-          val out = store().join(broadcast(page), "doc_id")
+          val out = page
             .withColumn("rank", (row_number().over(w) + lit(drained)).cast("int"))
             .select(col("query_id"), col("query"), col("doc_id"), col("score"),
-              col("rank"), substring(col("text"), 1, 200).as("preview"))
+              col("rank"), col("preview"))
             .orderBy(col("rank"))
           lastScore = tail.head.getAs[Double]("score")
           lastDoc = tail.head.getAs[Long]("doc_id")
