@@ -72,8 +72,13 @@ object EngineConfig {
    * warehouse-local stand-in for those endpoints.
    */
   def load(path: String): EngineConfig = {
-    val src = scala.io.Source.fromFile(path)
-    val kv = try flattenYaml(src.getLines()) finally src.close()
+    // resolved through the Hadoop FileSystem API so a config/alias pointer
+    // on HDFS/S3 reads exactly like a local file (writeAlias writes through
+    // the same API — a java.io read here would break every non-local alias)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val kv = try flattenYaml(src.getLines()) finally { src.close(); in.close() }
     def get(keys: String*): Option[String] = keys.collectFirst {
       case k if kv.contains(k) => kv(k)
     }
@@ -185,7 +190,37 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * the store scan. */
   def ingest(docs: DataFrame, keyCol: String = "doc_id"): Unit =
     Ingest.dedupAppend(docs, cfg.storePath, keyCol,
-      Option(cfg.partitionKey).filter(_.nonEmpty))
+      if (storeUsesPartitions) Some(cfg.partitionKey) else None)
+
+  /**
+   * Whether the STORE is (or will be) hive-partitioned by the tenant key:
+   * the layout ON DISK wins over the config — a partitioned append into a
+   * legacy flat root would mix directory depths (Spark's "conflicting
+   * directory structures" failure) and a partitioned delete against flat
+   * files would leave the removed rows alive in the flat part files. A
+   * legacy flat store under a partition_key config keeps flat semantics
+   * until [[compact]] migrates it (its partitioned rewrite IS the
+   * migration: one full copy-on-write, content unchanged, tenant
+   * directories from then on). An absent store follows the config.
+   */
+  private def storeUsesPartitions: Boolean =
+    cfg.partitionKey.nonEmpty && layoutUsesPartitions(cfg.storePath)
+
+  /** Disk-layout probe behind [[storeUsesPartitions]] (and the index-side
+    * routing in [[delete]]/[[dropPartition]]): true when `path` holds
+    * tenant directories, or holds nothing yet (a fresh layout follows the
+    * config). */
+  private def layoutUsesPartitions(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return true // fresh layout: the config decides
+    val kPrefix = escapedPartitionDir(cfg.partitionKey, "")
+    val entries = fs.listStatus(p)
+    entries.exists(s => s.isDirectory && s.getPath.getName.startsWith(kPrefix)) ||
+      // an empty root (no data files yet) is still "fresh"
+      !entries.exists(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+  }
 
   /**
    * Upsert — Milvus's `upsert` verb (replace by primary key), the ONE
@@ -239,11 +274,21 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   /** [[upsert]]'s change-detection plan, exposed for the plan gate: keys of
     * incoming rows whose `(key, row digest)` is absent from the store. Both
     * join inputs are the two-column `(key, digest)` projection — the spec
-    * asserts no wider column reaches the join. */
+    * asserts no wider column reaches the join. The partition column (when
+    * configured) digests AS STRING on both sides: hive partition-column
+    * TYPE INFERENCE can read a numeric-looking tenant value back as a
+    * long, and `to_json` would then render 10042 vs "10042" — every digest
+    * mismatching forever on identical content. */
   private[graft] def upsertChangedKeys(incoming: DataFrame, keyCol: String): DataFrame = {
     val cols = store().columns.sorted.toSeq
-    def slim(df: DataFrame): DataFrame = df.select(
-      col(keyCol), sha2(to_json(struct(cols.map(col): _*)), 256).as("__dg"))
+    def slim(df: DataFrame): DataFrame = {
+      val fields = cols.map { c =>
+        if (cfg.partitionKey.nonEmpty && c == cfg.partitionKey)
+          col(c).cast("string").as(c)
+        else col(c)
+      }
+      df.select(col(keyCol), sha2(to_json(struct(fields: _*)), 256).as("__dg"))
+    }
     slim(incoming)
       .join(slim(store()), Seq(keyCol, "__dg"), "left_anti")
       .select(keyCol)
@@ -398,8 +443,11 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     // serves from a layout)
     if (cfg.indexType != "FLAT" && routeIvf()) ivfIndex()
     // a hybrid deployment (lexical layout on disk) keeps its postings in
-    // the same offline window — rebuild them over the renewed store
-    if (lexExists) synchronized { buildLex() }
+    // the same offline window — delta-extended when the store grew,
+    // zero-IO when the stamp is already current (update() rebuilds the
+    // INDEX from the store; it never changes the store itself, so a
+    // current lexical layout needs nothing)
+    maintainLexIfStale()
   }
 
   /**
@@ -629,8 +677,12 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    */
   def delete(ids: DataFrame, keyCol: String = "doc_id"): Long = {
     val key = ids.select(keyCol).distinct()
+    // layout-on-disk routing ([[storeUsesPartitions]]): a legacy flat store
+    // under a partition_key config must take the flat rewrite — a dynamic
+    // partitionBy overwrite against flat part files would leave the removed
+    // rows alive and mix directory depths
     val removed =
-      if (cfg.partitionKey.nonEmpty) deleteFromPartitionedStore(key, keyCol)
+      if (storeUsesPartitions) deleteFromPartitionedStore(key, keyCol)
       else deleteFromFlatStore(key, keyCol)
     // removals are the one mutation the lexical layout cannot absorb
     // delta-sized (postings of removed docs poison df/stats): drop its
@@ -642,7 +694,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       // rebuilt (corpus-sized)
       val layoutCurrent = persistedFingerprint().contains(compositeFingerprint())
       synchronized { // the ivfIndex() monitor — no rebuild may interleave
-        if (cfg.partitionKey.nonEmpty)
+        if (cfg.partitionKey.nonEmpty && layoutUsesPartitions(cfg.indexPath))
           // tenant-sized, like the store side: only tenants holding removed
           // chunks rewrite (dynamic overwrite); other tenants' index files
           // are never read or written
@@ -776,6 +828,15 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     // else: fingerprint stays stale → the next ivfIndex() rebuilds (safe)
   }
 
+  /** Hive directory name `key=value` with BOTH sides escaped the way
+    * Spark's partitioned write escapes them (ExternalCatalogUtils — '%XX'
+    * for chars Hive path-escapes), so metadata deletes address the exact
+    * directory the write created. */
+  private def escapedPartitionDir(k: String, v: String): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    s"${escapePathName(k)}=${escapePathName(v)}"
+  }
+
   /**
    * Tenant removal — Milvus's `drop_partition` over a `partition_key`
    * collection: every document of the named tenants leaves the store, the
@@ -794,15 +855,6 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * removes 0 rows and leaves the layout stamped. Returns store documents
    * removed.
    */
-  /** Hive directory name `key=value` with BOTH sides escaped the way
-    * Spark's partitioned write escapes them (ExternalCatalogUtils — '%XX'
-    * for chars Hive path-escapes), so metadata deletes address the exact
-    * directory the write created. */
-  private def escapedPartitionDir(k: String, v: String): String = {
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
-    s"${escapePathName(k)}=${escapePathName(v)}"
-  }
-
   def dropPartition(partitions: Seq[String]): Long = {
     require(cfg.partitionKey.nonEmpty,
       "dropPartition requires cfg.partitionKey (Milvus partition_key_field)")
@@ -833,7 +885,9 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .exists(s => s.isDirectory && s.getPath.getName.startsWith(kPrefix))
     if (storeIsPartitioned) partitions.foreach(dropDir(cfg.storePath, _))
     else if (removed > 0) {
-      val s2 = store().filter(!hit)
+      // legacy flat store: predicate rewrite (null-tenant rows are KEPT —
+      // `!hit` alone would evaluate to NULL for them and drop them)
+      val s2 = store().filter(coalesce(!hit, lit(true)))
         .localCheckpoint(true) // pin BEFORE overwriting the path being read
       s2.repartition(col(k)).write.mode("overwrite")
         .partitionBy(k).parquet(cfg.storePath)
@@ -842,7 +896,15 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       // decided BEFORE the directory drop flips the index fingerprint
       val layoutCurrent = persistedFingerprint().contains(compositeFingerprint())
       synchronized { // the ivfIndex() monitor — no rebuild may interleave
-        partitions.foreach(dropDir(cfg.indexPath, _))
+        if (layoutUsesPartitions(cfg.indexPath))
+          partitions.foreach(dropDir(cfg.indexPath, _))
+        else {
+          // legacy flat index: one predicate rewrite (and the write
+          // migrates it to tenant directories)
+          val i2 = index().filter(coalesce(!hit, lit(true)))
+            .localCheckpoint(true)
+          writeIndexRows(i2, "overwrite")
+        }
         invalidateIvf()
         if (layoutCurrent) maintainLayoutRemoving(_.filter(hit), _.filter(!hit))
       }
@@ -909,7 +971,10 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         val f = it.next().getPath.getName
         if (!f.startsWith("_") && !f.startsWith(".")) currentFiles += 1
       }
-      if (currentFiles <= files) return (files, false)
+      // the selective guard only applies to an ALREADY-partitioned layout:
+      // a legacy flat root under a partition_key config is unhealthy at any
+      // file count — this rewrite IS its migration to tenant directories
+      if (layoutUsesPartitions(path) && currentFiles <= files) return (files, false)
       df.repartition(col(key)).sortWithinPartitions(key, "doc_id")
         .localCheckpoint(true) // pin BEFORE overwriting the path being read
         .write.mode("overwrite").option("maxRecordsPerFile", maxRecordsPerFile)
@@ -1393,8 +1458,21 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     dl.write.mode("overwrite").parquet(s"$lexPath/doclens")
     dl.agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("t_toks"))
       .coalesce(1).write.mode("overwrite").parquet(s"$lexPath/stats")
+    // the rebuild overwrote every layout piece, so any half-applied extend
+    // is gone with it — clear its marker BEFORE stamping
+    lexMarkerFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(lexMarkerFile, false)
     writeStamp(lexStampFile, lexFingerprint())
   }
+
+  /** Intent marker for [[extendLex]]'s append window: appends to three
+    * layout pieces cannot be atomic together, and a RETRY of a half-applied
+    * extend would double postings (df/tf poisoned under a then-valid
+    * stamp — stamping last only helps when the retry is idempotent, and an
+    * append-based extend is not). The marker turns the retry into a full
+    * rebuild instead. */
+  private def lexMarkerFile =
+    new org.apache.hadoop.fs.Path(s"$lexPath/_EXTEND_INPROGRESS")
 
   /** Delta-sized maintenance on the ingest path ([[updateIncremental]]'s
     * lexical sibling): documents absent from the coverage table — exactly
@@ -1406,6 +1484,15 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * rewritten. */
   private def extendLex(): Unit = synchronized {
     if (!lexExists) return
+    val mfs = lexMarkerFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mfs.exists(lexMarkerFile)) {
+      // a previous extend died inside its append window: some pieces hold
+      // the batch, some don't — a coverage-based retry would re-append the
+      // postings and double df/tf. Rebuild from the store (overwrites all
+      // three pieces, clears the marker, restamps).
+      buildLex()
+      return
+    }
     val covered = spark.read.parquet(s"$lexPath/doclens").select(col("doc_id"))
     val fresh = store().join(covered, Seq("doc_id"), "left_anti")
     val toks = widen(fresh)
@@ -1415,6 +1502,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val delta = dl.agg(coalesce(count(lit(1)), lit(0L)),
       coalesce(sum(col("dl")), lit(0L))).head()
     if (delta.getLong(0) > 0L) {
+      writeStamp(lexMarkerFile, "extend") // intent: appends begin
       toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
         .join(dl, Seq("doc_id"))
         .withColumn("tb", graft.operators.InvertedIndex.bucket(col("tok")))
@@ -1426,6 +1514,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       Seq((st.getLong(0) + delta.getLong(0), st.getLong(1) + delta.getLong(1)))
         .toDF("n_docs", "t_toks")
         .coalesce(1).write.mode("overwrite").parquet(s"$lexPath/stats")
+      mfs.delete(lexMarkerFile, false) // appends complete: the batch is whole
     }
     writeStamp(lexStampFile, lexFingerprint())
   }
@@ -1504,14 +1593,19 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val qdf = queryDf(queries)
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    // each pool feeds TWO consumers (the fusion join and its min-max
+    // stats): pin once — kPool×queries rows — so the corpus scoring pass
+    // and the postings probe each run exactly once per call
     val vpool = scoredChunks(qdf, None)
       .groupBy(col("query_id"), col("doc_id")).agg(max(col("score")).as("score"))
       .withColumn("vec_rank", row_number().over(wv))
       .filter(col("vec_rank") <= kPool)
       .select(col("query_id"), col("doc_id"),
         expr("cast(floor(score * 10000 + 0.5) as bigint)").as("vs"))
+      .localCheckpoint(true)
     val lpool = lexicalRank(queries, kPool)
       .select(col("query_id"), col("doc_id"), col("bm25_bp"))
+      .localCheckpoint(true)
     def stats(df: DataFrame, c: String): DataFrame = df.groupBy(col("query_id"))
       .agg(min(col(c)).as(s"${c}_mn"), max(col(c)).as(s"${c}_mx"))
     val fusedW = org.apache.spark.sql.expressions.Window
