@@ -15,6 +15,8 @@ run / fork := true
 // prefixes every line with "[info] ", which breaks machine parsing of
 // Bench's single JSON output line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// forward the sbt process's stdin into forked runs (graft.Demo interactive)
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
