@@ -64,7 +64,11 @@ object Demo {
       if (line.isEmpty) live = false
       else {
         val (k, q) = line.split("\\s+", 2) match {
-          case Array(n, rest) if n.forall(_.isDigit) => (n.toInt, rest)
+          // a leading all-digit token within int range and > 0 is the k
+          // "box"; anything else (overflow, 0, no second field) is query
+          // text — a typo must not kill the console
+          case Array(n, rest) if n.length <= 9 && n.forall(_.isDigit) && n.toInt > 0 =>
+            (n.toInt, rest)
           case _ => (cfg.limit, line)
         }
         val hits = new Engine(spark, cfg.copy(limit = k)).search(Seq(q))

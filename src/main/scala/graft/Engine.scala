@@ -74,8 +74,14 @@ object EngineConfig {
   def load(path: String): EngineConfig = {
     // resolved through the Hadoop FileSystem API so a config/alias pointer
     // on HDFS/S3 reads exactly like a local file (writeAlias writes through
-    // the same API — a java.io read here would break every non-local alias)
-    val p = new org.apache.hadoop.fs.Path(path)
+    // the same API — a java.io read here would break every non-local alias).
+    // A SCHEME-LESS path keeps the historical local semantics (resolved
+    // against the process CWD) even when fs.defaultFS points at a cluster
+    // filesystem — callers who want the default FS pass a full URI.
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val p = if (p0.toUri.getScheme == null)
+      new org.apache.hadoop.fs.Path(new java.io.File(path).toURI)
+    else p0
     val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     val kv = try flattenYaml(src.getLines()) finally { src.close(); in.close() }
@@ -188,9 +194,49 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * physically isolate tenant segments, so [[dropPartition]] is a
     * directory delete on BOTH layouts and tenant-scoped predicates prune
     * the store scan. */
-  def ingest(docs: DataFrame, keyCol: String = "doc_id"): Unit =
+  def ingest(docs: DataFrame, keyCol: String = "doc_id"): Unit = {
+    if (cfg.partitionKey.nonEmpty) validateTenantValues(docs)
     Ingest.dedupAppend(docs, cfg.storePath, keyCol,
       if (storeUsesPartitions) Some(cfg.partitionKey) else None)
+  }
+
+  /**
+   * Gate at the door for tenant values, enforced on EVERY ingest under a
+   * `partition_key` config (including a legacy flat store — [[compact]]
+   * migrates it later, and a value rejected here can never reach a tenant
+   * directory it would be invisible or lossy in):
+   *
+   *  - NULL is rejected (the Milvus contract: a partition_key field is
+   *    non-nullable; a null would land in the hive default partition,
+   *    invisible to drop/scope/stats);
+   *  - a STRING value that hive partition-column TYPE INFERENCE would
+   *    read back differently is rejected ("0123" → int 123, "1e2" →
+   *    100.0): the loss happens at read time, irreversibly, and would
+   *    make identical rows digest differently forever ([[upsert]]) and
+   *    tenant predicates miss. Canonical renderings ("10042", "3.5",
+   *    "2024-01-01") round-trip and pass.
+   *
+   * Tenant cardinality is small by nature, so the check collects the
+   * batch's DISTINCT tenant values driver-side (a column-pruned narrow
+   * aggregate) and validates each exactly.
+   */
+  private def validateTenantValues(docs: DataFrame): Unit = {
+    val k = cfg.partitionKey
+    val isString = docs.schema(k).dataType ==
+      org.apache.spark.sql.types.StringType
+    val vals = docs.select(col(k).cast("string")).distinct().collect()
+    vals.foreach { r =>
+      require(!r.isNullAt(0),
+        s"ingest: NULL $k values — the partition key is non-nullable (Milvus contract)")
+      if (isString) {
+        val v = r.getString(0)
+        require(Engine.inferenceRendering(v) == v,
+          s"ingest: $k value '$v' does not survive hive partition-column type " +
+            s"inference (reads back as '${Engine.inferenceRendering(v)}') — use a " +
+            "canonical rendering or a non-numeric tenant id")
+      }
+    }
+  }
 
   /**
    * Whether the STORE is (or will be) hive-partitioned by the tenant key:
@@ -206,18 +252,31 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   private def storeUsesPartitions: Boolean =
     cfg.partitionKey.nonEmpty && layoutUsesPartitions(cfg.storePath)
 
-  /** Disk-layout probe behind [[storeUsesPartitions]] (and the index-side
-    * routing in [[delete]]/[[dropPartition]]): true when `path` holds
-    * tenant directories, or holds nothing yet (a fresh layout follows the
-    * config). */
+  /**
+   * Disk-layout probe behind [[storeUsesPartitions]] and the index-side
+   * routing in [[delete]]/[[dropPartition]]/[[compact]]: true when `path`
+   * holds tenant directories UNDER THE CONFIGURED KEY, or holds nothing
+   * yet (a fresh layout follows the config). Partition directories under
+   * a DIFFERENT key are rejected loudly: Milvus fixes `partition_key` at
+   * collection creation, and silently appending a second partition column
+   * would break partition discovery for every reader — re-keying an
+   * existing collection is a rebuild, not a config flip.
+   */
   private def layoutUsesPartitions(path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return true // fresh layout: the config decides
     val kPrefix = escapedPartitionDir(cfg.partitionKey, "")
     val entries = fs.listStatus(p)
-    entries.exists(s => s.isDirectory && s.getPath.getName.startsWith(kPrefix)) ||
-      // an empty root (no data files yet) is still "fresh"
+    val partDirs = entries.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    if (partDirs.nonEmpty) {
+      val matching = partDirs.exists(_.getPath.getName.startsWith(kPrefix))
+      require(matching,
+        s"$path is partitioned by '${partDirs.head.getPath.getName.takeWhile(_ != '=')}' " +
+          s"but partition_key is '${cfg.partitionKey}' — changing the key requires a rebuild")
+      matching
+    } else
+      // an empty root (no data files, no partition dirs) is still "fresh"
       !entries.exists(s => s.isFile && !s.getPath.getName.startsWith("_")
         && !s.getPath.getName.startsWith("."))
   }
@@ -462,6 +521,17 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * `Observation` riding the write — no extra job).
    */
   def updateIncremental(): Long = {
+    // a legacy FLAT index under a partition_key config cannot be extended:
+    // the append would partition while the existing files don't (mixed
+    // directory depths break every reader), and the old rows lack the
+    // tenant column entirely. Milvus can't re-key a collection either —
+    // the one sound move is the full rebuild, which IS the migration
+    // (update() rewrites the whole index partitioned). One-time cost.
+    if (indexExists && cfg.partitionKey.nonEmpty
+        && !layoutUsesPartitions(cfg.indexPath)) {
+      update()
+      return indexCount()
+    }
     val fresh0 =
       if (!indexExists) store()
       else store().join(index().select("doc_id").distinct(), Seq("doc_id"), "left_anti")
@@ -702,7 +772,10 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         else {
           val i2 = index().join(broadcast(key), Seq(keyCol), "left_anti")
             .localCheckpoint(true)
-          writeIndexRows(i2, "overwrite")
+          // a flat layout stays flat: a legacy index under a partition_key
+          // config lacks the tenant column writeIndexRows would partition
+          // on (its migration is update(), never a delete side-effect)
+          i2.write.mode("overwrite").parquet(cfg.indexPath)
         }
         invalidateIvf()
         if (layoutCurrent) maintainLayoutAfterDelete(key, keyCol)
@@ -876,6 +949,14 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       require(!fs.exists(dir), s"dropPartition: directory $dir survived the delete")
     }
     if (removed > 0) invalidateLex() // removals ⇒ lexical rebuild on next use
+    // a LEGACY flat index predates the partition_key config and lacks the
+    // tenant column — its removal set must come from the STORE (which
+    // still holds the doomed tenants' rows), pinned BEFORE the store side
+    // mutates
+    val legacyIndex = indexExists && !layoutUsesPartitions(cfg.indexPath)
+    val doomedIds =
+      if (legacyIndex) Some(store().filter(hit).select("doc_id").localCheckpoint(true))
+      else None
     // store side: a metadata operation — the tenants' hive directories
     // leave. A LEGACY store ingested flat before partition_key was
     // configured has no tenant directories; it pays the old copy-on-write
@@ -896,17 +977,22 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       // decided BEFORE the directory drop flips the index fingerprint
       val layoutCurrent = persistedFingerprint().contains(compositeFingerprint())
       synchronized { // the ivfIndex() monitor — no rebuild may interleave
-        if (layoutUsesPartitions(cfg.indexPath))
+        if (!legacyIndex) {
           partitions.foreach(dropDir(cfg.indexPath, _))
-        else {
-          // legacy flat index: one predicate rewrite (and the write
-          // migrates it to tenant directories)
-          val i2 = index().filter(coalesce(!hit, lit(true)))
+          invalidateIvf()
+          // the cell layout carries the tenant column only when the index
+          // rows did — safe to prune by predicate on the partitioned path
+          if (layoutCurrent) maintainLayoutRemoving(_.filter(hit), _.filter(!hit))
+        } else {
+          // legacy flat index (no tenant column): one doc-keyed anti join
+          // against the pre-drop store's doomed ids, written FLAT (index
+          // migration is update()'s job, never a drop side-effect). The
+          // stale fingerprint forces the next ivfIndex() to rebuild.
+          val i2 = index().join(broadcast(doomedIds.get), Seq("doc_id"), "left_anti")
             .localCheckpoint(true)
-          writeIndexRows(i2, "overwrite")
+          i2.write.mode("overwrite").parquet(cfg.indexPath)
+          invalidateIvf()
         }
-        invalidateIvf()
-        if (layoutCurrent) maintainLayoutRemoving(_.filter(hit), _.filter(!hit))
       }
     }
     removed
@@ -960,6 +1046,9 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     // round-9 gap this path closes).
     def rewritePartitioned(path: String, key: String): (Long, Boolean) = {
       val df = spark.read.parquet(path)
+      require(df.columns.contains(key),
+        s"compact: $path has no '$key' column — a layout that never carried " +
+          "the partition key cannot be migrated to tenant directories")
       val perTenant = df.groupBy(col(key)).count().collect()
       val files = perTenant.map(r =>
         math.max(1L, (r.getLong(1) + maxRecordsPerFile - 1) / maxRecordsPerFile)).sum
@@ -995,7 +1084,10 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val (ifn, iChanged) = synchronized {
       val r =
         if (!indexExists) (0L, false)
-        else if (cfg.partitionKey.nonEmpty) rewritePartitioned(cfg.indexPath, cfg.partitionKey)
+        // a legacy flat index lacks the tenant column — its migration is
+        // update(), so compact keeps it flat (layoutUsesPartitions gates)
+        else if (cfg.partitionKey.nonEmpty && layoutUsesPartitions(cfg.indexPath))
+          rewritePartitioned(cfg.indexPath, cfg.partitionKey)
         else rewrite(cfg.indexPath, "doc_id")
       // plan validity, not content: the old memo's file listing points at
       // deleted part files — but ONLY when a rewrite actually happened; a
@@ -1931,6 +2023,27 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
 }
 
 object Engine {
+
+  /**
+   * What a string partition value reads back as under Spark's hive
+   * partition-column type inference (PartitioningUtils' try-order:
+   * integer → long → decimal → double → timestamp/date → string),
+   * rendered back to string. A value whose rendering differs from itself
+   * is LOSSY on read — [[graft.Engine#ingest]] rejects it at the door.
+   * Date/timestamp parses re-render canonically (e.g. "2024-01-01"
+   * round-trips), so only genuinely non-canonical numerics are flagged.
+   */
+  private[graft] def inferenceRendering(v: String): String = {
+    import scala.util.Try
+    Try(java.lang.Integer.parseInt(v).toString).toOption
+      .orElse(Try(java.lang.Long.parseLong(v).toString).toOption)
+      .orElse(Try(new java.math.BigDecimal(v)).toOption
+        .filter(_ => !v.exists(c => c == 'e' || c == 'E')).map(_.toString))
+      .orElse(Try(java.lang.Double.parseDouble(v).toString).toOption)
+      .orElse(Try(java.sql.Date.valueOf(v).toString).toOption)
+      .orElse(Try(java.sql.Timestamp.valueOf(v).toString).toOption)
+      .getOrElse(v)
+  }
 
   /**
    * Collection ALIAS — Milvus's `create_alias` / `alter_alias`: a pointer

@@ -107,14 +107,10 @@ object Ingest {
       else incoming
     partitionCol match {
       case Some(k) =>
-        // pin: the null-guard and the write both read the anti-joined batch
-        val pinned = novel.localCheckpoint(true)
-        // Milvus contract: a partition_key field is non-nullable. A null
-        // here would land in the hive default partition, invisible to the
-        // tenant verbs (drop/scope/stats) — reject it at the door.
-        require(pinned.filter(col(k).isNull).isEmpty,
-          s"dedupAppend: NULL $k values — the partition key is non-nullable")
-        pinned.repartition(col(k)).write.mode("append").partitionBy(k).parquet(storePath)
+        // tenant-value validity (non-null, inference-safe) is the ENGINE's
+        // door check (Engine.validateTenantValues) — enforcing it here
+        // would force a full-batch materialization on the hot write path
+        novel.repartition(col(k)).write.mode("append").partitionBy(k).parquet(storePath)
       case None => novel.write.mode("append").parquet(storePath)
     }
   }

@@ -1007,32 +1007,74 @@ class EngineSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-legacy").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text", "source")
-    // the store predates the partition_key config: ingested FLAT
-    new Engine(spark, EngineConfig(s"$dir/store", s"$dir/index")).ingest(docs)
+    // the store AND index predate the partition_key config: built FLAT
+    // (crucially, a flat index has NO tenant column at all)
+    val legacy = new Engine(spark, EngineConfig(s"$dir/store", s"$dir/index"))
+    legacy.ingest(docs); legacy.update()
+    assert(!legacy.index().columns.contains("source"),
+      "fixture: a flat-built index must not carry the tenant column")
     val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
-      partitionKey = "source")
+      partitionKey = "source", nlist = 8, nprobe = 8)
     val eng = new Engine(spark, cfg)
     // ingest must NOT mix a partitioned append into the flat root
     eng.ingest(docs) // idempotent no-op, but routed through the layout probe
     assert(!new java.io.File(s"$dir/store").listFiles()
       .exists(_.getName.startsWith("source=")),
       "a partitioned append landed inside the flat store root")
-    // delete must take the flat rewrite — removed rows actually leave
+    // delete must take the flat rewrite on BOTH layouts — removed rows
+    // actually leave, and the flat index (no tenant column) stays flat
     val victim = docs.select("doc_id").limit(7).localCheckpoint(true)
     assert(eng.delete(victim) == 7L)
     assert(eng.store().join(victim, Seq("doc_id"), "left_semi").count() == 0,
       "flat-store delete under a partition_key config left rows alive")
+    assert(eng.index().join(victim, Seq("doc_id"), "left_semi").count() == 0,
+      "flat-index delete left chunks alive")
+    assert(!new java.io.File(s"$dir/index").listFiles()
+      .exists(_.getName.startsWith("source=")),
+      "delete migrated the flat index as a side-effect")
     assert(eng.store().count() == docs.count() - 7)
-    // compact IS the migration: one copy-on-write, tenant dirs from then on
+    // dropPartition on the legacy pair: store pays one predicate rewrite,
+    // the index side removes the tenants' chunks via the pre-drop doomed
+    // ids (the flat index cannot be filtered by a column it lacks)
+    val goneTenant = eng.store().filter(col("source") === "src5")
+    val goneIds = goneTenant.select("doc_id").localCheckpoint(true)
+    assert(eng.dropPartition(Seq("src5")) == goneIds.count())
+    assert(eng.index().join(goneIds, Seq("doc_id"), "left_semi").count() == 0,
+      "dropped tenant's chunks survived in the legacy flat index")
+    assert(eng.fsck().collect().head.getAs[Boolean]("consistent"))
+    // updateIncremental on the legacy index = the one-time migration
+    // (a partitioned append into flat files would corrupt every reader)
+    eng.ingest(docs.join(eng.store().select("doc_id"), Seq("doc_id"), "left_anti")
+      .filter(col("source") =!= "src5"))
+    assert(eng.updateIncremental() > 0)
+    assert(new java.io.File(s"$dir/index").listFiles()
+      .exists(_.getName.startsWith("source=")),
+      "updateIncremental did not migrate the legacy index via the full rebuild")
+    assert(eng.fsck().collect().head.getAs[Boolean]("consistent"))
+    // compact IS the store migration: tenant dirs from then on
     eng.compact(maxRecordsPerFile = 100L)
     assert(new java.io.File(s"$dir/store").listFiles()
       .exists(_.getName.startsWith("source=")),
       "compact did not migrate the flat store to tenant directories")
-    assert(eng.store().count() == docs.count() - 7)
-    // post-migration the tenant verbs work partitioned
+    // post-migration the tenant verbs work partitioned end to end
     val gone = eng.store().filter(col("source") === "src3").count()
     assert(eng.dropPartition(Seq("src3")) == gone)
-    assert(!new java.io.File(s"$dir/store/source=src3").exists())
+    assert(!new java.io.File(s"$dir/store/source=src3").exists()
+      && !new java.io.File(s"$dir/index/source=src3").exists())
+  }
+
+  test("partition_key changed over an existing partitioned layout is rejected loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rekey").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source", "lang")
+    val a = new Engine(spark, EngineConfig(s"$dir/store", s"$dir/index",
+      partitionKey = "source"))
+    a.ingest(docs)
+    val b = new Engine(spark, EngineConfig(s"$dir/store", s"$dir/index",
+      partitionKey = "lang"))
+    // silently appending lang= dirs beside source= dirs would break
+    // partition discovery for every reader — the re-key must throw
+    intercept[IllegalArgumentException](b.ingest(docs))
   }
 
   test("upsert digest survives partition-column type inference (numeric-looking tenants)") {
