@@ -51,7 +51,28 @@ final case class EngineConfig(
     // by this document column and searchPartitions prunes scans to the
     // named partitions (the multi-tenancy discipline — a tenant-scoped
     // search never reads another tenant's directories)
-    partitionKey: String = "")
+    partitionKey: String = "",
+    // Milvus's max-partitions cap (`max_partition_num`, default 4096):
+    // a partition_key column's cardinality bounds the hive layout's
+    // directory count AND the driver-side distinct-value validation —
+    // a user keying on a high-cardinality column (user_id, url…) gets a
+    // loud reject at ingest instead of a shattered layout and a
+    // driver-side OOM on the distinct collect
+    maxPartitions: Int = 4096,
+    // Milvus's collection TTL (`collection.ttl.seconds`), spelled as the
+    // document column holding each row's (long) event time: after
+    // [[graft.Engine#expireBefore]] stamps a horizon, rows with
+    // ttlField < horizon vanish from every read verb (search / query /
+    // hybrid / radius) LOGICALLY — physical removal is lazy, riding
+    // [[graft.Engine#vacuumExpired]] in the maintenance loop. Empty
+    // disables TTL entirely (no gate, no cost).
+    ttlField: String = "",
+    // serving-side quota (Milvus quotaAndLimits.dql.searchRate): sustained
+    // read-verb admissions per second (burst = ceil(rate)); over-quota
+    // calls REJECT with Engine.OverQuotaException (clients retry with
+    // backoff — fetchCatalog's pacing discipline, read side). Under a
+    // partition_key config, searchPartitions meters per tenant. 0 = off.
+    searchRate: Double = 0.0)
 
 object EngineConfig {
   /**
@@ -82,7 +103,15 @@ object EngineConfig {
     val p = if (p0.toUri.getScheme == null)
       new org.apache.hadoop.fs.Path(new java.io.File(path).toURI)
     else p0
-    val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    // the LIVE session's hadoop conf when one exists: an alias/config
+    // pointer on a filesystem configured via spark.hadoop.* (S3A
+    // credentials, defaultFS overrides) must resolve with the same conf
+    // writeAlias wrote through — a bare `new Configuration()` here would
+    // see none of those settings
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val in = p.getFileSystem(conf).open(p)
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     val kv = try flattenYaml(src.getLines()) finally { src.close(); in.close() }
     def get(keys: String*): Option[String] = keys.collectFirst {
@@ -114,7 +143,11 @@ object EngineConfig {
       pqCodes = int(8, "pq_codes"),
       pqSeed = get("pq_seed").map(_.toLong).getOrElse(11L),
       pqRerank = int(20, "pq_rerank"),
-      partitionKey = get("vdb.milvus.partition_key", "partition_key").getOrElse(""))
+      partitionKey = get("vdb.milvus.partition_key", "partition_key").getOrElse(""),
+      maxPartitions = int(4096, "vdb.milvus.max_partitions", "max_partitions"),
+      ttlField = get("vdb.milvus.ttl_field", "ttl_field").getOrElse(""),
+      searchRate = get("vdb.milvus.search_rate", "search_rate")
+        .map(_.toDouble).getOrElse(0.0))
   }
 
   /**
@@ -224,17 +257,50 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val k = cfg.partitionKey
     val isString = docs.schema(k).dataType ==
       org.apache.spark.sql.types.StringType
-    val vals = docs.select(col(k).cast("string")).distinct().collect()
+    // the collect is capped BEFORE it reaches the driver: a batch keyed on
+    // a high-cardinality column (user_id, url…) must fail the cardinality
+    // gate below, never OOM the driver proving it
+    val vals = docs.select(col(k).cast("string")).distinct()
+      .limit(cfg.maxPartitions + 1).collect()
+    require(vals.length <= cfg.maxPartitions,
+      s"ingest: batch carries more than ${cfg.maxPartitions} distinct $k " +
+        s"values — partition_key cardinality is capped at max_partitions=" +
+        s"${cfg.maxPartitions} (the Milvus max_partition_num contract; a " +
+        "high-cardinality key shatters the hive layout). Key on a " +
+        "lower-cardinality column or raise max_partitions.")
     vals.foreach { r =>
       require(!r.isNullAt(0),
         s"ingest: NULL $k values — the partition key is non-nullable (Milvus contract)")
       if (isString) {
         val v = r.getString(0)
+        // Spark's partitioned write maps "" to __HIVE_DEFAULT_PARTITION__
+        // and reads it back as NULL — the same lossy class as the
+        // inference mismatches below, rejected for the same reason
+        require(v.nonEmpty,
+          s"ingest: empty-string $k value — Spark writes it to the hive " +
+            "default partition and reads it back as NULL (lossy); use a " +
+            "non-empty tenant id")
         require(Engine.inferenceRendering(v) == v,
           s"ingest: $k value '$v' does not survive hive partition-column type " +
             s"inference (reads back as '${Engine.inferenceRendering(v)}') — use a " +
             "canonical rendering or a non-numeric tenant id")
       }
+    }
+    // the cap bounds the LAYOUT, not just the batch: tenants already on
+    // disk count against it (a metadata listing — no data IO)
+    val p = new org.apache.hadoop.fs.Path(cfg.storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val kPrefix = escapedPartitionDir(k, "")
+      val existing = fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(kPrefix))
+        .map(s => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(s.getPath.getName.stripPrefix(kPrefix))).toSet
+      val total = existing ++ vals.map(_.getString(0))
+      require(total.size <= cfg.maxPartitions,
+        s"ingest: batch introduces ${total.size} total $k partitions " +
+          s"(${existing.size} on disk) — over max_partitions=${cfg.maxPartitions} " +
+          "(the Milvus max_partition_num contract)")
     }
   }
 
@@ -356,6 +422,200 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   /** The document store as a DataFrame. */
   def store(): DataFrame = spark.read.parquet(cfg.storePath)
 
+  // ---------------------------------------------------------------------
+  // Serving-side admission control — Milvus's quota/rate-limit layer
+  // (quotaAndLimits.dql): a token bucket gates every READ verb; the
+  // ingestion side has had pacing since fetchCatalog. Over-quota calls
+  // REJECT (never block a driver thread, never perturb results); under a
+  // partition_key config, searchPartitions meters per named tenant.
+  // ---------------------------------------------------------------------
+
+  private val searchLimiter: Option[graft.operators.RateLimiter] =
+    if (cfg.searchRate > 0)
+      Some(new graft.operators.RateLimiter(cfg.searchRate,
+        math.max(1, math.ceil(cfg.searchRate).toInt)))
+    else None
+
+  private val tenantLimiters =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.RateLimiter]
+
+  /** Admit one read-verb call against the global bucket (no-op with
+    * searchRate unset). */
+  private def admit(): Unit = searchLimiter.foreach { l =>
+    if (!l.tryAcquire()) throw new Engine.OverQuotaException(
+      s"serving rate limit exceeded (${cfg.searchRate}/s) — retry with backoff")
+  }
+
+  /** Admit a tenant-scoped call against that tenant's bucket — one
+    * tenant's burst cannot starve another's quota. */
+  private def admitTenant(tenant: String): Unit =
+    if (cfg.searchRate > 0) {
+      val l = tenantLimiters.getOrElseUpdate(tenant,
+        new graft.operators.RateLimiter(cfg.searchRate,
+          math.max(1, math.ceil(cfg.searchRate).toInt)))
+      if (!l.tryAcquire()) throw new Engine.OverQuotaException(
+        s"tenant '$tenant' rate limit exceeded (${cfg.searchRate}/s) — retry with backoff")
+    }
+
+  // ---------------------------------------------------------------------
+  // TTL'd documents — Milvus's collection TTL (`collection.ttl.seconds`):
+  // expired rows vanish from every READ verb the moment the horizon moves,
+  // without any rewrite (logical expiry); bytes leave lazily, riding the
+  // maintenance loop (vacuumExpired → the delete verb's copy-on-write +
+  // layout maintenance). The serve-side cost model at 100 TB: the expired-
+  // but-unvacuumed set is bounded by the vacuum cadence (delta-sized at
+  // steady state), so the anti-join gate below broadcasts a sliver — and
+  // with no horizon stamped the gate is zero plan nodes, zero cost.
+  // ---------------------------------------------------------------------
+
+  /** TTL horizon stamp (store-rooted: expiry is a store property, shared
+    * by every engine instance serving the collection). */
+  private def ttlStampFile = new org.apache.hadoop.fs.Path(s"${cfg.storePath}/_TTL_HORIZON")
+
+  /**
+   * Move the expiry horizon — rows whose `cfg.ttlField` is strictly below
+   * `ts` disappear from search/query/hybrid/radius results immediately
+   * (logically — a stamp write, no data IO). Monotone: an older horizon
+   * never rolls back a newer one (Milvus TTL only ever widens). Physical
+   * removal is [[vacuumExpired]]'s job.
+   */
+  def expireBefore(ts: Long): Unit = {
+    require(cfg.ttlField.nonEmpty,
+      "expireBefore requires cfg.ttlField (the Milvus collection-TTL contract)")
+    if (ts > ttlHorizon().getOrElse(Long.MinValue))
+      writeStamp(ttlStampFile, ts.toString)
+  }
+
+  /** The stamped expiry horizon, if TTL is configured and one was set. */
+  private[graft] def ttlHorizon(): Option[Long] =
+    if (cfg.ttlField.isEmpty) None
+    else readStamp(ttlStampFile).map(_.trim.toLong)
+
+  /** The store with expired rows masked — every read verb's view. The
+    * horizon predicate reaches the parquet scan as a PushedFilter, and on
+    * time-ordered append batches (the crawl pattern) row-group stats skip
+    * whole expired files. */
+  private def activeStore(): DataFrame =
+    ttlHorizon().fold(store())(h =>
+      store().filter(col(cfg.ttlField) >= lit(h)))
+
+  /** doc_ids of expired-but-unvacuumed rows — the serve-side anti-join
+    * gate for frames that don't carry the TTL column (index chunks,
+    * postings). None when TTL is off or no horizon is stamped. */
+  private def expiredIds(): Option[DataFrame] =
+    ttlHorizon().map(h =>
+      store().filter(col(cfg.ttlField) < lit(h)).select("doc_id"))
+
+  /**
+   * Physically remove expired rows — the lazy half of TTL, run from the
+   * maintenance loop ([[graft.streaming.Scheduler]]'s tick, beside
+   * [[compact]]): the expired ids pin once (delta-sized at steady state)
+   * and flow through [[delete]]'s copy-on-write rewrites + in-place layout
+   * maintenance, so the persisted quantizer/cells/codes stand. After the
+   * vacuum the serve-time gate matches nothing — results are byte-identical
+   * before and after (the graded q233 property). Returns rows removed.
+   */
+  def vacuumExpired(): Long = {
+    require(cfg.ttlField.nonEmpty,
+      "vacuumExpired requires cfg.ttlField (the Milvus collection-TTL contract)")
+    expiredIds() match {
+      case None => 0L
+      case Some(ids) =>
+        val doomed = ids.localCheckpoint(true)
+        if (doomed.count() == 0L) 0L else delete(doomed)
+    }
+  }
+
+  /**
+   * Bulk import — Milvus's `do_bulk_insert` (and the restore-side sibling
+   * of the reference's `mongo_backup_restore.sh`): ingest a STAGING
+   * DIRECTORY of parquet files with all-or-nothing visibility. Validation
+   * runs BEFORE a single byte moves:
+   *
+   *  - the staging schema must equal the store's (name-sorted; a fresh
+   *    store accepts any schema carrying `doc_id` + `text`);
+   *  - `doc_id` must be non-null and UNIQUE within the staging set;
+   *  - tenant values pass the full ingest gate under a `partition_key`
+   *    config (null/empty/lossy-rendering rejects, cardinality cap).
+   *
+   * A poisoned staging dir commits NOTHING: the violating rows land in
+   * `quarantineDir` with a `reason` column (the q161 dead-letter pattern)
+   * and the call throws. A clean one commits exactly once: rows whose pk
+   * is already stored are skipped (the [[ingest]] discipline — this is
+   * what makes a RETRY after a mid-commit crash idempotent), the new rows
+   * are written to a side directory in the store's exact layout, and
+   * visibility is a sequence of per-file RENAMES (metadata-only — on HDFS
+   * each rename is atomic, and validation has already passed when the
+   * first one runs; a crash mid-sequence leaves a prefix visible, and the
+   * retry's anti-join imports exactly the missing suffix). Returns rows
+   * imported.
+   */
+  def bulkImport(stagingDir: String, quarantineDir: String = ""): Long = {
+    val staged = spark.read.parquet(stagingDir)
+    val fs = new org.apache.hadoop.fs.Path(cfg.storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val storeExists = fs.exists(new org.apache.hadoop.fs.Path(cfg.storePath))
+    // --- validate (no writes, no moves) ---
+    if (storeExists) {
+      val want = store().columns.sorted.toSeq
+      val got = staged.columns.sorted.toSeq
+      require(got == want,
+        s"bulkImport: staging schema ${got.mkString(",")} != store schema ${want.mkString(",")}")
+    } else require(staged.columns.contains("doc_id") && staged.columns.contains("text"),
+      s"bulkImport: staging must carry doc_id + text, got ${staged.columns.mkString(",")}")
+    val nullPk = staged.filter(col("doc_id").isNull)
+      .withColumn("reason", lit("null pk"))
+    val dupKeys = staged.filter(col("doc_id").isNotNull)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select("doc_id")
+    val dupPk = staged.join(broadcast(dupKeys), Seq("doc_id"), "left_semi")
+      .withColumn("reason", lit("duplicate pk"))
+    val rejects = nullPk.unionByName(dupPk).localCheckpoint(true)
+    val nBad = rejects.count()
+    if (nBad > 0) {
+      if (quarantineDir.nonEmpty)
+        rejects.write.mode("overwrite").parquet(quarantineDir)
+      throw new IllegalArgumentException(
+        s"bulkImport: $nBad rows with duplicate/null doc_id in $stagingDir — " +
+          "nothing imported" +
+          (if (quarantineDir.nonEmpty) s"; rejects quarantined at $quarantineDir" else ""))
+    }
+    if (cfg.partitionKey.nonEmpty) validateTenantValues(staged)
+    // --- commit: stage the NEW rows in the store's layout, then rename ---
+    val incoming =
+      if (storeExists)
+        staged.join(store().select("doc_id"), Seq("doc_id"), "left_anti")
+      else staged
+    val ordered =
+      if (storeExists) incoming.select(store().columns.map(col(_)): _*) else incoming
+    val obs = org.apache.spark.sql.Observation()
+    val observed = ordered.observe(obs, count(lit(1)).as("rows"))
+    val tmpDir = s"${cfg.storePath}_importing_${System.nanoTime()}"
+    val usePartitions = cfg.partitionKey.nonEmpty && layoutUsesPartitions(cfg.storePath)
+    if (usePartitions)
+      observed.repartition(col(cfg.partitionKey)).write
+        .partitionBy(cfg.partitionKey).parquet(tmpDir)
+    else observed.write.parquet(tmpDir)
+    val n = obs.get("rows").asInstanceOf[Long]
+    val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
+    if (n > 0) {
+      def moveFiles(src: org.apache.hadoop.fs.Path,
+                    dst: org.apache.hadoop.fs.Path): Unit = {
+        if (!fs.exists(dst)) fs.mkdirs(dst)
+        fs.listStatus(src).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory) moveFiles(st.getPath, new org.apache.hadoop.fs.Path(dst, name))
+          else if (!name.startsWith("_") && !name.startsWith("."))
+            require(fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dst, name)),
+              s"bulkImport: rename ${st.getPath} -> $dst failed")
+        }
+      }
+      moveFiles(tmpPath, new org.apache.hadoop.fs.Path(cfg.storePath))
+    }
+    fs.delete(tmpPath, true)
+    n
+  }
+
   /**
    * Scalar retrieval — Milvus's `query(expr, output_fields, limit, offset)`
    * verb, the no-vector half of the read API (`vdb.py` only searches; a
@@ -370,8 +630,9 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   def query(pred: Column, outputFields: Seq[String] = Nil,
             limit: Int = 0, offset: Int = 0): DataFrame = {
     require(offset == 0 || limit > 0, "offset requires a limit (Milvus rule)")
+    admit()
     val cols = ("doc_id" +: outputFields).distinct.map(col(_))
-    val base = store().filter(pred).select(cols: _*)
+    val base = activeStore().filter(pred).select(cols: _*)
     if (limit <= 0) base
     else {
       val top = base.orderBy(col("doc_id")).limit(offset + limit)
@@ -463,11 +724,12 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   def queryIterator(pred: Column, outputFields: Seq[String] = Nil,
                     batchSize: Int = 1000): Iterator[DataFrame] = {
     require(batchSize > 0, s"bad batchSize $batchSize")
+    admit() // one admission per drain, not per page
     val cols = ("doc_id" +: outputFields).distinct.map(col(_))
     new Iterator[DataFrame] {
       private var cursor = Long.MinValue
       private def fetch(): Option[DataFrame] = {
-        val page = store().filter(pred && col("doc_id") > cursor)
+        val page = activeStore().filter(pred && col("doc_id") > cursor)
           .orderBy(col("doc_id")).limit(batchSize).select(cols: _*)
           .localCheckpoint(true) // pin: cursor advance + consumption see one snapshot
         val mx = page.agg(org.apache.spark.sql.functions.max(col("doc_id"))).head()
@@ -529,8 +791,13 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     // (update() rewrites the whole index partitioned). One-time cost.
     if (indexExists && cfg.partitionKey.nonEmpty
         && !layoutUsesPartitions(cfg.indexPath)) {
+      // honor the documented contract (chunks APPENDED) on the migration
+      // tick too: the rebuild re-chunks everything, but the caller's
+      // per-tick delta is count-after minus count-before (update()
+      // invalidates the count memo, so the second read is fresh)
+      val before = indexCount()
       update()
-      return indexCount()
+      return indexCount() - before
     }
     val fresh0 =
       if (!indexExists) store()
@@ -687,6 +954,10 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         s" + 9 * dl * cast($nDocs as bigint))"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(expr("(idf_bp * tf_bp) DIV 10000")).as("bm25_bp"))
+      // TTL gate BEFORE ranking (an expired doc must not hold a rank slot):
+      // doc-count-sized frame, delta-sized broadcast anti join
+      .transform(d => expiredIds().fold(d)(x =>
+        d.join(broadcast(x), Seq("doc_id"), "left_anti")))
       .withColumn("lex_rank", row_number().over(wl))
       .filter(col("lex_rank") <= kPool)
       .select(col("query_id"), col("doc_id"),
@@ -825,8 +1096,18 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     if (n == 0) return 0L
     val affected = hits.select(col(k)).distinct().collect()
       .map(r => Option(r.get(0)).map(_.toString).orNull)
+    // NULL tenants are real on legacy layouts (compact's migration and
+    // dropPartition's null-keep branch write pre-gate null-tenant rows
+    // into __HIVE_DEFAULT_PARTITION__) — `isInCollection` never matches
+    // null, so without the explicit isNull disjunct the doomed null rows
+    // would survive the rewrite untouched
+    def tenantPred(vs: Array[String]): Column = {
+      val nonNull = vs.filter(_ != null)
+      val base = if (nonNull.nonEmpty) col(k).isInCollection(nonNull.toSeq) else lit(false)
+      if (vs.contains(null)) base || col(k).isNull else base
+    }
     val keptOfAffected = df
-      .filter(col(k).isInCollection(affected.toSeq))
+      .filter(tenantPred(affected))
       .join(broadcast(key), Seq(keyCol), "left_anti")
       .localCheckpoint(true) // pin BEFORE overwriting partitions being read
     val keptTenants = keptOfAffected.select(col(k)).distinct().collect()
@@ -904,10 +1185,14 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   /** Hive directory name `key=value` with BOTH sides escaped the way
     * Spark's partitioned write escapes them (ExternalCatalogUtils — '%XX'
     * for chars Hive path-escapes), so metadata deletes address the exact
-    * directory the write created. */
+    * directory the write created. A NULL value addresses the hive default
+    * partition (`__HIVE_DEFAULT_PARTITION__`) — where Spark's partitioned
+    * write puts null (and empty-string) tenant rows; `escapePathName(null)`
+    * would NPE. */
   private def escapedPartitionDir(k: String, v: String): String = {
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
-    s"${escapePathName(k)}=${escapePathName(v)}"
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils._
+    val ev = if (v == null) DEFAULT_PARTITION_NAME else escapePathName(v)
+    s"${escapePathName(k)}=$ev"
   }
 
   /**
@@ -1253,8 +1538,35 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * probed cells (the path that survives corpus scale — with the
    * reference's own nprobe = nlist both paths are exhaustive and agree).
    */
-  def search(queries: Seq[String]): DataFrame =
+  def search(queries: Seq[String]): DataFrame = {
+    admit()
     searchImpl(queryDf(queries), None)
+  }
+
+  /**
+   * Read-consistency levels — Milvus's `consistency_level` on the read
+   * path, made explicit over this engine's store→index lag (writes land in
+   * the store instantly; the index lags until an update tick):
+   *
+   *  - `"Strong"`: read-your-writes — fold every store document into the
+   *    index BEFORE serving ([[updateIncremental]]: delta-sized, and a
+   *    zero-IO fingerprint check when already current), so a document
+   *    ingested a moment ago is ranked;
+   *  - `"Eventually"`: serve the stamped layouts as-is even if the store
+   *    moved since — the zero-maintenance lowest-latency read (exactly
+   *    what [[search]] does).
+   *
+   * Milvus's Bounded staleness sits between; with a batch writer the two
+   * ends are the meaningful contract. Scalar reads ([[query]]/[[get]])
+   * are Strong by construction — they read the live store.
+   */
+  def searchAt(queries: Seq[String], level: String = "Strong"): DataFrame =
+    level match {
+      case "Strong" => updateIncremental(); search(queries)
+      case "Eventually" => search(queries)
+      case other => throw new IllegalArgumentException(
+        s"unknown consistency level '$other' (Strong | Eventually)")
+    }
 
   /**
    * Filtered semantic search — [[search]] restricted to documents matching
@@ -1274,6 +1586,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * store columns (ingest a metadata-bearing frame to filter on it).
    */
   def searchWhere(queries: Seq[String], pred: Column): DataFrame = {
+    admit()
     val eligible = store().filter(pred).select(col("doc_id")).distinct()
     searchImpl(queryDf(queries), Some(eligible))
   }
@@ -1293,6 +1606,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   def searchPartitions(queries: Seq[String], partitions: Seq[String]): DataFrame = {
     require(cfg.partitionKey.nonEmpty,
       "searchPartitions requires cfg.partitionKey (Milvus partition_key_field)")
+    partitions.foreach(admitTenant) // per-tenant buckets (Milvus partition quota)
     searchImpl(queryDf(queries), None,
       Some(col(cfg.partitionKey).isin(partitions: _*)))
   }
@@ -1310,9 +1624,14 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
                            scope: Option[Column] = None): DataFrame = {
     // eligibility gate: a doc_id semi-join, broadcast-or-shuffle by AQE's
     // runtime sizing (a selective predicate broadcasts; a 90%-pass
-    // predicate at 100 TB must not)
-    def gate(df: DataFrame): DataFrame =
-      eligible.fold(df)(e => df.join(e, Seq("doc_id"), "left_semi"))
+    // predicate at 100 TB must not). The TTL gate composes here — an
+    // anti-join against the expired-but-unvacuumed sliver (broadcast:
+    // bounded by the vacuum cadence), zero plan nodes when TTL is off
+    val expired = expiredIds()
+    def gate(df: DataFrame): DataFrame = {
+      val g = eligible.fold(df)(e => df.join(e, Seq("doc_id"), "left_semi"))
+      expired.fold(g)(x => g.join(broadcast(x), Seq("doc_id"), "left_anti"))
+    }
     // partition scope ([[searchPartitions]]): a plain predicate on index
     // columns — on a partition-keyed layout it reaches the scan as a
     // PartitionFilter (zero IO outside the named tenants); Catalyst pushes
@@ -1354,76 +1673,97 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    */
   def searchPage(queries: Seq[String], offset: Int, pageSize: Int): DataFrame = {
     require(offset >= 0 && pageSize > 0, s"bad page: offset=$offset size=$pageSize")
+    admit()
     searchImpl(queryDf(queries), None, None, offset, pageSize)
   }
 
   /**
    * Full-ranking drain — Milvus's `search_iterator` (the vector sibling of
    * [[queryIterator]]'s scalar drain): EVERY document ranked for one
-   * query, delivered in (score desc, pk asc) keyset pages. The corpus
-   * scoring pass runs ONCE — the per-doc best-score reduction is pinned
-   * (localCheckpoint; slim, one (doc_id, score) row per document) and each
-   * page is an independent top-`batchSize` over the pinned frame behind
-   * the cursor predicate `score < s OR (score = s AND doc_id > d)` — so no
-   * page re-ranks its prefix: where offset paging pays O(p·batch) at page
-   * p (O(n²/batch) for a full drain, the [[searchPage]] shape), the drain
-   * here costs one scoring pass plus O(n) total paging work. Ranks are
-   * ABSOLUTE (rows drained + page-local position), so the concatenation of
-   * all pages is exactly the full ranking with no seam — no duplicate, no
-   * miss, ties broken by pk. Hydration happens ONCE, into the pinned
-   * frame (one keyed join of two doc-count-sized sides) — a per-page
-   * hydration join would re-scan the store n/batch times over a full
-   * drain, the hidden corpus-scan loop this verb exists to avoid; the
-   * price is previews riding the pin (~preview bytes × ranked docs).
-   * Pages are pinned at cut time, so a concurrent mutation can't tear a
-   * page (the [[queryIterator]] snapshot-at-page contract).
+   * query, delivered in (score desc, pk asc) pages with ABSOLUTE ranks, so
+   * the concatenation of all pages is exactly the full ranking with no
+   * seam — no duplicate, no miss, ties broken by pk.
+   *
+   * The corpus scoring pass runs ONCE: the per-doc best-score reduction is
+   * pinned SLIM — `(query_id, query, doc_id, score)` rows only, never a
+   * preview or text byte (at 100 TB a preview-laden pin is corpus-doc-
+   * sized executor disk a 2-page caller should never pay) — and RANGE-
+   * PARTITIONED in drain order (score desc, pk asc) into `buckets` rank
+   * buckets. A driver-side bucket directory (per-bucket row counts —
+   * `buckets` longs, metadata) maps page p's global rank window to the one
+   * or two buckets holding it, and the page job reads ONLY those buckets
+   * (a [[org.apache.spark.rdd.PartitionPruningRDD]] over the pin — the
+   * pruned partitions are never computed, the Milvus-iterator property
+   * that a shallow drain costs ~pages, not the ranking size): page cost is
+   * O(pin/buckets + batch), a full drain stays O(n) total paging work, and
+   * no page re-ranks its prefix (where offset paging pays O(p·batch) at
+   * page p — the [[searchPage]] shape).
+   *
+   * Previews hydrate PER PAGE through the same broadcast-hits join
+   * [[searchImpl]] uses (a batch-sized broadcast against the column-pruned
+   * store scan) — the ranking itself is snapshot-stable (it reads the
+   * pin), while a doc DELETED mid-drain hydrates no preview row on later
+   * pages, the Milvus iterator contract for concurrent mutation; pages
+   * are pinned at cut time. `buckets` <= 0 picks the session shuffle
+   * width; size it ~rankedDocs/batchSize at corpus scale so one page reads
+   * ~one bucket.
    */
-  def searchIterator(query: String, batchSize: Int = 100): Iterator[DataFrame] = {
+  def searchIterator(query: String, batchSize: Int = 100,
+                     buckets: Int = 0): Iterator[DataFrame] = {
     require(batchSize > 0, s"bad batchSize $batchSize")
-    val best = scoredChunks(queryDf(Seq(query)), None)
-      .groupBy(col("query_id"), col("query"), col("doc_id"))
-      .agg(max(col("score")).as("score"))
-      .join(store().select(col("doc_id"),
-        substring(col("text"), 1, 200).as("preview")), Seq("doc_id"))
-      .localCheckpoint(true) // ONE scoring pass + ONE hydration for the drain
-    new Iterator[DataFrame] {
-      private var lastScore = Double.MaxValue
-      private var lastDoc = Long.MinValue
-      private var drained = 0L
-      private def fetch(): Option[DataFrame] = {
-        val page = best.filter(col("score") < lastScore ||
-            (col("score") === lastScore && col("doc_id") > lastDoc))
+    admit() // one admission per drain, not per page
+    val nb = if (buckets > 0) buckets
+      else spark.sessionState.conf.numShufflePartitions
+    val pin = searchIteratorPin(query, nb)
+    // bucket directory: per-bucket row counts in drain order (partition i
+    // of a repartitionByRange holds rank range i — metadata-sized)
+    val bcounts = pin.groupBy(spark_partition_id().as("b"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val starts = bcounts.scanLeft(0L)(_ + _._2).init // global rank offset per bucket
+    val total = bcounts.map(_._2).sum
+    val rdd = pin.rdd // 1:1 narrow over the checkpointed blocks
+    val schema = pin.schema
+    new Engine.SearchDrain(batchSize, total) {
+      protected def fetchPage(drained: Long): DataFrame = {
+        // buckets whose rank range intersects (drained, drained+batchSize]
+        val hi = math.min(drained + batchSize, total)
+        val needed = bcounts.indices.filter { i =>
+          val s = starts(i); val e = s + bcounts(i)._2
+          e > drained && s < hi
+        }.map(bcounts(_)._1).toSet
+        lastScannedBuckets = needed.size
+        val cumStart = starts(bcounts.indexWhere(b => needed.contains(b._1)))
+        val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
+          rdd, pid => needed.contains(pid))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("doc_id").asc)
-          .limit(batchSize)
-          .localCheckpoint(true) // pin: cursor advance + consumption, one snapshot
-        // the cursor is the page's LAST (score, doc_id) in drain order
-        val tail = page.orderBy(col("score").asc, col("doc_id").desc).limit(1).collect()
-        if (tail.isEmpty) None
-        else {
-          val n = page.count()
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("query_id"))
-            .orderBy(col("score").desc, col("doc_id").asc)
-          val out = page
-            .withColumn("rank", (row_number().over(w) + lit(drained)).cast("int"))
-            .select(col("query_id"), col("query"), col("doc_id"), col("score"),
-              col("rank"), col("preview"))
-            .orderBy(col("rank"))
-          lastScore = tail.head.getAs[Double]("score")
-          lastDoc = tail.head.getAs[Long]("doc_id")
-          drained += n
-          Some(out)
-        }
-      }
-      private var staged: Option[DataFrame] = fetch()
-      override def hasNext: Boolean = staged.isDefined
-      override def next(): DataFrame = {
-        val p = staged.getOrElse(throw new NoSuchElementException("drained"))
-        staged = fetch()
-        p
+        val hits = spark.createDataFrame(pruned, schema)
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit((hi - cumStart).toInt) // ranks (cumStart, hi] of the pruned span
+          .withColumn("rank", (row_number().over(w) + lit(cumStart)).cast("int"))
+          .filter(col("rank") > drained)
+        store().select(col("doc_id"), substring(col("text"), 1, 200).as("preview"))
+          .join(broadcast(hits), Seq("doc_id"))
+          .select(col("query_id"), col("query"), col("doc_id"), col("score"),
+            col("rank"), col("preview"))
+          .orderBy(col("rank"))
+          .localCheckpoint(true) // pin: page snapshot under concurrent mutation
       }
     }
   }
+
+  /** [[searchIterator]]'s pinned ranking frame, exposed for the spec's
+    * schema gate: SLIM — exactly `(query_id, query, doc_id, score)`, no
+    * preview/text — range-partitioned into `buckets` rank buckets in drain
+    * order and checkpointed (one scoring pass for the whole drain). */
+  private[graft] def searchIteratorPin(query: String, buckets: Int): DataFrame =
+    scoredChunks(queryDf(Seq(query)), None)
+      .groupBy(col("query_id"), col("query"), col("doc_id"))
+      .agg(max(col("score")).as("score"))
+      .repartitionByRange(buckets, col("score").desc, col("doc_id").asc)
+      .localCheckpoint(true)
 
   private def searchImpl(qdf: DataFrame,
                          eligible: Option[DataFrame],
@@ -1464,6 +1804,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * no store join; otherwise one doc-keyed join attaches it.
    */
   def searchGrouped(queries: Seq[String], groupField: String): DataFrame = {
+    admit()
     val qdf = queryDf(queries)
     val sc = scoredChunks(qdf, None)
     val carried = cfg.partitionKey.nonEmpty && cfg.partitionKey == groupField
@@ -1636,6 +1977,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * sides are metadata-sized regardless of corpus scale.
    */
   def hybridSearch(queries: Seq[String], kPool: Int = 100): DataFrame = {
+    admit()
     val qdf = queryDf(queries)
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
@@ -1682,6 +2024,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
                            wVecBp: Long = 5000L, kPool: Int = 100): DataFrame = {
     require(wLexBp >= 0 && wVecBp >= 0 && wLexBp + wVecBp > 0,
       s"bad weights: lex=$wLexBp vec=$wVecBp")
+    admit()
     val qdf = queryDf(queries)
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
@@ -1741,6 +2084,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   def searchRerank(queries: Seq[String], kPool: Int = 20,
                    scorer: Engine.CrossScorer = Engine.LexicalCrossScorer): DataFrame = {
     require(kPool >= cfg.limit, s"kPool=$kPool must cover the final top-${cfg.limit}")
+    admit()
     val qdf = queryDf(queries)
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("vec_score").desc, col("doc_id").asc)
@@ -1980,8 +2324,10 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * bound is sound), so routing never changes results, only the IO:
    * qualifying cells are read, the rest are partition-pruned.
    */
-  def searchRadius(queries: Seq[String], threshold: Double): DataFrame =
+  def searchRadius(queries: Seq[String], threshold: Double): DataFrame = {
+    admit()
     radiusImpl(queryDf(queries), threshold, None)
+  }
 
   /** Filtered radius search — [[searchRadius]] restricted to documents
     * matching a metadata predicate, completing the predicate × verb matrix
@@ -1991,14 +2337,18 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * commutes with it and pruned results stay exact. */
   def searchRadiusWhere(queries: Seq[String], threshold: Double,
                         pred: Column): DataFrame = {
+    admit()
     val eligible = store().filter(pred).select(col("doc_id")).distinct()
     radiusImpl(queryDf(queries), threshold, Some(eligible))
   }
 
   private def radiusImpl(qdf: DataFrame, threshold: Double,
                          eligible: Option[DataFrame]): DataFrame = {
-    def gate(df: DataFrame): DataFrame =
-      eligible.fold(df)(e => df.join(e, Seq("doc_id"), "left_semi"))
+    val expired = expiredIds()
+    def gate(df: DataFrame): DataFrame = {
+      val g = eligible.fold(df)(e => df.join(e, Seq("doc_id"), "left_semi"))
+      expired.fold(g)(x => g.join(broadcast(x), Seq("doc_id"), "left_anti"))
+    }
     val hits =
       if (routeIvf()) gate(ivfIndex().rangeSearch(qdf, threshold))
       else gate(index()).crossJoin(broadcast(qdf))
@@ -2014,6 +2364,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * `cfg.nlist` cells of the memoized [[ivfIndex]]. With nprobe = nlist
     * (the reference's own configuration) results equal [[search]]. */
   def searchIvf(queries: Seq[String]): DataFrame = {
+    admit()
     val hits = ivfIndex().search(queryDf(queries), cfg.limit, cfg.nprobe)
       .withColumn("doc_id", TextFns.parentId(col("chunk_id")).cast("long"))
     store().join(broadcast(hits), "doc_id")
@@ -2033,6 +2384,10 @@ object Engine {
    * Date/timestamp parses re-render canonically (e.g. "2024-01-01"
    * round-trips), so only genuinely non-canonical numerics are flagged.
    */
+  /** Thrown by the serving verbs when [[EngineConfig.searchRate]] is
+    * exceeded — Milvus's rate-limit error; retry with backoff. */
+  final class OverQuotaException(msg: String) extends RuntimeException(msg)
+
   private[graft] def inferenceRendering(v: String): String = {
     import scala.util.Try
     Try(java.lang.Integer.parseInt(v).toString).toOption
@@ -2077,22 +2432,35 @@ object Engine {
       "pq_codes" -> cfg.pqCodes.toString,
       "pq_seed" -> cfg.pqSeed.toString,
       "pq_rerank" -> cfg.pqRerank.toString,
-      "partition_key" -> cfg.partitionKey)
+      "partition_key" -> cfg.partitionKey,
+      "max_partitions" -> cfg.maxPartitions.toString,
+      "ttl_field" -> cfg.ttlField,
+      "search_rate" -> (if (cfg.searchRate > 0) cfg.searchRate.toString else ""))
       // an empty value would open a NESTED level in the flat-yaml parser —
       // omit it and let the case-class default apply on load
       .filter(_._2.nonEmpty)
       .map { case (k, v) => s"$k: $v" }.mkString("", "\n", "\n")
-    val p = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val p = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val tmp = fs.makeQualified(new org.apache.hadoop.fs.Path(path + ".tmp"))
     val out = fs.create(tmp, true)
     try out.write(entries.getBytes("UTF-8")) finally out.close()
-    // POSIX rename overwrites atomically; HDFS refuses and needs the
-    // delete-then-rename fallback (a fs with a non-atomic fallback window
-    // should front the alias with its own atomic primitive)
-    if (!fs.rename(tmp, p)) {
-      fs.delete(p, false)
-      require(fs.rename(tmp, p), s"alias rename failed: $tmp -> $p")
+    // FileContext.rename(OVERWRITE) is the atomic-overwrite primitive on
+    // HDFS (and POSIX-atomic on the local fs) — a concurrent forAlias sees
+    // the old or the new pointer, never a missing one. FileSystem.rename
+    // can't overwrite on HDFS, and delete-then-rename opens exactly that
+    // absent-pointer window; keep it only for filesystems FileContext
+    // doesn't cover.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (!fs.rename(tmp, p)) {
+          fs.delete(p, false)
+          require(fs.rename(tmp, p), s"alias rename failed: $tmp -> $p")
+        }
     }
   }
 
@@ -2111,6 +2479,24 @@ object Engine {
    * native/JNI model should hold its handle lazily (`@transient lazy val`)
    * so each executor materializes its own.
    */
+  /** Page-iterator shell of [[graft.Engine#searchIterator]]: the
+    * drained-rank cursor plus the last page's scanned-bucket count (the
+    * spec's partition-pruning gate — a batch-sized page must read its
+    * bucket(s), never the whole pin). */
+  private[graft] abstract class SearchDrain(batchSize: Int, total: Long)
+      extends Iterator[DataFrame] {
+    protected def fetchPage(drained: Long): DataFrame
+    private[graft] var lastScannedBuckets: Int = 0
+    private var drained = 0L
+    override def hasNext: Boolean = drained < total
+    override def next(): DataFrame = {
+      if (!hasNext) throw new NoSuchElementException("drained")
+      val p = fetchPage(drained)
+      drained = math.min(drained + batchSize, total)
+      p
+    }
+  }
+
   trait Embedder extends Serializable {
     /** Embedding width (`embed.py:41-42`'s `hidden_size`). */
     def dim: Int

@@ -540,6 +540,13 @@ object Scale {
       measure("vecdrain_offset", s, n) {
         (0 until pages).map(p => eng.searchPage(Seq(q), p * batch, batch).count()).sum
       }
+      // round-11 task 1: a SHALLOW drain (2 pages) over a 64-bucket slim
+      // pin — beyond the one scoring pass every drain pays, each page must
+      // read only its rank bucket(s) (~2/64 of the pin), never the whole
+      // pin, and no preview byte rides the pin at all
+      measure("vecdrain_shallow", s, n) {
+        eng.searchIterator(q, batch, buckets = 64).take(2).map(_.count()).sum
+      }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }
     out.close()

@@ -917,6 +917,26 @@ class EngineSpec extends SparkSpec {
       .map(r => (r.getLong(2), r.getDouble(3), r.getInt(4))).toSeq
     assert(drained.head.map(r => (r.getLong(2), r.getDouble(3), r.getInt(4))) == top,
       "page 1 diverged from searchPage's ranking")
+
+    // SLIM-PIN gate: the pinned ranking frame carries no preview/text byte
+    // (at 100 TB a preview-laden pin is corpus-doc-sized executor disk a
+    // shallow drain should never pay)
+    val pin = eng.searchIteratorPin(q, 16)
+    assert(pin.columns.toSet == Set("query_id", "query", "doc_id", "score"),
+      s"pin must be slim, got ${pin.columns.mkString(",")}")
+    // PRUNING gate: a batch-sized page reads its rank bucket(s) of the pin,
+    // never the whole pin — page 1 and page 2 of a 16-bucket drain must
+    // each scan at most 2 buckets
+    val it = eng.searchIterator(q, batchSize = 10, buckets = 16)
+      .asInstanceOf[Engine.SearchDrain]
+    val p1 = it.next().collect()
+    assert(p1.length == 10)
+    assert(it.lastScannedBuckets <= 2,
+      s"page 1 scanned ${it.lastScannedBuckets} of 16 buckets")
+    val p2 = it.next().collect()
+    assert(p2.map(_.getInt(4)).toSeq == (11 to 20), "page 2 ranks wrong")
+    assert(it.lastScannedBuckets <= 2,
+      s"page 2 scanned ${it.lastScannedBuckets} of 16 buckets")
   }
 
   test("dropPartition: tenant leaves store+index+layout; kept tenants' files untouched") {
@@ -1107,6 +1127,227 @@ class EngineSpec extends SparkSpec {
       .select(col("doc_id"), col("text"),
         when(col("doc_id") % 11 === 0, lit(null)).otherwise(col("source")).as("source"))
     intercept[IllegalArgumentException](new Engine(spark, cfg).ingest(docs))
+  }
+
+  test("ingest rejects empty-string partition-key values (hive default-partition loss)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-emptytenant").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      partitionKey = "source")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 11 === 0, lit("")).otherwise(col("source")).as("source"))
+    val e = intercept[IllegalArgumentException](new Engine(spark, cfg).ingest(docs))
+    assert(e.getMessage.contains("empty-string"))
+  }
+
+  test("ingest rejects over-cap partition-key cardinality with actionable text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hicard").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      partitionKey = "source") // default max_partitions = 4096
+    // keying on a row-unique column is the misuse the cap exists for
+    val docs = spark.range(10000).select(col("id").as("doc_id"),
+      lit("some text").as("text"), concat(lit("u"), col("id")).as("source"))
+    val e = intercept[IllegalArgumentException](new Engine(spark, cfg).ingest(docs))
+    assert(e.getMessage.contains("max_partitions"))
+    // nothing committed
+    assert(!new java.io.File(s"$dir/store").exists())
+
+    // the cap bounds the LAYOUT, not just one batch: tenants already on
+    // disk count against it
+    val cfg2 = EngineConfig(storePath = s"$dir/s2", indexPath = s"$dir/i2",
+      partitionKey = "source", maxPartitions = 3)
+    val eng2 = new Engine(spark, cfg2)
+    val three = spark.range(30).select(col("id").as("doc_id"),
+      lit("text").as("text"), concat(lit("t"), col("id") % 3).as("source"))
+    eng2.ingest(three) // 3 tenants: at the cap, fine
+    val fourth = spark.range(5).select((col("id") + 100).as("doc_id"),
+      lit("text").as("text"), lit("t9").as("source"))
+    val e2 = intercept[IllegalArgumentException](eng2.ingest(fourth))
+    assert(e2.getMessage.contains("max_partitions"))
+    // re-ingesting existing tenants stays allowed
+    eng2.ingest(three.withColumn("doc_id", col("doc_id") + 1000))
+    assert(eng2.store().count() == 60)
+  }
+
+  test("delete prunes null-tenant rows on a legacy-migrated layout (hive default partition)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullprune").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      partitionKey = "source")
+    val eng = new Engine(spark, cfg)
+    // a LEGACY flat store that predates the partition_key config, holding
+    // null-tenant rows the ingest gate never saw
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("source")).as("source"))
+    docs.write.parquet(cfg.storePath)
+    // dropPartition's legacy branch migrates to a partitioned layout,
+    // KEEPING null-tenant rows — they land in __HIVE_DEFAULT_PARTITION__
+    eng.dropPartition(Seq("src1"))
+    val defaultDir = new java.io.File(s"$dir/store/source=__HIVE_DEFAULT_PARTITION__")
+    assert(defaultDir.exists(), "migration should write null tenants to the default partition")
+    val nullIds = eng.store().filter(col("source").isNull).select("doc_id")
+      .localCheckpoint(true)
+    val nNull = nullIds.count()
+    assert(nNull > 0)
+    // delete SOME null-tenant docs: isInCollection alone would never match
+    // them and the doomed rows would survive the rewrite
+    val some = nullIds.limit((nNull / 2).toInt.max(1)).localCheckpoint(true)
+    val removed = eng.delete(some)
+    assert(removed == some.count())
+    assert(eng.store().filter(col("source").isNull).count() == nNull - removed)
+    // delete the REST: the emptied null tenant must leave as a directory
+    // delete (escapePathName(null) would NPE without the default-name branch)
+    val rest = eng.store().filter(col("source").isNull).select("doc_id")
+      .localCheckpoint(true)
+    val removed2 = eng.delete(rest)
+    assert(removed2 == nNull - removed)
+    assert(eng.store().filter(col("source").isNull).count() == 0)
+    assert(!defaultDir.exists(), "emptied null tenant should leave as a dir delete")
+  }
+
+  test("TTL: expiry is logical and immediate, vacuum is physical and result-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L, ttlField = "ts")
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("ts", col("doc_id") % 100) // synthetic event time
+    eng.ingest(docs); eng.update()
+    val q = Seq("data processing pipeline", "machine learning")
+    eng.expireBefore(50)
+    // logical: expired rows leave query() AND the vector ranking instantly
+    assert(eng.query(col("ts") < 50).count() == 0)
+    val logical = eng.search(q).collect().toSeq
+    assert(logical.nonEmpty)
+    assert(logical.forall(_.getLong(2) % 100 >= 50), "an expired doc was ranked")
+    // the post-expiry ranking equals a TTL-free engine over only live docs
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ttl2").toString
+    val eng2 = new Engine(spark, EngineConfig(storePath = s"$dir2/store",
+      indexPath = s"$dir2/index", nlist = 8, nprobe = 8, ivfThreshold = 1L))
+    eng2.ingest(docs.filter(col("ts") >= 50).drop("ts")); eng2.update()
+    assert(eng2.search(q).collect().toSeq.map(r =>
+        (r.getLong(2), r.getDouble(3), r.getInt(4))) ==
+      logical.map(r => (r.getLong(2), r.getDouble(3), r.getInt(4))),
+      "logical expiry diverged from a live-docs-only engine")
+    // hybrid's lexical side gates too
+    val hyb = eng.hybridSearch(q).collect()
+    assert(hyb.forall(_.getLong(2) % 100 >= 50), "hybrid ranked an expired doc")
+    // physical: vacuum removes exactly the expired rows, results unchanged
+    val nExpired = docs.filter(col("ts") < 50).count()
+    assert(eng.vacuumExpired() == nExpired)
+    assert(eng.store().count() == docs.count() - nExpired)
+    assert(eng.search(q).collect().toSeq == logical,
+      "results changed across the physical vacuum")
+    assert(eng.vacuumExpired() == 0L, "vacuum must be idempotent")
+    // the horizon is monotone: an older expireBefore never rolls back
+    eng.expireBefore(10)
+    assert(eng.search(q).collect().toSeq == logical)
+    // misconfiguration is loud
+    intercept[IllegalArgumentException](eng2.expireBefore(1))
+  }
+
+  test("bulkImport: poisoned staging commits nothing and quarantines; clean commits exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bulk").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8)
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    // POISONED: 10 duplicated pks ride along — all-or-nothing means zero commit
+    docs.filter(col("doc_id") < 50)
+      .union(docs.filter(col("doc_id") < 10))
+      .write.parquet(s"$dir/stage_bad")
+    val e = intercept[IllegalArgumentException](
+      eng.bulkImport(s"$dir/stage_bad", s"$dir/quarantine"))
+    assert(e.getMessage.contains("nothing imported"))
+    assert(!new java.io.File(s"$dir/store").exists(), "a poisoned import committed rows")
+    val quarantined = spark.read.parquet(s"$dir/quarantine")
+    assert(quarantined.count() == 20) // both copies of each duplicated pk
+    assert(quarantined.columns.contains("reason"))
+    // CLEAN: commits exactly once; a retry (crash-recovery path) is a no-op
+    docs.write.parquet(s"$dir/stage_ok")
+    assert(eng.bulkImport(s"$dir/stage_ok") == docs.count())
+    assert(eng.store().count() == docs.count())
+    assert(eng.bulkImport(s"$dir/stage_ok") == 0L, "retry re-imported rows")
+    assert(eng.store().count() == docs.count())
+    // imported rows serve like ingested ones
+    eng.update()
+    assert(eng.search(Seq("data processing")).count() > 0)
+    // schema drift is rejected before any move
+    docs.withColumn("extra", lit(1)).write.parquet(s"$dir/stage_drift")
+    intercept[IllegalArgumentException](eng.bulkImport(s"$dir/stage_drift"))
+    assert(eng.store().count() == docs.count())
+
+    // a partition-keyed store imports into tenant directories
+    val cfg2 = EngineConfig(storePath = s"$dir/s2", indexPath = s"$dir/i2",
+      partitionKey = "source")
+    val eng2 = new Engine(spark, cfg2)
+    val tdocs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    tdocs.write.parquet(s"$dir/stage_t")
+    assert(eng2.bulkImport(s"$dir/stage_t") == tdocs.count())
+    assert(new java.io.File(s"$dir/s2").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("source=")),
+      "partitioned import must land in tenant directories")
+    assert(eng2.store().count() == tdocs.count())
+  }
+
+  test("searchAt: Strong reads its writes; Eventually serves the stamped layout as-is") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-consist").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs.filter(col("doc_id") % 2 === 0))
+    eng.update()
+    val q = Seq("data processing pipeline")
+    val stale = eng.search(q).collect().toSeq
+    // the store moves; the index does not
+    eng.ingest(docs.filter(col("doc_id") % 2 === 1))
+    // Eventually: the stamped layout serves — the new docs are invisible
+    assert(eng.searchAt(q, "Eventually").collect().toSeq == stale)
+    // Strong: read-your-writes — equals a fresh full-corpus engine
+    val strong = eng.searchAt(q, "Strong").collect().toSeq
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-consist2").toString
+    val eng2 = new Engine(spark, EngineConfig(storePath = s"$dir2/store",
+      indexPath = s"$dir2/index", nlist = 8, nprobe = 8, ivfThreshold = 1L))
+    eng2.ingest(docs); eng2.update()
+    assert(strong.map(r => (r.getLong(2), r.getDouble(3), r.getInt(4))) ==
+      eng2.search(q).collect().toSeq.map(r => (r.getLong(2), r.getDouble(3), r.getInt(4))),
+      "a Strong read missed freshly-ingested documents")
+    intercept[IllegalArgumentException](eng.searchAt(q, "Bounded"))
+  }
+
+  test("rate limiting: over-quota serving rejects deterministically, results unperturbed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quota").toString
+    val base = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val setup = new Engine(spark, base)
+    setup.ingest(docs); setup.update()
+    val q = Seq("data processing pipeline")
+    val baseline = setup.search(q).collect().toSeq
+    // ~one-token bucket that never refills within a test's lifetime
+    val eng = new Engine(spark, base.copy(searchRate = 1e-9))
+    val admitted = eng.search(q).collect().toSeq
+    assert(admitted == baseline, "rate limiting perturbed results")
+    intercept[Engine.OverQuotaException](eng.search(q))
+    intercept[Engine.OverQuotaException](eng.query(lit(true)))
+    intercept[Engine.OverQuotaException](eng.hybridSearch(q))
+    // an unlimited engine over the same layouts is untouched
+    assert(new Engine(spark, base).search(q).collect().toSeq == baseline)
+
+    // per-tenant buckets: one tenant's burst cannot starve another's quota
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-quota2").toString
+    val tcfg = EngineConfig(storePath = s"$dir2/store", indexPath = s"$dir2/index",
+      nlist = 8, nprobe = 8, partitionKey = "source", searchRate = 1e-9)
+    val teng = new Engine(spark, tcfg)
+    teng.ingest(spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source"))
+    teng.update()
+    teng.searchPartitions(q, Seq("src1")).count() // src1's token spent
+    teng.searchPartitions(q, Seq("src2")).count() // src2 has its own bucket
+    intercept[Engine.OverQuotaException](teng.searchPartitions(q, Seq("src1")))
   }
 
   test("a crashed lexical extend (marker present) rebuilds instead of double-appending") {
