@@ -468,9 +468,11 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   // with no horizon stamped the gate is zero plan nodes, zero cost.
   // ---------------------------------------------------------------------
 
-  /** TTL horizon stamp (store-rooted: expiry is a store property, shared
-    * by every engine instance serving the collection). */
-  private def ttlStampFile = new org.apache.hadoop.fs.Path(s"${cfg.storePath}/_TTL_HORIZON")
+  /** TTL horizon stamp — a SIBLING of the store directory (expiry is a
+    * store property shared by every engine instance, but delete/compact
+    * rewrite the store dir with mode=overwrite, which would truncate an
+    * in-directory stamp along with the data files). */
+  private def ttlStampFile = new org.apache.hadoop.fs.Path(s"${cfg.storePath}_TTL_HORIZON")
 
   /**
    * Move the expiry horizon — rows whose `cfg.ttlField` is strictly below

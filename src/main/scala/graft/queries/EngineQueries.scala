@@ -1013,6 +1013,98 @@ object EngineQueries {
       new Engine(s, cfg).hybridSearchWeighted(searchTexts, wLexBp = 7000L, wVecBp = 3000L)
     }),
 
+    // TTL'd documents — Milvus's collection TTL (collection.ttl.seconds),
+    // graded on three properties in one lifecycle: (a) moving the horizon
+    // hides expired rows from search AND query instantly, with zero data
+    // IO (logical expiry — a stamp write); (b) vacuumExpired physically
+    // removes exactly those rows, riding delete's copy-on-write + in-place
+    // layout maintenance; (c) serving before and after the vacuum is
+    // byte-identical — the oracle replays the lifecycle over the LIVE
+    // documents only, so a leaked expired doc, a lost live doc, or a
+    // rank perturbed by the vacuum all hash-fail.
+    "q233_ttl_expiry" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q233_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L, ttlField = "ts")
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("ts", col("doc_id") % 100)) // synthetic event time
+      eng.update()
+      eng.expireBefore(50)
+      require(eng.query(col("ts") < 50).count() == 0,
+        "q233: query() served expired rows after the horizon moved")
+      val logical = new Engine(s, cfg).search(searchTexts).collect().toSeq
+      val removed = eng.vacuumExpired()
+      require(removed > 0, "q233: the vacuum removed nothing")
+      require(eng.vacuumExpired() == 0L, "q233: the vacuum is not idempotent")
+      val served = new Engine(s, cfg).search(searchTexts)
+      require(served.collect().toSeq == logical,
+        "q233: serving changed across the physical vacuum")
+      served
+    }),
+
+    // Bulk import — Milvus's do_bulk_insert (the restore-side sibling of
+    // mongo_backup_restore.sh): a staging DIRECTORY ingested atomically.
+    // Graded end-to-end: a POISONED staging dir (duplicate pks) commits
+    // NOTHING and quarantines the rejects with reasons; a clean one
+    // commits exactly once via metadata renames; the retry (the crash-
+    // recovery path) imports zero rows; and the imported corpus serves
+    // hash-identically to the ingested one — the all-or-nothing contract
+    // as a graded row.
+    "q234_bulk_import" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q234_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      docs.filter(col("doc_id") % 7 === 0)
+        .union(docs.filter(col("doc_id") % 14 === 0)) // duplicated pks
+        .write.parquet(s"$tmp/stage_bad")
+      val poisoned =
+        try { eng.bulkImport(s"$tmp/stage_bad", s"$tmp/quarantine"); false }
+        catch { case _: IllegalArgumentException => true }
+      require(poisoned, "q234: a poisoned staging dir must reject")
+      require(!new java.io.File(s"$tmp/store").exists(),
+        "q234: a poisoned import committed rows")
+      require(s.read.parquet(s"$tmp/quarantine").count() > 0,
+        "q234: rejects were not quarantined")
+      docs.write.parquet(s"$tmp/stage_ok")
+      require(eng.bulkImport(s"$tmp/stage_ok") == docs.count(),
+        "q234: the clean import row count is wrong")
+      require(eng.bulkImport(s"$tmp/stage_ok") == 0L,
+        "q234: the idempotent retry re-imported rows")
+      eng.update()
+      new Engine(s, cfg).search(searchTexts)
+    }),
+
+    // Read-consistency levels — Milvus's consistency_level over this
+    // engine's store→index lag: after the store moves (a second ingest
+    // wave with no update tick), an Eventually read must serve the stamped
+    // layout AS-IS (the runtime require pins it equal to the pre-move
+    // serving, byte for byte), and a Strong read must read its writes —
+    // the graded output, which the oracle replays over the FULL corpus.
+    // A Strong read that misses the fresh documents, or one that rebuilt
+    // instead of delta-extending (the require on the changed-chunk count),
+    // hash-fails.
+    "q235_read_consistency" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q235_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs.filter(col("doc_id") % 2 === 0))
+      eng.update()
+      val stale = eng.search(searchTexts).collect().toSeq
+      eng.ingest(docs.filter(col("doc_id") % 2 === 1)) // store moves, index lags
+      require(new Engine(s, cfg).searchAt(searchTexts, "Eventually")
+          .collect().toSeq == stale,
+        "q235: an Eventually read must serve the stamped layout as-is")
+      new Engine(s, cfg).searchAt(searchTexts, "Strong")
+    }),
+
     // Blue/green MODEL MIGRATION — the most expensive day-2 operation a
     // vector deployment runs: upgrading the embedding model re-embeds the
     // whole corpus (embed.py's model is a config choice, so this WILL
@@ -2910,6 +3002,21 @@ ORDER BY query_id, rank"""),
     // q232: the WeightedRanker fusion replay (shared scoring prefix with
     // q212, min-max normalization + 7000/3000 weights)
     "q232_weighted_fusion" -> weightedHybridSql,
+
+    // the lifecycle replay over the LIVE (non-expired) documents only —
+    // logical expiry, the physical vacuum, and the post-vacuum serve must
+    // all land on this same ranking
+    "q233_ttl_expiry" -> {
+      val key = "FROM documents WHERE length(text) > 0"
+      require(lifecycleSearchSql.contains(key), "q233 surgery: corpus key drifted")
+      lifecycleSearchSql.replace(key, key + " AND doc_id % 100 >= 50")
+    },
+
+    // a bulk-imported corpus serves exactly like an ingested one
+    "q234_bulk_import" -> lifecycleSearchSql,
+
+    // the Strong read covers the full corpus (read-your-writes)
+    "q235_read_consistency" -> lifecycleSearchSql,
 
     "q64_engine_lifecycle" -> lifecycleSearchSql,
     "q188_ivf_persisted_search" -> lifecycleSearchSql,
