@@ -1771,7 +1771,8 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
                          eligible: Option[DataFrame],
                          scope: Option[Column] = None,
                          offset: Int = 0,
-                         pageSize: Int = 0): DataFrame = {
+                         pageSize: Int = 0,
+                         outputFields: Seq[String] = Nil): DataFrame = {
     val limit = if (pageSize > 0) pageSize else cfg.limit
     // per-parent best-hit reduce (vdb.py:104-110) and top-k per query
     val best = scoredChunks(qdf, eligible, scope)
@@ -1788,10 +1789,31 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     // hydration scan too: on a partition-keyed STORE the predicate is a
     // PartitionFilter, so hydration never lists other tenants' directories
     val hydration = scope.fold(store())(p => store().filter(p))
+    // the caller-chosen projection (Milvus output_fields) — default the
+    // text preview; either way only the requested columns reach the
+    // hydration scan's ReadSchema
+    val fields =
+      if (outputFields.isEmpty) Seq(substring(col("text"), 1, 200).as("preview"))
+      else outputFields.map(col(_))
     hydration.join(broadcast(topk), "doc_id")
-      .select(col("query_id"), col("query"), col("doc_id"), col("score"),
-        col("rank"), substring(col("text"), 1, 200).as("preview"))
+      .select(Seq(col("query_id"), col("query"), col("doc_id"), col("score"),
+        col("rank")) ++ fields: _*)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
+   * [[search]] with a caller-chosen hydration projection — Milvus's
+   * `output_fields` search parameter: the ranked hits hydrate the NAMED
+   * store columns instead of the default text preview. The projection
+   * reaches the hydration scan as its ReadSchema (EngineSpec gates it), so
+   * a metadata-only projection never reads the corpus text bytes at all —
+   * on a 100 TB store, hydrating three small columns for k docs is
+   * footer+page IO, not a text-column scan.
+   */
+  def searchFields(queries: Seq[String], outputFields: Seq[String]): DataFrame = {
+    require(outputFields.nonEmpty, "searchFields needs at least one output field")
+    admit()
+    searchImpl(queryDf(queries), None, None, 0, 0, outputFields)
   }
 
   /**
@@ -1805,7 +1827,9 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * (a [[EngineConfig.partitionKey]] layout) group attribution is FREE —
    * no store join; otherwise one doc-keyed join attaches it.
    */
-  def searchGrouped(queries: Seq[String], groupField: String): DataFrame = {
+  def searchGrouped(queries: Seq[String], groupField: String,
+                    groupSize: Int = 1): DataFrame = {
+    require(groupSize >= 1, s"bad group_size $groupSize")
     admit()
     val qdf = queryDf(queries)
     val sc = scoredChunks(qdf, None)
@@ -1821,13 +1845,25 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val wg = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"), col(groupField))
       .orderBy(col("score").desc, col("doc_id").asc)
+    // Milvus 2.4.1 group_size: each group contributes its top `groupSize`
+    // docs; groups still rank by their LEADER (gr = 1, the group's best
+    // doc), so group_size changes the depth, never the group order
     val repr = best.withColumn("gr", row_number().over(wg))
-      .filter(col("gr") === 1).drop("gr")
+      .filter(col("gr") <= groupSize)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    val topg = repr.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= cfg.limit)
+    val leaders = repr.filter(col("gr") === 1)
+      .withColumn("grank", row_number().over(w))
+      .filter(col("grank") <= cfg.limit)
+      .select(col("query_id"), col(groupField), col("grank"))
+    // flattened rank: groups in leader order, members in within-group order
+    // (identical to the classic single-representative ranking at size 1)
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("grank").asc, col("gr").asc)
+    val topg = repr.join(broadcast(leaders), Seq("query_id", groupField))
+      .withColumn("rank", row_number().over(wf))
     store().select(col("doc_id"), col("text")).join(broadcast(topg), "doc_id")
       .select(col("query_id"), col("query"), col(groupField), col("doc_id"),
         col("score"), col("rank"), substring(col("text"), 1, 200).as("preview"))
@@ -1978,6 +2014,70 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * kPool per query BEFORE the fusion join, so the fusion and hydration
    * sides are metadata-sized regardless of corpus scale.
    */
+  /**
+   * Sparse-vector search — Milvus 2.4's SPARSE_INVERTED_INDEX index type
+   * (sparse-float vectors scored by inner product): each document is a
+   * sparse vector over the token space, the query likewise, and the score
+   * is their dot product Σ_t v_q(t)·v_d(t). The weights here are the
+   * deterministic stand-in for a learned sparse encoder (SPLADE/BGE-M3
+   * produce learned per-token weights; the [[Engine.Embedder]] seam
+   * argument applies — any encoder emitting (token, weight) pairs slots
+   * into the same serving plan): v(t) = tf(t) · idf(t) with the engine's
+   * piecewise-linear integer log2 idf, so the product is
+   * `qtf · tf · (idf_bp² DIV 10⁴)` — integral, hash-replayable.
+   *
+   * Serving is the whole point: a sparse vector IS a postings list, so
+   * this verb serves from the SAME persisted inverted layout hybrid's
+   * BM25 does ([[buildLex]] — token-hash bucket PartitionFilters prune the
+   * scan to the query's terms, df is exact over the pruned buckets, and
+   * nothing in the plan scales with the corpus, only with the matched
+   * postings; Milvus implements SPARSE_INVERTED_INDEX the same way). The
+   * accumulation is one groupBy over matched postings — map-side partials
+   * shuffle (query_id, doc_id, partial) only.
+   */
+  def searchSparse(queries: Seq[String], k: Int = 0): DataFrame = {
+    admit()
+    ensureLex()
+    import spark.implicits._
+    val lim = if (k > 0) k else cfg.limit
+    // query-side sparse vector: token counts (NOT distinct — a repeated
+    // query term doubles its weight, the inner-product contract)
+    val qterms = queries.zipWithIndex.flatMap { case (q, i) =>
+      q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).toSeq.map { case (t, g) => (i.toLong, t, g.length.toLong) }
+    }.toDF("query_id", "tok", "qtf")
+    val qdf0 = queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+      .toDF("query_id", "query")
+    val st = spark.read.parquet(s"$lexPath/stats").head()
+    val nDocs = st.getLong(st.fieldIndex("n_docs"))
+    val terms = queries.flatMap(
+      _.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)).distinct
+    val buckets = terms.map(graft.operators.InvertedIndex.bucketOfTerm).distinct
+    val posts = spark.read.parquet(s"$lexPath/postings")
+      .filter(col("tb").isInCollection(buckets) && col("tok").isInCollection(terms))
+    val dfT = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score_bp").desc, col("doc_id").asc)
+    val top = posts.join(broadcast(qterms), Seq("tok"))
+      .join(broadcast(dfT), Seq("tok"))
+      .withColumn("s_k", expr(s"(1024 * (2 * cast($nDocs as bigint) + 2)) DIV (2*df + 1)"))
+      .withColumn("e_k", expr("length(bin(s_k)) - 1"))
+      .withColumn("idf_bp", expr("10000 * e_k" +
+        " + (10000 * (s_k - shiftleft(cast(1 as bigint), e_k)))" +
+        " DIV shiftleft(cast(1 as bigint), e_k) - 100000"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr("qtf * tf * ((idf_bp * idf_bp) DIV 10000)")).as("score_bp"))
+      .transform(d => expiredIds().fold(d)(x =>
+        d.join(broadcast(x), Seq("doc_id"), "left_anti")))
+      .withColumn("rank", row_number().over(ws))
+      .filter(col("rank") <= lim)
+    store().join(broadcast(top), "doc_id")
+      .join(broadcast(qdf0), Seq("query_id"))
+      .select(col("query_id"), col("query"), col("doc_id"), col("score_bp"),
+        col("rank"), substring(col("text"), 1, 200).as("preview"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def hybridSearch(queries: Seq[String], kPool: Int = 100): DataFrame = {
     admit()
     val qdf = queryDf(queries)
@@ -2331,6 +2431,25 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     radiusImpl(queryDf(queries), threshold, None)
   }
 
+  /**
+   * Annulus search — Milvus's `radius` + `range_filter` search-parameter
+   * pair: every chunk whose similarity lands in `[radius, rangeFilter)`
+   * qualifies; per-doc best qualifying score + qualifying-chunk census,
+   * like [[searchRadius]] (whose contract is the degenerate
+   * rangeFilter = ∞). The real use: shingled near-duplicate review queues
+   * — "similar but not identical" — where the upper cut excludes exact
+   * re-crawls. The lower bound prunes through the IVF cell bounds exactly
+   * as [[searchRadius]] does; the upper cut filters the returned scores
+   * (exact — query-side only, commutes with the bound prune).
+   */
+  def searchRange(queries: Seq[String], radius: Double,
+                  rangeFilter: Double): DataFrame = {
+    require(radius < rangeFilter,
+      s"empty annulus: radius=$radius >= range_filter=$rangeFilter")
+    admit()
+    radiusImpl(queryDf(queries), radius, None, Some(rangeFilter))
+  }
+
   /** Filtered radius search — [[searchRadius]] restricted to documents
     * matching a metadata predicate, completing the predicate × verb matrix
     * ([[searchWhere]] is the top-k cell). Brute scans gate BEFORE the
@@ -2345,18 +2464,23 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   }
 
   private def radiusImpl(qdf: DataFrame, threshold: Double,
-                         eligible: Option[DataFrame]): DataFrame = {
+                         eligible: Option[DataFrame],
+                         upper: Option[Double] = None): DataFrame = {
     val expired = expiredIds()
     def gate(df: DataFrame): DataFrame = {
       val g = eligible.fold(df)(e => df.join(e, Seq("doc_id"), "left_semi"))
       expired.fold(g)(x => g.join(broadcast(x), Seq("doc_id"), "left_anti"))
     }
-    val hits =
+    val qualifying =
       if (routeIvf()) gate(ivfIndex().rangeSearch(qdf, threshold))
       else gate(index()).crossJoin(broadcast(qdf))
         .withColumn("score",
           round(VectorFns.cosineSim(col("vec"), col("query_vec")), 4))
         .filter(col("score") >= threshold)
+    // the range_filter upper cut ([[searchRange]]): exact on the returned
+    // scores, applied per CHUNK so the per-doc best and the census both
+    // see only in-annulus chunks
+    val hits = upper.fold(qualifying)(u => qualifying.filter(col("score") < u))
     hits.groupBy(col("query_id"), col("query"), col("doc_id"))
       .agg(max(col("score")).as("score"), count(lit(1)).as("n_chunks"))
       .orderBy(col("query_id"), col("score").desc, col("doc_id"))

@@ -1105,6 +1105,76 @@ object EngineQueries {
       new Engine(s, cfg).searchAt(searchTexts, "Strong")
     }),
 
+    // output_fields on search — Milvus's caller-chosen hydration
+    // projection: the ranked hits hydrate NAMED store columns instead of
+    // the text preview (EngineSpec gates that only those columns reach the
+    // hydration scan's ReadSchema — on 100 TB, metadata hydration must
+    // never read the text bytes). Ranking is byte-identical to q64's; the
+    // oracle swaps the projection in the same replay.
+    "q236_search_fields" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q236_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+      eng.update()
+      new Engine(s, cfg).searchFields(searchTexts, Seq("lang", "source", "n_chars"))
+    }),
+
+    // Annulus search — Milvus's radius + range_filter pair: chunks scoring
+    // in [0.05, 0.3) qualify; per-doc best + census. The near-duplicate
+    // review-queue shape: "similar but not identical" (the upper cut
+    // excludes what q207's plain radius would rank first). The lower bound
+    // still prunes through the IVF cell bounds; the upper cut is exact on
+    // returned scores.
+    "q237_annulus_search" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q237_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      new Engine(s, cfg).searchRange(searchTexts, 0.05, 0.3)
+    }),
+
+    // Sparse-vector search — Milvus 2.4's SPARSE_INVERTED_INDEX: documents
+    // and queries as sparse vectors over the token space (v(t) = tf·idf,
+    // the deterministic stand-in for a learned sparse encoder), scored by
+    // integral inner product and SERVED FROM THE SAME persisted postings
+    // layout hybrid's BM25 uses — bucket PartitionFilters prune the scan
+    // to the query's terms, so the plan scales with matched postings,
+    // never the corpus. The oracle replays tokenize → tf → df → log2-idf →
+    // Σ qtf·tf·(idf² DIV 10⁴) → top-4 relationally.
+    "q238_sparse_search" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q238_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      new Engine(s, cfg).searchSparse(searchTexts)
+    }),
+
+    // group_size > 1 — Milvus 2.4.1's grouping-search depth knob: the top
+    // 4 SOURCES per query still rank by their leader (best doc), but each
+    // group now surfaces its top-3 documents; the flattened rank runs
+    // (group order, within-group order). Group attribution rides the
+    // partition-keyed index (q218's zero-join property, unchanged).
+    "q239_grouped_size" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q239_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L, partitionKey = "source")
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text", "source"))
+      eng.update()
+      new Engine(s, cfg).searchGrouped(searchTexts, "source", groupSize = 3)
+    }),
+
     // Blue/green MODEL MIGRATION — the most expensive day-2 operation a
     // vector deployment runs: upgrading the embedding model re-embeds the
     // whole corpus (embed.py's model is a config choice, so this WILL
@@ -2652,6 +2722,59 @@ object EngineQueries {
        |SELECT query_id, query, doc_id, score, cast(n_chunks as bigint) AS n_chunks
        |FROM hits ORDER BY query_id, score DESC, doc_id""".stripMargin
 
+  /** q238: the sparse inner-product replay — corpus tokenize → per-doc tf
+    * over the query's terms → exact df → the engine's piecewise-linear
+    * integer log2 idf → Σ qtf·tf·(idf_bp² DIV 10⁴) → top-4 per query
+    * (score desc, pk asc), hydrated. The idf spelling is byte-shared with
+    * the BM25 oracles (q121/q212) — `bin()`/`<<`/`//` agree with Spark's
+    * `bin()`/`shiftleft()`/`DIV` on int64 for s ≥ 1. */
+  private lazy val sparseSearchSql: String = {
+    val qvalues = searchTexts.zipWithIndex
+      .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
+      .mkString(", ")
+    val qtfvalues = searchTexts.zipWithIndex.flatMap { case (q, i) =>
+      q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (t, g) =>
+          s"(cast($i as bigint), '${t.replace("'", "''")}', cast(${g.length} as bigint))"
+        }
+    }.mkString(", ")
+    s"""WITH q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
+       |qt AS (SELECT * FROM (VALUES $qtfvalues) t(query_id, ltk, qtf)),
+       |ltok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS ltk
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |corp AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ltok),
+       |tf AS (
+       |  SELECT doc_id, ltk, count(*) AS tf FROM ltok
+       |  WHERE ltk IN (SELECT DISTINCT ltk FROM qt) GROUP BY doc_id, ltk),
+       |dft AS (SELECT ltk, count(*) AS df FROM tf GROUP BY ltk),
+       |sp AS (
+       |  SELECT q.query_id, x.doc_id,
+       |    cast(sum(q.qtf * x.tf * ((x.idf_bp * x.idf_bp) // 10000)) as bigint) AS score_bp
+       |  FROM (
+       |    SELECT doc_id, ltk, tf,
+       |      10000 * (length(bin(s)) - 1)
+       |        + (10000 * (s - (1::BIGINT << (length(bin(s)) - 1))))
+       |          // (1::BIGINT << (length(bin(s)) - 1)) - 100000 AS idf_bp
+       |    FROM (
+       |      SELECT t.doc_id, t.ltk, t.tf,
+       |        (1024 * (2*c2.n_docs + 2)) // (2*d.df + 1) AS s
+       |      FROM tf t JOIN dft d USING (ltk) CROSS JOIN corp c2) y) x
+       |  JOIN qt q ON q.ltk = x.ltk
+       |  GROUP BY q.query_id, x.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score_bp,
+       |    cast(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_bp DESC, doc_id ASC) as int) AS rank
+       |  FROM sp QUALIFY rank <= 4)
+       |SELECT r.query_id, q.query, r.doc_id, r.score_bp, r.rank,
+       |  substring(d.text, 1, 200) AS preview
+       |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+       |JOIN q0 q ON q.query_id = r.query_id
+       |ORDER BY r.query_id, r.rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q203_engine_ivfpq" -> enginePqSearchSql,
     "q205_engine_ivfsq8" -> engineSq8SearchSql,
@@ -3017,6 +3140,70 @@ ORDER BY query_id, rank"""),
 
     // the Strong read covers the full corpus (read-your-writes)
     "q235_read_consistency" -> lifecycleSearchSql,
+
+    // same ranking, caller-chosen hydration projection
+    "q236_search_fields" -> {
+      val key = """SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
+  substring(d.text, 1, 200) AS preview
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+ORDER BY query_id, rank"""
+      require(lifecycleSearchSql.contains(key), "q236 surgery: final-select key drifted")
+      lifecycleSearchSql.replace(key,
+        """SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
+  d.lang, d.source, d.n_chars
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+ORDER BY query_id, rank""")
+    },
+
+    // the radius replay with the range_filter upper cut on chunk scores
+    "q237_annulus_search" -> {
+      val key = "FROM scored WHERE score >= 0.3 GROUP BY ALL"
+      require(engineRadiusSql.contains(key), "q237 surgery: radius key drifted")
+      engineRadiusSql.replace(key,
+        "FROM scored WHERE score >= 0.05 AND score < 0.3 GROUP BY ALL")
+    },
+
+    // sparse inner product replayed: tokenize -> tf -> df -> log2 idf ->
+    // sum(qtf * tf * (idf_bp^2 DIV 10000)) -> top-4 (score desc, pk asc)
+    "q238_sparse_search" -> sparseSearchSql,
+
+    // grouped search at depth 3: groups rank by their leader, members
+    // flatten in (group order, within-group order)
+    "q239_grouped_size" -> {
+      val key = """ranked AS (
+  SELECT query_id, query, doc_id, score,
+    cast(row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id ASC) as int) AS rank
+  FROM best QUALIFY rank <= 4)
+SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
+  substring(d.text, 1, 200) AS preview
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+ORDER BY query_id, rank"""
+      require(lifecycleSearchSql.contains(key), "q239 surgery: ranked key drifted")
+      lifecycleSearchSql.replace(key,
+        """g AS (
+  SELECT b.query_id, b.query, b.doc_id, b.score, d.source
+  FROM best b JOIN documents d ON d.doc_id = b.doc_id),
+repr AS (
+  SELECT query_id, query, source, doc_id, score,
+    row_number() OVER (PARTITION BY query_id, source
+      ORDER BY score DESC, doc_id ASC) AS gr
+  FROM g QUALIFY gr <= 3),
+leaders AS (
+  SELECT query_id, source, gr,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id ASC) AS grank
+  FROM repr WHERE gr = 1 QUALIFY grank <= 4),
+flat AS (
+  SELECT r.query_id, r.query, r.source, r.doc_id, r.score,
+    cast(row_number() OVER (PARTITION BY r.query_id
+      ORDER BY l.grank ASC, r.gr ASC) as int) AS rank
+  FROM repr r JOIN leaders l ON l.query_id = r.query_id AND l.source = r.source)
+SELECT f.query_id, f.query, f.source, f.doc_id, f.score, f.rank,
+  substring(d.text, 1, 200) AS preview
+FROM flat f JOIN documents d ON d.doc_id = f.doc_id
+ORDER BY query_id, rank""")
+    },
 
     "q64_engine_lifecycle" -> lifecycleSearchSql,
     "q188_ivf_persisted_search" -> lifecycleSearchSql,

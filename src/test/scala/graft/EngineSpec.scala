@@ -1350,6 +1350,109 @@ class EngineSpec extends SparkSpec {
     intercept[Engine.OverQuotaException](teng.searchPartitions(q, Seq("src1")))
   }
 
+  test("searchFields: output_fields hydration — same ranking, text bytes never read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fields").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars"))
+    eng.update()
+    val qs = Seq("data processing pipeline")
+    val base = eng.search(qs).collect()
+    val f = eng.searchFields(qs, Seq("lang", "source", "n_chars"))
+    val rows = f.collect()
+    assert(f.columns.toSeq == Seq("query_id", "query", "doc_id", "score", "rank",
+      "lang", "source", "n_chars"))
+    assert(rows.map(r => (r.getLong(2), r.getDouble(3), r.getInt(4))).toSeq ==
+      base.map(r => (r.getLong(2), r.getDouble(3), r.getInt(4))).toSeq,
+      "output_fields changed the ranking")
+    // neither the hydration scan nor any other scan reads the text column
+    val reads = f.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(!_.contains("text")),
+      s"searchFields read text bytes:\n${reads.mkString("\n")}")
+    intercept[IllegalArgumentException](eng.searchFields(qs, Nil))
+  }
+
+  test("searchRange: the annulus keeps [radius, range_filter); radius alone is the degenerate case") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annulus").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L) // IVF route exercised
+    val eng = new Engine(spark, cfg)
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"))
+    eng.update()
+    val qs = Seq("data processing pipeline", "machine learning")
+    val ann = eng.searchRange(qs, 0.05, 0.3).collect()
+    assert(ann.nonEmpty)
+    assert(ann.forall(r => r.getDouble(3) >= 0.05 && r.getDouble(3) < 0.3),
+      "a best score escaped the annulus")
+    // an unbounded upper cut degenerates to searchRadius exactly
+    assert(eng.searchRange(qs, 0.05, 2.0).collect().toSeq ==
+      eng.searchRadius(qs, 0.05).collect().toSeq)
+    intercept[IllegalArgumentException](eng.searchRange(qs, 0.5, 0.2))
+  }
+
+  test("searchSparse: integral inner product over the persisted postings, exact on a known corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sparse").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
+    val eng = new Engine(spark, cfg)
+    import spark.implicits._
+    eng.ingest(Seq(
+      (1L, "apple banana"), // apple + banana ⇒ best for the query below
+      (2L, "apple"),
+      (3L, "cherry")        // no query term ⇒ absent from results
+    ).toDF("doc_id", "text"))
+    val hits = eng.searchSparse(Seq("apple apple banana")).collect()
+    assert(hits.map(_.getLong(2)).toSeq == Seq(1L, 2L), "sparse ranking order wrong")
+    // exact replay of the integer math: idf_bp(t) from the piecewise log2,
+    // score = sum(qtf * tf * (idf_bp^2 DIV 10000)) with nDocs = 3
+    def idfBp(df: Long, n: Long): Long = {
+      val s = (1024L * (2 * n + 2)) / (2 * df + 1)
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(s)
+      10000L * e + (10000L * (s - (1L << e))) / (1L << e) - 100000L
+    }
+    val ia = idfBp(2, 3); val ib = idfBp(1, 3)
+    val exp1 = 2L * 1L * (ia * ia / 10000L) + 1L * 1L * (ib * ib / 10000L)
+    val exp2 = 2L * 1L * (ia * ia / 10000L)
+    assert(hits.map(_.getLong(3)).toSeq == Seq(exp1, exp2),
+      s"sparse scores diverged from the integer replay: ${hits.mkString(", ")}")
+    // serving reads only the query terms' postings buckets (the lexserve
+    // property): the postings scan carries a tb partition filter
+    val plan = eng.searchSparse(Seq("apple")).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tb"),
+      "the sparse postings scan is not bucket-pruned")
+  }
+
+  test("searchGrouped group_size: groups rank by leader; members flatten in group order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gsize").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L, partitionKey = "source")
+    val eng = new Engine(spark, cfg)
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source"))
+    eng.update()
+    val qs = Seq("data processing pipeline")
+    val g1 = eng.searchGrouped(qs, "source").collect()
+    val g3 = eng.searchGrouped(qs, "source", groupSize = 3).collect()
+    // the group ORDER is the leader order — unchanged by depth
+    def groupSeq(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+      rows.sortBy(_.getInt(5)).map(_.getString(2)).distinct.toSeq
+    assert(groupSeq(g3) == groupSeq(g1), "group_size changed the group order")
+    // each group contributes at most 3 docs, in score-desc order
+    g3.groupBy(_.getString(2)).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      val scores = rows.sortBy(_.getInt(5)).map(_.getDouble(4)).toSeq
+      assert(scores == scores.sorted(Ordering[Double].reverse))
+    }
+    // every leader row of g1 appears in g3 with the same score
+    val l1 = g1.map(r => (r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+    val m3 = g3.map(r => (r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(l1.subsetOf(m3), "a leader vanished at depth 3")
+    // flattened ranks are contiguous from 1
+    assert(g3.map(_.getInt(5)).sorted.toSeq == (1 to g3.length))
+  }
+
   test("a crashed lexical extend (marker present) rebuilds instead of double-appending") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lexcrash").toString
     val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
