@@ -420,7 +420,72 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   }
 
   /** The document store as a DataFrame. */
-  def store(): DataFrame = spark.read.parquet(cfg.storePath)
+  def store(): DataFrame = {
+    val deltas = schemaDeltas()
+    if (deltas.isEmpty) spark.read.parquet(cfg.storePath)
+    else {
+      // added fields join the READ SCHEMA explicitly: files that carry the
+      // column deliver it, files that predate it deliver null (never the
+      // sampled-footer lottery a mixed-schema read would otherwise play),
+      // and the default fills the nulls — pre-existing rows are never
+      // rewritten (the metadata-only contract)
+      val base = spark.read.parquet(cfg.storePath).schema
+      val schema = deltas.foldLeft(base)((s, d) =>
+        if (s.fieldNames.contains(d._1)) s
+        else s.add(d._1, d._2, nullable = true))
+      deltas.foldLeft(spark.read.schema(schema).parquet(cfg.storePath)) {
+        case (df, (n, t, dflt)) =>
+          df.withColumn(n, coalesce(col(n).cast(t), lit(dflt).cast(t)))
+      }
+    }
+  }
+
+  /**
+   * Schema evolution — Milvus 2.5's `add_collection_field`: add a nullable
+   * scalar field to a live collection WITHOUT rewriting a byte (one
+   * registry-line write; at 100 TB an eager backfill would be a full
+   * copy-on-write for a constant). Every read verb sees the field
+   * immediately: rows ingested before the add (and later ingests that
+   * omit the column) read back as `default` (the `default_value` fill,
+   * applied lazily at scan time); ingests that carry the column keep
+   * their values. Supported types are the exactly-replayable scalar set
+   * (`long` | `double` | `string`).
+   */
+  def addField(name: String, dataType: String, default: String): Unit = {
+    require(Seq("long", "double", "string").contains(dataType),
+      s"addField: unsupported type '$dataType' (long | double | string)")
+    require(name.nonEmpty && !name.contains("\t") && !name.contains("\n"),
+      s"addField: bad field name '$name'")
+    val existing = schemaDeltas()
+    require(!existing.exists(_._1 == name),
+      s"addField: field '$name' already added")
+    require(!storeExists ||
+        !spark.read.parquet(cfg.storePath).schema.fieldNames.contains(name),
+      s"addField: field '$name' already exists in the store schema")
+    // defaults must round-trip the registry's text encoding exactly
+    if (dataType == "long") default.toLong
+    if (dataType == "double") default.toDouble
+    writeStamp(schemaDeltaFile,
+      (existing.map(d => s"${d._1}\t${d._2}\t${d._3}") :+
+        s"$name\t$dataType\t$default").mkString("\n"))
+  }
+
+  private def storeExists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(cfg.storePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def schemaDeltaFile =
+    new org.apache.hadoop.fs.Path(s"${cfg.storePath}_SCHEMA_DELTA")
+
+  /** Registered (name, type, default) field additions, in add order. A
+    * sibling of the store dir — store rewrites (delete/compact) never
+    * touch it, and the fields they materialize stay coalesce-transparent. */
+  private def schemaDeltas(): Seq[(String, String, String)] =
+    readStamp(schemaDeltaFile).toSeq.flatMap(_.split('\n')).filter(_.nonEmpty)
+      .map { l =>
+        val p = l.split('\t'); (p(0), p(1), if (p.length > 2) p(2) else "")
+      }
 
   // ---------------------------------------------------------------------
   // Serving-side admission control — Milvus's quota/rate-limit layer
@@ -493,13 +558,15 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     if (cfg.ttlField.isEmpty) None
     else readStamp(ttlStampFile).map(_.trim.toLong)
 
-  /** The store with expired rows masked — every read verb's view. The
-    * horizon predicate reaches the parquet scan as a PushedFilter, and on
-    * time-ordered append batches (the crawl pattern) row-group stats skip
-    * whole expired files. */
-  private def activeStore(): DataFrame =
-    ttlHorizon().fold(store())(h =>
-      store().filter(col(cfg.ttlField) >= lit(h)))
+  /** The TTL horizon predicate over any store-shaped frame: expired rows
+    * masked. The predicate reaches the parquet scan as a PushedFilter, and
+    * on time-ordered append batches (the crawl pattern) row-group stats
+    * skip whole expired files. Identity when TTL is off / unstamped. */
+  private def ttlGate(df: DataFrame): DataFrame =
+    ttlHorizon().fold(df)(h => df.filter(col(cfg.ttlField) >= lit(h)))
+
+  /** The store with expired rows masked — every read verb's view. */
+  private def activeStore(): DataFrame = ttlGate(store())
 
   /** doc_ids of expired-but-unvacuumed rows — the serve-side anti-join
     * gate for frames that don't carry the TTL column (index chunks,
@@ -758,6 +825,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   def update(): Unit = {
     writeIndexRows(chunkEmbed(store()), "overwrite")
     invalidateIvf()
+    stampSealed() // the fresh index covers every current store file
     // the reference's create_index is part of the update lifecycle
     // (vdb.py:209-211: renew → insert → create_index) — when the fresh
     // index is IVF-scale, build and PERSIST the cell layout now, offline,
@@ -818,6 +886,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     if (!maybeExtend) {
       writeIndexRows(chunks, "append")
       invalidateIvf()
+      stampSealed() // delta folded in: the index covers the store again
       maintainLexIfStale()
       obs.get("chunks").asInstanceOf[Long]
     } else {
@@ -839,7 +908,12 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       // byte-identical, and a real tick pays no extra existence probe
       // (maintainLexIfStale is fingerprint-gated the same way: a truly
       // idle tick touches nothing)
-      if (obs.get("chunks").asInstanceOf[Long] == 0L) { maintainLexIfStale(); return 0L }
+      if (obs.get("chunks").asInstanceOf[Long] == 0L) {
+        // coverage is provably complete (the anti-join found nothing) —
+        // restamp the sealed manifest even though no byte moved, so a
+        // maintenance-invalidated manifest heals on the next idle tick
+        stampSealed(); maintainLexIfStale(); return 0L
+      }
       // the extend sequence (index append → cell append → stamp) holds the
       // SAME monitor ivfIndex() synchronizes on: a concurrent search that
       // sees the mid-extend fingerprint mismatch would otherwise launch a
@@ -851,6 +925,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         val extendLayout = persistedFingerprint().contains(compositeFingerprint())
         writeIndexRows(assigned.drop("cell"), "append")
         invalidateIvf()
+        stampSealed() // the index append landed: store files covered again
         val n = obs.get("chunks").asInstanceOf[Long]
         if (extendLayout) {
           if (n > 0) {
@@ -1392,6 +1467,64 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   }
 
   /**
+   * Clustering compaction — Milvus 2.4's `clustering_key` compaction: the
+   * store is rewritten RANGE-CLUSTERED on a scalar key (disjoint key
+   * ranges per output file, ties broken by pk), so every scalar-filtered
+   * read verb ([[query]], [[searchWhere]]'s eligibility scan, [[get]]
+   * after a key-scoped filter) prunes to the files whose parquet footer
+   * min/max straddle its predicate — at 100 TB the difference between
+   * "open the 3 files holding `lang='en'`" and "open 10,000 files and
+   * row-group-skip inside each". Content is byte-preserved (expired rows
+   * included — physical TTL removal stays [[vacuumExpired]]'s job), so the
+   * lexical layout is re-stamped rather than rebuilt, exactly [[compact]]'s
+   * discipline; the index is NOT touched (Milvus clustering compaction
+   * also rewrites only segment data — the vector index maps chunk→doc and
+   * has no scalar locality to gain). On a `partition_key` layout the
+   * clustering happens WITHIN each tenant directory (hive pruning stays
+   * the outer level; the clustering key becomes the inner level).
+   * Returns the number of output files requested.
+   *
+   * Reference seam: the store is `vdb.py`'s collection data; clustering
+   * by a metadata field is the layout knob Milvus exposes for exactly the
+   * filtered-read patterns `config.yml:74-100` deployments run.
+   */
+  def compactClustered(key: String, maxRecordsPerFile: Long = 10000000L): Long = {
+    val df = store()
+    require(df.columns.contains(key),
+      s"compactClustered: store has no '$key' column")
+    require(key != "doc_id",
+      "compactClustered: pk clustering is compact()'s default — pick a scalar field")
+    // content is unchanged: a current lexical layout is re-stamped after
+    // the rewrite flips the store fingerprint (compact()'s discipline)
+    val lexWasCurrent = readStamp(lexStampFile).contains(lexFingerprint())
+    val n = df.count()
+    val files = math.max(1L, (n + maxRecordsPerFile - 1) / maxRecordsPerFile)
+    val usePartitions = cfg.partitionKey.nonEmpty && layoutUsesPartitions(cfg.storePath)
+    val clustered =
+      if (usePartitions)
+        // tenant directories stay the outer pruning level; each tenant's
+        // files cluster on the key (one task per tenant keeps file counts
+        // at the per-tenant target)
+        df.repartition(col(cfg.partitionKey))
+          .sortWithinPartitions(cfg.partitionKey, key, "doc_id")
+      else if (files == 1L) df.repartition(1).sortWithinPartitions(key, "doc_id")
+      else df.repartitionByRange(files.toInt, col(key), col("doc_id"))
+        .sortWithinPartitions(key, "doc_id")
+    val pinned = clustered.localCheckpoint(true) // pin BEFORE overwriting the path being read
+    if (usePartitions)
+      pinned.write.mode("overwrite").option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy(cfg.partitionKey).parquet(cfg.storePath)
+    else
+      pinned.write.mode("overwrite").option("maxRecordsPerFile", maxRecordsPerFile)
+        .parquet(cfg.storePath)
+    if (lexWasCurrent) writeStamp(lexStampFile, lexFingerprint())
+    // the rewrite replaced store part files: memoized plans and the sealed
+    // manifest both resolved against the pre-rewrite listing
+    invalidateIvf()
+    files
+  }
+
+  /**
    * Store↔index consistency audit (the `db.collection.validate` /
    * fsck verb a long-lived deployment runs between maintenance windows):
    * one full-outer join of the two layouts' distinct doc_id sets, rolled
@@ -1457,6 +1590,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   private def invalidateIvf(): Unit = {
     ivfMemo = None
     indexCountMemo = None
+    invalidateSealed() // store/index moved: the sealed-files manifest may lie
   }
 
   /**
@@ -1569,6 +1703,98 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       case other => throw new IllegalArgumentException(
         s"unknown consistency level '$other' (Strong | Eventually)")
     }
+
+  /**
+   * Milvus's DEFAULT read path, made explicit: SEALED segments (store
+   * documents the index covers) serve through the configured strategy
+   * ([[scoredChunks]] — IVF partition pruning and all), while GROWING
+   * segments — documents ingested since the last index tick — are
+   * chunk-embedded and brute-force scored ON THE FLY and merged into the
+   * same per-doc best / top-k reduction. Fresh writes are ranked without
+   * any index maintenance and without [[searchAt]]-Strong's index append:
+   * this verb WRITES NOTHING (EngineSpec snapshots the layouts across a
+   * call). `ignoreGrowing = true` is Milvus's `ignore_growing` search
+   * parameter — sealed only, byte-identical to [[search]].
+   *
+   * Cost shape: the growing set resolves by FILE at driver-side metadata
+   * cost — [[update]]/[[updateIncremental]] stamp a sealed-files manifest
+   * (`<indexPath>_SEALED`), and the growing read opens ONLY store files
+   * the manifest doesn't cover (Milvus's segment bookkeeping: a segment is
+   * a file; the brute scan is delta-file-sized, bounded by the maintenance
+   * cadence — never a corpus scan). Store-rewriting verbs (delete /
+   * compact / dropPartition / restore) drop the manifest; until the next
+   * tick restamps it, the growing set falls back to the always-correct
+   * store-minus-index doc_id anti-join.
+   */
+  def searchGrowing(queries: Seq[String], ignoreGrowing: Boolean = false): DataFrame = {
+    admit()
+    val qdf = queryDf(queries)
+    if (ignoreGrowing) return searchImpl(qdf, None)
+    require(indexExists,
+      "searchGrowing requires a sealed index (run update() once); Milvus " +
+        "cannot search an unindexed collection either")
+    val gScored = chunkEmbed(growingDocs()).crossJoin(broadcast(qdf))
+      .withColumn("score", round(VectorFns.cosineSim(col("vec"), col("query_vec")), 4))
+      .select(col("query_id"), col("query"), col("doc_id"), col("score"))
+    searchImpl(qdf, None, growing = Some(gScored))
+  }
+
+  /** Store documents the index does not cover yet (the growing segments),
+    * expired rows masked. Manifest path: only uncovered FILES are opened
+    * (`basePath` keeps hive partition columns). Fallback: one doc_id
+    * anti-join against the index. */
+  private def growingDocs(): DataFrame = growingFiles() match {
+    case Some(files) =>
+      if (files.isEmpty) store().limit(0)
+      else ttlGate(spark.read.option("basePath", cfg.storePath).parquet(files: _*))
+    case None =>
+      ttlGate(store().join(index().select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti"))
+  }
+
+  /** Current store data files absent from the sealed manifest — None when
+    * no manifest is stamped (callers fall back to the doc_id anti-join). */
+  private[graft] def growingFiles(): Option[Seq[String]] =
+    sealedFiles().map(covered => listDataFiles(cfg.storePath).filterNot(covered))
+
+  private def sealManifestFile =
+    new org.apache.hadoop.fs.Path(s"${cfg.indexPath}_SEALED")
+
+  /** Record that the index now covers every current store file — called at
+    * the end of [[update]]/[[updateIncremental]] (AFTER their
+    * [[invalidateIvf]], which drops the manifest). A crash between the
+    * index write and the stamp only costs the anti-join fallback. */
+  private def stampSealed(): Unit =
+    writeStamp(sealManifestFile, listDataFiles(cfg.storePath).sorted.mkString("\n"))
+
+  private def sealedFiles(): Option[Set[String]] =
+    readStamp(sealManifestFile).map(_.split('\n').iterator.filter(_.nonEmpty).toSet)
+
+  /** Forget the sealed manifest — any verb that rewrites store files must
+    * call this (a stale manifest could hide a pre-verb growing doc from
+    * [[growingDocs]]; the anti-join fallback can't). */
+  private def invalidateSealed(): Unit = {
+    val f = sealManifestFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(sealManifestFile, false); ()
+  }
+
+  /** Data files under `path` (the `_`/`.`-skip rule the fingerprint walk
+    * uses), as full URIs — driver-side metadata, never a data read. */
+  private def listDataFiles(path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return Nil
+    val base = f.getFileStatus(p).getPath.toUri.getPath
+    val it = f.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(base)
+      if (st.isFile && !rel.contains("/_") && !rel.contains("/."))
+        buf += st.getPath.toString
+    }
+    buf.toSeq
+  }
 
   /**
    * Filtered semantic search — [[search]] restricted to documents matching
@@ -1772,10 +1998,18 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
                          scope: Option[Column] = None,
                          offset: Int = 0,
                          pageSize: Int = 0,
-                         outputFields: Seq[String] = Nil): DataFrame = {
+                         outputFields: Seq[String] = Nil,
+                         growing: Option[DataFrame] = None): DataFrame = {
     val limit = if (pageSize > 0) pageSize else cfg.limit
-    // per-parent best-hit reduce (vdb.py:104-110) and top-k per query
-    val best = scoredChunks(qdf, eligible, scope)
+    // per-parent best-hit reduce (vdb.py:104-110) and top-k per query.
+    // [[searchGrowing]]'s on-the-fly-scored growing chunks union in BELOW
+    // the reduce: a doc double-scored by a stale manifest (sealed + growing
+    // overlap) collapses to one row with the same max — overlap is
+    // harmless, only a coverage HOLE would be wrong (invalidateSealed's
+    // contract)
+    val sealedScored = scoredChunks(qdf, eligible, scope)
+      .select(col("query_id"), col("query"), col("doc_id"), col("score"))
+    val best = growing.fold(sealedScored)(g => sealedScored.unionByName(g))
       .groupBy(col("query_id"), col("query"), col("doc_id"))
       .agg(max(col("score")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1902,6 +2136,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   private def invalidateLex(): Unit = {
     val f = lexStampFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
     f.delete(lexStampFile, false)
+    invalidateSealed() // callers rewrite store files (delete/drop/restore)
   }
 
   /** Serve-gate: (re)build the lexical layout iff its stamp doesn't match
@@ -1988,6 +2223,35 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       mfs.delete(lexMarkerFile, false) // appends complete: the batch is whole
     }
     writeStamp(lexStampFile, lexFingerprint())
+  }
+
+  /**
+   * Keyword-gated semantic search — Milvus 2.5's `TEXT_MATCH(field,
+   * "t1 t2 …")` filter inside a search expr: documents containing ANY of
+   * the analyzer's tokens (OR semantics, Milvus's documented contract)
+   * are eligible; the vector ranking runs WITHIN that set ([[searchWhere]]'s
+   * pre-filter discipline — never a post-hoc cut that could return < k).
+   *
+   * The scale story is WHERE eligibility comes from: not a corpus text
+   * scan (`contains()` over 100 TB of text reads 100 TB), but the SAME
+   * persisted inverted layout BM25/sparse serving uses ([[buildLex]] —
+   * Milvus backs TEXT_MATCH with exactly this inverted index). The match
+   * terms' hash buckets become PartitionFilters on the postings scan, so
+   * eligibility costs the matched postings' volume — a term's df, never
+   * the corpus — and arrives as a doc_id set the scoring strategies gate
+   * on as early as each allows ([[scoredChunks]]).
+   */
+  def searchTextMatch(queries: Seq[String], matchText: String): DataFrame = {
+    admit()
+    ensureLex()
+    val terms = matchText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "TEXT_MATCH needs at least one term")
+    val buckets = terms.map(graft.operators.InvertedIndex.bucketOfTerm).distinct
+    val eligible = spark.read.parquet(s"$lexPath/postings")
+      .filter(col("tb").isInCollection(buckets) && col("tok").isInCollection(terms))
+      .select(col("doc_id")).distinct()
+    searchImpl(queryDf(queries), Some(eligible))
   }
 
   /**

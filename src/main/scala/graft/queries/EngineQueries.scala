@@ -1175,6 +1175,136 @@ object EngineQueries {
       new Engine(s, cfg).searchGrouped(searchTexts, "source", groupSize = 3)
     }),
 
+    // Growing-segment search — Milvus's DEFAULT read path (ignore_growing
+    // = false): after the store moves under a stamped index, sealed
+    // documents serve through the persisted layout while the fresh wave is
+    // brute-force scored on the fly from exactly the uncovered store files
+    // (the sealed manifest) and merged into one ranking. Unlike q235's
+    // Strong read, NOTHING is written — the runtime require pins that the
+    // growing documents never entered the index; the oracle still replays
+    // the FULL corpus, so a read that misses the fresh wave (or leaks a
+    // sealed doc twice) hash-fails.
+    "q240_growing_search" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q240_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs.filter(col("doc_id") % 5 =!= 0))
+      eng.update()
+      eng.ingest(docs.filter(col("doc_id") % 5 === 0)) // store moves, index lags
+      val served = new Engine(s, cfg)
+      val res = served.searchGrowing(searchTexts)
+      require(served.index()
+          .join(docs.filter(col("doc_id") % 5 === 0), Seq("doc_id"), "left_semi")
+          .count() == 0,
+        "q240: a growing doc entered the index — the read path wrote")
+      res
+    }),
+
+    // Schema evolution — Milvus 2.5's add_collection_field: a scalar field
+    // added to a LIVE collection without rewriting a byte (one registry
+    // line; at 100 TB an eager backfill is a full copy-on-write for a
+    // constant). Rows ingested before the add read back as the default —
+    // filled lazily at scan time — while a post-add ingest carries its own
+    // values; a filter over the added field sees both populations in one
+    // predicate. The fresh Engine proves the registry travels with the
+    // store, not with a driver's memory.
+    "q241_add_field" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q241_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      eng.ingest(docs.filter(col("doc_id") % 3 =!= 0)) // v1 schema
+      eng.addField("quality", "long", "5")
+      eng.ingest(docs.filter(col("doc_id") % 3 === 0) // v2 carries the field
+        .withColumn("quality", col("doc_id") % 10))
+      new Engine(s, cfg)
+        .query(col("quality") >= 4, Seq("quality", "lang"), limit = 200)
+    }),
+
+    // TEXT_MATCH filtered search — Milvus 2.5's keyword filter inside a
+    // search expr, OR semantics over the analyzer's tokens. Eligibility
+    // comes from the PERSISTED inverted layout (term-bucket
+    // PartitionFilters — postings volume, never a corpus text scan), and
+    // the vector ranking runs within it (pre-filter, never a post-hoc
+    // cut). 'dup' is a rare token (~5% df); 'nosuchtoken' exercises the
+    // empty-postings term of the OR.
+    "q242_text_match" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q242_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      new Engine(s, cfg).searchTextMatch(searchTexts, "dup nosuchtoken")
+    }),
+
+    // ARRAY scalar field — Milvus's ARRAY field type with its filter
+    // verbs: array_contains, array_contains_any (arrays_overlap), and
+    // array_length (size) compose in one pushed predicate over an
+    // array-typed store column; the projection returns scalars only. The
+    // fresh Engine proves the array column round-trips the store layout.
+    "q243_array_field" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q243_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+        .withColumn("tags",
+          array(col("lang"), col("source"),
+            concat(lit("len_"), (length(col("text")) % 10).cast("string"))))
+      eng.ingest(docs)
+      new Engine(s, cfg).query(
+        array_contains(col("tags"), "en") &&
+          arrays_overlap(col("tags"), array(lit("len_3"), lit("len_7"))) &&
+          size(col("tags")) === 3,
+        Seq("lang", "source"), limit = 150)
+    }),
+
+    // JSON field — Milvus's JSON field type: a JSON document column
+    // ingested as data, filtered by JSON-path extraction (Milvus
+    // `meta["lang"] == "en" and meta["n_chars"] > 500` exprs). The engine
+    // genuinely parses the JSON at read time (get_json_object); the
+    // oracle replays the filter from the base columns the JSON was built
+    // from, so a path-extraction bug hash-fails.
+    "q244_json_field" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q244_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars")
+        .withColumn("meta", format_string(
+          """{"lang":"%s","n_chars":%d}""", col("lang"), col("n_chars")))
+      eng.ingest(docs.select("doc_id", "text", "meta"))
+      new Engine(s, cfg).query(
+        get_json_object(col("meta"), "$.lang") === "en" &&
+          get_json_object(col("meta"), "$.n_chars").cast("long") > 500L,
+        Seq("meta"), limit = 150)
+    }),
+
+    // Clustering compaction — Milvus 2.4's clustering_key compaction: the
+    // store rewrites range-clustered on a scalar field so filtered reads
+    // prune to the files whose footer min/max straddle the predicate.
+    // Five ingest waves fragment the store first (the disease), the
+    // rewrite clusters by lang, and the graded read must be byte-identical
+    // to the same filter over the never-compacted corpus — layout moved,
+    // content didn't. EngineSpec gates the actual file pruning.
+    "q245_clustering_compact" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q245_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars")
+      (0 until 5).foreach(w => eng.ingest(docs.filter(col("doc_id") % 5 === w)))
+      eng.compactClustered("lang", maxRecordsPerFile = 100L)
+      new Engine(s, cfg).query(col("lang") === "de" && col("n_chars") > 200L,
+        Seq("lang", "n_chars"), limit = 200)
+    }),
+
     // Blue/green MODEL MIGRATION — the most expensive day-2 operation a
     // vector deployment runs: upgrading the embedding model re-embeds the
     // whole corpus (embed.py's model is a config choice, so this WILL
@@ -3140,6 +3270,54 @@ ORDER BY query_id, rank"""),
 
     // the Strong read covers the full corpus (read-your-writes)
     "q235_read_consistency" -> lifecycleSearchSql,
+
+    // sealed + growing merge covers the full corpus, zero index writes
+    "q240_growing_search" -> lifecycleSearchSql,
+
+    // pre-add rows read the default, post-add rows their own values
+    "q241_add_field" ->
+      """SELECT doc_id, quality, lang FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN doc_id % 10 ELSE 5 END AS quality,
+        |    lang
+        |  FROM documents) t
+        |WHERE quality >= 4 ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    // the oracle chunks and scores ONLY documents whose token set matches
+    // the TEXT_MATCH terms (OR semantics) — equal to indexing everything
+    // and gating candidates before top-k, the engine's pre-filter shape
+    "q242_text_match" -> lifecycleSearchSql.replace(
+      "FROM documents WHERE length(text) > 0",
+      """FROM documents WHERE length(text) > 0
+        |    AND list_has_any(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     ['dup', 'nosuchtoken'])""".stripMargin),
+
+    // the array predicates replay over the same derived list
+    "q243_array_field" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    [lang, source, 'len_' || cast(length(text) % 10 as varchar)] AS tags
+        |  FROM documents) t
+        |WHERE list_contains(tags, 'en')
+        |  AND list_has_any(tags, ['len_3', 'len_7'])
+        |  AND len(tags) = 3
+        |ORDER BY doc_id LIMIT 150""".stripMargin,
+
+    // the JSON-path filter replays from the base columns the JSON was
+    // built from; the meta payload itself must round-trip byte-exactly
+    "q244_json_field" ->
+      """SELECT doc_id, meta FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    printf('{"lang":"%s","n_chars":%d}', lang, n_chars) AS meta
+        |  FROM documents) t
+        |WHERE lang = 'en' AND n_chars > 500
+        |ORDER BY doc_id LIMIT 150""".stripMargin,
+
+    // layout moved, content didn't: the filter replays over the raw corpus
+    "q245_clustering_compact" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'de' AND n_chars > 200
+        |ORDER BY doc_id LIMIT 200""".stripMargin,
 
     // same ranking, caller-chosen hydration projection
     "q236_search_fields" -> {

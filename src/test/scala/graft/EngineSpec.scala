@@ -1318,6 +1318,198 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](eng.searchAt(q, "Bounded"))
   }
 
+  test("searchGrowing: fresh writes rank without any index write; the growing read is file-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-growing").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val sealedDocs = docs.filter(col("doc_id") % 2 === 0)
+    val freshDocs = docs.filter(col("doc_id") % 2 === 1)
+    eng.ingest(sealedDocs)
+    eng.update()
+    eng.ingest(freshDocs) // the store moves; the index does not
+    val q = Seq("data processing pipeline")
+
+    // the growing set resolves by FILE: exactly the post-seal store files,
+    // holding exactly the fresh documents
+    val gf = eng.growingFiles()
+    assert(gf.isDefined, "update() must stamp a sealed-files manifest")
+    assert(gf.get.nonEmpty && gf.get.forall(f => !f.contains("/_")),
+      "growing files must be the uncovered data files")
+
+    def snap(p: String): Map[String, Long] = {
+      def go(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(go) else Seq(f)
+      val root = new java.io.File(p)
+      if (!root.exists()) Map.empty
+      else go(root).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = (snap(s"$dir/index"), snap(s"$dir/index_ivf"))
+    val merged = eng.searchGrowing(q).collect().toSeq
+    assert((snap(s"$dir/index"), snap(s"$dir/index_ivf")) == before,
+      "searchGrowing wrote into the index or its layout")
+
+    // merged == a Strong read's ranking (without paying its index append)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-growing2").toString
+    val full = new Engine(spark, EngineConfig(storePath = s"$dir2/store",
+      indexPath = s"$dir2/index", nlist = 8, nprobe = 8, ivfThreshold = 1L))
+    full.ingest(docs); full.update()
+    def key(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(key(merged) == key(full.search(q).collect().toSeq),
+      "the sealed+growing merge must equal the full-corpus ranking")
+
+    // ignore_growing: sealed only — byte-identical to search()
+    assert(eng.searchGrowing(q, ignoreGrowing = true).collect().toSeq ==
+      eng.search(q).collect().toSeq)
+
+    // manifest fallback: without the stamp the anti-join path serves the
+    // same merge
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/index_SEALED")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/index_SEALED"), false)
+    assert(eng.growingFiles().isEmpty, "no manifest must mean fallback")
+    assert(key(eng.searchGrowing(q).collect().toSeq) == key(merged),
+      "the anti-join fallback must serve the same merged ranking")
+  }
+
+  test("addField: metadata-only schema evolution with lazy default fill") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-addfield").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").limit(60).localCheckpoint(true)
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val (v1, v2, v3) = (ids.take(20).toSet, ids.slice(20, 40).toSet, ids.drop(40).toSet)
+    eng.ingest(docs.filter(col("doc_id").isInCollection(v1)))
+    val storeFiles = new java.io.File(s"$dir/store").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    eng.addField("quality", "long", "7")
+    assert(new java.io.File(s"$dir/store").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap == storeFiles,
+      "addField rewrote store files — it must be metadata-only")
+    // pre-add rows read the default
+    assert(eng.store().filter(col("doc_id").isInCollection(v1))
+      .select("quality").as[Long].collect().forall(_ == 7L))
+    // a post-add ingest carrying the field keeps its values
+    eng.ingest(docs.filter(col("doc_id").isInCollection(v2))
+      .withColumn("quality", lit(9L)))
+    // a post-add ingest OMITTING the field defaults too
+    eng.ingest(docs.filter(col("doc_id").isInCollection(v3)))
+    val byPop = eng.store().groupBy(col("quality")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(byPop == Map(7L -> 40L, 9L -> 20L), s"populations wrong: $byPop")
+    // a fresh engine (new driver) discovers the registry from the store
+    assert(new Engine(spark, cfg).store().filter(col("quality") === 9L).count() == 20L)
+    // guards
+    intercept[IllegalArgumentException](eng.addField("quality", "long", "1"))
+    intercept[IllegalArgumentException](eng.addField("text", "string", "x"))
+    intercept[IllegalArgumentException](eng.addField("z", "struct", "x"))
+    // the field survives the delete/compact copy-on-write (values become
+    // physical for rewritten rows; coalesce stays transparent)
+    eng.delete(docs.filter(col("doc_id").isInCollection(v1)).limit(1))
+    val byPop2 = new Engine(spark, cfg).store().groupBy(col("quality")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(byPop2 == Map(7L -> 39L, 9L -> 20L), s"post-delete populations wrong: $byPop2")
+  }
+
+  test("searchGrowing: a store-rewriting delete cannot hide pre-delete growing docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-growing-del").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs.filter(col("doc_id") % 2 === 0))
+    eng.update()
+    eng.ingest(docs.filter(col("doc_id") % 2 === 1)) // growing wave
+    // the delete's copy-on-write rewrites store files: a stale manifest
+    // would no longer know which files are covered — it must be dropped
+    val victim = docs.filter(col("doc_id") % 2 === 0).limit(1)
+    eng.delete(victim)
+    assert(eng.growingFiles().isEmpty,
+      "a store rewrite must invalidate the sealed manifest")
+    import spark.implicits._
+    val growingIds = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id").as[Long].collect().toSet
+    val visible = eng.searchGrowing(Seq("data processing pipeline"))
+      .select("doc_id").as[Long].collect().toSet
+    val fullIds = eng.store().select("doc_id").as[Long].collect().toSet
+    assert(growingIds.subsetOf(fullIds), "fixture: growing docs survive the delete")
+    // the fallback anti-join still ranks growing docs: spot-check that the
+    // merge sees candidates from BOTH halves by comparing to a fresh
+    // full-corpus engine over the post-delete store
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-growing-del2").toString
+    val full = new Engine(spark, EngineConfig(storePath = s"$dir2/store",
+      indexPath = s"$dir2/index", nlist = 8, nprobe = 8, ivfThreshold = 1L))
+    full.ingest(eng.store()); full.update()
+    val expect = full.search(Seq("data processing pipeline"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(visible == expect,
+      "post-delete searchGrowing must rank the full live corpus")
+  }
+
+  test("searchTextMatch: postings-backed eligibility equals a text-scan pre-filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-textmatch").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"))
+    eng.update()
+    val q = Seq("data processing pipeline")
+    val viaPostings = eng.searchTextMatch(q, "dup nosuchtoken").collect().toSeq
+    // the semantic contract: identical to searchWhere with the same OR
+    // token predicate evaluated by a full text scan
+    val pred = array_contains(split(trim(lower(col("text"))), "\\s+"), "dup") ||
+      array_contains(split(trim(lower(col("text"))), "\\s+"), "nosuchtoken")
+    assert(viaPostings == eng.searchWhere(q, pred).collect().toSeq,
+      "TEXT_MATCH must equal the text-scan pre-filter")
+    assert(viaPostings.nonEmpty, "fixture: 'dup' must match documents")
+    // every hit's text really contains the term (OR semantics, one live term)
+    import spark.implicits._
+    val hitIds = viaPostings.map(_.getLong(2)).toSet
+    val dupIds = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(pred).select("doc_id").as[Long].collect().toSet
+    assert(hitIds.subsetOf(dupIds), "a hit outside the matching set leaked in")
+    // the eligibility scan is bucket-pruned: its plan reads the postings
+    // layout with a tb partition filter, never the store text
+    val postsPlan = eng.searchTextMatch(q, "dup").queryExecution.executedPlan.toString
+    assert(postsPlan.contains("tb"), "postings bucket column missing from the plan")
+    intercept[IllegalArgumentException](eng.searchTextMatch(q, "   "))
+  }
+
+  test("compactClustered: scalar-clustered rewrite prunes filtered reads, content unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cluster").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang", "n_chars")
+    (0 until 5).foreach(w => eng.ingest(docs.filter(col("doc_id") % 5 === w)))
+    val before = eng.query(col("lang") === "de", Seq("lang", "n_chars"))
+      .orderBy("doc_id").collect().toSeq
+    def filesOf(d: org.apache.spark.sql.DataFrame): Set[String] = {
+      import spark.implicits._
+      d.select(input_file_name()).as[String].distinct().collect().toSet
+    }
+    // fragmented: 'de' rows spread across (nearly) every wave's files
+    val preFiles = filesOf(eng.store().filter(col("lang") === "de"))
+    assert(preFiles.size >= 4, s"fixture: expected fragmentation, got ${preFiles.size} files")
+    val n = docs.count()
+    val target = eng.compactClustered("lang", maxRecordsPerFile = math.max(1L, n / 5))
+    assert(target >= 5L, s"expected >=5 clustered files, got $target")
+    // content identical through the rewrite (a fresh engine, fresh listing)
+    val after = new Engine(spark, cfg).query(col("lang") === "de", Seq("lang", "n_chars"))
+      .orderBy("doc_id").collect().toSeq
+    assert(after == before, "clustering compaction changed query content")
+    // the clustered layout serves the filter from a strict subset of files
+    val postAll = filesOf(new Engine(spark, cfg).store())
+    val postDe = filesOf(new Engine(spark, cfg).store().filter(col("lang") === "de"))
+    assert(postDe.size < postAll.size,
+      s"clustering must prune: de=${postDe.size} of ${postAll.size} files")
+    assert(postDe.size <= 2, s"'de' rows should cluster into <=2 files, got ${postDe.size}")
+  }
+
   test("rate limiting: over-quota serving rejects deterministically, results unperturbed") {
     val dir = java.nio.file.Files.createTempDirectory("graft-quota").toString
     val base = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
