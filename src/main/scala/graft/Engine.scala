@@ -2255,6 +2255,49 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   }
 
   /**
+   * Phrase-gated semantic search — Milvus 2.5's `PHRASE_MATCH(field,
+   * "t1 t2 …")` filter inside a search expr: only documents where the
+   * phrase's tokens appear CONSECUTIVELY (slop 0, Milvus's default) are
+   * eligible; the vector ranking runs within that set.
+   *
+   * Two-phase eligibility — the classic approximate-then-verify split a
+   * positional index engine runs, with each phase priced right for
+   * 100 TB: (1) CANDIDATES = documents containing ALL phrase terms, from
+   * the persisted postings layout (term-bucket PartitionFilters — the
+   * terms' df, never a corpus scan; conjunctive, so candidates ≤ the
+   * rarest term's postings); (2) VERIFY = adjacency checked by
+   * re-tokenizing ONLY the candidate documents' text (a doc_id semi-join
+   * gates the store scan; the codegen'd `exists`/`slice` window walk runs
+   * over candidate-volume text, typically orders of magnitude under the
+   * corpus). Milvus stores positions in its inverted index instead —
+   * paying position bytes on EVERY document at build time; verifying on
+   * the candidate sliver trades a tiny read amplification for a
+   * positionless (= half-sized, extend-friendly) postings layout.
+   */
+  def searchPhraseMatch(queries: Seq[String], phrase: String): DataFrame = {
+    admit()
+    ensureLex()
+    val terms = phrase.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "PHRASE_MATCH needs at least one term")
+    val distinctTerms = terms.distinct
+    val buckets = distinctTerms.map(graft.operators.InvertedIndex.bucketOfTerm).distinct
+    val cand = spark.read.parquet(s"$lexPath/postings")
+      .filter(col("tb").isInCollection(buckets) && col("tok").isInCollection(distinctTerms))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("tok")).as("__nt"))
+      .filter(col("__nt") === distinctTerms.size)
+      .select(col("doc_id"))
+    val k = terms.size
+    val verified = store().join(cand, Seq("doc_id"), "left_semi")
+      .withColumn("__t", TextFns.tokens(lower(col("text"))))
+      .filter(size(col("__t")) >= k) // also keeps the sequence() bound valid
+      .filter(exists(sequence(lit(1), size(col("__t")) - (k - 1)),
+        i => slice(col("__t"), i, lit(k)) === lit(terms.toArray)))
+      .select(col("doc_id"))
+    searchImpl(queryDf(queries), Some(verified))
+  }
+
+  /**
    * Hybrid retrieval — Milvus 2.4's `hybrid_search` verb (multi-ranker +
    * rank fusion) over this engine's two native rankers: the vector ranking
    * ([[search]]'s per-doc best chunk score through the configured serving

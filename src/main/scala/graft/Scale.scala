@@ -98,7 +98,8 @@ object Scale {
       case a if a.startsWith("ops=") => a.stripPrefix("ops=").split(",").toSet
     }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective",
       "incdedup", "cc", "export", "spans", "invidx", "pq", "maxsim", "ivfpq",
-      "snm", "rangeivf", "filtered", "binary", "drain", "lexserve", "vecdrain"))
+      "snm", "rangeivf", "filtered", "binary", "drain", "lexserve", "vecdrain",
+      "growing", "cluster"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -546,6 +547,57 @@ object Scale {
       // pin, and no preview byte rides the pin at all
       measure("vecdrain_shallow", s, n) {
         eng.searchIterator(q, batch, buckets = 64).take(2).map(_.count()).sum
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+    // 21. Growing-segment serving (round-11): a FIXED 500-doc ingest wave
+    //     lands after the index tick; searchGrowing brute-scores ONLY the
+    //     store files the sealed manifest doesn't cover and merges them
+    //     into the sealed ranking. The claim under measurement: the
+    //     merge's extra cost over the sealed-only read stays ~flat
+    //     (delta-sized) while the sealed corpus grows 100x — Milvus's
+    //     growing-segment bookkeeping, resolved at file granularity.
+    if (only("growing")) vecLadder.foreach { case (s, n) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-grow-").toString
+      corpus(spark, n).select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$base/store")
+      val eng = new Engine(spark, EngineConfig(s"$base/store", s"$base/index"))
+      eng.update() // untimed: the offline index tick that stamps the manifest
+      eng.ingest(corpus(spark, 500)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text")))
+      val q = Seq("t3 t17 t41")
+      eng.searchGrowing(q, ignoreGrowing = true).count() // warm
+      measure("growing_sealed_only", s, n) {
+        eng.searchGrowing(q, ignoreGrowing = true).count()
+      }
+      measure("growing_merge", s, n) {
+        eng.searchGrowing(q).count()
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+    // 22. Clustering compaction (round-11): a key-filtered read over a
+    //     5-wave fragmented store vs the same read after compactClustered.
+    //     The claim under measurement: after the rewrite the filter's
+    //     footer min/max skip every file outside the key's range — the
+    //     clustered read's wall tracks the SELECTED key's bytes while the
+    //     fragmented read pays every wave's file count. The rewrite itself
+    //     is the one-shuffle range repartition (linear, offline-window).
+    if (only("cluster")) docLadder.foreach { case (s, n) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-clu-").toString
+      val docs = corpus(spark, n)
+      (0 until 5).foreach { w =>
+        docs.filter(pmod(col("doc_id"), lit(5)) === w)
+          .write.mode("append").parquet(s"$base/store")
+      }
+      val eng = new Engine(spark, EngineConfig(s"$base/store", s"$base/index"))
+      measure("cluster_read_fragmented", s, n) {
+        eng.query(col("source") === "uci", Seq("source")).count()
+      }
+      measure("cluster_rewrite", s, n) {
+        eng.compactClustered("source", maxRecordsPerFile = math.max(1000L, n / 32))
+      }
+      measure("cluster_read_clustered", s, n) {
+        eng.query(col("source") === "uci", Seq("source")).count()
       }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }

@@ -1243,6 +1243,24 @@ object EngineQueries {
       new Engine(s, cfg).searchTextMatch(searchTexts, "dup nosuchtoken")
     }),
 
+    // PHRASE_MATCH filtered search — Milvus 2.5's positional keyword
+    // filter: only docs where the phrase tokens appear CONSECUTIVELY are
+    // eligible (slop 0). Candidates come conjunctively from the postings
+    // layout (bucket-pruned); adjacency verifies over ONLY the candidate
+    // docs' text. The oracle replays adjacency as a space-normalized
+    // substring match — a candidate with both tokens non-adjacent leaking
+    // through hash-fails.
+    "q246_phrase_match" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q246_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      new Engine(s, cfg).searchPhraseMatch(searchTexts, "table value")
+    }),
+
     // ARRAY scalar field — Milvus's ARRAY field type with its filter
     // verbs: array_contains, array_contains_any (arrays_overlap), and
     // array_length (size) compose in one pushed predicate over an
@@ -3291,6 +3309,14 @@ ORDER BY query_id, rank"""),
       """FROM documents WHERE length(text) > 0
         |    AND list_has_any(regexp_split_to_array(lower(trim(text)), '\s+'),
         |                     ['dup', 'nosuchtoken'])""".stripMargin),
+
+    // the oracle chunks and scores ONLY documents whose space-normalized
+    // text contains the phrase as consecutive tokens
+    "q246_phrase_match" -> lifecycleSearchSql.replace(
+      "FROM documents WHERE length(text) > 0",
+      """FROM documents WHERE length(text) > 0
+        |    AND ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' '
+        |        LIKE '% table value %'""".stripMargin),
 
     // the array predicates replay over the same derived list
     "q243_array_field" ->

@@ -1479,6 +1479,36 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](eng.searchTextMatch(q, "   "))
   }
 
+  test("searchPhraseMatch: adjacency-verified eligibility, candidates from postings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"))
+    eng.update()
+    val q = Seq("data processing pipeline")
+    val res = eng.searchPhraseMatch(q, "table value").collect().toSeq
+    assert(res.nonEmpty, "fixture: 'table value' must match documents")
+    // semantic contract: identical to a space-normalized substring
+    // pre-filter (consecutive whitespace tokens == phrase)
+    val adjacent = concat(lit(" "),
+      regexp_replace(lower(trim(col("text"))), "\\s+", " "), lit(" "))
+      .contains(" table value ")
+    assert(res == eng.searchWhere(q, adjacent).collect().toSeq,
+      "PHRASE_MATCH must equal the substring-adjacency pre-filter")
+    // adjacency genuinely excludes docs holding both tokens apart: the
+    // conjunctive candidate set must be strictly wider than the verified
+    // set on this corpus (otherwise the verify phase is vacuous here)
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val both = docs.filter(
+      array_contains(split(trim(lower(col("text"))), "\\s+"), "table") &&
+        array_contains(split(trim(lower(col("text"))), "\\s+"), "value")).count()
+    val adj = docs.filter(adjacent).count()
+    assert(adj < both, s"fixture: expected non-adjacent candidates (adj=$adj both=$both)")
+    intercept[IllegalArgumentException](eng.searchPhraseMatch(q, " "))
+  }
+
   test("compactClustered: scalar-clustered rewrite prunes filtered reads, content unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cluster").toString
     val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
