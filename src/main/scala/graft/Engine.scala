@@ -72,7 +72,14 @@ final case class EngineConfig(
     // calls REJECT with Engine.OverQuotaException (clients retry with
     // backoff — fetchCatalog's pacing discipline, read side). Under a
     // partition_key config, searchPartitions meters per tenant. 0 = off.
-    searchRate: Double = 0.0)
+    searchRate: Double = 0.0,
+    // Milvus 2.5's analyzer_params for the lexical layer (TEXT_MATCH /
+    // PHRASE_MATCH / BM25 / sparse): "standard" = lowercase + whitespace
+    // (every prior round's behavior, the default), "english" = standard +
+    // stopword removal. The analyzer is part of the lexical layout's
+    // fingerprint — changing it rebuilds the postings, exactly like
+    // re-declaring a Milvus analyzer re-indexes the field.
+    analyzer: String = "standard")
 
 object EngineConfig {
   /**
@@ -147,7 +154,8 @@ object EngineConfig {
       maxPartitions = int(4096, "vdb.milvus.max_partitions", "max_partitions"),
       ttlField = get("vdb.milvus.ttl_field", "ttl_field").getOrElse(""),
       searchRate = get("vdb.milvus.search_rate", "search_rate")
-        .map(_.toDouble).getOrElse(0.0))
+        .map(_.toDouble).getOrElse(0.0),
+      analyzer = get("vdb.text.analyzer", "analyzer").getOrElse("standard"))
   }
 
   /**
@@ -1005,14 +1013,12 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     ensureLex()
     import spark.implicits._
     val qterms = queries.zipWithIndex.flatMap { case (q, i) =>
-      q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
-        .map(t => (i.toLong, t))
+      analyzeTerms(q).distinct.map(t => (i.toLong, t))
     }.toDF("query_id", "tok")
     val st = spark.read.parquet(s"$lexPath/stats").head()
     val nDocs = st.getLong(st.fieldIndex("n_docs"))
     val tToks = st.getLong(st.fieldIndex("t_toks"))
-    val terms = queries.flatMap(
-      _.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)).distinct
+    val terms = queries.flatMap(analyzeTerms).distinct
     val buckets = terms.map(graft.operators.InvertedIndex.bucketOfTerm).distinct
     val posts = spark.read.parquet(s"$lexPath/postings")
       .filter(col("tb").isInCollection(buckets) && col("tok").isInCollection(terms))
@@ -2122,7 +2128,40 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
 
   /** What the lexical layout derives from (the STORE) + what it is. */
   private def lexFingerprint(): String =
-    s"${pathFingerprint(cfg.storePath)}|LEX;buckets=${graft.operators.InvertedIndex.nBuckets}"
+    s"${pathFingerprint(cfg.storePath)}|LEX;buckets=${graft.operators.InvertedIndex.nBuckets};analyzer=${cfg.analyzer}"
+
+  /**
+   * The configured lexical analyzer (Milvus 2.5 analyzer_params), applied
+   * identically on the document side (layout build/extend) and the query
+   * side (every lexical verb) — an analyzer mismatch between the two is
+   * the classic silent-zero-recall bug, so both routes go through here.
+   * "standard" = lowercase + whitespace; "english" adds stopword removal
+   * (tf/df/dl all computed over the FILTERED stream, so stopwords can't
+   * dilute idf or inflate document length — Lucene's StopFilter
+   * semantics). Validated eagerly: an unknown analyzer must fail the verb,
+   * not silently serve standard.
+   */
+  private def requireAnalyzer(): Unit =
+    require(cfg.analyzer == "standard" || cfg.analyzer == "english",
+      s"unknown analyzer '${cfg.analyzer}' (standard | english)")
+
+  /** Analyzed token stream of a text column (codegen'd: split + filter). */
+  private def analyzeCol(text: Column): Column = {
+    requireAnalyzer()
+    val toks = TextFns.tokens(lower(text))
+    if (cfg.analyzer == "english")
+      filter(toks, t => !t.isInCollection(Engine.englishStopwords))
+    else toks
+  }
+
+  /** Analyzed tokens of a driver-side query string (order + repeats kept —
+    * sparse weights count repeats; callers distinct as needed). */
+  private def analyzeTerms(s: String): Seq[String] = {
+    requireAnalyzer()
+    val toks = s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    if (cfg.analyzer == "english") toks.filterNot(Engine.englishStopwords)
+    else toks
+  }
 
   /** A lexical layout exists on disk (current or not) — the signal that
     * this deployment serves hybrid queries, so index-lifecycle verbs keep
@@ -2153,7 +2192,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * dies midway stays stale and rebuilds). */
   private def buildLex(): Unit = {
     val toks = widen(store())
-      .select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
+      .select(col("doc_id"), explode(analyzeCol(col("text"))).as("tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       .localCheckpoint(true) // one derivation: postings join + coverage + stats
     val posts = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -2202,7 +2241,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val covered = spark.read.parquet(s"$lexPath/doclens").select(col("doc_id"))
     val fresh = store().join(covered, Seq("doc_id"), "left_anti")
     val toks = widen(fresh)
-      .select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
+      .select(col("doc_id"), explode(analyzeCol(col("text"))).as("tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       .localCheckpoint(true)
     val delta = dl.agg(coalesce(count(lit(1)), lit(0L)),
@@ -2244,8 +2283,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   def searchTextMatch(queries: Seq[String], matchText: String): DataFrame = {
     admit()
     ensureLex()
-    val terms = matchText.toLowerCase.trim.split("\\s+")
-      .filter(_.nonEmpty).distinct.toSeq
+    val terms = analyzeTerms(matchText).distinct
     require(terms.nonEmpty, "TEXT_MATCH needs at least one term")
     val buckets = terms.map(graft.operators.InvertedIndex.bucketOfTerm).distinct
     val eligible = spark.read.parquet(s"$lexPath/postings")
@@ -2277,7 +2315,10 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   def searchPhraseMatch(queries: Seq[String], phrase: String): DataFrame = {
     admit()
     ensureLex()
-    val terms = phrase.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    // adjacency is over the ANALYZED stream (Lucene's StopFilter leaves
+    // position gaps; matching on the filtered stream is the simpler
+    // contract and the one the layout can verify without position bytes)
+    val terms = analyzeTerms(phrase)
     require(terms.nonEmpty, "PHRASE_MATCH needs at least one term")
     val distinctTerms = terms.distinct
     val buckets = distinctTerms.map(graft.operators.InvertedIndex.bucketOfTerm).distinct
@@ -2289,7 +2330,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .select(col("doc_id"))
     val k = terms.size
     val verified = store().join(cand, Seq("doc_id"), "left_semi")
-      .withColumn("__t", TextFns.tokens(lower(col("text"))))
+      .withColumn("__t", analyzeCol(col("text")))
       .filter(size(col("__t")) >= k) // also keeps the sequence() bound valid
       .filter(exists(sequence(lit(1), size(col("__t")) - (k - 1)),
         i => slice(col("__t"), i, lit(k)) === lit(terms.toArray)))
@@ -2350,15 +2391,14 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     // query-side sparse vector: token counts (NOT distinct — a repeated
     // query term doubles its weight, the inner-product contract)
     val qterms = queries.zipWithIndex.flatMap { case (q, i) =>
-      q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      analyzeTerms(q)
         .groupBy(identity).toSeq.map { case (t, g) => (i.toLong, t, g.length.toLong) }
     }.toDF("query_id", "tok", "qtf")
     val qdf0 = queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }
       .toDF("query_id", "query")
     val st = spark.read.parquet(s"$lexPath/stats").head()
     val nDocs = st.getLong(st.fieldIndex("n_docs"))
-    val terms = queries.flatMap(
-      _.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)).distinct
+    val terms = queries.flatMap(analyzeTerms).distinct
     val buckets = terms.map(graft.operators.InvertedIndex.bucketOfTerm).distinct
     val posts = spark.read.parquet(s"$lexPath/postings")
       .filter(col("tb").isInCollection(buckets) && col("tok").isInCollection(terms))
@@ -2808,6 +2848,16 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
 
 object Engine {
 
+  /** The "english" analyzer's stopword list — Lucene's classic 33-word
+    * EnglishAnalyzer default, a fixed public constant so document-side
+    * filtering, query-side filtering, and the DuckDB oracle all share one
+    * source of truth. */
+  val englishStopwords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
   /**
    * What a string partition value reads back as under Spark's hive
    * partition-column type inference (PartitioningUtils' try-order:
@@ -2868,7 +2918,8 @@ object Engine {
       "partition_key" -> cfg.partitionKey,
       "max_partitions" -> cfg.maxPartitions.toString,
       "ttl_field" -> cfg.ttlField,
-      "search_rate" -> (if (cfg.searchRate > 0) cfg.searchRate.toString else ""))
+      "search_rate" -> (if (cfg.searchRate > 0) cfg.searchRate.toString else ""),
+      "analyzer" -> cfg.analyzer)
       // an empty value would open a NESTED level in the flat-yaml parser —
       // omit it and let the case-class default apply on load
       .filter(_._2.nonEmpty)

@@ -27,6 +27,13 @@ object EngineQueries {
     * sink names without colliding. */
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Stopword-laden search texts for the analyzer query (q247): every
+    * second token is on the english stoplist, so the standard and english
+    * analyzers provably diverge on them. */
+  private val analyzerTexts = Seq(
+    "the table with a value",
+    "this vector and the stream")
+
   /**
    * A NON-hash stand-in for a real embedding model (`embed.py:21-39`'s
    * forward pass), proving the [[graft.Engine.Embedder]] seam end-to-end:
@@ -1157,6 +1164,23 @@ object EngineQueries {
       eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
       eng.update()
       new Engine(s, cfg).searchSparse(searchTexts)
+    }),
+
+    // Analyzer configuration — Milvus 2.5's analyzer_params on the lexical
+    // layer: the "english" analyzer filters stopwords on BOTH sides
+    // (document tokenization at layout build, query tokenization at serve),
+    // so 'the'/'a'/'with' — tokens with ~75% df in this corpus — can
+    // neither dilute idf nor hold rank slots. The oracle replays the
+    // sparse scoring with the same 33-word Lucene stoplist; a layout or
+    // query side that keeps stopwords hash-fails.
+    "q247_analyzer" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q247_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        analyzer = "english")
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      new Engine(s, cfg).searchSparse(analyzerTexts, k = 8)
     }),
 
     // group_size > 1 — Milvus 2.4.1's grouping-search depth knob: the top
@@ -2876,22 +2900,36 @@ object EngineQueries {
     * (score desc, pk asc), hydrated. The idf spelling is byte-shared with
     * the BM25 oracles (q121/q212) — `bin()`/`<<`/`//` agree with Spark's
     * `bin()`/`shiftleft()`/`DIV` on int64 for s ≥ 1. */
-  private lazy val sparseSearchSql: String = {
-    val qvalues = searchTexts.zipWithIndex
+  private lazy val sparseSearchSql: String =
+    sparseSearchSqlFor(searchTexts, Set.empty, 4)
+
+  /** Sparse-scoring replay, parameterized by query texts, an analyzer
+    * stoplist (applied to BOTH the query-term literals and the document
+    * tokenization CTE — the engine's both-sides analyzer contract), and
+    * the top-k cut. q238 uses the standard analyzer (empty stoplist, k=4);
+    * q247 the english one. */
+  private def sparseSearchSqlFor(texts: Seq[String], stop: Set[String],
+                                 k: Int): String = {
+    val qvalues = texts.zipWithIndex
       .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
       .mkString(", ")
-    val qtfvalues = searchTexts.zipWithIndex.flatMap { case (q, i) =>
-      q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    val qtfvalues = texts.zipWithIndex.flatMap { case (q, i) =>
+      q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).filterNot(stop)
         .groupBy(identity).toSeq.sortBy(_._1)
         .map { case (t, g) =>
           s"(cast($i as bigint), '${t.replace("'", "''")}', cast(${g.length} as bigint))"
         }
     }.mkString(", ")
+    val stopWhere =
+      if (stop.isEmpty) ""
+      else stop.toSeq.sorted.map(s => s"'$s'")
+        .mkString("\n  WHERE ltk NOT IN (", ", ", ")")
     s"""WITH q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
        |qt AS (SELECT * FROM (VALUES $qtfvalues) t(query_id, ltk, qtf)),
        |ltok AS (
-       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS ltk
-       |  FROM documents WHERE length(trim(text)) > 0),
+       |  SELECT doc_id, ltk FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS ltk
+       |    FROM documents WHERE length(trim(text)) > 0) u$stopWhere),
        |corp AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ltok),
        |tf AS (
        |  SELECT doc_id, ltk, count(*) AS tf FROM ltok
@@ -2915,7 +2953,7 @@ object EngineQueries {
        |  SELECT query_id, doc_id, score_bp,
        |    cast(row_number() OVER (PARTITION BY query_id
        |      ORDER BY score_bp DESC, doc_id ASC) as int) AS rank
-       |  FROM sp QUALIFY rank <= 4)
+       |  FROM sp QUALIFY rank <= $k)
        |SELECT r.query_id, q.query, r.doc_id, r.score_bp, r.rank,
        |  substring(d.text, 1, 200) AS preview
        |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
@@ -3370,6 +3408,11 @@ ORDER BY query_id, rank""")
     // sparse inner product replayed: tokenize -> tf -> df -> log2 idf ->
     // sum(qtf * tf * (idf_bp^2 DIV 10000)) -> top-4 (score desc, pk asc)
     "q238_sparse_search" -> sparseSearchSql,
+
+    // same sparse replay under the english analyzer: the stoplist filters
+    // both the query-term literals and the document tokenization CTE
+    "q247_analyzer" ->
+      sparseSearchSqlFor(analyzerTexts, graft.Engine.englishStopwords, 8),
 
     // grouped search at depth 3: groups rank by their leader, members
     // flatten in (group order, within-group order)

@@ -1479,6 +1479,42 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](eng.searchTextMatch(q, "   "))
   }
 
+  test("analyzer: english stoplist filters both layout and query sides") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-analyzer").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val en = new Engine(spark, EngineConfig(storePath = s"$dir/store",
+      indexPath = s"$dir/index", analyzer = "english"))
+    en.ingest(docs)
+    val q = Seq("the table with a value")
+    val enRes = en.searchSparse(q, k = 8).collect().toSeq
+    assert(enRes.nonEmpty)
+    // layout side: no stopword posting exists anywhere in the layout
+    import spark.implicits._
+    val toks = spark.read.parquet(s"$dir/index_lex/postings")
+      .select("tok").distinct().as[String].collect().toSet
+    assert(toks.intersect(Engine.englishStopwords).isEmpty,
+      "a stopword leaked into the english postings layout")
+    // query side: stopwords in the query are invisible — pre-stripping
+    // them changes nothing (scores AND ranks)
+    assert(en.searchSparse(Seq("table value"), k = 8).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getInt(4))) ==
+      enRes.map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getInt(4))))
+    // a stopword-only query has no analyzed terms → reject, like an empty one
+    intercept[IllegalArgumentException](en.searchTextMatch(q, "the with a"))
+    // the standard analyzer provably diverges: 'the' is a scoring term
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-analyzer2").toString
+    val std = new Engine(spark, EngineConfig(storePath = s"$dir2/store",
+      indexPath = s"$dir2/index"))
+    std.ingest(docs)
+    val stdRes = std.searchSparse(q, k = 8).collect().toSeq
+    assert(stdRes.map(_.getLong(3)) != enRes.map(_.getLong(3)),
+      "standard and english analyzers must score a stopword-laden query differently")
+    // unknown analyzer: loud reject, never a silent standard fallback
+    val bad = new Engine(spark, EngineConfig(storePath = s"$dir/store",
+      indexPath = s"$dir/index", analyzer = "turkish"))
+    intercept[IllegalArgumentException](bad.searchSparse(q))
+  }
+
   test("searchPhraseMatch: adjacency-verified eligibility, candidates from postings") {
     val dir = java.nio.file.Files.createTempDirectory("graft-phrase").toString
     val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
