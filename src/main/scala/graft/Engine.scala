@@ -39,7 +39,10 @@ final case class EngineConfig(
     // the reference's index_type knob (config.yml:79, Milvus index types):
     // FLAT (always brute), IVF_FLAT (cell-pruned exact — the reference's
     // own value), IVF_PQ (cell-pruned ADC over persisted codes + exact
-    // re-rank). Selects the SERVING strategy of the same logical index.
+    // re-rank), IVF_SQ8 (cell-pruned scalar-quantized reconstructions),
+    // IVF_RABITQ (cell-pruned binary sign codes + Hamming cut + exact
+    // refine — Milvus 2.6's RaBitQ shape). Selects the SERVING strategy
+    // of the same logical index.
     indexType: String = "IVF_FLAT",
     // IVF_PQ sub-quantizer shape (faiss IndexIVFPQ's m / nbits) + the
     // seeded-codebook seed and the exact-re-rank candidate depth
@@ -977,6 +980,12 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
               VectorSearch.appendSq8(
                 assigned.select(col("doc_id"), col("chunk_id"), col("cell"), col("vec")),
                 "vec", ivfPath)
+            // sign codes for the appended batch (data-independent packing —
+            // no trained state constrains a binary-quantization extend)
+            if (cfg.indexType == "IVF_RABITQ")
+              VectorSearch.appendBin(
+                assigned.select(col("doc_id"), col("chunk_id"), col("cell"), col("vec")),
+                "vec", cfg.embedDim, ivfPath)
           }
           // the layout now reflects the post-append index (append died
           // midway → fingerprint stays stale → next ivfIndex() rebuilds;
@@ -1893,6 +1902,21 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         val idx = ivfIndex()
         gate(scoped(VectorSearch.sq8ScoredCandidates(spark, ivfPath, idx.centroids, qdf, cfg.nprobe)))
       }
+      else if (cfg.indexType == "IVF_RABITQ") {
+        // binary-quantization tier (Milvus 2.6 RaBitQ): probe-pruned
+        // Hamming cut over persisted sign codes (xor+popcount — integer
+        // work on 1/32 the bytes), then exact refine of the pqRerank
+        // survivors against the full vectors. Codes are gated (eligible/
+        // expired/scope) BEFORE the cut so ineligible docs can't crowd
+        // eligible ones out of the rerank pool.
+        val idx = ivfIndex()
+        val cand = VectorSearch.binHammingCandidates(gate(scoped(binCodes())),
+          idx.centroids, qdf, cfg.pqRerank, cfg.embedDim, cfg.nprobe,
+          idCol = "chunk_id")
+        index().join(broadcast(cand), Seq("chunk_id"))
+          .join(broadcast(qdf), Seq("query_id"))
+          .withColumn("score", round(VectorFns.cosineSim(col("vec"), col("query_vec")), 4))
+      }
       else gate(scoped(ivfIndex().scoredCandidates(qdf, cfg.nprobe)))
     scored
   }
@@ -2617,6 +2641,8 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       s"IVF_PQ;nlist=${cfg.nlist};dim=${cfg.embedDim};m=${cfg.pqM};" +
         s"codes=${cfg.pqCodes};seed=${cfg.pqSeed}"
     case "IVF_SQ8" => s"IVF_SQ8;nlist=${cfg.nlist};dim=${cfg.embedDim}"
+    case "IVF_RABITQ" =>
+      s"IVF_RABITQ;nlist=${cfg.nlist};dim=${cfg.embedDim};rerank=${cfg.pqRerank}"
     case t => s"$t;nlist=${cfg.nlist}"
   }
 
@@ -2683,6 +2709,8 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
             cfg.pqCodes, cfg.pqSeed, ivfPath)
         if (cfg.indexType == "IVF_SQ8")
           VectorSearch.writeSq8(built, ivfPath)
+        if (cfg.indexType == "IVF_RABITQ")
+          VectorSearch.writeBin(built, cfg.embedDim, ivfPath)
         stampFingerprint(fp)
         // record the training population: [[maintain]]'s growth policy
         // measures appended-since-retrain against this stamp
@@ -2760,6 +2788,13 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   private def pqCodes(): DataFrame = {
     ivfIndex() // ensures the layout (cells + codes) is current
     VectorSearch.loadPqCodes(spark, ivfPath)
+  }
+
+  /** The persisted sign codes of an IVF_RABITQ layout, built-if-stale via
+    * [[ivfIndex]] (one call sequences both layouts under the same lock). */
+  private def binCodes(): DataFrame = {
+    ivfIndex() // ensures the layout (cells + codes) is current
+    VectorSearch.loadBin(spark, ivfPath)
   }
 
   /**

@@ -720,6 +720,89 @@ object VectorSearch {
       .select(col(queryIdCol), col(idCol))
   }
 
+  /** Sign-bit packing of a float-vector column into ceil(dim/64) longs —
+    * the 1-bit-per-dimension binary quantization RaBitQ/one-bit codes use
+    * (Milvus 2.6's RABITQ index type quantizes exactly this way before its
+    * refine stage). Pure SQL expression (aggregate/zip_with/shiftleft), so
+    * the packing codegens and the oracle can replay the SIGN comparison
+    * directly on the float lists. */
+  private def binPackExpr(vecCol: String, dim: Int): String = {
+    val words = (dim + 63) / 64
+    val parts = (0 until words).map { w =>
+      val from = w * 64 + 1
+      val len = math.min(64, dim - w * 64)
+      s"aggregate(zip_with(slice($vecCol, $from, $len), sequence(0, ${len - 1}), " +
+        s"(x, i) -> IF(x > 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
+    }
+    s"array(${parts.mkString(", ")})"
+  }
+
+  /**
+   * Persist the binary-quantization companion of an IVF layout: each
+   * indexed vector's sign bits packed to ceil(dim/64) longs (a 32×
+   * compression at dim 64/float32), hive-partitioned by cell so a probe
+   * partition-prunes the code scan — Milvus 2.6's IVF+RaBitQ on-disk
+   * shape. All non-vector cell columns ride through (the delete-
+   * maintenance anti-join contract [[writePqCodes]] documents).
+   */
+  def writeBin(index: IvfIndex, dim: Int, path: String): Unit =
+    index.cells
+      .withColumn("bcode", expr(binPackExpr(index.vecCol, dim)))
+      .drop(index.vecCol)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/bincodes")
+
+  /** Append freshly assigned rows' sign codes — the incremental-extend
+    * companion of [[writeBin]] (sign packing is data-independent, so no
+    * trained state constrains the append; rows must carry `cell`). */
+  def appendBin(assigned: DataFrame, vecCol: String, dim: Int, path: String): Unit =
+    assigned
+      .withColumn("bcode", expr(binPackExpr(vecCol, dim)))
+      .drop(vecCol)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/bincodes")
+
+  /** The persisted sign codes of a layout written by [[writeBin]]. */
+  def loadBin(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/bincodes")
+
+  /**
+   * Binary-quantization candidate cut (the RaBitQ serving front half):
+   * probe `nprobe` cells per query (the [[IvfIndex.search]] centroid
+   * window), rank the probed cells' sign codes by Hamming distance to the
+   * query's sign code (xor + popcount per packed word — integer-exact,
+   * ~16 bytes and 2 bit-ops per pair where the float scan pays 256 bytes
+   * and 64 FMAs), keep `kCand` ids per query (ties → lowest id). Callers
+   * exact-re-rank the survivors against the full-precision vectors —
+   * RaBitQ's refine stage.
+   */
+  def binHammingCandidates(codes: DataFrame, centroids: DataFrame,
+                           queries: DataFrame, kCand: Int, dim: Int,
+                           nprobe: Int, idCol: String,
+                           queryIdCol: String = "query_id",
+                           queryVecCol: String = "query_vec"): DataFrame = {
+    val cwin = Window.partitionBy(col(queryIdCol))
+      .orderBy(VectorFns.cosineSim(col(queryVecCol), col("centroid")).desc, col("cell").asc)
+    val probed = queries.crossJoin(broadcast(centroids))
+      .withColumn("crank", row_number().over(cwin))
+      .filter(col("crank") <= nprobe)
+      .select(col(queryIdCol), col("cell"))
+    val qcodes = queries
+      .withColumn("qcode", expr(binPackExpr(queryVecCol, dim)))
+      .select(col(queryIdCol), col("qcode"))
+    val words = (dim + 63) / 64
+    val hdExpr = (0 until words)
+      .map(w => s"bit_count(bcode[$w] ^ qcode[$w])").mkString(" + ")
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("hd").asc, col(idCol).asc)
+    codes.join(broadcast(probed), Seq("cell"))
+      .join(broadcast(qcodes), Seq(queryIdCol))
+      .withColumn("hd", expr(hdExpr))
+      .withColumn("hrank", row_number().over(w))
+      .filter(col("hrank") <= kCand)
+      .select(col(queryIdCol), col(idCol))
+  }
+
   /** The SQ8 code column: per-dim affine quantization to [0,255] against
     * broadcast-literal bounds, clamped — build-time vectors are inside the
     * bounds by construction (no-op clamp); incrementally appended vectors

@@ -1166,6 +1166,24 @@ object EngineQueries {
       new Engine(s, cfg).searchSparse(searchTexts)
     }),
 
+    // Binary-quantization serving — Milvus 2.6's RaBitQ index shape: the
+    // engine persists 1-bit sign codes beside the IVF layout (32×
+    // compression), serves the candidate cut by Hamming distance
+    // (xor+popcount over packed longs), and exact-refines the top-20
+    // survivors against the full vectors. nprobe = nlist here so the
+    // oracle replays the global Hamming cut without the centroid CTEs;
+    // cell pruning itself is q24/q188's graded property.
+    "q248_engine_rabitq" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q248_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L, indexType = "IVF_RABITQ")
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      new Engine(s, cfg).search(searchTexts)
+    }),
+
     // Analyzer configuration — Milvus 2.5's analyzer_params on the lexical
     // layer: the "english" analyzer filters stopwords on BOTH sides
     // (document tokenization at layout build, query tokenization at serve),
@@ -3413,6 +3431,33 @@ ORDER BY query_id, rank""")
     // both the query-term literals and the document tokenization CTE
     "q247_analyzer" ->
       sparseSearchSqlFor(analyzerTexts, graft.Engine.englishStopwords, 8),
+
+    // the RaBitQ replay: global Hamming cut over the SIGN comparison of
+    // the same normalized embeddings (nprobe = nlist, so no probe window),
+    // exact cosine refine of the top-20 survivors, then the usual per-doc
+    // best / top-k reduction — a sign-pack or popcount bug hash-fails
+    "q248_engine_rabitq" -> lifecycleSearchSql.replace(
+      """scored AS (
+        |  SELECT q.query_id, q.query, n.doc_id,
+        |    round(CASE WHEN n.nrm = 0 OR q.nrm = 0 THEN 0.0
+        |               ELSE list_cosine_similarity(n.v, q.v) END, 4) AS score
+        |  FROM nv n CROSS JOIN qnv q),""".stripMargin,
+      """ham AS (
+        |  SELECT q.query_id, q.query, n.doc_id, n.chunk_id,
+        |    n.v AS dv, n.nrm AS dnrm, q.v AS qv, q.nrm AS qnrm,
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      CASE WHEN (n.v[i] > 0) <> (q.v[i] > 0) THEN 1 ELSE 0 END)) AS hd
+        |  FROM nv n CROSS JOIN qnv q),
+        |cand AS (
+        |  SELECT * FROM (
+        |    SELECT *, cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hd ASC, chunk_id ASC) as int) AS hrank
+        |    FROM ham) h WHERE hrank <= 20),
+        |scored AS (
+        |  SELECT query_id, query, doc_id,
+        |    round(CASE WHEN dnrm = 0 OR qnrm = 0 THEN 0.0
+        |               ELSE list_cosine_similarity(dv, qv) END, 4) AS score
+        |  FROM cand),""".stripMargin),
 
     // grouped search at depth 3: groups rank by their leader, members
     // flatten in (group order, within-group order)

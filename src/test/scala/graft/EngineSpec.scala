@@ -1479,6 +1479,40 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](eng.searchTextMatch(q, "   "))
   }
 
+  test("IVF_RABITQ: persisted sign codes, Hamming cut + exact refine, extend coverage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rabitq").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L, indexType = "IVF_RABITQ")
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs.filter(col("doc_id") % 2 === 0))
+    eng.update()
+    val q = Seq("data processing pipeline")
+    val res = eng.search(q).collect().toSeq
+    assert(res.size == cfg.limit && res == eng.search(q).collect().toSeq)
+    // the persisted layout: cell-partitioned sign codes, one packed long
+    // per 64 dims, full vectors NOT in the code rows
+    val codes = spark.read.parquet(s"$dir/index_ivf/bincodes")
+    assert(codes.columns.contains("bcode") && !codes.columns.contains("vec"))
+    import spark.implicits._
+    assert(codes.select(size(col("bcode"))).as[Int].head() == 1) // dim 64 → 1 word
+    assert(new java.io.File(s"$dir/index_ivf/bincodes").listFiles()
+      .exists(_.getName.startsWith("cell=")), "codes must be cell-partitioned")
+    // incremental extend appends codes for exactly the fresh chunks
+    eng.ingest(docs.filter(col("doc_id") % 2 === 1))
+    eng.updateIncremental()
+    assert(spark.read.parquet(s"$dir/index_ivf/bincodes").count() == eng.index().count(),
+      "sign codes must cover the extended index")
+    assert(eng.search(q).collect().toSeq.size == cfg.limit)
+    // refine-everything degenerates to the exact brute scan: a rerank pool
+    // wider than the index makes the Hamming cut a no-op, so the RaBitQ
+    // serve must be byte-identical to FLAT
+    val wide = new Engine(spark, cfg.copy(pqRerank = 1000000))
+    val flat = new Engine(spark, cfg.copy(indexType = "FLAT"))
+    assert(wide.search(q).collect().toSeq == flat.search(q).collect().toSeq,
+      "RABITQ with an index-wide refine pool must equal the exact scan")
+  }
+
   test("analyzer: english stoplist filters both layout and query sides") {
     val dir = java.nio.file.Files.createTempDirectory("graft-analyzer").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
