@@ -726,6 +726,63 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   }
 
   /**
+   * JSON-path inverted index — Milvus 2.6's JSON field index
+   * (`create_index` with `json_path`): a persisted value→doc_id layout
+   * over one JSON path, so an equality filter on that path serves WITHOUT
+   * parsing JSON per row. The layout is value-hash bucket-partitioned
+   * (the postings discipline): a lookup's bucket is a plan-time constant
+   * → directory pruning, and the store read degrades to a doc_id
+   * semi-join hydration — at 100 TB the difference between "parse every
+   * meta blob" and "read one bucket directory + the matching rows".
+   * Built lazily at first use, store-fingerprint-stamped (a moved store
+   * rebuilds — the [[buildLex]] staleness discipline); one layout per
+   * (field, path), so indexing several paths is several cheap layouts,
+   * exactly Milvus's per-path JSON indexes.
+   */
+  def queryJsonIndexed(field: String, jsonPath: String, value: String,
+                       outputFields: Seq[String] = Nil, limit: Int = 0): DataFrame = {
+    admit()
+    require(value != null && value.nonEmpty, "queryJsonIndexed needs a value")
+    val root = ensureJsonIdx(field, jsonPath)
+    val b = graft.operators.InvertedIndex.bucketOfTerm(value)
+    val ids = spark.read.parquet(s"$root/postings")
+      .filter(col("vb") === b && col("v") === value)
+      .select(col("doc_id"))
+    val cols = ("doc_id" +: outputFields).distinct.map(col(_))
+    val base = ttlGate(store().join(ids, Seq("doc_id"), "left_semi")).select(cols: _*)
+    if (limit <= 0) base else base.orderBy(col("doc_id")).limit(limit)
+  }
+
+  /** One layout directory per indexed (field, json path) pair. */
+  private def jsonIdxRoot(field: String, jsonPath: String): String = {
+    val slug = (field + "_" + jsonPath).replaceAll("[^A-Za-z0-9]+", "_")
+    s"${cfg.indexPath}_json/$slug"
+  }
+
+  /** Build-if-stale: extract the path once over the store (the only
+    * corpus-sized pass, paid at index time like every inverted layout),
+    * bucket-partition by value hash, stamp LAST (a torn build stays stale
+    * and rebuilds). */
+  private def ensureJsonIdx(field: String, jsonPath: String): String = {
+    val root = jsonIdxRoot(field, jsonPath)
+    val stamp = new org.apache.hadoop.fs.Path(s"$root/_STORE_FINGERPRINT")
+    val fp = s"${pathFingerprint(cfg.storePath)}|JSON;" +
+      s"buckets=${graft.operators.InvertedIndex.nBuckets}"
+    if (!readStamp(stamp).contains(fp)) synchronized {
+      if (!readStamp(stamp).contains(fp)) {
+        widen(store())
+          .select(col("doc_id"), get_json_object(col(field), jsonPath).as("v"))
+          .filter(col("v").isNotNull)
+          .withColumn("vb", graft.operators.InvertedIndex.bucket(col("v")))
+          .repartition(col("vb"))
+          .write.mode("overwrite").partitionBy("vb").parquet(s"$root/postings")
+        writeStamp(stamp, fp)
+      }
+    }
+    root
+  }
+
+  /**
    * Point hydration — Milvus's `get(ids, output_fields)`: the pk-list
    * special case of [[query]]. The id list becomes a pushed `In` filter,
    * so on a [[compact]]ed (range-clustered) store a point get opens only

@@ -1346,6 +1346,24 @@ object EngineQueries {
         Seq("meta"), limit = 150)
     }),
 
+    // JSON path index — Milvus 2.6's JSON field index: a persisted
+    // value→doc_id layout over one JSON path serves the equality filter
+    // with directory pruning + a doc_id semi-join, never a per-row JSON
+    // parse (q244 is the unindexed sibling). The fresh Engine proves the
+    // layout is discovered (and staleness-checked) from disk.
+    "q249_json_index" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q249_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars")
+        .withColumn("meta", format_string(
+          """{"lang":"%s","n_chars":%d}""", col("lang"), col("n_chars")))
+      eng.ingest(docs.select("doc_id", "text", "meta"))
+      new Engine(s, cfg)
+        .queryJsonIndexed("meta", "$.lang", "es", Seq("meta"), limit = 150)
+    }),
+
     // Clustering compaction — Milvus 2.4's clustering_key compaction: the
     // store rewrites range-clustered on a scalar field so filtered reads
     // prune to the files whose footer min/max straddle the predicate.
@@ -3393,6 +3411,16 @@ ORDER BY query_id, rank"""),
         |    printf('{"lang":"%s","n_chars":%d}', lang, n_chars) AS meta
         |  FROM documents) t
         |WHERE lang = 'en' AND n_chars > 500
+        |ORDER BY doc_id LIMIT 150""".stripMargin,
+
+    // the indexed path lookup replays as the plain filter from the base
+    // column the JSON was built from
+    "q249_json_index" ->
+      """SELECT doc_id, meta FROM (
+        |  SELECT doc_id, lang,
+        |    printf('{"lang":"%s","n_chars":%d}', lang, n_chars) AS meta
+        |  FROM documents) t
+        |WHERE lang = 'es'
         |ORDER BY doc_id LIMIT 150""".stripMargin,
 
     // layout moved, content didn't: the filter replays over the raw corpus

@@ -1479,6 +1479,41 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](eng.searchTextMatch(q, "   "))
   }
 
+  test("queryJsonIndexed: bucket-pruned value lookup, no per-row JSON parse, stale rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonidx").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang")
+      .withColumn("meta", format_string("""{"lang":"%s"}""", col("lang")))
+      .select("doc_id", "text", "meta")
+    eng.ingest(docs.filter(col("doc_id") % 3 =!= 0))
+    val res = eng.queryJsonIndexed("meta", "$.lang", "es", Seq("meta"))
+      .orderBy("doc_id").collect().toSeq
+    // semantic parity with the unindexed JSON-path filter
+    assert(res == eng.query(get_json_object(col("meta"), "$.lang") === "es", Seq("meta"))
+      .orderBy("doc_id").collect().toSeq)
+    assert(res.nonEmpty)
+    // the layout: value-hash bucket directories; the serving plan reads it
+    // with a vb partition filter and parses no JSON
+    assert(new java.io.File(s"$dir/index_json").listFiles().nonEmpty)
+    val plan = eng.queryJsonIndexed("meta", "$.lang", "es", Seq("meta"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("vb"), "bucket column missing from the serving plan")
+    assert(!plan.toLowerCase.contains("get_json_object"),
+      "the indexed lookup must not parse JSON at serve time")
+    // staleness: a post-build ingest moves the store fingerprint — the
+    // next lookup rebuilds and sees the new docs (fresh engine: from disk)
+    eng.ingest(docs.filter(col("doc_id") % 3 === 0))
+    import spark.implicits._
+    val all = new Engine(spark, cfg)
+      .queryJsonIndexed("meta", "$.lang", "es").select("doc_id").as[Long].collect().toSet
+    val expect = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === "es").select("doc_id").as[Long].collect().toSet
+    assert(all == expect, "stale json index served after the store moved")
+    intercept[IllegalArgumentException](eng.queryJsonIndexed("meta", "$.lang", ""))
+  }
+
   test("IVF_RABITQ: persisted sign codes, Hamming cut + exact refine, extend coverage") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rabitq").toString
     val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
