@@ -245,6 +245,41 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   }
 
   /**
+   * Schema-less ingest — Milvus's `enable_dynamic_field`: columns the
+   * collection schema does not declare are not rejected, they are packed
+   * into a single JSON `$meta` column at the door (Milvus stores them in
+   * exactly such a hidden JSON field) and stay queryable through [[dyn]]
+   * path extraction — so upstream producers can add fields without a
+   * schema migration, and the store's physical schema never churns.
+   * Dynamic columns pack NAME-SORTED (`to_json(struct(sorted))`) so the
+   * payload bytes are deterministic regardless of the producer's column
+   * order — the digest-upsert contract ([[upsert]]'s `to_json` digest)
+   * sees byte-equal `$meta` for semantically equal rows. `declared` lists
+   * the schema columns beyond the always-declared `doc_id`/`text`;
+   * everything else in `docs` is dynamic. Rows where every dynamic column
+   * is null pack to `{}` (to_json drops null fields), never null — the
+   * column itself is total.
+   */
+  def ingestDynamic(docs: DataFrame, declared: Seq[String] = Nil,
+                    keyCol: String = "doc_id"): Unit = {
+    val fixed = (Seq(keyCol, "text") ++ declared).distinct
+    val dynamic = docs.columns.filterNot(fixed.contains).sorted
+    val packed =
+      if (dynamic.isEmpty) docs.withColumn(Engine.DynamicField, lit("{}"))
+      else docs.withColumn(Engine.DynamicField,
+        to_json(struct(dynamic.map(col(_)): _*)))
+        .drop(dynamic: _*)
+    ingest(packed, keyCol)
+  }
+
+  /** A dynamic field's read-side accessor (Milvus lets filter exprs name
+    * dynamic fields directly; here the `$meta` hop is explicit): the
+    * JSON-path extraction over [[ingestDynamic]]'s packed column. Returns
+    * a string column (cast at the call site for numeric predicates). */
+  def dyn(field: String): Column =
+    get_json_object(col(Engine.DynamicField), s"$$.$field")
+
+  /**
    * Gate at the door for tenant values, enforced on EVERY ingest under a
    * `partition_key` config (including a legacy flat store — [[compact]]
    * migrates it later, and a value rejected here can never reach a tenant
@@ -726,6 +761,30 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   }
 
   /**
+   * The reference's `retrieve` verb VERBATIM (`vdb.py:218-223`:
+   * `collection.query(expr=epr, limit=self.page_limit)`): the filter
+   * arrives as a raw Milvus expression STRING — `==`, `&&`, `in [..]`,
+   * `like`, JSON path access `meta["k"]`, dynamic-field names — and is
+   * translated syntactically to Spark SQL ([[graft.functions.MilvusExpr]])
+   * before running through [[query]]'s pushed-filter path. Identifiers
+   * that are not physical columns resolve through the hidden `$meta`
+   * column when [[ingestDynamic]] created one — Milvus's
+   * `enable_dynamic_field` lookup rule. An empty expr returns the first
+   * `limit` documents by pk, exactly Milvus's behavior for `expr=''`.
+   * `limit` defaults to the reference's `page_limit` default (vdb.py:12).
+   */
+  def retrieve(epr: String = "", outputFields: Seq[String] = Nil,
+               limit: Int = 100): DataFrame = {
+    val cols = store().columns
+    val pred =
+      if (epr.trim.isEmpty) lit(true)
+      else expr(graft.functions.MilvusExpr.toSparkSql(
+        epr, cols.toSet,
+        if (cols.contains(Engine.DynamicField)) Some(Engine.DynamicField) else None))
+    query(pred, outputFields, limit)
+  }
+
+  /**
    * JSON-path inverted index — Milvus 2.6's JSON field index
    * (`create_index` with `json_path`): a persisted value→doc_id layout
    * over one JSON path, so an equality filter on that path serves WITHOUT
@@ -772,6 +831,149 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       if (!readStamp(stamp).contains(fp)) {
         widen(store())
           .select(col("doc_id"), get_json_object(col(field), jsonPath).as("v"))
+          .filter(col("v").isNotNull)
+          .withColumn("vb", graft.operators.InvertedIndex.bucket(col("v")))
+          .repartition(col("vb"))
+          .write.mode("overwrite").partitionBy("vb").parquet(s"$root/postings")
+        writeStamp(stamp, fp)
+      }
+    }
+    root
+  }
+
+  /**
+   * Scalar inverted index — Milvus's INVERTED/BITMAP scalar index types
+   * (`create_index` on a plain scalar field): the [[queryJsonIndexed]]
+   * discipline without the JSON hop — a persisted value→doc_id layout
+   * over one store column, value-hash bucket-partitioned, so an equality
+   * filter on a low-cardinality column (the BITMAP sweet spot: lang,
+   * source, category) serves as one bucket directory read + a doc_id
+   * semi-join hydration instead of a corpus column scan. Same lifecycle:
+   * lazily built, store-fingerprint-stamped, stale rebuilds; one layout
+   * per field, several indexed fields are several cheap layouts.
+   */
+  def queryScalarIndexed(field: String, value: String,
+                         outputFields: Seq[String] = Nil, limit: Int = 0): DataFrame = {
+    admit()
+    require(value != null && value.nonEmpty, "queryScalarIndexed needs a value")
+    val root = ensureScalarIdx(field)
+    val b = graft.operators.InvertedIndex.bucketOfTerm(value)
+    val ids = spark.read.parquet(s"$root/postings")
+      .filter(col("vb") === b && col("v") === value)
+      .select(col("doc_id"))
+    val cols = ("doc_id" +: outputFields).distinct.map(col(_))
+    val base = ttlGate(store().join(ids, Seq("doc_id"), "left_semi")).select(cols: _*)
+    if (limit <= 0) base else base.orderBy(col("doc_id")).limit(limit)
+  }
+
+  /**
+   * Near-duplicate retrieval — Milvus 2.6's MINHASH_LSH index type, the
+   * dedup-at-serve verb ("is this text already in the corpus?" — the
+   * ingest-time contamination gate a training-data deployment runs on
+   * every candidate batch): store documents whose word-3-shingle Jaccard
+   * with a query text reaches `threshold`, candidates generated by banded
+   * minhash (16 hashes, 4 bands — [[graft.operators.Dedup]]'s spelling on
+   * BOTH sides) against a PERSISTED signature layout, then verified with
+   * the exact shingle intersection. Serving reads two SLIM layouts and no
+   * text bytes: the bands table joins the broadcast query bands (corpus
+   * band rows are (doc_id, band, band_sig, sz) — hash-sized, 4 rows/doc),
+   * and the shingle table is read once, semi-joined down to the candidate
+   * docs before the intersection count. At 100 TB the text never re-
+   * shingles at serve time — the layout is built once per store
+   * fingerprint, extends riding the usual stale-stamp rebuild discipline.
+   * Returns (query_id, doc_id, inter, sz_q, sz_d, jaccard) ranked per
+   * query by jaccard desc, doc_id asc. Query ids index `texts`; store pks
+   * are assumed non-negative (Milvus auto-id pks are).
+   */
+  def searchNearDup(texts: Seq[String], threshold: Double = 0.3): DataFrame = {
+    admit()
+    require(texts.nonEmpty, "searchNearDup needs at least one query text")
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val root = ensureMinhashIdx()
+    import spark.implicits._
+    val qdf = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("query_id", "query")
+    // query side through the SAME shingle/minhash/band spelling the layout
+    // was built with (a spelling fork here is the zero-recall bug)
+    val qsh = graft.operators.Dedup.shingleTable(qdf, "query", "query_id", 3)
+      .localCheckpoint(true) // tiny; feeds bands AND the intersection join
+    val qsig = graft.operators.Dedup.minhashWide(qsh, "query_id", 16)
+    val qbands = graft.operators.Dedup.bandSignatures(qsig, "query_id", 16, 4)
+    val qsz = qsig.select(col("query_id"), col("sz").as("sz_q"))
+    // candidates: broadcast the (tiny) query bands against the persisted
+    // band table; sz rides the band rows (denormalized at build) so no
+    // separate sizes join is needed
+    val cand = spark.read.parquet(s"$root/bands")
+      .join(broadcast(qbands), Seq("band", "band_sig"))
+      .select(col("query_id"), col("doc_id"), col("sz").as("sz_d"))
+      .distinct()
+    val gated = expiredIds().fold(cand)(x =>
+      cand.join(broadcast(x), Seq("doc_id"), "left_anti"))
+    // exact verify: candidate docs' shingles only (semi-join cut), one
+    // broadcast hash join against the query shingles
+    val candIds = gated.select("doc_id").distinct()
+    val inter = spark.read.parquet(s"$root/shingles")
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .join(broadcast(qsh), "shingle")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("inter"))
+    gated.join(inter, Seq("query_id", "doc_id"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(broadcast(qsz), "query_id")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_q") + col("sz_d") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("query_id"), col("doc_id"), col("inter"),
+        col("sz_q"), col("sz_d"), col("jaccard"))
+      .orderBy(col("query_id"), col("jaccard").desc, col("doc_id"))
+  }
+
+  /** [[searchNearDup]]'s layout root. */
+  private def minhashRoot: String = s"${cfg.indexPath}_minhash"
+
+  /** Build-if-stale: shingle + minhash + band the WHOLE store once per
+    * store fingerprint (the corpus-sized pass every inverted layout pays
+    * at build time), persist two slim tables — shingles (doc_id, shingle)
+    * for the exact verify, bands (doc_id, band, band_sig, sz) with the
+    * shingle-set size denormalized on — and stamp LAST (a torn build
+    * stays stale and rebuilds). */
+  private def ensureMinhashIdx(): String = {
+    val root = minhashRoot
+    val stamp = new org.apache.hadoop.fs.Path(s"$root/_STORE_FINGERPRINT")
+    val fp = s"${pathFingerprint(cfg.storePath)}|MINHASH;sh=3;nh=16;bands=4"
+    if (!readStamp(stamp).contains(fp)) synchronized {
+      if (!readStamp(stamp).contains(fp)) {
+        val sh = graft.operators.Dedup
+          .shingleTable(store().select(col("doc_id"), col("text")), "text", "doc_id", 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sh.write.mode("overwrite").parquet(s"$root/shingles")
+        val sig = graft.operators.Dedup.minhashWide(sh, "doc_id", 16)
+        graft.operators.Dedup.bandSignatures(sig, "doc_id", 16, 4)
+          .join(sig.select(col("doc_id"), col("sz")), "doc_id")
+          .write.mode("overwrite").parquet(s"$root/bands")
+        sh.unpersist(blocking = false)
+        writeStamp(stamp, fp)
+      }
+    }
+    root
+  }
+
+  /** One layout directory per indexed scalar field. */
+  private def scalarIdxRoot(field: String): String =
+    s"${cfg.indexPath}_scalar/${field.replaceAll("[^A-Za-z0-9]+", "_")}"
+
+  /** Build-if-stale — [[ensureJsonIdx]]'s discipline with the column value
+    * itself as the posting key (cast to string so the layout's bucket
+    * hash is type-stable). */
+  private def ensureScalarIdx(field: String): String = {
+    val root = scalarIdxRoot(field)
+    val stamp = new org.apache.hadoop.fs.Path(s"$root/_STORE_FINGERPRINT")
+    val fp = s"${pathFingerprint(cfg.storePath)}|SCALAR;" +
+      s"buckets=${graft.operators.InvertedIndex.nBuckets}"
+    if (!readStamp(stamp).contains(fp)) synchronized {
+      if (!readStamp(stamp).contains(fp)) {
+        widen(store())
+          .select(col("doc_id"), col(field).cast("string").as("v"))
           .filter(col("v").isNotNull)
           .withColumn("vb", graft.operators.InvertedIndex.bucket(col("v")))
           .repartition(col("vb"))
@@ -1202,6 +1404,24 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       }
     }
     removed
+  }
+
+  /**
+   * Predicate deletion — Milvus's `delete(expr)` form (the id-list form is
+   * [[delete]]): resolve the doomed keys with ONE slim filtered scan of
+   * the store (pk column only — the predicate and the single-column
+   * projection reach the scan as PushedFilters/ReadSchema, so on a 100 TB
+   * store this reads the row groups the filter selects, never the corpus),
+   * then run the exact id-keyed lifecycle — store rewrite, index prune,
+   * layout maintenance, lexical invalidation — [[delete]] already owns.
+   * The key frame is PINNED before any rewrite starts: [[delete]]
+   * overwrites the very path the predicate scan reads, and a lazy key
+   * frame would re-resolve against a half-rewritten store.
+   */
+  def deleteWhere(pred: Column): Long = {
+    val ids = store().filter(pred).select(col("doc_id"))
+      .localCheckpoint(true) // pin BEFORE delete() overwrites the store
+    delete(ids)
   }
 
   /** [[delete]]'s store rewrite on a FLAT layout: one broadcast anti join,
@@ -2138,6 +2358,57 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   }
 
   /**
+   * Decay reranking — Milvus 2.6's decay ranker (`Function` with
+   * `reranker=decay`, here the `linear` shape): the vector relevance of
+   * every candidate is multiplied by a freshness factor computed from a
+   * numeric document field, so "similar but stale" ranks below "similar
+   * and current" — the news/changelog retrieval shape. Semantics:
+   *
+   *   decay(x) = max(0, (scale − max(|x − origin| − offset, 0)) / scale)
+   *   final    = round(best_chunk_score · decay(x), 4)
+   *
+   * (Milvus's linear decay formula exactly; gauss/exp differ only in the
+   * shape function). The decay applies to the FULL per-doc candidate pool
+   * — before the top-k cut — so a decayed doc outside the vector top-k
+   * can still win on freshness, which a post-hoc rerank of k rows cannot
+   * do. Linear decay is pure +,−,×,÷ — every operation is IEEE
+   * correctly-rounded, so the DuckDB oracle replays the doubles
+   * bit-exactly (a `pow`-based gauss shape would be library-dependent in
+   * the last ulp). Cost over [[search]]: one doc-keyed join attaching the
+   * decay field to the per-doc best frame (k-free, corpus-doc-sized at
+   * worst — the same frame the ranking window already shuffles) and the
+   * scalar math; the hydration join and every index strategy are shared.
+   */
+  def searchDecay(queries: Seq[String], field: String, origin: Double,
+                  scale: Double, decayOffset: Double = 0.0): DataFrame = {
+    require(scale > 0, s"decay scale must be positive, got $scale")
+    require(decayOffset >= 0, s"decay offset must be non-negative, got $decayOffset")
+    admit()
+    val qdf = queryDf(queries)
+    val best = scoredChunks(qdf, None)
+      .groupBy(col("query_id"), col("query"), col("doc_id"))
+      .agg(max(col("score")).as("__vscore"))
+    val withX = best.join(
+      activeStore().select(col("doc_id"), col(field).cast("double").as("__x")),
+      Seq("doc_id"))
+    val decay = greatest(lit(0.0),
+      (lit(scale) - greatest(abs(col("__x") - lit(origin)) - lit(decayOffset),
+        lit(0.0))) / lit(scale))
+    val rescored = withX.withColumn("score", round(col("__vscore") * decay, 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val topk = rescored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cfg.limit)
+      .select(col("query_id"), col("query"), col("doc_id"), col("score"), col("rank"))
+    store().join(broadcast(topk), "doc_id")
+      .select(col("query_id"), col("query"), col("doc_id"), col("score"),
+        col("rank"), substring(col("text"), 1, 200).as("preview"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
    * Grouping search — Milvus 2.4's `group_by_field` search parameter: the
    * top `cfg.limit` GROUPS per query (distinct values of a document
    * column), each represented by its best-scoring document — the
@@ -2939,6 +3210,11 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
 }
 
 object Engine {
+
+  /** The hidden JSON column [[graft.Engine#ingestDynamic]] packs
+    * undeclared columns into — Milvus names its dynamic-field container
+    * exactly `$meta`. */
+  val DynamicField: String = "$meta"
 
   /** The "english" analyzer's stopword list — Lucene's classic 33-word
     * EnglishAnalyzer default, a fixed public constant so document-side

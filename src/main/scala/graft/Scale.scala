@@ -99,7 +99,7 @@ object Scale {
     }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective",
       "incdedup", "cc", "export", "spans", "invidx", "pq", "maxsim", "ivfpq",
       "snm", "rangeivf", "filtered", "binary", "drain", "lexserve", "vecdrain",
-      "growing", "cluster"))
+      "growing", "cluster", "scalaridx"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -598,6 +598,29 @@ object Scale {
       }
       measure("cluster_read_clustered", s, n) {
         eng.query(col("source") === "uci", Seq("source")).count()
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+    // 23. Scalar inverted index (round-11): an equality lookup through the
+    //     persisted value→doc_id layout vs the same filter as a plain
+    //     store scan, across a growing corpus. The claim under
+    //     measurement: the indexed serve reads ONE value-hash bucket
+    //     directory plus the matching store rows (flat-ish in corpus
+    //     size for a fixed-selectivity value the store scan pays
+    //     linearly); the build is the one corpus-sized pass, paid
+    //     offline like every inverted layout.
+    if (only("scalaridx")) docLadder.foreach { case (s, n) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-sidx-").toString
+      corpus(spark, n).write.mode("overwrite").parquet(s"$base/store")
+      val eng = new Engine(spark, EngineConfig(s"$base/store", s"$base/index"))
+      measure("scalaridx_unindexed", s, n) {
+        eng.query(col("source") === "uci", Seq("source")).count()
+      }
+      measure("scalaridx_build", s, n) {
+        eng.queryScalarIndexed("source", "uci", Seq("source")).count()
+      }
+      measure("scalaridx_serve", s, n) {
+        eng.queryScalarIndexed("source", "uci", Seq("source")).count()
       }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }

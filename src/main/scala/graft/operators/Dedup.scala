@@ -230,12 +230,7 @@ object Dedup {
   def lshCandidatePairs(wideSigs: DataFrame, idCol: String, numHashes: Int,
                         bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rowsPerBand = numHashes / bands
-    val bandSigCols = (0 until bands).map { b =>
-      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)
-    }
-    val bandSigs = wideSigs.select(col(idCol),
-      posexplode(array(bandSigCols: _*)).as(Seq("band", "band_sig")))
+    val bandSigs = bandSignatures(wideSigs, idCol, numHashes, bands)
     val a = bandSigs.select(col("band"), col("band_sig"), col(idCol).as("id_a"))
     val b = bandSigs.select(col("band"), col("band_sig"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "band_sig"))
@@ -338,9 +333,14 @@ object Dedup {
     res
   }
 
-  /** (id, band, band_sig) rows from a wide minhash signature table. */
-  private def bandSignatures(sig: DataFrame, idCol: String,
-                             numHashes: Int, bands: Int): DataFrame = {
+  /** (id, band, band_sig) rows from a wide minhash signature table —
+    * shared by the self-join ([[lshCandidatePairs]]), the incremental
+    * index ([[SigIndex]]), and the query-vs-index search
+    * ([[graft.Engine#searchNearDup]]). Both sides of ANY candidate join
+    * MUST use this one spelling — banding only works if equal signature
+    * tuples hash equally. */
+  def bandSignatures(sig: DataFrame, idCol: String,
+                     numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandSigCols = (0 until bands).map { b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)

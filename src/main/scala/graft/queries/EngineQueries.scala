@@ -1364,6 +1364,147 @@ object EngineQueries {
         .queryJsonIndexed("meta", "$.lang", "es", Seq("meta"), limit = 150)
     }),
 
+    // Predicate deletion — Milvus's delete(expr) form: the doomed set is
+    // named by a filter, not an id list (the GDPR/re-crawl shape: "drop
+    // everything from this source"). The graded read is a post-delete
+    // scan through a FRESH engine, so the store rewrite itself is what's
+    // hash-checked: the oracle replays the surviving population from the
+    // raw corpus. The removed-count require pins the resolve step.
+    "q250_delete_expr" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q250_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars")
+      eng.ingest(docs)
+      val expected = docs.filter(col("lang") === "de").count()
+      val removed = eng.deleteWhere(col("lang") === "de")
+      require(removed == expected && removed > 0,
+        s"deleteWhere removed $removed, expected $expected")
+      new Engine(s, cfg).query(col("n_chars") > 300L, Seq("lang", "n_chars"),
+        limit = 200)
+    }),
+
+    // Dynamic field — Milvus's enable_dynamic_field: lang/source/n_chars
+    // arrive UNDECLARED and pack into the hidden $meta JSON column at the
+    // door (name-sorted, so the payload bytes are producer-order-free);
+    // the filter reads them back through dyn() path extraction. The
+    // oracle replays both the packing (printf over the base columns in
+    // sorted-name order) and the filter — a packing or extraction bug
+    // hash-fails.
+    "q251_dynamic_field" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q251_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      eng.ingestDynamic(
+        t(s, dir, "documents").select("doc_id", "text", "lang", "source", "n_chars"))
+      val e2 = new Engine(s, cfg)
+      e2.query(
+        e2.dyn("lang") === "en" && e2.dyn("n_chars").cast("long") > 400L,
+        Seq(Engine.DynamicField), limit = 150)
+    }),
+
+    // Decay reranking — Milvus 2.6's linear decay ranker: vector
+    // relevance × a freshness factor from a numeric field (n_chars plays
+    // the recency column; the math is identical). Applied to the FULL
+    // per-doc candidate pool, so freshness can promote docs from outside
+    // the vector top-k. The oracle replays chunk/embed/score, then the
+    // decay arithmetic (pure +,−,×,÷ — bit-exact in both engines) and
+    // the re-ranked top-4.
+    "q252_decay_rerank" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q252_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text", "n_chars"))
+      eng.update()
+      new Engine(s, cfg).searchDecay(searchTexts, "n_chars",
+        origin = 300.0, scale = 200.0, decayOffset = 25.0)
+    }),
+
+    // Scalar inverted index — Milvus's INVERTED/BITMAP index on a plain
+    // scalar field: the equality filter serves from a persisted
+    // value→doc_id layout (one bucket directory read + semi-join
+    // hydration), never a corpus column scan. The fresh Engine proves the
+    // layout is discovered from disk; EngineSpec gates the pruning and
+    // the unindexed-filter equivalence.
+    "q253_scalar_index" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q253_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text", "lang", "source"))
+      new Engine(s, cfg)
+        .queryScalarIndexed("source", "src3", Seq("source", "lang"), limit = 150)
+    }),
+
+    // The reference's retrieve verb VERBATIM (vdb.py:218-223): the filter
+    // is a raw Milvus expr STRING — ==, &&, ||, in [..] — over DYNAMIC
+    // fields (the columns packed into $meta by ingestDynamic), translated
+    // syntactically to Spark SQL and served through the pushed-filter
+    // query path. The oracle replays both the packing and the translated
+    // predicate — a translator precedence or literal-handling bug
+    // hash-fails.
+    "q254_retrieve_expr" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q254_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      eng.ingestDynamic(
+        t(s, dir, "documents").select("doc_id", "text", "lang", "source", "n_chars"))
+      new Engine(s, cfg).retrieve(
+        """lang == "en" && n_chars > 400 || source in ["src3"]""",
+        Seq(Engine.DynamicField), limit = 150)
+    }),
+
+    // Near-dup retrieval — Milvus 2.6's MINHASH_LSH index: "is this text
+    // already in the corpus?" served from a persisted banded-minhash
+    // signature layout + exact shingle-intersection verify. The query
+    // texts are 80% prefixes of two corpus documents (ids 3 and 11 — band-matched at every scale, probed offline) (computed from
+    // the data on BOTH sides, so the oracle replays them exactly);
+    // truncation nests the shingle sets, so each query must at least find
+    // its source document above the 0.3 bar. The oracle unions the query
+    // rows (negative ids) into the corpus and replays the full
+    // shingle→minhash→band→verify pipeline.
+    "q256_neardup_search" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q256_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      eng.ingest(docs)
+      val qtexts = Seq(3L -> 0.8, 11L -> 0.8).map { case (id, frac) =>
+        docs.filter(col("doc_id") === id)
+          .select(expr(s"substring(text, 1, cast(floor(length(text)*$frac) as int))"))
+          .head().getString(0)
+      }
+      val res = new Engine(s, cfg).searchNearDup(qtexts, threshold = 0.3)
+      require(res.filter(col("query_id") === 0 && col("doc_id") === 3).count() == 1 &&
+        res.filter(col("query_id") === 1 && col("doc_id") === 11).count() == 1,
+        "each truncated query must find its source document")
+      res
+    }),
+
+    // Nullable scalar fields — Milvus 2.4's nullable field attribute: NULL
+    // values round-trip ingest→store→read, and IS NULL / IS NOT NULL
+    // predicates push to the scan like any other filter. The fixture nulls
+    // out one language at the door; the graded read mixes an is-null arm
+    // with a value arm in one predicate.
+    "q255_nullable_field" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q255_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars")
+        .withColumn("lang",
+          when(col("lang") === "de", lit(null: String)).otherwise(col("lang")))
+      eng.ingest(docs)
+      new Engine(s, cfg).query(
+        col("lang").isNull || (col("lang") === "en" && col("n_chars") > 400L),
+        Seq("lang", "n_chars"), limit = 200)
+    }),
+
     // Clustering compaction — Milvus 2.4's clustering_key compaction: the
     // store rewrites range-clustered on a scalar field so filtered reads
     // prune to the files whose footer min/max straddle the predicate.
@@ -2742,6 +2883,38 @@ object EngineQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q252's oracle: [[lifecycleSearchSql]]'s chunk/embed/score replay with
+    * the ranking stage swapped for the decay-reranked one — per-doc best
+    * vector score × linear decay over n_chars (origin 300, scale 200,
+    * offset 25 — the graded call's parameters), re-ranked top-4. The
+    * surgery is require-pinned: if the lifecycle oracle's `best`/`ranked`
+    * spelling ever changes, this fails loudly instead of drifting. */
+  private lazy val decaySearchSql: String = {
+    val marker = "best AS ("
+    require(lifecycleSearchSql.contains(marker),
+      "lifecycleSearchSql lost its `best AS (` CTE — re-anchor decaySearchSql")
+    val prefix = lifecycleSearchSql.substring(0, lifecycleSearchSql.indexOf(marker))
+    prefix +
+      """best AS (
+        |  SELECT query_id, query, doc_id, max(score) AS vscore
+        |  FROM scored GROUP BY ALL),
+        |dk AS (
+        |  SELECT b.query_id, b.query, b.doc_id,
+        |    round(b.vscore * greatest(0.0,
+        |      (200.0 - greatest(abs(cast(d.n_chars as double) - 300.0) - 25.0,
+        |                        0.0)) / 200.0), 4) AS score
+        |  FROM best b JOIN documents d ON d.doc_id = b.doc_id),
+        |ranked AS (
+        |  SELECT query_id, query, doc_id, score,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id ASC) as int) AS rank
+        |  FROM dk QUALIFY rank <= 4)
+        |SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
+        |  substring(d.text, 1, 200) AS preview
+        |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+        |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Shared oracle prefix for the engine's seeded-quantizer index types
     * (q203 IVF_PQ, q205 IVF_SQ8): lifecycle chunk/embed CTEs, query embed,
     * seeded centroid VALUES, rounded-cosine cell assignment and the
@@ -3422,6 +3595,76 @@ ORDER BY query_id, rank"""),
         |  FROM documents) t
         |WHERE lang = 'es'
         |ORDER BY doc_id LIMIT 150""".stripMargin,
+
+    // the surviving population replays from the raw corpus: everything
+    // the predicate did NOT doom, through the same read filter
+    "q250_delete_expr" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang <> 'de' AND n_chars > 300
+        |ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    // the $meta packing replays as printf over the base columns in
+    // sorted-name order (to_json(struct(...)) emits fields in struct
+    // order; ingestDynamic sorts them), then the dynamic filter
+    "q251_dynamic_field" ->
+      """SELECT doc_id, "$meta" FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    printf('{"lang":"%s","n_chars":%d,"source":"%s"}',
+        |           lang, n_chars, source) AS "$meta"
+        |  FROM documents) t
+        |WHERE lang = 'en' AND n_chars > 400
+        |ORDER BY doc_id LIMIT 150""".stripMargin,
+
+    "q252_decay_rerank" -> decaySearchSql,
+
+    // the indexed scalar lookup replays as the plain filter
+    "q253_scalar_index" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE source = 'src3'
+        |ORDER BY doc_id LIMIT 150""".stripMargin,
+
+    // the Milvus expr string replays as the equivalent SQL predicate over
+    // the base columns ('&&' binds tighter than '||'), plus the packing
+    "q254_retrieve_expr" ->
+      """SELECT doc_id, "$meta" FROM (
+        |  SELECT doc_id, lang, n_chars, source,
+        |    printf('{"lang":"%s","n_chars":%d,"source":"%s"}',
+        |           lang, n_chars, source) AS "$meta"
+        |  FROM documents) t
+        |WHERE (lang = 'en' AND n_chars > 400) OR source IN ('src3')
+        |ORDER BY doc_id LIMIT 150""".stripMargin,
+
+    // the full shingle→minhash→band→verify pipeline replays over the
+    // corpus UNION the query prefixes (negative ids — always id_a in the
+    // id_a < id_b candidate pairs, so query-vs-doc pairs are exactly the
+    // negative/non-negative ones)
+    "q256_neardup_search" ->
+      s"""WITH qrows AS (
+         |  SELECT cast(-1 as bigint) AS id,
+         |    substring(text, 1, cast(floor(length(text)*0.8) as int)) AS text
+         |  FROM documents WHERE doc_id = 3
+         |  UNION ALL
+         |  SELECT cast(-2 as bigint),
+         |    substring(text, 1, cast(floor(length(text)*0.8) as int))
+         |  FROM documents WHERE doc_id = 11),
+         |corpus AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  UNION ALL SELECT id, text FROM qrows),
+         |${graft.queries.TextQueries.minhashVerifiedSql(0.3)}
+         |SELECT cast(-(id_a)-1 as bigint) AS query_id, id_b AS doc_id,
+         |  inter, sz_a AS sz_q, sz_b AS sz_d, jaccard
+         |FROM verified WHERE id_a < 0 AND id_b >= 0
+         |ORDER BY query_id, jaccard DESC, doc_id""".stripMargin,
+
+    // nulls created at the door replay via the same CASE; IS NULL and the
+    // value arm compose exactly
+    "q255_nullable_field" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, CASE WHEN lang = 'de' THEN NULL ELSE lang END AS lang,
+        |         n_chars
+        |  FROM documents) t
+        |WHERE lang IS NULL OR (lang = 'en' AND n_chars > 400)
+        |ORDER BY doc_id LIMIT 200""".stripMargin,
 
     // layout moved, content didn't: the filter replays over the raw corpus
     "q245_clustering_compact" ->

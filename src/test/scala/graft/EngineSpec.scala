@@ -1514,6 +1514,185 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](eng.queryJsonIndexed("meta", "$.lang", ""))
   }
 
+  test("queryScalarIndexed: bucket-pruned scalar lookup == unindexed filter, stale rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scalaridx").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    eng.ingest(docs.filter(col("doc_id") % 3 =!= 0))
+    val res = eng.queryScalarIndexed("source", "src3", Seq("source"))
+      .orderBy("doc_id").collect().toSeq
+    assert(res == eng.query(col("source") === "src3", Seq("source"))
+      .orderBy("doc_id").collect().toSeq,
+      "the indexed lookup must equal the plain pushed filter")
+    assert(res.nonEmpty)
+    // the layout: value-hash bucket directories; the serving plan prunes on vb
+    assert(new java.io.File(s"$dir/index_scalar").listFiles().nonEmpty)
+    val plan = eng.queryScalarIndexed("source", "src3", Seq("source"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("vb"), "bucket column missing from the serving plan")
+    // staleness: a post-build ingest moves the store fingerprint — a fresh
+    // engine rebuilds from disk and sees the new docs
+    eng.ingest(docs.filter(col("doc_id") % 3 === 0))
+    import spark.implicits._
+    val all = new Engine(spark, cfg)
+      .queryScalarIndexed("source", "src3").select("doc_id").as[Long].collect().toSet
+    val expect = docs.filter(col("source") === "src3")
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == expect, "stale scalar index served after the store moved")
+    intercept[IllegalArgumentException](eng.queryScalarIndexed("source", ""))
+  }
+
+  test("deleteWhere: predicate deletion prunes store and index, returns the doc count") {
+    val eng = freshEngine()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    eng.ingest(docs)
+    eng.update()
+    val expected = docs.filter(col("lang") === "de").count()
+    assert(expected > 0, "fixture needs lang='de' docs")
+    val removed = eng.deleteWhere(col("lang") === "de")
+    assert(removed == expected, s"removed $removed, expected $expected")
+    assert(eng.store().filter(col("lang") === "de").count() == 0)
+    assert(eng.store().count() == docs.count() - expected)
+    // the index side pruned too: no chunk of a doomed doc survives
+    import spark.implicits._
+    val doomed = docs.filter(col("lang") === "de").select("doc_id").as[Long].collect().toSet
+    val idxIds = eng.index().select("doc_id").as[Long].collect().toSet
+    assert(idxIds.intersect(doomed).isEmpty, "index kept chunks of deleted docs")
+    // a no-match predicate is a free no-op
+    assert(eng.deleteWhere(col("lang") === "nosuchlang") == 0L)
+    // serving never resurrects: search hits exclude the doomed set
+    val hits = eng.search(Seq("data processing pipeline"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.intersect(doomed).isEmpty)
+  }
+
+  test("ingestDynamic: undeclared columns pack name-sorted into $meta; dyn() reads back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dynfield").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    eng.ingestDynamic(docs)
+    // physical schema: the dynamic columns are GONE, replaced by $meta
+    val schema = eng.store().columns.toSet
+    assert(schema == Set("doc_id", "text", Engine.DynamicField),
+      s"unexpected store schema $schema")
+    // packing is producer-column-order-free: a permuted frame packs the
+    // same bytes (name-sorted struct), so the dedup-append sees equal rows
+    val permuted = docs.select("n_chars", "source", "doc_id", "lang", "text")
+    eng.ingestDynamic(permuted)
+    assert(eng.store().count() == docs.count(), "permuted re-ingest must dedup to a no-op")
+    // dyn() extraction equals the base-column filter
+    import spark.implicits._
+    val viaDyn = eng.query(
+      eng.dyn("lang") === "en" && eng.dyn("n_chars").cast("long") > 400L)
+      .select("doc_id").as[Long].collect().toSet
+    val expect = docs.filter(col("lang") === "en" && col("n_chars") > 400L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaDyn == expect)
+    // declared columns stay physical
+    val eng2 = new Engine(spark, EngineConfig(
+      storePath = s"$dir/store2", indexPath = s"$dir/index2"))
+    eng2.ingestDynamic(docs, declared = Seq("lang"))
+    assert(eng2.store().columns.toSet ==
+      Set("doc_id", "text", "lang", Engine.DynamicField))
+    // a row with no dynamic columns at all packs "{}", never null
+    val eng3 = new Engine(spark, EngineConfig(
+      storePath = s"$dir/store3", indexPath = s"$dir/index3"))
+    eng3.ingestDynamic(docs.select("doc_id", "text"))
+    assert(eng3.store().filter(col(Engine.DynamicField) =!= "{}").count() == 0)
+  }
+
+  test("searchNearDup: banded-minhash candidates == the self-join pipeline's verdicts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs)
+    // the query is an 85% prefix of doc 3 — nested shingle sets, J ≈ 0.8
+    val qtext = docs.filter(col("doc_id") === 3)
+      .select(expr("substring(text, 1, cast(floor(length(text)*0.85) as int))"))
+      .head().getString(0)
+    val res = eng.searchNearDup(Seq(qtext), threshold = 0.3)
+    val rows = res.collect()
+    assert(rows.exists(r => r.getLong(1) == 3L), "must find the source document")
+    // the verdicts equal the reference pipeline: union the query into the
+    // corpus (id -1) and run Dedup.nearDupPairs — the q18 spelling
+    import spark.implicits._
+    val union = docs.withColumnRenamed("doc_id", "id")
+      .unionByName(Seq((-1L, qtext)).toDF("id", "text"))
+    val expect = graft.operators.Dedup
+      .nearDupPairs(union, "text", "id", 3, 16, 4, 0.3)
+      .filter(col("id_a") === -1L && col("id_b") >= 0)
+      .select(col("id_b"), col("inter"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = rows.map(r => (r.getLong(1), r.getLong(2), r.getDouble(5))).toSet
+    assert(got == expect, s"engine verdicts $got != pipeline verdicts $expect")
+    // serving reads the persisted layout — no text bytes in the plan
+    val plan = eng.searchNearDup(Seq(qtext)).queryExecution.executedPlan.toString
+    assert(!plan.contains("text#") || !plan.contains(cfg.storePath),
+      "the serve plan must not re-shingle the store text")
+    // layout on disk, stamped; a fresh engine serves from it byte-identically
+    assert(new java.io.File(s"$dir/index_minhash/bands").exists())
+    assert(new Engine(spark, cfg).searchNearDup(Seq(qtext), 0.3)
+      .collect().toSeq == rows.toSeq)
+    intercept[IllegalArgumentException](eng.searchNearDup(Seq.empty))
+    intercept[IllegalArgumentException](eng.searchNearDup(Seq(qtext), 0.0))
+  }
+
+  test("retrieve: Milvus expr strings serve through the pushed-filter path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-retrieve").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    eng.ingestDynamic(docs, declared = Seq("lang"))
+    import spark.implicits._
+    // dynamic (source, n_chars) and physical (lang) fields mix in one expr
+    val got = eng.retrieve(
+      """lang == "en" && n_chars > 400 || source in ["src3"]""", limit = 10000)
+      .select("doc_id").as[Long].collect().toSet
+    val expect = docs.filter(
+      (col("lang") === "en" && col("n_chars") > 400L) || col("source") === "src3")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expect)
+    // empty expr = first `limit` docs by pk (Milvus expr='' behavior)
+    val firstTwo = eng.retrieve("", limit = 2).select("doc_id").as[Long].collect()
+    assert(firstTwo.sameElements(
+      docs.select("doc_id").as[Long].collect().sorted.take(2)))
+    // an expr outside the subset fails loudly in the SQL parser, not silently
+    intercept[Exception](eng.retrieve("lang ==").collect())
+  }
+
+  test("searchDecay: degenerate window == search; zero decay ranks by pk; guards") {
+    val eng = freshEngine()
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars"))
+    eng.update()
+    val qs = Seq("data processing pipeline", "machine learning")
+    // a huge offset puts every doc inside the no-decay plateau (decay == 1
+    // exactly — pure arithmetic) ⇒ byte-identical to the plain search
+    assert(eng.searchDecay(qs, "n_chars", origin = 0.0, scale = 1.0,
+      decayOffset = 1e12).collect().toSeq == eng.search(qs).collect().toSeq,
+      "decay plateau must reproduce the undecayed ranking")
+    // an unreachable origin zeroes every score ⇒ ranking degenerates to
+    // the deterministic tiebreak (doc_id asc over the full candidate pool)
+    val zeroed = eng.searchDecay(qs, "n_chars", origin = -1e9, scale = 1.0)
+    import spark.implicits._
+    val z0 = zeroed.filter(col("query_id") === 0)
+      .orderBy("rank").select("doc_id", "score").as[(Long, Double)].collect()
+    assert(z0.forall(_._2 == 0.0), "all scores must decay to zero")
+    val smallest = eng.store().select("doc_id").as[Long].collect().sorted.take(z0.length)
+    assert(z0.map(_._1).sameElements(smallest), "zero-decay ties break by pk")
+    intercept[IllegalArgumentException](
+      eng.searchDecay(qs, "n_chars", origin = 0.0, scale = 0.0))
+    intercept[IllegalArgumentException](
+      eng.searchDecay(qs, "n_chars", origin = 0.0, scale = 1.0, decayOffset = -1.0))
+  }
+
   test("IVF_RABITQ: persisted sign codes, Hamming cut + exact refine, extend coverage") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rabitq").toString
     val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
