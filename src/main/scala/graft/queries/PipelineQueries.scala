@@ -576,6 +576,49 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram-LM PERPLEXITY quality gate — the LOG-domain sibling of
+    // q78_lm_score (which averages conditional probability LINEARLY; a
+    // doc of uniformly-rare-but-nonzero bigrams looks fine there but
+    // terrible here — and CCNet/KenLM filter on exactly this log-domain
+    // number, which is why both slots exist). Deterministic stand-in for
+    // the trained LM: a bigram MLE model over the corpus itself, so every
+    // bigram has count ≥ 1 and no smoothing is needed. Per-doc negative
+    // log-likelihood in integer basis points via the engine's
+    // piecewise-linear log2 (the q121/q212 idf spelling): per occurrence
+    // d_bp = l2bp(c(w1·)) − l2bp(c(w1,w2)) ≥ 0, nll_bp = Σd DIV n. At
+    // scale this is two count aggregations + one occurrence-keyed join —
+    // linear shuffles, no cross product, the token explode repartitioned
+    // ahead of the compute (the round-7 width lesson).
+    "q257_lm_perplexity" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val np = s.sessionState.conf.numShufflePartitions
+      val wide = if (toks.rdd.getNumPartitions < np) toks.repartition(np) else toks
+      // occurrences feed the two count tables AND the scoring join
+      val occ = wide.select(col("doc_id"), explode(expr(
+          "transform(sequence(2, size(tk)), i -> struct(tk[i-2] as w1, tk[i-1] as w2))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .localCheckpoint()
+      val bgc = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
+      val ctx = occ.groupBy(col("w1")).agg(count(lit(1)).as("cug"))
+      val l2cug = "10000 * (length(bin(cug)) - 1) + (10000 * (cug - " +
+        "shiftleft(cast(1 as bigint), length(bin(cug)) - 1))) DIV " +
+        "shiftleft(cast(1 as bigint), length(bin(cug)) - 1)"
+      val l2cbg = "10000 * (length(bin(cbg)) - 1) + (10000 * (cbg - " +
+        "shiftleft(cast(1 as bigint), length(bin(cbg)) - 1))) DIV " +
+        "shiftleft(cast(1 as bigint), length(bin(cbg)) - 1)"
+      occ.join(bgc, Seq("w1", "w2"))
+        .join(ctx, Seq("w1"))
+        .withColumn("d_bp", expr(s"($l2cug) - ($l2cbg)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bi"), sum(col("d_bp")).as("s_bp"))
+        .withColumn("nll_bp", expr("s_bp DIV n_bi"))
+        .withColumn("keep", (col("nll_bp") < lit(48800L)).cast("long"))
+        .select("doc_id", "n_bi", "nll_bp", "keep")
+        .orderBy(col("doc_id"))
+    }),
+
     // Regex PII scrub over planted fixtures (every 7th doc gains a
     // deterministic email + phone tail): match counts, redacted length and a
     // post-scrub sha256 — so the oracle proves the scrub byte-for-byte, not
@@ -1392,6 +1435,38 @@ object PipelineQueries {
          |  FROM p QUALIFY rank <= 5)
          |SELECT source, doc_id, n_chars, prio, rank FROM r
          |ORDER BY source, rank""".stripMargin,
+
+    // the bigram counts, the piecewise integer log2 and the truncating
+    // division all replay exactly (the bin()/<< spelling — NOTES gotcha)
+    "q257_lm_perplexity" ->
+      """WITH tk0 AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |tk1 AS (SELECT doc_id, tk FROM tk0 WHERE len(tk) >= 2),
+        |occ AS (
+        |  SELECT doc_id, tk[i-1] AS w1, tk[i] AS w2
+        |  FROM (SELECT doc_id, tk, unnest(generate_series(2, len(tk))) AS i
+        |        FROM tk1) u),
+        |bgc AS (SELECT w1, w2, count(*) AS cbg FROM occ GROUP BY w1, w2),
+        |ctx AS (SELECT w1, count(*) AS cug FROM occ GROUP BY w1),
+        |sc AS (
+        |  SELECT o.doc_id,
+        |    (10000 * (length(bin(c.cug)) - 1)
+        |      + (10000 * (c.cug - (cast(1 as bigint) << (length(bin(c.cug)) - 1))))
+        |        // (cast(1 as bigint) << (length(bin(c.cug)) - 1)))
+        |    - (10000 * (length(bin(b.cbg)) - 1)
+        |      + (10000 * (b.cbg - (cast(1 as bigint) << (length(bin(b.cbg)) - 1))))
+        |        // (cast(1 as bigint) << (length(bin(b.cbg)) - 1))) AS d_bp
+        |  FROM occ o
+        |  JOIN bgc b ON b.w1 = o.w1 AND b.w2 = o.w2
+        |  JOIN ctx c ON c.w1 = o.w1),
+        |g AS (
+        |  SELECT doc_id, cast(count(*) as bigint) AS n_bi,
+        |    cast(sum(d_bp) as bigint) AS s_bp
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bi, s_bp // n_bi AS nll_bp,
+        |  cast(CASE WHEN s_bp // n_bi < 48800 THEN 1 ELSE 0 END as bigint) AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q194_crawl_diff" ->
       """WITH a AS (
