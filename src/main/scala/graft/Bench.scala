@@ -102,12 +102,6 @@ object Bench {
     // the per-query median over that history — resistant to both directions
     // of noise.
     val canaries = Seq("q42_token_stats", "q68_incremental_index", "q87_link_authority")
-    val clean = canaries.forall { c =>
-      (results.toMap.get(c), prior.get(c)) match {
-        case (Some((v, None)), Some(b)) => v <= math.max(2.5 * b, b + 0.75)
-        case _ => false
-      }
-    }
     val histPath = java.nio.file.Paths.get(sys.env.getOrElse(
       "SPARK_GRAFT_HIST_FILE",
       s"BENCH_HIST_${new java.io.File(sfDir).getName}.json"))
@@ -118,6 +112,24 @@ object Bench {
         histPair.findAllMatchIn(txt).map(m => m.group(1) ->
           m.group(2).split(",").filter(_.trim.nonEmpty).map(_.trim.toDouble).toSeq).toMap
       } else Map.empty
+    def medianOf(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      if (s.isEmpty) Double.NaN
+      else if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    // the canary baseline is the clean-history MEDIAN when one exists and
+    // the all-time best otherwise: q68/q87's minima are admitted one-off
+    // quiet-host outliers (NOTES round-10), and gating 2.5x off an
+    // unreproducible best rejects honest steady-state windows forever —
+    // exactly the bias the median ledger was built to remove
+    val clean = canaries.forall { c =>
+      val base = hist0.get(c).filter(_.nonEmpty).map(medianOf).orElse(prior.get(c))
+      (results.toMap.get(c), base) match {
+        case (Some((v, None)), Some(b)) => v <= math.max(2.5 * b, b + 0.75)
+        case _ => false
+      }
+    }
     val hist =
       if (clean) results.map { case (k, (v, err)) =>
         k -> ((hist0.getOrElse(k, Seq.empty) ++ (if (err.isEmpty) Seq(v) else Nil))
@@ -130,12 +142,6 @@ object Bench {
           s"\"" + k + "\":[" + vs.mkString(",") + "]"
         }.mkString("{", ",", "}").getBytes("UTF-8"))
       catch { case _: Throwable => () }
-    def medianOf(vs: Seq[Double]): Double = {
-      val s = vs.sorted
-      if (s.isEmpty) Double.NaN
-      else if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-    }
     // a query with no clean-window history yet (new this round, or the
     // history file is fresh) reports this run's sample as its median
     val med = results.map { case (k, (v, _)) =>

@@ -263,6 +263,12 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   def ingestDynamic(docs: DataFrame, declared: Seq[String] = Nil,
                     keyCol: String = "doc_id"): Unit = {
     val fixed = (Seq(keyCol, "text") ++ declared).distinct
+    // a partition key packed into $meta would shatter tenancy (the hive
+    // layout needs the PHYSICAL column) — Milvus likewise requires the
+    // partition-key field to be a declared schema field, never dynamic
+    require(cfg.partitionKey.isEmpty || fixed.contains(cfg.partitionKey),
+      s"partition_key '${cfg.partitionKey}' must be declared, not dynamic " +
+        s"(pass declared = Seq(${"\""}${cfg.partitionKey}${"\""}))")
     val dynamic = docs.columns.filterNot(fixed.contains).sorted
     val packed =
       if (dynamic.isEmpty) docs.withColumn(Engine.DynamicField, lit("{}"))

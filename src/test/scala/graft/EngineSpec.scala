@@ -1604,6 +1604,13 @@ class EngineSpec extends SparkSpec {
       storePath = s"$dir/store3", indexPath = s"$dir/index3"))
     eng3.ingestDynamic(docs.select("doc_id", "text"))
     assert(eng3.store().filter(col(Engine.DynamicField) =!= "{}").count() == 0)
+    // a partition key may never be dynamic (it would pack into $meta and
+    // shatter the hive layout) — loud reject unless declared
+    val keyed = new Engine(spark, EngineConfig(
+      storePath = s"$dir/store4", indexPath = s"$dir/index4", partitionKey = "lang"))
+    intercept[IllegalArgumentException](keyed.ingestDynamic(docs))
+    keyed.ingestDynamic(docs, declared = Seq("lang")) // declared: fine
+    assert(keyed.store().columns.contains("lang"))
   }
 
   test("searchNearDup: banded-minhash candidates == the self-join pipeline's verdicts") {
