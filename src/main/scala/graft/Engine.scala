@@ -2118,6 +2118,22 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   }
 
   /**
+   * [[searchWhere]] with the filter as a raw Milvus expr STRING — the
+   * exact shape of Milvus's `search(expr=...)` parameter (the reference's
+   * own search is unfiltered, `vdb.py:94-100`, but its `retrieve` passes
+   * the same dialect — one translator serves both verbs:
+   * [[graft.functions.MilvusExpr]]). Dynamic-field identifiers resolve
+   * through `$meta` exactly as in [[retrieve]]; the translated predicate
+   * then rides [[searchWhere]]'s early-gate discipline unchanged.
+   */
+  def searchExpr(queries: Seq[String], epr: String): DataFrame = {
+    val cols = store().columns
+    searchWhere(queries, expr(graft.functions.MilvusExpr.toSparkSql(
+      epr, cols.toSet,
+      if (cols.contains(Engine.DynamicField)) Some(Engine.DynamicField) else None)))
+  }
+
+  /**
    * Partition-scoped search — Milvus's `partition_names` parameter over a
    * `partition_key`-configured collection: the index is hive-partitioned by
    * `cfg.partitionKey` ([[writeIndexRows]]), and a search naming its

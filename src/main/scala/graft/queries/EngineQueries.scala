@@ -672,6 +672,23 @@ object EngineQueries {
       new Engine(s, cfg).searchWhere(searchTexts, col("lang") === "en")
     }),
 
+    // Expr-string filtered search — Milvus's search(expr=...) parameter:
+    // q210's pre-filter discipline with the predicate arriving as a raw
+    // Milvus expr STRING through the q254 translator (one dialect, both
+    // read verbs). The conjunction is richer than q210's so the two
+    // gradings can't collapse into one.
+    "q258_search_expr" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q258_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars"))
+      eng.update()
+      new Engine(s, cfg).searchExpr(searchTexts,
+        """lang in ["en", "de"] && n_chars > 250""")
+    }),
+
     // Quantizer-health maintenance (Engine.maintain): updateIncremental
     // NEVER retrains the coarse quantizer, so a long-lived deployment's
     // layout drifts from its training population; the faiss/Milvus answer
@@ -3191,6 +3208,11 @@ object EngineQueries {
     "q210_filtered_search" -> lifecycleSearchSql.replace(
       "FROM documents WHERE length(text) > 0",
       "FROM documents WHERE length(text) > 0 AND lang = 'en'"),
+
+    // the expr STRING replays as the equivalent SQL eligibility filter
+    "q258_search_expr" -> lifecycleSearchSql.replace(
+      "FROM documents WHERE length(text) > 0",
+      "FROM documents WHERE length(text) > 0 AND lang IN ('en', 'de') AND n_chars > 250"),
 
     // maintenance may move every cell boundary but never a result: the
     // full-corpus replay
