@@ -915,11 +915,14 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .distinct()
     val gated = expiredIds().fold(cand)(x =>
       cand.join(broadcast(x), Seq("doc_id"), "left_anti"))
-    // exact verify: candidate docs' shingles only (semi-join cut), one
-    // broadcast hash join against the query shingles
+    // exact verify: candidate docs' shingles only (semi-join cut — the
+    // candidate set is banding-bounded and BROADCAST, or the semi-join
+    // shuffles the whole corpus-sized shingle table: measured 585 MB at
+    // the 100x ladder rung before the hint, 0 after), then one broadcast
+    // hash join against the query shingles
     val candIds = gated.select("doc_id").distinct()
     val inter = spark.read.parquet(s"$root/shingles")
-      .join(candIds, Seq("doc_id"), "left_semi")
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .join(broadcast(qsh), "shingle")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("inter"))

@@ -99,7 +99,7 @@ object Scale {
     }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective",
       "incdedup", "cc", "export", "spans", "invidx", "pq", "maxsim", "ivfpq",
       "snm", "rangeivf", "filtered", "binary", "drain", "lexserve", "vecdrain",
-      "growing", "cluster", "scalaridx"))
+      "growing", "cluster", "scalaridx", "ndserve"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -609,6 +609,29 @@ object Scale {
     //     size for a fixed-selectivity value the store scan pays
     //     linearly); the build is the one corpus-sized pass, paid
     //     offline like every inverted layout.
+    // 24. Near-dup retrieval index (round-11): searchNearDup's serve cost
+    //     across a growing corpus — one query text (an 80% prefix of a
+    //     corpus doc) against the persisted minhash layout. The claim
+    //     under measurement: serve reads two SLIM layouts (bands + the
+    //     candidate-pruned shingle sliver), so its wall tracks the
+    //     candidate set, not the corpus; the build is the one linear
+    //     corpus pass, paid offline (timed separately).
+    if (only("ndserve")) docLadder.foreach { case (s, n) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-nds-").toString
+      corpus(spark, n).select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$base/store")
+      val eng = new Engine(spark, EngineConfig(s"$base/store", s"$base/index"))
+      val qtext = spark.read.parquet(s"$base/store").filter(col("doc_id") === 3)
+        .select(expr("substring(text, 1, cast(floor(length(text)*0.8) as int))"))
+        .head().getString(0)
+      measure("ndserve_build", s, n) {
+        eng.searchNearDup(Seq(qtext), 0.3).count() // first call pays the layout
+      }
+      measure("ndserve_serve", s, n) {
+        eng.searchNearDup(Seq(qtext), 0.3).count()
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
     if (only("scalaridx")) docLadder.foreach { case (s, n) =>
       val base = java.nio.file.Files.createTempDirectory("graft-scale-sidx-").toString
       corpus(spark, n).write.mode("overwrite").parquet(s"$base/store")
