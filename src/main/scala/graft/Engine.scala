@@ -1105,6 +1105,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     writeIndexRows(chunkEmbed(store()), "overwrite")
     invalidateIvf()
     stampSealed() // the fresh index covers every current store file
+    clearDroppedAnn() // update IS create_index — a prior dropIndex ends here
     // the reference's create_index is part of the update lifecycle
     // (vdb.py:209-211: renew → insert → create_index) — when the fresh
     // index is IVF-scale, build and PERSIST the cell layout now, offline,
@@ -1962,7 +1963,90 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
 
   /** True when [[search]] routes through the IVF probe: the current index
     * is at/above `cfg.ivfThreshold` chunks. */
-  private[graft] def routeIvf(): Boolean = indexCount() >= cfg.ivfThreshold
+  private[graft] def routeIvf(): Boolean =
+    !annDropped && indexCount() >= cfg.ivfThreshold
+
+  /**
+   * Milvus's `drop_index`: remove the persisted ANN serving layout (cells
+   * and, for the compressed types, their code tables — all under
+   * [[ivfPath]]) and PIN serving to the exact FLAT scan until the next
+   * `create_index` (here: [[update]]'s build step, which clears the pin).
+   * Results are unchanged or better — the brute path is exact while a
+   * probed layout is approximate — only the serving cost moves: this is
+   * the operational "the index is suspect, serve exact while we rebuild
+   * offline" lever. The pin is a FILE beside the index, so a fresh engine
+   * honors the drop, and a lazily-triggered rebuild (the stale-fingerprint
+   * path) cannot resurrect the layout behind the operator's back.
+   */
+  def dropIndex(): Unit = synchronized {
+    val p = new org.apache.hadoop.fs.Path(ivfPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    invalidateIvf()
+    writeStamp(annDroppedMarker, "dropped")
+  }
+
+  /**
+   * Milvus's `rename_collection`: move the collection — store, index, and
+   * every persisted serving layout — to new roots, METADATA-ONLY
+   * (filesystem renames; no byte of data is read or rewritten). Every
+   * layout stamp survives: [[pathFingerprint]] hashes RELATIVE names +
+   * size + mtime, all of which a rename preserves, so the renamed
+   * collection serves from its existing layouts without a single rebuild
+   * — on a 100 TB collection the difference between a metadata operation
+   * and a week of copy. Returns the renamed collection's config; build a
+   * fresh Engine from it (the Milvus shape: rename, then reconnect by the
+   * new name). This engine instance must not be used afterwards.
+   */
+  def renameCollection(newStorePath: String, newIndexPath: String): EngineConfig = synchronized {
+    require(cfg.ivfPath.isEmpty,
+      "renameCollection only supports the default ivf_path layout " +
+        "(an explicit ivf_path is outside the collection's directory family)")
+    require(newStorePath != cfg.storePath && newIndexPath != cfg.indexPath,
+      "renameCollection needs new paths")
+    val fs = new org.apache.hadoop.fs.Path(cfg.storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mv(src: String, dst: String): Unit = {
+      val s = new org.apache.hadoop.fs.Path(src)
+      if (fs.exists(s)) {
+        val d = new org.apache.hadoop.fs.Path(dst)
+        Option(d.getParent).foreach(fs.mkdirs(_))
+        require(!fs.exists(d), s"rename target $dst already exists")
+        require(fs.rename(s, d), s"rename $src -> $dst failed")
+      }
+    }
+    // the store and its sibling stamps
+    mv(cfg.storePath, newStorePath)
+    Seq("_SCHEMA_DELTA", "_TTL_HORIZON").foreach(sfx =>
+      mv(cfg.storePath + sfx, newStorePath + sfx))
+    // the index and its sibling layouts/markers
+    mv(cfg.indexPath, newIndexPath)
+    Seq("_ivf", "_lex", "_json", "_scalar", "_minhash", "_SEALED",
+      "_ANN_DROPPED").foreach(sfx =>
+      mv(cfg.indexPath + sfx, newIndexPath + sfx))
+    // the sealed manifest lists FULL URIs — rewrite the store prefix so
+    // coverage survives the move (it is still semantically current: same
+    // files, new name). A prefix that doesn't occur (exotic URI spelling)
+    // leaves the manifest stale, which only costs the growing read its
+    // anti-join fallback — never correctness.
+    val movedSeal = new org.apache.hadoop.fs.Path(s"${newIndexPath}_SEALED")
+    readStamp(movedSeal).foreach(txt =>
+      writeStamp(movedSeal, txt.replace(cfg.storePath, newStorePath)))
+    invalidateIvf() // this instance is dead; don't let its memo serve
+    cfg.copy(storePath = newStorePath, indexPath = newIndexPath)
+  }
+
+  /** [[dropIndex]]'s persistent pin. */
+  private def annDroppedMarker =
+    new org.apache.hadoop.fs.Path(s"${cfg.indexPath}_ANN_DROPPED")
+
+  private def annDropped: Boolean = readStamp(annDroppedMarker).nonEmpty
+
+  /** create_index semantics: the next offline build ends the [[dropIndex]]
+    * pin. */
+  private def clearDroppedAnn(): Unit = {
+    val p = annDroppedMarker
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
 
   /**
    * Semantic search: returns up to `cfg.limit` documents per query, best
@@ -3226,6 +3310,11 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * (the reference's own configuration) results equal [[search]]. */
   def searchIvf(queries: Seq[String]): DataFrame = {
     admit()
+    // the one verb that NAMES the layout: after dropIndex it must refuse
+    // (Milvus errors on a dropped index), not silently rebuild the layout
+    // the operator just removed
+    require(!annDropped,
+      "index was dropped (dropIndex); run update() to re-create it")
     val hits = ivfIndex().search(queryDf(queries), cfg.limit, cfg.nprobe)
       .withColumn("doc_id", TextFns.parentId(col("chunk_id")).cast("long"))
     store().join(broadcast(hits), "doc_id")

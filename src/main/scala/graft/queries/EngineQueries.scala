@@ -672,6 +672,59 @@ object EngineQueries {
       new Engine(s, cfg).searchWhere(searchTexts, col("lang") === "en")
     }),
 
+    // drop_index — Milvus's drop_index verb: remove the persisted ANN
+    // layout and PIN serving to the exact FLAT scan until the next
+    // create_index (update()). nprobe < nlist makes the pin a REAL
+    // semantic claim: probed serving is approximate, the post-drop read
+    // must be exact — and the require proves no lazy rebuild resurrected
+    // the layout behind the operator's back.
+    "q259_drop_index" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q259_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 8, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      val ivfDir = new java.io.File(s"$tmp/index_ivf")
+      require(ivfDir.exists(), "fixture: update() must persist the layout")
+      eng.dropIndex()
+      require(!ivfDir.exists(), "dropIndex must remove the layout")
+      val res = new Engine(s, cfg).search(searchTexts).localCheckpoint(true)
+      require(!ivfDir.exists(), "a post-drop search may not rebuild the layout")
+      res
+    }),
+
+    // rename_collection — Milvus's rename verb as a METADATA-ONLY move:
+    // store, index, and every persisted layout change roots via
+    // filesystem renames; the fingerprint stamps (relative names + mtime)
+    // survive, so the renamed collection serves from its existing layout
+    // with zero rebuild — the requires pin both the move and the
+    // untouched layout bytes across the post-rename search.
+    "q260_rename_collection" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q260_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      val cfg2 = eng.renameCollection(s"$tmp/renamed_store", s"$tmp/renamed_index")
+      require(!new java.io.File(s"$tmp/store").exists() &&
+        new java.io.File(s"$tmp/renamed_store").exists(), "the move must be real")
+      def layoutState(): Seq[(String, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$tmp/renamed_index_ivf"))
+          .map(f => (f.getPath, f.lastModified())).sortBy(_._1)
+      }
+      val before = layoutState()
+      val res = new Engine(s, cfg2).search(searchTexts).localCheckpoint(true)
+      require(layoutState() == before,
+        "the renamed collection must serve from the moved layout, not rebuild")
+      res
+    }),
+
     // Expr-string filtered search — Milvus's search(expr=...) parameter:
     // q210's pre-filter discipline with the predicate arriving as a raw
     // Milvus expr STRING through the q254 translator (one dialect, both
@@ -3213,6 +3266,14 @@ object EngineQueries {
     "q258_search_expr" -> lifecycleSearchSql.replace(
       "FROM documents WHERE length(text) > 0",
       "FROM documents WHERE length(text) > 0 AND lang IN ('en', 'de') AND n_chars > 250"),
+
+    // post-drop serving is the exact scan: the full-corpus replay (the
+    // pre-drop nprobe=8 layout would NOT replay this way — the drop is
+    // what makes the oracle hold)
+    "q259_drop_index" -> lifecycleSearchSql,
+
+    // a rename moves bytes' NAMES only: the full-corpus replay
+    "q260_rename_collection" -> lifecycleSearchSql,
 
     // maintenance may move every cell boundary but never a result: the
     // full-corpus replay

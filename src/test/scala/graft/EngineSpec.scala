@@ -1650,6 +1650,67 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](eng.searchNearDup(Seq(qtext), 0.0))
   }
 
+  test("dropIndex: pins brute serving across engines until update() re-creates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dropidx").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"))
+    eng.update()
+    val q = Seq("data processing pipeline")
+    val exact = eng.search(q).collect().toSeq // nprobe = nlist: exhaustive = exact
+    assert(new java.io.File(s"$dir/index_ivf").exists())
+    eng.dropIndex()
+    assert(!new java.io.File(s"$dir/index_ivf").exists())
+    // a FRESH engine honors the on-disk pin: brute route, no rebuild,
+    // exact results
+    val e2 = new Engine(spark, cfg)
+    assert(!e2.routeIvf(), "dropped pin must force the brute route")
+    assert(e2.search(q).collect().toSeq == exact)
+    assert(!new java.io.File(s"$dir/index_ivf").exists(), "search rebuilt the layout")
+    // the explicit IVF verb refuses instead of silently rebuilding
+    intercept[IllegalArgumentException](e2.searchIvf(q))
+    // update() IS create_index: pin cleared, layout re-persisted
+    e2.update()
+    assert(e2.routeIvf())
+    assert(new java.io.File(s"$dir/index_ivf").exists())
+    assert(e2.search(q).collect().toSeq == exact)
+  }
+
+  test("renameCollection: metadata-only move, layouts serve without rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rename").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"))
+    eng.update()
+    val q = Seq("data processing pipeline")
+    val before = eng.search(q).collect().toSeq
+    val cfg2 = eng.renameCollection(s"$dir/s2", s"$dir/i2")
+    assert(!new java.io.File(s"$dir/store").exists())
+    assert(!new java.io.File(s"$dir/index").exists())
+    assert(!new java.io.File(s"$dir/index_ivf").exists())
+    // the sealed manifest's URIs were rewritten to the new store root
+    val seal = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/i2_SEALED")), "UTF-8")
+    assert(seal.contains(s"$dir/s2") && !seal.contains(s"$dir/store"),
+      "sealed manifest must follow the rename")
+    // byte-identical serving from the MOVED layout, no rebuild
+    def mt(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/i2_ivf")).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val m0 = mt()
+    val e2 = new Engine(spark, cfg2)
+    assert(e2.search(q).collect().toSeq == before)
+    assert(mt() == m0, "post-rename serving must not rewrite the layout")
+    // guards: occupied target, explicit ivf_path
+    intercept[IllegalArgumentException](e2.renameCollection(s"$dir/s2", s"$dir/i2"))
+    val e3 = new Engine(spark, cfg2.copy(ivfPath = s"$dir/custom_ivf"))
+    intercept[IllegalArgumentException](e3.renameCollection(s"$dir/s3", s"$dir/i3"))
+  }
+
   test("retrieve: Milvus expr strings serve through the pushed-filter path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-retrieve").toString
     val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
