@@ -2846,17 +2846,30 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    */
   def searchSparse(queries: Seq[String], k: Int = 0): DataFrame = {
     admit()
-    ensureLex()
     import spark.implicits._
     val lim = if (k > 0) k else cfg.limit
+    val qdf0 = queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+      .toDF("query_id", "query")
+    val top = sparseRank(queries, lim)
+    store().join(broadcast(top), "doc_id")
+      .join(broadcast(qdf0), Seq("query_id"))
+      .select(col("query_id"), col("query"), col("doc_id"), col("score_bp"),
+        col("rank"), substring(col("text"), 1, 200).as("preview"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** [[searchSparse]]'s ranking stage, factored so the multi-request
+    * fusion ([[hybridSearchMulti]]) can consume the sparse pool without
+    * the hydration: (query_id, doc_id, score_bp, rank ≤ kPool). */
+  private def sparseRank(queries: Seq[String], kPool: Int): DataFrame = {
+    ensureLex()
+    import spark.implicits._
     // query-side sparse vector: token counts (NOT distinct — a repeated
     // query term doubles its weight, the inner-product contract)
     val qterms = queries.zipWithIndex.flatMap { case (q, i) =>
       analyzeTerms(q)
         .groupBy(identity).toSeq.map { case (t, g) => (i.toLong, t, g.length.toLong) }
     }.toDF("query_id", "tok", "qtf")
-    val qdf0 = queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }
-      .toDF("query_id", "query")
     val st = spark.read.parquet(s"$lexPath/stats").head()
     val nDocs = st.getLong(st.fieldIndex("n_docs"))
     val terms = queries.flatMap(analyzeTerms).distinct
@@ -2866,7 +2879,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val dfT = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score_bp").desc, col("doc_id").asc)
-    val top = posts.join(broadcast(qterms), Seq("tok"))
+    posts.join(broadcast(qterms), Seq("tok"))
       .join(broadcast(dfT), Seq("tok"))
       .withColumn("s_k", expr(s"(1024 * (2 * cast($nDocs as bigint) + 2)) DIV (2*df + 1)"))
       .withColumn("e_k", expr("length(bin(s_k)) - 1"))
@@ -2878,11 +2891,61 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .transform(d => expiredIds().fold(d)(x =>
         d.join(broadcast(x), Seq("doc_id"), "left_anti")))
       .withColumn("rank", row_number().over(ws))
-      .filter(col("rank") <= lim)
+      .filter(col("rank") <= kPool)
+  }
+
+  /**
+   * Multi-request hybrid search — Milvus's `hybrid_search` taking a LIST
+   * of AnnSearchRequests (the 2-pool verbs [[hybridSearch]] /
+   * [[hybridSearchWeighted]] are the common special case): each named
+   * request contributes its own top-`kPool` ranking — `"vector"` (dense
+   * cosine through the configured serving strategy), `"lexical"` (BM25
+   * from the persisted postings layout), `"sparse"` (tf·idf inner product
+   * from the same layout) — and RRF fuses them with the same integer-ppm
+   * spelling hybridSearch uses, each pool contributing `10⁶ DIV (60 +
+   * rank)` and absent docs contributing 0. Scale shape: every pool cuts
+   * to kPool per query BEFORE the fusion, so the fusion works on
+   * O(|queries|·kPool·pools) rows regardless of corpus size, and the
+   * union-then-aggregate fusion needs one shuffle of exactly those rows.
+   */
+  def hybridSearchMulti(queries: Seq[String],
+                        requests: Seq[String] = Seq("vector", "lexical", "sparse"),
+                        kPool: Int = 100): DataFrame = {
+    val valid = Seq("vector", "lexical", "sparse")
+    require(requests.nonEmpty && requests.distinct == requests &&
+      requests.forall(valid.contains),
+      s"requests must be a distinct subset of $valid, got $requests")
+    admit()
+    val qdf = queryDf(queries)
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    def pool(name: String): DataFrame = (name match {
+      case "vector" =>
+        scoredChunks(qdf, None)
+          .groupBy(col("query_id"), col("doc_id")).agg(max(col("score")).as("score"))
+          .withColumn("r", row_number().over(wv)).filter(col("r") <= kPool)
+      case "lexical" =>
+        lexicalRank(queries, kPool).withColumn("r", col("lex_rank"))
+      case "sparse" =>
+        sparseRank(queries, kPool).withColumn("r", col("rank"))
+    }).select(col("query_id"), col("doc_id"), lit(name).as("pool"),
+      col("r").cast("long").as("r"))
+    val tagged = requests.map(pool).reduce(_ unionByName _)
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+    val top = tagged.groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        coalesce(max(when(col("pool") === "lexical", col("r"))), lit(0L)).as("lex_rank"),
+        coalesce(max(when(col("pool") === "vector", col("r"))), lit(0L)).as("vec_rank"),
+        coalesce(max(when(col("pool") === "sparse", col("r"))), lit(0L)).as("sparse_rank"),
+        sum(expr("1000000 DIV (60 + r)")).as("rrf_ppm"))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= cfg.limit)
     store().join(broadcast(top), "doc_id")
-      .join(broadcast(qdf0), Seq("query_id"))
-      .select(col("query_id"), col("query"), col("doc_id"), col("score_bp"),
-        col("rank"), substring(col("text"), 1, 200).as("preview"))
+      .join(broadcast(qdf.select(col("query_id"), col("query"))), Seq("query_id"))
+      .select(col("query_id"), col("query"), col("doc_id"), col("lex_rank"),
+        col("vec_rank"), col("sparse_rank"), col("rrf_ppm"), col("rank"),
+        substring(col("text"), 1, 200).as("preview"))
       .orderBy(col("query_id"), col("rank"))
   }
 

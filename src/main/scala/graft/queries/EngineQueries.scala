@@ -672,6 +672,21 @@ object EngineQueries {
       new Engine(s, cfg).searchWhere(searchTexts, col("lang") === "en")
     }),
 
+    // Multi-request hybrid — Milvus hybrid_search with a LIST of
+    // AnnSearchRequests: three ranking families (dense vector, BM25
+    // lexical, sparse tf·idf — the latter two from the same persisted
+    // postings layout) fused by integer-ppm RRF. The oracle replays all
+    // three rankings AND the 3-way fusion relationally.
+    "q261_hybrid_multi" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q261_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      new Engine(s, cfg).hybridSearchMulti(searchTexts)
+    }),
+
     // drop_index — Milvus's drop_index verb: remove the persisted ANN
     // layout and PIN serving to the exact FLAT scan until the next
     // create_index (update()). nprobe < nlist makes the pin a REAL
@@ -2783,6 +2798,85 @@ object EngineQueries {
        |ORDER BY r.query_id, r.rank""".stripMargin
   }
 
+  /** q261's oracle: [[hybridSearchSql]]'s vector + BM25 replays, PLUS a
+    * sparse tf·idf ranking over the same tf/dft/corp CTEs, fused 3-way by
+    * the integer-ppm RRF. Surgery is require-pinned on both anchors; the
+    * sparse chain omits qtf because every searchText's tokens are
+    * distinct (require-pinned too — a repeated token would need the qtf
+    * factor sparseSearchSqlFor carries). */
+  private lazy val hybridMultiSql: String = {
+    require(searchTexts.forall { q =>
+      val t = q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      t.distinct.length == t.length
+    }, "hybridMultiSql's qtf=1 simplification needs distinct query tokens")
+    val lexAnchor = "FROM bm QUALIFY lex_rank <= 100),"
+    val fuseAnchor = "\nf AS ("
+    require(hybridSearchSql.contains(lexAnchor) &&
+      hybridSearchSql.indexOf(fuseAnchor) == hybridSearchSql.lastIndexOf(fuseAnchor) &&
+      hybridSearchSql.contains(fuseAnchor),
+      "hybridSearchSql moved — re-anchor hybridMultiSql")
+    val sparseCtes =
+      """spsc AS (
+        |  SELECT q.query_id, x.doc_id,
+        |    sum(x.tf * ((x.idf_bp * x.idf_bp) // 10000)) AS score_bp
+        |  FROM (
+        |    SELECT doc_id, ltk, tf,
+        |      10000 * (length(bin(s)) - 1)
+        |        + (10000 * (s - (1::BIGINT << (length(bin(s)) - 1))))
+        |          // (1::BIGINT << (length(bin(s)) - 1)) - 100000 AS idf_bp
+        |    FROM (
+        |      SELECT t.doc_id, t.ltk, t.tf,
+        |        (1024 * (2*c2.n_docs + 2)) // (2*d.df + 1) AS s
+        |      FROM tf t JOIN dft d USING (ltk) CROSS JOIN corp c2) y) x
+        |  JOIN qt q ON q.ltk = x.ltk
+        |  GROUP BY q.query_id, x.doc_id),
+        |srank AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_bp DESC, doc_id ASC) AS sp_rank
+        |  FROM spsc QUALIFY sp_rank <= 100),""".stripMargin
+    val tail =
+      """f AS (
+        |  SELECT query_id, doc_id,
+        |    coalesce(max(lex_rank), 0) AS lex_rank0,
+        |    coalesce(max(vec_rank), 0) AS vec_rank0,
+        |    coalesce(max(sp_rank), 0) AS sp_rank0,
+        |    coalesce(1000000 // (60 + max(lex_rank)), 0)
+        |      + coalesce(1000000 // (60 + max(vec_rank)), 0)
+        |      + coalesce(1000000 // (60 + max(sp_rank)), 0) AS rrf_ppm
+        |  FROM (
+        |    SELECT query_id, doc_id, lex_rank,
+        |      cast(NULL as bigint) AS vec_rank, cast(NULL as bigint) AS sp_rank
+        |    FROM lex
+        |    UNION ALL SELECT query_id, doc_id, cast(NULL as bigint), vec_rank,
+        |      cast(NULL as bigint) FROM vrank
+        |    UNION ALL SELECT query_id, doc_id, cast(NULL as bigint),
+        |      cast(NULL as bigint), sp_rank FROM srank) u
+        |  GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id, lex_rank0, vec_rank0, sp_rank0, rrf_ppm,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_ppm DESC, doc_id ASC) as int) AS rank
+        |  FROM f QUALIFY rank <= 4)
+        |SELECT r.query_id, q.query, r.doc_id,
+        |  cast(r.lex_rank0 as bigint) AS lex_rank,
+        |  cast(r.vec_rank0 as bigint) AS vec_rank,
+        |  cast(r.sp_rank0 as bigint) AS sparse_rank,
+        |  cast(r.rrf_ppm as bigint) AS rrf_ppm, r.rank,
+        |  substring(d.text, 1, 200) AS preview
+        |FROM ranked r
+        |JOIN (SELECT * FROM (VALUES QVALS) t(query_id, query)) q
+        |  ON q.query_id = r.query_id
+        |JOIN documents d ON d.doc_id = r.doc_id
+        |ORDER BY r.query_id, r.rank""".stripMargin
+    val qvalues = searchTexts.zipWithIndex
+      .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
+      .mkString(", ")
+    val withSparse = hybridSearchSql.replace(lexAnchor, lexAnchor + "\n" + sparseCtes)
+    withSparse.substring(0, withSparse.indexOf(fuseAnchor)) +
+      tail.replace("QVALS", qvalues)
+  }
+
   /** q156/q230's replay: the checkpoint linear-layer lifecycle — chunk →
     * char-counts → W·c (seed-derived literals) → float-normalize → cosine
     * top-k → hydration, all relational. */
@@ -3274,6 +3368,9 @@ object EngineQueries {
 
     // a rename moves bytes' NAMES only: the full-corpus replay
     "q260_rename_collection" -> lifecycleSearchSql,
+
+    // all three rankings and the 3-way RRF fusion replay relationally
+    "q261_hybrid_multi" -> hybridMultiSql,
 
     // maintenance may move every cell boundary but never a result: the
     // full-corpus replay

@@ -1650,6 +1650,37 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](eng.searchNearDup(Seq(qtext), 0.0))
   }
 
+  test("hybridSearchMulti: pool subsets reduce to the existing verbs; guards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-multi").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
+    val eng = new Engine(spark, cfg)
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"))
+    eng.update()
+    val q = Seq("data processing pipeline", "machine learning")
+    // the 2-pool subset must fuse exactly like hybridSearch (same RRF ppm,
+    // same ranking) — the generalization cannot drift from the special case
+    val two = eng.hybridSearchMulti(q, Seq("vector", "lexical"))
+      .select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf_ppm", "rank")
+      .collect().toSeq
+    val classic = eng.hybridSearch(q)
+      .select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf_ppm", "rank")
+      .collect().toSeq
+    assert(two == classic, "2-pool multi must equal hybridSearch")
+    // a single vector pool ranks exactly like search()
+    val solo = eng.hybridSearchMulti(q, Seq("vector"))
+      .select("query_id", "doc_id").collect().toSeq
+    val plain = eng.search(q).select("query_id", "doc_id").collect().toSeq
+    assert(solo == plain, "1-pool multi must preserve the pool's own order")
+    // 3-pool output carries all three rank columns, absent pools as 0
+    val three = eng.hybridSearchMulti(q)
+    assert(three.columns.toSeq.containsSlice(
+      Seq("lex_rank", "vec_rank", "sparse_rank")))
+    assert(three.count() > 0)
+    intercept[IllegalArgumentException](eng.hybridSearchMulti(q, Seq()))
+    intercept[IllegalArgumentException](eng.hybridSearchMulti(q, Seq("vector", "vector")))
+    intercept[IllegalArgumentException](eng.hybridSearchMulti(q, Seq("hnsw")))
+  }
+
   test("dropIndex: pins brute serving across engines until update() re-creates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dropidx").toString
     val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
