@@ -134,6 +134,14 @@ object PipelineQueries {
     "all rights reserved unauthorized reproduction of this material is " +
       "strictly prohibited without prior written consent"
 
+  /** q262's fixed merge table, in application order (the role of a trained
+    * tokenizer's ranked merges; q132 is the training side). Multi-char
+    * merges 9-12 consume the outputs of earlier ones — the cascade is the
+    * graded property. */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "s", "t" -> "h", "i" -> "n", "a" -> "n", "r" -> "e", "o" -> "n",
+    "a" -> "t", "e" -> "n", "th" -> "e", "in" -> "g", "at" -> "a", "re" -> "s")
+
   val queries: Map[String, Q] = Map(
 
     // Crawl-snapshot diff — the re-crawl triage every scheduled pipeline
@@ -616,6 +624,40 @@ object PipelineQueries {
         .withColumn("nll_bp", expr("s_bp DIV n_bi"))
         .withColumn("keep", (col("nll_bp") < lit(48800L)).cast("long"))
         .select("doc_id", "n_bi", "nll_bp", "keep")
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE tokenizer APPLICATION — the missing half of q132 (which learns
+    // pair statistics): apply a fixed, ordered merge table to the corpus
+    // and measure per-doc compression (tokens per character — the
+    // bytes-per-token metric tokenizer work tracks). Correct BPE apply
+    // reduces to ONE left-to-right pass per merge (a merge can never
+    // create a new occurrence of its own pair: the merged token's spelling
+    // differs from both halves), so each merge is a plain string replace
+    // over a DELIMITED spelling — every token wrapped "|t|", tokens joined
+    // by one space — which makes cross-token false matches impossible
+    // ("|h| |e|" cannot match inside "|th| |e|") and lets adjacent merges
+    // chain ("|a| |a| |a| |a|" → "|aa| |aa|"). Later merges consume
+    // earlier ones' outputs (|t|+|h|→|th|, then |th|+|e|→|the|) — the
+    // cascade is the thing BPE application must get right. Both engines
+    // run the identical replace chain, so the oracle is byte-exact.
+    "q262_bpe_apply" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+      val np = s.sessionState.conf.numShufflePartitions
+      val wide = if (words.rdd.getNumPartitions < np) words.repartition(np) else words
+      val spelledSql = """rtrim(regexp_replace(w, '(.)', '|$1| '))"""
+      val replaceChain = bpeMerges.foldLeft(spelledSql) { case (acc, (x, y)) =>
+        s"replace($acc, '|$x| |$y|', '|$x$y|')"
+      }
+      wide.withColumn("toks", expr(s"size(split($replaceChain, ' '))").cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(sum(length(col("w"))).cast("long").as("n_chars"),
+          sum(col("toks")).as("n_tok"))
+        .withColumn("ratio_bp", expr("(10000 * n_tok) DIV n_chars"))
+        .select("doc_id", "n_chars", "n_tok", "ratio_bp")
         .orderBy(col("doc_id"))
     }),
 
@@ -1435,6 +1477,26 @@ object PipelineQueries {
          |  FROM p QUALIFY rank <= 5)
          |SELECT source, doc_id, n_chars, prio, rank FROM r
          |ORDER BY source, rank""".stripMargin,
+
+    // the identical delimited-spelling replace chain, replayed: DuckDB's
+    // replace() is the same leftmost non-overlapping all-occurrences scan
+    "q262_bpe_apply" -> {
+      val spelled = """rtrim(regexp_replace(w, '(.)', '|\1| ', 'g'))"""
+      val chain = bpeMerges.foldLeft(spelled) { case (acc, (x, y)) =>
+        s"replace($acc, '|$x| |$y|', '|$x$y|')"
+      }
+      s"""WITH w0 AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         |  FROM documents),
+         |w1 AS (SELECT doc_id, w FROM w0 WHERE length(w) > 0),
+         |sp AS (SELECT doc_id, w, $chain AS s FROM w1),
+         |g AS (
+         |  SELECT doc_id, cast(sum(length(w)) as bigint) AS n_chars,
+         |    cast(sum(len(string_split(s, ' '))) as bigint) AS n_tok
+         |  FROM sp GROUP BY doc_id)
+         |SELECT doc_id, n_chars, n_tok, (10000 * n_tok) // n_chars AS ratio_bp
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
 
     // the bigram counts, the piecewise integer log2 and the truncating
     // division all replay exactly (the bin()/<< spelling — NOTES gotcha)
