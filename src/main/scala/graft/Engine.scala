@@ -445,6 +445,10 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       ingest(changed, keyCol)     // now absent ⇒ appends the new versions
       updateIncremental()         // re-embed ONLY the replaced documents
     }
+    // an upsert asserts existence: resurrect any tombstoned incoming pk
+    // (Milvus's upsert-after-delete makes the new row visible) — including
+    // BYTE-IDENTICAL rows the digest check skipped above
+    clearTombstones(incoming.select(col(keyCol)), keyCol)
     n
   }
 
@@ -687,6 +691,25 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     if (n > 0) fresh.write.mode("append").parquet(tombstonePath)
     n
   }
+
+  /** Remove `keys` from the tombstone log (no-op when no log exists):
+    * [[upsert]] calls this for ALL its pks — an upsert asserts "this
+    * document exists with this content", so it must resurrect a
+    * tombstoned pk exactly like Milvus's upsert-after-delete does —
+    * and [[delete]] calls it for its pks so a physical removal leaves no
+    * stale log entry to mask a future re-ingest of the same pk. The log
+    * is vacuum-cadence-sized, so the rewrite is a sliver. */
+  private def clearTombstones(keys: DataFrame, keyCol: String): Unit =
+    tombstoneIds().foreach { t =>
+      val kept = t.join(
+        broadcast(keys.select(col(keyCol).as("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
+        .localCheckpoint(true) // pin BEFORE overwriting the dir being read
+      val p = new org.apache.hadoop.fs.Path(tombstonePath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (kept.count() == 0L) { fs.delete(p, true); () }
+      else kept.write.mode("overwrite").parquet(tombstonePath)
+    }
 
   /** Physically apply the tombstones — the lazy half of [[deleteSoft]],
     * run from the maintenance loop beside [[compact]]/[[vacuumExpired]]:
@@ -1490,6 +1513,9 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         if (layoutCurrent) maintainLayoutAfterDelete(key, keyCol)
       }
     }
+    // a physically-removed pk must leave no stale tombstone behind (it
+    // would mask a future re-ingest of the same pk)
+    clearTombstones(key, keyCol)
     removed
   }
 

@@ -1690,6 +1690,35 @@ class EngineSpec extends SparkSpec {
     assert(eng.store().filter(col("doc_id") === top).count() == 0)
   }
 
+  test("tombstone interplay: upsert resurrects; delete leaves no stale mask") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tomb2").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    eng.ingest(docs)
+    import spark.implicits._
+    // upsert of a tombstoned pk with IDENTICAL bytes: the digest check
+    // skips the rewrite, but the pk must still resurrect (upsert asserts
+    // existence — Milvus's upsert-after-delete contract)
+    assert(eng.deleteSoft(Seq(5L).toDF("doc_id")) == 1L)
+    assert(eng.query(col("doc_id") === 5L).count() == 0)
+    assert(eng.upsert(docs) == 0L) // byte-identical: zero changed rows
+    assert(eng.query(col("doc_id") === 5L).count() == 1, "upsert must resurrect")
+    // upsert of a tombstoned pk with NEW bytes: visible with the new text
+    assert(eng.deleteSoft(Seq(7L).toDF("doc_id")) == 1L)
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === 7L, concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    assert(eng.upsert(mutated) == 1L)
+    val got = eng.query(col("doc_id") === 7L, Seq("text")).head().getString(1)
+    assert(got.endsWith(" v2"), "resurrected row must carry the upserted bytes")
+    // physical delete of a tombstoned pk clears its log entry, so a later
+    // re-ingest is visible (no stale mask)
+    assert(eng.deleteSoft(Seq(9L).toDF("doc_id")) == 1L)
+    eng.delete(Seq(9L).toDF("doc_id"))
+    eng.ingest(docs.filter(col("doc_id") === 9L))
+    assert(eng.query(col("doc_id") === 9L).count() == 1, "stale tombstone masked a re-ingest")
+  }
+
   test("hybridSearchMulti: pool subsets reduce to the existing verbs; guards") {
     val dir = java.nio.file.Files.createTempDirectory("graft-multi").toString
     val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
