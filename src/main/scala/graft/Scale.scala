@@ -99,7 +99,7 @@ object Scale {
     }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective",
       "incdedup", "cc", "export", "spans", "invidx", "pq", "maxsim", "ivfpq",
       "snm", "rangeivf", "filtered", "binary", "drain", "lexserve", "vecdrain",
-      "growing", "cluster", "scalaridx", "ndserve"))
+      "growing", "cluster", "scalaridx", "ndserve", "softdel"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -609,6 +609,30 @@ object Scale {
     //     size for a fixed-selectivity value the store scan pays
     //     linearly); the build is the one corpus-sized pass, paid
     //     offline like every inverted layout.
+    // 25. Tombstone vs copy-on-write deletes (round-11): delete 1% of a
+    //     growing corpus both ways. The claim under measurement:
+    //     deleteSoft's cost is O(|ids|) (a log append — flat-ish wall,
+    //     near-zero shuffle at every corpus size) while delete()'s
+    //     copy-on-write rewrite tracks the CORPUS; the post-soft masked
+    //     read pays only the sliver anti-join over the broadcast log.
+    if (only("softdel")) docLadder.foreach { case (s, n) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-sdel-").toString
+      corpus(spark, n).select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$base/store")
+      corpus(spark, n).select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$base/store2")
+      val doomed = spark.read.parquet(s"$base/store")
+        .filter(pmod(col("doc_id"), lit(100)) === 0).select("doc_id")
+        .localCheckpoint(true)
+      val soft = new Engine(spark, EngineConfig(s"$base/store", s"$base/index"))
+      measure("softdel_soft", s, n) { soft.deleteSoft(doomed) }
+      measure("softdel_masked_read", s, n) {
+        soft.query(col("doc_id") >= 0L, Seq("text")).count()
+      }
+      val hard = new Engine(spark, EngineConfig(s"$base/store2", s"$base/index2"))
+      measure("softdel_cow", s, n) { hard.delete(doomed) }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
     // 24. Near-dup retrieval index (round-11): searchNearDup's serve cost
     //     across a growing corpus — one query text (an 80% prefix of a
     //     corpus doc) against the persisted minhash layout. The claim
