@@ -352,6 +352,33 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Dedup-recall EVALUATION — the q136 recall@k discipline applied to
+    // the dedup family: minhash banding (16 hashes / 4 bands, q18) is
+    // approximate candidate generation, PPJoin (q118) is the exact ground
+    // truth at the same Jaccard bar — so banding recall is measurable, in
+    // integer bp, from two pipelines the suite already trusts. The number
+    // a pipeline owner needs before trading PPJoin's exact-but-heavier
+    // prefix join for banding at 100 TB. (n_common is counted explicitly:
+    // near the bar the two pipelines' rounding differs — banding verifies
+    // round(J,4) ≥ 0.5, PPJoin tests 2·inter ≥ union exactly — so LSH is
+    // not formally a subset of exact.)
+    "q264_dedup_recall" -> ((s, dir) => {
+      val corpus = nearDupCorpus(t(s, dir, "documents"))
+        .withColumnRenamed("doc_id", "id")
+      val exact = Dedup.setSimJoin(corpus, "text", "id", tNum = 1, tDen = 2,
+        shingleSize = 3).select("id_a", "id_b").localCheckpoint(true)
+      val lsh = Dedup.nearDupPairs(corpus, "text", "id",
+        shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val nE = exact.count()
+      val nL = lsh.count()
+      val nC = exact.join(lsh, Seq("id_a", "id_b"), "left_semi").count()
+      require(nE > 0, "fixture: the planted copies must yield exact pairs")
+      import s.implicits._
+      Seq((nE, nL, nC, 10000L * nC / nE))
+        .toDF("n_exact", "n_lsh", "n_common", "recall_bp")
+    }),
+
     // rolling-hash document fingerprint
     "q19_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -882,6 +909,46 @@ object TextQueries {
   private val lowToksSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
   private val enListSql = "['the','a','an','and','of','to','in','is','it','that']"
 
+  /** The PPJoin exact set-similarity chain (q118's oracle body), factored
+    * as CTEs over a `corpus(id, text)` relation and ending in the
+    * `exacts` pair set — shared by q118 and q264's recall denominator. */
+  private val setSimChainSql: String =
+    """tk0 AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |        FROM corpus WHERE length(trim(text)) > 0),
+      |toks AS (
+      |  SELECT DISTINCT id,
+      |    cast(('0x' || substr(sha256(sh), 1, 15)) as bigint) AS tok FROM (
+      |    SELECT id, unnest(list_transform(generate_series(1, cast(greatest(len(tk)-2, 0) as bigint)),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      |    FROM tk0) u),
+      |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+      |tdf AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+      |rk AS (
+      |  SELECT t.id, t.tok,
+      |    row_number() OVER (PARTITION BY t.id ORDER BY d.df ASC, t.tok ASC) AS rn
+      |  FROM toks t JOIN tdf d ON d.tok = t.tok),
+      |pref AS (
+      |  SELECT rk.id, rk.tok, s.sz
+      |  FROM rk JOIN sizes s ON s.id = rk.id
+      |  WHERE rk.rn <= s.sz - ((s.sz * 1 + 1) // 2) + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.id < b.id
+      |  WHERE greatest(a.sz, b.sz) * 1 <= least(a.sz, b.sz) * 2),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS inter
+      |  FROM cand c
+      |  JOIN toks ta ON ta.id = c.id_a
+      |  JOIN toks tb ON tb.id = c.id_b AND tb.tok = ta.tok
+      |  GROUP BY c.id_a, c.id_b),
+      |exacts AS (
+      |  SELECT i.id_a, i.id_b, i.inter, za.sz AS sz_a, zb.sz AS sz_b,
+      |    (10000 * i.inter) // (za.sz + zb.sz - i.inter) AS jacc_bp
+      |  FROM inter i
+      |  JOIN sizes za ON za.id = i.id_a
+      |  JOIN sizes zb ON zb.id = i.id_b
+      |  WHERE i.inter * 2 >= (za.sz + zb.sz - i.inter) * 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q123_phrase_search" ->
       """WITH toks AS (
@@ -1073,41 +1140,22 @@ object TextQueries {
 
     "q118_setsim_join" ->
       s"""WITH corpus AS ($nearDupCorpusSql),
-         |tk0 AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS tk
-         |        FROM corpus WHERE length(trim(text)) > 0),
-         |toks AS (
-         |  SELECT DISTINCT id,
-         |    cast(('0x' || substr(sha256(sh), 1, 15)) as bigint) AS tok FROM (
-         |    SELECT id, unnest(list_transform(generate_series(1, cast(greatest(len(tk)-2, 0) as bigint)),
-         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-         |    FROM tk0) u),
-         |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
-         |tdf AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
-         |rk AS (
-         |  SELECT t.id, t.tok,
-         |    row_number() OVER (PARTITION BY t.id ORDER BY d.df ASC, t.tok ASC) AS rn
-         |  FROM toks t JOIN tdf d ON d.tok = t.tok),
-         |pref AS (
-         |  SELECT rk.id, rk.tok, s.sz
-         |  FROM rk JOIN sizes s ON s.id = rk.id
-         |  WHERE rk.rn <= s.sz - ((s.sz * 1 + 1) // 2) + 1),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.id < b.id
-         |  WHERE greatest(a.sz, b.sz) * 1 <= least(a.sz, b.sz) * 2),
-         |inter AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS inter
-         |  FROM cand c
-         |  JOIN toks ta ON ta.id = c.id_a
-         |  JOIN toks tb ON tb.id = c.id_b AND tb.tok = ta.tok
-         |  GROUP BY c.id_a, c.id_b)
-         |SELECT i.id_a, i.id_b, i.inter, za.sz AS sz_a, zb.sz AS sz_b,
-         |  (10000 * i.inter) // (za.sz + zb.sz - i.inter) AS jacc_bp
-         |FROM inter i
-         |JOIN sizes za ON za.id = i.id_a
-         |JOIN sizes zb ON zb.id = i.id_b
-         |WHERE i.inter * 2 >= (za.sz + zb.sz - i.inter) * 1
+         |$setSimChainSql
+         |SELECT id_a, id_b, inter, sz_a, sz_b, jacc_bp FROM exacts
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // both pipelines replay (prefixed CTEs keep them apart), then the
+    // three counts and the integer recall
+    "q264_dedup_recall" ->
+      s"""WITH corpus AS ($nearDupCorpusSql),
+         |$setSimChainSql,
+         |${minhashVerifiedSql(0.5, "corpus", "m")}
+         |SELECT cast(e.n as bigint) AS n_exact, cast(l.n as bigint) AS n_lsh,
+         |  cast(c.n as bigint) AS n_common,
+         |  (10000 * c.n) // e.n AS recall_bp
+         |FROM (SELECT count(*) AS n FROM exacts) e,
+         |     (SELECT count(*) AS n FROM mverified) l,
+         |     (SELECT count(*) AS n FROM exacts JOIN mverified USING (id_a, id_b)) c""".stripMargin,
 
     "q105_incremental_dedup" ->
       s"""WITH corpus AS (
