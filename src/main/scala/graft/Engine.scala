@@ -1387,7 +1387,8 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * exponent is the bit length (`bin()`), exact and engine-portable; the
    * fraction interpolates linearly within the octave in basis points.
    */
-  private[graft] def lexicalRank(queries: Seq[String], kPool: Int): DataFrame = {
+  private[graft] def lexicalRank(queries: Seq[String], kPool: Int,
+                                 eligible: Option[DataFrame] = None): DataFrame = {
     ensureLex()
     import spark.implicits._
     val qterms = queries.zipWithIndex.flatMap { case (q, i) =>
@@ -1415,6 +1416,10 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         s" + 9 * dl * cast($nDocs as bigint))"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(expr("(idf_bp * tf_bp) DIV 10000")).as("bm25_bp"))
+      // eligibility gate BEFORE ranking ([[hybridSearchWhere]]'s filter —
+      // an ineligible doc must not hold a rank slot; collection-wide
+      // df/dl stats stay unfiltered, exactly Milvus's filtered search)
+      .transform(d => eligible.fold(d)(e => d.join(e, Seq("doc_id"), "left_semi")))
       // TTL + tombstone gate BEFORE ranking (a masked doc must not hold a
       // rank slot): doc-count-sized frame, delta-sized broadcast anti join
       .transform(d => maskedIds().fold(d)(x =>
@@ -2630,15 +2635,27 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * group), then top-k groups. When the index already carries the field
    * (a [[EngineConfig.partitionKey]] layout) group attribution is FREE —
    * no store join; otherwise one doc-keyed join attaches it.
+   *
+   * `strict` is Milvus 2.4.1's `strict_group_size`: `true` (the default
+   * here) backfills every surfaced group to its top `groupSize` documents
+   * from the FULL per-doc ranking; `false` — Milvus's own default — draws
+   * groups AND members only from the global top-(`limit` × `groupSize`)
+   * candidate pool, so a group whose deeper documents rank below the pool
+   * returns fewer than `groupSize` rows, and when one group saturates the
+   * pool fewer than `limit` groups may surface at all (both exactly the
+   * shortfalls Milvus documents for the loose mode — it trades result
+   * completeness for never considering candidates beyond the pool). The
+   * groups the loose mode does surface rank in the same leader order as
+   * strict mode.
    */
   def searchGrouped(queries: Seq[String], groupField: String,
-                    groupSize: Int = 1): DataFrame = {
+                    groupSize: Int = 1, strict: Boolean = true): DataFrame = {
     require(groupSize >= 1, s"bad group_size $groupSize")
     admit()
     val qdf = queryDf(queries)
     val sc = scoredChunks(qdf, None)
     val carried = cfg.partitionKey.nonEmpty && cfg.partitionKey == groupField
-    val best =
+    val full =
       if (carried)
         sc.groupBy(col("query_id"), col("query"), col("doc_id"), col(groupField))
           .agg(max(col("score")).as("score"))
@@ -2646,6 +2663,15 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         sc.groupBy(col("query_id"), col("query"), col("doc_id"))
           .agg(max(col("score")).as("score"))
           .join(store().select(col("doc_id"), col(groupField)), Seq("doc_id"))
+    val best =
+      if (strict) full
+      else {
+        val wp = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        full.withColumn("__pr", row_number().over(wp))
+          .filter(col("__pr") <= cfg.limit * groupSize).drop("__pr")
+      }
     val wg = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"), col(groupField))
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -3052,17 +3078,38 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def hybridSearch(queries: Seq[String], kPool: Int = 100): DataFrame = {
+  def hybridSearch(queries: Seq[String], kPool: Int = 100): DataFrame =
+    hybridImpl(queries, kPool, None)
+
+  /**
+   * Filtered hybrid search — Milvus `hybrid_search` with an `expr` on its
+   * AnnSearchRequests: one scalar predicate gates BOTH pools before their
+   * top-`kPool` cuts (post-hoc filtering of a fused ranking can return
+   * fewer than k and miss eligible hits — the same filtered-ANN trap
+   * [[searchWhere]] documents). The vector side rides [[scoredChunks]]'
+   * early-gate discipline (semi-join before scoring); the lexical side
+   * gates the per-doc BM25 frame before its ranking window. Collection-
+   * wide statistics (df, dl, n_docs) stay UNFILTERED — Milvus's filtered
+   * search likewise scores against whole-collection index stats.
+   */
+  def hybridSearchWhere(queries: Seq[String], pred: Column,
+                        kPool: Int = 100): DataFrame = {
+    val eligible = store().filter(pred).select(col("doc_id")).distinct()
+    hybridImpl(queries, kPool, Some(eligible))
+  }
+
+  private def hybridImpl(queries: Seq[String], kPool: Int,
+                         eligible: Option[DataFrame]): DataFrame = {
     admit()
     val qdf = queryDf(queries)
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
-    val vrank = scoredChunks(qdf, None)
+    val vrank = scoredChunks(qdf, eligible)
       .groupBy(col("query_id"), col("doc_id")).agg(max(col("score")).as("score"))
       .withColumn("vec_rank", row_number().over(wv))
       .filter(col("vec_rank") <= kPool)
       .select(col("query_id"), col("doc_id"), col("vec_rank").cast("long").as("vec_rank"))
-    val lrank = lexicalRank(queries, kPool).drop("bm25_bp")
+    val lrank = lexicalRank(queries, kPool, eligible).drop("bm25_bp")
     // reciprocal-rank fusion, k=60: contributions in ppm stay integers
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("rrf_ppm").desc, col("doc_id").asc)

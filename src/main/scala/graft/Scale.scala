@@ -99,7 +99,7 @@ object Scale {
     }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective",
       "incdedup", "cc", "export", "spans", "invidx", "pq", "maxsim", "ivfpq",
       "snm", "rangeivf", "filtered", "binary", "drain", "lexserve", "vecdrain",
-      "growing", "cluster", "scalaridx", "ndserve", "softdel"))
+      "growing", "cluster", "scalaridx", "ndserve", "softdel", "dsir"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -632,6 +632,21 @@ object Scale {
       val hard = new Engine(spark, EngineConfig(s"$base/store2", s"$base/index2"))
       measure("softdel_cow", s, n) { hard.delete(doomed) }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+    // 25. DSIR importance selection (round-11): score every document by
+    //     the target/raw hashed-unigram likelihood ratio and take the
+    //     top-100 (orderBy+limit = distributed top-k, no global window).
+    //     The claim under measurement: the MODEL is a constant 1024-row
+    //     broadcast frame at every corpus size — shuffle is the per-doc
+    //     partial-agg reduce (linear, map-side-combined), never a
+    //     vocabulary- or pair-shaped blowup.
+    if (only("dsir")) docLadder.foreach { case (s, n) =>
+      measure("dsir_select", s, n) {
+        val scores = graft.operators.Sampling.dsirScores(
+          corpus(spark, n), "doc_id", "text",
+          pmod(col("doc_id"), lit(5)) === 0)
+        scores.orderBy(col("score_bp").desc, col("doc_id").asc).limit(100).count()
+      }
     }
     // 24. Near-dup retrieval index (round-11): searchNearDup's serve cost
     //     across a growing corpus — one query text (an 80% prefix of a

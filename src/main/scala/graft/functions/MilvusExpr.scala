@@ -11,6 +11,18 @@ package graft.functions
  *  - membership `f in [v1, v2]` / `f not in [...]` (brackets → parens)
  *  - `like "pat%"` (SQL LIKE, translated literals)
  *  - JSON path access `meta["key"]` → `get_json_object(meta, '$.key')`
+ *  - ARRAY field operators (the Milvus ARRAY datatype filter set):
+ *    `array_contains(f, v)`, `array_contains_all(f, [..])`,
+ *    `array_contains_any(f, [..])`, `array_length(f)` — rewritten to
+ *    Spark's `array_contains`/`array_except`/`arrays_overlap`/`size`
+ *  - JSON array membership (the Milvus `json_contains` family) over a
+ *    JSON path, a physical JSON column, or a dynamic field: the stored
+ *    JSON array is materialized with `from_json` (element type inferred
+ *    from the probe values: strings → `array<string>`, else numeric)
+ *  - `exists meta["key"]` / `exists dynfield` — Milvus's key-presence
+ *    test → `get_json_object(..) IS NOT NULL` (a dynamic row simply
+ *    lacks the key when the producer column was null: `to_json` drops
+ *    null fields, so presence IS the Milvus semantics)
  *  - dynamic fields (Milvus `enable_dynamic_field`): an identifier that is
  *    not a physical column resolves through the hidden `$meta` JSON column
  *    when one exists — exactly Milvus's behavior for undeclared fields
@@ -84,6 +96,63 @@ object MilvusExpr {
           protect(s"get_json_object(`$fld`, '$$.$key')"))
       }
     })
+
+    // 3b. ARRAY / JSON-array operators — before the bracket pass (their
+    // list argument is a [..] literal) and before dynamic-field routing
+    // (the function names are not fields). Each rewrite is protected.
+    // The field argument may be a json-path placeholder from pass 3, a
+    // physical column, or (json_contains family only, in practice) an
+    // undeclared identifier that routes through the dynamic column.
+    def fieldRef(raw: String): String = {
+      // NO trim: placeholder delimiters are control chars, which trim eats
+      val t = raw
+      if (t.nonEmpty && t.charAt(0) == GEN) t // nested placeholder, restored later
+      else if (columns.contains(t)) s"`$t`"
+      else dynamicField
+        .map(mf => protect(s"get_json_object(`$mf`, '$$.$t')"))
+        .getOrElse(t)
+    }
+    // element type of a JSON array probe: Milvus json arrays are typed by
+    // the probe values here — strings, else doubles, else integers
+    def jsonArrType(args: String): String =
+      if (args.indexOf(LIT) >= 0) "array<string>"
+      else if (args.contains(".")) "array<double>"
+      else "array<bigint>"
+    val IDF = """([A-Za-z_$][A-Za-z0-9_$]*|""" + GEN + """\d+""" + GEN + ")"
+    val VAL = "(" + LIT + """\d+""" + LIT + """|-?\d+(?:\.\d+)?)"""
+    val LST = """\[\s*([^\]]*?)\s*\]"""
+    def qr(r: String) = r.r
+    s = qr("""(?i)\barray_contains_all\s*\(\s*""" + IDF + """\s*,\s*""" + LST + """\s*\)""")
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        protect(s"size(array_except(array(${m.group(2)}), ${fieldRef(m.group(1))})) = 0")))
+    s = qr("""(?i)\barray_contains_any\s*\(\s*""" + IDF + """\s*,\s*""" + LST + """\s*\)""")
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        protect(s"arrays_overlap(${fieldRef(m.group(1))}, array(${m.group(2)}))")))
+    s = qr("""(?i)\barray_contains\s*\(\s*""" + IDF + """\s*,\s*""" + VAL + """\s*\)""")
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        protect(s"array_contains(${fieldRef(m.group(1))}, ${m.group(2)})")))
+    s = qr("""(?i)\barray_length\s*\(\s*""" + IDF + """\s*\)""")
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        protect(s"size(${fieldRef(m.group(1))})")))
+    s = qr("""(?i)\bjson_contains_all\s*\(\s*""" + IDF + """\s*,\s*""" + LST + """\s*\)""")
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        protect(s"size(array_except(array(${m.group(2)}), " +
+          s"from_json(${fieldRef(m.group(1))}, '${jsonArrType(m.group(2))}'))) = 0")))
+    s = qr("""(?i)\bjson_contains_any\s*\(\s*""" + IDF + """\s*,\s*""" + LST + """\s*\)""")
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        protect(s"arrays_overlap(from_json(${fieldRef(m.group(1))}, " +
+          s"'${jsonArrType(m.group(2))}'), array(${m.group(2)}))")))
+    s = qr("""(?i)\bjson_contains\s*\(\s*""" + IDF + """\s*,\s*""" + VAL + """\s*\)""")
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        protect(s"array_contains(from_json(${fieldRef(m.group(1))}, " +
+          s"'${jsonArrType(m.group(2))}'), ${m.group(2)})")))
+    // Milvus `exists` — key presence on a json path or dynamic field. The
+    // operand must be a json access (a physical column always "exists";
+    // Milvus likewise only allows exists on JSON/dynamic keys), so bare
+    // identifiers route through the dynamic column when one is configured.
+    s = qr("""(?i)\bexists\s+""" + IDF)
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        protect(s"${fieldRef(m.group(1))} IS NOT NULL")))
 
     // 4. operator spellings
     s = s.replace("==", " = ").replace("&&", " and ").replace("||", " or ")

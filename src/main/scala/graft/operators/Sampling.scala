@@ -70,4 +70,52 @@ object Sampling {
   def prioritySql(idExpr: String, weightExpr: String, salt: String): String =
     s"(($weightExpr * 268435456) // " +
       s"(cast(('0x' || substr(sha256('$salt:' || cast($idExpr as varchar)), 2, 7)) as bigint) + 1))"
+
+  /** Piecewise-linear integer log2 in basis points of a POSITIVE bigint
+    * SQL expression — the repo-wide cross-engine log spelling (BM25 idf,
+    * LM perplexity): 10000·⌊log2 x⌋ plus a linear interpolation of the
+    * fraction. Bit-identical in Spark and DuckDB (`//` for DIV there). */
+  def log2BpSql(x: String): String =
+    s"(10000 * (length(bin($x)) - 1) + (10000 * (($x) - " +
+      s"shiftleft(cast(1 as bigint), length(bin($x)) - 1))) DIV " +
+      s"shiftleft(cast(1 as bigint), length(bin($x)) - 1))"
+
+  /**
+   * DSIR importance scores (Xie et al. 2023, "Data Selection for Language
+   * Models via Importance Resampling"): per-document log-likelihood ratio
+   * of a TARGET hashed-unigram model over the RAW corpus model, in integer
+   * bp. The hashed feature space (`buckets` sha256 buckets — the paper's
+   * hashed n-gram trick) keeps both models CONSTANT-sized regardless of
+   * corpus vocabulary: the model is one `buckets`-row frame that
+   * broadcasts, so scoring at any corpus size is a map-side join plus one
+   * partially-aggregated groupBy on the id — no corpus-sized shuffle
+   * beyond the per-doc reduce. Add-1 smoothing on both models.
+   *
+   * Returns (idCol, n_tok, score_bp); select by `score_bp` — top-m via
+   * orderBy+limit (distributed top-k) or a threshold cut at extreme scale.
+   */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, buckets: Int = 1024): DataFrame = {
+    val l2 = log2BpSql _
+    val toks = docs
+      .select(col(idCol), isTarget.as("__tgt"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("b", hashBucket(col("tok"), buckets))
+    val feat = toks.groupBy(col("b")).agg(
+        count(lit(1)).cast("long").as("rc"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).cast("long").as("tc"))
+      .select(col("b"), expr(l2("tc + 1")).as("lt_bp"), expr(l2("rc + 1")).as("lr_bp"))
+    val tot = toks.agg(
+      count(lit(1)).cast("long").as("r_tot"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).cast("long").as("t_tot"))
+    toks.join(broadcast(feat), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tok"),
+        sum(col("lt_bp") - col("lr_bp")).cast("long").as("__s0"))
+      .crossJoin(broadcast(tot))
+      .withColumn("score_bp",
+        col("__s0") + col("n_tok") * (expr(l2("r_tot")) - expr(l2("t_tot"))))
+      .select(col(idCol), col("n_tok"), col("score_bp"))
+  }
 }

@@ -1337,6 +1337,25 @@ object EngineQueries {
       new Engine(s, cfg).searchGrouped(searchTexts, "source", groupSize = 3)
     }),
 
+    // strict_group_size = false — Milvus 2.4.1's OWN default for grouping
+    // search: members come only from the global top-(limit × group_size)
+    // candidate pool (here 12), so a surfaced source whose deeper docs
+    // rank below the pool returns fewer than 3 rows. Group leaders (and
+    // group order) are identical to q239's strict mode — only the member
+    // depth differs. The oracle inserts the pool cap between the per-doc
+    // ranking and the group window.
+    "q269_grouped_loose" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q269_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L, partitionKey = "source")
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text", "source"))
+      eng.update()
+      new Engine(s, cfg).searchGrouped(searchTexts, "source", groupSize = 3,
+        strict = false)
+    }),
+
     // Growing-segment search — Milvus's DEFAULT read path (ignore_growing
     // = false): after the store moves under a stamped index, sealed
     // documents serve through the persisted layout while the fresh wave is
@@ -1625,6 +1644,90 @@ object EngineQueries {
         Seq("lang", "n_chars"), limit = 200)
     }),
 
+    // ARRAY field — Milvus's ARRAY datatype: an array<string> column
+    // (tags: the document's first 12 ≥3-letter tokens) round-trips
+    // ingest→store→filter, and the Milvus expr array operators
+    // array_contains / not / array_length translate and serve through
+    // retrieve()'s pushed-query path. Both predicate arms are non-trivial
+    // at every scale (probed: 135/143/1275 matches). The oracle replays
+    // the tags derivation and the filter with DuckDB list functions.
+    "q265_array_field" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q265_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars")
+        .withColumn("tags",
+          slice(filter(split(lower(col("text")), "[^a-z]+"),
+            tk => length(tk) >= 3), 1, 12))
+      eng.ingest(docs)
+      new Engine(s, cfg).retrieve(
+        """(array_contains(tags, "data") and not array_contains(tags, "the")) or array_length(tags) < 12""",
+        Seq("lang", "n_chars"), limit = 150)
+    }),
+
+    // ARRAY set operators — Milvus's array_contains_all / array_contains_any
+    // (the ALL spelling arrives uppercase: Milvus accepts both): the
+    // all-probe rewrites to an array_except emptiness test, the any-probe
+    // to arrays_overlap, and both compose with a scalar arm under SQL
+    // precedence. Probed non-trivial at every scale (111/115/1111).
+    "q266_array_setops" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q266_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars")
+        .withColumn("tags",
+          slice(filter(split(lower(col("text")), "[^a-z]+"),
+            tk => length(tk) >= 3), 1, 12))
+      eng.ingest(docs)
+      new Engine(s, cfg).retrieve(
+        """ARRAY_CONTAINS_ALL(tags, ["window", "hash"]) or (array_contains_any(tags, ["vector", "stream"]) and n_chars < 150)""",
+        Seq("lang", "n_chars"), limit = 150)
+    }),
+
+    // JSON array membership — Milvus's json_contains over a DYNAMIC field:
+    // the tags array arrives undeclared, packs into the hidden $meta JSON
+    // column (to_json renders it as a JSON array), and the filter
+    // materializes it back with from_json before the membership test —
+    // json_contains(tags, "data") && n_chars > 300, both fields dynamic.
+    // The oracle replays the name-sorted packing (printf with a
+    // quote-and-join over the list) and the filter on the raw columns.
+    "q267_json_contains" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q267_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "n_chars")
+        .withColumn("tags",
+          slice(filter(split(lower(col("text")), "[^a-z]+"),
+            tk => length(tk) >= 3), 1, 12))
+      eng.ingestDynamic(docs)
+      new Engine(s, cfg).retrieve(
+        """json_contains(tags, "data") && n_chars > 300""",
+        Seq(Engine.DynamicField), limit = 150)
+    }),
+
+    // `exists` — Milvus's key-presence operator over dynamic fields: a
+    // producer column that is NULL for a row simply never packs into that
+    // row's $meta (to_json drops null fields), so presence of the key IS
+    // the Milvus exists semantics. Every third doc gets a src_detail
+    // annotation; the filter keeps annotated docs above a length bar.
+    "q271_exists_expr" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q271_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source", "lang", "n_chars")
+        .withColumn("src_detail",
+          when(col("doc_id") % 3 === 0, concat(col("source"), lit("/"), col("lang"))))
+        .drop("source", "lang")
+      eng.ingestDynamic(docs)
+      new Engine(s, cfg).retrieve(
+        """exists src_detail && n_chars > 250""",
+        Seq(Engine.DynamicField), limit = 150)
+    }),
+
     // Clustering compaction — Milvus 2.4's clustering_key compaction: the
     // store rewrites range-clustered on a scalar field so filtered reads
     // prune to the files whose footer min/max straddle the predicate.
@@ -1748,6 +1851,25 @@ object EngineQueries {
       eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
       eng.update()
       new Engine(s, cfg).hybridSearch(searchTexts)
+    }),
+
+    // Filtered hybrid — Milvus hybrid_search's expr parameter: one scalar
+    // predicate (lang ∈ {en, de} — 53% of the corpus) gates BOTH pools
+    // BEFORE their top-100 cuts, so ineligible docs can't hold pool slots
+    // and eligible docs outside the unfiltered pools can surface.
+    // Collection-wide BM25 stats stay unfiltered (the Milvus semantics).
+    // The oracle is q212's replay with an eligibility semi-join inserted
+    // into both rank CTEs.
+    "q272_hybrid_filtered" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q272_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text", "lang"))
+      eng.update()
+      new Engine(s, cfg).hybridSearchWhere(searchTexts,
+        col("lang").isin("en", "de"))
     }),
 
     // The production loop driven by the REAL Scheduler (scheduler.py:10-51
@@ -3421,6 +3543,23 @@ object EngineQueries {
     // both rankings and the fusion replayed relationally
     "q212_engine_hybrid" -> hybridSearchSql,
 
+    // q212's replay with the eligibility gate (lang ∈ {en, de}) inserted
+    // into both rank CTEs BEFORE their windows; corpus-wide BM25 stats
+    // stay unfiltered. Anchors are require-pinned.
+    "q272_hybrid_filtered" -> {
+      val headKey = "WITH c AS ("
+      val vKey = "\n  FROM best QUALIFY vec_rank <= 100),"
+      val lKey = "\n  FROM bm QUALIFY lex_rank <= 100),"
+      require(hybridSearchSql.contains(headKey) &&
+        hybridSearchSql.contains(vKey) && hybridSearchSql.contains(lKey),
+        "q272 surgery: a hybridSearchSql anchor drifted")
+      hybridSearchSql
+        .replace(headKey,
+          "WITH elig AS (SELECT doc_id FROM documents WHERE lang IN ('en', 'de')),\nc AS (")
+        .replace(vKey, "\n  FROM best JOIN elig USING (doc_id) QUALIFY vec_rank <= 100),")
+        .replace(lKey, "\n  FROM bm JOIN elig USING (doc_id) QUALIFY lex_rank <= 100),")
+    },
+
     // the drained pages reassemble the FULL ranking of the first search
     // text: same lifecycle replay, first query only, no top-k cut
     "q227_search_iterator" -> lifecycleSearchSql
@@ -3888,6 +4027,58 @@ ORDER BY query_id, rank"""),
         |WHERE lang IS NULL OR (lang = 'en' AND n_chars > 400)
         |ORDER BY doc_id LIMIT 200""".stripMargin,
 
+    // the conditional packing replays with a CASE (fields name-sorted:
+    // n_chars < src_detail); exists = the key's presence
+    "q271_exists_expr" ->
+      """SELECT doc_id, "$meta" FROM (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN printf('{"n_chars":%d,"src_detail":"%s"}', n_chars,
+        |                  source || '/' || lang)
+        |      ELSE printf('{"n_chars":%d}', n_chars) END AS "$meta"
+        |  FROM documents) t
+        |WHERE doc_id % 3 = 0 AND n_chars > 250
+        |ORDER BY doc_id LIMIT 150""".stripMargin,
+
+    // the tags derivation (first 12 ≥3-letter tokens) replays with DuckDB
+    // list functions; both predicate arms as written in the Milvus expr
+    "q265_array_field" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                tk -> len(tk) >= 3)[1:12] AS tags
+        |  FROM documents) t
+        |WHERE (list_contains(tags, 'data') AND NOT list_contains(tags, 'the'))
+        |   OR len(tags) < 12
+        |ORDER BY doc_id LIMIT 150""".stripMargin,
+
+    "q266_array_setops" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                tk -> len(tk) >= 3)[1:12] AS tags
+        |  FROM documents) t
+        |WHERE list_has_all(tags, ['window', 'hash'])
+        |   OR (list_has_any(tags, ['vector', 'stream']) AND n_chars < 150)
+        |ORDER BY doc_id LIMIT 150""".stripMargin,
+
+    // the $meta packing replays name-sorted ({"n_chars":…,"tags":[…]});
+    // the membership + numeric arms filter on the raw columns
+    "q267_json_contains" ->
+      """SELECT doc_id, "$meta" FROM (
+        |  SELECT doc_id, n_chars, tags,
+        |    printf('{"n_chars":%d,"tags":[%s]}', n_chars,
+        |           coalesce(list_aggregate(
+        |             list_transform(tags, x -> '"' || x || '"'),
+        |             'string_agg', ','), '')) AS "$meta"
+        |  FROM (
+        |    SELECT doc_id, n_chars,
+        |      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                  tk -> len(tk) >= 3)[1:12] AS tags
+        |    FROM documents) raw) t
+        |WHERE list_contains(tags, 'data') AND n_chars > 300
+        |ORDER BY doc_id LIMIT 150""".stripMargin,
+
     // layout moved, content didn't: the filter replays over the raw corpus
     "q245_clustering_compact" ->
       """SELECT doc_id, lang, n_chars FROM documents
@@ -3974,6 +4165,50 @@ repr AS (
     row_number() OVER (PARTITION BY query_id, source
       ORDER BY score DESC, doc_id ASC) AS gr
   FROM g QUALIFY gr <= 3),
+leaders AS (
+  SELECT query_id, source, gr,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id ASC) AS grank
+  FROM repr WHERE gr = 1 QUALIFY grank <= 4),
+flat AS (
+  SELECT r.query_id, r.query, r.source, r.doc_id, r.score,
+    cast(row_number() OVER (PARTITION BY r.query_id
+      ORDER BY l.grank ASC, r.gr ASC) as int) AS rank
+  FROM repr r JOIN leaders l ON l.query_id = r.query_id AND l.source = r.source)
+SELECT f.query_id, f.query, f.source, f.doc_id, f.score, f.rank,
+  substring(d.text, 1, 200) AS preview
+FROM flat f JOIN documents d ON d.doc_id = f.doc_id
+ORDER BY query_id, rank""")
+    },
+
+    // q239's surgery with the candidate-pool cap (limit 4 × group_size 3 =
+    // 12) inserted between the per-doc ranking and the group window —
+    // Milvus's loose strict_group_size=false semantics
+    "q269_grouped_loose" -> {
+      val key = """ranked AS (
+  SELECT query_id, query, doc_id, score,
+    cast(row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id ASC) as int) AS rank
+  FROM best QUALIFY rank <= 4)
+SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
+  substring(d.text, 1, 200) AS preview
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+ORDER BY query_id, rank"""
+      require(lifecycleSearchSql.contains(key), "q269 surgery: ranked key drifted")
+      lifecycleSearchSql.replace(key,
+        """g AS (
+  SELECT b.query_id, b.query, b.doc_id, b.score, d.source
+  FROM best b JOIN documents d ON d.doc_id = b.doc_id),
+pool AS (
+  SELECT query_id, query, source, doc_id, score,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id ASC) AS pr
+  FROM g QUALIFY pr <= 12),
+repr AS (
+  SELECT query_id, query, source, doc_id, score,
+    row_number() OVER (PARTITION BY query_id, source
+      ORDER BY score DESC, doc_id ASC) AS gr
+  FROM pool QUALIFY gr <= 3),
 leaders AS (
   SELECT query_id, source, gr,
     row_number() OVER (PARTITION BY query_id

@@ -661,6 +661,78 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE tokenizer TRAINING — the missing third of the q132/q262 family:
+    // learn the merge table itself. Classic BPE training is an iterative
+    // argmax — count adjacent token pairs, merge the winner, recount —
+    // which maps to a DRIVER LOOP over declarative aggregations (the
+    // connected-components discipline, q48): each of the 8 rounds shuffles
+    // only (l, r, weight) pair counts over the DISTINCT-WORD frame (word
+    // frequencies are BPE's sufficient statistic, so the training frame is
+    // vocabulary-sized, corpus-size-FREE — the 100 TB shape) and collects
+    // exactly ONE winner row. Ties break (count desc, pair asc) so the
+    // learned table is deterministic. The oracle unrolls the same 8 rounds
+    // as chained CTEs, each round's winner feeding the next round's
+    // replace through a scalar cross join — the SQL computes the winners,
+    // it is not told them.
+    "q268_bpe_train" -> ((s, dir) => {
+      val nMerges = 8
+      val wf = t(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c"))
+        .cache()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      for (_ <- 1 to nMerges) {
+        val spelled = merges.foldLeft("""rtrim(regexp_replace(w, '(.)', '|$1| '))""") {
+          case (acc, (x, y, _)) => s"replace($acc, '|$x| |$y|', '|$x$y|')"
+        }
+        val win = wf
+          .withColumn("toks", expr(s"split($spelled, ' ')"))
+          .select(col("c"), explode(expr(
+            "if(size(toks) < 2, array(), transform(sequence(0, size(toks)-2), " +
+              "i -> named_struct(" +
+              "'l', replace(toks[i], '|', ''), " +
+              "'r', replace(toks[i+1], '|', ''))))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("c")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()(0)
+        merges += ((win.getString(0), win.getString(1), win.getLong(2)))
+      }
+      wf.unpersist()
+      import s.implicits._
+      merges.toSeq.zipWithIndex
+        .map { case ((l, r, c), i) => (i + 1, l, r, c) }
+        .toDF("rank", "lhs", "rhs", "cnt")
+    }),
+
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every document by
+    // the log-likelihood ratio of a TARGET (in-domain) hashed-unigram
+    // model over the RAW corpus model, then keep the top-m. The hashed
+    // feature space (sha256 → 1024 buckets, the paper's hashed n-gram
+    // trick) makes the model frame CONSTANT-sized regardless of corpus
+    // vocabulary — the whole model is two 1024-row tables that broadcast,
+    // so scoring is one map-side join + partial agg at any scale. Log2 in
+    // the integer bp spelling (the q257/q121 discipline) keeps both
+    // engines bit-identical. Target = en docs of 300+ chars (add-1
+    // smoothing on both models). The global top-100 window is exact and
+    // driver-cheap here; at 100 TB the same score admits a threshold cut
+    // (quantile of score_bp) with no global window — q72's documented
+    // tradeoff.
+    "q270_dsir_select" -> ((s, dir) => {
+      val scored = graft.operators.Sampling.dsirScores(
+        t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en" && col("n_chars") >= 300)
+      scored
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_bp").desc, col("doc_id").asc)))
+        .filter(col("rank") <= 100)
+        .select(col("doc_id"), col("n_tok"), col("score_bp"),
+          col("rank").cast("int").as("rank"))
+        .orderBy(col("rank"))
+    }),
+
     // Regex PII scrub over planted fixtures (every 7th doc gains a
     // deterministic email + phone tail): match counts, redacted length and a
     // post-scrub sha256 — so the oracle proves the scrub byte-for-byte, not
@@ -1496,6 +1568,76 @@ object PipelineQueries {
          |  FROM sp GROUP BY doc_id)
          |SELECT doc_id, n_chars, n_tok, (10000 * n_tok) // n_chars AS ratio_bp
          |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    // the 8 training rounds unroll as chained CTEs: p<n> is round n's
+    // argmax pair (computed, not pinned), s<n> the corpus after applying
+    // it; '→' is a safe pair delimiter (the corpus is [a-z ] words)
+    "q268_bpe_train" -> {
+      val spelled = """rtrim(regexp_replace(w, '(.)', '|\1| ', 'g'))"""
+      val rounds = (1 to 8).map { n =>
+        val prev = s"s${n - 1}"
+        s"""p$n AS (
+           |  SELECT string_split(pr, '→')[1] AS l, string_split(pr, '→')[2] AS r,
+           |    cast(sum(c) as bigint) AS cnt
+           |  FROM (SELECT c, unnest(list_transform(range(1, len(toks)),
+           |          i -> trim(toks[i], '|') || '→' || trim(toks[i+1], '|'))) AS pr
+           |        FROM (SELECT c, string_split(sp, ' ') AS toks FROM $prev))
+           |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+           |s$n AS (SELECT c, replace(sp, '|'||l||'| |'||r||'|', '|'||l||r||'|') AS sp
+           |        FROM $prev CROSS JOIN p$n)""".stripMargin
+      }.mkString(",\n")
+      val tail = (1 to 8).map { n =>
+        if (n == 1) s"SELECT 1 AS rank, l AS lhs, r AS rhs, cnt FROM p1"
+        else s"UNION ALL SELECT $n, l, r, cnt FROM p$n"
+      }.mkString("\n")
+      s"""WITH w0 AS (
+         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         |  FROM documents),
+         |wf AS (SELECT w, cast(count(*) as bigint) AS c
+         |       FROM w0 WHERE length(w) > 0 GROUP BY w),
+         |s0 AS (SELECT c, $spelled AS sp FROM wf),
+         |$rounds
+         |SELECT * FROM (
+         |$tail
+         |) ORDER BY rank""".stripMargin
+    },
+
+    // the hashed-bucket models, the integer log2 and the top-100 window
+    // all replay; the bucket is the Sampling.hashBucket 60-bit sha256
+    // slice, so both engines agree bucket-for-bucket
+    "q270_dsir_select" -> {
+      def l2(x: String) = s"(10000 * (length(bin($x)) - 1) + (10000 * (($x) - " +
+        s"(cast(1 as bigint) << (length(bin($x)) - 1)))) // " +
+        s"(cast(1 as bigint) << (length(bin($x)) - 1)))"
+      "WITH tk AS (\n" +
+        "  SELECT doc_id, lang, n_chars,\n" +
+        "    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok\n" +
+        "  FROM documents),\n" +
+        "tb AS (\n" +
+        "  SELECT doc_id, lang, n_chars,\n" +
+        "    cast(('0x' || substr(sha256(tok), 2, 15)) as bigint) % 1024 AS b\n" +
+        "  FROM tk WHERE length(tok) > 0),\n" +
+        "f AS (\n" +
+        "  SELECT b, cast(count(*) as bigint) AS rc,\n" +
+        "    cast(count(*) FILTER (WHERE lang = 'en' AND n_chars >= 300) as bigint) AS tc\n" +
+        "  FROM tb GROUP BY b),\n" +
+        "fl AS (\n" +
+        s"  SELECT b, ${l2("tc + 1")} AS lt_bp, ${l2("rc + 1")} AS lr_bp FROM f),\n" +
+        "tot AS (\n" +
+        "  SELECT cast(count(*) as bigint) AS r_tot,\n" +
+        "    cast(count(*) FILTER (WHERE lang = 'en' AND n_chars >= 300) as bigint) AS t_tot\n" +
+        "  FROM tb),\n" +
+        "d AS (\n" +
+        "  SELECT tb.doc_id, cast(count(*) as bigint) AS n_tok,\n" +
+        "    cast(sum(fl.lt_bp - fl.lr_bp) as bigint) AS s0\n" +
+        "  FROM tb JOIN fl ON fl.b = tb.b GROUP BY tb.doc_id),\n" +
+        "sc AS (\n" +
+        s"  SELECT doc_id, n_tok, s0 + n_tok * (${l2("r_tot")} - ${l2("t_tot")}) AS score_bp\n" +
+        "  FROM d CROSS JOIN tot)\n" +
+        "SELECT doc_id, n_tok, score_bp,\n" +
+        "  cast(row_number() OVER (ORDER BY score_bp DESC, doc_id) as int) AS rank\n" +
+        "FROM sc QUALIFY rank <= 100 ORDER BY rank"
     },
 
     // the bigram counts, the piecewise integer log2 and the truncating

@@ -1750,6 +1750,35 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](eng.hybridSearchMulti(q, Seq("hnsw")))
   }
 
+  test("hybridSearchWhere: identity under a true filter; a real filter gates both pools") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hybwhere").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
+    val eng = new Engine(spark, cfg)
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang"))
+    eng.update()
+    val q = Seq("data processing pipeline", "machine learning")
+    val cols = Seq("query_id", "doc_id", "lex_rank", "vec_rank", "rrf_ppm", "rank")
+    // a universally-true predicate must be byte-identical to hybridSearch
+    val all = eng.hybridSearchWhere(q, lit(true))
+      .select(cols.head, cols.tail: _*).collect().toSeq
+    val classic = eng.hybridSearch(q)
+      .select(cols.head, cols.tail: _*).collect().toSeq
+    assert(all == classic, "true-filtered hybrid must equal hybridSearch")
+    // a real filter: every hit satisfies the predicate, and the filtered
+    // ranking is NOT just the unfiltered one post-filtered (eligible docs
+    // outside the unfiltered pools can surface)
+    val langs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val filt = eng.hybridSearchWhere(q, col("lang") === "en").collect()
+    assert(filt.nonEmpty && filt.forall(r => langs(r.getLong(2)) == "en"),
+      "a filtered hit violates the predicate")
+    val unfDocs = classic.map(_.getLong(1)).toSet
+    assert(filt.exists(r => !unfDocs.contains(r.getLong(2))),
+      "the filter surfaced no doc beyond the unfiltered top-k — gate not pre-pool?")
+  }
+
   test("dropIndex: pins brute serving across engines until update() re-creates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dropidx").toString
     val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
@@ -2125,6 +2154,46 @@ class EngineSpec extends SparkSpec {
     assert(l1.subsetOf(m3), "a leader vanished at depth 3")
     // flattened ranks are contiguous from 1
     assert(g3.map(_.getInt(5)).sorted.toSeq == (1 to g3.length))
+  }
+
+  test("searchGrouped strict_group_size: loose mode draws members only from the pool") {
+    // synthetic skew: source sA owns the 5 best-matching docs (exact query
+    // text → cosine 1.0), sB three progressively weaker docs — the pool
+    // (limit 2 × size 3 = 6) holds 5×sA + 1×sB, so loose mode surfaces sB
+    // with ONE member where strict mode backfills it to 3
+    import spark.implicits._
+    val docs = (
+      (0 until 5).map(i => (i.toLong, "alpha beta gamma", "sA")) ++
+        Seq((10L, "alpha beta zeta", "sB"), (11L, "alpha zeta zeta", "sB"),
+          (12L, "zeta zeta zeta", "sB"))
+      ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-gstrict").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      limit = 2, partitionKey = "source")
+    val eng = new Engine(spark, cfg)
+    eng.ingest(docs)
+    eng.update()
+    val qs = Seq("alpha beta gamma")
+    val strict = eng.searchGrouped(qs, "source", groupSize = 3)
+    val loose = eng.searchGrouped(qs, "source", groupSize = 3, strict = false)
+    val sRows = strict.collect(); val lRows = loose.collect()
+    def leaders(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+      rows.sortBy(_.getInt(5)).map(_.getString(2)).distinct.toSeq
+    // both modes surface [sA, sB] in that order here (sB's leader is the
+    // pool's 6th doc)
+    assert(leaders(sRows) == Seq("sA", "sB") && leaders(lRows) == Seq("sA", "sB"),
+      s"unexpected group order: strict=${leaders(sRows)} loose=${leaders(lRows)}")
+    // strict backfills sB to its 3 docs; loose keeps only the pooled one
+    def members(rows: Array[org.apache.spark.sql.Row], g: String): Int =
+      rows.count(_.getString(2) == g)
+    assert(members(sRows, "sB") == 3 && members(lRows, "sB") == 1,
+      s"sB members: strict=${members(sRows, "sB")} loose=${members(lRows, "sB")}")
+    // loose members are a subset of strict members
+    val sSet = sRows.map(r => (r.getString(2), r.getLong(3))).toSet
+    assert(lRows.map(r => (r.getString(2), r.getLong(3))).forall(sSet.contains),
+      "a loose-mode member is not in the strict result")
+    // loose ranks stay contiguous from 1
+    assert(lRows.map(_.getInt(5)).sorted.toSeq == (1 to lRows.length))
   }
 
   test("a crashed lexical extend (marker present) rebuilds instead of double-appending") {

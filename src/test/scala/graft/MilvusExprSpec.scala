@@ -58,6 +58,61 @@ class MilvusExprSpec extends AnyFunSuite {
     assert(!s.contains("$.lang") && !s.contains("$.and") && !s.contains("$.true"))
   }
 
+  test("array operators rewrite to Spark array functions") {
+    val c = cols + "tags"
+    val s1 = MilvusExpr.toSparkSql("""array_contains(tags, "data")""", c)
+      .replaceAll("\\s+", " ")
+    assert(s1 == "array_contains(`tags`, 'data')")
+    val s2 = MilvusExpr.toSparkSql("""array_contains_all(tags, ["a", "b"])""", c)
+      .replaceAll("\\s+", " ")
+    assert(s2 == "size(array_except(array('a', 'b'), `tags`)) = 0")
+    val s3 = MilvusExpr.toSparkSql("""array_contains_any(tags, [1, 2])""", c)
+      .replaceAll("\\s+", " ")
+    assert(s3 == "arrays_overlap(`tags`, array(1, 2))")
+    val s4 = MilvusExpr.toSparkSql("array_length(tags) >= 12", c)
+      .replaceAll("\\s+", " ")
+    assert(s4 == "size(`tags`) >= 12")
+  }
+
+  test("array operators compose with boolean spellings and not") {
+    val c = cols + "tags"
+    val s = MilvusExpr.toSparkSql(
+      """array_contains(tags, "x") && not array_contains(tags, "y") || array_length(tags) < 9""", c)
+      .replaceAll("\\s+", " ")
+    assert(s == "array_contains(`tags`, 'x') and not array_contains(`tags`, 'y') " +
+      "or size(`tags`) < 9")
+  }
+
+  test("json_contains materializes the JSON array; element type from the probe") {
+    // over a json path access
+    val s1 = MilvusExpr.toSparkSql("""json_contains(meta["tags"], "en")""", cols)
+      .replaceAll("\\s+", " ")
+    assert(s1 == "array_contains(from_json(get_json_object(`meta`, '$.tags'), " +
+      "'array<string>'), 'en')")
+    // numeric probe → bigint elements
+    val s2 = MilvusExpr.toSparkSql("""json_contains(meta["ids"], 7)""", cols)
+    assert(s2.contains("'array<bigint>'") && s2.contains(", 7)"))
+    // over a dynamic field: the identifier routes through $meta first
+    val s3 = MilvusExpr.toSparkSql("""json_contains(tags, "en")""", cols, Some("$meta"))
+      .replaceAll("\\s+", " ")
+    assert(s3 == "array_contains(from_json(get_json_object(`$meta`, '$.tags'), " +
+      "'array<string>'), 'en')")
+    val s4 = MilvusExpr.toSparkSql("""json_contains_all(meta["tags"], ["a","b"])""", cols)
+    assert(s4.contains("array_except(array('a', 'b')".replaceAll("\\s+", " "))
+      || s4.contains("array_except(array('a','b')"))
+    val s5 = MilvusExpr.toSparkSql("""json_contains_any(meta["tags"], ["a"])""", cols)
+    assert(s5.contains("arrays_overlap(from_json("))
+  }
+
+  test("exists becomes IS NOT NULL over the json access") {
+    val s1 = MilvusExpr.toSparkSql("""exists meta["opt"]""", cols)
+      .replaceAll("\\s+", " ")
+    assert(s1 == "get_json_object(`meta`, '$.opt') IS NOT NULL")
+    val s2 = MilvusExpr.toSparkSql("""not exists opt && lang == "en"""", cols, Some("$meta"))
+      .replaceAll("\\s+", " ")
+    assert(s2 == "not get_json_object(`$meta`, '$.opt') IS NOT NULL and lang = 'en'")
+  }
+
   test("empty expression rejects") {
     intercept[IllegalArgumentException](tr("   "))
   }
