@@ -2883,6 +2883,26 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   }
 
   /**
+   * Highlighted keyword search — Milvus 2.6's search-highlight feature
+   * over text-match results: [[searchTextMatch]] plus a `snippet` column
+   * in which every occurrence of a match term inside the preview is
+   * wrapped `<em>…</em>` (case-insensitive, word-bounded — Milvus's
+   * pre/post tags). The wrapping is a projection over the k RESULT rows
+   * only (the hydration join's output), so highlight cost is k regex
+   * passes over 200-char previews — never a corpus-side pass, at any
+   * store size. Analyzer terms are word characters by construction, so
+   * the generated alternation needs no quoting.
+   */
+  def searchTextMatchHighlight(queries: Seq[String], matchText: String): DataFrame = {
+    val terms = analyzeTerms(matchText).distinct
+    require(terms.nonEmpty && terms.forall(_.matches("[\\w]+")),
+      s"highlight needs word-character terms, got $terms")
+    val pat = "(?i)\\b(" + terms.mkString("|") + ")\\b"
+    searchTextMatch(queries, matchText)
+      .withColumn("snippet", regexp_replace(col("preview"), pat, "<em>$1</em>"))
+  }
+
+  /**
    * Phrase-gated semantic search — Milvus 2.5's `PHRASE_MATCH(field,
    * "t1 t2 …")` filter inside a search expr: only documents where the
    * phrase's tokens appear CONSECUTIVELY (slop 0, Milvus's default) are

@@ -1424,6 +1424,26 @@ object EngineQueries {
       new Engine(s, cfg).searchTextMatch(searchTexts, "dup nosuchtoken")
     }),
 
+    // Search highlight — Milvus 2.6's highlight over text-match results:
+    // q242's eligibility + ranking, plus a snippet column wrapping every
+    // matched-term occurrence in the preview with <em>…</em>. The
+    // highlight is a k-row projection (result rows only), and the oracle
+    // replays the identical word-bounded case-insensitive regex.
+    "q273_search_highlight" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q273_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      val res = new Engine(s, cfg)
+        .searchTextMatchHighlight(searchTexts, "dup nosuchtoken")
+      require(res.filter(col("snippet").contains("<em>dup</em>")).count() > 0,
+        "no highlighted occurrence in any snippet — the match terms must appear")
+      res
+    }),
+
     // PHRASE_MATCH filtered search — Milvus 2.5's positional keyword
     // filter: only docs where the phrase tokens appear CONSECUTIVELY are
     // eligible (slop 0). Candidates come conjunctively from the postings
@@ -3917,6 +3937,22 @@ ORDER BY query_id, rank"""),
       """FROM documents WHERE length(text) > 0
         |    AND list_has_any(regexp_split_to_array(lower(trim(text)), '\s+'),
         |                     ['dup', 'nosuchtoken'])""".stripMargin),
+
+    // q242's replay plus the snippet projection: the same word-bounded
+    // case-insensitive wrap over the preview (DuckDB backrefs are \1,
+    // Spark's $1 — same semantics)
+    "q273_search_highlight" -> {
+      val prevKey = "substring(d.text, 1, 200) AS preview"
+      val base = lifecycleSearchSql.replace(
+        "FROM documents WHERE length(text) > 0",
+        """FROM documents WHERE length(text) > 0
+          |    AND list_has_any(regexp_split_to_array(lower(trim(text)), '\s+'),
+          |                     ['dup', 'nosuchtoken'])""".stripMargin)
+      require(base.contains(prevKey), "q273 surgery: preview key drifted")
+      base.replace(prevKey,
+        prevKey + ",\n  regexp_replace(substring(d.text, 1, 200), " +
+          "'(?i)\\b(dup|nosuchtoken)\\b', '<em>\\1</em>', 'g') AS snippet")
+    },
 
     // the oracle chunks and scores ONLY documents whose space-normalized
     // text contains the phrase as consecutive tokens

@@ -733,6 +733,47 @@ object PipelineQueries {
         .orderBy(col("rank"))
     }),
 
+    // Contrastive pair mining — the training-data prep step for retrieval
+    // embedders (Contriever/ICT-style): POSITIVES are adjacent chunk
+    // pairs within a document (spans that share context), NEGATIVES are
+    // pseudo-random other-document chunks. The negative assignment is the
+    // scale-shaped part: chunks hash into 64 buckets and each bucket
+    // sorts into a RING by a salted sha256 rank; an anchor's negative is
+    // the next ring member from a different document (lead(1), falling
+    // back to lead(2) on a same-doc collision, dropped at the ring tail).
+    // Two per-bucket windows + one doc-local equi-join — everything
+    // linear, no all-pairs anything, fully deterministic, and the oracle
+    // replays the identical ring with DuckDB's lead().
+    "q274_contrastive_pairs" -> ((s, dir) => {
+      val chunks = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          posexplode(TextFns.chunk(col("text"), 128, 64)).as(Seq("pos", "chunk")))
+        .select(col("doc_id"), col("pos"),
+          TextFns.chunkId(col("doc_id"), col("pos")).as("cid"))
+      val ring = chunks
+        .withColumn("b", graft.operators.Sampling.hashBucket(col("cid"), 64))
+        .withColumn("hr", sha2(concat(lit("neg:"), col("cid")), 256))
+      val w = Window.partitionBy(col("b")).orderBy(col("hr"), col("cid"))
+      val neg = ring
+        .withColumn("n1_cid", lead(col("cid"), 1).over(w))
+        .withColumn("n1_doc", lead(col("doc_id"), 1).over(w))
+        .withColumn("n2_cid", lead(col("cid"), 2).over(w))
+        .withColumn("n2_doc", lead(col("doc_id"), 2).over(w))
+        .withColumn("negative",
+          when(col("n1_doc").isNotNull && col("n1_doc") =!= col("doc_id"), col("n1_cid"))
+            .when(col("n2_doc").isNotNull && col("n2_doc") =!= col("doc_id"), col("n2_cid")))
+        .select(col("cid").as("anchor"), col("negative"))
+      val a = chunks.select(col("doc_id"), col("pos"), col("cid").as("anchor"))
+      val p = chunks.select(col("doc_id"), (col("pos") - 1).as("pos"),
+        col("cid").as("positive"))
+      a.join(p, Seq("doc_id", "pos"))
+        .join(neg, Seq("anchor"))
+        .filter(col("negative").isNotNull)
+        .select(col("doc_id"), col("anchor"), col("positive"), col("negative"))
+        .orderBy(col("anchor"))
+    }),
+
     // Regex PII scrub over planted fixtures (every 7th doc gains a
     // deterministic email + phone tail): match counts, redacted length and a
     // post-scrub sha256 — so the oracle proves the scrub byte-for-byte, not
@@ -1602,6 +1643,37 @@ object PipelineQueries {
          |$tail
          |) ORDER BY rank""".stripMargin
     },
+
+    // the chunk grid, the 64-bucket sha256 ring and both lead() hops
+    // replay; negatives match because the ring ORDER (hr, cid) is pure
+    // sha256 on both engines
+    "q274_contrastive_pairs" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
+        |  FROM documents WHERE length(text) > 0),
+        |ch AS (SELECT doc_id, pos, doc_id || '_' || pos AS cid FROM c),
+        |ring AS (
+        |  SELECT doc_id, cid,
+        |    cast(('0x' || substr(sha256(cid), 2, 15)) as bigint) % 64 AS b,
+        |    sha256('neg:' || cid) AS hr
+        |  FROM ch),
+        |wn AS (
+        |  SELECT cid AS anchor, doc_id,
+        |    lead(cid, 1) OVER w AS n1_cid, lead(doc_id, 1) OVER w AS n1_doc,
+        |    lead(cid, 2) OVER w AS n2_cid, lead(doc_id, 2) OVER w AS n2_doc
+        |  FROM ring WINDOW w AS (PARTITION BY b ORDER BY hr, cid)),
+        |neg AS (
+        |  SELECT anchor,
+        |    CASE WHEN n1_doc IS NOT NULL AND n1_doc <> doc_id THEN n1_cid
+        |         WHEN n2_doc IS NOT NULL AND n2_doc <> doc_id THEN n2_cid END AS negative
+        |  FROM wn)
+        |SELECT a.doc_id, a.cid AS anchor, p.cid AS positive, n.negative
+        |FROM ch a
+        |JOIN ch p ON p.doc_id = a.doc_id AND p.pos = a.pos + 1
+        |JOIN neg n ON n.anchor = a.cid
+        |WHERE n.negative IS NOT NULL
+        |ORDER BY anchor""".stripMargin,
 
     // the hashed-bucket models, the integer log2 and the top-100 window
     // all replay; the bucket is the Sampling.hashBucket 60-bit sha256
