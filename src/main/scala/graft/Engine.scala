@@ -3118,6 +3118,18 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     hybridImpl(queries, kPool, Some(eligible))
   }
 
+  /** [[hybridSearchWhere]] with the filter as a raw Milvus expr STRING —
+    * the exact shape `hybrid_search` requests carry; one translator
+    * ([[graft.functions.MilvusExpr]]) serves search/retrieve/hybrid. */
+  def hybridSearchExpr(queries: Seq[String], epr: String,
+                       kPool: Int = 100): DataFrame = {
+    val cols = store().columns
+    hybridSearchWhere(queries, expr(graft.functions.MilvusExpr.toSparkSql(
+      epr, cols.toSet,
+      if (cols.contains(Engine.DynamicField)) Some(Engine.DynamicField) else None)),
+      kPool)
+  }
+
   private def hybridImpl(queries: Seq[String], kPool: Int,
                          eligible: Option[DataFrame]): DataFrame = {
     admit()

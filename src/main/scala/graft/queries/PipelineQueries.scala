@@ -1047,6 +1047,46 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // Temperature-scaled source mixing (the multilingual-sampling formula
+    // of mT5/XLM-R and the Pile: p_i ∝ n_i^α, here α = 1/2) — q72/q130
+    // mix to EXTERNAL targets; temperature mixing derives the target from
+    // the data itself, upweighting rare sources relative to their natural
+    // share. w_i = floor(sqrt(n_i)) is bit-identical cross-engine: IEEE
+    // sqrt is correctly rounded and the nearest integer boundary is
+    // ~1/(2√n) away — astronomically wider than a double ulp for any
+    // realistic n (safe to ~2^52 docs per source). Budget = total/3,
+    // integer quota arithmetic, membership by the salted-sha256 rank (the
+    // q72 discipline: reproducible across re-runs and partitionings).
+    "q275_temperature_mix" -> ((s, dir) => {
+      // the synthetic sources are equal-sized — plant a ~25:13:9:7 size
+      // skew (source_num mod 4 picks a keep stride over the per-source
+      // row index doc_id DIV 20) so the α-scaling has real work: without
+      // it nat_bp == tmp_bp everywhere
+      val docs = t(s, dir, "documents")
+        .filter(expr("(doc_id DIV 20) % (1 + cast(substring(source, 4) as int) % 4) = 0"))
+        .withColumn("rk", sha2(concat(lit("tmp"), col("doc_id").cast("string")), 256))
+        .withColumn("n_avail", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))))
+        .withColumn("w", floor(sqrt(col("n_avail").cast("double"))).cast("long"))
+      val tots = docs.groupBy(col("source"))
+        .agg(max(col("n_avail")).as("na"), max(col("w")).as("ww"))
+        .agg(sum(col("na")).cast("long").as("total"),
+          sum(col("ww")).cast("long").as("sumw"))
+      docs.crossJoin(broadcast(tots))
+        .withColumn("quota", least(col("n_avail"),
+          greatest(lit(1L), expr("(total DIV 3) * w DIV sumw"))))
+        .filter(col("rn") <= col("quota"))
+        .groupBy(col("source"))
+        .agg(max(col("n_avail")).as("n_avail"),
+          max(expr("10000 * n_avail DIV total")).as("nat_bp"),
+          max(expr("10000 * w DIV sumw")).as("tmp_bp"),
+          max(col("quota")).as("quota"),
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("source"))
+    }),
+
     // BPE pair statistics — the counting pass of a byte-pair-encoding
     // tokenizer trainer's FIRST merge iteration: adjacent symbol-pair
     // frequencies over the word vocabulary, weighted by word frequency.
@@ -1643,6 +1683,32 @@ object PipelineQueries {
          |$tail
          |) ORDER BY rank""".stripMargin
     },
+
+    // the planted skew, the exact isqrt weights, the integer quota math
+    // and the salted-rank membership all replay
+    "q275_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    count(*) OVER (PARTITION BY source) AS n_avail,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY sha256('tmp' || cast(doc_id as varchar)), doc_id) AS rn
+        |  FROM documents
+        |  WHERE (doc_id // 20) % (1 + cast(substring(source, 4) as int) % 4) = 0),
+        |w AS (SELECT d.*, cast(floor(sqrt(cast(n_avail as double))) as bigint) AS w FROM d),
+        |t AS (SELECT cast(sum(na) as bigint) AS total, cast(sum(ww) as bigint) AS sumw
+        |      FROM (SELECT source, max(n_avail) AS na, max(w) AS ww FROM w GROUP BY source)),
+        |k AS (
+        |  SELECT w.*, t.total, t.sumw,
+        |    least(n_avail, greatest(1, ((t.total // 3) * w.w) // t.sumw)) AS quota
+        |  FROM w CROSS JOIN t)
+        |SELECT source, max(n_avail) AS n_avail,
+        |  max(10000 * n_avail // total) AS nat_bp,
+        |  max(10000 * w // sumw) AS tmp_bp,
+        |  max(quota) AS quota,
+        |  cast(count(*) as bigint) AS n_kept,
+        |  cast(sum(doc_id) as bigint) AS sum_ids
+        |FROM k WHERE rn <= quota
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // the chunk grid, the 64-bucket sha256 ring and both lead() hops
     // replay; negatives match because the ring ORDER (hr, cid) is pure

@@ -1777,6 +1777,10 @@ class EngineSpec extends SparkSpec {
     val unfDocs = classic.map(_.getLong(1)).toSet
     assert(filt.exists(r => !unfDocs.contains(r.getLong(2))),
       "the filter surfaced no doc beyond the unfiltered top-k — gate not pre-pool?")
+    // the Milvus expr-string spelling routes through the same translator
+    val viaExpr = eng.hybridSearchExpr(q, """lang == "en"""").collect()
+    assert(viaExpr.map(_.toSeq).toSeq == filt.map(_.toSeq).toSeq,
+      "hybridSearchExpr must equal the Column-predicate spelling")
   }
 
   test("dropIndex: pins brute serving across engines until update() re-creates") {
