@@ -697,6 +697,10 @@ object PipelineQueries {
           .agg(sum(col("c")).as("cnt"))
           .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
           .limit(1).collect()(0)
+        // the winner embeds in the next round's replace-chain SQL — reject
+        // a token that could break the quoting (never fires on word text)
+        require(win.getString(0).matches("[\\w]+") && win.getString(1).matches("[\\w]+"),
+          s"BPE winner contains non-word chars: $win")
         merges += ((win.getString(0), win.getString(1), win.getLong(2)))
       }
       wf.unpersist()

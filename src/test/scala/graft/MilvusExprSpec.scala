@@ -113,6 +113,15 @@ class MilvusExprSpec extends AnyFunSuite {
     assert(s2 == "not get_json_object(`$meta`, '$.opt') IS NOT NULL and lang = 'en'")
   }
 
+  test("arithmetic operators and like-over-json pass through as valid SQL") {
+    // Milvus exprs allow + - * / % in predicates; Spark SQL spells them
+    // identically, so they flow through the translator untouched
+    val s1 = tr("n_chars % 2 == 0 && n_chars + 10 > 400").replaceAll("\\s+", " ")
+    assert(s1 == "n_chars % 2 = 0 and n_chars + 10 > 400")
+    val s2 = tr("""meta["k"] like "pre%"""").replaceAll("\\s+", " ")
+    assert(s2 == "get_json_object(`meta`, '$.k') like 'pre%'")
+  }
+
   test("empty expression rejects") {
     intercept[IllegalArgumentException](tr("   "))
   }
