@@ -2728,20 +2728,28 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * "standard" = lowercase + whitespace; "english" adds stopword removal
    * (tf/df/dl all computed over the FILTERED stream, so stopwords can't
    * dilute idf or inflate document length — Lucene's StopFilter
-   * semantics). Validated eagerly: an unknown analyzer must fail the verb,
-   * not silently serve standard.
+   * semantics); "english_stem" adds Lucene's minimal English plural
+   * stemmer after the stoplist (filter order matters: Lucene stems the
+   * stop-filtered stream), so `tables`/`queries` and `table`/`query`
+   * share postings, df and rank slots. Validated eagerly: an unknown
+   * analyzer must fail the verb, not silently serve standard.
    */
   private def requireAnalyzer(): Unit =
-    require(cfg.analyzer == "standard" || cfg.analyzer == "english",
-      s"unknown analyzer '${cfg.analyzer}' (standard | english)")
+    require(Engine.analyzers(cfg.analyzer),
+      s"unknown analyzer '${cfg.analyzer}' (${Engine.analyzers.mkString(" | ")})")
 
   /** Analyzed token stream of a text column (codegen'd: split + filter). */
   private def analyzeCol(text: Column): Column = {
     requireAnalyzer()
     val toks = TextFns.tokens(lower(text))
-    if (cfg.analyzer == "english")
-      filter(toks, t => !t.isInCollection(Engine.englishStopwords))
-    else toks
+    cfg.analyzer match {
+      case "english" =>
+        filter(toks, t => !t.isInCollection(Engine.englishStopwords))
+      case "english_stem" =>
+        transform(filter(toks, t => !t.isInCollection(Engine.englishStopwords)),
+          TextFns.minEnglishStem(_: Column))
+      case _ => toks
+    }
   }
 
   /** Analyzed tokens of a driver-side query string (order + repeats kept —
@@ -2749,8 +2757,12 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   private def analyzeTerms(s: String): Seq[String] = {
     requireAnalyzer()
     val toks = s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
-    if (cfg.analyzer == "english") toks.filterNot(Engine.englishStopwords)
-    else toks
+    cfg.analyzer match {
+      case "english" => toks.filterNot(Engine.englishStopwords)
+      case "english_stem" =>
+        toks.filterNot(Engine.englishStopwords).map(TextFns.minEnglishStem(_: String))
+      case _ => toks
+    }
   }
 
   /** A lexical layout exists on disk (current or not) — the signal that
@@ -3574,6 +3586,9 @@ object Engine {
     * undeclared columns into — Milvus names its dynamic-field container
     * exactly `$meta`. */
   val DynamicField: String = "$meta"
+
+  /** The configurable lexical analyzers (Milvus 2.5 analyzer_params). */
+  val analyzers: Set[String] = Set("standard", "english", "english_stem")
 
   /** The "english" analyzer's stopword list — Lucene's classic 33-word
     * EnglishAnalyzer default, a fixed public constant so document-side

@@ -108,6 +108,50 @@ object TextFns {
   /** Token count (whitespace tokenizer). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  // ------------------------------------------------------- minimal stemmer
+  /**
+   * Minimal English plural stemmer — Lucene's `EnglishMinimalStemmer`
+   * semantics (the `english_stem` analyzer arm): strip a trailing plural
+   * `s` unless preceded by `u`/`s`; rewrite `Xies` → `Xy` (unless the
+   * stem would end in `a`/`e`); keep `ies/aes/oes/ees` short forms.
+   * Pure built-ins (CASE over substrings) so it codegens and replays in
+   * DuckDB via [[minEnglishStemSql]]. Apply AFTER stopword filtering —
+   * Lucene's filter order.
+   */
+  def minEnglishStem(t: Column): Column = {
+    val n = length(t)
+    when(n < 3 || t.substr(n, lit(1)) =!= "s", t)
+      .when(t.substr(n - 1, lit(2)).isin("us", "ss"), t)
+      .when(n > 3 && t.substr(n - 2, lit(3)) === "ies" &&
+        !t.substr(n - 3, lit(1)).isin("a", "e"),
+        concat(t.substr(lit(1), n - 3), lit("y")))
+      .when(t.substr(n - 1, lit(2)) === "es" &&
+        t.substr(n - 2, lit(1)).isin("i", "a", "o", "e"), t)
+      .otherwise(t.substr(lit(1), n - 1))
+  }
+
+  /** Driver-side spelling of [[minEnglishStem]] (query-term analysis). */
+  def minEnglishStem(t: String): String = {
+    val n = t.length
+    if (n < 3 || t.last != 's') t
+    else if (t.endsWith("us") || t.endsWith("ss")) t
+    else if (n > 3 && t.endsWith("ies") && t(n - 4) != 'a' && t(n - 4) != 'e')
+      t.substring(0, n - 3) + "y"
+    else if (t.endsWith("es") && "iaoe".contains(t(n - 3))) t
+    else t.substring(0, n - 1)
+  }
+
+  /** DuckDB spelling of [[minEnglishStem]] for oracle SQL. */
+  def minEnglishStemSql(x: String): String =
+    s"CASE WHEN length($x) < 3 OR substr($x, length($x), 1) <> 's' THEN $x" +
+      s" WHEN substr($x, length($x)-1, 2) IN ('us', 'ss') THEN $x" +
+      s" WHEN length($x) > 3 AND substr($x, length($x)-2, 3) = 'ies'" +
+      s" AND substr($x, length($x)-3, 1) NOT IN ('a', 'e')" +
+      s" THEN substr($x, 1, length($x)-3) || 'y'" +
+      s" WHEN substr($x, length($x)-1, 2) = 'es'" +
+      s" AND substr($x, length($x)-2, 1) IN ('i', 'a', 'o', 'e') THEN $x" +
+      s" ELSE substr($x, 1, length($x)-1) END"
+
   /** Word n-gram shingles over whitespace tokens. Implemented as a Scala
     * UDF rather than transform/element_at expressions: higher-order
     * functions evaluate interpreted and re-split the text once per array

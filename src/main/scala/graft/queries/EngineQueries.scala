@@ -34,6 +34,13 @@ object EngineQueries {
     "the table with a value",
     "this vector and the stream")
 
+  /** Plural-laden search texts for the stemming analyzer (q276): every
+    * content token is a plural form whose stem exists in the corpus —
+    * `queries` also exercises the ies→y rewrite. */
+  private val stemTexts = Seq(
+    "the tables and queries",
+    "values of streams")
+
   /**
    * A NON-hash stand-in for a real embedding model (`embed.py:21-39`'s
    * forward pass), proving the [[graft.Engine.Embedder]] seam end-to-end:
@@ -1319,6 +1326,26 @@ object EngineQueries {
       val eng = new Engine(s, cfg)
       eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
       new Engine(s, cfg).searchSparse(analyzerTexts, k = 8)
+    }),
+
+    // Stemming analyzer — the english_stem arm (Lucene's minimal English
+    // plural stemmer after the stoplist): plural query terms must match
+    // singular corpus tokens, and planted plural DOC tokens (every 5th
+    // doc gains " tables queries") must merge into the singular postings
+    // — one analyzer on both sides or df/tf/rank all drift. `queries`
+    // exercises the ies→y rewrite on the query side AND the doc side.
+    "q276_analyzer_stem" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q276_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        analyzer = "english_stem")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" tables queries")))
+            .otherwise(col("text")))
+      eng.ingest(docs)
+      new Engine(s, cfg).searchSparse(stemTexts, k = 8)
     }),
 
     // group_size > 1 — Milvus 2.4.1's grouping-search depth knob: the top
@@ -3459,12 +3486,15 @@ object EngineQueries {
     * the top-k cut. q238 uses the standard analyzer (empty stoplist, k=4);
     * q247 the english one. */
   private def sparseSearchSqlFor(texts: Seq[String], stop: Set[String],
-                                 k: Int): String = {
+                                 k: Int, stem: Boolean = false): String = {
     val qvalues = texts.zipWithIndex
       .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
       .mkString(", ")
     val qtfvalues = texts.zipWithIndex.flatMap { case (q, i) =>
-      q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).filterNot(stop)
+      val base = q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).filterNot(stop)
+      val analyzed =
+        if (stem) base.map(graft.functions.TextFns.minEnglishStem(_: String)) else base
+      analyzed
         .groupBy(identity).toSeq.sortBy(_._1)
         .map { case (t, g) =>
           s"(cast($i as bigint), '${t.replace("'", "''")}', cast(${g.length} as bigint))"
@@ -3474,10 +3504,14 @@ object EngineQueries {
       if (stop.isEmpty) ""
       else stop.toSeq.sorted.map(s => s"'$s'")
         .mkString("\n  WHERE ltk NOT IN (", ", ", ")")
+    // the stem wraps the stop-filtered stream (Lucene's filter order)
+    val proj =
+      if (stem) graft.functions.TextFns.minEnglishStemSql("ltk") + " AS ltk"
+      else "ltk"
     s"""WITH q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
        |qt AS (SELECT * FROM (VALUES $qtfvalues) t(query_id, ltk, qtf)),
        |ltok AS (
-       |  SELECT doc_id, ltk FROM (
+       |  SELECT doc_id, $proj FROM (
        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS ltk
        |    FROM documents WHERE length(trim(text)) > 0) u$stopWhere),
        |corp AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ltok),
@@ -4151,6 +4185,26 @@ ORDER BY query_id, rank""")
     // both the query-term literals and the document tokenization CTE
     "q247_analyzer" ->
       sparseSearchSqlFor(analyzerTexts, graft.Engine.englishStopwords, 8),
+
+    // the stemming replay: query-term literals stem driver-side, the doc
+    // tokenization stems in SQL, and the planted plural corpus replays
+    // through a docs2 CTE on BOTH the tokenization and the hydration
+    "q276_analyzer_stem" -> {
+      val base = sparseSearchSqlFor(stemTexts, graft.Engine.englishStopwords, 8,
+        stem = true)
+      val headKey = "WITH q0 AS"
+      val tokKey = "FROM documents WHERE length(trim(text)) > 0"
+      val hydKey = "JOIN documents d ON d.doc_id = r.doc_id"
+      require(base.contains(headKey) && base.contains(tokKey) && base.contains(hydKey),
+        "q276 surgery: a sparseSearchSqlFor anchor drifted")
+      base
+        .replace(headKey,
+          "WITH docs2 AS (\n  SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
+            "THEN text || ' tables queries' ELSE text END AS text\n" +
+            "  FROM documents),\nq0 AS")
+        .replace(tokKey, "FROM docs2 WHERE length(trim(text)) > 0")
+        .replace(hydKey, "JOIN docs2 d ON d.doc_id = r.doc_id")
+    },
 
     // the RaBitQ replay: global Hamming cut over the SIGN comparison of
     // the same normalized embeddings (nprobe = nlist, so no probe window),

@@ -16,6 +16,25 @@ class TextFnsSpec extends SparkSpec {
     assert(got == "a b c d")
   }
 
+  test("minEnglishStem: Lucene EnglishMinimalStemmer semantics, both spellings") {
+    val cases = Seq(
+      "tables" -> "table",   // plain plural
+      "queries" -> "query",  // ies → y
+      "merges" -> "merge",   // consonant + es → strip s
+      "glass" -> "glass",    // ss keeps
+      "virus" -> "virus",    // us keeps
+      "goes" -> "goes",      // oes keeps
+      "dies" -> "dy",        // Lucene's documented 4-char ies rewrite
+      "ies" -> "ies",        // too short for the rewrite; ies keeps
+      "as" -> "as",          // len < 3
+      "rows" -> "row")
+    cases.foreach { case (in, want) =>
+      assert(TextFns.minEnglishStem(in) == want, s"string spelling: $in")
+      val got = one(TextFns.minEnglishStem(lit(in))).getString(0)
+      assert(got == want, s"column spelling: $in -> $got")
+    }
+  }
+
   test("cleanText of empty/whitespace is empty") {
     assert(one(TextFns.cleanText(lit("  \n\t "))).getString(0) == "")
   }
