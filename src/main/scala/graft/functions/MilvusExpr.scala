@@ -7,6 +7,8 @@ package graft.functions
  * Supported subset — the operators Milvus documents for scalar filtering:
  *
  *  - comparisons `== != > >= < <=` (`==` becomes SQL `=`)
+ *  - arithmetic `+ - * / %` pass through (identical SQL spellings);
+ *    `**` rewrites to `power(..)` (no SQL spelling)
  *  - boolean `&& || and or not`
  *  - membership `f in [v1, v2]` / `f not in [...]` (brackets → parens)
  *  - `like "pat%"` (SQL LIKE, translated literals)
@@ -154,7 +156,15 @@ object MilvusExpr {
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         protect(s"${fieldRef(m.group(1))} IS NOT NULL")))
 
-    // 4. operator spellings
+    // 4. operator spellings (** first: Milvus's power operator has no SQL
+    // spelling; the base routes through fieldRef so dynamic fields and
+    // json-path placeholders resolve)
+    s = qr("(" + IDF.drop(1).dropRight(1) + """|\d+(?:\.\d+)?)\s*\*\*\s*(\d+(?:\.\d+)?)""")
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement({
+        val base = m.group(1)
+        val ref = if (base.matches("""\d+(?:\.\d+)?""")) base else fieldRef(base)
+        protect(s"power($ref, ${m.group(2)})")
+      }))
     s = s.replace("==", " = ").replace("&&", " and ").replace("||", " or ")
     // 5. remaining brackets are in-lists
     s = s.replace("[", "(").replace("]", ")")

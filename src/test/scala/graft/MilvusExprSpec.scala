@@ -113,6 +113,17 @@ class MilvusExprSpec extends AnyFunSuite {
     assert(s2 == "not get_json_object(`$meta`, '$.opt') IS NOT NULL and lang = 'en'")
   }
 
+  test("** power operator rewrites to power(); dynamic base routes through $meta") {
+    val s1 = tr("n_chars ** 2 > 100000").replaceAll("\\s+", " ")
+    assert(s1 == "power(`n_chars`, 2) > 100000")
+    val s2 = MilvusExpr.toSparkSql("score ** 2 < 0.5", cols, Some("$meta"))
+      .replaceAll("\\s+", " ")
+    assert(s2 == "power(get_json_object(`$meta`, '$.score'), 2) < 0.5")
+    val s3 = MilvusExpr.toSparkSql("""meta["score"] ** 2 < 0.5""", cols)
+      .replaceAll("\\s+", " ")
+    assert(s3 == "power(get_json_object(`meta`, '$.score'), 2) < 0.5")
+  }
+
   test("arithmetic operators and like-over-json pass through as valid SQL") {
     // Milvus exprs allow + - * / % in predicates; Spark SQL spells them
     // identically, so they flow through the translator untouched
