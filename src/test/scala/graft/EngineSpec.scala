@@ -2400,6 +2400,12 @@ class EngineSpec extends SparkSpec {
     assert(nJoins(keyedPlan) < nJoins(plainPlan),
       s"carried-field path did not save the attribution join " +
         s"(keyed=${nJoins(keyedPlan)}, plain=${nJoins(plainPlan)})")
+    // the loose strict_group_size mode must also agree across attribution
+    // paths (the pool cap sits between the per-doc frame and the group
+    // window, downstream of where the two paths differ)
+    val lk = census(keyed.searchGrouped(qs, "source", groupSize = 2, strict = false))
+    val lp = census(plain.searchGrouped(qs, "source", groupSize = 2, strict = false))
+    assert(lk == lp, "loose mode diverged between carried-field and store-join paths")
   }
 
   test("searchPage: absolute ranks, seamless page concatenation, page 1 == search") {
