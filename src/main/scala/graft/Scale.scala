@@ -99,7 +99,7 @@ object Scale {
     }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective",
       "incdedup", "cc", "export", "spans", "invidx", "pq", "maxsim", "ivfpq",
       "snm", "rangeivf", "filtered", "binary", "drain", "lexserve", "vecdrain",
-      "growing", "cluster", "scalaridx", "ndserve", "softdel", "dsir"))
+      "growing", "cluster", "scalaridx", "ndserve", "softdel", "dsir", "pairs"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -646,6 +646,41 @@ object Scale {
           corpus(spark, n), "doc_id", "text",
           pmod(col("doc_id"), lit(5)) === 0)
         scores.orderBy(col("score_bp").desc, col("doc_id").asc).limit(100).count()
+      }
+    }
+    // 26. Contrastive pair mining (round-11, q274's shape): adjacent-chunk
+    //     positives + ring-ordered hash-bucket negatives. The claim under
+    //     measurement: the negative assignment is two PER-BUCKET windows
+    //     (parallel, chunk-linear) + one doc-local equi-join — shuffle
+    //     grows linearly with the chunk count, never pair-shaped.
+    if (only("pairs")) docLadder.foreach { case (s, n) =>
+      measure("contrastive_pairs", s, n) {
+        import graft.functions.TextFns
+        val chunks = corpus(spark, n)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"),
+            posexplode(TextFns.chunk(col("text"), 128, 64)).as(Seq("pos", "chunk")))
+          .select(col("doc_id"), col("pos"),
+            TextFns.chunkId(col("doc_id"), col("pos")).as("cid"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("b")).orderBy(col("hr"), col("cid"))
+        val neg = chunks
+          .withColumn("b", graft.operators.Sampling.hashBucket(col("cid"), 64))
+          .withColumn("hr", sha2(concat(lit("neg:"), col("cid")), 256))
+          .withColumn("n1_cid", lead(col("cid"), 1).over(w))
+          .withColumn("n1_doc", lead(col("doc_id"), 1).over(w))
+          .withColumn("n2_cid", lead(col("cid"), 2).over(w))
+          .withColumn("n2_doc", lead(col("doc_id"), 2).over(w))
+          .withColumn("negative",
+            when(col("n1_doc").isNotNull && col("n1_doc") =!= col("doc_id"), col("n1_cid"))
+              .when(col("n2_doc").isNotNull && col("n2_doc") =!= col("doc_id"), col("n2_cid")))
+          .select(col("cid").as("anchor"), col("negative"))
+        chunks.select(col("doc_id"), col("pos"), col("cid").as("anchor"))
+          .join(chunks.select(col("doc_id"), (col("pos") - 1).as("pos"),
+            col("cid").as("positive")), Seq("doc_id", "pos"))
+          .join(neg, Seq("anchor"))
+          .filter(col("negative").isNotNull)
+          .count()
       }
     }
     // 24. Near-dup retrieval index (round-11): searchNearDup's serve cost
