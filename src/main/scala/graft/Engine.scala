@@ -3069,6 +3069,34 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * O(|queries|·kPool·pools) rows regardless of corpus size, and the
    * union-then-aggregate fusion needs one shuffle of exactly those rows.
    */
+  /**
+   * Highlighted full-text search — Milvus 2.6's highlight over full-text
+   * (BM25/sparse) results: [[searchSparse]] plus a per-QUERY `snippet`
+   * column wrapping that query's own analyzer terms in the preview with
+   * `<em>…</em>` (a batch query must not highlight a sibling query's
+   * terms — the per-query pattern rides a broadcast join). Like
+   * [[searchTextMatchHighlight]], a k-row projection — never a
+   * corpus-side pass. Under a stemming analyzer the highlighted form is
+   * the analyzer TERM's exact surface occurrence (stems that changed
+   * spelling simply don't match — documented, like Milvus's
+   * analyzer-dependent highlight behavior).
+   */
+  def searchSparseHighlight(queries: Seq[String], k: Int = 0): DataFrame = {
+    import spark.implicits._
+    val pats = queries.zipWithIndex.map { case (q, i) =>
+      val ts = analyzeTerms(q).distinct
+      require(ts.nonEmpty && ts.forall(_.matches("[\\w]+")),
+        s"highlight needs word-character terms, got $ts")
+      (i.toLong, "(?i)\\b(" + ts.mkString("|") + ")\\b")
+    }.toDF("query_id", "__pat")
+    searchSparse(queries, k)
+      .join(broadcast(pats), Seq("query_id"))
+      .withColumn("snippet",
+        regexp_replace(col("preview"), col("__pat"), lit("<em>$1</em>")))
+      .drop("__pat")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def hybridSearchMulti(queries: Seq[String],
                         requests: Seq[String] = Seq("vector", "lexical", "sparse"),
                         kPool: Int = 100): DataFrame = {

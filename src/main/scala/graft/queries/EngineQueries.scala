@@ -1293,6 +1293,22 @@ object EngineQueries {
       new Engine(s, cfg).searchSparse(searchTexts)
     }),
 
+    // Full-text highlight — Milvus 2.6's highlight over BM25/sparse
+    // results: q238's ranking plus a per-QUERY snippet (each query's own
+    // terms wrap <em>…</em> in its previews; a batch must not highlight a
+    // sibling query's terms). The oracle joins a per-query pattern table
+    // and replays the identical word-bounded regex.
+    "q277_sparse_highlight" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q277_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 16, nprobe = 16, ivfThreshold = 1L)
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      new Engine(s, cfg).searchSparseHighlight(searchTexts)
+    }),
+
     // Binary-quantization serving — Milvus 2.6's RaBitQ index shape: the
     // engine persists 1-bit sign codes beside the IVF layout (32×
     // compression), serves the candidate cut by Hamming distance
@@ -4180,6 +4196,29 @@ ORDER BY query_id, rank""")
     // sparse inner product replayed: tokenize -> tf -> df -> log2 idf ->
     // sum(qtf * tf * (idf_bp^2 DIV 10000)) -> top-4 (score desc, pk asc)
     "q238_sparse_search" -> sparseSearchSql,
+
+    // q238's replay joined to a per-query pattern VALUES table; the same
+    // word-bounded regex wraps each query's own terms in its previews
+    "q277_sparse_highlight" -> {
+      val pvalues = searchTexts.zipWithIndex.map { case (q, i) =>
+        val ts = q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+        s"(cast($i as bigint), '(?i)\\b(${ts.mkString("|")})\\b')"
+      }.mkString(", ")
+      val tailKey = """SELECT r.query_id, q.query, r.doc_id, r.score_bp, r.rank,
+  substring(d.text, 1, 200) AS preview
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+JOIN q0 q ON q.query_id = r.query_id
+ORDER BY r.query_id, r.rank"""
+      require(sparseSearchSql.contains(tailKey), "q277 surgery: tail key drifted")
+      sparseSearchSql.replace(tailKey,
+        s"""SELECT r.query_id, q.query, r.doc_id, r.score_bp, r.rank,
+  substring(d.text, 1, 200) AS preview,
+  regexp_replace(substring(d.text, 1, 200), p.pat, '<em>\\1</em>', 'g') AS snippet
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+JOIN q0 q ON q.query_id = r.query_id
+JOIN (VALUES $pvalues) p(query_id, pat) ON p.query_id = r.query_id
+ORDER BY r.query_id, r.rank""")
+    },
 
     // same sparse replay under the english analyzer: the stoplist filters
     // both the query-term literals and the document tokenization CTE
