@@ -21,6 +21,10 @@ package graft.functions
  *    JSON path, a physical JSON column, or a dynamic field: the stored
  *    JSON array is materialized with `from_json` (element type inferred
  *    from the probe values: strings → `array<string>`, else numeric)
+ *  - `TEXT_MATCH(field, "t1 t2 …")` — OR keyword match over whitespace
+ *    tokens, composable with scalar arms (→ `arrays_overlap` over the
+ *    field's tokenization; the search-time gate has an index-priced
+ *    sibling in `Engine.searchTextMatch`)
  *  - `exists meta["key"]` / `exists dynfield` — Milvus's key-presence
  *    test → `get_json_object(..) IS NOT NULL` (a dynamic row simply
  *    lacks the key when the producer column was null: `to_json` drops
@@ -148,6 +152,21 @@ object MilvusExpr {
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         protect(s"array_contains(from_json(${fieldRef(m.group(1))}, " +
           s"'${jsonArrType(m.group(2))}'), ${m.group(2)})")))
+    // Milvus TEXT_MATCH(field, "t1 t2 …") inside a filter expr — OR
+    // semantics over whitespace tokens, composable with scalar arms. This
+    // spelling evaluates against the FIELD TEXT (arrays_overlap over the
+    // tokenization) so it composes anywhere a predicate can appear;
+    // [[graft.Engine.searchTextMatch]] remains the postings-backed route
+    // for the search-time gate (same semantics, index-priced).
+    s = qr("""(?i)\btext_match\s*\(\s*""" + IDF + """\s*,\s*(""" + LIT + """\d+""" + LIT + """)\s*\)""")
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement({
+        val terms = lits(m.group(2).replace(LIT.toString, "").toInt)
+          .toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+        require(terms.nonEmpty, s"TEXT_MATCH needs at least one term")
+        val arr = terms.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
+        protect(s"arrays_overlap(split(lower(${fieldRef(m.group(1))}), '\\\\s+'), " +
+          s"array($arr))")
+      }))
     // Milvus `exists` — key presence on a json path or dynamic field. The
     // operand must be a json access (a physical column always "exists";
     // Milvus likewise only allows exists on JSON/dynamic keys), so bare

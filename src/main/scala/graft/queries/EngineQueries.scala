@@ -1771,6 +1771,23 @@ object EngineQueries {
         Seq(Engine.DynamicField), limit = 150)
     }),
 
+    // TEXT_MATCH inside a filter expr — Milvus composes keyword match
+    // with scalar arms in ANY expr (search, query, delete); here the
+    // retrieve path runs `TEXT_MATCH(text, "dup nosuchtoken") &&
+    // n_chars > 250` through the translator's arrays_overlap rewrite
+    // ('dup' is a rare token; 'nosuchtoken' exercises the empty arm of
+    // the OR). q242 grades the index-priced search-gate sibling.
+    "q278_expr_text_match" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q278_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars"))
+      new Engine(s, cfg).retrieve(
+        """TEXT_MATCH(text, "dup nosuchtoken") && n_chars > 250""",
+        Seq("lang", "n_chars"), limit = 150)
+    }),
+
     // `exists` — Milvus's key-presence operator over dynamic fields: a
     // producer column that is NULL for a row simply never packs into that
     // row's $meta (to_json drops null fields), so presence of the key IS
@@ -4112,6 +4129,14 @@ ORDER BY query_id, rank"""),
         |  FROM documents) t
         |WHERE lang IS NULL OR (lang = 'en' AND n_chars > 400)
         |ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    // the keyword arm replays as list_has_any over the same tokenization
+    "q278_expr_text_match" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE list_has_any(regexp_split_to_array(lower(text), '\s+'),
+        |                   ['dup', 'nosuchtoken'])
+        |  AND n_chars > 250
+        |ORDER BY doc_id LIMIT 150""".stripMargin,
 
     // the conditional packing replays with a CASE (fields name-sorted:
     // n_chars < src_detail); exists = the key's presence

@@ -104,6 +104,14 @@ class MilvusExprSpec extends AnyFunSuite {
     assert(s5.contains("arrays_overlap(from_json("))
   }
 
+  test("TEXT_MATCH rewrites to arrays_overlap over the field tokenization") {
+    val s1 = tr("""TEXT_MATCH(text, "Dup  merge") && n_chars > 300""")
+      .replaceAll("\\s+", " ")
+    assert(s1 == """arrays_overlap(split(lower(`text`), '\\s+'), """ +
+      "array('dup', 'merge')) and n_chars > 300")
+    intercept[IllegalArgumentException](tr("""text_match(text, "  ")"""))
+  }
+
   test("exists becomes IS NOT NULL over the json access") {
     val s1 = MilvusExpr.toSparkSql("""exists meta["opt"]""", cols)
       .replaceAll("\\s+", " ")
