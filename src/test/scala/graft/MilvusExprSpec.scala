@@ -141,6 +141,20 @@ class MilvusExprSpec extends AnyFunSuite {
     assert(s2 == "get_json_object(`meta`, '$.k') like 'pre%'")
   }
 
+  test("edge spellings: uppercase EXISTS, negative probes, not-in lists") {
+    val s1 = tr("""EXISTS meta["opt"]""").replaceAll("\\s+", " ")
+    assert(s1 == "get_json_object(`meta`, '$.opt') IS NOT NULL")
+    val s2 = MilvusExpr.toSparkSql("array_contains(tags, -7)", cols + "tags")
+      .replaceAll("\\s+", " ")
+    assert(s2 == "array_contains(`tags`, -7)")
+    val s3 = tr("""lang not in ["en", "de"]""").replaceAll("\\s+", " ")
+    assert(s3.contains("not in") && s3.contains("'en'") && s3.contains("'de'")
+      && !s3.contains("["), s3)
+    // a json probe with a decimal value types the array as double
+    val s4 = MilvusExpr.toSparkSql("""json_contains(meta["xs"], 1.5)""", cols)
+    assert(s4.contains("'array<double>'") && s4.contains(", 1.5)"))
+  }
+
   test("empty expression rejects") {
     intercept[IllegalArgumentException](tr("   "))
   }
