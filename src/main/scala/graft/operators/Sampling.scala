@@ -89,7 +89,12 @@ object Sampling {
    * corpus vocabulary: the model is one `buckets`-row frame that
    * broadcasts, so scoring at any corpus size is a map-side join plus one
    * partially-aggregated groupBy on the id — no corpus-sized shuffle
-   * beyond the per-doc reduce. Add-1 smoothing on both models.
+   * beyond the per-doc reduce. Add-1 smoothing on both models — BALANCED:
+   * each of the `buckets` cells gets +1, so the normalizing totals carry
+   * the matching `+buckets` term (log p = log(c+1) − log(tot+buckets),
+   * the smoothed likelihood the paper's ratio implies). An empty target
+   * partition fails loudly (raise_error riding the one-row totals frame)
+   * instead of producing finite-but-meaningless scores.
    *
    * Returns (idCol, n_tok, score_bp); select by `score_bp` — top-m via
    * orderBy+limit (distributed top-k) or a threshold cut at extreme scale.
@@ -107,15 +112,20 @@ object Sampling {
         sum(when(col("__tgt"), 1L).otherwise(0L)).cast("long").as("tc"))
       .select(col("b"), expr(l2("tc + 1")).as("lt_bp"), expr(l2("rc + 1")).as("lr_bp"))
     val tot = toks.agg(
-      count(lit(1)).cast("long").as("r_tot"),
-      sum(when(col("__tgt"), 1L).otherwise(0L)).cast("long").as("t_tot"))
+        count(lit(1)).cast("long").as("r_tot"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).cast("long").as("t_tot"))
+      .withColumn("t_tot",
+        when(col("t_tot") <= 0L, raise_error(lit(
+          "DSIR: target partition selected zero tokens — scores would be meaningless")))
+          .otherwise(col("t_tot")))
     toks.join(broadcast(feat), Seq("b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_tok"),
         sum(col("lt_bp") - col("lr_bp")).cast("long").as("__s0"))
       .crossJoin(broadcast(tot))
       .withColumn("score_bp",
-        col("__s0") + col("n_tok") * (expr(l2("r_tot")) - expr(l2("t_tot"))))
+        col("__s0") + col("n_tok") *
+          (expr(l2(s"r_tot + $buckets")) - expr(l2(s"t_tot + $buckets"))))
       .select(col(idCol), col("n_tok"), col("score_bp"))
   }
 }

@@ -719,21 +719,25 @@ object PipelineQueries {
     // vocabulary — the whole model is two 1024-row tables that broadcast,
     // so scoring is one map-side join + partial agg at any scale. Log2 in
     // the integer bp spelling (the q257/q121 discipline) keeps both
-    // engines bit-identical. Target = en docs of 300+ chars (add-1
-    // smoothing on both models). The global top-100 window is exact and
-    // driver-cheap here; at 100 TB the same score admits a threshold cut
-    // (quantile of score_bp) with no global window — q72's documented
-    // tradeoff.
+    // engines bit-identical. Target = en docs of 300+ chars (balanced
+    // add-1 smoothing on both models: +1 per bucket, +buckets on the
+    // totals). Selection is a DISTRIBUTED top-k — orderBy + limit(100)
+    // (TakeOrderedAndProject: per-partition top-100, driver merge), with
+    // rank assigned by a window over only the 100 survivors. Never a
+    // global unpartitioned window over the corpus-sized score frame —
+    // that would be a single-task sort of every scored document, the
+    // silent scale-killer q73's comment names (PlanSpec gates every
+    // Window in this plan to sit above the limit).
     "q270_dsir_select" -> ((s, dir) => {
       val scored = graft.operators.Sampling.dsirScores(
         t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en" && col("n_chars") >= 300)
       scored
+        .orderBy(col("score_bp").desc, col("doc_id").asc)
+        .limit(100)
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("score_bp").desc, col("doc_id").asc)))
-        .filter(col("rank") <= 100)
-        .select(col("doc_id"), col("n_tok"), col("score_bp"),
-          col("rank").cast("int").as("rank"))
+          Window.orderBy(col("score_bp").desc, col("doc_id").asc)).cast("int"))
+        .select(col("doc_id"), col("n_tok"), col("score_bp"), col("rank"))
         .orderBy(col("rank"))
     }),
 
@@ -1775,7 +1779,7 @@ object PipelineQueries {
         "    cast(sum(fl.lt_bp - fl.lr_bp) as bigint) AS s0\n" +
         "  FROM tb JOIN fl ON fl.b = tb.b GROUP BY tb.doc_id),\n" +
         "sc AS (\n" +
-        s"  SELECT doc_id, n_tok, s0 + n_tok * (${l2("r_tot")} - ${l2("t_tot")}) AS score_bp\n" +
+        s"  SELECT doc_id, n_tok, s0 + n_tok * (${l2("r_tot + 1024")} - ${l2("t_tot + 1024")}) AS score_bp\n" +
         "  FROM d CROSS JOIN tot)\n" +
         "SELECT doc_id, n_tok, score_bp,\n" +
         "  cast(row_number() OVER (ORDER BY score_bp DESC, doc_id) as int) AS rank\n" +

@@ -199,6 +199,21 @@ class PlanSpec extends SparkSpec {
     assert(optimized.contains("windowspecdefinition(bucket"), optimized.take(2000))
   }
 
+  test("q270: every window sits above the top-100 limit — no global sort of the score frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    val df = SparkEntry.queries("q270_dsir_select")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, plan.toString.take(2000))
+    // an unpartitioned window whose input is the full scored corpus is a
+    // single-task sort of every document; the rank window may only see the
+    // 100 survivors of the distributed TakeOrdered (a GlobalLimit below it)
+    wins.foreach { w =>
+      assert(w.collectFirst { case g: GlobalLimit => g }.nonEmpty,
+        "unpartitioned window over a corpus-sized frame:\n" + w.toString.take(2000))
+    }
+  }
+
   test("runtime bloom-filter injection prunes the fact side of a selective join") {
     // The 100 TB shape: a huge fact scan joined to a selectively-filtered
     // dimension. Catalyst's InjectRuntimeFilter plants a bloom filter built
