@@ -886,7 +886,8 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       if (epr.trim.isEmpty) lit(true)
       else expr(graft.functions.MilvusExpr.toSparkSql(
         epr, cols.toSet,
-        if (cols.contains(Engine.DynamicField)) Some(Engine.DynamicField) else None))
+        if (cols.contains(Engine.DynamicField)) Some(Engine.DynamicField) else None,
+        cfg.analyzer))
     query(pred, outputFields, limit)
   }
 
@@ -2325,7 +2326,8 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val cols = store().columns
     searchWhere(queries, expr(graft.functions.MilvusExpr.toSparkSql(
       epr, cols.toSet,
-      if (cols.contains(Engine.DynamicField)) Some(Engine.DynamicField) else None)))
+      if (cols.contains(Engine.DynamicField)) Some(Engine.DynamicField) else None,
+      cfg.analyzer)))
   }
 
   /**
@@ -2902,14 +2904,14 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * pre/post tags). The wrapping is a projection over the k RESULT rows
    * only (the hydration join's output), so highlight cost is k regex
    * passes over 200-char previews — never a corpus-side pass, at any
-   * store size. Analyzer terms are word characters by construction, so
-   * the generated alternation needs no quoting.
+   * store size. Terms with regex metacharacters ('data-processing',
+   * 'c++') are literal-quoted into the alternation — Milvus's highlight
+   * wraps what it can; a hyphenated token must never fail the search.
    */
   def searchTextMatchHighlight(queries: Seq[String], matchText: String): DataFrame = {
     val terms = analyzeTerms(matchText).distinct
-    require(terms.nonEmpty && terms.forall(_.matches("[\\w]+")),
-      s"highlight needs word-character terms, got $terms")
-    val pat = "(?i)\\b(" + terms.mkString("|") + ")\\b"
+    require(terms.nonEmpty, s"highlight needs at least one analyzed term")
+    val pat = Engine.highlightPattern(terms)
     searchTextMatch(queries, matchText)
       .withColumn("snippet", regexp_replace(col("preview"), pat, "<em>$1</em>"))
   }
@@ -3085,9 +3087,8 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     import spark.implicits._
     val pats = queries.zipWithIndex.map { case (q, i) =>
       val ts = analyzeTerms(q).distinct
-      require(ts.nonEmpty && ts.forall(_.matches("[\\w]+")),
-        s"highlight needs word-character terms, got $ts")
-      (i.toLong, "(?i)\\b(" + ts.mkString("|") + ")\\b")
+      require(ts.nonEmpty, s"highlight needs at least one analyzed term")
+      (i.toLong, Engine.highlightPattern(ts))
     }.toDF("query_id", "__pat")
     searchSparse(queries, k)
       .join(broadcast(pats), Seq("query_id"))
@@ -3166,7 +3167,8 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val cols = store().columns
     hybridSearchWhere(queries, expr(graft.functions.MilvusExpr.toSparkSql(
       epr, cols.toSet,
-      if (cols.contains(Engine.DynamicField)) Some(Engine.DynamicField) else None)),
+      if (cols.contains(Engine.DynamicField)) Some(Engine.DynamicField) else None,
+      cfg.analyzer)),
       kPool)
   }
 
@@ -3617,6 +3619,18 @@ object Engine {
 
   /** The configurable lexical analyzers (Milvus 2.5 analyzer_params). */
   val analyzers: Set[String] = Set("standard", "english", "english_stem")
+
+  /** Case-insensitive, word-bounded highlight alternation over analyzed
+    * terms. Every term is LITERAL-quoted (`Pattern.quote`) so regex
+    * metacharacters in real queries — 'data-processing', 'c++', 'a.b' —
+    * highlight as text instead of failing the whole search. Boundaries
+    * are lookarounds, not `\b`: `\b` after a non-word edge ('c++' then a
+    * space) never matches, while `(?<!\w)…(?!\w)` is `\b`-equivalent on
+    * word-character terms (the common case, and the one the q273/q277
+    * oracles replay with `\b`) yet still bounds punctuated terms. */
+  def highlightPattern(terms: Seq[String]): String =
+    "(?i)(?<![\\w])(" + terms.map(java.util.regex.Pattern.quote).mkString("|") +
+      ")(?![\\w])"
 
   /** The "english" analyzer's stopword list — Lucene's classic 33-word
     * EnglishAnalyzer default, a fixed public constant so document-side

@@ -6,12 +6,16 @@ package graft.functions
  * `vdb.py:218-223`'s `collection.query(expr=epr, limit=self.page_limit)`).
  * Supported subset — the operators Milvus documents for scalar filtering:
  *
- *  - comparisons `== != > >= < <=` (`==` becomes SQL `=`)
+ *  - comparisons `== != > >= < <=` (`==` becomes SQL `=`); CHAINED
+ *    ranges `10 <= f < 20` split into conjoined arms (SQL has no
+ *    chained comparison); `f between a and b` passes through (SQL's own
+ *    BETWEEN)
  *  - arithmetic `+ - * / %` pass through (identical SQL spellings);
  *    `**` rewrites to `power(..)` (no SQL spelling)
  *  - boolean `&& || and or not`
  *  - membership `f in [v1, v2]` / `f not in [...]` (brackets → parens)
- *  - `like "pat%"` (SQL LIKE, translated literals)
+ *  - `like "pat%"` (SQL LIKE, translated literals; works over JSON
+ *    paths — get_json_object yields the string the pattern tests)
  *  - JSON path access `meta["key"]` → `get_json_object(meta, '$.key')`
  *  - ARRAY field operators (the Milvus ARRAY datatype filter set):
  *    `array_contains(f, v)`, `array_contains_all(f, [..])`,
@@ -21,10 +25,11 @@ package graft.functions
  *    JSON path, a physical JSON column, or a dynamic field: the stored
  *    JSON array is materialized with `from_json` (element type inferred
  *    from the probe values: strings → `array<string>`, else numeric)
- *  - `TEXT_MATCH(field, "t1 t2 …")` — OR keyword match over whitespace
- *    tokens, composable with scalar arms (→ `arrays_overlap` over the
- *    field's tokenization; the search-time gate has an index-priced
- *    sibling in `Engine.searchTextMatch`)
+ *  - `TEXT_MATCH(field, "t1 t2 …")` — OR keyword match over ANALYZED
+ *    tokens (the engine's configured analyzer runs on both the query
+ *    terms and the field tokenization), composable with scalar arms
+ *    (→ `arrays_overlap`; the search-time gate has an index-priced
+ *    sibling in `Engine.searchTextMatch` — same analyzer, same matches)
  *  - `exists meta["key"]` / `exists dynfield` — Milvus's key-presence
  *    test → `get_json_object(..) IS NOT NULL` (a dynamic row simply
  *    lacks the key when the producer column was null: `to_json` drops
@@ -47,6 +52,40 @@ object MilvusExpr {
     "and", "or", "not", "in", "like", "true", "false", "null", "is",
     "between", "exists")
 
+  /** Driver-side term analysis — the query half of the engine's analyzer
+    * contract (mirrors `Engine.analyzeTerms`: stoplist, then stem —
+    * Lucene's filter order). Unknown analyzers fail loudly. */
+  private def analyzeDriverTerms(toks: Seq[String], analyzer: String): Seq[String] =
+    analyzer match {
+      case "standard" => toks
+      case "english" => toks.filterNot(graft.Engine.englishStopwords)
+      case "english_stem" =>
+        toks.filterNot(graft.Engine.englishStopwords)
+          .map(TextFns.minEnglishStem(_: String))
+      case other => throw new IllegalArgumentException(
+        s"unknown analyzer '$other' (${graft.Engine.analyzers.mkString(" | ")})")
+    }
+
+  /** SQL spelling of the document-side analyzer pipeline over a field
+    * reference — the same stoplist-then-stem order the postings build uses
+    * (`Engine.analyzeCol`), so the expr route and the index route tokenize
+    * identically. The stem CASE is the cross-engine `minEnglishStemSql`
+    * spelling (valid Spark SQL: substr/length/||/CASE). */
+  private def analyzedTokensSql(fieldSql: String, analyzer: String): String = {
+    val base = s"split(lower($fieldSql), '\\\\s+')"
+    lazy val stop = graft.Engine.englishStopwords.toSeq.sorted
+      .map(w => s"'$w'").mkString(", ")
+    analyzer match {
+      case "standard" => base
+      case "english" => s"filter($base, __t -> __t NOT IN ($stop))"
+      case "english_stem" =>
+        s"transform(filter($base, __t -> __t NOT IN ($stop)), " +
+          s"__t -> ${TextFns.minEnglishStemSql("__t")})"
+      case other => throw new IllegalArgumentException(
+        s"unknown analyzer '$other' (${graft.Engine.analyzers.mkString(" | ")})")
+    }
+  }
+
   private val LIT = '\u0001' // string-literal placeholder delimiter
   private val GEN = '\u0002' // generated-fragment placeholder delimiter
 
@@ -59,9 +98,17 @@ object MilvusExpr {
    *                `$meta` when `dynamicField` names it)
    * @param dynamicField the hidden JSON column to resolve unknown
    *                identifiers through, if the store has one
+   * @param analyzer the engine's configured lexical analyzer
+   *                 (`EngineConfig.analyzer`) — TEXT_MATCH must tokenize
+   *                 BOTH the query terms and the field text exactly the
+   *                 way the engine's postings do, or a stemming/stopword
+   *                 analyzer makes the expr route silently diverge from
+   *                 `Engine.searchTextMatch` (the classic analyzer-mismatch
+   *                 zero-recall bug, here between two routes of one engine)
    */
   def toSparkSql(epr: String, columns: Set[String],
-                 dynamicField: Option[String] = None): String = {
+                 dynamicField: Option[String] = None,
+                 analyzer: String = "standard"): String = {
     require(epr != null && epr.trim.nonEmpty, "empty expression")
 
     // 1. lift string literals (either quote style; Milvus has no embedded
@@ -118,14 +165,20 @@ object MilvusExpr {
         .map(mf => protect(s"get_json_object(`$mf`, '$$.$t')"))
         .getOrElse(t)
     }
-    // element type of a JSON array probe: Milvus json arrays are typed by
-    // the probe values here — strings, else doubles, else integers
+    // element type of a JSON array probe: strings and booleans are typed
+    // by the probe; ALL numeric probes materialize as array<double> (JSON
+    // numbers are doubles — a stored [5.0] must match an integer probe 5,
+    // which an array<bigint> read would silently null away; Spark's type
+    // coercion widens the integer probe to double at the compare).
+    // Caveat, documented not guarded: integers beyond 2^53 lose precision
+    // in the double domain — exactly JSON's own numeric contract.
     def jsonArrType(args: String): String =
       if (args.indexOf(LIT) >= 0) "array<string>"
-      else if (args.contains(".")) "array<double>"
-      else "array<bigint>"
+      else if (args.trim.toLowerCase.split("""\s*,\s*""").forall(a => a == "true" || a == "false"))
+        "array<boolean>"
+      else "array<double>"
     val IDF = """([A-Za-z_$][A-Za-z0-9_$]*|""" + GEN + """\d+""" + GEN + ")"
-    val VAL = "(" + LIT + """\d+""" + LIT + """|-?\d+(?:\.\d+)?)"""
+    val VAL = "(" + LIT + """\d+""" + LIT + """|-?\d+(?:\.\d+)?|(?i:true|false))"""
     val LST = """\[\s*([^\]]*?)\s*\]"""
     def qr(r: String) = r.r
     s = qr("""(?i)\barray_contains_all\s*\(\s*""" + IDF + """\s*,\s*""" + LST + """\s*\)""")
@@ -153,18 +206,26 @@ object MilvusExpr {
         protect(s"array_contains(from_json(${fieldRef(m.group(1))}, " +
           s"'${jsonArrType(m.group(2))}'), ${m.group(2)})")))
     // Milvus TEXT_MATCH(field, "t1 t2 …") inside a filter expr — OR
-    // semantics over whitespace tokens, composable with scalar arms. This
+    // semantics over ANALYZED tokens, composable with scalar arms. This
     // spelling evaluates against the FIELD TEXT (arrays_overlap over the
     // tokenization) so it composes anywhere a predicate can appear;
     // [[graft.Engine.searchTextMatch]] remains the postings-backed route
-    // for the search-time gate (same semantics, index-priced).
+    // for the search-time gate (same semantics, index-priced). BOTH sides
+    // run the engine's configured analyzer — query terms driver-side,
+    // field tokens via the same stoplist/stem pipeline in SQL — so a
+    // stemming analyzer can't make the two TEXT_MATCH routes disagree
+    // (e.g. under english_stem, TEXT_MATCH(text, "tables") matches docs
+    // containing 'table' on both routes).
     s = qr("""(?i)\btext_match\s*\(\s*""" + IDF + """\s*,\s*(""" + LIT + """\d+""" + LIT + """)\s*\)""")
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement({
-        val terms = lits(m.group(2).replace(LIT.toString, "").toInt)
-          .toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
-        require(terms.nonEmpty, s"TEXT_MATCH needs at least one term")
+        val raw = lits(m.group(2).replace(LIT.toString, "").toInt)
+          .toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        require(raw.nonEmpty, s"TEXT_MATCH needs at least one term")
+        val terms = analyzeDriverTerms(raw, analyzer).distinct
+        require(terms.nonEmpty,
+          s"TEXT_MATCH terms all removed by the '$analyzer' analyzer")
         val arr = terms.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
-        protect(s"arrays_overlap(split(lower(${fieldRef(m.group(1))}), '\\\\s+'), " +
+        protect(s"arrays_overlap(${analyzedTokensSql(fieldRef(m.group(1)), analyzer)}, " +
           s"array($arr))")
       }))
     // Milvus `exists` — key presence on a json path or dynamic field. The
@@ -174,6 +235,26 @@ object MilvusExpr {
     s = qr("""(?i)\bexists\s+""" + IDF)
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         protect(s"${fieldRef(m.group(1))} IS NOT NULL")))
+
+    // 3c. chained comparisons — Milvus allows `10 <= height < 20` (one
+    // range, two comparators); SQL has no chained comparison, so split
+    // into conjoined arms: `10 <= height and height < 20`. The middle
+    // operand duplicates verbatim (a GEN placeholder restores at every
+    // occurrence; a bare dynamic identifier gets routed at pass 6 in both
+    // arms). Loop: an n-ary chain sheds one link per pass.
+    val OPND = "(" + LIT + """\d+""" + LIT + "|" + GEN + """\d+""" + GEN +
+      """|[A-Za-z_$][A-Za-z0-9_$]*|-?\d+(?:\.\d+)?)"""
+    val chainLt = qr(OPND + """\s*(<=|<)\s*""" + OPND + """\s*(<=|<)\s*""" + OPND)
+    val chainGt = qr(OPND + """\s*(>=|>)\s*""" + OPND + """\s*(>=|>)\s*""" + OPND)
+    var chained = true
+    while (chained) {
+      val s2 = Seq(chainLt, chainGt).foldLeft(s)((acc, p) =>
+        p.replaceAllIn(acc, m => java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)} ${m.group(2)} ${m.group(3)} and " +
+            s"${m.group(3)} ${m.group(4)} ${m.group(5)}")))
+      chained = s2 != s
+      s = s2
+    }
 
     // 4. operator spellings (** first: Milvus's power operator has no SQL
     // spelling; the base routes through fieldRef so dynamic fields and

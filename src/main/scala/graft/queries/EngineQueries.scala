@@ -1788,6 +1788,44 @@ object EngineQueries {
         Seq("lang", "n_chars"), limit = 150)
     }),
 
+    // Range spellings in the expr dialect — the documented Milvus corners
+    // a user migrating real filters hits first: `between a and b` (SQL's
+    // own BETWEEN, passed through), a CHAINED comparison `100 <= f < 160`
+    // (split into conjoined arms — SQL has no chained comparison), and a
+    // modulo arm `f % 2 == 0`, all composed in ONE expr string under
+    // &&/|| precedence. Both OR arms are non-trivial at every scale
+    // (probed: 125+55 / 113+70 / 1242+628 matches).
+    "q279_expr_range" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q279_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars"))
+      new Engine(s, cfg).retrieve(
+        """n_chars between 300 and 600 && n_chars % 2 == 0 || 100 <= n_chars < 160""",
+        Seq("lang", "n_chars"), limit = 150)
+    }),
+
+    // TEXT_MATCH in a filter expr under a STEMMING analyzer — the expr
+    // route must tokenize exactly like the postings route (q242/q276):
+    // the plural query terms stem driver-side ('tables'→'table',
+    // 'merges'→'merge') and the field tokenization stems in SQL, so the
+    // match set equals searchTextMatch's under the same config. Without
+    // analyzer plumbing the expr route would match only literal plural
+    // tokens — the silent two-routes-disagree bug this query pins.
+    // ~78% of docs carry 'table' or 'merge' post-stem at every scale.
+    "q280_expr_match_stem" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q280_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        analyzer = "english_stem")
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars"))
+      new Engine(s, cfg).retrieve(
+        """TEXT_MATCH(text, "tables merges") && n_chars > 250""",
+        Seq("lang", "n_chars"), limit = 150)
+    }),
+
     // `exists` — Milvus's key-presence operator over dynamic fields: a
     // producer column that is NULL for a row simply never packs into that
     // row's $meta (to_json drops null fields), so presence of the key IS
@@ -4137,6 +4175,34 @@ ORDER BY query_id, rank"""),
         |                   ['dup', 'nosuchtoken'])
         |  AND n_chars > 250
         |ORDER BY doc_id LIMIT 150""".stripMargin,
+
+    // BETWEEN and the modulo arm replay verbatim; the chained comparison
+    // replays as its two conjoined arms — same precedence as the expr
+    "q279_expr_range" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE (n_chars BETWEEN 300 AND 600 AND n_chars % 2 = 0)
+        |   OR (100 <= n_chars AND n_chars < 160)
+        |ORDER BY doc_id LIMIT 150""".stripMargin,
+
+    // the stemming replay: plural query terms arrive pre-stemmed as
+    // literals ('table', 'merge'); the doc tokenization stop-filters then
+    // stems (Lucene's filter order) before the membership test
+    "q280_expr_match_stem" -> {
+      val stop = graft.Engine.englishStopwords.toSeq.sorted
+        .map(w => s"'$w'").mkString(", ")
+      val stem = graft.functions.TextFns.minEnglishStemSql("ltk")
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id IN (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, $stem AS ltk FROM (
+         |      SELECT doc_id,
+         |        unnest(regexp_split_to_array(lower(text), '\\s+')) AS ltk
+         |      FROM documents) u
+         |    WHERE ltk NOT IN ($stop)) v
+         |  WHERE ltk IN ('table', 'merge'))
+         |  AND n_chars > 250
+         |ORDER BY doc_id LIMIT 150""".stripMargin
+    },
 
     // the conditional packing replays with a CASE (fields name-sorted:
     // n_chars < src_detail); exists = the key's presence

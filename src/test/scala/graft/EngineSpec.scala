@@ -2665,6 +2665,21 @@ class EngineSpec extends SparkSpec {
     assert(!flat.maintain(maxGrowth = 0.0).head.getBoolean(3),
       "maintain retrained a FLAT engine")
   }
+
+  test("highlightPattern literal-quotes punctuated terms and stays word-bounded") {
+    // regex metacharacters in real queries must highlight as text, never
+    // throw (Milvus wraps what it can); word terms keep \b-equivalent
+    // boundaries so the q273/q277 oracles' \b replay stays identical
+    val p = Engine.highlightPattern(Seq("c++", "data-processing", "table"))
+    assert("use c++ here".replaceAll(p, "<em>$1</em>") == "use <em>c++</em> here")
+    assert("a data-processing job".replaceAll(p, "<em>$1</em>")
+      == "a <em>data-processing</em> job")
+    assert("a table.".replaceAll(p, "<em>$1</em>") == "a <em>table</em>.")
+    assert("stable tables".replaceAll(p, "<em>$1</em>") == "stable tables",
+      "partial-word matches must not highlight")
+    assert("TABLE".replaceAll(p, "<em>$1</em>") == "<em>TABLE</em>",
+      "highlight is case-insensitive")
+  }
 }
 
 object SparkEntryTestHelpers {

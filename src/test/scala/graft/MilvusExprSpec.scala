@@ -89,9 +89,10 @@ class MilvusExprSpec extends AnyFunSuite {
       .replaceAll("\\s+", " ")
     assert(s1 == "array_contains(from_json(get_json_object(`meta`, '$.tags'), " +
       "'array<string>'), 'en')")
-    // numeric probe → bigint elements
+    // numeric probe → double elements (JSON numbers are doubles: a stored
+    // [5.0] must match an integer probe 5; Spark coerces the probe)
     val s2 = MilvusExpr.toSparkSql("""json_contains(meta["ids"], 7)""", cols)
-    assert(s2.contains("'array<bigint>'") && s2.contains(", 7)"))
+    assert(s2.contains("'array<double>'") && s2.contains(", 7)"))
     // over a dynamic field: the identifier routes through $meta first
     val s3 = MilvusExpr.toSparkSql("""json_contains(tags, "en")""", cols, Some("$meta"))
       .replaceAll("\\s+", " ")
@@ -153,6 +154,49 @@ class MilvusExprSpec extends AnyFunSuite {
     // a json probe with a decimal value types the array as double
     val s4 = MilvusExpr.toSparkSql("""json_contains(meta["xs"], 1.5)""", cols)
     assert(s4.contains("'array<double>'") && s4.contains(", 1.5)"))
+  }
+
+  test("chained comparisons split into conjoined arms") {
+    val s1 = tr("100 <= n_chars < 200").replaceAll("\\s+", " ")
+    assert(s1 == "100 <= n_chars and n_chars < 200")
+    val s2 = tr("200 > n_chars >= 100").replaceAll("\\s+", " ")
+    assert(s2 == "200 > n_chars and n_chars >= 100")
+    // over a json path: the placeholder restores at BOTH occurrences
+    val s3 = tr("""10 <= meta["stars"] < 20""").replaceAll("\\s+", " ")
+    assert(s3 == "10 <= get_json_object(`meta`, '$.stars') and " +
+      "get_json_object(`meta`, '$.stars') < 20")
+    // n-ary chains shed one link per pass
+    val s4 = tr("1 < n_chars < n_tok < 9").replaceAll("\\s+", " ")
+    assert(s4 == "1 < n_chars and n_chars < n_tok and n_tok < 9")
+    // mixed directions never chain
+    val s5 = tr("n_chars > 5 && n_tok < 9").replaceAll("\\s+", " ")
+    assert(s5 == "n_chars > 5 and n_tok < 9")
+  }
+
+  test("between passes through; boolean json probes type as array<boolean>") {
+    val s1 = tr("n_chars between 300 and 600").replaceAll("\\s+", " ")
+    assert(s1 == "n_chars between 300 and 600")
+    val s2 = MilvusExpr.toSparkSql("""json_contains(meta["flags"], true)""", cols)
+    assert(s2.contains("'array<boolean>'") && s2.contains(", true)"), s2)
+  }
+
+  test("TEXT_MATCH is analyzer-aware on both sides") {
+    // english: stopword query terms drop; field tokens stop-filter in SQL
+    val s1 = MilvusExpr.toSparkSql(
+      """TEXT_MATCH(text, "the tables")""", cols, None, "english")
+    assert(s1.trim.endsWith("array('tables'))"), s1) // 'the' dropped
+    assert(s1.contains("filter(split(lower(`text`)") && s1.contains("NOT IN"), s1)
+    // english_stem: the query term stems AND the field tokens stem
+    val s2 = MilvusExpr.toSparkSql(
+      """TEXT_MATCH(text, "tables")""", cols, None, "english_stem")
+    assert(s2.contains("array('table')"), s2)
+    assert(s2.contains("transform(filter("), s2)
+    // all terms removed by the analyzer fails loudly
+    intercept[IllegalArgumentException](MilvusExpr.toSparkSql(
+      """TEXT_MATCH(text, "the and of")""", cols, None, "english"))
+    // unknown analyzers fail loudly
+    intercept[IllegalArgumentException](MilvusExpr.toSparkSql(
+      """TEXT_MATCH(text, "x")""", cols, None, "nosuch"))
   }
 
   test("empty expression rejects") {
