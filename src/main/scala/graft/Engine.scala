@@ -919,21 +919,100 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     if (limit <= 0) base else base.orderBy(col("doc_id")).limit(limit)
   }
 
+  /**
+   * Range lookup over an indexed JSON path — Milvus 2.6's JSON index
+   * serves RANGE predicates (`meta["stars"] > 100`), not just equality.
+   * The bounds map to a contiguous range-bucket interval DRIVER-side
+   * (bucket boundaries are persisted quantizer state, so the bucket set
+   * is a plan-time constant → directory pruning on the numeric sibling
+   * layout), the residual value filter pushes into the pruned scan
+   * (value-sorted files: parquet row-group stats cut it further), and
+   * the store read degrades to the usual doc_id semi-join hydration. No
+   * per-row JSON parse and no corpus-wide value scan at any store size.
+   * Bounds are doubles (JSON numbers); open-ended via None; strictness
+   * per bound (`loInclusive = false` ⇒ `> lo`).
+   */
+  def queryJsonIndexedRange(field: String, jsonPath: String,
+                            lo: Option[Double] = None, hi: Option[Double] = None,
+                            loInclusive: Boolean = true, hiInclusive: Boolean = true,
+                            outputFields: Seq[String] = Nil, limit: Int = 0): DataFrame = {
+    admit()
+    require(lo.isDefined || hi.isDefined, "queryJsonIndexedRange needs a bound")
+    require(lo.forall(l => hi.forall(_ >= l)), s"empty range [$lo, $hi]")
+    val root = ensureJsonIdx(field, jsonPath)
+    val stamp = readStamp(rangeBoundsFile(root))
+    val cols = ("doc_id" +: outputFields).distinct.map(col(_))
+    if (stamp.contains("EMPTY")) // no numeric values under this path
+      return store().select(cols: _*).limit(0)
+    val bounds = stamp.filter(_.nonEmpty)
+      .map(_.split(",").map(_.toDouble)).getOrElse(Array.empty[Double])
+    def bucketOf(x: Double): Int = bounds.count(_ <= x)
+    val rbs = (lo.map(bucketOf).getOrElse(0) to
+      hi.map(bucketOf).getOrElse(bounds.length)).map(b => b: Any)
+    val nvFilter = Seq(
+      lo.map(l => if (loInclusive) col("nv") >= l else col("nv") > l),
+      hi.map(h => if (hiInclusive) col("nv") <= h else col("nv") < h))
+      .flatten.reduce(_ && _)
+    val ids = spark.read.parquet(s"$root/ranges")
+      .filter(col("rb").isin(rbs: _*) && nvFilter)
+      .select(col("doc_id"))
+    val base = maskGate(store().join(ids, Seq("doc_id"), "left_semi")).select(cols: _*)
+    if (limit <= 0) base else base.orderBy(col("doc_id")).limit(limit)
+  }
+
   /** One layout directory per indexed (field, json path) pair. */
   private def jsonIdxRoot(field: String, jsonPath: String): String = {
     val slug = (field + "_" + jsonPath).replaceAll("[^A-Za-z0-9]+", "_")
     s"${cfg.indexPath}_json/$slug"
   }
 
+  /** Range buckets of the JSON index's numeric sibling layout. */
+  private val jsonRangeBuckets = 32
+
+  private def rangeBoundsFile(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/_RANGE_BOUNDS")
+
+  /** The numeric SIBLING layout behind [[queryJsonIndexedRange]]:
+    * (doc_id, nv) for rows whose value parses as a number, partitioned
+    * into range buckets whose boundaries are approximate quantiles of the
+    * value distribution (trained at build, persisted next to the stamp —
+    * quantizer state, the IVF discipline; equi-DEPTH buckets, so skewed
+    * distributions still prune). Derived from the postings layout
+    * (value-sized), never a second corpus scan; rows value-sorted within
+    * files so row-group stats serve the residual cut. */
+  private def buildJsonRanges(root: String): Unit = {
+    val postings = try spark.read.parquet(s"$root/postings") catch {
+      // a path with no values at all wrote no readable part files
+      case _: org.apache.spark.sql.AnalysisException =>
+        writeStamp(rangeBoundsFile(root), "EMPTY"); return
+    }
+    val pv = postings // try_cast: non-numeric values drop out, never throw
+      .select(col("doc_id"), expr("try_cast(v as double)").as("nv"))
+      .filter(col("nv").isNotNull)
+    // an all-string path has no numeric rows: a zero-row partitioned write
+    // leaves no readable files, so record the emptiness in the bounds
+    // stamp and let the serve path answer empty without touching disk
+    if (pv.isEmpty) { writeStamp(rangeBoundsFile(root), "EMPTY"); return }
+    val bounds: Array[Double] = pv.stat.approxQuantile("nv",
+      (1 until jsonRangeBuckets).map(_.toDouble / jsonRangeBuckets).toArray, 0.001)
+    val rb = bounds.foldLeft(lit(0))((acc, b) =>
+      acc + when(col("nv") >= b, 1).otherwise(0))
+    pv.withColumn("rb", rb)
+      .repartition(col("rb"))
+      .sortWithinPartitions(col("nv"))
+      .write.mode("overwrite").partitionBy("rb").parquet(s"$root/ranges")
+    writeStamp(rangeBoundsFile(root), bounds.mkString(","))
+  }
+
   /** Build-if-stale: extract the path once over the store (the only
     * corpus-sized pass, paid at index time like every inverted layout),
-    * bucket-partition by value hash, stamp LAST (a torn build stays stale
-    * and rebuilds). */
+    * bucket-partition by value hash + derive the numeric range sibling,
+    * stamp LAST (a torn build stays stale and rebuilds). */
   private def ensureJsonIdx(field: String, jsonPath: String): String = {
     val root = jsonIdxRoot(field, jsonPath)
     val stamp = new org.apache.hadoop.fs.Path(s"$root/_STORE_FINGERPRINT")
     val fp = s"${pathFingerprint(cfg.storePath)}|JSON;" +
-      s"buckets=${graft.operators.InvertedIndex.nBuckets}"
+      s"buckets=${graft.operators.InvertedIndex.nBuckets};ranges=$jsonRangeBuckets"
     if (!readStamp(stamp).contains(fp)) synchronized {
       if (!readStamp(stamp).contains(fp)) {
         widen(store())
@@ -942,6 +1021,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
           .withColumn("vb", graft.operators.InvertedIndex.bucket(col("v")))
           .repartition(col("vb"))
           .write.mode("overwrite").partitionBy("vb").parquet(s"$root/postings")
+        buildJsonRanges(root)
         writeStamp(stamp, fp)
       }
     }

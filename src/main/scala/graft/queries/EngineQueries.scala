@@ -1566,6 +1566,29 @@ object EngineQueries {
         .queryJsonIndexed("meta", "$.lang", "es", Seq("meta"), limit = 150)
     }),
 
+    // JSON path index RANGE lookup — Milvus 2.6's JSON index serves range
+    // predicates too: `meta["stars"] > 100 and <= 300` maps to a
+    // contiguous interval of equi-depth range buckets driver-side
+    // (directory pruning on the numeric sibling layout; boundaries are
+    // persisted quantizer state), with the residual bound pushed into the
+    // pruned scan. The fresh Engine proves layout + boundaries are
+    // discovered from disk; EngineSpec gates the pruning and the
+    // unindexed-filter equivalence. stars = (doc_id·37) % 500 — uniform,
+    // the strict-low/inclusive-high range keeps ~40% at every scale.
+    "q281_json_range" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q281_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "n_chars")
+        .withColumn("stars", (col("doc_id") * 37 % 500).cast("int"))
+      eng.ingestDynamic(docs)
+      new Engine(s, cfg).queryJsonIndexedRange(
+        Engine.DynamicField, "$.stars",
+        lo = Some(100.0), hi = Some(300.0), loInclusive = false,
+        outputFields = Seq(Engine.DynamicField), limit = 150)
+    }),
+
     // Predicate deletion — Milvus's delete(expr) form: the doomed set is
     // named by a filter, not an id list (the GDPR/re-crawl shape: "drop
     // everything from this source"). The graded read is a post-delete
@@ -4118,6 +4141,18 @@ ORDER BY query_id, rank"""),
         |ORDER BY doc_id LIMIT 150""".stripMargin,
 
     "q252_decay_rerank" -> decaySearchSql,
+
+    // the indexed range lookup replays as the plain numeric filter over
+    // the replayed dynamic packing (fields name-sorted: n_chars < stars)
+    "q281_json_range" ->
+      """SELECT doc_id, "$meta" FROM (
+        |  SELECT doc_id,
+        |    printf('{"n_chars":%d,"stars":%d}', n_chars, (doc_id*37)%500)
+        |      AS "$meta",
+        |    (doc_id*37)%500 AS stars
+        |  FROM documents) t
+        |WHERE stars > 100 AND stars <= 300
+        |ORDER BY doc_id LIMIT 150""".stripMargin,
 
     // the indexed scalar lookup replays as the plain filter
     "q253_scalar_index" ->

@@ -1514,6 +1514,64 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](eng.queryJsonIndexed("meta", "$.lang", ""))
   }
 
+  test("queryJsonIndexedRange: range-bucket pruning, pushed residual, == unindexed filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonrange").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars")
+      .withColumn("meta", format_string("""{"stars":%d}""", col("doc_id") * 37 % 500))
+      .select("doc_id", "text", "meta")
+    eng.ingest(docs)
+    val res = eng.queryJsonIndexedRange("meta", "$.stars",
+      lo = Some(100.0), hi = Some(300.0), loInclusive = false, outputFields = Seq("meta"))
+      .orderBy("doc_id").collect().toSeq
+    // semantic parity with the unindexed JSON-path filter
+    assert(res == eng.query(
+      get_json_object(col("meta"), "$.stars").cast("double") > 100.0 &&
+        get_json_object(col("meta"), "$.stars").cast("double") <= 300.0, Seq("meta"))
+      .orderBy("doc_id").collect().toSeq)
+    assert(res.nonEmpty)
+    // the serving plan prunes rb directories (plan-time constant IN-set),
+    // pushes the residual nv bound, and parses no JSON
+    val qe = eng.queryJsonIndexedRange("meta", "$.stars",
+      lo = Some(100.0), hi = Some(300.0), loInclusive = false).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("rb#"),
+      "range-bucket partition filter missing:\n" + plan.take(2000))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*(GreaterThan|LessThan)\\(nv.*"),
+      "residual value bound not pushed:\n" + plan.take(2000))
+    assert(!plan.toLowerCase.contains("get_json_object"),
+      "the indexed range lookup must not parse JSON at serve time")
+    // a narrow range reads a strict subset of the bucket directories
+    val dirs = new java.io.File(
+      new java.io.File(s"$dir/index_json").listFiles().head + "/ranges")
+      .listFiles().count(_.getName.startsWith("rb="))
+    val narrow = eng.queryJsonIndexedRange("meta", "$.stars",
+      lo = Some(490.0), hi = Some(499.0))
+    val scanned = narrow.queryExecution.sparkPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("/ranges")) =>
+        s.selectedPartitions.partitionCount
+    }
+    assert(scanned.nonEmpty && scanned.head < dirs,
+      s"narrow range read $scanned of $dirs bucket dirs")
+    // open-ended + strictness arms agree with the plain filter
+    import spark.implicits._
+    val ge = eng.queryJsonIndexedRange("meta", "$.stars", lo = Some(450.0))
+      .select("doc_id").as[Long].collect().toSet
+    val expect = docs.filter(col("doc_id") * 37 % 500 >= 450).select("doc_id")
+      .as[Long].collect().toSet
+    assert(ge == expect)
+    intercept[IllegalArgumentException](eng.queryJsonIndexedRange("meta", "$.stars"))
+    intercept[IllegalArgumentException](
+      eng.queryJsonIndexedRange("meta", "$.stars", lo = Some(5.0), hi = Some(1.0)))
+    // an all-string path serves an empty range result, not a crash
+    val eng2 = new Engine(spark, EngineConfig(
+      storePath = s"$dir/store", indexPath = s"$dir/index2"))
+    assert(eng2.queryJsonIndexedRange("meta", "$.nosuch", lo = Some(0.0)).count() == 0)
+  }
+
   test("queryScalarIndexed: bucket-pruned scalar lookup == unindexed filter, stale rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("graft-scalaridx").toString
     val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
