@@ -2813,18 +2813,18 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * semantics); "english_stem" adds Lucene's minimal English plural
    * stemmer after the stoplist (filter order matters: Lucene stems the
    * stop-filtered stream), so `tables`/`queries` and `table`/`query`
-   * share postings, df and rank slots. Validated eagerly: an unknown
-   * analyzer must fail the verb, not silently serve standard.
+   * share postings, df and rank slots. The optional `|len:<min>:<max>`
+   * suffix (Milvus's `length` token filter) drops out-of-range tokens
+   * LAST, on both sides. Validated eagerly: an unknown analyzer must
+   * fail the verb, not silently serve standard.
    */
-  private def requireAnalyzer(): Unit =
-    require(Engine.analyzers(cfg.analyzer),
-      s"unknown analyzer '${cfg.analyzer}' (${Engine.analyzers.mkString(" | ")})")
+  private def requireAnalyzer(): Unit = { Engine.parseAnalyzer(cfg.analyzer); () }
 
   /** Analyzed token stream of a text column (codegen'd: split + filter). */
   private def analyzeCol(text: Column): Column = {
-    requireAnalyzer()
+    val (base, len) = Engine.parseAnalyzer(cfg.analyzer)
     val toks = TextFns.tokens(lower(text))
-    cfg.analyzer match {
+    val based = base match {
       case "english" =>
         filter(toks, t => !t.isInCollection(Engine.englishStopwords))
       case "english_stem" =>
@@ -2832,19 +2832,23 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
           TextFns.minEnglishStem(_: Column))
       case _ => toks
     }
+    len.fold(based) { case (lo, hi) =>
+      filter(based, t => length(t) >= lo && length(t) <= hi) }
   }
 
   /** Analyzed tokens of a driver-side query string (order + repeats kept —
     * sparse weights count repeats; callers distinct as needed). */
   private def analyzeTerms(s: String): Seq[String] = {
-    requireAnalyzer()
+    val (base, len) = Engine.parseAnalyzer(cfg.analyzer)
     val toks = s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
-    cfg.analyzer match {
+    val based = base match {
       case "english" => toks.filterNot(Engine.englishStopwords)
       case "english_stem" =>
         toks.filterNot(Engine.englishStopwords).map(TextFns.minEnglishStem(_: String))
       case _ => toks
     }
+    len.fold(based) { case (lo, hi) =>
+      based.filter(t => t.length >= lo && t.length <= hi) }
   }
 
   /** A lexical layout exists on disk (current or not) — the signal that
@@ -3697,8 +3701,33 @@ object Engine {
     * exactly `$meta`. */
   val DynamicField: String = "$meta"
 
-  /** The configurable lexical analyzers (Milvus 2.5 analyzer_params). */
+  /** The configurable lexical analyzer BASES (Milvus 2.5 analyzer_params).
+    * The full config grammar is `<base>[|len:<min>:<max>]` — the optional
+    * suffix is Milvus's `length` token filter, applied LAST (after
+    * stoplist and stem, matching a filter list that ends with it). */
   val analyzers: Set[String] = Set("standard", "english", "english_stem")
+
+  /** Parse an analyzer config `<base>[|len:<min>:<max>]` → (base,
+    * lenRange). Unknown bases or malformed filters fail loudly — an
+    * analyzer typo must fail the verb, never silently serve standard. */
+  def parseAnalyzer(a: String): (String, Option[(Int, Int)]) = {
+    val parts = a.split("\\|", -1)
+    require(analyzers(parts(0)),
+      s"unknown analyzer '${parts(0)}' (${analyzers.mkString(" | ")})")
+    val len = parts.toSeq.drop(1) match {
+      case Seq() => None
+      case Seq(f) =>
+        val m = "len:(\\d+):(\\d+)".r
+        f match {
+          case m(lo, hi) if lo.toInt >= 1 && hi.toInt >= lo.toInt =>
+            Some((lo.toInt, hi.toInt))
+          case _ => throw new IllegalArgumentException(
+            s"bad analyzer filter '$f' (want len:<min>:<max>, 1 <= min <= max)")
+        }
+      case _ => throw new IllegalArgumentException(s"bad analyzer spec '$a'")
+    }
+    (parts(0), len)
+  }
 
   /** Case-insensitive, word-bounded highlight alternation over analyzed
     * terms. Every term is LITERAL-quoted (`Pattern.quote`) so regex

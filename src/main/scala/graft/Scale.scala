@@ -99,7 +99,8 @@ object Scale {
     }.getOrElse(Set("neardup", "setsim", "ivf", "compaction", "selective",
       "incdedup", "cc", "export", "spans", "invidx", "pq", "maxsim", "ivfpq",
       "snm", "rangeivf", "filtered", "binary", "drain", "lexserve", "vecdrain",
-      "growing", "cluster", "scalaridx", "ndserve", "softdel", "dsir", "pairs"))
+      "growing", "cluster", "scalaridx", "ndserve", "softdel", "dsir", "pairs",
+      "textmatch", "jsonrange"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -703,6 +704,62 @@ object Scale {
       }
       measure("ndserve_serve", s, n) {
         eng.searchNearDup(Seq(qtext), 0.3).count()
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+    // 27. TEXT_MATCH / PHRASE_MATCH gating (round-12): a token planted at
+    //     FIXED absolute frequency (500 docs at every rung) separates the
+    //     two routes' IO shapes as the corpus grows 100x: the postings-
+    //     gated search (q242/q246) reads the term's bucket directory and
+    //     verifies/ranks over the ~500-doc candidate sliver — wall and
+    //     shuffle should stay ~flat — while the expr-route text scan
+    //     (q278's documented-by-design spelling) tokenizes every corpus
+    //     row — linear. "Cost is the terms' df, not the corpus size" is
+    //     the claim, measured like lexserve was.
+    if (only("textmatch")) docLadder.foreach { case (s, n) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-tm-").toString
+      corpus(spark, n).select(col("doc_id"), col("text"))
+        .withColumn("text",
+          when(col("doc_id") < 500,
+            concat(col("text"), lit(" zebraqx quaggal"))).otherwise(col("text")))
+        .write.mode("overwrite").parquet(s"$base/store")
+      val eng = new Engine(spark, EngineConfig(s"$base/store", s"$base/index"))
+      eng.update() // untimed: offline chunk+embed+index build
+      eng.lexicalRank(Seq("t3"), 10).count() // untimed: builds the lex layout
+      measure("textmatch_gate", s, n) {
+        eng.searchTextMatch(Seq("t3 t17 t41"), "zebraqx").count()
+      }
+      measure("phrasematch_gate", s, n) {
+        eng.searchPhraseMatch(Seq("t3 t17 t41"), "zebraqx quaggal").count()
+      }
+      measure("textmatch_scan", s, n) {
+        eng.retrieve("""TEXT_MATCH(text, "zebraqx")""", limit = 1000).count()
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+    // 28. JSON-path index range serving (round-12, q281's shape): the
+    //     equi-depth range buckets + persisted boundaries make a numeric
+    //     range lookup a bucket-directory read + semi-join hydration; the
+    //     unindexed sibling parses every row's JSON. Build is the one
+    //     value-sized pass, paid at index time.
+    if (only("jsonrange")) docLadder.foreach { case (s, n) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-jr-").toString
+      corpus(spark, n).select(col("doc_id"), col("text"))
+        .withColumn("meta",
+          format_string("""{"stars":%d}""", col("doc_id") * 37 % 500))
+        .write.mode("overwrite").parquet(s"$base/store")
+      val eng = new Engine(spark, EngineConfig(s"$base/store", s"$base/index"))
+      measure("jsonrange_unindexed", s, n) {
+        eng.query(get_json_object(col("meta"), "$.stars").cast("double") > 480.0,
+          Seq("meta")).count()
+      }
+      measure("jsonrange_build", s, n) { // first call pays postings + sibling
+        eng.queryJsonIndexedRange("meta", "$.stars", lo = Some(480.0),
+          loInclusive = false, outputFields = Seq("meta")).count()
+      }
+      measure("jsonrange_serve", s, n) {
+        eng.queryJsonIndexedRange("meta", "$.stars", lo = Some(480.0),
+          loInclusive = false, outputFields = Seq("meta")).count()
       }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }

@@ -53,37 +53,41 @@ object MilvusExpr {
     "between", "exists")
 
   /** Driver-side term analysis — the query half of the engine's analyzer
-    * contract (mirrors `Engine.analyzeTerms`: stoplist, then stem —
-    * Lucene's filter order). Unknown analyzers fail loudly. */
-  private def analyzeDriverTerms(toks: Seq[String], analyzer: String): Seq[String] =
-    analyzer match {
-      case "standard" => toks
+    * contract (mirrors `Engine.analyzeTerms`: stoplist, then stem, then
+    * the optional length filter — Lucene's filter order). Unknown
+    * analyzers fail loudly (`Engine.parseAnalyzer`). */
+  private def analyzeDriverTerms(toks: Seq[String], analyzer: String): Seq[String] = {
+    val (base, len) = graft.Engine.parseAnalyzer(analyzer)
+    val based = base match {
       case "english" => toks.filterNot(graft.Engine.englishStopwords)
       case "english_stem" =>
         toks.filterNot(graft.Engine.englishStopwords)
           .map(TextFns.minEnglishStem(_: String))
-      case other => throw new IllegalArgumentException(
-        s"unknown analyzer '$other' (${graft.Engine.analyzers.mkString(" | ")})")
+      case _ => toks
     }
+    len.fold(based) { case (lo, hi) =>
+      based.filter(t => t.length >= lo && t.length <= hi) }
+  }
 
   /** SQL spelling of the document-side analyzer pipeline over a field
-    * reference — the same stoplist-then-stem order the postings build uses
-    * (`Engine.analyzeCol`), so the expr route and the index route tokenize
-    * identically. The stem CASE is the cross-engine `minEnglishStemSql`
-    * spelling (valid Spark SQL: substr/length/||/CASE). */
+    * reference — the same stoplist-then-stem-then-length order the
+    * postings build uses (`Engine.analyzeCol`), so the expr route and the
+    * index route tokenize identically. The stem CASE is the cross-engine
+    * `minEnglishStemSql` spelling (valid Spark SQL: substr/length/||/CASE). */
   private def analyzedTokensSql(fieldSql: String, analyzer: String): String = {
+    val (baseName, len) = graft.Engine.parseAnalyzer(analyzer)
     val base = s"split(lower($fieldSql), '\\\\s+')"
     lazy val stop = graft.Engine.englishStopwords.toSeq.sorted
       .map(w => s"'$w'").mkString(", ")
-    analyzer match {
-      case "standard" => base
+    val based = baseName match {
       case "english" => s"filter($base, __t -> __t NOT IN ($stop))"
       case "english_stem" =>
         s"transform(filter($base, __t -> __t NOT IN ($stop)), " +
           s"__t -> ${TextFns.minEnglishStemSql("__t")})"
-      case other => throw new IllegalArgumentException(
-        s"unknown analyzer '$other' (${graft.Engine.analyzers.mkString(" | ")})")
+      case _ => base
     }
+    len.fold(based) { case (lo, hi) =>
+      s"filter($based, __t -> length(__t) >= $lo AND length(__t) <= $hi)" }
   }
 
   private val LIT = '\u0001' // string-literal placeholder delimiter

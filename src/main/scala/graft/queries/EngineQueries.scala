@@ -41,6 +41,13 @@ object EngineQueries {
     "the tables and queries",
     "values of streams")
 
+  /** Short-token-laden search texts for the length-filter analyzer
+    * (q282): 'dup' and 'big' (3 letters) survive the english stoplist but
+    * die on len:4:24 — the two analyzers provably diverge on them. */
+  private val lenTexts = Seq(
+    "the dup table with data",
+    "big values and a stream")
+
   /**
    * A NON-hash stand-in for a real embedding model (`embed.py:21-39`'s
    * forward pass), proving the [[graft.Engine.Embedder]] seam end-to-end:
@@ -1362,6 +1369,22 @@ object EngineQueries {
             .otherwise(col("text")))
       eng.ingest(docs)
       new Engine(s, cfg).searchSparse(stemTexts, k = 8)
+    }),
+
+    // Length token filter — Milvus's analyzer_params `length` filter as
+    // the config suffix `|len:<min>:<max>`, applied after the stoplist on
+    // BOTH sides: 3-letter query terms ('dup', 'big') drop, and
+    // out-of-range corpus tokens leave the postings entirely (df, dl and
+    // rank slots all shift — one analyzer on both sides or they drift).
+    // The oracle replays the same filter order: stop → len.
+    "q282_analyzer_len" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q282_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        analyzer = "english|len:4:24")
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      new Engine(s, cfg).searchSparse(lenTexts, k = 8)
     }),
 
     // group_size > 1 — Milvus 2.4.1's grouping-search depth knob: the top
@@ -3580,14 +3603,19 @@ object EngineQueries {
     * the top-k cut. q238 uses the standard analyzer (empty stoplist, k=4);
     * q247 the english one. */
   private def sparseSearchSqlFor(texts: Seq[String], stop: Set[String],
-                                 k: Int, stem: Boolean = false): String = {
+                                 k: Int, stem: Boolean = false,
+                                 lenRange: Option[(Int, Int)] = None): String = {
     val qvalues = texts.zipWithIndex
       .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
       .mkString(", ")
     val qtfvalues = texts.zipWithIndex.flatMap { case (q, i) =>
       val base = q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).filterNot(stop)
-      val analyzed =
+      val stemmed =
         if (stem) base.map(graft.functions.TextFns.minEnglishStem(_: String)) else base
+      // the length filter drops out-of-range QUERY terms too (both sides
+      // of the analyzer contract, Engine.analyzeTerms's order: len LAST)
+      val analyzed = lenRange.fold(stemmed.toSeq) { case (lo, hi) =>
+        stemmed.toSeq.filter(t => t.length >= lo && t.length <= hi) }
       analyzed
         .groupBy(identity).toSeq.sortBy(_._1)
         .map { case (t, g) =>
@@ -3602,12 +3630,23 @@ object EngineQueries {
     val proj =
       if (stem) graft.functions.TextFns.minEnglishStemSql("ltk") + " AS ltk"
       else "ltk"
+    // the length filter wraps the POST-stem stream (an outer select — the
+    // stop WHERE sees the pre-stem token, the len filter the final one)
+    val ltokBody =
+      s"""  SELECT doc_id, $proj FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS ltk
+         |    FROM documents WHERE length(trim(text)) > 0) u$stopWhere""".stripMargin
+    val ltokCte = lenRange match {
+      case Some((lo, hi)) =>
+        s"""  SELECT doc_id, ltk FROM (
+           |$ltokBody) v
+           |  WHERE length(ltk) >= $lo AND length(ltk) <= $hi""".stripMargin
+      case None => ltokBody
+    }
     s"""WITH q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
        |qt AS (SELECT * FROM (VALUES $qtfvalues) t(query_id, ltk, qtf)),
        |ltok AS (
-       |  SELECT doc_id, $proj FROM (
-       |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS ltk
-       |    FROM documents WHERE length(trim(text)) > 0) u$stopWhere),
+       |$ltokCte),
        |corp AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ltok),
        |tf AS (
        |  SELECT doc_id, ltk, count(*) AS tf FROM ltok
@@ -4350,6 +4389,12 @@ ORDER BY r.query_id, r.rank""")
     // both the query-term literals and the document tokenization CTE
     "q247_analyzer" ->
       sparseSearchSqlFor(analyzerTexts, graft.Engine.englishStopwords, 8),
+
+    // the length-filter replay: out-of-range query terms drop from the
+    // VALUES literals, the doc tokenization gains the post-stop length cut
+    "q282_analyzer_len" ->
+      sparseSearchSqlFor(lenTexts, graft.Engine.englishStopwords, 8,
+        lenRange = Some((4, 24))),
 
     // the stemming replay: query-term literals stem driver-side, the doc
     // tokenization stems in SQL, and the planted plural corpus replays

@@ -191,12 +191,19 @@ class MilvusExprSpec extends AnyFunSuite {
       """TEXT_MATCH(text, "tables")""", cols, None, "english_stem")
     assert(s2.contains("array('table')"), s2)
     assert(s2.contains("transform(filter("), s2)
+    // the length filter drops short terms and wraps the doc tokenization
+    val s3 = MilvusExpr.toSparkSql(
+      """TEXT_MATCH(text, "dup tables")""", cols, None, "english|len:4:24")
+    assert(s3.trim.endsWith("array('tables'))"), s3) // 'dup' (3) dropped
+    assert(s3.contains("length(__t) >= 4 AND length(__t) <= 24"), s3)
     // all terms removed by the analyzer fails loudly
     intercept[IllegalArgumentException](MilvusExpr.toSparkSql(
       """TEXT_MATCH(text, "the and of")""", cols, None, "english"))
     // unknown analyzers fail loudly
     intercept[IllegalArgumentException](MilvusExpr.toSparkSql(
       """TEXT_MATCH(text, "x")""", cols, None, "nosuch"))
+    intercept[IllegalArgumentException](MilvusExpr.toSparkSql(
+      """TEXT_MATCH(text, "x")""", cols, None, "english|len:9:2"))
   }
 
   test("empty expression rejects") {
