@@ -3037,13 +3037,34 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .filter(col("__nt") === distinctTerms.size)
       .select(col("doc_id"))
     val k = terms.size
-    val verified = store().join(cand, Seq("doc_id"), "left_semi")
+    // Verify ONLY the candidate sliver — two scale traps measured at the
+    // textmatch ladder's 100× rung and closed here: (1) the candidate set
+    // (conjunctive-postings-bounded, ≤ the rarest term's df) must
+    // BROADCAST into the store semi-join or AQE materializes the
+    // corpus-sized store shuffle first (59.6 MB — the searchNearDup
+    // lesson); (2) the adjacency walk references only store columns, so
+    // without a pin Catalyst pushes it BELOW the semi-join and the
+    // analyze+slice walk runs over EVERY corpus row (85 s wall, zero
+    // extra shuffle — the silent kind). The localCheckpoint pins the
+    // candidate-sized (doc_id, text) sliver so the walk provably runs
+    // after the cut. 57 s → ~3 s at 500k docs.
+    val candTexts = store().select(col("doc_id"), col("text"))
+      .join(broadcast(cand), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val verified = candTexts
       .withColumn("__t", analyzeCol(col("text")))
       .filter(size(col("__t")) >= k) // also keeps the sequence() bound valid
       .filter(exists(sequence(lit(1), size(col("__t")) - (k - 1)),
         i => slice(col("__t"), i, lit(k)) === lit(terms.toArray)))
       .select(col("doc_id"))
-    searchImpl(queryDf(queries), Some(verified))
+    // the verified sliver (≤ candidates) must ALSO broadcast into the
+    // scoring gate: its plan (join + higher-order filter) defeats static
+    // size estimation, so without the hint the semi-join sort-merges the
+    // corpus-sized index — measured 59.6 MB shuffle / 85 s at the
+    // textmatch ladder's 100× rung vs 0.1 MB / ~3 s hinted.
+    // searchTextMatch needs no hint: its eligible frame is a plain
+    // pruned parquet read whose stats the planner already sizes small.
+    searchImpl(queryDf(queries), Some(broadcast(verified)))
   }
 
   /**
