@@ -935,14 +935,37 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   def queryJsonIndexedRange(field: String, jsonPath: String,
                             lo: Option[Double] = None, hi: Option[Double] = None,
                             loInclusive: Boolean = true, hiInclusive: Boolean = true,
-                            outputFields: Seq[String] = Nil, limit: Int = 0): DataFrame = {
+                            outputFields: Seq[String] = Nil, limit: Int = 0): DataFrame =
+    rangeLookup(ensureJsonIdx(field, jsonPath), lo, hi,
+      loInclusive, hiInclusive, outputFields, limit)
+
+  /**
+   * Range lookup over an indexed SCALAR field — Milvus's INVERTED scalar
+   * index serves range predicates the same way the JSON index does
+   * ([[queryJsonIndexedRange]]): the identical numeric sibling layout +
+   * persisted equi-depth bucket boundaries, built beside
+   * [[queryScalarIndexed]]'s equality postings.
+   */
+  def queryScalarIndexedRange(field: String,
+                              lo: Option[Double] = None, hi: Option[Double] = None,
+                              loInclusive: Boolean = true, hiInclusive: Boolean = true,
+                              outputFields: Seq[String] = Nil, limit: Int = 0): DataFrame =
+    rangeLookup(ensureScalarIdx(field), lo, hi,
+      loInclusive, hiInclusive, outputFields, limit)
+
+  /** Shared serve body of the two indexed range verbs: bounds → bucket
+    * interval driver-side (directory pruning), pushed residual, doc_id
+    * semi-join hydration. */
+  private def rangeLookup(root: String,
+                          lo: Option[Double], hi: Option[Double],
+                          loInclusive: Boolean, hiInclusive: Boolean,
+                          outputFields: Seq[String], limit: Int): DataFrame = {
     admit()
-    require(lo.isDefined || hi.isDefined, "queryJsonIndexedRange needs a bound")
+    require(lo.isDefined || hi.isDefined, "indexed range lookup needs a bound")
     require(lo.forall(l => hi.forall(_ >= l)), s"empty range [$lo, $hi]")
-    val root = ensureJsonIdx(field, jsonPath)
     val stamp = readStamp(rangeBoundsFile(root))
     val cols = ("doc_id" +: outputFields).distinct.map(col(_))
-    if (stamp.contains("EMPTY")) // no numeric values under this path
+    if (stamp.contains("EMPTY")) // no numeric values under this path/field
       return store().select(cols: _*).limit(0)
     val bounds = stamp.filter(_.nonEmpty)
       .map(_.split(",").map(_.toDouble)).getOrElse(Array.empty[Double])
@@ -1159,7 +1182,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val root = scalarIdxRoot(field)
     val stamp = new org.apache.hadoop.fs.Path(s"$root/_STORE_FINGERPRINT")
     val fp = s"${pathFingerprint(cfg.storePath)}|SCALAR;" +
-      s"buckets=${graft.operators.InvertedIndex.nBuckets}"
+      s"buckets=${graft.operators.InvertedIndex.nBuckets};ranges=$jsonRangeBuckets"
     if (!readStamp(stamp).contains(fp)) synchronized {
       if (!readStamp(stamp).contains(fp)) {
         widen(store())
@@ -1168,6 +1191,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
           .withColumn("vb", graft.operators.InvertedIndex.bucket(col("v")))
           .repartition(col("vb"))
           .write.mode("overwrite").partitionBy("vb").parquet(s"$root/postings")
+        buildJsonRanges(root) // the numeric range sibling (shared layout)
         writeStamp(stamp, fp)
       }
     }

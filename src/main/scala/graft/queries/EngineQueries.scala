@@ -1589,6 +1589,43 @@ object EngineQueries {
         .queryJsonIndexed("meta", "$.lang", "es", Seq("meta"), limit = 150)
     }),
 
+    // Scalar index RANGE lookup — Milvus's INVERTED scalar index serves
+    // ranges like the JSON index does (q281): the same equi-depth range
+    // sibling + persisted boundaries, built beside q253's equality
+    // postings; here an inclusive-low/strict-high band over n_chars.
+    "q284_scalar_range" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q284_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars"))
+      new Engine(s, cfg).queryScalarIndexedRange("n_chars",
+        lo = Some(200.0), hi = Some(450.0), hiInclusive = false,
+        outputFields = Seq("lang", "n_chars"), limit = 150)
+    }),
+
+    // LIKE over a JSON path — the expr dialect's remaining documented
+    // corner (round-11 verdict #3): `meta["url"] like "%/src3/%"`
+    // translates to get_json_object(..) LIKE (the extraction yields the
+    // string the pattern tests) and composes with a scalar arm. The url
+    // packs source + doc_id so the pattern is selective but non-trivial
+    // at every scale (~5% of docs).
+    "q283_expr_json_like" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q283_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source", "n_chars")
+        .withColumn("meta", format_string(
+          """{"n_chars":%d,"url":"https://data.example/%s/%d"}""",
+          col("n_chars"), col("source"), col("doc_id")))
+        .select("doc_id", "text", "meta")
+      eng.ingest(docs)
+      new Engine(s, cfg).retrieve(
+        """meta["url"] like "%/src3/%" && meta["n_chars"] > 300""",
+        Seq("meta"), limit = 150)
+    }),
+
     // JSON path index RANGE lookup — Milvus 2.6's JSON index serves range
     // predicates too: `meta["stars"] > 100 and <= 300` maps to a
     // contiguous interval of equi-depth range buckets driver-side
@@ -4180,6 +4217,24 @@ ORDER BY query_id, rank"""),
         |ORDER BY doc_id LIMIT 150""".stripMargin,
 
     "q252_decay_rerank" -> decaySearchSql,
+
+    // the indexed scalar range replays as the plain band filter
+    "q284_scalar_range" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars >= 200 AND n_chars < 450
+        |ORDER BY doc_id LIMIT 150""".stripMargin,
+
+    // the json-path LIKE replays over the replayed printf packing; the
+    // numeric arm rides DuckDB's string->int compare via explicit cast
+    "q283_expr_json_like" ->
+      """SELECT doc_id, meta FROM (
+        |  SELECT doc_id,
+        |    printf('{"n_chars":%d,"url":"https://data.example/%s/%d"}',
+        |           n_chars, source, doc_id) AS meta,
+        |    source, n_chars
+        |  FROM documents) t
+        |WHERE source = 'src3' AND n_chars > 300
+        |ORDER BY doc_id LIMIT 150""".stripMargin,
 
     // the indexed range lookup replays as the plain numeric filter over
     // the replayed dynamic packing (fields name-sorted: n_chars < stars)

@@ -1600,6 +1600,29 @@ class EngineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(all == expect, "stale scalar index served after the store moved")
     intercept[IllegalArgumentException](eng.queryScalarIndexed("source", ""))
+    // a STRING field's range sibling is the EMPTY arm: serves zero rows
+    assert(new Engine(spark, cfg)
+      .queryScalarIndexedRange("source", lo = Some(0.0)).count() == 0)
+  }
+
+  test("queryScalarIndexedRange == unindexed numeric band filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scalarrange").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
+    val eng = new Engine(spark, cfg)
+    eng.ingest(spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang", "n_chars"))
+    val res = eng.queryScalarIndexedRange("n_chars",
+      lo = Some(200.0), hi = Some(450.0), hiInclusive = false,
+      outputFields = Seq("n_chars"))
+      .orderBy("doc_id").collect().toSeq
+    assert(res.nonEmpty)
+    assert(res == eng.query(col("n_chars") >= 200L && col("n_chars") < 450L,
+      Seq("n_chars")).orderBy("doc_id").collect().toSeq,
+      "the indexed range must equal the plain pushed band filter")
+    // serve plan: rb partition filter, no store-column scan on the index side
+    val plan = eng.queryScalarIndexedRange("n_chars", lo = Some(200.0),
+      hi = Some(450.0), hiInclusive = false).queryExecution.executedPlan.toString
+    assert(plan.contains("rb#"), "range-bucket column missing:\n" + plan.take(1500))
   }
 
   test("deleteWhere: predicate deletion prunes store and index, returns the doc count") {
