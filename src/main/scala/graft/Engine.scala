@@ -1299,6 +1299,23 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     }
   }
 
+  /** [[queryIterator]] with the filter as a raw Milvus expr STRING — the
+    * exact shape of Milvus's `query_iterator(expr=...)`; one translator
+    * ([[graft.functions.MilvusExpr]]) serves every expr-taking verb. An
+    * empty expr drains the whole collection in pk order (Milvus's
+    * `expr=''` iterator). */
+  def retrieveIterator(epr: String = "", outputFields: Seq[String] = Nil,
+                       batchSize: Int = 1000): Iterator[DataFrame] = {
+    val cols = store().columns
+    val pred =
+      if (epr.trim.isEmpty) lit(true)
+      else expr(graft.functions.MilvusExpr.toSparkSql(
+        epr, cols.toSet,
+        if (cols.contains(Engine.DynamicField)) Some(Engine.DynamicField) else None,
+        cfg.analyzer))
+    queryIterator(pred, outputFields, batchSize)
+  }
+
   /**
    * (Re)build the vector index from the store: overlapping chunks
    * (`vdb.py:66-74`), chunk ids `doc_id_pos` (`vdb.py:70`), per-partition

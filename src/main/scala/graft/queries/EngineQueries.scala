@@ -924,6 +924,24 @@ object EngineQueries {
       pages.reduce(_.unionAll(_))
     }),
 
+    // query_iterator(expr=...) — the expr-string spelling of q222's drain:
+    // the raw Milvus filter (an in-list composed with a chained range)
+    // translates once and the keyset drain reassembles the one-shot
+    // filtered set exactly; the require pins that it actually paged.
+    "q285_retrieve_iterator" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q285_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents")
+      eng.ingest(docs)
+      val pages = new Engine(s, cfg).retrieveIterator(
+        """lang in ["en", "de"] && 150 <= n_chars < 700""",
+        Seq("lang", "n_chars"), batchSize = 128).toSeq
+      require(pages.length >= 2, s"q285 must page: got ${pages.length} pages")
+      pages.reduce(_.unionAll(_))
+    }),
+
     // Tenant removal — Milvus's drop_partition over a partition_key
     // collection: the named tenants leave the store (pushed-predicate
     // rewrite, no join), the index (their hive directories are REMOVED —
@@ -3926,6 +3944,12 @@ c AS (""")
     // any page-seam duplicate or miss hash-fails
     "q222_query_iterator" ->
       "SELECT doc_id, n_chars, source FROM documents WHERE lang = 'en'",
+
+    // the translated expr replays as the equivalent SQL; the drain must
+    // reassemble it exactly across page seams
+    "q285_retrieve_iterator" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang IN ('en', 'de') AND 150 <= n_chars AND n_chars < 700""".stripMargin,
 
     // the lifecycle replay over the surviving tenants only
     "q223_drop_partition" -> lifecycleSearchSql.replace(
