@@ -81,10 +81,12 @@ object Bench {
         val txt = new String(java.nio.file.Files.readAllBytes(bestPath), "UTF-8")
         pair.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
-    val best = results.map { case (k, (v, err)) =>
-      // an errored run must never lower the best-known cost
-      k -> (if (err.isEmpty) math.min(v, prior.getOrElse(k, Double.MaxValue))
-            else prior.getOrElse(k, v))
+    val best = results.flatMap { case (k, (v, err)) =>
+      // an errored run must never lower the best-known cost — and must
+      // never SEED it either (a fast-fail wall time is not a cost; it
+      // would cap the query's winsorized history at 2.5x a bogus number)
+      if (err.isEmpty) Some(k -> math.min(v, prior.getOrElse(k, Double.MaxValue)))
+      else prior.get(k).map(k -> _)
     }
     val bestJson = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -137,17 +139,28 @@ object Bench {
       }
     }
     // WINSORIZE on every clean write: a sample >2.5x the query's own
-    // demonstrated best that slipped into history during a window whose
+    // demonstrated cost that slipped into history during a window whose
     // canaries happened to sit at steady state (the pre-round-12 q118
     // entries: 2.36-9.33s under green canaries) is host noise, not the
-    // engine — purge it against the best ledger so each query's history
-    // spread stays honest. A deliberate slowdown must reset its best
-    // ledger entry (the NOTES discipline), which re-admits its samples.
-    // Never purge a list empty: keep the newest sample as the floor.
+    // engine — purge it so each query's history spread stays honest.
+    // The cap anchors on the SECOND-smallest of {best ledger ∪ history}
+    // — the demonstrated-TWICE cost — not the raw best: q68/q87's minima
+    // are admitted unreproducible one-off quiet-host outliers, and a cap
+    // of 2.5x such an outlier would purge every honest sample and poison
+    // the median forever (outlier-min-robustness, the same bias the
+    // median ledger removed from the clean gate). A deliberate slowdown
+    // must reset BOTH its best-ledger and history entries (the NOTES
+    // reset discipline) or new honest samples stay capped out. Never
+    // purge a list empty: keep the newest sample as the floor.
+    val bestMap = best.toMap
     def winsorize(k: String, vs: Seq[Double]): Seq[Double] = {
-      val cap = best.toMap.get(k).map(b => math.max(2.5 * b, b + 0.75))
-      val kept = cap.map(c => vs.filter(_ <= c)).getOrElse(vs)
-      if (kept.isEmpty) vs.takeRight(1) else kept
+      val pool = (bestMap.get(k).toSeq ++ vs).sorted
+      if (pool.size < 2) vs
+      else {
+        val anchor = pool(1)
+        val kept = vs.filter(_ <= math.max(2.5 * anchor, anchor + 0.75))
+        if (kept.isEmpty) vs.takeRight(1) else kept
+      }
     }
     val hist =
       if (clean) results.map { case (k, (v, err)) =>

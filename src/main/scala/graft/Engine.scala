@@ -880,15 +880,25 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * `limit` defaults to the reference's `page_limit` default (vdb.py:12).
    */
   def retrieve(epr: String = "", outputFields: Seq[String] = Nil,
-               limit: Int = 100): DataFrame = {
-    val cols = store().columns
-    val pred =
-      if (epr.trim.isEmpty) lit(true)
-      else expr(graft.functions.MilvusExpr.toSparkSql(
+               limit: Int = 100): DataFrame =
+    query(exprPredicate(epr), outputFields, limit)
+
+  /** The ONE expr-string → predicate translation every expr-taking verb
+    * (retrieve / searchExpr / hybridSearchExpr / retrieveIterator /
+    * future delete-by-expr spellings) routes through: dynamic-field
+    * resolution and the analyzer ride along in one place, so a new
+    * translator parameter can't reach three routes and miss a fourth
+    * (the q280 two-routes-disagree bug class). Empty expr = match-all
+    * (Milvus's `expr=''`). */
+  private def exprPredicate(epr: String): Column = {
+    if (epr.trim.isEmpty) lit(true)
+    else {
+      val cols = store().columns
+      expr(graft.functions.MilvusExpr.toSparkSql(
         epr, cols.toSet,
         if (cols.contains(Engine.DynamicField)) Some(Engine.DynamicField) else None,
         cfg.analyzer))
-    query(pred, outputFields, limit)
+    }
   }
 
   /**
@@ -1012,19 +1022,25 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val pv = postings // try_cast: non-numeric values drop out, never throw
       .select(col("doc_id"), expr("try_cast(v as double)").as("nv"))
       .filter(col("nv").isNotNull)
-    // an all-string path has no numeric rows: a zero-row partitioned write
-    // leaves no readable files, so record the emptiness in the bounds
-    // stamp and let the serve path answer empty without touching disk
-    if (pv.isEmpty) { writeStamp(rangeBoundsFile(root), "EMPTY"); return }
-    val bounds: Array[Double] = pv.stat.approxQuantile("nv",
-      (1 until jsonRangeBuckets).map(_.toDouble / jsonRangeBuckets).toArray, 0.001)
-    val rb = bounds.foldLeft(lit(0))((acc, b) =>
-      acc + when(col("nv") >= b, 1).otherwise(0))
-    pv.withColumn("rb", rb)
-      .repartition(col("rb"))
-      .sortWithinPartitions(col("nv"))
-      .write.mode("overwrite").partitionBy("rb").parquet(s"$root/ranges")
-    writeStamp(rangeBoundsFile(root), bounds.mkString(","))
+    // three consumers (emptiness probe, quantile training, the write) —
+    // persist so the postings read + cast runs once, not three times
+    // (the NOTES persist-count-unpersist discipline for feed-N temps)
+    pv.persist()
+    try {
+      // an all-string path has no numeric rows: a zero-row partitioned
+      // write leaves no readable files, so record the emptiness in the
+      // bounds stamp and let the serve path answer empty off it
+      if (pv.isEmpty) { writeStamp(rangeBoundsFile(root), "EMPTY"); return }
+      val bounds: Array[Double] = pv.stat.approxQuantile("nv",
+        (1 until jsonRangeBuckets).map(_.toDouble / jsonRangeBuckets).toArray, 0.001)
+      val rb = bounds.foldLeft(lit(0))((acc, b) =>
+        acc + when(col("nv") >= b, 1).otherwise(0))
+      pv.withColumn("rb", rb)
+        .repartition(col("rb"))
+        .sortWithinPartitions(col("nv"))
+        .write.mode("overwrite").partitionBy("rb").parquet(s"$root/ranges")
+      writeStamp(rangeBoundsFile(root), bounds.mkString(","))
+    } finally pv.unpersist(blocking = false)
   }
 
   /** Build-if-stale: extract the path once over the store (the only
@@ -1305,16 +1321,8 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * empty expr drains the whole collection in pk order (Milvus's
     * `expr=''` iterator). */
   def retrieveIterator(epr: String = "", outputFields: Seq[String] = Nil,
-                       batchSize: Int = 1000): Iterator[DataFrame] = {
-    val cols = store().columns
-    val pred =
-      if (epr.trim.isEmpty) lit(true)
-      else expr(graft.functions.MilvusExpr.toSparkSql(
-        epr, cols.toSet,
-        if (cols.contains(Engine.DynamicField)) Some(Engine.DynamicField) else None,
-        cfg.analyzer))
-    queryIterator(pred, outputFields, batchSize)
-  }
+                       batchSize: Int = 1000): Iterator[DataFrame] =
+    queryIterator(exprPredicate(epr), outputFields, batchSize)
 
   /**
    * (Re)build the vector index from the store: overlapping chunks
@@ -2443,13 +2451,8 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * through `$meta` exactly as in [[retrieve]]; the translated predicate
    * then rides [[searchWhere]]'s early-gate discipline unchanged.
    */
-  def searchExpr(queries: Seq[String], epr: String): DataFrame = {
-    val cols = store().columns
-    searchWhere(queries, expr(graft.functions.MilvusExpr.toSparkSql(
-      epr, cols.toSet,
-      if (cols.contains(Engine.DynamicField)) Some(Engine.DynamicField) else None,
-      cfg.analyzer)))
-  }
+  def searchExpr(queries: Seq[String], epr: String): DataFrame =
+    searchWhere(queries, exprPredicate(epr))
 
   /**
    * Partition-scoped search — Milvus's `partition_names` parameter over a
@@ -2878,19 +2881,12 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   }
 
   /** Analyzed tokens of a driver-side query string (order + repeats kept —
-    * sparse weights count repeats; callers distinct as needed). */
-  private def analyzeTerms(s: String): Seq[String] = {
-    val (base, len) = Engine.parseAnalyzer(cfg.analyzer)
-    val toks = s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
-    val based = base match {
-      case "english" => toks.filterNot(Engine.englishStopwords)
-      case "english_stem" =>
-        toks.filterNot(Engine.englishStopwords).map(TextFns.minEnglishStem(_: String))
-      case _ => toks
-    }
-    len.fold(based) { case (lo, hi) =>
-      based.filter(t => t.length >= lo && t.length <= hi) }
-  }
+    * sparse weights count repeats; callers distinct as needed). Delegates
+    * to the ONE shared query-side pipeline ([[Engine.analyzeQueryTerms]])
+    * the expr translator also uses. */
+  private def analyzeTerms(s: String): Seq[String] =
+    Engine.analyzeQueryTerms(
+      s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq, cfg.analyzer)
 
   /** A lexical layout exists on disk (current or not) — the signal that
     * this deployment serves hybrid queries, so index-lifecycle verbs keep
@@ -3080,8 +3076,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val k = terms.size
     // Verify ONLY the candidate sliver — two scale traps measured at the
     // textmatch ladder's 100× rung and closed here: (1) the candidate set
-    // (conjunctive-postings-bounded, ≤ the rarest term's df) must
-    // BROADCAST into the store semi-join or AQE materializes the
+    // must BROADCAST into the store semi-join or AQE materializes the
     // corpus-sized store shuffle first (59.6 MB — the searchNearDup
     // lesson); (2) the adjacency walk references only store columns, so
     // without a pin Catalyst pushes it BELOW the semi-join and the
@@ -3089,9 +3084,20 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     // extra shuffle — the silent kind). The localCheckpoint pins the
     // candidate-sized (doc_id, text) sliver so the walk provably runs
     // after the cut. 57 s → ~3 s at 500k docs.
-    val candTexts = store().select(col("doc_id"), col("text"))
-      .join(broadcast(cand), Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
+    //
+    // The candidate set is conjunctive-postings-bounded (≤ the rarest
+    // term's df) — a REAL bound for selective phrases, but NOT for a
+    // common-term phrase under the standard analyzer ("the table" ≈ the
+    // corpus). A forced broadcast there would blow Spark's broadcast
+    // limit where the old slow plan completed, so the hints are COUNTED:
+    // over the guard, serve the unhinted plan (AQE-sized joins, no pin —
+    // slow and corpus-shaped, but it finishes; the count itself reads
+    // only pruned postings, df-priced).
+    val candN = cand.count()
+    val hintable = candN <= Engine.maxBroadcastIds
+    val candTexts0 = store().select(col("doc_id"), col("text"))
+      .join(if (hintable) broadcast(cand) else cand, Seq("doc_id"), "left_semi")
+    val candTexts = if (hintable) candTexts0.localCheckpoint(true) else candTexts0
     val verified = candTexts
       .withColumn("__t", analyzeCol(col("text")))
       .filter(size(col("__t")) >= k) // also keeps the sequence() bound valid
@@ -3105,7 +3111,8 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     // textmatch ladder's 100× rung vs 0.1 MB / ~3 s hinted.
     // searchTextMatch needs no hint: its eligible frame is a plain
     // pruned parquet read whose stats the planner already sizes small.
-    searchImpl(queryDf(queries), Some(broadcast(verified)))
+    searchImpl(queryDf(queries),
+      Some(if (hintable) broadcast(verified) else verified))
   }
 
   /**
@@ -3309,14 +3316,8 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * the exact shape `hybrid_search` requests carry; one translator
     * ([[graft.functions.MilvusExpr]]) serves search/retrieve/hybrid. */
   def hybridSearchExpr(queries: Seq[String], epr: String,
-                       kPool: Int = 100): DataFrame = {
-    val cols = store().columns
-    hybridSearchWhere(queries, expr(graft.functions.MilvusExpr.toSparkSql(
-      epr, cols.toSet,
-      if (cols.contains(Engine.DynamicField)) Some(Engine.DynamicField) else None,
-      cfg.analyzer)),
-      kPool)
-  }
+                       kPool: Int = 100): DataFrame =
+    hybridSearchWhere(queries, exprPredicate(epr), kPool)
 
   private def hybridImpl(queries: Seq[String], kPool: Int,
                          eligible: Option[DataFrame]): DataFrame = {
@@ -3768,6 +3769,32 @@ object Engine {
     * suffix is Milvus's `length` token filter, applied LAST (after
     * stoplist and stem, matching a filter list that ends with it). */
   val analyzers: Set[String] = Set("standard", "english", "english_stem")
+
+  /** Guard for COUNTED broadcast hints on candidate id sets: under this
+    * many ids the set broadcasts (tens of MB of longs at worst); over
+    * it the verb falls back to the unhinted AQE-sized plan — slow and
+    * corpus-shaped, but it completes (a forced broadcast ignores
+    * autoBroadcastJoinThreshold and dies at Spark's broadcast-table
+    * hard cap instead). */
+  val maxBroadcastIds: Long = 5000000L
+
+  /** Query-side analyzer pipeline (stoplist → stem → length filter —
+    * Lucene's order): THE one implementation of driver-side term
+    * analysis; the engine's verbs (via `analyzeTerms`) and the expr
+    * translator's TEXT_MATCH route both call it, so a new analyzer arm
+    * cannot make the two routes silently diverge. */
+  def analyzeQueryTerms(toks: Seq[String], analyzer: String): Seq[String] = {
+    val (base, len) = parseAnalyzer(analyzer)
+    val based = base match {
+      case "english" => toks.filterNot(englishStopwords)
+      case "english_stem" =>
+        toks.filterNot(englishStopwords)
+          .map(graft.functions.TextFns.minEnglishStem(_: String))
+      case _ => toks
+    }
+    len.fold(based) { case (lo, hi) =>
+      based.filter(t => t.length >= lo && t.length <= hi) }
+  }
 
   /** Parse an analyzer config `<base>[|len:<min>:<max>]` → (base,
     * lenRange). Unknown bases or malformed filters fail loudly — an

@@ -52,22 +52,12 @@ object MilvusExpr {
     "and", "or", "not", "in", "like", "true", "false", "null", "is",
     "between", "exists")
 
-  /** Driver-side term analysis — the query half of the engine's analyzer
-    * contract (mirrors `Engine.analyzeTerms`: stoplist, then stem, then
-    * the optional length filter — Lucene's filter order). Unknown
-    * analyzers fail loudly (`Engine.parseAnalyzer`). */
-  private def analyzeDriverTerms(toks: Seq[String], analyzer: String): Seq[String] = {
-    val (base, len) = graft.Engine.parseAnalyzer(analyzer)
-    val based = base match {
-      case "english" => toks.filterNot(graft.Engine.englishStopwords)
-      case "english_stem" =>
-        toks.filterNot(graft.Engine.englishStopwords)
-          .map(TextFns.minEnglishStem(_: String))
-      case _ => toks
-    }
-    len.fold(based) { case (lo, hi) =>
-      based.filter(t => t.length >= lo && t.length <= hi) }
-  }
+  /** Driver-side term analysis — delegates to the ONE shared query-side
+    * pipeline (`Engine.analyzeQueryTerms`: stoplist → stem → length,
+    * Lucene's filter order); a separate copy here is exactly how the
+    * expr route and the postings route would silently diverge again. */
+  private def analyzeDriverTerms(toks: Seq[String], analyzer: String): Seq[String] =
+    graft.Engine.analyzeQueryTerms(toks, analyzer)
 
   /** SQL spelling of the document-side analyzer pipeline over a field
     * reference — the same stoplist-then-stem-then-length order the
