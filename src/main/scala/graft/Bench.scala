@@ -91,6 +91,12 @@ object Bench {
     val bestJson = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val bestTotal = best.map(_._2).sum
+    // a query absent from the best ledger (errored on every run so far)
+    // silently shrinks best_total's denominator — surface the set so a
+    // too-good-looking best_total is visible in the JSON itself
+    val bestMissing = results.collect {
+      case (k, _) if !best.exists(_._1 == k) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     try java.nio.file.Files.write(bestPath, bestJson.getBytes("UTF-8"))
     catch { case _: Throwable => () } // a read-only CWD must not fail the bench
     // MEDIAN-OF-CLEAN-WINDOWS ledger (the honest steady-state estimate the
@@ -158,7 +164,14 @@ object Bench {
       if (pool.size < 2) vs
       else {
         val anchor = pool(1)
-        val kept = vs.filter(_ <= math.max(2.5 * anchor, anchor + 0.75))
+        // the additive floor SCALES with the query: a fixed +0.75 s let
+        // sub-0.3 s queries keep 4-9x spreads in history (q82 9.1x,
+        // q13 4.0x round-12) — wide enough to mask a genuine 3x
+        // regression on a fast query. Capped at min(0.75, 2x anchor),
+        // no history entry can sit more than 3x above the
+        // demonstrated-twice cost.
+        val kept = vs.filter(_ <= math.max(2.5 * anchor,
+          anchor + math.min(0.75, 2 * anchor)))
         if (kept.isEmpty) vs.takeRight(1) else kept
       }
     }
@@ -187,7 +200,7 @@ object Bench {
     // JSON line, and shutdown logging after the println left BENCH_r{7,8,9}
     // .json's `parsed` field null — the JSON must be the LAST line emitted
     spark.stop()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_best":$bestJson,"best_total":$bestTotal,"queries_median":$medJson,"median_total":$medTotal,"clean_window":$clean,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_best":$bestJson,"best_total":$bestTotal,"best_missing":$bestMissing,"queries_median":$medJson,"median_total":$medTotal,"clean_window":$clean,"errors":$errs,"sf":"$sfDir"}"""
     // belt-and-braces file channel: sbt interleaves its own banner lines
     // into stdout, and the driver's tail parse has returned null since r7
     // (the data rides in `tail`); the same JSON lands in a file the judge

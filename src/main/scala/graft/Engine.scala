@@ -3771,12 +3771,18 @@ object Engine {
   val analyzers: Set[String] = Set("standard", "english", "english_stem")
 
   /** Guard for COUNTED broadcast hints on candidate id sets: under this
-    * many ids the set broadcasts (tens of MB of longs at worst); over
-    * it the verb falls back to the unhinted AQE-sized plan — slow and
-    * corpus-shaped, but it completes (a forced broadcast ignores
-    * autoBroadcastJoinThreshold and dies at Spark's broadcast-table
-    * hard cap instead). */
-  val maxBroadcastIds: Long = 5000000L
+    * many ids the set broadcasts; over it the verb falls back to the
+    * unhinted AQE-sized plan — slow and corpus-shaped, but it completes
+    * (a forced broadcast ignores autoBroadcastJoinThreshold and dies at
+    * Spark's broadcast-table hard cap instead). Sized by the REAL costs
+    * near the guard, not the raw long payload: a BroadcastHashRelation
+    * carries ~10x row overhead (1M ids ≈ 100 MB built, well under the
+    * 8 GB hard cap and a sane executor slice), and the phrase-verify
+    * path additionally pins a candidate-sized (doc_id, text) sliver via
+    * localCheckpoint — at ~5 KB/doc that is ~5 GB across the cluster's
+    * block managers at 1M rows, survivable, where the previous 5M guard
+    * could OOM exactly the plans the guard exists to keep alive. */
+  val maxBroadcastIds: Long = 1000000L
 
   /** Query-side analyzer pipeline (stoplist → stem → length filter —
     * Lucene's order): THE one implementation of driver-side term

@@ -66,7 +66,11 @@ object MilvusExpr {
     * `minEnglishStemSql` spelling (valid Spark SQL: substr/length/||/CASE). */
   private def analyzedTokensSql(fieldSql: String, analyzer: String): String = {
     val (baseName, len) = graft.Engine.parseAnalyzer(analyzer)
-    val base = s"split(lower($fieldSql), '\\\\s+')"
+    // trim BEFORE splitting — TextFns.tokens trims first, and without it
+    // leading whitespace yields an empty leading token on the expr route
+    // only (harmless for arrays_overlap, a divergence for anything that
+    // counts tokens)
+    val base = s"split(trim(lower($fieldSql)), '\\\\s+')"
     lazy val stop = graft.Engine.englishStopwords.toSeq.sorted
       .map(w => s"'$w'").mkString(", ")
     val based = baseName match {
@@ -231,23 +235,47 @@ object MilvusExpr {
         protect(s"${fieldRef(m.group(1))} IS NOT NULL")))
 
     // 3c. chained comparisons — Milvus allows `10 <= height < 20` (one
-    // range, two comparators); SQL has no chained comparison, so split
-    // into conjoined arms: `10 <= height and height < 20`. The middle
-    // operand duplicates verbatim (a GEN placeholder restores at every
-    // occurrence; a bare dynamic identifier gets routed at pass 6 in both
-    // arms). Loop: an n-ary chain sheds one link per pass.
-    val OPND = "(" + LIT + """\d+""" + LIT + "|" + GEN + """\d+""" + GEN +
+    // range, N comparators); SQL has no chained comparison, so the FULL
+    // n-ary chain is matched in ONE pass and rewritten to a
+    // PARENTHESIZED conjunction: `(10 <= height and height < 20)`. The
+    // parentheses are the correctness of the rewrite under a preceding
+    // `not`: Milvus's `not` binds below the whole chain, while an
+    // unparenthesized `not 10 <= f and f < 20` re-associates in SQL to
+    // `(NOT 10 <= f) AND (f < 20)` — silently wrong rows, no error.
+    // Operands duplicate verbatim (a LIT/GEN placeholder restores at
+    // every occurrence; a bare dynamic identifier routes at pass 6 in
+    // every arm). One direction per chain: `a < b > c` is not a range.
+    val OPND = "(?:" + LIT + """\d+""" + LIT + "|" + GEN + """\d+""" + GEN +
       """|[A-Za-z_$][A-Za-z0-9_$]*|-?\d+(?:\.\d+)?)"""
-    val chainLt = qr(OPND + """\s*(<=|<)\s*""" + OPND + """\s*(<=|<)\s*""" + OPND)
-    val chainGt = qr(OPND + """\s*(>=|>)\s*""" + OPND + """\s*(>=|>)\s*""" + OPND)
-    var chained = true
-    while (chained) {
-      val s2 = Seq(chainLt, chainGt).foldLeft(s)((acc, p) =>
-        p.replaceAllIn(acc, m => java.util.regex.Matcher.quoteReplacement(
-          s"${m.group(1)} ${m.group(2)} ${m.group(3)} and " +
-            s"${m.group(3)} ${m.group(4)} ${m.group(5)}")))
-      chained = s2 != s
-      s = s2
+    for (cmp <- Seq("<=|<", ">=|>")) {
+      val chain = qr(OPND + """(?:\s*(?:""" + cmp + """)\s*""" + OPND + """){2,}""")
+      val opRe = ("(" + cmp + ")").r
+      s = chain.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement({
+        val whole = m.matched
+        val ops = opRe.findAllIn(whole).toSeq
+        val opnds = ("""\s*(?:""" + cmp + """)\s*""").r.split(whole).toSeq
+        "(" + ops.indices.map(i =>
+          s"${opnds(i)} ${ops(i)} ${opnds(i + 1)}").mkString(" and ") + ")"
+      }))
+    }
+    // A residual `cmp … cmp` with no boolean connective between the two
+    // comparators is a chain the operand grammar could not match (an
+    // arithmetic middle operand: `10 <= f + 1 < 20`) — fail HERE with a
+    // translator-level message instead of letting Spark's analyzer
+    // produce a baffling boolean-vs-numeric type error on
+    // `(10 <= f + 1) < 20`.
+    locally {
+      val cmpTok = """<=|>=|<|>""".r
+      // `&&`/`||` count as connectives too — they rewrite to and/or only
+      // at pass 4, after this check
+      val sep = """(?i)&&|\|\||[(),\[\]]|\b(and|or|between)\b""".r
+      cmpTok.findAllMatchIn(s).toSeq.sliding(2).foreach {
+        case Seq(a, b) if sep.findFirstIn(s.substring(a.end, b.start)).isEmpty =>
+          throw new IllegalArgumentException(
+            "unsupported chained comparison (only plain field/literal middle " +
+              s"operands chain; parenthesize or split the range): $epr")
+        case _ => ()
+      }
     }
 
     // 4. operator spellings (** first: Milvus's power operator has no SQL

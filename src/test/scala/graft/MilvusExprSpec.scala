@@ -108,7 +108,7 @@ class MilvusExprSpec extends AnyFunSuite {
   test("TEXT_MATCH rewrites to arrays_overlap over the field tokenization") {
     val s1 = tr("""TEXT_MATCH(text, "Dup  merge") && n_chars > 300""")
       .replaceAll("\\s+", " ")
-    assert(s1 == """arrays_overlap(split(lower(`text`), '\\s+'), """ +
+    assert(s1 == """arrays_overlap(split(trim(lower(`text`)), '\\s+'), """ +
       "array('dup', 'merge')) and n_chars > 300")
     intercept[IllegalArgumentException](tr("""text_match(text, "  ")"""))
   }
@@ -156,21 +156,50 @@ class MilvusExprSpec extends AnyFunSuite {
     assert(s4.contains("'array<double>'") && s4.contains(", 1.5)"))
   }
 
-  test("chained comparisons split into conjoined arms") {
+  test("chained comparisons split into a parenthesized conjunction") {
     val s1 = tr("100 <= n_chars < 200").replaceAll("\\s+", " ")
-    assert(s1 == "100 <= n_chars and n_chars < 200")
+    assert(s1 == "(100 <= n_chars and n_chars < 200)")
     val s2 = tr("200 > n_chars >= 100").replaceAll("\\s+", " ")
-    assert(s2 == "200 > n_chars and n_chars >= 100")
+    assert(s2 == "(200 > n_chars and n_chars >= 100)")
     // over a json path: the placeholder restores at BOTH occurrences
     val s3 = tr("""10 <= meta["stars"] < 20""").replaceAll("\\s+", " ")
-    assert(s3 == "10 <= get_json_object(`meta`, '$.stars') and " +
-      "get_json_object(`meta`, '$.stars') < 20")
-    // n-ary chains shed one link per pass
+    assert(s3 == "(10 <= get_json_object(`meta`, '$.stars') and " +
+      "get_json_object(`meta`, '$.stars') < 20)")
+    // the full n-ary chain rewrites in one pass
     val s4 = tr("1 < n_chars < n_tok < 9").replaceAll("\\s+", " ")
-    assert(s4 == "1 < n_chars and n_chars < n_tok and n_tok < 9")
+    assert(s4 == "(1 < n_chars and n_chars < n_tok and n_tok < 9)")
     // mixed directions never chain
     val s5 = tr("n_chars > 5 && n_tok < 9").replaceAll("\\s+", " ")
     assert(s5 == "n_chars > 5 and n_tok < 9")
+  }
+
+  test("not binds below the whole chain (Milvus precedence), not the first arm") {
+    val s = tr("not 100 <= n_chars < 200").replaceAll("\\s+", " ")
+    assert(s == "not (100 <= n_chars and n_chars < 200)")
+    // and the same under a boolean composition
+    val s2 = tr("""lang == "en" and not 1 < n_chars < 9""").replaceAll("\\s+", " ")
+    assert(s2 == "lang = 'en' and not (1 < n_chars and n_chars < 9)")
+  }
+
+  test("a chained comparison with an arithmetic middle operand fails loudly") {
+    val e = intercept[IllegalArgumentException](tr("10 <= n_chars + 1 < 20"))
+    assert(e.getMessage.contains("chained comparison"), e.getMessage)
+    // parenthesizing the arithmetic clears the ambiguity: two plain arms
+    val ok = tr("(10 <= n_chars + 1) and (n_chars + 1 < 20)")
+    assert(ok.contains("and"))
+    // two independent comparisons joined by && are NOT a residual chain
+    assert(tr("n_chars >= 1 && n_chars <= 9").contains("and"))
+  }
+
+  test("IS NULL / IS NOT NULL / not like pass through, incl. dynamic + json") {
+    val s1 = tr("lang is null").replaceAll("\\s+", " ")
+    assert(s1 == "lang is null")
+    val s2 = tr("""meta["opt"] IS NOT NULL""").replaceAll("\\s+", " ")
+    assert(s2 == "get_json_object(`meta`, '$.opt') IS NOT NULL")
+    val s3 = tr("stars is null", Some("$meta")).replaceAll("\\s+", " ")
+    assert(s3 == "get_json_object(`$meta`, '$.stars') is null")
+    val s4 = tr("""text not like "spam%"""").replaceAll("\\s+", " ")
+    assert(s4 == "text not like 'spam%'")
   }
 
   test("between passes through; boolean json probes type as array<boolean>") {
@@ -185,7 +214,7 @@ class MilvusExprSpec extends AnyFunSuite {
     val s1 = MilvusExpr.toSparkSql(
       """TEXT_MATCH(text, "the tables")""", cols, None, "english")
     assert(s1.trim.endsWith("array('tables'))"), s1) // 'the' dropped
-    assert(s1.contains("filter(split(lower(`text`)") && s1.contains("NOT IN"), s1)
+    assert(s1.contains("filter(split(trim(lower(`text`))") && s1.contains("NOT IN"), s1)
     // english_stem: the query term stems AND the field tokens stem
     val s2 = MilvusExpr.toSparkSql(
       """TEXT_MATCH(text, "tables")""", cols, None, "english_stem")
