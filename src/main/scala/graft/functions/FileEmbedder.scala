@@ -147,6 +147,135 @@ object FileEmbedder {
     }
   }
 
+  /** Exact powers of two for the piecewise-linear exp2 — indexed by
+    * exponent + 8 (domain [-8, 8]); every entry is an exact double AND has
+    * an exact decimal spelling, so a SQL literal parses to the same bits. */
+  private[graft] val pow2Table: Array[Double] =
+    Array.tabulate(17)(i => java.lang.Math.scalb(1.0, i - 8))
+
+  /** SQL spelling of the [[pow2Table]] lookup over an integer expression —
+    * a 17-branch CASE of exact power-of-two literals (powers of two have
+    * finite decimal spellings, so the SQL parser recovers the same bits). */
+  private[graft] def pow2CaseSql(arg: String): String =
+    "CASE " + arg + pow2Table.zipWithIndex.map { case (v, i) =>
+      s" WHEN ${i - 8} THEN $v"
+    }.mkString + " END"
+
+  /** Piecewise-linear base-2 exponential over [-8, 8]: 2^⌊s⌋·(1 + frac(s)).
+    * Built ONLY from IEEE-exact ops (floor, multiply, add — each correctly
+    * rounded and identical on every IEEE-754 engine), so a DuckDB oracle
+    * reproduces softmax weights bit-for-bit; a libm `exp` differs across
+    * runtimes by ULPs, which a hash-compared pipeline cannot tolerate.
+    * Monotone, continuous, exact at integers — a standard exp2
+    * approximation (the float-hack family: Schraudolph 1999). */
+  private[graft] def exp2pl(s0: Double): Double = {
+    val s = math.max(-8.0, math.min(8.0, s0))
+    val fs = math.floor(s)
+    pow2Table(fs.toInt + 8) * (1.0 + (s - fs))
+  }
+
+  /**
+   * A tiny deterministic TRANSFORMER — the reference's one never-executed
+   * component (`embed.py:21-49` tokenize → forward → masked mean-pool →
+   * normalize) run for real on the JVM, no weights download: token char
+   * counts project through We (+ learned-position embeddings), one
+   * single-head self-attention layer (Wq/Wk/Wv, scaled dot product,
+   * piecewise-linear-exp2 softmax), one position-wise FFN layer (W2,
+   * relu), masked mean-pool over real tokens (`sum(h·mask)/sum(mask)`,
+   * embed.py:44-49), L2-normalize. Every op is IEEE-exact (+ − × ÷ sqrt
+   * floor min max), accumulated in fixed ascending order, so the forward
+   * is bit-reproducible across engines — the property the DuckDB oracle
+   * grades. The `GRAFT-ATTN 1` checkpoint shape: all six tensors live in
+   * the FILE.
+   */
+  final case class AttnModel(features: Array[Char], maxlen: Int,
+      pos: Array[Array[Double]], we: Array[Array[Double]],
+      wq: Array[Array[Double]], wk: Array[Array[Double]],
+      wv: Array[Array[Double]], w2: Array[Array[Double]]) extends Ckpt {
+    val dim: Int = we.length
+    require(maxlen >= 1 && pos.length == maxlen && pos.forall(_.length == dim),
+      s"pos must be maxlen x dim ($maxlen x $dim)")
+    require(we.forall(_.length == features.length),
+      s"We rows must match feature count ${features.length}")
+    for ((w, n) <- Seq((wq, "Wq"), (wk, "Wk"), (wv, "Wv"), (w2, "W2")))
+      require(w.length == dim && w.forall(_.length == dim), s"$n must be $dim x $dim")
+
+    private def tokenize(t: String): Array[String] = {
+      val s = if (t == null) "" else t.trim
+      if (s.isEmpty) Array.empty
+      else s.split("\\s+").filter(_.nonEmpty).take(maxlen)
+    }
+
+    /** Per-token layer-2 states padded to `maxlen`, plus the 0/1 attention
+      * mask — the pair [[graft.functions.VectorFns.maskedMeanPool]] pools,
+      * exposed so the pooling-parity spec can drive the V2 pool over the
+      * transformer's own token states. */
+    def tokenStates(t: String): (Array[Array[Double]], Array[Double]) = {
+      val toks = tokenize(t)
+      val n = toks.length
+      val mask = Array.tabulate(maxlen)(i => if (i < n) 1.0 else 0.0)
+      val g = Array.fill(maxlen)(new Array[Double](dim))
+      if (n == 0) return (g, mask)
+      // h_i = We·counts(tok_i) + pos_i
+      val h = Array.tabulate(n) { i =>
+        val c = charCounts(features, toks(i))
+        Array.tabulate(dim)(r => dense1(we(r), c) + pos(i)(r))
+      }
+      // single-head attention: q scaled by 1/dim, scores by 1/dim^2 —
+      // power-of-two divisors (dim = 8) keep the scaling IEEE-exact
+      val q = Array.tabulate(n)(i => Array.tabulate(dim)(r => dense1(wq(r), h(i)) / dim))
+      val k = Array.tabulate(n)(i => Array.tabulate(dim)(r => dense1(wk(r), h(i))))
+      val v = Array.tabulate(n)(i => Array.tabulate(dim)(r => dense1(wv(r), h(i))))
+      var i = 0
+      while (i < n) {
+        val e = Array.tabulate(n)(j => exp2pl(dense1(q(i), k(j)) / (dim * dim)))
+        var den = 0.0; var j = 0
+        while (j < n) { den += e(j); j += 1 }
+        val o = new Array[Double](dim)
+        var r = 0
+        while (r < dim) {
+          var acc = 0.0; j = 0
+          while (j < n) { acc += (e(j) / den) * v(j)(r); j += 1 }
+          o(r) = acc
+          r += 1
+        }
+        // layer 2: position-wise FFN, relu
+        r = 0
+        while (r < dim) {
+          val y = dense1(w2(r), o)
+          g(i)(r) = if (y > 0) y else 0.0
+          r += 1
+        }
+        i += 1
+      }
+      (g, mask)
+    }
+
+    /** Masked mean-pool of the layer-2 states (embed.py:44-49 semantics:
+      * `sum(token_emb * mask) / sum(mask)`), before normalization. */
+    def pooled(t: String): Array[Double] = {
+      val (g, mask) = tokenStates(t)
+      val n = mask.sum
+      if (n == 0) new Array[Double](dim)
+      else Array.tabulate(dim) { r =>
+        var acc = 0.0; var i = 0
+        while (i < maxlen) { acc += g(i)(r) * mask(i); i += 1 }
+        acc / n
+      }
+    }
+
+    def forward(texts: Seq[String]): Seq[Array[Float]] =
+      texts.map(t => normalize(pooled(t)))
+  }
+
+  /** Row-vector dot product accumulated in ascending index order — the ONE
+    * accumulation order every engine must share for bit-equal sums. */
+  private def dense1(row: Array[Double], v: Array[Double]): Double = {
+    var s = 0.0; var j = 0
+    while (j < row.length) { s += row(j) * v(j); j += 1 }
+    s
+  }
+
   /** Checkpoint loads per JVM — the spec asserts repeated instances /
     * tasks hit the cache instead of re-reading the file. */
   val loadCount = new AtomicInteger(0)
@@ -193,6 +322,31 @@ object FileEmbedder {
     Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Transformer checkpoint — six named tensors, the topology in the FILE:
+    * {{{
+    * GRAFT-ATTN 1
+    * features etaoinsh
+    * dim 8
+    * maxlen 8
+    * tensor pos 8 8
+    * …8 weight rows…
+    * tensor we 8 8
+    * …   (then wq, wk, wv, w2)
+    * }}} */
+  def saveAttn(path: String, model: AttnModel): Unit = {
+    val sb = new StringBuilder
+    sb.append("GRAFT-ATTN 1\n")
+    sb.append("features ").append(new String(model.features)).append('\n')
+    sb.append("dim ").append(model.dim).append('\n')
+    sb.append("maxlen ").append(model.maxlen).append('\n')
+    for ((name, w) <- Seq("pos" -> model.pos, "we" -> model.we, "wq" -> model.wq,
+        "wk" -> model.wk, "wv" -> model.wv, "w2" -> model.w2)) {
+      sb.append(s"tensor $name ${w.length} ${w.head.length}\n")
+      w.foreach { row => sb.append(row.mkString(" ")).append('\n') }
+    }
+    Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
   def load(path: String): Ckpt =
     cache.computeIfAbsent(path, p => {
       loadCount.incrementAndGet()
@@ -216,6 +370,19 @@ object FileEmbedder {
             Layer(w, act)
           }
           MlpModel(features, layers)
+        case "GRAFT-ATTN 1" =>
+          val features = lines(1).stripPrefix("features ").toCharArray
+          val maxlen = lines(3).stripPrefix("maxlen ").toInt
+          var at = 4
+          val tensors = scala.collection.mutable.Map.empty[String, Array[Array[Double]]]
+          while (at < lines.length) {
+            val Array(_, name, rows, _) = lines(at).split(" ")
+            tensors(name) = lines.slice(at + 1, at + 1 + rows.toInt)
+              .map(_.split(" ").map(_.toDouble))
+            at += 1 + rows.toInt
+          }
+          AttnModel(features, maxlen, tensors("pos"), tensors("we"),
+            tensors("wq"), tensors("wk"), tensors("wv"), tensors("w2"))
         case h => throw new IllegalArgumentException(s"unknown checkpoint format: $h")
       }
     })

@@ -102,6 +102,22 @@ object EngineQueries {
       graft.functions.FileEmbedder.Layer(
         graft.functions.FileEmbedder.syntheticWeights(13L, 8, 8), "none")))
 
+  /** q286's checkpoint: the tiny deterministic TRANSFORMER (8-dim, 8-token
+    * context, single-head attention + position-wise FFN), all six tensors
+    * derived from seeds via the pure
+    * [[graft.functions.FileEmbedder.syntheticWeights]] grid — the oracle
+    * re-derives the same 3-decimal literals independently and replays the
+    * attention forward bit-for-bit (every op IEEE-exact; the softmax is a
+    * piecewise-linear exp2, not a libm transcendental). */
+  private[graft] lazy val q286Model = graft.functions.FileEmbedder.AttnModel(
+    "etaoinsh".toCharArray, 8,
+    pos = graft.functions.FileEmbedder.syntheticWeights(17L, 8, 8),
+    we = graft.functions.FileEmbedder.syntheticWeights(23L, 8, 8),
+    wq = graft.functions.FileEmbedder.syntheticWeights(29L, 8, 8),
+    wk = graft.functions.FileEmbedder.syntheticWeights(31L, 8, 8),
+    wv = graft.functions.FileEmbedder.syntheticWeights(37L, 8, 8),
+    w2 = graft.functions.FileEmbedder.syntheticWeights(41L, 8, 8))
+
   val queries: Map[String, Q] = Map(
     // The whole Engine lifecycle as ONE graded query: dedup-ingest the
     // corpus twice (the second pass must append nothing — crawler.py:39-50's
@@ -940,6 +956,29 @@ object EngineQueries {
         Seq("lang", "n_chars"), batchSize = 128).toSeq
       require(pages.length >= 2, s"q285 must page: got ${pages.length} pages")
       pages.reduce(_.unionAll(_))
+    }),
+
+    // A real transformer forward through the embedding seam — the one
+    // reference component that had only ever been staged (embed.py:21-49
+    // tokenize → forward → masked mean-pool → normalize). The GRAFT-ATTN
+    // checkpoint (six tensors: position embeddings, input projection,
+    // Wq/Wk/Wv attention, FFN) loads once per executor JVM; documents AND
+    // queries flow through VectorFns.embedPartitions' 128-row batches;
+    // the index is built from attention outputs and served. The oracle
+    // replays tokenize → h=We·c+pos → scaled-dot-product attention with
+    // piecewise-linear-exp2 softmax → relu FFN → masked mean-pool →
+    // float-normalize → cosine top-k → hydration, bit-for-bit (all ops
+    // IEEE-exact, fixed accumulation order).
+    "q286_transformer_embed" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q286_${runSeq.incrementAndGet()}_").toString
+      val mpath = s"$tmp/model.ckpt"
+      graft.functions.FileEmbedder.saveAttn(mpath, q286Model)
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg, graft.functions.FileEmbedder(mpath))
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      eng.search(searchTexts)
     }),
 
     // Tenant removal — Milvus's drop_partition over a partition_key
@@ -3011,6 +3050,118 @@ object EngineQueries {
        |  FROM ${p}n)""".stripMargin
   }
 
+  /** DuckDB spelling of [[q286Model]] (the GRAFT-ATTN transformer) over
+    * relation `rel`: tokenize to `maxlen` slots + 0/1 masks → per-token
+    * char counts → h = We·c + pos → q/k/v projections (q scaled by 1/d) →
+    * scaled dot-product scores clamped to [-8, 8] → piecewise-linear exp2
+    * (a 17-branch CASE over exact power-of-two literals — no libm exp, so
+    * the softmax weights are bit-equal to the JVM's) → masked softmax →
+    * attention outputs → relu FFN → masked mean-pool → float-cast
+    * normalize. Every sum is written in the SAME ascending index order the
+    * Scala forward accumulates in: IEEE ops are exactly specified, so
+    * identical operand sequences give identical bits on both engines.
+    * Masked slots ride as '' tokens whose terms contribute exact +0.0.
+    * Emits CTEs ending `<p>x`, `<p>n`, `<p>v` — the [[letterEmbedSql]]
+    * splice shape. */
+  private def attnEmbedSql(rel: String, ids: String, textCol: String,
+                           p: String): String = {
+    val m = q286Model
+    val d = m.dim; val L = m.maxlen
+    def dot(w: Array[Double], ref: Int => String): String =
+      w.indices.map(j => s"${w(j)} * ${ref(j)}").mkString(" + ")
+    val trimmed = s"regexp_replace($textCol, '^\\s+|\\s+$$', '', 'g')"
+    val slots = (1 to L).map(i =>
+      s"CASE WHEN ntok >= $i THEN arr[$i] ELSE '' END AS t$i").mkString(", ")
+    val masks = (1 to L).map(i =>
+      s"CASE WHEN ntok >= $i THEN 1.0 ELSE 0.0 END AS m$i").mkString(", ")
+    val mlist = (1 to L).map(i => s"m$i").mkString(", ")
+    val cnts = (for { i <- 1 to L; j <- m.features.indices } yield {
+      val ch = if (m.features(j) == '\'') "''" else m.features(j).toString
+      s"cast(length(t$i) - length(replace(t$i, '$ch', '')) as double) AS c${i}_$j"
+    }).mkString(",\n      ")
+    val hs = (for { i <- 1 to L; r <- 0 until d } yield
+      s"(${dot(m.we(r), j => s"c${i}_$j")}) + ${m.pos(i - 1)(r)} AS h${i}_$r"
+    ).mkString(",\n      ")
+    val qs = (for { i <- 1 to L; r <- 0 until d } yield
+      s"(${dot(m.wq(r), j => s"h${i}_$j")}) / $d.0 AS q${i}_$r").mkString(",\n      ")
+    val ks = (for { i <- 1 to L; r <- 0 until d } yield
+      s"(${dot(m.wk(r), j => s"h${i}_$j")}) AS k${i}_$r").mkString(",\n      ")
+    val vs = (for { i <- 1 to L; r <- 0 until d } yield
+      s"(${dot(m.wv(r), j => s"h${i}_$j")}) AS v${i}_$r").mkString(",\n      ")
+    val vlist = (for { i <- 1 to L; r <- 0 until d } yield s"v${i}_$r").mkString(", ")
+    val ss = (for { i <- 1 to L; j <- 1 to L } yield {
+      val dp = (0 until d).map(r => s"q${i}_$r * k${j}_$r").mkString(" + ")
+      s"greatest(-8.0, least(8.0, ($dp) / ${d * d}.0)) AS s${i}_$j"
+    }).mkString(",\n      ")
+    val es = (for { i <- 1 to L; j <- 1 to L } yield {
+      val p2 = graft.functions.FileEmbedder.pow2CaseSql(s"cast(floor(s${i}_$j) as int)")
+      s"(($p2) * (1.0 + (s${i}_$j - floor(s${i}_$j)))) AS e${i}_$j"
+    }).mkString(",\n      ")
+    val dens = (1 to L).map(i =>
+      s"(${(1 to L).map(j => s"e${i}_$j * m$j").mkString(" + ")}) AS den$i"
+    ).mkString(",\n      ")
+    val os = (for { i <- 1 to L; r <- 0 until d } yield
+      s"(${(1 to L).map(j => s"(e${i}_$j * m$j / den$i) * v${j}_$r").mkString(" + ")}) AS o${i}_$r"
+    ).mkString(",\n      ")
+    val ys = (for { i <- 1 to L; r <- 0 until d } yield
+      s"(${dot(m.w2(r), j => s"o${i}_$j")}) AS y${i}_$r").mkString(",\n      ")
+    val gs = (for { i <- 1 to L; r <- 0 until d } yield
+      s"CASE WHEN y${i}_$r > 0 THEN y${i}_$r ELSE 0.0 END AS g${i}_$r"
+    ).mkString(",\n      ")
+    val pool = (0 until d).map(r =>
+      s"CASE WHEN ntok = 0 THEN 0.0 ELSE (" +
+        (1 to L).map(i => s"g${i}_$r * m$i").mkString(" + ") +
+        s") / cast(ntok as double) END").mkString(",\n      ")
+    s"""${p}t0 AS (
+       |  SELECT $ids, regexp_split_to_array($trimmed, '\\s+') AS arr,
+       |    CASE WHEN length($trimmed) = 0 THEN 0
+       |         ELSE least(len(regexp_split_to_array($trimmed, '\\s+')), $L) END AS ntok
+       |  FROM $rel),
+       |${p}tk AS (SELECT $ids, ntok, $slots, $masks FROM ${p}t0),
+       |${p}cn AS (SELECT $ids, ntok, $mlist,
+       |      $cnts
+       |  FROM ${p}tk),
+       |${p}hh AS (SELECT $ids, ntok, $mlist,
+       |      $hs
+       |  FROM ${p}cn),
+       |${p}qk AS (SELECT $ids, ntok, $mlist,
+       |      $qs,
+       |      $ks,
+       |      $vs
+       |  FROM ${p}hh),
+       |${p}sc AS (SELECT $ids, ntok, $mlist, $vlist,
+       |      $ss
+       |  FROM ${p}qk),
+       |${p}ee AS (SELECT $ids, ntok, $mlist, $vlist,
+       |      $es
+       |  FROM ${p}sc),
+       |${p}dn AS (SELECT *,
+       |      $dens
+       |  FROM ${p}ee),
+       |${p}oo AS (SELECT $ids, ntok, $mlist,
+       |      $os
+       |  FROM ${p}dn),
+       |${p}yy AS (SELECT $ids, ntok, $mlist,
+       |      $ys
+       |  FROM ${p}oo),
+       |${p}gg AS (SELECT $ids, ntok, $mlist,
+       |      $gs
+       |  FROM ${p}yy),
+       |${p}x AS (
+       |  SELECT $ids, [$pool] AS x FROM ${p}gg),
+       |${p}n AS (
+       |  SELECT $ids, x,
+       |    list_reduce(list_transform(x, v -> v*v), (a,b) -> a+b) AS nrm2
+       |  FROM ${p}x),
+       |${p}v AS (
+       |  SELECT $ids,
+       |    CASE WHEN nrm2 > 0
+       |         THEN list_transform(x, v -> cast(cast(v * (1.0/sqrt(nrm2)) as float) as double))
+       |         ELSE x END AS v,
+       |    nrm2
+       |  FROM ${p}n)""".stripMargin
+  }
+
   /** The engine-lifecycle search replay (chunker + hash-embed + cosine
     * top-k + hydration, q64's oracle). Shared by q150: a restored snapshot
     * must search EXACTLY like the engine the snapshot was taken from. */
@@ -3950,6 +4101,44 @@ c AS (""")
     "q285_retrieve_iterator" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang IN ('en', 'de') AND 150 <= n_chars AND n_chars < 700""".stripMargin,
+
+    // q286: the transformer lifecycle relationally — the attention forward
+    // replayed bit-for-bit (IEEE-exact ops, fixed accumulation order,
+    // piecewise-linear-exp2 softmax) over chunks AND query texts, then the
+    // cosine top-k + hydration of the lifecycle shape
+    "q286_transformer_embed" -> {
+      val qvalues = searchTexts.zipWithIndex
+        .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
+         |  FROM documents WHERE length(text) > 0),
+         |ch AS (
+         |  SELECT doc_id, doc_id || '_' || pos AS chunk_id,
+         |    substring(text, cast(pos*64+1 as int), 128) AS chunk
+         |  FROM c),
+         |${attnEmbedSql("ch", "chunk_id, doc_id", "chunk", "e")},
+         |q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
+         |${attnEmbedSql("q0", "query_id, query", "query", "qe")},
+         |scored AS (
+         |  SELECT q.query_id, q.query, n.doc_id,
+         |    round(CASE WHEN n.nrm2 = 0 OR q.nrm2 = 0 THEN 0.0
+         |               ELSE list_cosine_similarity(n.v, q.v) END, 4) AS score
+         |  FROM ev n CROSS JOIN qev q),
+         |best AS (
+         |  SELECT query_id, query, doc_id, max(score) AS score
+         |  FROM scored GROUP BY ALL),
+         |ranked AS (
+         |  SELECT query_id, query, doc_id, score,
+         |    cast(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id ASC) as int) AS rank
+         |  FROM best QUALIFY rank <= 4)
+         |SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
+         |  substring(d.text, 1, 200) AS preview
+         |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     // the lifecycle replay over the surviving tenants only
     "q223_drop_partition" -> lifecycleSearchSql.replace(

@@ -134,4 +134,83 @@ class FileEmbedderSpec extends SparkSpec {
     assert(scores.sameElements(scores.sorted.reverse))
     assert(scores.forall(s => s >= -1.0001 && s <= 1.0001))
   }
+
+  private def freshAttn: FileEmbedder.AttnModel = FileEmbedder.AttnModel(
+    "etaoinsh".toCharArray, 8,
+    pos = FileEmbedder.syntheticWeights(17L, 8, 8),
+    we = FileEmbedder.syntheticWeights(23L, 8, 8),
+    wq = FileEmbedder.syntheticWeights(29L, 8, 8),
+    wk = FileEmbedder.syntheticWeights(31L, 8, 8),
+    wv = FileEmbedder.syntheticWeights(37L, 8, 8),
+    w2 = FileEmbedder.syntheticWeights(41L, 8, 8))
+
+  test("GRAFT-ATTN checkpoint: six tensors round-trip; forward parity through the seam") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-attn").toString
+    val m = freshAttn
+    FileEmbedder.saveAttn(s"$dir/m.ckpt", m)
+    FileEmbedder.load(s"$dir/m.ckpt") match {
+      case loaded: FileEmbedder.AttnModel =>
+        assert(loaded.dim == 8 && loaded.maxlen == 8)
+        assert(loaded.features.sameElements(m.features))
+        for ((a, b) <- Seq(loaded.pos -> m.pos, loaded.we -> m.we, loaded.wq -> m.wq,
+            loaded.wk -> m.wk, loaded.wv -> m.wv, loaded.w2 -> m.w2))
+          a.zip(b).foreach { case (ra, rb) => assert(ra.sameElements(rb)) }
+        val texts = Seq("a note on spark joins", "neural network training corpus",
+          "one two three four five six seven eight nine ten", "")
+        loaded.forward(texts).zip(m.forward(texts)).foreach {
+          case (g, w) => assert(g.sameElements(w))
+        }
+        val e = FileEmbedder(s"$dir/m.ckpt")
+        assert(e.dim == 8)
+        assert(e.embedBatch(texts).head.sameElements(m.forward(texts).head))
+      case other => fail(s"expected the attention shape, loaded $other")
+    }
+  }
+
+  test("attention forward: unit norm, empty text zero, context truncates at maxlen") {
+    val m = freshAttn
+    val Seq(v1, vEmpty, vLong, vTrunc) = m.forward(Seq(
+      "the quick brown fox", "  ",
+      "one two three four five six seven eight extra tokens ignored",
+      "one two three four five six seven eight"))
+    assert(math.abs(math.sqrt(v1.map(x => x.toDouble * x.toDouble).sum) - 1.0) < 1e-6)
+    assert(vEmpty.forall(_ == 0.0f))
+    // tokens beyond maxlen=8 cannot change the embedding
+    assert(vLong.sameElements(vTrunc))
+    // attention actually mixes tokens: permuting tokens changes the vector
+    // (a bag-of-tokens pool could not — position embeddings + attention do)
+    val Seq(ab, ba) = m.forward(Seq("alpha beta", "beta alpha"))
+    assert(!ab.sameElements(ba))
+  }
+
+  test("exp2pl: exact at integers, monotone, clamped to [-8, 8]") {
+    assert(FileEmbedder.exp2pl(0.0) == 1.0)
+    assert(FileEmbedder.exp2pl(3.0) == 8.0)
+    assert(FileEmbedder.exp2pl(-2.0) == 0.25)
+    assert(FileEmbedder.exp2pl(100.0) == 256.0 && FileEmbedder.exp2pl(-100.0) == 0.00390625)
+    val xs = (-80 to 80).map(i => FileEmbedder.exp2pl(i / 10.0))
+    xs.sliding(2).foreach { case Seq(a, b) => assert(a < b) case _ => () }
+  }
+
+  test("pooling parity: the transformer's pool IS the V2 masked mean-pool (embed.py:44-49)") {
+    val m = freshAttn
+    val texts = Seq("a note on spark joins and shuffles",
+      "neural network training corpus", "single")
+    // drive the V2 pool (VectorFns.maskedMeanPool — the q57-graded column
+    // op) over the transformer's OWN token states; the model's pooled
+    // vector must be exactly what the V2 pool computes (identical op
+    // sequence: sum(token_emb * mask) in ascending order, then / sum(mask))
+    val rows = texts.map { t =>
+      val (g, mask) = m.tokenStates(t)
+      (t, g.map(_.toSeq).toSeq, mask.toSeq)
+    }
+    val df = spark.createDataFrame(rows).toDF("text", "tok_vecs", "mask")
+    val pooled = df.select(graft.functions.VectorFns
+      .maskedMeanPool(col("tok_vecs"), col("mask")).as("p"))
+      .collect().map(_.getSeq[Double](0))
+    texts.zip(pooled).foreach { case (t, viaV2) =>
+      assert(viaV2.toArray.sameElements(m.pooled(t)),
+        s"pool divergence on '$t': $viaV2 vs ${m.pooled(t).toSeq}")
+    }
+  }
 }
