@@ -232,6 +232,11 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       if (cfg.modelPath.nonEmpty) graft.functions.FileEmbedder(cfg.modelPath)
       else Engine.HashEmbedder(cfg.embedDim))
 
+  // the expr route's TEXT_MATCH SQL references porter_stem when the
+  // configured analyzer is english_porter — register up front (idempotent,
+  // two temp-function writes) so any retrieve()-shaped plan can resolve it
+  Engine.registerPorter(spark)
+
   /** Dedup-append documents (must carry `doc_id` and `text`). Re-ingesting
     * the same batch is a no-op. With `cfg.partitionKey` set the store is
     * hive-partitioned by it, mirroring the index layout — Milvus partitions
@@ -2874,6 +2879,14 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       case "english_stem" =>
         transform(filter(toks, t => !t.isInCollection(Engine.englishStopwords)),
           TextFns.minEnglishStem(_: Column))
+      case "english_porter" =>
+        // the full Snowball stemmer is a six-step suffix machine — as a
+        // per-token expression tree it would defeat codegen anyway, so the
+        // whole array goes through ONE UDF call per row (stoplist folded
+        // in). This is the offline postings/index-build path, not a
+        // serving-time hot loop.
+        Engine.registerPorter(spark)
+        call_function("porter_tokens", toks)
       case _ => toks
     }
     len.fold(based) { case (lo, hi) =>
@@ -3768,7 +3781,20 @@ object Engine {
     * The full config grammar is `<base>[|len:<min>:<max>]` — the optional
     * suffix is Milvus's `length` token filter, applied LAST (after
     * stoplist and stem, matching a filter list that ends with it). */
-  val analyzers: Set[String] = Set("standard", "english", "english_stem")
+  val analyzers: Set[String] =
+    Set("standard", "english", "english_stem", "english_porter")
+
+  /** Register the SQL-callable Porter2 spellings (idempotent):
+    * `porter_stem(tok)` for the expr route's per-token lambda-free use and
+    * `porter_tokens(arr)` (stoplist + stem over the whole token array) for
+    * the postings build. */
+  def registerPorter(spark: SparkSession): Unit = {
+    spark.udf.register("porter_stem",
+      (t: String) => graft.functions.Porter2.stem(t))
+    spark.udf.register("porter_tokens", (toks: Seq[String]) =>
+      if (toks == null) null
+      else toks.filterNot(englishStopwords).map(graft.functions.Porter2.stem))
+  }
 
   /** Guard for COUNTED broadcast hints on candidate id sets: under this
     * many ids the set broadcasts; over it the verb falls back to the
@@ -3796,6 +3822,8 @@ object Engine {
       case "english_stem" =>
         toks.filterNot(englishStopwords)
           .map(graft.functions.TextFns.minEnglishStem(_: String))
+      case "english_porter" =>
+        toks.filterNot(englishStopwords).map(graft.functions.Porter2.stem)
       case _ => toks
     }
     len.fold(based) { case (lo, hi) =>

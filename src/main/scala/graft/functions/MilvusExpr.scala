@@ -78,6 +78,11 @@ object MilvusExpr {
       case "english_stem" =>
         s"transform(filter($base, __t -> __t NOT IN ($stop)), " +
           s"__t -> ${TextFns.minEnglishStemSql("__t")})"
+      case "english_porter" =>
+        // the full Snowball stemmer has no inline-SQL spelling (six suffix
+        // steps); Engine.registerPorter puts porter_stem on the session
+        s"transform(filter($base, __t -> __t NOT IN ($stop)), " +
+          s"__t -> porter_stem(__t))"
       case _ => base
     }
     len.fold(based) { case (lo, hi) =>

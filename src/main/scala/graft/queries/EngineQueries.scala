@@ -41,6 +41,17 @@ object EngineQueries {
     "the tables and queries",
     "values of streams")
 
+  /** Derivational search texts for the FULL Snowball stemmer (q288):
+    * 'relate' only meets the corpus's appended 'relational' under Porter2
+    * (both → 'relat'; the minimal stemmer leaves both untouched and
+    * unequal), and 'generous' only meets 'generously' the same way —
+    * divergence on the QUERY side ('relate' → 'relat') and the INDEX side
+    * ('relational' → 'relat') at once. 'tables' keeps a plural arm live so
+    * the two stemmers' shared ground is represented too. */
+  private val porterTexts = Seq(
+    "the relate tables",
+    "generous streams of values")
+
   /** Short-token-laden search texts for the length-filter analyzer
     * (q282): 'dup' and 'big' (3 letters) survive the english stoplist but
     * die on len:4:24 — the two analyzers provably diverge on them. */
@@ -981,6 +992,31 @@ object EngineQueries {
       eng.search(searchTexts)
     }),
 
+    // Milvus 2.6 nullable-field expr corners: IS NULL / IS NOT NULL /
+    // NOT LIKE over DYNAMIC fields, in one raw expr string. `lang` is
+    // nulled for 'de' docs before a dynamic ingest (to_json drops null
+    // producers, so the key is ABSENT — Milvus's own null spelling for
+    // dynamic fields); `src_detail` exists on every fifth doc. The
+    // graded arms: presence-as-null, IS NOT NULL composed in a
+    // conjunction, and NOT LIKE's three-valued logic (a NULL lang must
+    // NOT satisfy `not like "e%"` — NULL, not true, exactly SQL's and
+    // Milvus's contract).
+    "q287_null_expr" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q287_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars")
+        .withColumn("lang",
+          when(col("lang") === "de", lit(null: String)).otherwise(col("lang")))
+        .withColumn("src_detail",
+          when(col("doc_id") % 5 === 0, concat(lit("d"), col("doc_id"))))
+      eng.ingestDynamic(docs)
+      new Engine(s, cfg).retrieve(
+        """(lang is null and n_chars >= 300) or (src_detail is not null and lang not like "e%")""",
+        Seq(Engine.DynamicField), limit = 200)
+    }),
+
     // Tenant removal — Milvus's drop_partition over a partition_key
     // collection: the named tenants leave the store (pushed-predicate
     // rewrite, no join), the index (their hive directories are REMOVED —
@@ -1426,6 +1462,30 @@ object EngineQueries {
             .otherwise(col("text")))
       eng.ingest(docs)
       new Engine(s, cfg).searchSparse(stemTexts, k = 8)
+    }),
+
+    // FULL Snowball (Porter2) stemmer — Milvus analyzer_params' `stemmer`
+    // filter at its real strength: derivational forms. Every fifth doc
+    // gains ' relational generously'; under english_porter the query term
+    // 'relate' and the corpus token 'relational' both stem to 'relat'
+    // (and 'generous'/'generously' to 'generous') — matches the minimal
+    // english_stem arm can NEVER make (it only strips plurals), so the
+    // two analyzer arms provably diverge on both the index and the query
+    // side. The oracle replays the full six-step algorithm as a per-step
+    // CTE chain (Porter2.sqlCtes) over the same tokenization.
+    "q288_porter_stem" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q288_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        analyzer = "english_porter")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" relational generously")))
+            .otherwise(col("text")))
+      eng.ingest(docs)
+      new Engine(s, cfg).searchSparse(porterTexts, k = 8)
     }),
 
     // Length token filter — Milvus's analyzer_params `length` filter as
@@ -3884,6 +3944,71 @@ object EngineQueries {
        |ORDER BY r.query_id, r.rank""".stripMargin
   }
 
+  /** q288's replay: [[sparseSearchSqlFor]]'s integral sparse scoring, with
+    * BOTH sides of the analyzer running the full Porter2 stemmer — query
+    * terms through the Scala [[graft.functions.Porter2.stem]] (literals),
+    * document tokens through the per-step CTE chain
+    * [[graft.functions.Porter2.sqlCtes]] (DuckDB has no Snowball without
+    * the FTS extension, which zero-egress cannot install — the chain IS
+    * the published algorithm, one CTE per step). `docsCte` supplies the
+    * corpus (q288 appends derivational forms to every fifth doc). */
+  private def porterSparseSearchSql(texts: Seq[String], k: Int,
+                                    docsCte: String): String = {
+    val stop = graft.Engine.englishStopwords
+    val qvalues = texts.zipWithIndex
+      .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
+      .mkString(", ")
+    val qtfvalues = texts.zipWithIndex.flatMap { case (q, i) =>
+      q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).filterNot(stop)
+        .map(graft.functions.Porter2.stem).toSeq
+        .groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (t, g) =>
+          s"(cast($i as bigint), '${t.replace("'", "''")}', cast(${g.length} as bigint))"
+        }
+    }.mkString(", ")
+    val stopIn = stop.toSeq.sorted.map(s => s"'$s'").mkString(", ")
+    s"""WITH docs2 AS (
+       |$docsCte),
+       |q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
+       |qt AS (SELECT * FROM (VALUES $qtfvalues) t(query_id, ltk, qtf)),
+       |tok0 AS (
+       |  SELECT doc_id, ltk FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS ltk
+       |    FROM docs2 WHERE length(trim(text)) > 0) u
+       |  WHERE ltk NOT IN ($stopIn)),
+       |${graft.functions.Porter2.sqlCtes("tok0", "doc_id", "ltk", "ps")},
+       |ltok AS (SELECT doc_id, tok AS ltk FROM psout),
+       |corp AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ltok),
+       |tf AS (
+       |  SELECT doc_id, ltk, count(*) AS tf FROM ltok
+       |  WHERE ltk IN (SELECT DISTINCT ltk FROM qt) GROUP BY doc_id, ltk),
+       |dft AS (SELECT ltk, count(*) AS df FROM tf GROUP BY ltk),
+       |sp AS (
+       |  SELECT q.query_id, x.doc_id,
+       |    cast(sum(q.qtf * x.tf * ((x.idf_bp * x.idf_bp) // 10000)) as bigint) AS score_bp
+       |  FROM (
+       |    SELECT doc_id, ltk, tf,
+       |      10000 * (length(bin(s)) - 1)
+       |        + (10000 * (s - (1::BIGINT << (length(bin(s)) - 1))))
+       |          // (1::BIGINT << (length(bin(s)) - 1)) - 100000 AS idf_bp
+       |    FROM (
+       |      SELECT t.doc_id, t.ltk, t.tf,
+       |        (1024 * (2*c2.n_docs + 2)) // (2*d.df + 1) AS s
+       |      FROM tf t JOIN dft d USING (ltk) CROSS JOIN corp c2) y) x
+       |  JOIN qt q ON q.ltk = x.ltk
+       |  GROUP BY q.query_id, x.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score_bp,
+       |    cast(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_bp DESC, doc_id ASC) as int) AS rank
+       |  FROM sp QUALIFY rank <= $k)
+       |SELECT r.query_id, q.query, r.doc_id, r.score_bp, r.rank,
+       |  substring(d.text, 1, 200) AS preview
+       |FROM ranked r JOIN docs2 d ON d.doc_id = r.doc_id
+       |JOIN q0 q ON q.query_id = r.query_id
+       |ORDER BY r.query_id, r.rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q203_engine_ivfpq" -> enginePqSearchSql,
     "q205_engine_ivfsq8" -> engineSq8SearchSql,
@@ -4139,6 +4264,29 @@ c AS (""")
          |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    // q287: the null-test arms replay with SQL's own three-valued logic
+    // over the reconstructed dynamic column (name-sorted key packing;
+    // absent key == null producer)
+    "q287_null_expr" ->
+      """SELECT doc_id, "$meta" FROM (
+        |  SELECT doc_id, lang2, n_chars, sd,
+        |    CASE
+        |      WHEN lang2 IS NOT NULL AND sd IS NOT NULL THEN
+        |        printf('{"lang":"%s","n_chars":%d,"src_detail":"%s"}', lang2, n_chars, sd)
+        |      WHEN lang2 IS NOT NULL THEN
+        |        printf('{"lang":"%s","n_chars":%d}', lang2, n_chars)
+        |      WHEN sd IS NOT NULL THEN
+        |        printf('{"n_chars":%d,"src_detail":"%s"}', n_chars, sd)
+        |      ELSE printf('{"n_chars":%d}', n_chars) END AS "$meta"
+        |  FROM (
+        |    SELECT doc_id, n_chars,
+        |      CASE WHEN lang = 'de' THEN NULL ELSE lang END AS lang2,
+        |      CASE WHEN doc_id % 5 = 0 THEN 'd' || doc_id ELSE NULL END AS sd
+        |    FROM documents) t0) t
+        |WHERE (lang2 IS NULL AND n_chars >= 300)
+        |   OR (sd IS NOT NULL AND lang2 NOT LIKE 'e%')
+        |ORDER BY doc_id LIMIT 200""".stripMargin,
 
     // the lifecycle replay over the surviving tenants only
     "q223_drop_partition" -> lifecycleSearchSql.replace(
@@ -4683,6 +4831,12 @@ ORDER BY r.query_id, r.rank""")
         .replace(tokKey, "FROM docs2 WHERE length(trim(text)) > 0")
         .replace(hydKey, "JOIN docs2 d ON d.doc_id = r.doc_id")
     },
+
+    // q288: the full-Porter2 sparse replay over the derivational corpus
+    "q288_porter_stem" -> porterSparseSearchSql(porterTexts, 8,
+      """  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN text || ' relational generously' ELSE text END AS text
+        |  FROM documents""".stripMargin),
 
     // the RaBitQ replay: global Hamming cut over the SIGN comparison of
     // the same normalized embeddings (nprobe = nlist, so no probe window),
