@@ -1,0 +1,121 @@
+package graft
+
+import java.util.concurrent.{Callable, Executors, TimeUnit}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Concurrent-serving benchmark — the contention sample the single-stream
+ * bench cannot give (reference seam: `demo.py:61-68`, Gradio serving
+ * concurrent users). One engine is built and persisted once (store + IVF
+ * layout + lexical postings), then N client threads drive the four
+ * serving verbs — vector search, scalar query, expr retrieve, hybrid —
+ * through the engine's own admission path (a finite `searchRate`
+ * configures the token bucket, so requests really cross it). Per verb it
+ * reports the solo (1-thread) median and p50/p95 at 4 and 16 concurrent
+ * streams, and flags any verb whose p95 at 16 streams exceeds 3x its solo
+ * median — the SLO shape a serving deployment actually watches. Spark
+ * schedules the concurrent jobs FIFO across the shared local[32] pool;
+ * on a real cluster each stream's jobs would fan across executors the
+ * same way (fair-scheduler pools are the one knob this run leaves at
+ * default, noted in BASELINE.md).
+ *
+ * Output: one JSON line on stdout + BENCH_SERVE_<sf>.json (same
+ * parse-proof file channel as Bench).
+ */
+object BenchServe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_serve_").toString
+    // searchRate 100/s: far above achievable throughput here, so the token
+    // bucket is exercised on every request without becoming the bottleneck
+    // being measured
+    val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+      nlist = 16, nprobe = 4, ivfThreshold = 1L, searchRate = 100.0)
+    val eng = new Engine(spark, cfg)
+    eng.ingest(spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "n_chars"))
+    eng.update()
+
+    val queryPool = Seq(
+      "table dedup merge pipeline", "stream window state store",
+      "vector index probe cells", "join shuffle partition skew")
+    val verbs: Seq[(String, Int => Long)] = Seq(
+      "search" -> ((i: Int) =>
+        eng.search(Seq(queryPool(i % queryPool.length))).collect().length.toLong),
+      "query" -> ((i: Int) =>
+        eng.query(col("lang") === "en" && col("n_chars") > (100 + (i % 7) * 50),
+          Seq("lang", "n_chars"), limit = 100).collect().length.toLong),
+      "retrieve" -> ((i: Int) =>
+        eng.retrieve(s"""lang in ["en", "de"] && ${100 + (i % 5) * 25} <= n_chars < 700""",
+          Seq("lang", "n_chars"), limit = 100).collect().length.toLong),
+      "hybrid" -> ((i: Int) =>
+        eng.hybridSearch(Seq(queryPool(i % queryPool.length))).collect().length.toLong))
+
+    // warmup, single-threaded: materialize the persisted layouts and every
+    // lazy memo (IVF handles, lexical postings) so contention runs measure
+    // serving, not first-touch builds
+    verbs.foreach { case (_, f) => require(f(0) >= 0) }
+
+    def percentile(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.length - 1, math.max(0, math.ceil(p * s.length).toInt - 1)))
+    }
+    def runLevel(f: Int => Long, conc: Int, n: Int): (Seq[Double], Double) = {
+      val pool = Executors.newFixedThreadPool(conc)
+      val tasks = (0 until n).map { i =>
+        new Callable[Double] {
+          def call(): Double = {
+            val t0 = System.nanoTime()
+            f(i)
+            (System.nanoTime() - t0) / 1e9
+          }
+        }
+      }
+      val w0 = System.nanoTime()
+      val lat = pool.invokeAll(scala.jdk.CollectionConverters.SeqHasAsJava(tasks).asJava)
+        .toArray.toSeq.map(_.asInstanceOf[java.util.concurrent.Future[Double]].get())
+      val wall = (System.nanoTime() - w0) / 1e9
+      pool.shutdown(); pool.awaitTermination(10, TimeUnit.MINUTES)
+      (lat, n / wall) // requests per second at this concurrency
+    }
+
+    val levels = Seq(1 -> 9, 4 -> 24, 16 -> 32)
+    val results = verbs.map { case (name, f) =>
+      val byLevel = levels.map { case (conc, n) => conc -> runLevel(f, conc, n) }
+      name -> byLevel
+    }
+    def fmt(d: Double) = f"$d%.3f"
+    val flags = scala.collection.mutable.ArrayBuffer.empty[String]
+    val verbJson = results.map { case (name, byLevel) =>
+      val solo = percentile(byLevel.head._2._1, 0.5)
+      val inner = byLevel.map { case (conc, (lat, rps)) =>
+        val p50 = percentile(lat, 0.5); val p95 = percentile(lat, 0.95)
+        if (conc == 16 && p95 > 3 * solo) flags += name
+        s""""c$conc":{"p50":${fmt(p50)},"p95":${fmt(p95)},"rps":${fmt(rps)},"n":${lat.length}}"""
+      }.mkString(",")
+      s""""$name":{"solo_median":${fmt(solo)},$inner}"""
+    }.mkString(",")
+    val flagJson = flags.distinct.map(f => s""""$f"""").mkString("[", ",", "]")
+    spark.stop()
+    val line = s"""{"metric":"serve","sf":"$sfDir","cpus":$cpus,"verbs":{$verbJson},"p95_over_3x_solo":$flagJson}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SERVE_FILE",
+        s"BENCH_SERVE_${new java.io.File(sfDir).getName}.json")),
+      line.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
+    System.out.flush()
+  }
+}
