@@ -1619,17 +1619,15 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    */
   def delete(ids: DataFrame, keyCol: String = "doc_id"): Long = {
     val key = ids.select(keyCol).distinct()
-    // layout-on-disk routing ([[storeUsesPartitions]]): a legacy flat store
-    // under a partition_key config must take the flat rewrite — a dynamic
-    // partitionBy overwrite against flat part files would leave the removed
-    // rows alive and mix directory depths
-    val removed =
-      if (storeUsesPartitions) deleteFromPartitionedStore(key, keyCol)
-      else deleteFromFlatStore(key, keyCol)
-    // removals are the one mutation the lexical layout cannot absorb
-    // delta-sized (postings of removed docs poison df/stats): drop its
-    // stamp; the next hybrid call rebuilds offline
-    if (removed > 0) invalidateLex()
+    // CRASH ORDERING: the index prunes BEFORE the store rewrites. A crash
+    // between the two then leaves docs missing-from-index — benign (they
+    // simply don't rank; scalar reads still serve them from the store:
+    // the old state per verb, fsck reports n_missing, updateIncremental
+    // repairs). The store-first order left the OPPOSITE state on a crash:
+    // index ORPHANS, which score, take top-k ranks, then vanish at the
+    // hydration join — rank holes and short results, a torn read the
+    // crash-recovery spec caught (round-13). No verb may leave a state
+    // that serves torn.
     if (indexExists) {
       // decided BEFORE the rewrite flips the index fingerprint: a layout
       // that was current can be MAINTAINED (delta-sized) instead of
@@ -1653,6 +1651,17 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         if (layoutCurrent) maintainLayoutAfterDelete(key, keyCol)
       }
     }
+    // layout-on-disk routing ([[storeUsesPartitions]]): a legacy flat store
+    // under a partition_key config must take the flat rewrite — a dynamic
+    // partitionBy overwrite against flat part files would leave the removed
+    // rows alive and mix directory depths
+    val removed =
+      if (storeUsesPartitions) deleteFromPartitionedStore(key, keyCol)
+      else deleteFromFlatStore(key, keyCol)
+    // removals are the one mutation the lexical layout cannot absorb
+    // delta-sized (postings of removed docs poison df/stats): drop its
+    // stamp; the next hybrid call rebuilds offline
+    if (removed > 0) invalidateLex()
     // a physically-removed pk must leave no stale tombstone behind (it
     // would mask a future re-ingest of the same pk)
     clearTombstones(key, keyCol)

@@ -127,6 +127,27 @@ object Scale {
       out.println(line); out.flush()
     }
 
+    // `deep` adds a 1000x rung (5M docs) to the TWO scale-critical ladders
+    // (incdedup's banding ingest gate, lexserve's build/serve split) —
+    // round-12 verdict task 6: the 100 TB claims extrapolated two decades
+    // from the 100x rung; one more decade is feasible in this sandbox for
+    // these two and catches any superlinear term 100x hides. Run with
+    // SPARK_DRIVER_MEM=64g (the 5M-doc signature index and its shuffle
+    // spill share one local-mode JVM).
+    val deep = args.contains("deep")
+    // `deeponly` reruns JUST the 1000x rung (resume after a partial run)
+    val deepOnly = args.contains("deeponly")
+    val deepRung: Seq[(String, Long)] =
+      if (deep || deepOnly) Seq("1000x" -> 5000000L) else Nil
+    // at 5M docs a 32-partition hash aggregation holds ~160k docs of
+    // shingle/minhash state per task x 32 concurrent tasks — past the
+    // per-task execution-memory share (AGGREGATE_OUT_OF_MEMORY, measured).
+    // A real cluster sizes shuffle.partitions to the data volume (the
+    // SCALE.md guidance); the deep rung does the same. AQE coalesces the
+    // small stages back down, so the lower rungs are unaffected.
+    def sizePartitions(scale: String): Unit =
+      spark.conf.set("spark.sql.shuffle.partitions",
+        if (scale == "1000x") "256" else "32")
     val docLadder: Seq[(String, Long)] =
       if (small) Seq("1x" -> 500L, "10x" -> 5000L)
       else Seq("1x" -> 5000L, "10x" -> 50000L, "100x" -> 500000L)
@@ -215,11 +236,12 @@ object Scale {
     //     the self-contained call re-derives the store's signatures per
     //     batch (cost grows with the store); the signature-index call
     //     pays a one-time build, then per-batch cost stays ~flat.
-    if (only("incdedup")) docLadder.foreach { case (s, n) =>
+    if (only("incdedup")) ((if (deepOnly) Nil else docLadder) ++ deepRung).foreach { case (s, n) =>
+      sizePartitions(s)
       val storeDf = corpus(spark, n)
       val batch = corpus(spark, 500)
         .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
-      measure("incdedup_selfcontained", s, n) {
+      if (!deepOnly) measure("incdedup_selfcontained", s, n) {
         Dedup.incrementalNearDupPairs(storeDf, batch, "text", "doc_id",
           threshold = 0.5).count()
       }
@@ -508,7 +530,8 @@ object Scale {
     //     wall/shuffle should stay near-flat across 1x→100x while the
     //     corpus (and its build cost) grows 100x, because the probe reads
     //     only the query terms' bucket directories.
-    if (only("lexserve")) docLadder.foreach { case (s, n) =>
+    if (only("lexserve")) ((if (deepOnly) Nil else docLadder) ++ deepRung).foreach { case (s, n) =>
+      sizePartitions(s)
       val base = java.nio.file.Files.createTempDirectory("graft-scale-lex-").toString
       corpus(spark, n).select(col("doc_id"), col("text"))
         .write.mode("overwrite").parquet(s"$base/store")

@@ -132,27 +132,18 @@ object Dedup {
     // session's shuffle width — a corpus at scale already has partitions.
     val np = df.sparkSession.sessionState.conf.numShufflePartitions
     val src = if (df.rdd.getNumPartitions < np) df.repartition(np) else df
-    src.select(col(idCol), explode(hashedShinglesUdf(n)(col(textCol))).as("shingle"))
-      .distinct()
+    // per-doc SET semantics live INSIDE the shingling map (the id is in
+    // every key, so a global distinct() was only ever per-doc dedup — paid
+    // as a full (id, shingle) shuffle). Beyond the saved shuffle, skipping
+    // it preserves DOC-LOCALITY into minhashWide's groupBy: with each
+    // doc's shingles contiguous in its source partition, the map-side
+    // partial aggregation collapses to ~one wide row per doc. The
+    // distinct()'s scatter defeated that combine progressively with scale
+    // — the 1000x rung measured the build's shuffle decades at 9.7x, 18x,
+    // 37x per 10x of corpus (wide partial rows ∝ partitions × docs), the
+    // superlinear term this spelling removes.
+    src.select(col(idCol), explode(hashedShingleSetUdf(n)(col(textCol))).as("shingle"))
   }
-
-  private def hashedShinglesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { text: String =>
-      if (text == null) Array.empty[Long]
-      else {
-        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-        if (toks.length < n) Array.empty[Long]
-        else {
-          val md = java.security.MessageDigest.getInstance("SHA-256")
-          Array.tabulate(toks.length - n + 1) { i =>
-            md.reset()
-            val d = md.digest(toks.slice(i, i + n).mkString(" ").getBytes("UTF-8"))
-            // first 15 hex chars == top 60 bits of the first 8 digest bytes
-            java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
-          }
-        }
-      }
-    }
 
   /** [[hashedShinglesUdf]] with per-doc SET semantics baked in: distinct,
     * ascending-sorted hashes — the dedup and the order are per-row facts,

@@ -2761,6 +2761,155 @@ class EngineSpec extends SparkSpec {
     assert("TABLE".replaceAll(p, "<em>$1</em>") == "<em>TABLE</em>",
       "highlight is case-insensitive")
   }
+
+  // ------------------------------------------------------- crash recovery
+  // Round-12 verdict task 8: for each mutating verb, fabricate the exact
+  // on-disk state a crash in its write→commit/stamp window leaves behind
+  // (the q153-fsck / crashed-lexical-extend discipline — a deterministic
+  // kill mid-JVM isn't injectable, the post-crash layout is), and assert
+  // the engine serves the OLD state, recovers, or flags — never a torn one.
+
+  private def hits(e: Engine, q: String = "data processing pipeline") =
+    e.search(Seq(q)).select("doc_id", "score", "rank")
+      .collect().map(_.toString).toSeq
+
+  test("crash: compact() dies between the index rewrite and its fingerprint re-stamp") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash-compact").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 8, nprobe = 8, ivfThreshold = 1L)
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    (0 until 4).foreach(w => eng.ingest(docs.filter(col("doc_id") % 4 === w)))
+    eng.update()
+    val before = hits(new Engine(spark, cfg))
+    eng.compact(maxRecordsPerFile = 50L)
+    // the crash window: the rewrite flipped the layout's files but the
+    // process died before stampFingerprint — fabricate it by deleting the
+    // stamp the re-stamp step writes
+    val stamp = new java.io.File(s"$dir/index_ivf/_INDEX_FINGERPRINT")
+    assert(stamp.exists, "fixture drift: the fingerprint stamp moved")
+    assert(stamp.delete())
+    // a fresh engine must NOT serve a half-committed layout: the missing
+    // stamp reads as stale, the IVF handle rebuilds, results are identical
+    val after = new Engine(spark, cfg)
+    assert(hits(after) == before, "post-crash serving diverged")
+    assert(after.fsck().collect().head.getAs[Boolean]("consistent"))
+  }
+
+  test("crash: compactClustered() dies before the lexical re-stamp — hybrid rebuilds, same results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash-cluster").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang", "n_chars")
+    (0 until 5).foreach(w => eng.ingest(docs.filter(col("doc_id") % 5 === w)))
+    eng.update()
+    val before = new Engine(spark, cfg).hybridSearch(Seq("data processing"))
+      .collect().map(_.toString).toSeq
+    eng.compactClustered("lang", maxRecordsPerFile = 100L)
+    // the crash window: the store rewrite landed (fingerprint flipped) but
+    // the process died before the lexical layout's re-stamp — fabricate it
+    // by deleting the lex stamp
+    val lexStamp = new java.io.File(s"$dir/index_lex/_STORE_FINGERPRINT")
+    assert(lexStamp.exists, "fixture drift: the lexical stamp moved")
+    assert(lexStamp.delete())
+    // stale/missing stamp → the next hybrid call rebuilds the postings
+    // from the compacted store; content is unchanged, so results match
+    val after = new Engine(spark, cfg).hybridSearch(Seq("data processing"))
+      .collect().map(_.toString).toSeq
+    assert(after == before, "post-crash hybrid serving diverged")
+  }
+
+  test("crash: alias alter dies before the rename — the old pointer still serves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash-alias").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val v1 = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/i1")
+    val e1 = new Engine(spark, v1)
+    e1.ingest(docs); e1.update()
+    val alias = s"$dir/collection.alias"
+    Engine.writeAlias(spark, alias, v1)
+    val before = hits(Engine.forAlias(spark, alias))
+    // the crash window: alter_alias wrote the NEW pointer's temp file but
+    // died before the atomic rename — fabricate the leftover temp (and
+    // make it torn for good measure: half a config line)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$alias.tmp"),
+      "store_path: /nowhere/sto".getBytes("UTF-8"))
+    // resolution must keep serving v1 — the temp is invisible to forAlias
+    assert(hits(Engine.forAlias(spark, alias)) == before,
+      "a leftover alias temp changed resolution")
+    // and a retried alter overwrites the temp and commits atomically
+    val v2 = v1.copy(indexPath = s"$dir/i2")
+    new Engine(spark, v2).update()
+    Engine.writeAlias(spark, alias, v2)
+    assert(Engine.forAlias(spark, alias).cfg.indexPath == s"$dir/i2")
+    assert(!new java.io.File(s"$alias.tmp").exists, "the temp must not linger")
+  }
+
+  test("crash: TTL vacuum dies between the index prune and the store rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash-ttl").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      ttlField = "n_chars")
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars")
+    eng.ingest(docs); eng.update()
+    eng.expireBefore(250L) // n_chars < 250 expires (logical, instant)
+    val expected = hits(new Engine(spark, cfg))
+    // delete()'s crash ordering: the index prunes FIRST, the store rewrites
+    // second. Fabricate the only state the verb can leave mid-flight —
+    // index pruned, store untouched — by snapshotting the store, vacuuming,
+    // and restoring the pre-vacuum store.
+    val storeCopy = s"$dir/store_prevac"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$dir/store"), new java.io.File(storeCopy))
+    assert(eng.vacuumExpired() > 0L, "fixture drift: nothing expired")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/store"))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(storeCopy), new java.io.File(s"$dir/store"))
+    val post = new Engine(spark, cfg)
+    // serving stays EXACT: the pruned index rows belonged to expired docs
+    // (they never ranked — the TTL gate already hid them), the surviving
+    // store rows of expired docs stay masked by the same gate. Ranks are
+    // contiguous, results identical. (The old store-first ordering left
+    // index ORPHANS here, which took top-k ranks and then vanished at
+    // hydration — rank holes; this spec caught it, the reorder fixed it.)
+    assert(hits(post) == expected, "post-crash TTL serving diverged")
+    // fsck FLAGS the half-finished pair (docs in store, not in index)
+    val audit = post.fsck().collect().head
+    assert(audit.getAs[Long]("n_missing") > 0L,
+      "fsck must flag the store rows the index prune outran")
+    // the RETRY is the recovery: vacuum again completes the store rewrite
+    assert(eng.vacuumExpired() > 0L)
+    assert(new Engine(spark, cfg).fsck().collect().head.getAs[Boolean]("consistent"))
+    assert(hits(new Engine(spark, cfg)) == expected)
+  }
+
+  test("crash: bulk import dies mid-rename — the retry imports exactly the missing suffix") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash-import").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val eng = new Engine(spark, cfg)
+    eng.ingest(docs.filter(col("doc_id") % 3 === 0)) // pre-existing corpus
+    val staging = s"$dir/staging"
+    docs.filter(col("doc_id") % 3 =!= 0).write.parquet(staging)
+    // the crash window: validation passed, the rename sequence made a
+    // PREFIX of the staged rows visible, then the process died — fabricate
+    // the prefix by ingesting half the staged rows directly
+    eng.ingest(docs.filter(col("doc_id") % 3 === 1))
+    val total = docs.count()
+    val prefixState = eng.store().count()
+    assert(prefixState < total)
+    // the RETRY is the recovery path: the anti-join skips every visible
+    // row and imports exactly the missing suffix, exactly once
+    val imported = eng.bulkImport(staging)
+    assert(imported == total - prefixState,
+      s"retry imported $imported, wanted ${total - prefixState}")
+    assert(eng.store().count() == total)
+    assert(eng.store().select("doc_id").distinct().count() == total,
+      "the retry duplicated a visible row")
+    // a second retry is a no-op
+    assert(eng.bulkImport(staging) == 0L)
+  }
 }
 
 object SparkEntryTestHelpers {
