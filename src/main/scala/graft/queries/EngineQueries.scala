@@ -1488,6 +1488,29 @@ object EngineQueries {
       new Engine(s, cfg).searchSparse(porterTexts, k = 8)
     }),
 
+    // Porter2 on the EXPR route — the two-routes-agree contract (q280's
+    // pattern) for the full stemmer: TEXT_MATCH inside a raw filter expr
+    // must analyze BOTH sides with english_porter (query terms stem
+    // driver-side; field tokens through the registered porter_stem UDF in
+    // the translated SQL), so 'relate' in the expr finds docs whose text
+    // says 'relational' — composed with a scalar arm under && precedence.
+    "q289_expr_match_porter" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q289_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        analyzer = "english_porter")
+      val eng = new Engine(s, cfg)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "n_chars")
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" relational generously")))
+            .otherwise(col("text")))
+      eng.ingest(docs)
+      new Engine(s, cfg).retrieve(
+        """TEXT_MATCH(text, "relate generous") && n_chars > 100""",
+        Seq("n_chars"), limit = 150)
+    }),
+
     // Length token filter — Milvus's analyzer_params `length` filter as
     // the config suffix `|len:<min>:<max>`, applied after the stoplist on
     // BOTH sides: 3-letter query terms ('dup', 'big') drop, and
@@ -4837,6 +4860,39 @@ ORDER BY r.query_id, r.rank""")
       """  SELECT doc_id, CASE WHEN doc_id % 5 = 0
         |    THEN text || ' relational generously' ELSE text END AS text
         |  FROM documents""".stripMargin),
+
+    // q289: the expr-route TEXT_MATCH under the full stemmer — field
+    // tokens run the same stop→Porter2 pipeline (per-step CTE chain),
+    // query terms stem to the same literals, membership is the filter
+    "q289_expr_match_porter" -> {
+      val stopIn = graft.Engine.englishStopwords.toSeq.sorted
+        .map(s => s"'$s'").mkString(", ")
+      // the term set rides a VALUES subquery, NOT a constant IN-list: a
+      // constant predicate gets pushed down the 12-CTE stemming chain by
+      // expression substitution (each CTE's nested CASE inlines into the
+      // next — exponential planning; DuckDB spun >60 s on 60 docs), while
+      // an IN (subquery) plans as a semi-join above the chain (2 s)
+      val terms = Seq("relate", "generous")
+        .map(graft.functions.Porter2.stem)
+        .map(t => s"('$t')").mkString(", ")
+      s"""WITH docs2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' relational generously'
+         |         ELSE text END AS text,
+         |    n_chars
+         |  FROM documents),
+         |tok0 AS (
+         |  SELECT doc_id, ltk FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS ltk
+         |    FROM docs2 WHERE length(trim(text)) > 0) u
+         |  WHERE ltk NOT IN ($stopIn)),
+         |${graft.functions.Porter2.sqlCtes("tok0", "doc_id", "ltk", "ps")},
+         |m AS (SELECT DISTINCT doc_id FROM psout
+         |      WHERE tok IN (SELECT t FROM (VALUES $terms) v(t)))
+         |SELECT d.doc_id, d.n_chars FROM docs2 d JOIN m USING (doc_id)
+         |WHERE d.n_chars > 100
+         |ORDER BY d.doc_id LIMIT 150""".stripMargin
+    },
 
     // the RaBitQ replay: global Hamming cut over the SIGN comparison of
     // the same normalized embeddings (nprobe = nlist, so no probe window),
