@@ -28,11 +28,17 @@ object BenchServe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_FAIR=1 measures the latency-SLO configuration: FAIR
+    // scheduling shares the executor pool round-robin across the
+    // concurrent streams' jobs instead of FIFO's arrival order — the knob
+    // a p95-bound deployment flips (documented in BASELINE.md either way)
+    val fair = sys.env.get("SPARK_GRAFT_FAIR").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.scheduler.mode", if (fair) "FAIR" else "FIFO")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -109,10 +115,10 @@ object BenchServe {
     }.mkString(",")
     val flagJson = flags.distinct.map(f => s""""$f"""").mkString("[", ",", "]")
     spark.stop()
-    val line = s"""{"metric":"serve","sf":"$sfDir","cpus":$cpus,"verbs":{$verbJson},"p95_over_3x_solo":$flagJson}"""
+    val line = s"""{"metric":"serve","sf":"$sfDir","cpus":$cpus,"scheduler":"${if (fair) "FAIR" else "FIFO"}","verbs":{$verbJson},"p95_over_3x_solo":$flagJson}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SERVE_FILE",
-        s"BENCH_SERVE_${new java.io.File(sfDir).getName}.json")),
+        s"BENCH_SERVE_${new java.io.File(sfDir).getName}${if (fair) "_fair" else ""}.json")),
       line.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line)
