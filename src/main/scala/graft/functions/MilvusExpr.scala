@@ -239,6 +239,20 @@ object MilvusExpr {
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         protect(s"${fieldRef(m.group(1))} IS NOT NULL")))
 
+    // 3c'. `**` rewrites BEFORE the chain pass (Milvus's power operator
+    // has no SQL spelling; the base routes through fieldRef so dynamic
+    // fields and json-path placeholders resolve). Order matters: the
+    // protected power() fragment is then an ATOMIC operand the chain
+    // grammar accepts, so `1 < f ** 2 < 9` chains correctly — with the
+    // chain pass first it would bind the bare exponent (`2 < f ... `)
+    // and emit garbage.
+    s = qr("(" + IDF.drop(1).dropRight(1) + """|\d+(?:\.\d+)?)\s*\*\*\s*(\d+(?:\.\d+)?)""")
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement({
+        val base = m.group(1)
+        val ref = if (base.matches("""\d+(?:\.\d+)?""")) base else fieldRef(base)
+        protect(s"power($ref, ${m.group(2)})")
+      }))
+
     // 3c. chained comparisons — Milvus allows `10 <= height < 20` (one
     // range, N comparators); SQL has no chained comparison, so the FULL
     // n-ary chain is matched in ONE pass and rewritten to a
@@ -283,15 +297,7 @@ object MilvusExpr {
       }
     }
 
-    // 4. operator spellings (** first: Milvus's power operator has no SQL
-    // spelling; the base routes through fieldRef so dynamic fields and
-    // json-path placeholders resolve)
-    s = qr("(" + IDF.drop(1).dropRight(1) + """|\d+(?:\.\d+)?)\s*\*\*\s*(\d+(?:\.\d+)?)""")
-      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement({
-        val base = m.group(1)
-        val ref = if (base.matches("""\d+(?:\.\d+)?""")) base else fieldRef(base)
-        protect(s"power($ref, ${m.group(2)})")
-      }))
+    // 4. remaining operator spellings (** already handled at 3c')
     s = s.replace("==", " = ").replace("&&", " and ").replace("||", " or ")
     // 5. remaining brackets are in-lists
     s = s.replace("[", "(").replace("]", ")")

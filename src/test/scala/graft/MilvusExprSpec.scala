@@ -181,6 +181,11 @@ class MilvusExprSpec extends AnyFunSuite {
     assert(s2 == "lang = 'en' and not (1 < n_chars and n_chars < 9)")
   }
 
+  test("a power-operand chain works: power() protects first, then chains") {
+    val s = tr("1 < n_chars ** 2 < 900").replaceAll("\\s+", " ")
+    assert(s == "(1 < power(`n_chars`, 2) and power(`n_chars`, 2) < 900)", s)
+  }
+
   test("a chained comparison with an arithmetic middle operand fails loudly") {
     val e = intercept[IllegalArgumentException](tr("10 <= n_chars + 1 < 20"))
     assert(e.getMessage.contains("chained comparison"), e.getMessage)
