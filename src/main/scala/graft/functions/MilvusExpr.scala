@@ -245,13 +245,40 @@ object MilvusExpr {
     // protected power() fragment is then an ATOMIC operand the chain
     // grammar accepts, so `1 < f ** 2 < 9` chains correctly — with the
     // chain pass first it would bind the bare exponent (`2 < f ... `)
-    // and emit garbage.
-    s = qr("(" + IDF.drop(1).dropRight(1) + """|\d+(?:\.\d+)?)\s*\*\*\s*(\d+(?:\.\d+)?)""")
-      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement({
-        val base = m.group(1)
-        val ref = if (base.matches("""\d+(?:\.\d+)?""")) base else fieldRef(base)
-        protect(s"power($ref, ${m.group(2)})")
-      }))
+    // and emit garbage. The pass LOOPS to fixpoint so explicitly
+    // parenthesized nesting works — `(f ** 2) ** 3` protects the inner
+    // power on pass one and the outer (whose base is then `(GEN)`) on
+    // pass two. A bare `f ** 2 ** 3` is ambiguous (Milvus does not
+    // document ** associativity) and is REJECTED below rather than
+    // silently picking a grouping or leaking a raw `**` to Spark's
+    // parser as a baffling syntax error.
+    locally {
+      val atom = IDF.drop(1).dropRight(1) + """|\d+(?:\.\d+)?"""
+      val parenGen = """\(\s*""" + GEN + """\d+""" + GEN + """\s*\)"""
+      // the lookarounds keep a bare double-power (`f ** 2 ** 3`) from
+      // matching either arm, so it reaches the residual throw instead of
+      // silently picking an associativity; single `*` neighbors
+      // (multiplication around a power) still match
+      val powRe = qr("""(?<!\*\*[ \t]{0,8})(""" + parenGen + "|" + atom +
+        """)\s*\*\*\s*(""" + parenGen + "|" + GEN + """\d+""" + GEN +
+        """|\d+(?:\.\d+)?)(?![ \t]*\*\*)""")
+      var prev = ""
+      while (prev != s) {
+        prev = s
+        s = powRe.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement({
+          val base = m.group(1)
+          val ref =
+            if (base.matches("""\d+(?:\.\d+)?""") || base.charAt(0) == '(' ||
+              base.charAt(0) == GEN) base
+            else fieldRef(base)
+          protect(s"power($ref, ${m.group(2)})")
+        }))
+      }
+      if (s.contains("**"))
+        throw new IllegalArgumentException(
+          "unsupported power expression (** base/exponent must be a field, " +
+            s"number, or parenthesized power; parenthesize to disambiguate): $epr")
+    }
 
     // 3c. chained comparisons — Milvus allows `10 <= height < 20` (one
     // range, N comparators); SQL has no chained comparison, so the FULL
@@ -271,6 +298,29 @@ object MilvusExpr {
       val opRe = ("(" + cmp + ")").r
       s = chain.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement({
         val whole = m.matched
+        // an arithmetic EDGE operand (`a - 5 < f < 10`, `5 < f < 10 + 1`):
+        // the OPND grammar matched only the bare head/tail literal, so the
+        // rewrite would splice a boolean conjunction into the arithmetic —
+        // Spark's analyzer then emits a baffling numeric-vs-boolean error.
+        // Detect the abutting arithmetic token and fail HERE instead (the
+        // residual check below only catches arithmetic MIDDLE operands). A
+        // head operand that starts with `-` directly after an identifier,
+        // digit, `)`, or placeholder is a subtraction in disguise
+        // (`a -5 < f < 10`) — same rejection.
+        val arith = Set('+', '-', '*', '/', '%')
+        val pre = m.before.toString.reverse.dropWhile(_.isWhitespace).headOption
+        val post = m.after.toString.dropWhile(_.isWhitespace).headOption
+        // …but a preceding KEYWORD (`and -60 <= f <= 99`) is a connective,
+        // not a left operand — the `-` is a genuine negative literal there
+        val prevWord = """([A-Za-z_$][A-Za-z0-9_$]*)\s*$""".r
+          .findFirstMatchIn(m.before).map(_.group(1).toLowerCase)
+        val negSub = whole.charAt(0) == '-' && pre.exists(c =>
+          c.isLetterOrDigit || c == '_' || c == '$' || c == ')' || c == GEN) &&
+          !prevWord.exists(keywords.contains)
+        if (pre.exists(arith) || post.exists(arith) || negSub)
+          throw new IllegalArgumentException(
+            "unsupported chained comparison (arithmetic edge operand; " +
+              s"parenthesize or split the range): $epr")
         val ops = opRe.findAllIn(whole).toSeq
         val opnds = ("""\s*(?:""" + cmp + """)\s*""").r.split(whole).toSeq
         "(" + ops.indices.map(i =>
@@ -286,8 +336,13 @@ object MilvusExpr {
     locally {
       val cmpTok = """<=|>=|<|>""".r
       // `&&`/`||` count as connectives too — they rewrite to and/or only
-      // at pass 4, after this check
-      val sep = """(?i)&&|\|\||[(),\[\]]|\b(and|or|between)\b""".r
+      // at pass 4, after this check. Likewise `==`/`!=` (rewritten at
+      // pass 4) and bare `=`: a valid expression with ordered comparisons
+      // on both sides of an (in)equality (`a < b == c < d`) is NOT a
+      // residual chain. A bare `=` also covers the `=` inside `!=`; the
+      // `=` of `<=`/`>=` never appears in the between-substring because
+      // cmpTok consumes the full two-char comparator.
+      val sep = """(?i)=|&&|\|\||[(),\[\]]|\b(and|or|between)\b""".r
       cmpTok.findAllMatchIn(s).toSeq.sliding(2).foreach {
         case Seq(a, b) if sep.findFirstIn(s.substring(a.end, b.start)).isEmpty =>
           throw new IllegalArgumentException(

@@ -145,8 +145,9 @@ object Dedup {
     src.select(col(idCol), explode(hashedShingleSetUdf(n)(col(textCol))).as("shingle"))
   }
 
-  /** [[hashedShinglesUdf]] with per-doc SET semantics baked in: distinct,
-    * ascending-sorted hashes — the dedup and the order are per-row facts,
+  /** Per-doc hashed word n-gram shingles with SET semantics baked in:
+    * distinct, ascending-sorted hashes (sha256-derived 64-bit per shingle)
+    * — the dedup and the order are per-row facts,
     * so computing them inside the shingling map is free while the
     * explode-then-distinct spelling pays a full shuffle for the same set. */
   private def hashedShingleSetUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =

@@ -196,6 +196,49 @@ class MilvusExprSpec extends AnyFunSuite {
     assert(tr("n_chars >= 1 && n_chars <= 9").contains("and"))
   }
 
+  test("a chained comparison with an arithmetic EDGE operand fails loudly") {
+    // leading arithmetic: OPND would bind the bare literal and splice a
+    // boolean into the subtraction — must throw at the translator, not
+    // leak Spark's numeric-vs-boolean analyzer error
+    for (e <- Seq("n_chars - 5 < doc_id < 10", "n_chars + 1 < doc_id < 10",
+      "n_chars -5 < doc_id < 10", "5 < doc_id < 10 + 1",
+      "5 < doc_id < 10 * 2")) {
+      val ex = intercept[IllegalArgumentException](tr(e))
+      assert(ex.getMessage.contains("chained comparison"), s"$e → ${ex.getMessage}")
+    }
+    // a NEGATIVE head literal with no abutting term is a plain chain
+    val ok = tr("-5 < n_chars < 10").replaceAll("\\s+", " ")
+    assert(ok == "(-5 < n_chars and n_chars < 10)", ok)
+    // splitting the range (the error's advice) translates fine
+    assert(tr("(n_chars - 5 < doc_id) and (doc_id < 10)").contains("and"))
+  }
+
+  test("comparisons on both sides of an (in)equality are NOT a chain") {
+    // ==/!= rewrite to SQL only after the residual-chain check — the sep
+    // regex must still treat them as connectives
+    val s1 = tr("n_chars < 100 == doc_id < 10").replaceAll("\\s+", " ")
+    assert(s1 == "n_chars < 100 = doc_id < 10", s1)
+    val s2 = tr("n_chars < 100 != doc_id < 10").replaceAll("\\s+", " ")
+    assert(s2 == "n_chars < 100 != doc_id < 10", s2)
+  }
+
+  test("nested powers: parenthesized forms translate, bare chains throw") {
+    val s1 = tr("(n_chars ** 2) ** 3 > 1").replaceAll("\\s+", " ")
+    assert(s1 == "(power(`n_chars`, 2)) ** 3 > 1".replaceAll("\\s+", " ")
+      || s1 == "power((power(`n_chars`, 2)), 3) > 1", s1)
+    val s2 = tr("n_chars ** (2 ** 3) > 1").replaceAll("\\s+", " ")
+    assert(s2 == "power(`n_chars`, (power(2, 3))) > 1", s2)
+    // a bare double power is ambiguous — translator-level rejection, not
+    // a raw ** leaking into Spark's parser
+    val ex = intercept[IllegalArgumentException](tr("n_chars ** 2 ** 3 > 1"))
+    assert(ex.getMessage.contains("power"), ex.getMessage)
+    // multiplication around a power still flows through
+    val s3 = tr("n_chars ** 2 * 3 > 1").replaceAll("\\s+", " ")
+    assert(s3 == "power(`n_chars`, 2) * 3 > 1", s3)
+    val s4 = tr("3 * n_chars ** 2 > 1").replaceAll("\\s+", " ")
+    assert(s4 == "3 * power(`n_chars`, 2) > 1", s4)
+  }
+
   test("IS NULL / IS NOT NULL / not like pass through, incl. dynamic + json") {
     val s1 = tr("lang is null").replaceAll("\\s+", " ")
     assert(s1 == "lang is null")
