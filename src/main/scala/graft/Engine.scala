@@ -888,6 +888,31 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
                limit: Int = 100): DataFrame =
     query(exprPredicate(epr), outputFields, limit)
 
+  /**
+   * Filtered counting — Milvus's documented counting verb,
+   * `query(expr, output_fields=["count(*)"])` (the counting sibling of
+   * `vdb.py:218-223`'s retrieve; [[describe]]'s num_entities is the
+   * unfiltered special case): how many servable rows match a filter,
+   * WITHOUT materializing any of them. The expr is a raw Milvus string
+   * through the same translator as [[retrieve]]; the predicate pushes to
+   * the parquet scan and the COUNT aggregates no data column, so Spark
+   * prunes the read schema to exactly the filter's columns — an empty
+   * expr reads NO columns at all and degrades to parquet footer row
+   * counts. Mask gates (TTL horizon, tombstones) ride along exactly as
+   * on every other read verb: a counted row is precisely a servable row,
+   * including mid-mutation. The one-row result carries Milvus's literal
+   * output field name `count(*)`.
+   */
+  def queryCountDf(epr: String = ""): DataFrame = {
+    admit()
+    activeStore().filter(exprPredicate(epr))
+      .agg(count(lit(1)).as("count(*)"))
+  }
+
+  /** [[queryCountDf]] unwrapped — the matching-row count as a Long. */
+  def queryCount(epr: String = ""): Long =
+    queryCountDf(epr).head().getLong(0)
+
   /** The ONE expr-string → predicate translation every expr-taking verb
     * (retrieve / searchExpr / hybridSearchExpr / retrieveIterator /
     * future delete-by-expr spellings) routes through: dynamic-field

@@ -1017,6 +1017,33 @@ object EngineQueries {
         Seq(Engine.DynamicField), limit = 200)
     }),
 
+    // Filtered counting — Milvus's documented counting verb,
+    // query(expr, output_fields=["count(*)"]): the count of matching
+    // servable rows with no row materialization. Four probes through ONE
+    // collection: match-all (footer row counts — no column read), a
+    // physical declared column, a dynamic field (numeric compare through
+    // the $meta JSON hop), and an explicit JSON-path access with an
+    // in-list. The oracle replays each translated predicate as a plain
+    // COUNT; EngineSpec gates the no-data-column plan claim.
+    "q291_filtered_count" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q291_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg)
+      eng.ingestDynamic(
+        t(s, dir, "documents").select("doc_id", "text", "lang", "source", "n_chars"),
+        declared = Seq("lang"))
+      val e2 = new Engine(s, cfg)
+      Seq(
+        "all" -> "",
+        "dynamic" -> "n_chars > 400",
+        "jsonpath" -> """$meta["source"] in ["src3", "src7"]""",
+        "physical" -> """lang == "en" || lang like "d%"""")
+        .map { case (nm, e) =>
+          e2.queryCountDf(e).select(lit(nm).as("probe"), col("`count(*)`").as("cnt"))
+        }.reduce(_ unionByName _).orderBy("probe")
+    }),
+
     // Tenant removal — Milvus's drop_partition over a partition_key
     // collection: the named tenants leave the store (pushed-predicate
     // rewrite, no join), the index (their hive directories are REMOVED —
@@ -4310,6 +4337,22 @@ c AS (""")
         |WHERE (lang2 IS NULL AND n_chars >= 300)
         |   OR (sd IS NOT NULL AND lang2 NOT LIKE 'e%')
         |ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    // each translated count replays as a plain COUNT under the same
+    // predicate; the dynamic numeric compare routes through the JSON hop
+    // exactly like the store does
+    "q291_filtered_count" ->
+      """SELECT probe, cnt FROM (
+        |  SELECT 'all' AS probe, count(*) AS cnt FROM documents
+        |  UNION ALL
+        |  SELECT 'dynamic', count(*) FROM documents WHERE n_chars > 400
+        |  UNION ALL
+        |  SELECT 'jsonpath', count(*) FROM documents
+        |  WHERE source IN ('src3', 'src7')
+        |  UNION ALL
+        |  SELECT 'physical', count(*) FROM documents
+        |  WHERE lang = 'en' OR lang LIKE 'd%') t
+        |ORDER BY probe""".stripMargin,
 
     // the lifecycle replay over the surviving tenants only
     "q223_drop_partition" -> lifecycleSearchSql.replace(

@@ -38,6 +38,43 @@ class EngineSpec extends SparkSpec {
     assert(q0.sameElements(q0.sorted(Ordering[Double].reverse)))
   }
 
+  test("queryCount: filtered counting verb reads no data column; masks ride along") {
+    val eng = freshEngine()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    eng.ingestDynamic(docs, declared = Seq("lang"))
+    // counts equal the plain filtered counts on every field class
+    assert(eng.queryCount() == docs.count())
+    assert(eng.queryCount("""lang == "en"""") ==
+      docs.filter(col("lang") === "en").count())
+    assert(eng.queryCount("n_chars > 400") == // dynamic field
+      docs.filter(col("n_chars") > 400).count())
+    assert(eng.queryCount("""$meta["source"] == "src3"""") == // json path
+      docs.filter(col("source") === "src3").count())
+    // the one-row frame carries Milvus's literal output field name
+    assert(eng.queryCountDf().columns.toSeq == Seq("count(*)"))
+    // plan gate: the store scan reads ONLY the filter's columns — a count
+    // never materializes a data column, and match-all reads none at all
+    // (parquet footer row counts)
+    def readCols(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.sparkPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.requiredSchema.fieldNames.toSet
+      }.flatten.toSet
+    assert(readCols(eng.queryCountDf()) == Set.empty[String],
+      "a match-all count must read no columns")
+    val rc = readCols(eng.queryCountDf("""lang == "en""""))
+    assert(rc == Set("lang"), s"filtered count read $rc")
+    // a soft-deleted row leaves every subsequent count (servable == counted)
+    val n = eng.queryCount("""lang == "en"""")
+    import spark.implicits._
+    val dead = docs.filter(col("lang") === "en").select("doc_id")
+      .orderBy("doc_id").limit(3)
+    assert(eng.deleteSoft(dead) == 3L)
+    assert(eng.queryCount("""lang == "en"""") == n - 3)
+    assert(eng.queryCount() == docs.count() - 3)
+  }
+
   test("compact bin-packs a fragmented store+index without changing any result") {
     val eng = freshEngine()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
