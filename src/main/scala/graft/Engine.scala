@@ -3499,6 +3499,170 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // =====================================================================
+  // Multi-vector-field collections — Milvus 2.4: a collection may declare
+  // SEVERAL dense vector fields per row (`vdb.py:203-208`'s single-vector
+  // schema generalized per the Milvus multi-vector docs), each field with
+  // its OWN index, and `hybrid_search` fuses AnnSearchRequests across
+  // them. Here a vector field is any array<float>/array<double> document
+  // column — client-supplied at ingest, e.g. a text embedding beside a
+  // [[graft.operators.Multimodal]]-derived image embedding; dims may
+  // differ per field. Each field's serving layout is an independent
+  // seeded-quantizer IVF ([[VectorSearch.buildIvfSeeded]] — training-free,
+  // SQL-replayable) persisted hive-by-cell in its OWN directory
+  // (`<indexPath>_vf_<field>`), store-fingerprint-stamped like every
+  // other layout: building or rebuilding one field never reads or
+  // rewrites another field's bytes (EngineSpec gates the isolation).
+  // Scale shape: a probe is a partition filter on that field's cells;
+  // every request pool cuts to kPool per query BEFORE the fusion, so the
+  // fusion shuffles O(nq·kPool·fields) rows at any corpus size.
+  // =====================================================================
+
+  private def isVecType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType |
+      org.apache.spark.sql.types.DoubleType, _) => true
+    case _ => false
+  }
+
+  /** The collection's declared dense vector fields — every numeric-array
+    * document column (Milvus 2.4 allows up to four; we don't cap). */
+  def vectorFields(): Seq[String] =
+    store().schema.fields.filter(f => isVecType(f.dataType)).map(_.name).toSeq.sorted
+
+  private def requireVectorField(field: String): Unit = {
+    val f = store().schema.fields.find(_.name == field)
+    require(f.nonEmpty, s"no such field '$field' (store has ${store().columns.mkString(", ")})")
+    require(isVecType(f.get.dataType),
+      s"'$field' is not a dense vector field (${f.get.dataType.simpleString})")
+  }
+
+  /** A field's dimensionality, read from the first non-null vector (one
+    * row of one column — metadata-cheap at any store size). */
+  private def fieldDim(field: String): Int = {
+    val rows = store().select(size(col(field)).as("d")).filter(col("d") > 0).take(1)
+    require(rows.nonEmpty, s"vector field '$field' has no non-null vectors")
+    rows.head.getInt(0)
+  }
+
+  private def vfRoot(field: String): String = s"${cfg.indexPath}_vf_$field"
+
+  private val fieldIvfMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, VectorSearch.IvfIndex]()
+
+  /**
+   * The per-field index — Milvus's `create_index(field_name=...)` on one
+   * of several vector fields. Build-if-stale under the store fingerprint
+   * ([[ensureJsonIdx]]'s discipline); rows without the field simply don't
+   * enter that field's layout (a nullable vector field ranks only the
+   * rows that carry it). The quantizer is the data-independent seeded
+   * family, so there is NO training pass: the build is one narrow
+   * assignment map over (doc_id, field) plus the partitioned write.
+   */
+  def fieldIndex(field: String, nlist: Int = 0): VectorSearch.IvfIndex = {
+    requireVectorField(field)
+    val nl = if (nlist > 0) nlist else cfg.nlist
+    val root = vfRoot(field)
+    val stamp = new org.apache.hadoop.fs.Path(s"$root/_STORE_FINGERPRINT")
+    val dim = fieldDim(field)
+    val fp = s"${pathFingerprint(cfg.storePath)}|VF;field=$field;nlist=$nl;dim=$dim;seeded"
+    if (!readStamp(stamp).contains(fp)) synchronized {
+      if (!readStamp(stamp).contains(fp)) {
+        fieldIvfMemo.remove(field)
+        val corpus = widen(store())
+          .select(col("doc_id"), col(field).cast("array<float>").as(field))
+          .filter(col(field).isNotNull && size(col(field)) === dim)
+        val built = VectorSearch.buildIvfSeeded(corpus, nl, dim,
+          idCol = "doc_id", vecCol = field)
+        VectorSearch.writeIvf(built, root)
+        writeStamp(stamp, fp)
+      }
+    }
+    Option(fieldIvfMemo.get(field)).getOrElse {
+      val loaded = VectorSearch.loadIvf(spark, root, idCol = "doc_id", vecCol = field)
+      fieldIvfMemo.put(field, loaded)
+      loaded
+    }
+  }
+
+  /** Query vectors → the standard (query_id, query_vec) frame. */
+  private def vecQueryDf(vectors: Seq[Seq[Float]]): DataFrame = {
+    import spark.implicits._
+    vectors.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("query_id", "query_vec")
+  }
+
+  /** One field's masked, kPool-cut ANN ranking — the per-request pool
+    * both [[searchVectorField]] and [[hybridSearchFields]] consume. */
+  private def fieldPool(field: String, vectors: Seq[Seq[Float]],
+                        kPool: Int, nprobe: Int): DataFrame = {
+    require(vectors.nonEmpty && vectors.forall(_.nonEmpty),
+      s"field '$field': query vectors must be non-empty")
+    val layout = fieldIndex(field)
+    val np = if (nprobe > 0) nprobe else cfg.nprobe
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    val cand = layout.scoredCandidates(vecQueryDf(vectors), np)
+    // masks BEFORE the ranking window — a tombstoned doc must not leave a
+    // rank hole in the pool it would have occupied
+    maskedIds().fold(cand)(x => cand.join(broadcast(x), Seq("doc_id"), "left_anti"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kPool)
+      .select(col("query_id"), col("doc_id"), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Single-field ANN search — Milvus's `search(anns_field=...)` naming
+    * one of the collection's vector fields. `nprobe >= nlist` is exact. */
+  def searchVectorField(field: String, vectors: Seq[Seq[Float]],
+                        k: Int = 0, nprobe: Int = 0): DataFrame = {
+    admit()
+    val kk = if (k > 0) k else cfg.limit
+    fieldPool(field, vectors, kk, nprobe).orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
+   * Multi-vector `hybrid_search` — Milvus 2.4's headline verb: one
+   * AnnSearchRequest per DENSE FIELD (same `nq` query count each — e.g. a
+   * text-embedding query against `text_vec` and an image-embedding query
+   * against `image_vec`), each request pooling its own top-`kPool` from
+   * its own field index, RRF-fused with the same integer-ppm spelling as
+   * [[hybridSearchMulti]] (`10⁶ DIV (60 + rank)`, absent docs contribute
+   * 0). `field_ranks` records each pool's rank as `field:rank` pairs
+   * sorted by field name — deterministic and relationally replayable.
+   */
+  def hybridSearchFields(requests: Seq[Engine.AnnFieldRequest],
+                         k: Int = 0): DataFrame = {
+    require(requests.nonEmpty, "hybridSearchFields needs at least one request")
+    require(requests.map(_.field).distinct.size == requests.size,
+      s"one request per field, got ${requests.map(_.field)}")
+    val nq = requests.head.vectors.size
+    require(nq > 0 && requests.forall(_.vectors.size == nq),
+      "every request must carry the same number of query vectors (Milvus's nq rule)")
+    admit()
+    val kk = if (k > 0) k else cfg.limit
+    val tagged = requests.map { r =>
+      fieldPool(r.field, r.vectors, r.kPool, r.nprobe)
+        .select(col("query_id"), col("doc_id"), lit(r.field).as("field"),
+          col("rank").as("r"))
+    }.reduce(_ unionByName _)
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+    val top = tagged.groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        sum(expr("1000000 DIV (60 + r)")).as("rrf_ppm"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("field"), col("r")))),
+          p => concat(p.getField("field"), lit(":"),
+            p.getField("r").cast("string"))), ",").as("field_ranks"))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= kk)
+    store().join(broadcast(top), "doc_id")
+      .select(col("query_id"), col("doc_id"), col("field_ranks"),
+        col("rrf_ppm"), col("rank"), substring(col("text"), 1, 200).as("preview"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Memoized handle on the PERSISTED IVF layout — building the quantizer
     * is an OFFLINE step (the reference's create_index, vdb.py:209-211),
     * never part of a search. The memo holds only a lazy plan over the
@@ -3810,6 +3974,14 @@ object Engine {
     * undeclared columns into — Milvus names its dynamic-field container
     * exactly `$meta`. */
   val DynamicField: String = "$meta"
+
+  /** One dense request of a multi-vector [[graft.Engine#hybridSearchFields]]
+    * — Milvus's AnnSearchRequest: which vector field, the query vectors
+    * (one per query; every request in a batch carries the same count),
+    * the per-request pool depth, and the probe width (`0` inherits
+    * cfg.nprobe; `>= nlist` makes the pool exact). */
+  final case class AnnFieldRequest(field: String, vectors: Seq[Seq[Float]],
+                                   kPool: Int = 100, nprobe: Int = 0)
 
   /** The configurable lexical analyzer BASES (Milvus 2.5 analyzer_params).
     * The full config grammar is `<base>[|len:<min>:<max>]` — the optional

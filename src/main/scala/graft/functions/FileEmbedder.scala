@@ -268,6 +268,156 @@ object FileEmbedder {
       texts.map(t => normalize(pooled(t)))
   }
 
+  /** Layernorm epsilon — a power of two (2⁻¹⁰) so the literal has an exact
+    * decimal spelling and `var + eps` is the same double on both engines. */
+  private[graft] val LnEps: Double = java.lang.Math.scalb(1.0, -10)
+
+  /** IEEE-exact layernorm: mean and variance divide by `dim` (a power of
+    * two — exact), `1/sqrt(var+eps)` is two correctly-rounded ops, and the
+    * affine is `g·((x−mean)·inv) + b` with that exact parenthesization —
+    * every engine replaying the same operand order gets the same bits. */
+  private def layerNorm(x: Array[Double], g: Array[Double],
+                        b: Array[Double]): Array[Double] = {
+    val d = x.length
+    var mn = 0.0; var i = 0
+    while (i < d) { mn += x(i); i += 1 }
+    mn = mn / d
+    var vr = 0.0; i = 0
+    while (i < d) { val c = x(i) - mn; vr += c * c; i += 1 }
+    vr = vr / d
+    val inv = 1.0 / math.sqrt(vr + LnEps)
+    Array.tabulate(d)(r => g(r) * ((x(r) - mn) * inv) + b(r))
+  }
+
+  /** One encoder block of the [[Attn2Model]]: multi-head attention tensors
+    * (Wq/Wk/Wv sliced into `heads` row-blocks, Wo mixing the concatenated
+    * heads), the position-wise FFN tensor, and the two post-sublayer
+    * layernorms' gain/bias vectors. All shapes are validated by the model,
+    * not here — the FILE carries the topology. */
+  final case class AttnBlock(wq: Array[Array[Double]], wk: Array[Array[Double]],
+      wv: Array[Array[Double]], wo: Array[Array[Double]], w2: Array[Array[Double]],
+      g1: Array[Double], b1: Array[Double], g2: Array[Double], b2: Array[Double])
+
+  /**
+   * The ARCHITECTURE-COMPLETE deterministic transformer — [[AttnModel]]
+   * (single-head, single-layer, no norm) extended to the real encoder
+   * shape of `embed.py:21-39`'s e5 family: `heads ≥ 1` attention heads
+   * (Wq/Wk/Wv row-blocks of width dim/heads, Wo mixing the concatenation),
+   * `layers ≥ 1` stacked post-LN encoder blocks, each sublayer wrapped
+   * `x + Sublayer(x)` then layernormed (Vaswani et al. 2017's post-LN
+   * ordering, the BERT/e5 lineage). Still bit-reproducible: the softmax is
+   * the piecewise-linear exp2, divisions are by powers of two (dim, head
+   * width), layernorm is [[layerNorm]]'s fixed-order mean/var/1-over-sqrt
+   * — so a DuckDB oracle replays the whole forward hash-exactly. The
+   * `GRAFT-ATTN 2` checkpoint shape: head count, layer count, and every
+   * tensor live in the FILE.
+   */
+  final case class Attn2Model(features: Array[Char], maxlen: Int, heads: Int,
+      pos: Array[Array[Double]], we: Array[Array[Double]],
+      blocks: List[AttnBlock]) extends Ckpt {
+    val dim: Int = we.length
+    require(maxlen >= 1 && pos.length == maxlen && pos.forall(_.length == dim),
+      s"pos must be maxlen x dim ($maxlen x $dim)")
+    require(we.forall(_.length == features.length),
+      s"We rows must match feature count ${features.length}")
+    require(heads >= 1 && dim % heads == 0,
+      s"heads ($heads) must divide dim ($dim)")
+    require(blocks.nonEmpty, "need at least one encoder block")
+    /** Head width — a power of two in practice so the q/score scaling
+      * divisions are IEEE-exact. */
+    val dh: Int = dim / heads
+    blocks.zipWithIndex.foreach { case (blk, l) =>
+      for ((w, n) <- Seq((blk.wq, "Wq"), (blk.wk, "Wk"), (blk.wv, "Wv"),
+          (blk.wo, "Wo"), (blk.w2, "W2")))
+        require(w.length == dim && w.forall(_.length == dim),
+          s"layer $l $n must be $dim x $dim")
+      for ((v, n) <- Seq((blk.g1, "g1"), (blk.b1, "b1"), (blk.g2, "g2"), (blk.b2, "b2")))
+        require(v.length == dim, s"layer $l $n must have $dim entries")
+    }
+
+    private def tokenize(t: String): Array[String] = {
+      val s = if (t == null) "" else t.trim
+      if (s.isEmpty) Array.empty
+      else s.split("\\s+").filter(_.nonEmpty).take(maxlen)
+    }
+
+    /** Final-block token states padded to `maxlen` + the 0/1 mask — the
+      * same contract as [[AttnModel.tokenStates]] so the pooling-parity
+      * spec drives the V2 pool over this model's states too. */
+    def tokenStates(t: String): (Array[Array[Double]], Array[Double]) = {
+      val toks = tokenize(t)
+      val n = toks.length
+      val mask = Array.tabulate(maxlen)(i => if (i < n) 1.0 else 0.0)
+      val out = Array.fill(maxlen)(new Array[Double](dim))
+      if (n == 0) return (out, mask)
+      var h = Array.tabulate(n) { i =>
+        val c = charCounts(features, toks(i))
+        Array.tabulate(dim)(r => dense1(we(r), c) + pos(i)(r))
+      }
+      blocks.foreach { blk =>
+        // multi-head attention: head hd owns rows [hd·dh, (hd+1)·dh);
+        // q rows scaled by 1/dim, scores by 1/dim² ([[AttnModel]]'s own
+        // spelling, per head) — power-of-two divisors stay IEEE-exact
+        val q = Array.tabulate(n)(i =>
+          Array.tabulate(dim)(r => dense1(blk.wq(r), h(i)) / dim))
+        val k = Array.tabulate(n)(i => Array.tabulate(dim)(r => dense1(blk.wk(r), h(i))))
+        val v = Array.tabulate(n)(i => Array.tabulate(dim)(r => dense1(blk.wv(r), h(i))))
+        val next = new Array[Array[Double]](n)
+        var i = 0
+        while (i < n) {
+          val o = new Array[Double](dim)
+          var hd = 0
+          while (hd < heads) {
+            val base = hd * dh
+            val e = Array.tabulate(n) { j =>
+              var s = 0.0; var r = base
+              while (r < base + dh) { s += q(i)(r) * k(j)(r); r += 1 }
+              exp2pl(s / (dim * dim))
+            }
+            var den = 0.0; var j = 0
+            while (j < n) { den += e(j); j += 1 }
+            var r = base
+            while (r < base + dh) {
+              var acc = 0.0; j = 0
+              while (j < n) { acc += (e(j) / den) * v(j)(r); j += 1 }
+              o(r) = acc
+              r += 1
+            }
+            hd += 1
+          }
+          // Wo head-mix, residual, LN1, FFN(relu), residual, LN2
+          val r1 = Array.tabulate(dim)(r => h(i)(r) + dense1(blk.wo(r), o))
+          val ln1 = layerNorm(r1, blk.g1, blk.b1)
+          val r2 = Array.tabulate(dim) { r =>
+            val y = dense1(blk.w2(r), ln1)
+            ln1(r) + (if (y > 0) y else 0.0)
+          }
+          next(i) = layerNorm(r2, blk.g2, blk.b2)
+          i += 1
+        }
+        h = next
+      }
+      var i = 0
+      while (i < n) { out(i) = h(i); i += 1 }
+      (out, mask)
+    }
+
+    /** Masked mean-pool of the final-block states (embed.py:44-49). */
+    def pooled(t: String): Array[Double] = {
+      val (g, mask) = tokenStates(t)
+      val n = mask.sum
+      if (n == 0) new Array[Double](dim)
+      else Array.tabulate(dim) { r =>
+        var acc = 0.0; var i = 0
+        while (i < maxlen) { acc += g(i)(r) * mask(i); i += 1 }
+        acc / n
+      }
+    }
+
+    def forward(texts: Seq[String]): Seq[Array[Float]] =
+      texts.map(t => normalize(pooled(t)))
+  }
+
   /** Row-vector dot product accumulated in ascending index order — the ONE
     * accumulation order every engine must share for bit-equal sums. */
   private def dense1(row: Array[Double], v: Array[Double]): Double = {
@@ -347,6 +497,50 @@ object FileEmbedder {
     Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Architecture-complete transformer checkpoint — heads/layers and
+    * every tensor in the FILE:
+    * {{{
+    * GRAFT-ATTN 2
+    * features etaoinsh
+    * dim 8
+    * maxlen 8
+    * heads 2
+    * layers 2
+    * tensor pos 8 8
+    * …rows…
+    * tensor we 8 8
+    * …rows…
+    * block 0
+    * tensor wq 8 8   (then wk, wv, wo, w2)
+    * vector g1 8     (one row; then b1, g2, b2)
+    * block 1
+    * …
+    * }}} */
+  def saveAttn2(path: String, model: Attn2Model): Unit = {
+    val sb = new StringBuilder
+    sb.append("GRAFT-ATTN 2\n")
+    sb.append("features ").append(new String(model.features)).append('\n')
+    sb.append("dim ").append(model.dim).append('\n')
+    sb.append("maxlen ").append(model.maxlen).append('\n')
+    sb.append("heads ").append(model.heads).append('\n')
+    sb.append("layers ").append(model.blocks.length).append('\n')
+    def tensor(name: String, w: Array[Array[Double]]): Unit = {
+      sb.append(s"tensor $name ${w.length} ${w.head.length}\n")
+      w.foreach { row => sb.append(row.mkString(" ")).append('\n') }
+    }
+    def vector(name: String, v: Array[Double]): Unit =
+      sb.append(s"vector $name ${v.length}\n").append(v.mkString(" ")).append('\n')
+    tensor("pos", model.pos); tensor("we", model.we)
+    model.blocks.zipWithIndex.foreach { case (blk, l) =>
+      sb.append(s"block $l\n")
+      tensor("wq", blk.wq); tensor("wk", blk.wk); tensor("wv", blk.wv)
+      tensor("wo", blk.wo); tensor("w2", blk.w2)
+      vector("g1", blk.g1); vector("b1", blk.b1)
+      vector("g2", blk.g2); vector("b2", blk.b2)
+    }
+    Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
   def load(path: String): Ckpt =
     cache.computeIfAbsent(path, p => {
       loadCount.incrementAndGet()
@@ -383,6 +577,27 @@ object FileEmbedder {
           }
           AttnModel(features, maxlen, tensors("pos"), tensors("we"),
             tensors("wq"), tensors("wk"), tensors("wv"), tensors("w2"))
+        case "GRAFT-ATTN 2" =>
+          val features = lines(1).stripPrefix("features ").toCharArray
+          val maxlen = lines(3).stripPrefix("maxlen ").toInt
+          val heads = lines(4).stripPrefix("heads ").toInt
+          val nBlocks = lines(5).stripPrefix("layers ").toInt
+          var at = 6
+          def tensor(): Array[Array[Double]] = {
+            val Array(_, _, rows, _) = lines(at).split(" ")
+            val w = lines.slice(at + 1, at + 1 + rows.toInt)
+              .map(_.split(" ").map(_.toDouble))
+            at += 1 + rows.toInt
+            w
+          }
+          def vector(): Array[Double] = { at += 2; lines(at - 1).split(" ").map(_.toDouble) }
+          val pos = tensor(); val we = tensor()
+          val blocks = List.fill(nBlocks) {
+            at += 1 // "block N"
+            AttnBlock(tensor(), tensor(), tensor(), tensor(), tensor(),
+              vector(), vector(), vector(), vector())
+          }
+          Attn2Model(features, maxlen, heads, pos, we, blocks)
         case h => throw new IllegalArgumentException(s"unknown checkpoint format: $h")
       }
     })

@@ -129,6 +129,30 @@ object EngineQueries {
     wv = graft.functions.FileEmbedder.syntheticWeights(37L, 8, 8),
     w2 = graft.functions.FileEmbedder.syntheticWeights(41L, 8, 8))
 
+  /** q292's checkpoint: the ARCHITECTURE-COMPLETE transformer — 2 heads ×
+    * 2 post-LN encoder blocks (multi-head attention + Wo mix + residual +
+    * layernorm + relu FFN + residual + layernorm), every tensor seed-derived
+    * from the same pure grid. Gains sit near 1 (`1 + w/4`) and biases near 0
+    * (`w/4`) — `/4` is a power-of-two divide, so both spellings round-trip
+    * exactly through `Double.toString` into the oracle's SQL literals. */
+  private[graft] lazy val q292Model: graft.functions.FileEmbedder.Attn2Model = {
+    def sw(seed: Long) = graft.functions.FileEmbedder.syntheticWeights(seed, 8, 8)
+    def gain(seed: Long) =
+      graft.functions.FileEmbedder.syntheticWeights(seed, 1, 8).head.map(x => 1.0 + x / 4)
+    def bias(seed: Long) =
+      graft.functions.FileEmbedder.syntheticWeights(seed, 1, 8).head.map(_ / 4)
+    def blk(s1: Long, s2: Long, s3: Long, s4: Long, s5: Long,
+            s6: Long, s7: Long, s8: Long, s9: Long) =
+      graft.functions.FileEmbedder.AttnBlock(sw(s1), sw(s2), sw(s3), sw(s4), sw(s5),
+        gain(s6), bias(s7), gain(s8), bias(s9))
+    graft.functions.FileEmbedder.Attn2Model(
+      "etaoinsh".toCharArray, maxlen = 8, heads = 2,
+      pos = sw(17L), we = sw(23L),
+      blocks = List(
+        blk(29L, 31L, 37L, 43L, 41L, 47L, 53L, 59L, 61L),
+        blk(67L, 71L, 73L, 79L, 83L, 89L, 97L, 101L, 103L)))
+  }
+
   val queries: Map[String, Q] = Map(
     // The whole Engine lifecycle as ONE graded query: dedup-ingest the
     // corpus twice (the second pass must append nothing — crawler.py:39-50's
@@ -761,6 +785,42 @@ object EngineQueries {
       eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
       eng.update()
       new Engine(s, cfg).hybridSearchMulti(searchTexts)
+    }),
+
+    // Multi-vector-field collection — Milvus 2.4: TWO dense vector fields
+    // per document (an 8-dim text-digest embedding + the Multimodal decode
+    // stub's image embedding, both deterministic so the oracle replays
+    // them), each with its OWN persisted per-field IVF layout, fused by
+    // hybrid_search over per-field AnnSearchRequests (RRF, integer ppm).
+    // Query vectors are corpus-derived (doc 3's text probe, doc 11's image
+    // probe); nprobe = nlist makes both pools exact, so the oracle replays
+    // both dense rankings and the fusion relationally.
+    "q290_multi_vector" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q290_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 8, nprobe = 8, limit = 10)
+      val eng = new Engine(s, cfg)
+      val base = t(s, dir, "documents").select("doc_id", "text", "n_chars")
+      val img = graft.operators.Multimodal.decodeFeatures(
+        graft.operators.Multimodal.mediaTable(base))
+        .select(col("doc_id"),
+          expr("transform(feat, x -> cast(round(x * 1000) as float))").as("img_vec"))
+      val docs = base.select(col("doc_id"), col("text"))
+        .withColumn("text_vec", expr(
+          "transform(sequence(0, 7), j -> cast(cast(conv(substr(" +
+            "sha2(concat('t:', text), 256), j * 8 + 1, 8), 16, 10) as bigint) " +
+            "% 1000 as float))"))
+        .join(img, Seq("doc_id"))
+      eng.ingest(docs)
+      val e2 = new Engine(s, cfg)
+      val qt = docs.filter(col("doc_id") === 3)
+        .select("text_vec").head().getSeq[Float](0)
+      val qi = docs.filter(col("doc_id") === 11)
+        .select("img_vec").head().getSeq[Float](0)
+      e2.hybridSearchFields(Seq(
+        Engine.AnnFieldRequest("text_vec", Seq(qt), kPool = 50),
+        Engine.AnnFieldRequest("img_vec", Seq(qi), kPool = 50)))
     }),
 
     // drop_index — Milvus's drop_index verb: remove the persisted ANN
@@ -3272,6 +3332,175 @@ object EngineQueries {
        |  FROM ${p}n)""".stripMargin
   }
 
+  /** DuckDB spelling of [[q292Model]] (GRAFT-ATTN 2 — 2 heads × 2 post-LN
+    * encoder blocks) over relation `rel`: the [[attnEmbedSql]] replay
+    * generalized per head and per block, plus the residual adds and the
+    * IEEE-exact layernorms (mean and variance divide by dim — a power of
+    * two; `1/sqrt(var+eps)` is two correctly-rounded ops; the affine is
+    * `g·((x−mean)·inv)+b` with exactly the Scala forward's
+    * parenthesization). Sums are spelled left-associative ascending —
+    * SQL's own association order — matching the Scala accumulation, so
+    * the whole 2-block forward is bit-equal on both engines. Emits CTEs
+    * ending `<p>x`, `<p>n`, `<p>v` — the [[letterEmbedSql]] splice shape. */
+  private def attn2EmbedSql(rel: String, ids: String, textCol: String,
+                            p: String): String = {
+    val m = q292Model
+    val d = m.dim; val L = m.maxlen; val H = m.heads; val dh = m.dh
+    val eps = graft.functions.FileEmbedder.LnEps
+    def dot(w: Array[Double], ref: Int => String): String =
+      w.indices.map(j => s"${w(j)} * ${ref(j)}").mkString(" + ")
+    val trimmed = s"regexp_replace($textCol, '^\\s+|\\s+$$', '', 'g')"
+    val slots = (1 to L).map(i =>
+      s"CASE WHEN ntok >= $i THEN arr[$i] ELSE '' END AS t$i").mkString(", ")
+    val masks = (1 to L).map(i =>
+      s"CASE WHEN ntok >= $i THEN 1.0 ELSE 0.0 END AS m$i").mkString(", ")
+    val mlist = (1 to L).map(i => s"m$i").mkString(", ")
+    val cnts = (for { i <- 1 to L; j <- m.features.indices } yield {
+      val ch = if (m.features(j) == '\'') "''" else m.features(j).toString
+      s"cast(length(t$i) - length(replace(t$i, '$ch', '')) as double) AS c${i}_$j"
+    }).mkString(",\n      ")
+    val hlist = (for { i <- 1 to L; r <- 0 until d } yield s"h${i}_$r").mkString(", ")
+    val hs = (for { i <- 1 to L; r <- 0 until d } yield
+      s"(${dot(m.we(r), j => s"c${i}_$j")}) + ${m.pos(i - 1)(r)} AS h${i}_$r"
+    ).mkString(",\n      ")
+    // one encoder block: attention (per head), Wo mix + residual, LN1,
+    // relu FFN + residual, LN2 → fresh h columns for the next block
+    def block(l: Int, blk: graft.functions.FileEmbedder.AttnBlock,
+              prev: String): (String, String) = {
+      val vlist = (for { i <- 1 to L; r <- 0 until d } yield s"v${i}_$r").mkString(", ")
+      val qkv = (for { i <- 1 to L; r <- 0 until d } yield
+        s"(${dot(blk.wq(r), j => s"h${i}_$j")}) / $d.0 AS q${i}_$r").mkString(",\n      ") +
+        ",\n      " + (for { i <- 1 to L; r <- 0 until d } yield
+        s"(${dot(blk.wk(r), j => s"h${i}_$j")}) AS k${i}_$r").mkString(",\n      ") +
+        ",\n      " + (for { i <- 1 to L; r <- 0 until d } yield
+        s"(${dot(blk.wv(r), j => s"h${i}_$j")}) AS v${i}_$r").mkString(",\n      ")
+      val ss = (for { hd <- 0 until H; i <- 1 to L; j <- 1 to L } yield {
+        val base = hd * dh
+        val dp = (base until base + dh).map(r => s"q${i}_$r * k${j}_$r").mkString(" + ")
+        s"greatest(-8.0, least(8.0, ($dp) / ${d * d}.0)) AS s${hd}_${i}_$j"
+      }).mkString(",\n      ")
+      val es = (for { hd <- 0 until H; i <- 1 to L; j <- 1 to L } yield {
+        val p2 = graft.functions.FileEmbedder.pow2CaseSql(s"cast(floor(s${hd}_${i}_$j) as int)")
+        s"(($p2) * (1.0 + (s${hd}_${i}_$j - floor(s${hd}_${i}_$j)))) AS e${hd}_${i}_$j"
+      }).mkString(",\n      ")
+      val dens = (for { hd <- 0 until H; i <- 1 to L } yield
+        s"(${(1 to L).map(j => s"e${hd}_${i}_$j * m$j").mkString(" + ")}) AS den${hd}_$i"
+      ).mkString(",\n      ")
+      val os = (for { i <- 1 to L; r <- 0 until d } yield {
+        val hd = r / dh
+        s"(${(1 to L).map(j => s"(e${hd}_${i}_$j * m$j / den${hd}_$i) * v${j}_$r").mkString(" + ")}) AS o${i}_$r"
+      }).mkString(",\n      ")
+      val r1s = (for { i <- 1 to L; r <- 0 until d } yield
+        s"h${i}_$r + (${dot(blk.wo(r), j => s"o${i}_$j")}) AS a${i}_$r"
+      ).mkString(",\n      ")
+      def lnStats(in: String, mnN: String, vrN: String): (String, String) = (
+        (1 to L).map(i =>
+          s"(${(0 until d).map(r => s"$in${i}_$r").mkString(" + ")}) / $d.0 AS $mnN$i"
+        ).mkString(",\n      "),
+        (1 to L).map(i =>
+          s"(${(0 until d).map(r => s"($in${i}_$r - $mnN$i) * ($in${i}_$r - $mnN$i)").mkString(" + ")}) / $d.0 AS $vrN$i"
+        ).mkString(",\n      "))
+      def lnOut(in: String, mnN: String, vrN: String, g: Array[Double],
+                b: Array[Double], outN: String): String =
+        (for { i <- 1 to L; r <- 0 until d } yield
+          s"${g(r)} * (($in${i}_$r - $mnN$i) * (1.0/sqrt($vrN$i + $eps))) + ${b(r)} AS $outN${i}_$r"
+        ).mkString(",\n      ")
+      val (mn1, vr1) = lnStats("a", "ma", "va")
+      val ln1 = lnOut("a", "ma", "va", blk.g1, blk.b1, "u")
+      val ulist = (for { i <- 1 to L; r <- 0 until d } yield s"u${i}_$r").mkString(", ")
+      val ys = (for { i <- 1 to L; r <- 0 until d } yield
+        s"(${dot(blk.w2(r), j => s"u${i}_$j")}) AS y${i}_$r").mkString(",\n      ")
+      val r2s = (for { i <- 1 to L; r <- 0 until d } yield
+        s"u${i}_$r + (CASE WHEN y${i}_$r > 0 THEN y${i}_$r ELSE 0.0 END) AS f${i}_$r"
+      ).mkString(",\n      ")
+      val (mn2, vr2) = lnStats("f", "mf", "vf")
+      val ln2 = lnOut("f", "mf", "vf", blk.g2, blk.b2, "h")
+      val alist = (for { i <- 1 to L; r <- 0 until d } yield s"a${i}_$r").mkString(", ")
+      val flist = (for { i <- 1 to L; r <- 0 until d } yield s"f${i}_$r").mkString(", ")
+      val malist = (1 to L).map(i => s"ma$i").mkString(", ")
+      val mflist = (1 to L).map(i => s"mf$i").mkString(", ")
+      val sql =
+        s"""${p}qk$l AS (SELECT $ids, ntok, $mlist, $hlist,
+           |      $qkv
+           |  FROM $prev),
+           |${p}sc$l AS (SELECT $ids, ntok, $mlist, $hlist, $vlist,
+           |      $ss
+           |  FROM ${p}qk$l),
+           |${p}ee$l AS (SELECT $ids, ntok, $mlist, $hlist, $vlist,
+           |      $es
+           |  FROM ${p}sc$l),
+           |${p}dn$l AS (SELECT *,
+           |      $dens
+           |  FROM ${p}ee$l),
+           |${p}oo$l AS (SELECT $ids, ntok, $mlist, $hlist,
+           |      $os
+           |  FROM ${p}dn$l),
+           |${p}rs$l AS (SELECT $ids, ntok, $mlist,
+           |      $r1s
+           |  FROM ${p}oo$l),
+           |${p}ma$l AS (SELECT $ids, ntok, $mlist, $alist,
+           |      $mn1
+           |  FROM ${p}rs$l),
+           |${p}va$l AS (SELECT $ids, ntok, $mlist, $alist, $malist,
+           |      $vr1
+           |  FROM ${p}ma$l),
+           |${p}u$l AS (SELECT $ids, ntok, $mlist,
+           |      $ln1
+           |  FROM ${p}va$l),
+           |${p}yy$l AS (SELECT $ids, ntok, $mlist, $ulist,
+           |      $ys
+           |  FROM ${p}u$l),
+           |${p}ff$l AS (SELECT $ids, ntok, $mlist,
+           |      $r2s
+           |  FROM ${p}yy$l),
+           |${p}mf$l AS (SELECT $ids, ntok, $mlist, $flist,
+           |      $mn2
+           |  FROM ${p}ff$l),
+           |${p}vf$l AS (SELECT $ids, ntok, $mlist, $flist, $mflist,
+           |      $vr2
+           |  FROM ${p}mf$l),
+           |${p}hh$l AS (SELECT $ids, ntok, $mlist,
+           |      $ln2
+           |  FROM ${p}vf$l)""".stripMargin
+      (sql, s"${p}hh$l")
+    }
+    val (blockSqls, lastCte) = m.blocks.zipWithIndex
+      .foldLeft((List.empty[String], s"${p}h0x")) { case ((acc, prev), (blk, l)) =>
+        val (sql, out) = block(l, blk, prev)
+        (acc :+ sql, out)
+      }
+    val pool = (0 until d).map(r =>
+      s"CASE WHEN ntok = 0 THEN 0.0 ELSE (" +
+        (1 to L).map(i => s"h${i}_$r * m$i").mkString(" + ") +
+        s") / cast(ntok as double) END").mkString(",\n      ")
+    s"""${p}t0 AS (
+       |  SELECT $ids, regexp_split_to_array($trimmed, '\\s+') AS arr,
+       |    CASE WHEN length($trimmed) = 0 THEN 0
+       |         ELSE least(len(regexp_split_to_array($trimmed, '\\s+')), $L) END AS ntok
+       |  FROM $rel),
+       |${p}tk AS (SELECT $ids, ntok, $slots, $masks FROM ${p}t0),
+       |${p}cn AS (SELECT $ids, ntok, $mlist,
+       |      $cnts
+       |  FROM ${p}tk),
+       |${p}h0x AS (SELECT $ids, ntok, $mlist,
+       |      $hs
+       |  FROM ${p}cn),
+       |${blockSqls.mkString(",\n")},
+       |${p}x AS (
+       |  SELECT $ids, [$pool] AS x FROM $lastCte),
+       |${p}n AS (
+       |  SELECT $ids, x,
+       |    list_reduce(list_transform(x, v -> v*v), (a,b) -> a+b) AS nrm2
+       |  FROM ${p}x),
+       |${p}v AS (
+       |  SELECT $ids,
+       |    CASE WHEN nrm2 > 0
+       |         THEN list_transform(x, v -> cast(cast(v * (1.0/sqrt(nrm2)) as float) as double))
+       |         ELSE x END AS v,
+       |    nrm2
+       |  FROM ${p}n)""".stripMargin
+  }
+
   /** The engine-lifecycle search replay (chunker + hash-embed + cosine
     * top-k + hydration, q64's oracle). Shared by q150: a restored snapshot
     * must search EXACTLY like the engine the snapshot was taken from. */
@@ -4096,6 +4325,47 @@ object EngineQueries {
 
     // all three rankings and the 3-way RRF fusion replay relationally
     "q261_hybrid_multi" -> hybridMultiSql,
+
+    // both dense fields replay component-wise from the digests (the text
+    // field salts with 't:'; the image field is the Multimodal stub's
+    // sha256-of-payload recipe), then each pool ranks by rounded cosine
+    // and the RRF fusion replays in integers
+    "q290_multi_vector" -> {
+      def dig(src: String) = (0 until 8).map(j =>
+        s"cast(cast('0x' || substr(sha256($src), ${j * 8 + 1}, 8) as bigint) " +
+          "% 1000 as double)").mkString("[", ", ", "]")
+      s"""WITH docs AS (
+         |  SELECT doc_id, ${dig("'t:' || text")} AS tv, ${dig("text")} AS iv
+         |  FROM documents),
+         |tq AS (SELECT tv AS v FROM docs WHERE doc_id = 3),
+         |iq AS (SELECT iv AS v FROM docs WHERE doc_id = 11),
+         |tpool AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY round(list_cosine_similarity(tv, (SELECT v FROM tq)), 4) DESC,
+         |      doc_id ASC) AS r
+         |  FROM docs QUALIFY r <= 50),
+         |ipool AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY round(list_cosine_similarity(iv, (SELECT v FROM iq)), 4) DESC,
+         |      doc_id ASC) AS r
+         |  FROM docs QUALIFY r <= 50),
+         |pools AS (
+         |  SELECT doc_id, 'text_vec' AS field, r FROM tpool
+         |  UNION ALL SELECT doc_id, 'img_vec', r FROM ipool),
+         |fused AS (
+         |  SELECT doc_id,
+         |    string_agg(field || ':' || r, ',' ORDER BY field) AS field_ranks,
+         |    cast(sum(1000000 // (60 + r)) as bigint) AS rrf_ppm
+         |  FROM pools GROUP BY doc_id),
+         |ranked AS (
+         |  SELECT cast(0 as bigint) AS query_id, doc_id, field_ranks, rrf_ppm,
+         |    cast(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id ASC) as int) AS rank
+         |  FROM fused QUALIFY rank <= 10)
+         |SELECT r.query_id, r.doc_id, r.field_ranks, r.rrf_ppm, r.rank,
+         |  substring(d.text, 1, 200) AS preview
+         |FROM ranked r JOIN documents d USING (doc_id)
+         |ORDER BY r.rank""".stripMargin
+    },
 
     // the survivor population replays from the raw corpus — masked and
     // vacuumed reads are require-pinned equal, so one oracle grades both

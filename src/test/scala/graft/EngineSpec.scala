@@ -444,6 +444,90 @@ class EngineSpec extends SparkSpec {
     go(f).map(x => x.getPath -> x.lastModified()).toMap
   }
 
+  test("multi-vector fields: per-field layouts are isolated; search and fusion are exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvf").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 4, nprobe = 4, limit = 5)
+    val eng = new Engine(spark, cfg)
+    // two dense fields of DIFFERENT dims, deterministically derived
+    // hash-mixed components — an affine-in-j derivation makes every doc's
+    // vector nearly collinear (cosine rounds to 1.0 corpus-wide) and a
+    // small modulus collides congruent ids into identical vectors
+    def vec(dim: Int, salt: Int) = expr(
+      s"transform(sequence(0, ${dim - 1}), j -> cast(pmod(xxhash64(doc_id, j + $salt), 9973) as float))")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("text_vec", vec(8, 3))
+      .withColumn("img_vec", vec(6, 11))
+    eng.ingest(docs)
+    assert(eng.vectorFields() == Seq("img_vec", "text_vec"))
+    intercept[IllegalArgumentException](eng.fieldIndex("text")) // not a vector field
+    intercept[IllegalArgumentException](eng.fieldIndex("nope"))
+
+    // isolation: building img_vec's layout writes ONLY its own directory;
+    // building text_vec afterwards leaves img_vec's bytes untouched
+    eng.fieldIndex("img_vec")
+    val imgRoot = new java.io.File(s"$dir/index_vf_img_vec")
+    assert(imgRoot.exists(), "per-field layout directory missing")
+    val before = walk(imgRoot)
+    eng.fieldIndex("text_vec")
+    assert(walk(imgRoot) == before, "building one field touched another field's layout")
+    assert(new java.io.File(s"$dir/index_vf_text_vec").exists())
+
+    // exactness: exhaustive probe equals the brute-force cosine ranking
+    val qv = docs.filter(col("doc_id") === 7)
+      .select(col("text_vec")).head().getSeq[Float](0)
+    val got = eng.searchVectorField("text_vec", Seq(qv), k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val brute = docs
+      .withColumn("s", round(graft.functions.VectorFns.cosineSim(
+        col("text_vec"), typedLit(qv)), 4))
+      .orderBy(col("s").desc, col("doc_id").asc).limit(5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == brute, s"field search $got != brute $brute")
+
+    // fusion: RRF over both fields equals the hand-computed fusion
+    val qi = docs.filter(col("doc_id") === 7)
+      .select(col("img_vec")).head().getSeq[Float](0)
+    val reqs = Seq(
+      Engine.AnnFieldRequest("text_vec", Seq(qv), kPool = 10),
+      Engine.AnnFieldRequest("img_vec", Seq(qi), kPool = 10))
+    val fused = eng.hybridSearchFields(reqs)
+    assert(fused.count() == 5)
+    val top = fused.orderBy("rank").head()
+    // doc 7 carries both query vectors verbatim → rank 1 in both pools
+    assert(top.getAs[Long]("doc_id") == 7L, top.toString)
+    assert(top.getAs[String]("field_ranks") == "img_vec:1,text_vec:1")
+    assert(top.getAs[Long]("rrf_ppm") == 2 * (1000000L / 61))
+    // request validation: nq mismatch and duplicate fields reject
+    intercept[IllegalArgumentException](eng.hybridSearchFields(Seq(
+      Engine.AnnFieldRequest("text_vec", Seq(qv)),
+      Engine.AnnFieldRequest("img_vec", Seq(qi, qi)))))
+    intercept[IllegalArgumentException](eng.hybridSearchFields(Seq(
+      Engine.AnnFieldRequest("text_vec", Seq(qv)),
+      Engine.AnnFieldRequest("text_vec", Seq(qv)))))
+
+    // masks ride along: tombstoning the top doc removes it with no rank hole
+    import spark.implicits._
+    eng.deleteSoft(Seq(7L).toDF("doc_id"))
+    val after = eng.searchVectorField("text_vec", Seq(qv), k = 5)
+      .select("doc_id", "rank").collect()
+    assert(!after.map(_.getLong(0)).contains(7L))
+    assert(after.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+
+    // staleness: new rows move the store fingerprint → a fresh engine
+    // rebuilds the field layout and serves them
+    val extra = docs.limit(0).sparkSession.range(90001, 90003)
+      .select(col("id").as("doc_id"), lit("fresh doc").as("text"))
+      .withColumn("text_vec", vec(8, 3)).withColumn("img_vec", vec(6, 11))
+    eng.ingest(extra)
+    val e2 = new Engine(spark, cfg)
+    val qn = extra.filter(col("doc_id") === 90001)
+      .select("text_vec").head().getSeq[Float](0)
+    val hit = e2.searchVectorField("text_vec", Seq(qn), k = 1).head()
+    assert(hit.getAs[Long]("doc_id") == 90001L)
+  }
+
   test("persisted IVF: a fresh engine serves search from disk without rebuilding") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pivf").toString
     val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
