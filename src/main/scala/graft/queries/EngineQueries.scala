@@ -1052,6 +1052,27 @@ object EngineQueries {
       eng.search(searchTexts)
     }),
 
+    // The ARCHITECTURE-COMPLETE model seam: q286's lifecycle under the
+    // GRAFT-ATTN 2 checkpoint — 2 attention heads × 2 stacked post-LN
+    // encoder blocks (multi-head scaled-dot-product attention, Wo head
+    // mix, residual adds, IEEE-exact layernorm, relu FFN), closing the
+    // structural distance to embed.py:21-39's multi-head/multi-layer/
+    // layernormed encoder. Every op stays bit-reproducible (power-of-two
+    // divisors, piecewise-linear-exp2 softmax, fixed accumulation order),
+    // so the oracle replays the ENTIRE 2-block forward — plus chunking,
+    // pooling, normalize, cosine top-k, hydration — hash-exactly.
+    "q292_transformer_deep" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q292_${runSeq.incrementAndGet()}_").toString
+      val mpath = s"$tmp/model.ckpt"
+      graft.functions.FileEmbedder.saveAttn2(mpath, q292Model)
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index")
+      val eng = new Engine(s, cfg, graft.functions.FileEmbedder(mpath))
+      eng.ingest(t(s, dir, "documents").select("doc_id", "text"))
+      eng.update()
+      eng.search(searchTexts)
+    }),
+
     // Milvus 2.6 nullable-field expr corners: IS NULL / IS NOT NULL /
     // NOT LIKE over DYNAMIC fields, in one raw expr string. `lang` is
     // nulled for 'de' docs before a dynamic ingest (to_json drops null
@@ -4566,6 +4587,44 @@ c AS (""")
          |${attnEmbedSql("ch", "chunk_id, doc_id", "chunk", "e")},
          |q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
          |${attnEmbedSql("q0", "query_id, query", "query", "qe")},
+         |scored AS (
+         |  SELECT q.query_id, q.query, n.doc_id,
+         |    round(CASE WHEN n.nrm2 = 0 OR q.nrm2 = 0 THEN 0.0
+         |               ELSE list_cosine_similarity(n.v, q.v) END, 4) AS score
+         |  FROM ev n CROSS JOIN qev q),
+         |best AS (
+         |  SELECT query_id, query, doc_id, max(score) AS score
+         |  FROM scored GROUP BY ALL),
+         |ranked AS (
+         |  SELECT query_id, query, doc_id, score,
+         |    cast(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id ASC) as int) AS rank
+         |  FROM best QUALIFY rank <= 4)
+         |SELECT r.query_id, r.query, r.doc_id, r.score, r.rank,
+         |  substring(d.text, 1, 200) AS preview
+         |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // q292: the deep-transformer lifecycle relationally — both stacked
+    // encoder blocks (multi-head attention, residuals, layernorms, FFN)
+    // replayed bit-for-bit over chunks AND query texts, then the cosine
+    // top-k + hydration of the lifecycle shape
+    "q292_transformer_deep" -> {
+      val qvalues = searchTexts.zipWithIndex
+        .map { case (q, i) => s"(cast($i as bigint), '${q.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(0, cast(greatest(floor((length(text)-64-1)/64.0)+1, 1) as bigint)-1)) AS pos
+         |  FROM documents WHERE length(text) > 0),
+         |ch AS (
+         |  SELECT doc_id, doc_id || '_' || pos AS chunk_id,
+         |    substring(text, cast(pos*64+1 as int), 128) AS chunk
+         |  FROM c),
+         |${attn2EmbedSql("ch", "chunk_id, doc_id", "chunk", "e")},
+         |q0 AS (SELECT * FROM (VALUES $qvalues) t(query_id, query)),
+         |${attn2EmbedSql("q0", "query_id, query", "query", "qe")},
          |scored AS (
          |  SELECT q.query_id, q.query, n.doc_id,
          |    round(CASE WHEN n.nrm2 = 0 OR q.nrm2 = 0 THEN 0.0

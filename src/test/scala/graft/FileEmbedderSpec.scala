@@ -192,6 +192,95 @@ class FileEmbedderSpec extends SparkSpec {
     xs.sliding(2).foreach { case Seq(a, b) => assert(a < b) case _ => () }
   }
 
+  private def freshAttn2: FileEmbedder.Attn2Model = {
+    def sw(seed: Long) = FileEmbedder.syntheticWeights(seed, 8, 8)
+    def vecOf(seed: Long, f: Double => Double) =
+      FileEmbedder.syntheticWeights(seed, 1, 8).head.map(f)
+    def blk(s: Long) = FileEmbedder.AttnBlock(
+      sw(s), sw(s + 2), sw(s + 4), sw(s + 6), sw(s + 8),
+      vecOf(s + 10, x => 1.0 + x / 4), vecOf(s + 12, _ / 4),
+      vecOf(s + 14, x => 1.0 + x / 4), vecOf(s + 16, _ / 4))
+    FileEmbedder.Attn2Model("etaoinsh".toCharArray, maxlen = 8, heads = 2,
+      pos = sw(17L), we = sw(23L), blocks = List(blk(29L), blk(67L)))
+  }
+
+  test("GRAFT-ATTN 2: heads/blocks/layernorm topology round-trips; forward bit-parity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-attn2").toString
+    val m = freshAttn2
+    FileEmbedder.saveAttn2(s"$dir/m.ckpt", m)
+    FileEmbedder.load(s"$dir/m.ckpt") match {
+      case loaded: FileEmbedder.Attn2Model =>
+        assert(loaded.dim == 8 && loaded.maxlen == 8)
+        assert(loaded.heads == 2 && loaded.blocks.length == 2 && loaded.dh == 4)
+        assert(loaded.features.sameElements(m.features))
+        loaded.blocks.zip(m.blocks).foreach { case (a, b) =>
+          for ((wa, wb) <- Seq(a.wq -> b.wq, a.wk -> b.wk, a.wv -> b.wv,
+              a.wo -> b.wo, a.w2 -> b.w2))
+            wa.zip(wb).foreach { case (ra, rb) => assert(ra.sameElements(rb)) }
+          for ((va, vb) <- Seq(a.g1 -> b.g1, a.b1 -> b.b1, a.g2 -> b.g2, a.b2 -> b.b2))
+            assert(va.sameElements(vb))
+        }
+        val texts = Seq("a note on spark joins", "neural network training corpus",
+          "one two three four five six seven eight nine ten", "")
+        loaded.forward(texts).zip(m.forward(texts)).foreach {
+          case (g, w) => assert(g.sameElements(w))
+        }
+        val e = FileEmbedder(s"$dir/m.ckpt")
+        assert(e.dim == 8)
+        assert(e.embedBatch(texts).head.sameElements(m.forward(texts).head))
+      case other => fail(s"expected the deep attention shape, loaded $other")
+    }
+  }
+
+  test("GRAFT-ATTN 2 forward: unit norm, empty zero, truncation, head/layer validation") {
+    val m = freshAttn2
+    val Seq(v1, vEmpty, vLong, vTrunc) = m.forward(Seq(
+      "the quick brown fox", "  ",
+      "one two three four five six seven eight extra tokens ignored",
+      "one two three four five six seven eight"))
+    assert(math.abs(math.sqrt(v1.map(x => x.toDouble * x.toDouble).sum) - 1.0) < 1e-6)
+    assert(vEmpty.forall(_ == 0.0f))
+    assert(vLong.sameElements(vTrunc))
+    // token order matters (position embeddings + attention)
+    val Seq(ab, ba) = m.forward(Seq("alpha beta", "beta alpha"))
+    assert(!ab.sameElements(ba))
+    // a second block really runs: truncating the stack changes the output
+    val shallow = m.copy(blocks = m.blocks.take(1))
+    assert(!shallow.forward(Seq("alpha beta")).head.sameElements(ab))
+    // heads must divide dim; layernorm vectors must be dim-sized
+    intercept[IllegalArgumentException](m.copy(heads = 3))
+    intercept[IllegalArgumentException](m.copy(blocks =
+      List(m.blocks.head.copy(g1 = Array(1.0, 2.0)))))
+    // layernorm really normalizes: each block-output token state has
+    // near-zero mean under g=1,b=0 (scaled/shifted only by the gains)
+    val id = m.copy(blocks = m.blocks.map(b =>
+      b.copy(g1 = Array.fill(8)(1.0), b1 = Array.fill(8)(0.0),
+        g2 = Array.fill(8)(1.0), b2 = Array.fill(8)(0.0))))
+    val (states, mask) = id.tokenStates("alpha beta gamma")
+    states.zip(mask).filter(_._2 == 1.0).map(_._1).foreach { st =>
+      assert(math.abs(st.sum / st.length) < 1e-9, s"mean not ~0: ${st.toSeq}")
+      val vr = st.map(x => x * x).sum / st.length
+      assert(vr > 0.5 && vr < 1.5, s"variance not ~1: $vr")
+    }
+  }
+
+  test("GRAFT-ATTN 2 pooling parity with the V2 masked mean-pool") {
+    val m = freshAttn2
+    val texts = Seq("a note on spark joins and shuffles", "single")
+    val rows = texts.map { t =>
+      val (g, mask) = m.tokenStates(t)
+      (t, g.map(_.toSeq).toSeq, mask.toSeq)
+    }
+    val df = spark.createDataFrame(rows).toDF("text", "tok_vecs", "mask")
+    val pooled = df.select(graft.functions.VectorFns
+      .maskedMeanPool(col("tok_vecs"), col("mask")).as("p"))
+      .collect().map(_.getSeq[Double](0))
+    texts.zip(pooled).foreach { case (t, viaV2) =>
+      assert(viaV2.toArray.sameElements(m.pooled(t)),
+        s"pool divergence on '$t': $viaV2 vs ${m.pooled(t).toSeq}")
+    }
+  }
+
   test("pooling parity: the transformer's pool IS the V2 masked mean-pool (embed.py:44-49)") {
     val m = freshAttn
     val texts = Seq("a note on spark joins and shuffles",
