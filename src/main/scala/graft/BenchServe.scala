@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
  *
  * Output: one JSON line on stdout + BENCH_SERVE_<sf>.json (same
  * parse-proof file channel as Bench).
+ *
+ * SPARK_GRAFT_RW=1 adds the MIXED read/write regime (round-13 verdict
+ * task): one writer thread ticks upsert → strong read-your-writes check →
+ * soft delete → periodic maintain() against the same engine while every
+ * reader level runs. Readers execute through [[graft.Engine.served]]
+ * (plan + action under the layout read lock — the serving contract), the
+ * writer's rewrites take the write side, and the run asserts the
+ * consistency claims under real contention: every writer tick's Strong
+ * read sees its own upsert (`ryw_ok`/`ryw_fail`), and no reader ever
+ * observes a torn layout (empty or rank-holed results off a half-rewritten
+ * listing — `torn`) or an exception (`reader_errors`). Artifact:
+ * BENCH_SERVE_<sf>_rw.json with per-level writer tick counts/latency
+ * beside the reader percentiles.
  */
 object BenchServe {
   def main(args: Array[String]): Unit = {
@@ -33,6 +46,7 @@ object BenchServe {
     // concurrent streams' jobs instead of FIFO's arrival order — the knob
     // a p95-bound deployment flips (documented in BASELINE.md either way)
     val fair = sys.env.get("SPARK_GRAFT_FAIR").contains("1")
+    val rw = sys.env.get("SPARK_GRAFT_RW").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -57,17 +71,31 @@ object BenchServe {
     val queryPool = Seq(
       "table dedup merge pipeline", "stream window state store",
       "vector index probe cells", "join shuffle partition skew")
+    // every reader executes through served{} — frame creation AND action
+    // under the layout read lock, the snapshot-consistent serving shape
+    // (uncontended cost is one lock acquisition; under RW it is the
+    // correctness boundary the writer's rewrites exclude against)
+    val torn = new java.util.concurrent.atomic.AtomicLong(0)
+    val readerErrors = new java.util.concurrent.atomic.AtomicLong(0)
+    def tornCheck(rows: Array[org.apache.spark.sql.Row], ranked: Boolean): Long = {
+      if (rows.isEmpty) torn.incrementAndGet()
+      else if (ranked) {
+        val ranks = rows.map(_.getAs[Int]("rank")).sorted.toSeq
+        if (ranks.zipWithIndex.exists { case (r, i) => r != i + 1 }) torn.incrementAndGet()
+      }
+      rows.length.toLong
+    }
     val verbs: Seq[(String, Int => Long)] = Seq(
-      "search" -> ((i: Int) =>
-        eng.search(Seq(queryPool(i % queryPool.length))).collect().length.toLong),
-      "query" -> ((i: Int) =>
+      "search" -> ((i: Int) => tornCheck(eng.served {
+        eng.search(Seq(queryPool(i % queryPool.length))).collect() }, ranked = true)),
+      "query" -> ((i: Int) => tornCheck(eng.served {
         eng.query(col("lang") === "en" && col("n_chars") > (100 + (i % 7) * 50),
-          Seq("lang", "n_chars"), limit = 100).collect().length.toLong),
-      "retrieve" -> ((i: Int) =>
+          Seq("lang", "n_chars"), limit = 100).collect() }, ranked = false)),
+      "retrieve" -> ((i: Int) => tornCheck(eng.served {
         eng.retrieve(s"""lang in ["en", "de"] && ${100 + (i % 5) * 25} <= n_chars < 700""",
-          Seq("lang", "n_chars"), limit = 100).collect().length.toLong),
-      "hybrid" -> ((i: Int) =>
-        eng.hybridSearch(Seq(queryPool(i % queryPool.length))).collect().length.toLong))
+          Seq("lang", "n_chars"), limit = 100).collect() }, ranked = false)),
+      "hybrid" -> ((i: Int) => tornCheck(eng.served {
+        eng.hybridSearch(Seq(queryPool(i % queryPool.length))).collect() }, ranked = true)))
 
     // warmup, single-threaded: materialize the persisted layouts and every
     // lazy memo (IVF handles, lexical postings) so contention runs measure
@@ -84,7 +112,7 @@ object BenchServe {
         new Callable[Double] {
           def call(): Double = {
             val t0 = System.nanoTime()
-            f(i)
+            try f(i) catch { case _: Throwable => readerErrors.incrementAndGet() }
             (System.nanoTime() - t0) / 1e9
           }
         }
@@ -97,9 +125,90 @@ object BenchServe {
       (lat, n / wall) // requests per second at this concurrency
     }
 
+    // The RW writer: one thread ticking the mutation lifecycle a serving
+    // deployment actually runs in place — upsert a changed document,
+    // bring the index current, STRONG-read its own write (must rank #1:
+    // the upserted text is pure repetitions of a fresh token), soft-delete
+    // another document, and every third tick a maintain() growth check.
+    // Tick latency is reported per level; ryw_fail counts strong reads
+    // that missed their own mutation (must be 0).
+    val rywOk = new java.util.concurrent.atomic.AtomicLong(0)
+    val rywFail = new java.util.concurrent.atomic.AtomicLong(0)
+    val annHit = new java.util.concurrent.atomic.AtomicLong(0)
+    val annMiss = new java.util.concurrent.atomic.AtomicLong(0)
+    val tickSeq = new java.util.concurrent.atomic.AtomicLong(0)
+    val writerIds: Array[Long] =
+      if (rw) eng.served { eng.store().select("doc_id").limit(64).collect() }
+        .map(_.getLong(0))
+      else Array.empty
+    // the upserted row must carry the store's EXACT schema (names AND
+    // types — an int where the store holds bigint writes a mixed-type
+    // parquet column that poisons every later read)
+    val storeSchema = if (rw) eng.served { eng.store().schema } else null
+    def writerTick(): Double = {
+      import spark.implicits._
+      val i = tickSeq.incrementAndGet()
+      val token = s"zzrw$i"
+      val target = writerIds((i % writerIds.length).toInt)
+      val t0 = System.nanoTime()
+      val row = Seq((target, (token + " ") * 40, "en", 40 * (token.length + 1)))
+        .toDF("doc_id", "text", "lang", "n_chars")
+        .select(storeSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      eng.upsert(row)
+      eng.updateIncremental()
+      // Read-your-writes = VISIBILITY, on both routes: the scalar read
+      // must return the new text (exact by construction) and the new
+      // version's chunks must be IN the index snapshot searches serve
+      // from. Top-k presence under the approximate probe is tracked
+      // separately (ann_hit/ann_miss): this config probes 4 of 16 cells,
+      // and a one-off token vector is exactly the outlier direction an
+      // approximate probe may rank-miss — that is ANN recall, not a
+      // consistency violation (nprobe = nlist makes it deterministic;
+      // the EngineSpec race case gates that exact configuration).
+      val scalar = eng.served {
+        eng.query(col("doc_id") === target, Seq("text")).collect()
+      }
+      val visible = eng.served {
+        eng.index().filter(col("doc_id") === target).limit(1).count() > 0
+      }
+      if (visible && scalar.length == 1 &&
+          scalar.head.getAs[String]("text").startsWith(token))
+        rywOk.incrementAndGet()
+      else rywFail.incrementAndGet()
+      val strong = eng.served { eng.search(Seq(token)).collect() }
+      if (strong.exists(_.getAs[Long]("doc_id") == target)) annHit.incrementAndGet()
+      else annMiss.incrementAndGet()
+      eng.deleteSoft(Seq(writerIds(((i + 17) % writerIds.length).toInt)).toDF("doc_id"))
+      if (i % 3 == 0) eng.maintain(0.5).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val writerErrors = new java.util.concurrent.atomic.AtomicLong(0)
+    def withWriter[T](body: => T): (T, Seq[Double]) = {
+      if (!rw) return (body, Seq.empty)
+      val ticks = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val w = new Thread(() => {
+        // a failed tick is counted, never thread-fatal: the artifact must
+        // show writer_errors > 0, not silently degrade to read-only
+        while (!stop.get()) {
+          try ticks += writerTick()
+          catch { case _: Throwable => writerErrors.incrementAndGet() }
+        }
+      })
+      w.start()
+      val out = try body finally { stop.set(true); w.join(600000) }
+      (out, ticks.toSeq)
+    }
+
     val levels = Seq(1 -> 9, 4 -> 24, 16 -> 32)
+    val writerStats = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int, Double)]
     val results = verbs.map { case (name, f) =>
-      val byLevel = levels.map { case (conc, n) => conc -> runLevel(f, conc, n) }
+      val byLevel = levels.map { case (conc, n) =>
+        val (r, ticks) = withWriter(runLevel(f, conc, n))
+        if (rw) writerStats += ((name, conc, ticks.length,
+          if (ticks.isEmpty) 0.0 else ticks.sum / ticks.length))
+        conc -> r
+      }
       name -> byLevel
     }
     def fmt(d: Double) = f"$d%.3f"
@@ -114,11 +223,17 @@ object BenchServe {
       s""""$name":{"solo_median":${fmt(solo)},$inner}"""
     }.mkString(",")
     val flagJson = flags.distinct.map(f => s""""$f"""").mkString("[", ",", "]")
+    val writerJson = if (!rw) "" else {
+      val per = writerStats.map { case (v, c, n, mean) =>
+        s"""{"verb":"$v","conc":$c,"ticks":$n,"mean_tick_sec":${fmt(mean)}}"""
+      }.mkString("[", ",", "]")
+      s""","writer":{"ticks":$per,"ryw_ok":${rywOk.get},"ryw_fail":${rywFail.get},"ann_hit":${annHit.get},"ann_miss":${annMiss.get},"writer_errors":${writerErrors.get},"torn":${torn.get},"reader_errors":${readerErrors.get}}"""
+    }
     spark.stop()
-    val line = s"""{"metric":"serve","sf":"$sfDir","cpus":$cpus,"scheduler":"${if (fair) "FAIR" else "FIFO"}","verbs":{$verbJson},"p95_over_3x_solo":$flagJson}"""
+    val line = s"""{"metric":"serve","sf":"$sfDir","cpus":$cpus,"scheduler":"${if (fair) "FAIR" else "FIFO"}","rw":$rw,"verbs":{$verbJson}$writerJson,"p95_over_3x_solo":$flagJson}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SERVE_FILE",
-        s"BENCH_SERVE_${new java.io.File(sfDir).getName}${if (fair) "_fair" else ""}.json")),
+        s"BENCH_SERVE_${new java.io.File(sfDir).getName}${if (fair) "_fair" else ""}${if (rw) "_rw" else ""}.json")),
       line.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line)

@@ -237,13 +237,60 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   // two temp-function writes) so any retrieve()-shaped plan can resolve it
   Engine.registerPorter(spark)
 
+  // =====================================================================
+  // In-process serving concurrency. Mutating verbs rewrite layout files
+  // in place (delete's copy-on-write store rewrite, maintain's retrain,
+  // upsert's delete+ingest window); a reader whose scan lists those
+  // directories MID-rewrite can see a partial or empty listing — a torn
+  // read that silently serves wrong results (not even an error). The
+  // engine therefore serializes verbs against layout rewrites with one
+  // FAIR reader-writer lock: every mutating verb holds the write side for
+  // its whole rewrite, and [[served]] lets a caller execute a read verb's
+  // PLAN + ACTION atomically on the read side (Spark resolves file
+  // listings when the DataFrame is CREATED and reads them when it is
+  // collected — both must land inside the lock). Fairness matters: a
+  // barging lock starves the writer under 16 reader streams, and a
+  // starved writer is unbounded staleness. Scope: one Engine instance
+  // (the single-process serving shape — demo.py's loop, BenchServe);
+  // cross-process deployments cut over atomically via the collection
+  // ALIAS (blue/green, q219) instead of mutating a served layout.
+  // =====================================================================
+  private val layoutLock = new java.util.concurrent.locks.ReentrantReadWriteLock(true)
+
+  /**
+   * Execute a read verb snapshot-consistently against concurrent mutators:
+   * `eng.served { eng.search(qs).collect() }`. The body must both CREATE
+   * the frame and run its action inside (a frame created outside holds a
+   * file listing a concurrent rewrite may have already invalidated).
+   * Read-your-writes under concurrency is `eng.updateIncremental()` (which
+   * takes the write side) followed by a served read — [[searchAt]]'s
+   * Strong level spelled as two steps. Mutating verbs REJECT being called
+   * inside `served` (a read→write lock upgrade would deadlock); call them
+   * outside.
+   */
+  def served[T](body: => T): T = {
+    val l = layoutLock.readLock(); l.lock()
+    try body finally l.unlock()
+  }
+
+  /** Wrap a mutating verb: exclusive against [[served]] readers and other
+    * mutators (reentrant for mutator→mutator composition like
+    * upsert→delete→ingest). */
+  private def mutate[T](body: => T): T = {
+    require(layoutLock.getReadHoldCount == 0,
+      "mutating verb called inside served{} — a read lock cannot upgrade; " +
+        "mutate outside the served block")
+    val l = layoutLock.writeLock(); l.lock()
+    try body finally l.unlock()
+  }
+
   /** Dedup-append documents (must carry `doc_id` and `text`). Re-ingesting
     * the same batch is a no-op. With `cfg.partitionKey` set the store is
     * hive-partitioned by it, mirroring the index layout — Milvus partitions
     * physically isolate tenant segments, so [[dropPartition]] is a
     * directory delete on BOTH layouts and tenant-scoped predicates prune
     * the store scan. */
-  def ingest(docs: DataFrame, keyCol: String = "doc_id"): Unit = {
+  def ingest(docs: DataFrame, keyCol: String = "doc_id"): Unit = mutate {
     if (cfg.partitionKey.nonEmpty) validateTenantValues(docs)
     Ingest.dedupAppend(docs, cfg.storePath, keyCol,
       if (storeUsesPartitions) Some(cfg.partitionKey) else None)
@@ -266,7 +313,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * column itself is total.
    */
   def ingestDynamic(docs: DataFrame, declared: Seq[String] = Nil,
-                    keyCol: String = "doc_id"): Unit = {
+                    keyCol: String = "doc_id"): Unit = mutate {
     val fixed = (Seq(keyCol, "text") ++ declared).distinct
     // a partition key packed into $meta would shatter tenancy (the hive
     // layout needs the PHYSICAL column) — Milvus likewise requires the
@@ -431,7 +478,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * all-column equi-join would treat NULL ≠ NULL and re-upsert such rows
    * forever, breaking the idempotent no-op contract.
    */
-  def upsert(incoming: DataFrame, keyCol: String = "doc_id"): Long = {
+  def upsert(incoming: DataFrame, keyCol: String = "doc_id"): Long = mutate {
     // name-sorted column order on BOTH sides: the digest must not depend on
     // the projection order the caller happened to use
     val cols = store().columns.sorted.toSeq
@@ -512,7 +559,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * their values. Supported types are the exactly-replayable scalar set
    * (`long` | `double` | `string`).
    */
-  def addField(name: String, dataType: String, default: String): Unit = {
+  def addField(name: String, dataType: String, default: String): Unit = mutate {
     require(Seq("long", "double", "string").contains(dataType),
       s"addField: unsupported type '$dataType' (long | double | string)")
     require(name.nonEmpty && !name.contains("\t") && !name.contains("\n"),
@@ -607,7 +654,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * never rolls back a newer one (Milvus TTL only ever widens). Physical
    * removal is [[vacuumExpired]]'s job.
    */
-  def expireBefore(ts: Long): Unit = {
+  def expireBefore(ts: Long): Unit = mutate {
     require(cfg.ttlField.nonEmpty,
       "expireBefore requires cfg.ttlField (the Milvus collection-TTL contract)")
     if (ts > ttlHorizon().getOrElse(Long.MinValue))
@@ -686,7 +733,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * row generation) — use [[delete]] for delete-then-reinsert flows, or
    * vacuum first.
    */
-  def deleteSoft(ids: DataFrame, keyCol: String = "doc_id"): Long = {
+  def deleteSoft(ids: DataFrame, keyCol: String = "doc_id"): Long = mutate {
     val incoming = ids.select(col(keyCol).as("doc_id")).distinct()
       .join(store().select("doc_id"), Seq("doc_id"), "left_semi")
     val fresh = tombstoneIds().fold(incoming)(t =>
@@ -722,7 +769,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * delta-sized layout maintenance, then the delta log clears. Results
     * are byte-identical before and after (the graded q263 property).
     * Returns store documents physically removed. */
-  def vacuumDeleted(): Long = tombstoneIds() match {
+  def vacuumDeleted(): Long = mutate(tombstoneIds() match {
     case None => 0L
     case Some(t) =>
       val doomed = t.distinct().localCheckpoint(true)
@@ -730,7 +777,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       val p = new org.apache.hadoop.fs.Path(tombstonePath)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       removed
-  }
+  })
 
   /**
    * Physically remove expired rows — the lazy half of TTL, run from the
@@ -741,7 +788,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * vacuum the serve-time gate matches nothing — results are byte-identical
    * before and after (the graded q233 property). Returns rows removed.
    */
-  def vacuumExpired(): Long = {
+  def vacuumExpired(): Long = mutate {
     require(cfg.ttlField.nonEmpty,
       "vacuumExpired requires cfg.ttlField (the Milvus collection-TTL contract)")
     expiredIds() match {
@@ -776,7 +823,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * retry's anti-join imports exactly the missing suffix). Returns rows
    * imported.
    */
-  def bulkImport(stagingDir: String, quarantineDir: String = ""): Long = {
+  def bulkImport(stagingDir: String, quarantineDir: String = ""): Long = mutate {
     val staged = spark.read.parquet(stagingDir)
     val fs = new org.apache.hadoop.fs.Path(cfg.storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1361,7 +1408,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * harness, a real model drops into VectorFns.embedPartitions), overwrite
    * write — the reference's `renew` collection lifecycle (`vdb.py:196-212`).
    */
-  def update(): Unit = {
+  def update(): Unit = mutate {
     writeIndexRows(chunkEmbed(store()), "overwrite")
     invalidateIvf()
     stampSealed() // the fresh index covers every current store file
@@ -1392,7 +1439,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * never go stale. Returns the number of chunks appended (counted via an
    * `Observation` riding the write — no extra job).
    */
-  def updateIncremental(): Long = {
+  def updateIncremental(): Long = mutate {
     // a legacy FLAT index under a partition_key config cannot be extended:
     // the append would partition while the existing files don't (mixed
     // directory depths break every reader), and the old rows lack the
@@ -1642,7 +1689,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * versioned-MV pattern) so readers never observe a half-rewritten store.
    * Returns the number of store documents removed.
    */
-  def delete(ids: DataFrame, keyCol: String = "doc_id"): Long = {
+  def delete(ids: DataFrame, keyCol: String = "doc_id"): Long = mutate {
     val key = ids.select(keyCol).distinct()
     // CRASH ORDERING: the index prunes BEFORE the store rewrites. A crash
     // between the two then leaves docs missing-from-index — benign (they
@@ -1705,7 +1752,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * overwrites the very path the predicate scan reads, and a lazy key
    * frame would re-resolve against a half-rewritten store.
    */
-  def deleteWhere(pred: Column): Long = {
+  def deleteWhere(pred: Column): Long = mutate {
     val ids = store().filter(pred).select(col("doc_id"))
       .localCheckpoint(true) // pin BEFORE delete() overwrites the store
     delete(ids)
@@ -1869,7 +1916,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * removes 0 rows and leaves the layout stamped. Returns store documents
    * removed.
    */
-  def dropPartition(partitions: Seq[String]): Long = {
+  def dropPartition(partitions: Seq[String]): Long = mutate {
     require(cfg.partitionKey.nonEmpty,
       "dropPartition requires cfg.partitionKey (Milvus partition_key_field)")
     require(partitions.nonEmpty, "no partitions named")
@@ -1954,7 +2001,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * (unmaterialized cache, block eviction) would replay the scan against
    * deleted files. Returns (storeFiles, indexFiles) after the rewrite.
    */
-  def compact(maxRecordsPerFile: Long = 10000000L): (Long, Long) = {
+  def compact(maxRecordsPerFile: Long = 10000000L): (Long, Long) = mutate {
     def rewrite(path: String, keyCol: String): (Long, Boolean) = {
       val df = spark.read.parquet(path)
       val n = df.count()
@@ -2067,7 +2114,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * by a metadata field is the layout knob Milvus exposes for exactly the
    * filtered-read patterns `config.yml:74-100` deployments run.
    */
-  def compactClustered(key: String, maxRecordsPerFile: Long = 10000000L): Long = {
+  def compactClustered(key: String, maxRecordsPerFile: Long = 10000000L): Long = mutate {
     val df = store()
     require(df.columns.contains(key),
       s"compactClustered: store has no '$key' column")
@@ -2142,7 +2189,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * costs what [[delete]] costs (two anti-join rewrites); the audit and
    * proof are metadata-sized.
    */
-  def forget(ids: DataFrame, auditPath: String): DataFrame = {
+  def forget(ids: DataFrame, auditPath: String): DataFrame = mutate {
     val idsD = ids.select(col("doc_id")).distinct().localCheckpoint(true)
     val req = idsD.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head
     val removed = delete(idsD)
@@ -2202,7 +2249,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * All memoized state derived from the replaced layouts is invalidated.
    * Returns files restored.
    */
-  def restore(path: String): Long = {
+  def restore(path: String): Long = mutate {
     val n = Backup.restore(spark,
       Map("store" -> cfg.storePath, "index" -> cfg.indexPath), path)
     invalidateIvf()
@@ -2255,12 +2302,12 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * honors the drop, and a lazily-triggered rebuild (the stale-fingerprint
    * path) cannot resurrect the layout behind the operator's back.
    */
-  def dropIndex(): Unit = synchronized {
+  def dropIndex(): Unit = mutate(synchronized {
     val p = new org.apache.hadoop.fs.Path(ivfPath)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     invalidateIvf()
     writeStamp(annDroppedMarker, "dropped")
-  }
+  })
 
   /**
    * Milvus's `rename_collection`: move the collection — store, index, and
@@ -2274,7 +2321,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * fresh Engine from it (the Milvus shape: rename, then reconnect by the
    * new name). This engine instance must not be used afterwards.
    */
-  def renameCollection(newStorePath: String, newIndexPath: String): EngineConfig = synchronized {
+  def renameCollection(newStorePath: String, newIndexPath: String): EngineConfig = mutate(synchronized {
     require(cfg.ivfPath.isEmpty,
       "renameCollection only supports the default ivf_path layout " +
         "(an explicit ivf_path is outside the collection's directory family)")
@@ -2310,7 +2357,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       writeStamp(movedSeal, txt.replace(cfg.storePath, newStorePath)))
     invalidateIvf() // this instance is dead; don't let its memo serve
     cfg.copy(storePath = newStorePath, indexPath = newIndexPath)
-  }
+  })
 
   /** [[dropIndex]]'s persistent pin. */
   private def annDroppedMarker =
@@ -3820,7 +3867,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * At 100 TB the check costs two metadata reads; the rebuild, when taken,
    * costs exactly one offline create_index.
    */
-  def maintain(maxGrowth: Double): DataFrame = {
+  def maintain(maxGrowth: Double): DataFrame = mutate {
     val now = indexCount()
     val atBuild = persistedBuildCount()
     val layoutCurrent = persistedFingerprint().contains(compositeFingerprint())

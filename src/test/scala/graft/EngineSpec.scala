@@ -528,6 +528,90 @@ class EngineSpec extends SparkSpec {
     assert(hit.getAs[Long]("doc_id") == 90001L)
   }
 
+  test("read/write contention: Strong reads own writes mid-mutation; served reads never tear") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rw").toString
+    val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
+      nlist = 4, nprobe = 4, ivfThreshold = 1L, limit = 4)
+    val eng = new Engine(spark, cfg)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(300).localCheckpoint(true)
+    eng.ingest(docs)
+    eng.update()
+
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val torn = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // 3 reader streams hammer vector + scalar reads through served{} —
+    // the whole verb (frame CREATION + collect) inside the read lock,
+    // racing the writer's store/index rewrites below. A torn read is
+    // SILENT wrongness (empty or rank-holed results off a half-rewritten
+    // listing), so the assertions are structural, not just no-exception.
+    val readers = (1 to 3).map { _ =>
+      val t = new Thread(() => {
+        val qs = Seq("spark shuffle partition state")
+        while (!stop.get()) {
+          try {
+            val rows = eng.served { eng.searchAt(qs, "Eventually").collect() }
+            if (rows.isEmpty) torn.add("empty vector read")
+            val ranks = rows.map(_.getAs[Int]("rank")).sorted.toSeq
+            if (ranks != (1 to ranks.length)) torn.add(s"rank holes: $ranks")
+            val sc = eng.served {
+              eng.query(length(col("text")) > 0, Seq("text"), limit = 20).collect()
+            }
+            if (sc.isEmpty) torn.add("empty scalar read")
+          } catch { case t: Throwable => errors.add(t) }
+        }
+      })
+      t.start(); t
+    }
+    try {
+      import spark.implicits._
+      val ids = docs.select("doc_id").as[Long].take(8)
+      for (i <- 1 to 4) {
+        val token = s"zzcontended$i"
+        val target = ids(i - 1)
+        // upsert: the doc's text becomes ~pure repetitions of a fresh
+        // token, so a search for that token must rank it first
+        val row = Seq((target, (token + " ") * 40)).toDF("doc_id", "text")
+        eng.upsert(row)
+        // Strong = read-your-writes MID-MUTATION: the readers are still
+        // hammering; the just-upserted version must already rank (vector)
+        // and read back (scalar) before the next tick starts
+        eng.updateIncremental()
+        val strong = eng.served { eng.search(Seq(token)).collect() }
+        assert(strong.nonEmpty && strong.head.getAs[Long]("doc_id") == target,
+          s"tick $i: strong search missed its own upsert: ${strong.toSeq}")
+        val scalarRYW = eng.served {
+          eng.query(col("doc_id") === target, Seq("text")).collect()
+        }
+        assert(scalarRYW.length == 1 &&
+          scalarRYW.head.getAs[String]("text").startsWith(token),
+          s"tick $i: scalar read missed its own upsert")
+        // delete tick: the previous tick's doc leaves; a strong read must
+        // not rank it afterwards
+        if (i > 1) {
+          val gone = ids(i - 2)
+          eng.delete(Seq(gone).toDF("doc_id"))
+          eng.updateIncremental()
+          val after = eng.served { eng.search(Seq(s"zzcontended${i - 1}")).collect() }
+          assert(!after.exists(_.getAs[Long]("doc_id") == gone),
+            s"tick $i: deleted doc $gone still ranked")
+        }
+        // maintenance tick races the readers too (retrain rewrites cells)
+        eng.maintain(0.0)
+      }
+      // a mutator inside served{} must fail loudly, never deadlock
+      intercept[IllegalArgumentException](
+        eng.served { eng.deleteSoft(Seq(ids.last).toDF("doc_id")) })
+    } finally {
+      stop.set(true)
+      readers.foreach(_.join(60000))
+    }
+    assert(errors.isEmpty, s"reader exceptions under contention: " +
+      errors.toArray.take(3).mkString("; "))
+    assert(torn.isEmpty, s"torn reads: ${torn.toArray.take(5).mkString("; ")}")
+  }
+
   test("persisted IVF: a fresh engine serves search from disk without rebuilding") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pivf").toString
     val cfg = EngineConfig(storePath = s"$dir/store", indexPath = s"$dir/index",
