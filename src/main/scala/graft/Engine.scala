@@ -3640,16 +3640,28 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   }
 
   /** One field's masked, kPool-cut ANN ranking — the per-request pool
-    * both [[searchVectorField]] and [[hybridSearchFields]] consume. */
+    * both [[searchVectorField]] and [[hybridSearchFields]] consume. A
+    * non-empty `epr` is the request's own Milvus filter expression
+    * (AnnSearchRequest.expr): the translated predicate resolves an
+    * eligible doc_id set from the store (filter + single-column
+    * projection reach the scan) and gates the pool BEFORE the ranking
+    * window — same AQE-sized semi-join spelling as [[scoredChunks]]'
+    * eligibility gate, so a 90%-pass filter at scale shuffles instead of
+    * force-broadcasting. */
   private def fieldPool(field: String, vectors: Seq[Seq[Float]],
-                        kPool: Int, nprobe: Int): DataFrame = {
+                        kPool: Int, nprobe: Int, epr: String = ""): DataFrame = {
     require(vectors.nonEmpty && vectors.forall(_.nonEmpty),
       s"field '$field': query vectors must be non-empty")
     val layout = fieldIndex(field)
     val np = if (nprobe > 0) nprobe else cfg.nprobe
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
-    val cand = layout.scoredCandidates(vecQueryDf(vectors), np)
+    val cand0 = layout.scoredCandidates(vecQueryDf(vectors), np)
+    val cand =
+      if (epr.isEmpty) cand0
+      else cand0.join(
+        store().filter(exprPredicate(epr)).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
     // masks BEFORE the ranking window — a tombstoned doc must not leave a
     // rank hole in the pool it would have occupied
     maskedIds().fold(cand)(x => cand.join(broadcast(x), Seq("doc_id"), "left_anti"))
@@ -3660,12 +3672,13 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   }
 
   /** Single-field ANN search — Milvus's `search(anns_field=...)` naming
-    * one of the collection's vector fields. `nprobe >= nlist` is exact. */
+    * one of the collection's vector fields, with the verb's optional
+    * filter expression. `nprobe >= nlist` is exact. */
   def searchVectorField(field: String, vectors: Seq[Seq[Float]],
-                        k: Int = 0, nprobe: Int = 0): DataFrame = {
+                        k: Int = 0, nprobe: Int = 0, expr: String = ""): DataFrame = {
     admit()
     val kk = if (k > 0) k else cfg.limit
-    fieldPool(field, vectors, kk, nprobe).orderBy(col("query_id"), col("rank"))
+    fieldPool(field, vectors, kk, nprobe, expr).orderBy(col("query_id"), col("rank"))
   }
 
   /**
@@ -3689,7 +3702,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     admit()
     val kk = if (k > 0) k else cfg.limit
     val tagged = requests.map { r =>
-      fieldPool(r.field, r.vectors, r.kPool, r.nprobe)
+      fieldPool(r.field, r.vectors, r.kPool, r.nprobe, r.expr)
         .select(col("query_id"), col("doc_id"), lit(r.field).as("field"),
           col("rank").as("r"))
     }.reduce(_ unionByName _)
@@ -4025,10 +4038,13 @@ object Engine {
   /** One dense request of a multi-vector [[graft.Engine#hybridSearchFields]]
     * — Milvus's AnnSearchRequest: which vector field, the query vectors
     * (one per query; every request in a batch carries the same count),
-    * the per-request pool depth, and the probe width (`0` inherits
-    * cfg.nprobe; `>= nlist` makes the pool exact). */
+    * the per-request pool depth, the probe width (`0` inherits
+    * cfg.nprobe; `>= nlist` makes the pool exact), and the request's OWN
+    * filter expression (AnnSearchRequest.expr — each request may gate its
+    * pool differently; empty = unfiltered). */
   final case class AnnFieldRequest(field: String, vectors: Seq[Seq[Float]],
-                                   kPool: Int = 100, nprobe: Int = 0)
+                                   kPool: Int = 100, nprobe: Int = 0,
+                                   expr: String = "")
 
   /** The configurable lexical analyzer BASES (Milvus 2.5 analyzer_params).
     * The full config grammar is `<base>[|len:<min>:<max>]` — the optional

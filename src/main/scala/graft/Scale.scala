@@ -100,7 +100,7 @@ object Scale {
       "incdedup", "cc", "export", "spans", "invidx", "pq", "maxsim", "ivfpq",
       "snm", "rangeivf", "filtered", "binary", "drain", "lexserve", "vecdrain",
       "growing", "cluster", "scalaridx", "ndserve", "softdel", "dsir", "pairs",
-      "textmatch", "jsonrange"))
+      "textmatch", "jsonrange", "mvf"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -798,6 +798,43 @@ object Scale {
       }
       measure("scalaridx_serve", s, n) {
         eng.queryScalarIndexed("source", "uci", Seq("source")).count()
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+    // 29. Multi-vector-field hybrid (round 14, q290/q293): each dense
+    // field gets its OWN hive-by-cell IVF layout, a probe is a partition
+    // filter on that field's cells, and every request pool cuts to kPool
+    // BEFORE the RRF fusion — so the fusion's shuffle is
+    // O(nq·kPool·fields), FLAT in corpus size; only the per-field probes'
+    // cell reads grow (sub-linearly, nprobe/nlist of the corpus). Build
+    // is per-field linear: one seeded-quantizer assignment map + the
+    // partitioned write, no training pass.
+    if (only("mvf")) docLadder.foreach { case (s, n) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-mvf-").toString
+      corpus(spark, n).select(col("doc_id"), col("text"))
+        .withColumn("text_vec", expr(
+          "transform(sequence(0, 7), j -> cast(pmod(xxhash64(doc_id, j), 9973) as float))"))
+        .withColumn("img_vec", expr(
+          "transform(sequence(0, 5), j -> cast(pmod(xxhash64(doc_id, j + 11), 9973) as float))"))
+        .write.mode("overwrite").parquet(s"$base/store")
+      val eng = new Engine(spark, EngineConfig(s"$base/store", s"$base/index",
+        nlist = 16, nprobe = 4))
+      val probe = spark.read.parquet(s"$base/store").filter(col("doc_id") === 3)
+        .select("text_vec", "img_vec").head()
+      val qt = probe.getSeq[Float](0); val qi = probe.getSeq[Float](1)
+      measure("mvf_build", s, n) {
+        eng.fieldIndex("text_vec"); eng.fieldIndex("img_vec"); 2L
+      }
+      measure("mvf_serve", s, n) {
+        eng.hybridSearchFields(Seq(
+          Engine.AnnFieldRequest("text_vec", Seq(qt), kPool = 100),
+          Engine.AnnFieldRequest("img_vec", Seq(qi), kPool = 100)), k = 10).count()
+      }
+      measure("mvf_serve_filtered", s, n) { // per-request expr gate (q293)
+        eng.hybridSearchFields(Seq(
+          Engine.AnnFieldRequest("text_vec", Seq(qt), kPool = 100,
+            expr = "doc_id % 2 == 0"),
+          Engine.AnnFieldRequest("img_vec", Seq(qi), kPool = 100)), k = 10).count()
       }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }

@@ -823,6 +823,44 @@ object EngineQueries {
         Engine.AnnFieldRequest("img_vec", Seq(qi), kPool = 50)))
     }),
 
+    // Per-request filters on multi-vector hybrid_search — each
+    // AnnSearchRequest carries its OWN Milvus expr (the documented
+    // request shape): the text request pools only `lang == "en"` docs,
+    // the image request only `n_chars >= 300` docs, each gate applied
+    // BEFORE its pool's ranking window (a filtered-out doc leaves no
+    // rank hole), then the RRF fusion runs over the differently-gated
+    // pools. Composes q290's per-field layouts with q272/q254's expr
+    // translation; the oracle replays both gated rankings + the fusion.
+    "q293_multi_vector_filtered" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q293_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 8, nprobe = 8, limit = 10)
+      val eng = new Engine(s, cfg)
+      val base = t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars")
+      val img = graft.operators.Multimodal.decodeFeatures(
+        graft.operators.Multimodal.mediaTable(base.select("doc_id", "text", "n_chars")))
+        .select(col("doc_id"),
+          expr("transform(feat, x -> cast(round(x * 1000) as float))").as("img_vec"))
+      val docs = base
+        .withColumn("text_vec", expr(
+          "transform(sequence(0, 7), j -> cast(cast(conv(substr(" +
+            "sha2(concat('t:', text), 256), j * 8 + 1, 8), 16, 10) as bigint) " +
+            "% 1000 as float))"))
+        .join(img, Seq("doc_id"))
+      eng.ingest(docs)
+      val e2 = new Engine(s, cfg)
+      val qt = docs.filter(col("doc_id") === 3)
+        .select("text_vec").head().getSeq[Float](0)
+      val qi = docs.filter(col("doc_id") === 11)
+        .select("img_vec").head().getSeq[Float](0)
+      e2.hybridSearchFields(Seq(
+        Engine.AnnFieldRequest("text_vec", Seq(qt), kPool = 50,
+          expr = """lang == "en""""),
+        Engine.AnnFieldRequest("img_vec", Seq(qi), kPool = 50,
+          expr = "n_chars >= 300")))
+    }),
+
     // drop_index — Milvus's drop_index verb: remove the persisted ANN
     // layout and PIN serving to the exact FLAT scan until the next
     // create_index (update()). nprobe < nlist makes the pin a REAL
@@ -4370,6 +4408,46 @@ object EngineQueries {
          |    ORDER BY round(list_cosine_similarity(iv, (SELECT v FROM iq)), 4) DESC,
          |      doc_id ASC) AS r
          |  FROM docs QUALIFY r <= 50),
+         |pools AS (
+         |  SELECT doc_id, 'text_vec' AS field, r FROM tpool
+         |  UNION ALL SELECT doc_id, 'img_vec', r FROM ipool),
+         |fused AS (
+         |  SELECT doc_id,
+         |    string_agg(field || ':' || r, ',' ORDER BY field) AS field_ranks,
+         |    cast(sum(1000000 // (60 + r)) as bigint) AS rrf_ppm
+         |  FROM pools GROUP BY doc_id),
+         |ranked AS (
+         |  SELECT cast(0 as bigint) AS query_id, doc_id, field_ranks, rrf_ppm,
+         |    cast(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id ASC) as int) AS rank
+         |  FROM fused QUALIFY rank <= 10)
+         |SELECT r.query_id, r.doc_id, r.field_ranks, r.rrf_ppm, r.rank,
+         |  substring(d.text, 1, 200) AS preview
+         |FROM ranked r JOIN documents d USING (doc_id)
+         |ORDER BY r.rank""".stripMargin
+    },
+
+    // q293: both request gates replay as per-pool WHERE clauses before
+    // the rank windows; the fusion is q290's integer-ppm RRF unchanged
+    "q293_multi_vector_filtered" -> {
+      def dig(src: String) = (0 until 8).map(j =>
+        s"cast(cast('0x' || substr(sha256($src), ${j * 8 + 1}, 8) as bigint) " +
+          "% 1000 as double)").mkString("[", ", ", "]")
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    ${dig("'t:' || text")} AS tv, ${dig("text")} AS iv
+         |  FROM documents),
+         |tq AS (SELECT tv AS v FROM docs WHERE doc_id = 3),
+         |iq AS (SELECT iv AS v FROM docs WHERE doc_id = 11),
+         |tpool AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY round(list_cosine_similarity(tv, (SELECT v FROM tq)), 4) DESC,
+         |      doc_id ASC) AS r
+         |  FROM docs WHERE lang = 'en' QUALIFY r <= 50),
+         |ipool AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY round(list_cosine_similarity(iv, (SELECT v FROM iq)), 4) DESC,
+         |      doc_id ASC) AS r
+         |  FROM docs WHERE n_chars >= 300 QUALIFY r <= 50),
          |pools AS (
          |  SELECT doc_id, 'text_vec' AS field, r FROM tpool
          |  UNION ALL SELECT doc_id, 'img_vec', r FROM ipool),

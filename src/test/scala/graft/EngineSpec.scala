@@ -507,6 +507,23 @@ class EngineSpec extends SparkSpec {
       Engine.AnnFieldRequest("text_vec", Seq(qv)),
       Engine.AnnFieldRequest("text_vec", Seq(qv)))))
 
+    // per-request filter (AnnSearchRequest.expr): the gated pool contains
+    // only matching docs, ranks stay contiguous (no holes where filtered
+    // docs would have sat), and an unfiltered sibling still sees them
+    val filtered = eng.searchVectorField("text_vec", Seq(qv), k = 5,
+      expr = "doc_id % 2 == 0")
+      .select("doc_id", "rank").collect()
+    assert(filtered.nonEmpty && filtered.forall(_.getLong(0) % 2 == 0),
+      s"filter leaked: ${filtered.map(_.getLong(0)).toSeq}")
+    assert(filtered.map(_.getLong(1)).toSeq == (1L to filtered.length).toSeq)
+    val fusedFiltered = eng.hybridSearchFields(Seq(
+      Engine.AnnFieldRequest("text_vec", Seq(qv), kPool = 10, expr = "doc_id % 2 == 0"),
+      Engine.AnnFieldRequest("img_vec", Seq(qi), kPool = 10)))
+      .select("doc_id", "field_ranks").collect()
+    // doc 7 (odd) can only enter through the unfiltered image request
+    val d7 = fusedFiltered.find(_.getLong(0) == 7L)
+    assert(d7.isDefined && d7.get.getString(1) == "img_vec:1", d7.toString)
+
     // masks ride along: tombstoning the top doc removes it with no rank hole
     import spark.implicits._
     eng.deleteSoft(Seq(7L).toDF("doc_id"))
