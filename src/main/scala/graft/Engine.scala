@@ -3723,6 +3723,58 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /**
+   * Multi-vector `hybrid_search` under Milvus's OTHER ranker — the
+   * WeightedRanker: each request's pool min-max normalizes per query to
+   * basis points ([[hybridSearchWeighted]]'s integer spelling: `(10000 ×
+   * (vs − mn)) DIV (mx − mn)`, a one-member-or-tied pool normalizes to
+   * 10000), the fusion is `Σ wᵢ·normᵢ DIV 10000`, and a doc absent from a
+   * pool contributes exact 0 from that field. Weights are caller basis
+   * points — they need not sum to 10000. `field_scores` records each
+   * pool's normalized score as sorted `field:bp` pairs. Pools cut to
+   * kPool BEFORE the fusion (the [[hybridSearchFields]] scale shape);
+   * each pool feeds the stats AND the fusion, so it pins once.
+   */
+  def hybridSearchFieldsWeighted(requests: Seq[Engine.AnnFieldRequest],
+                                 weightsBp: Seq[Long], k: Int = 0): DataFrame = {
+    require(requests.nonEmpty && weightsBp.length == requests.length,
+      s"one weight per request (got ${requests.length} requests, ${weightsBp.length} weights)")
+    require(weightsBp.forall(_ >= 0) && weightsBp.sum > 0, s"bad weights $weightsBp")
+    require(requests.map(_.field).distinct.size == requests.size,
+      s"one request per field, got ${requests.map(_.field)}")
+    val nq = requests.head.vectors.size
+    require(nq > 0 && requests.forall(_.vectors.size == nq),
+      "every request must carry the same number of query vectors (Milvus's nq rule)")
+    admit()
+    val kk = if (k > 0) k else cfg.limit
+    val tagged = requests.zip(weightsBp).map { case (r, w) =>
+      fieldPool(r.field, r.vectors, r.kPool, r.nprobe, r.expr)
+        .select(col("query_id"), col("doc_id"), lit(r.field).as("field"),
+          expr("cast(floor(score * 10000 + 0.5) as bigint)").as("vs"),
+          lit(w).as("w"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    val stats = tagged.groupBy(col("query_id"), col("field"))
+      .agg(min(col("vs")).as("mn"), max(col("vs")).as("mx"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("fused_bp").desc, col("doc_id").asc)
+    val top = tagged.join(broadcast(stats), Seq("query_id", "field"))
+      .withColumn("norm_bp", expr(
+        "CASE WHEN mx > mn THEN (10000 * (vs - mn)) DIV (mx - mn) ELSE 10000 END"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr("w * norm_bp")).as("wsum"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("field"), col("norm_bp")))),
+          p => concat(p.getField("field"), lit(":"),
+            p.getField("norm_bp").cast("string"))), ",").as("field_scores"))
+      .withColumn("fused_bp", expr("wsum DIV 10000"))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= kk)
+    store().join(broadcast(top), "doc_id")
+      .select(col("query_id"), col("doc_id"), col("field_scores"),
+        col("fused_bp"), col("rank"), substring(col("text"), 1, 200).as("preview"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Memoized handle on the PERSISTED IVF layout — building the quantizer
     * is an OFFLINE step (the reference's create_index, vdb.py:209-211),
     * never part of a search. The memo holds only a lazy plan over the

@@ -823,6 +823,40 @@ object EngineQueries {
         Engine.AnnFieldRequest("img_vec", Seq(qi), kPool = 50)))
     }),
 
+    // WeightedRanker over multi-vector fields — Milvus's other fusion
+    // (hybrid_search(reqs, WeightedRanker(0.7, 0.3))): each pool min-max
+    // normalizes per query to integer basis points, the fusion is
+    // sum(w_i * norm_i) DIV 10000, absent-from-pool contributes 0 — all
+    // integers, so the oracle replays the ranking exactly.
+    "q294_multi_vector_weighted" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_engine_q294_${runSeq.incrementAndGet()}_").toString
+      val cfg = EngineConfig(storePath = s"$tmp/store", indexPath = s"$tmp/index",
+        nlist = 8, nprobe = 8, limit = 10)
+      val eng = new Engine(s, cfg)
+      val base = t(s, dir, "documents").select("doc_id", "text", "n_chars")
+      val img = graft.operators.Multimodal.decodeFeatures(
+        graft.operators.Multimodal.mediaTable(base))
+        .select(col("doc_id"),
+          expr("transform(feat, x -> cast(round(x * 1000) as float))").as("img_vec"))
+      val docs = base.select(col("doc_id"), col("text"))
+        .withColumn("text_vec", expr(
+          "transform(sequence(0, 7), j -> cast(cast(conv(substr(" +
+            "sha2(concat('t:', text), 256), j * 8 + 1, 8), 16, 10) as bigint) " +
+            "% 1000 as float))"))
+        .join(img, Seq("doc_id"))
+      eng.ingest(docs)
+      val e2 = new Engine(s, cfg)
+      val qt = docs.filter(col("doc_id") === 3)
+        .select("text_vec").head().getSeq[Float](0)
+      val qi = docs.filter(col("doc_id") === 11)
+        .select("img_vec").head().getSeq[Float](0)
+      e2.hybridSearchFieldsWeighted(Seq(
+        Engine.AnnFieldRequest("text_vec", Seq(qt), kPool = 50),
+        Engine.AnnFieldRequest("img_vec", Seq(qi), kPool = 50)),
+        weightsBp = Seq(7000L, 3000L))
+    }),
+
     // Per-request filters on multi-vector hybrid_search — each
     // AnnSearchRequest carries its OWN Milvus expr (the documented
     // request shape): the text request pools only `lang == "en"` docs,
@@ -4421,6 +4455,56 @@ object EngineQueries {
          |    cast(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id ASC) as int) AS rank
          |  FROM fused QUALIFY rank <= 10)
          |SELECT r.query_id, r.doc_id, r.field_ranks, r.rrf_ppm, r.rank,
+         |  substring(d.text, 1, 200) AS preview
+         |FROM ranked r JOIN documents d USING (doc_id)
+         |ORDER BY r.rank""".stripMargin
+    },
+
+    // q294: both pools replay to integer basis points, min-max per pool,
+    // weighted integer fusion — exact in DuckDB's integer arithmetic
+    "q294_multi_vector_weighted" -> {
+      def dig(src: String) = (0 until 8).map(j =>
+        s"cast(cast('0x' || substr(sha256($src), ${j * 8 + 1}, 8) as bigint) " +
+          "% 1000 as double)").mkString("[", ", ", "]")
+      s"""WITH docs AS (
+         |  SELECT doc_id, ${dig("'t:' || text")} AS tv, ${dig("text")} AS iv
+         |  FROM documents),
+         |tq AS (SELECT tv AS v FROM docs WHERE doc_id = 3),
+         |iq AS (SELECT iv AS v FROM docs WHERE doc_id = 11),
+         |tpool AS (
+         |  SELECT doc_id,
+         |    cast(floor(round(list_cosine_similarity(tv, (SELECT v FROM tq)), 4) * 10000 + 0.5) as bigint) AS vs,
+         |    row_number() OVER (
+         |      ORDER BY round(list_cosine_similarity(tv, (SELECT v FROM tq)), 4) DESC,
+         |        doc_id ASC) AS r
+         |  FROM docs QUALIFY r <= 50),
+         |ipool AS (
+         |  SELECT doc_id,
+         |    cast(floor(round(list_cosine_similarity(iv, (SELECT v FROM iq)), 4) * 10000 + 0.5) as bigint) AS vs,
+         |    row_number() OVER (
+         |      ORDER BY round(list_cosine_similarity(iv, (SELECT v FROM iq)), 4) DESC,
+         |        doc_id ASC) AS r
+         |  FROM docs QUALIFY r <= 50),
+         |pools AS (
+         |  SELECT doc_id, 'text_vec' AS field, vs, cast(7000 as bigint) AS w FROM tpool
+         |  UNION ALL SELECT doc_id, 'img_vec', vs, 3000 FROM ipool),
+         |stats AS (
+         |  SELECT field, min(vs) AS mn, max(vs) AS mx FROM pools GROUP BY field),
+         |normed AS (
+         |  SELECT p.doc_id, p.field, p.w,
+         |    CASE WHEN s.mx > s.mn THEN (10000 * (p.vs - s.mn)) // (s.mx - s.mn)
+         |         ELSE 10000 END AS norm_bp
+         |  FROM pools p JOIN stats s USING (field)),
+         |fused AS (
+         |  SELECT doc_id,
+         |    string_agg(field || ':' || norm_bp, ',' ORDER BY field) AS field_scores,
+         |    cast(sum(w * norm_bp) // 10000 as bigint) AS fused_bp
+         |  FROM normed GROUP BY doc_id),
+         |ranked AS (
+         |  SELECT cast(0 as bigint) AS query_id, doc_id, field_scores, fused_bp,
+         |    cast(row_number() OVER (ORDER BY fused_bp DESC, doc_id ASC) as int) AS rank
+         |  FROM fused QUALIFY rank <= 10)
+         |SELECT r.query_id, r.doc_id, r.field_scores, r.fused_bp, r.rank,
          |  substring(d.text, 1, 200) AS preview
          |FROM ranked r JOIN documents d USING (doc_id)
          |ORDER BY r.rank""".stripMargin

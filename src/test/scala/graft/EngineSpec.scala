@@ -524,6 +524,18 @@ class EngineSpec extends SparkSpec {
     val d7 = fusedFiltered.find(_.getLong(0) == 7L)
     assert(d7.isDefined && d7.get.getString(1) == "img_vec:1", d7.toString)
 
+    // WeightedRanker: doc 7 carries both query vectors verbatim → both
+    // pools normalize it to 10000 bp → fused = (w1+w2)·10000 DIV 10000
+    val weighted = eng.hybridSearchFieldsWeighted(reqs, Seq(8000L, 2000L))
+      .orderBy("rank").head()
+    assert(weighted.getAs[Long]("doc_id") == 7L, weighted.toString)
+    assert(weighted.getAs[Long]("fused_bp") == 10000L, weighted.toString)
+    assert(weighted.getAs[String]("field_scores") == "img_vec:10000,text_vec:10000")
+    intercept[IllegalArgumentException](
+      eng.hybridSearchFieldsWeighted(reqs, Seq(5000L))) // one weight per request
+    intercept[IllegalArgumentException](
+      eng.hybridSearchFieldsWeighted(reqs, Seq(0L, 0L))) // all-zero weights
+
     // masks ride along: tombstoning the top doc removes it with no rank hole
     import spark.implicits._
     eng.deleteSoft(Seq(7L).toDF("doc_id"))
