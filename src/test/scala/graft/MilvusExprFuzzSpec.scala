@@ -243,4 +243,34 @@ class MilvusExprFuzzSpec extends SparkSpec {
     assert(checked == 1000)
     df.unpersist()
   }
+
+  test("fuzz: arithmetic edge operands in chains throw at the translator, never at Spark") {
+    // every shape the d41593d/round-14 guards reject: arithmetic abutting
+    // the chain's HEAD, its TAIL, and the negative-subtraction disguise —
+    // each must fail with the translator's message (the alternative is
+    // Spark's baffling numeric-vs-boolean analyzer error downstream)
+    val gen = for {
+      lo <- Gen.chooseNum(-50, 200)
+      w <- Gen.chooseNum(1, 300)
+      o1 <- Gen.oneOf("<", "<=")
+      o2 <- Gen.oneOf("<", "<=")
+      k <- Gen.chooseNum(1, 9)
+      op <- Gen.oneOf("+", "-", "*", "/", "%")
+      side <- Gen.oneOf(0, 1, 2)
+      a <- Gen.oneOf("", " ")
+    } yield side match {
+      case 0 => s"n_chars $op $k $o1 doc_id $o2 ${lo + w}"
+      case 1 => s"$lo $o1 n_chars $o2 $k $op 2"
+      case 2 => s"doc_id$a-$k $o1 n_chars $o2 ${lo + w}"
+    }
+    val params = Gen.Parameters.default.withSize(20)
+    val cases = Gen.listOfN(300, gen).pureApply(params, rng.Seed(43L))
+    assert(cases.length == 300)
+    cases.foreach { e =>
+      val ex = intercept[IllegalArgumentException](
+        MilvusExpr.toSparkSql(e, physCols, Some("$meta")))
+      assert(ex.getMessage.contains("chained comparison"),
+        s"<$e> -> ${ex.getMessage}")
+    }
+  }
 }
