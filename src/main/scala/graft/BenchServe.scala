@@ -127,11 +127,11 @@ object BenchServe {
 
     // The RW writer: one thread ticking the mutation lifecycle a serving
     // deployment actually runs in place — upsert a changed document,
-    // bring the index current, STRONG-read its own write (must rank #1:
-    // the upserted text is pure repetitions of a fresh token), soft-delete
-    // another document, and every third tick a maintain() growth check.
-    // Tick latency is reported per level; ryw_fail counts strong reads
-    // that missed their own mutation (must be 0).
+    // bring the index current, verify read-your-writes visibility on both
+    // routes (scalar text + index membership), soft-delete another
+    // document, and every third tick a maintain() growth check. Tick
+    // latency is reported per level; ryw_fail counts mutations a
+    // subsequent read failed to see (must be 0).
     val rywOk = new java.util.concurrent.atomic.AtomicLong(0)
     val rywFail = new java.util.concurrent.atomic.AtomicLong(0)
     val annHit = new java.util.concurrent.atomic.AtomicLong(0)

@@ -2347,6 +2347,15 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     Seq("_ivf", "_lex", "_json", "_scalar", "_minhash", "_SEALED",
       "_ANN_DROPPED").foreach(sfx =>
       mv(cfg.indexPath + sfx, newIndexPath + sfx))
+    // per-FIELD vector layouts (`_vf_<field>`, multi-vector collections) —
+    // their fingerprint stamps are relative-path based, so a rename
+    // preserves them with zero rebuild
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(cfg.indexPath + "_vf_*")))
+      .getOrElse(Array.empty).foreach { st =>
+        val src = st.getPath.toUri.getPath
+        mv(src, newIndexPath + src.stripPrefix(cfg.indexPath))
+      }
+    fieldIvfMemo.clear() // this instance is dead; don't let its memos serve
     // the sealed manifest lists FULL URIs — rewrite the store prefix so
     // coverage survives the move (it is still semantically current: same
     // files, new name). A prefix that doesn't occur (exotic URI spelling)

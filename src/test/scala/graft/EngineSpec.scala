@@ -555,6 +555,18 @@ class EngineSpec extends SparkSpec {
       .select("text_vec").head().getSeq[Float](0)
     val hit = e2.searchVectorField("text_vec", Seq(qn), k = 1).head()
     assert(hit.getAs[Long]("doc_id") == 90001L)
+
+    // renameCollection carries the per-field layouts: the fingerprint
+    // stamps are relative-path based, so the renamed collection serves
+    // from the moved bytes with ZERO rebuild
+    val cfg2 = e2.renameCollection(s"$dir/store2", s"$dir/index2")
+    val vfMoved = new java.io.File(s"$dir/index2_vf_text_vec")
+    assert(vfMoved.exists() && !new java.io.File(s"$dir/index_vf_text_vec").exists())
+    val movedWalk = walk(vfMoved)
+    val e3 = new Engine(spark, cfg2)
+    assert(e3.searchVectorField("text_vec", Seq(qn), k = 1)
+      .head().getAs[Long]("doc_id") == 90001L)
+    assert(walk(vfMoved) == movedWalk, "rename triggered a per-field rebuild")
   }
 
   test("read/write contention: Strong reads own writes mid-mutation; served reads never tear") {
