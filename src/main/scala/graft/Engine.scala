@@ -1723,6 +1723,26 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         if (layoutCurrent) maintainLayoutAfterDelete(key, keyCol)
       }
     }
+    // per-FIELD vector layouts prune in the same pre-rewrite window (the
+    // crash-ordering rule: a crash leaves docs missing-from-layout, which
+    // is benign). Layouts CURRENT before the delete restamp to the
+    // post-rewrite fingerprint below — currency carried, never invented; a
+    // stale layout stays stale but un-SHRUNK, so its next tick extends
+    // instead of rebuilding. A custom pk collection skips (field layouts
+    // key on doc_id); its layouts rebuild on the stamp mismatch.
+    val vfToRestamp: Seq[String] =
+      if (keyCol == "doc_id") {
+        val roots = vfRoots()
+        if (roots.isEmpty) Nil
+        else {
+          val pre = pathFingerprint(cfg.storePath)
+          val current = roots.filter(r => readStamp(
+            new org.apache.hadoop.fs.Path(s"$r/_STORE_FINGERPRINT"))
+            .exists(_.startsWith(s"$pre|")))
+          roots.foreach(pruneVfLayout(_, key))
+          current
+        }
+      } else Nil
     // layout-on-disk routing ([[storeUsesPartitions]]): a legacy flat store
     // under a partition_key config must take the flat rewrite — a dynamic
     // partitionBy overwrite against flat part files would leave the removed
@@ -1730,6 +1750,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val removed =
       if (storeUsesPartitions) deleteFromPartitionedStore(key, keyCol)
       else deleteFromFlatStore(key, keyCol)
+    vfToRestamp.foreach(restampVf)
     // removals are the one mutation the lexical layout cannot absorb
     // delta-sized (postings of removed docs poison df/stats): drop its
     // stamp; the next hybrid call rebuilds offline
@@ -3621,23 +3642,132 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val root = vfRoot(field)
     val stamp = new org.apache.hadoop.fs.Path(s"$root/_STORE_FINGERPRINT")
     val dim = fieldDim(field)
-    val fp = s"${pathFingerprint(cfg.storePath)}|VF;field=$field;nlist=$nl;dim=$dim;seeded"
+    val cfgPart = s"|VF;field=$field;nlist=$nl;dim=$dim;seeded"
+    val fp = s"${pathFingerprint(cfg.storePath)}$cfgPart"
     if (!readStamp(stamp).contains(fp)) synchronized {
       if (!readStamp(stamp).contains(fp)) {
         fieldIvfMemo.remove(field)
         val corpus = widen(store())
           .select(col("doc_id"), col(field).cast("array<float>").as(field))
           .filter(col(field).isNotNull && size(col(field)) === dim)
-        val built = VectorSearch.buildIvfSeeded(corpus, nl, dim,
-          idCol = "doc_id", vecCol = field)
-        VectorSearch.writeIvf(built, root)
-        writeStamp(stamp, fp)
+        // INCREMENTAL EXTEND (the main index's add-to-built-index
+        // discipline, updateIncremental): a stale layout whose CONFIG part
+        // still matches extends delta-sized when the store only GREW —
+        // growing docs route to their nearest existing cell (the seeded
+        // quantizer is never retrained) and append; bounds merge
+        // driver-side from the delta's per-cell minima. A SHRUNK layout
+        // (doc_ids the store no longer has — dropPartition, restore; a
+        // hard delete prunes the layout in-line so it does NOT shrink)
+        // rebuilds: an append cannot un-serve a vanished doc, and serving
+        // it would leave rank holes at hydration. At 100 TB this turns
+        // every ingest wave's field-index cost from a corpus rewrite into
+        // a delta append, and a compaction (same rows, new files) into a
+        // restamp.
+        val canExtend = readStamp(stamp).exists(_.endsWith(cfgPart))
+        val extended = canExtend && {
+          val layoutIds = spark.read.parquet(s"$root/cells")
+            .select(col("doc_id")).distinct().localCheckpoint(true)
+          val shrunk = layoutIds.join(corpus.select("doc_id"), Seq("doc_id"), "left_anti")
+            .limit(1).count() > 0
+          if (shrunk) false
+          else {
+            val growing = corpus.join(layoutIds, Seq("doc_id"), "left_anti")
+            val cents = VectorSearch.collectCentroids(
+              spark.read.parquet(s"$root/centroids"))
+            val assigned = VectorSearch.assignCells(growing, cents, field)
+              .localCheckpoint(true) // delta-sized: one assignment, two consumers
+            if (assigned.count() > 0) {
+              assigned.repartition(col("cell"))
+                .write.mode("append").partitionBy("cell").parquet(s"$root/cells")
+              // keep range-search bounds SOUND under the append: merge the
+              // delta's per-cell minima with the stored ones (nlist rows
+              // of driver arithmetic, like the main extend)
+              val batchMins = assigned
+                .groupBy(col("cell"))
+                .agg(min(round(VectorFns.cosineSim(col(field),
+                  element_at(typedLit(cents.map(_.toSeq).toSeq), col("cell") + 1)), 4))
+                  .as("bmin"))
+                .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+              val stored = spark.read.parquet(s"$root/bounds")
+                .collect().map(r => r.getInt(r.fieldIndex("cell")) ->
+                  r.getDouble(r.fieldIndex("min_cos"))).toMap
+              import spark.implicits._
+              (stored.keySet ++ batchMins.keySet).toSeq.sorted
+                .map(c => (c, (stored.get(c).toSeq ++ batchMins.get(c).toSeq).min))
+                .toDF("cell", "min_cos")
+                .coalesce(1).write.mode("overwrite").parquet(s"$root/bounds")
+            }
+            writeStamp(stamp, fp)
+            true
+          }
+        }
+        if (!extended) {
+          val built = VectorSearch.buildIvfSeeded(corpus, nl, dim,
+            idCol = "doc_id", vecCol = field)
+          VectorSearch.writeIvf(built, root)
+          writeStamp(stamp, fp)
+        }
       }
     }
     Option(fieldIvfMemo.get(field)).getOrElse {
       val loaded = VectorSearch.loadIvf(spark, root, idCol = "doc_id", vecCol = field)
       fieldIvfMemo.put(field, loaded)
       loaded
+    }
+  }
+
+  /** Existing per-field layout roots (`<indexPath>_vf_<field>`). */
+  private def vfRoots(): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(cfg.indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(cfg.indexPath + "_vf_*")))
+      .getOrElse(Array.empty).map(_.getPath.toUri.getPath).toSeq
+  }
+
+  /** [[delete]]'s per-field prune: remove doomed doc_ids from one field
+    * layout, CELL-scoped — a slim (doc_id, cell) scan finds the cells
+    * holding removed docs; only THOSE cells' kept rows rewrite (dynamic
+    * overwrite); a cell emptied by the prune leaves as a directory
+    * delete. Pruning keeps the layout append-extendable (never SHRUNK vs
+    * the store), so the next [[fieldIndex]] tick is a delta append, not a
+    * corpus rebuild. */
+  private def pruneVfLayout(root: String, key: DataFrame): Unit = {
+    val cellsPath = s"$root/cells"
+    val df = spark.read.parquet(cellsPath)
+    val hits = df.select(col("doc_id"), col("cell"))
+      .join(broadcast(key), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    if (hits.count() == 0) return
+    fieldIvfMemo.remove(root.stripPrefix(s"${cfg.indexPath}_vf_"))
+    val affected = hits.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val kept = df.filter(col("cell").isInCollection(affected.toSeq))
+      .join(broadcast(key), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // pin BEFORE overwriting partitions being read
+    val keptCells = kept.select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
+    val emptied = affected.filterNot(keptCells)
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(cellsPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach(c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$cellsPath/cell=$c"), true))
+    }
+    if (keptCells.nonEmpty)
+      kept.repartition(col("cell")).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(cellsPath)
+    // bounds stay SOUND un-touched: removing members can only RAISE a
+    // cell's true min_cos, and a stored lower bound only over-includes
+  }
+
+  /** Re-stamp a pruned field layout to the post-rewrite store fingerprint
+    * (config suffix preserved) — only called for layouts that were CURRENT
+    * before the delete, so currency is carried, never invented. */
+  private def restampVf(root: String): Unit = {
+    val stamp = new org.apache.hadoop.fs.Path(s"$root/_STORE_FINGERPRINT")
+    readStamp(stamp).foreach { old =>
+      val at = old.indexOf('|')
+      if (at >= 0)
+        writeStamp(stamp, s"${pathFingerprint(cfg.storePath)}${old.substring(at)}")
     }
   }
 

@@ -544,8 +544,36 @@ class EngineSpec extends SparkSpec {
     assert(!after.map(_.getLong(0)).contains(7L))
     assert(after.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
 
-    // staleness: new rows move the store fingerprint → a fresh engine
-    // rebuilds the field layout and serves them
+    // hard delete prunes the per-field layout IN PLACE (cell-scoped) and
+    // carries its stamp — no shrink, so later ticks extend, not rebuild
+    val cellsDir = s"$dir/index_vf_text_vec/cells"
+    eng.delete(Seq(9L).toDF("doc_id"))
+    assert(spark.read.parquet(cellsDir).filter(col("doc_id") === 9).count() == 0,
+      "hard delete left the doc in the field layout")
+    val qv9 = docs.filter(col("doc_id") === 9)
+      .select("text_vec").head().getSeq[Float](0)
+    val afterHard = eng.searchVectorField("text_vec", Seq(qv9), k = 3).collect()
+    assert(!afterHard.map(_.getAs[Long]("doc_id")).contains(9L))
+    assert(afterHard.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+
+    // upsert with a CHANGED vector: the delete-prune removes the stale
+    // vector, the extend appends the new one — the layout never serves
+    // the old version and never holds two versions of the doc
+    val up = docs.filter(col("doc_id") === 5)
+      .withColumn("text_vec",
+        expr("transform(text_vec, x -> cast(x + 1000.0 as float))"))
+    assert(eng.upsert(up) == 1L)
+    val qv5 = up.select("text_vec").head().getSeq[Float](0)
+    val upHit = eng.searchVectorField("text_vec", Seq(qv5), k = 1).head()
+    assert(upHit.getAs[Long]("doc_id") == 5L, upHit.toString)
+    val v5rows = spark.read.parquet(cellsDir).filter(col("doc_id") === 5).collect()
+    assert(v5rows.length == 1 &&
+      v5rows.head.getAs[scala.collection.Seq[Float]]("text_vec").toSeq == qv5.toSeq,
+      "layout holds a stale or duplicate vector after upsert")
+
+    // staleness: new rows EXTEND the layout delta-sized — every
+    // pre-existing cell file is byte-untouched; the growing docs append
+    val preCells = walk(new java.io.File(cellsDir))
     val extra = docs.limit(0).sparkSession.range(90001, 90003)
       .select(col("id").as("doc_id"), lit("fresh doc").as("text"))
       .withColumn("text_vec", vec(8, 3)).withColumn("img_vec", vec(6, 11))
@@ -555,6 +583,18 @@ class EngineSpec extends SparkSpec {
       .select("text_vec").head().getSeq[Float](0)
     val hit = e2.searchVectorField("text_vec", Seq(qn), k = 1).head()
     assert(hit.getAs[Long]("doc_id") == 90001L)
+    val postCells = walk(new java.io.File(cellsDir))
+    // the job-level _SUCCESS marker is rewritten by the append itself —
+    // the claim is about DATA files
+    def data(m: Map[String, Long]) = m.filterNot { case (p, _) =>
+      val n = p.split('/').last
+      n.startsWith("_") || n.startsWith(".")
+    }
+    assert(data(preCells).toSet.subsetOf(data(postCells).toSet),
+      s"extend rewrote pre-existing cell files (corpus-sized rebuild): " +
+        s"gone=${(data(preCells).toSet -- data(postCells).toSet).take(5)} " +
+        s"new=${(data(postCells).toSet -- data(preCells).toSet).take(5)}")
+    assert(data(postCells).size > data(preCells).size, "extend appended no files")
 
     // renameCollection carries the per-field layouts: the fingerprint
     // stamps are relative-path based, so the renamed collection serves
