@@ -14,6 +14,9 @@ object Bench {
       // dozens of empty tasks per stage
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
+      // fork-free local-FS permissions (graft.util.NioLocalFileSystem):
+      // stock Hadoop shells out to /bin/chmod per created file
+      .config("spark.hadoop.fs.file.impl", "graft.util.NioLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/FS-client init, not query work

@@ -54,6 +54,9 @@ object BenchServe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.scheduler.mode", if (fair) "FAIR" else "FIFO")
       .config("spark.ui.enabled", "false")
+      // fork-free local-FS permissions (graft.util.NioLocalFileSystem):
+      // stock Hadoop shells out to /bin/chmod per created file
+      .config("spark.hadoop.fs.file.impl", "graft.util.NioLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -36,6 +36,9 @@ object Demo {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // fork-free local-FS permissions (graft.util.NioLocalFileSystem):
+      // stock Hadoop shells out to /bin/chmod per created file
+      .config("spark.hadoop.fs.file.impl", "graft.util.NioLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.contains("interactive")) interactive(spark, args)

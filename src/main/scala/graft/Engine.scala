@@ -530,14 +530,14 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   /** The document store as a DataFrame. */
   def store(): DataFrame = {
     val deltas = schemaDeltas()
-    if (deltas.isEmpty) spark.read.parquet(cfg.storePath)
+    if (deltas.isEmpty) graft.util.FastParquet.read(spark, cfg.storePath)
     else {
       // added fields join the READ SCHEMA explicitly: files that carry the
       // column deliver it, files that predate it deliver null (never the
       // sampled-footer lottery a mixed-schema read would otherwise play),
       // and the default fills the nulls — pre-existing rows are never
       // rewritten (the metadata-only contract)
-      val base = spark.read.parquet(cfg.storePath).schema
+      val base = graft.util.FastParquet.read(spark, cfg.storePath).schema
       val schema = deltas.foldLeft(base)((s, d) =>
         if (s.fieldNames.contains(d._1)) s
         else s.add(d._1, d._2, nullable = true))
@@ -568,7 +568,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     require(!existing.exists(_._1 == name),
       s"addField: field '$name' already added")
     require(!storeExists ||
-        !spark.read.parquet(cfg.storePath).schema.fieldNames.contains(name),
+        !graft.util.FastParquet.read(spark, cfg.storePath).schema.fieldNames.contains(name),
       s"addField: field '$name' already exists in the store schema")
     // defaults must round-trip the registry's text encoding exactly
     if (dataType == "long") default.toLong
@@ -712,7 +712,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   private def tombstoneIds(): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(tombstonePath)
     if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      Some(spark.read.parquet(tombstonePath).select("doc_id"))
+      Some(graft.util.FastParquet.read(spark, tombstonePath).select("doc_id"))
     else None
   }
 
@@ -824,7 +824,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    * imported.
    */
   def bulkImport(stagingDir: String, quarantineDir: String = ""): Long = mutate {
-    val staged = spark.read.parquet(stagingDir)
+    val staged = graft.util.FastParquet.read(spark, stagingDir)
     val fs = new org.apache.hadoop.fs.Path(cfg.storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val storeExists = fs.exists(new org.apache.hadoop.fs.Path(cfg.storePath))
@@ -998,7 +998,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     require(value != null && value.nonEmpty, "queryJsonIndexed needs a value")
     val root = ensureJsonIdx(field, jsonPath)
     val b = graft.operators.InvertedIndex.bucketOfTerm(value)
-    val ids = spark.read.parquet(s"$root/postings")
+    val ids = graft.util.FastParquet.read(spark, s"$root/postings")
       .filter(col("vb") === b && col("v") === value)
       .select(col("doc_id"))
     val cols = ("doc_id" +: outputFields).distinct.map(col(_))
@@ -1063,7 +1063,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       lo.map(l => if (loInclusive) col("nv") >= l else col("nv") > l),
       hi.map(h => if (hiInclusive) col("nv") <= h else col("nv") < h))
       .flatten.reduce(_ && _)
-    val ids = spark.read.parquet(s"$root/ranges")
+    val ids = graft.util.FastParquet.read(spark, s"$root/ranges")
       .filter(col("rb").isin(rbs: _*) && nvFilter)
       .select(col("doc_id"))
     val base = maskGate(store().join(ids, Seq("doc_id"), "left_semi")).select(cols: _*)
@@ -1091,7 +1091,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * (value-sized), never a second corpus scan; rows value-sorted within
     * files so row-group stats serve the residual cut. */
   private def buildJsonRanges(root: String): Unit = {
-    val postings = try spark.read.parquet(s"$root/postings") catch {
+    val postings = try graft.util.FastParquet.read(spark, s"$root/postings") catch {
       // a path with no values at all wrote no readable part files
       case _: org.apache.spark.sql.AnalysisException =>
         writeStamp(rangeBoundsFile(root), "EMPTY"); return
@@ -1161,7 +1161,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     require(value != null && value.nonEmpty, "queryScalarIndexed needs a value")
     val root = ensureScalarIdx(field)
     val b = graft.operators.InvertedIndex.bucketOfTerm(value)
-    val ids = spark.read.parquet(s"$root/postings")
+    val ids = graft.util.FastParquet.read(spark, s"$root/postings")
       .filter(col("vb") === b && col("v") === value)
       .select(col("doc_id"))
     val cols = ("doc_id" +: outputFields).distinct.map(col(_))
@@ -1206,7 +1206,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     // candidates: broadcast the (tiny) query bands against the persisted
     // band table; sz rides the band rows (denormalized at build) so no
     // separate sizes join is needed
-    val cand = spark.read.parquet(s"$root/bands")
+    val cand = graft.util.FastParquet.read(spark, s"$root/bands")
       .join(broadcast(qbands), Seq("band", "band_sig"))
       .select(col("query_id"), col("doc_id"), col("sz").as("sz_d"))
       .distinct()
@@ -1218,7 +1218,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     // the 100x ladder rung before the hint, 0 after), then one broadcast
     // hash join against the query shingles
     val candIds = gated.select("doc_id").distinct()
-    val inter = spark.read.parquet(s"$root/shingles")
+    val inter = graft.util.FastParquet.read(spark, s"$root/shingles")
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .join(broadcast(qsh), "shingle")
       .groupBy(col("query_id"), col("doc_id"))
@@ -1601,12 +1601,12 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val qterms = queries.zipWithIndex.flatMap { case (q, i) =>
       analyzeTerms(q).distinct.map(t => (i.toLong, t))
     }.toDF("query_id", "tok")
-    val st = spark.read.parquet(s"$lexPath/stats").head()
+    val st = graft.util.FastParquet.read(spark, s"$lexPath/stats").head()
     val nDocs = st.getLong(st.fieldIndex("n_docs"))
     val tToks = st.getLong(st.fieldIndex("t_toks"))
     val terms = queries.flatMap(analyzeTerms).distinct
     val buckets = terms.map(graft.operators.InvertedIndex.bucketOfTerm).distinct
-    val posts = spark.read.parquet(s"$lexPath/postings")
+    val posts = graft.util.FastParquet.read(spark, s"$lexPath/postings")
       .filter(col("tb").isInCollection(buckets) && col("tok").isInCollection(terms))
     val dfT = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wl = org.apache.spark.sql.expressions.Window
@@ -1812,7 +1812,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   private def pruneKeyedPartitions(path: String, key: DataFrame,
                                    keyCol: String): Long = {
     val k = cfg.partitionKey
-    val df = spark.read.parquet(path)
+    val df = graft.util.FastParquet.read(spark, path)
     val hits = df.select(col(keyCol), col(k))
       .join(broadcast(key), Seq(keyCol), "left_semi")
       .localCheckpoint(true) // slim: (key, tenant) of removed rows only
@@ -1877,7 +1877,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   private def maintainLayoutRemoving(removed: DataFrame => DataFrame,
                                      kept: DataFrame => DataFrame): Unit = {
     val cellsPath = s"$ivfPath/cells"
-    val cells = spark.read.parquet(cellsPath)
+    val cells = graft.util.FastParquet.read(spark, cellsPath)
     val affected = removed(cells)
       .select(col("cell")).distinct().collect().map(_.getInt(0))
     if (affected.isEmpty) {
@@ -1887,7 +1887,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       return
     }
     def prune(path: String): Boolean = {
-      val df = spark.read.parquet(path)
+      val df = graft.util.FastParquet.read(spark, path)
       val aff = df.filter(col("cell").isInCollection(affected.toSeq))
       val keptRows = kept(aff)
         .localCheckpoint(true) // pin BEFORE overwriting partitions being read
@@ -2024,7 +2024,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
    */
   def compact(maxRecordsPerFile: Long = 10000000L): (Long, Long) = mutate {
     def rewrite(path: String, keyCol: String): (Long, Boolean) = {
-      val df = spark.read.parquet(path)
+      val df = graft.util.FastParquet.read(spark, path)
       val n = df.count()
       val files = math.max(1L, (n + maxRecordsPerFile - 1) / maxRecordsPerFile)
       // selective guard (the Compaction.compactSelective discipline): a
@@ -2054,7 +2054,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     // root listing sees only `key=` dirs and would no-op (the documented
     // round-9 gap this path closes).
     def rewritePartitioned(path: String, key: String): (Long, Boolean) = {
-      val df = spark.read.parquet(path)
+      val df = graft.util.FastParquet.read(spark, path)
       require(df.columns.contains(key),
         s"compact: $path has no '$key' column — a layout that never carried " +
           "the partition key cannot be migrated to tenant directories")
@@ -2063,10 +2063,9 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         math.max(1L, (r.getLong(1) + maxRecordsPerFile - 1) / maxRecordsPerFile)).sum
       val pth = new org.apache.hadoop.fs.Path(path)
       val fsys = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fsys.listFiles(pth, true)
       var currentFiles = 0
-      while (it.hasNext) {
-        val f = it.next().getPath.getName
+      graft.util.FsWalk.files(fsys, pth).foreach { st =>
+        val f = st.getPath.getName
         if (!f.startsWith("_") && !f.startsWith(".")) currentFiles += 1
       }
       // the selective guard only applies to an ALREADY-partitioned layout:
@@ -2279,7 +2278,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
   }
 
   /** The vector index as a DataFrame. */
-  def index(): DataFrame = spark.read.parquet(cfg.indexPath)
+  def index(): DataFrame = graft.util.FastParquet.read(spark, cfg.indexPath)
 
   /** Embed a query batch driver-side with the SAME model the index was
     * built with (vdb.py:92-95 embeds queries through the one model handle;
@@ -2524,10 +2523,8 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) return Nil
     val base = f.getFileStatus(p).getPath.toUri.getPath
-    val it = f.listFiles(p, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val st = it.next()
+    graft.util.FsWalk.files(f, p).foreach { st =>
       val rel = st.getPath.toUri.getPath.stripPrefix(base)
       if (st.isFile && !rel.contains("/_") && !rel.contains("/."))
         buf += st.getPath.toString
@@ -3087,7 +3084,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       buildLex()
       return
     }
-    val covered = spark.read.parquet(s"$lexPath/doclens").select(col("doc_id"))
+    val covered = graft.util.FastParquet.read(spark, s"$lexPath/doclens").select(col("doc_id"))
     val fresh = store().join(covered, Seq("doc_id"), "left_anti")
     val toks = widen(fresh)
       .select(col("doc_id"), explode(analyzeCol(col("text"))).as("tok"))
@@ -3103,7 +3100,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         .repartition(col("tb"))
         .write.mode("append").partitionBy("tb").parquet(s"$lexPath/postings")
       dl.write.mode("append").parquet(s"$lexPath/doclens")
-      val st = spark.read.parquet(s"$lexPath/stats").head()
+      val st = graft.util.FastParquet.read(spark, s"$lexPath/stats").head()
       import spark.implicits._
       Seq((st.getLong(0) + delta.getLong(0), st.getLong(1) + delta.getLong(1)))
         .toDF("n_docs", "t_toks")
@@ -3135,7 +3132,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val terms = analyzeTerms(matchText).distinct
     require(terms.nonEmpty, "TEXT_MATCH needs at least one term")
     val buckets = terms.map(graft.operators.InvertedIndex.bucketOfTerm).distinct
-    val eligible = spark.read.parquet(s"$lexPath/postings")
+    val eligible = graft.util.FastParquet.read(spark, s"$lexPath/postings")
       .filter(col("tb").isInCollection(buckets) && col("tok").isInCollection(terms))
       .select(col("doc_id")).distinct()
     searchImpl(queryDf(queries), Some(eligible))
@@ -3191,7 +3188,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     require(terms.nonEmpty, "PHRASE_MATCH needs at least one term")
     val distinctTerms = terms.distinct
     val buckets = distinctTerms.map(graft.operators.InvertedIndex.bucketOfTerm).distinct
-    val cand = spark.read.parquet(s"$lexPath/postings")
+    val cand = graft.util.FastParquet.read(spark, s"$lexPath/postings")
       .filter(col("tb").isInCollection(buckets) && col("tok").isInCollection(distinctTerms))
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("tok")).as("__nt"))
@@ -3310,11 +3307,11 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       analyzeTerms(q)
         .groupBy(identity).toSeq.map { case (t, g) => (i.toLong, t, g.length.toLong) }
     }.toDF("query_id", "tok", "qtf")
-    val st = spark.read.parquet(s"$lexPath/stats").head()
+    val st = graft.util.FastParquet.read(spark, s"$lexPath/stats").head()
     val nDocs = st.getLong(st.fieldIndex("n_docs"))
     val terms = queries.flatMap(analyzeTerms).distinct
     val buckets = terms.map(graft.operators.InvertedIndex.bucketOfTerm).distinct
-    val posts = spark.read.parquet(s"$lexPath/postings")
+    val posts = graft.util.FastParquet.read(spark, s"$lexPath/postings")
       .filter(col("tb").isInCollection(buckets) && col("tok").isInCollection(terms))
     val dfT = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val ws = org.apache.spark.sql.expressions.Window
@@ -3665,7 +3662,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         // restamp.
         val canExtend = readStamp(stamp).exists(_.endsWith(cfgPart))
         val extended = canExtend && {
-          val layoutIds = spark.read.parquet(s"$root/cells")
+          val layoutIds = graft.util.FastParquet.read(spark, s"$root/cells")
             .select(col("doc_id")).distinct().localCheckpoint(true)
           val shrunk = layoutIds.join(corpus.select("doc_id"), Seq("doc_id"), "left_anti")
             .limit(1).count() > 0
@@ -3673,7 +3670,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
           else {
             val growing = corpus.join(layoutIds, Seq("doc_id"), "left_anti")
             val cents = VectorSearch.collectCentroids(
-              spark.read.parquet(s"$root/centroids"))
+              graft.util.FastParquet.read(spark, s"$root/centroids"))
             val assigned = VectorSearch.assignCells(growing, cents, field)
               .localCheckpoint(true) // delta-sized: one assignment, two consumers
             if (assigned.count() > 0) {
@@ -3688,7 +3685,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
                   element_at(typedLit(cents.map(_.toSeq).toSeq), col("cell") + 1)), 4))
                   .as("bmin"))
                 .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-              val stored = spark.read.parquet(s"$root/bounds")
+              val stored = graft.util.FastParquet.read(spark, s"$root/bounds")
                 .collect().map(r => r.getInt(r.fieldIndex("cell")) ->
                   r.getDouble(r.fieldIndex("min_cos"))).toMap
               import spark.implicits._
@@ -3733,7 +3730,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * corpus rebuild. */
   private def pruneVfLayout(root: String, key: DataFrame): Unit = {
     val cellsPath = s"$root/cells"
-    val df = spark.read.parquet(cellsPath)
+    val df = graft.util.FastParquet.read(spark, cellsPath)
     val hits = df.select(col("doc_id"), col("cell"))
       .join(broadcast(key), Seq("doc_id"), "left_semi")
       .localCheckpoint(true)
@@ -3950,11 +3947,9 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val p = new org.apache.hadoop.fs.Path(path)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) return "absent"
-    val it = f.listFiles(p, true)
     val base = f.getFileStatus(p).getPath.toUri.getPath
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val st = it.next()
+    graft.util.FsWalk.files(f, p).foreach { st =>
       val name = st.getPath.toUri.getPath.stripPrefix(base)
       if (st.isFile && !name.contains("/_") && !name.contains("/."))
         buf += s"$name\t${st.getLen}\t${st.getModificationTime}"

@@ -23,6 +23,9 @@ object PorterDump {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false")
+      // fork-free local-FS permissions (graft.util.NioLocalFileSystem):
+      // stock Hadoop shells out to /bin/chmod per created file
+      .config("spark.hadoop.fs.file.impl", "graft.util.NioLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._

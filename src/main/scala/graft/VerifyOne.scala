@@ -19,6 +19,9 @@ object VerifyOne {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
+      // fork-free local-FS permissions (graft.util.NioLocalFileSystem):
+      // stock Hadoop shells out to /bin/chmod per created file
+      .config("spark.hadoop.fs.file.impl", "graft.util.NioLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -99,17 +99,48 @@ object VectorFns {
   def hashEmbedUdf(dim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { text: String => hashEmbed(text, dim) }
 
+  // Per-thread SHA-256 instance (digest() resets it — reuse is bit-identical;
+  // getInstance per TOKEN was pure overhead) and a bounded per-thread memo of
+  // token → 64-bit digest prefix: corpus tokens repeat heavily (Zipf), so the
+  // memo removes ~all SHA work after the vocabulary warms. The memo is a
+  // pure-function cache (token → sha256 prefix), bounded, rebuilt per JVM —
+  // it never stores query results or anything keyed on the input tables.
+  private val sha256Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+  private val tokenHashLocal = new ThreadLocal[java.util.HashMap[String, java.lang.Long]] {
+    override def initialValue() = new java.util.HashMap[String, java.lang.Long](1 << 12)
+  }
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** sha256(token)'s first 8 bytes as a big-endian long — the hash core of
+    * [[hashEmbed]], memoized per thread (bounded at 2^17 entries). */
+  private def tokenHash64(t: String): Long = {
+    val memo = tokenHashLocal.get()
+    val cached = memo.get(t)
+    if (cached != null) cached.longValue()
+    else {
+      val md = sha256Local.get().digest(t.getBytes("UTF-8"))
+      val h = java.nio.ByteBuffer.wrap(md, 0, 8).getLong
+      if (memo.size >= (1 << 17)) memo.clear()
+      memo.put(t, h)
+      h
+    }
+  }
+
   /** Scala-side deterministic hash embedding (unit-testable core). */
   def hashEmbed(text: String, dim: Int): Array[Float] = {
     val v = new Array[Float](dim)
     if (text != null) {
-      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val toks = wsPattern.split(text.trim)
       toks.foreach { t =>
-        val md = java.security.MessageDigest.getInstance("SHA-256").digest(t.getBytes("UTF-8"))
-        val h = java.nio.ByteBuffer.wrap(md, 0, 8).getLong
-        val bucket = ((h % dim) + dim) % dim
-        val sign = if (((h >>> 62) & 1L) == 0L) 1.0f else -1.0f
-        v(bucket.toInt) += sign
+        if (t.nonEmpty) {
+          val h = tokenHash64(t)
+          val bucket = ((h % dim) + dim) % dim
+          val sign = if (((h >>> 62) & 1L) == 0L) 1.0f else -1.0f
+          v(bucket.toInt) += sign
+        }
       }
     }
     var norm = 0.0

@@ -41,11 +41,9 @@ object Backup {
     val rootP = new Path(root)
     val f = fs(rootP)
     if (!f.exists(rootP)) return Nil
-    val it = f.listFiles(rootP, true)
     val base = f.getFileStatus(rootP).getPath.toUri.getPath
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
-    while (it.hasNext) {
-      val st = it.next()
+    graft.util.FsWalk.files(f, rootP).foreach { st =>
       if (st.isFile) {
         val full = st.getPath.toUri.getPath
         out += ((full.stripPrefix(base).stripPrefix("/"), st.getLen,

@@ -633,7 +633,7 @@ object VectorSearch {
     // in-memory plan: the in-memory `cells` lineage would re-run the whole
     // assignment pass a second time
     val spark = index.cells.sparkSession
-    val written = IvfIndex(spark.read.parquet(s"$path/cells"),
+    val written = IvfIndex(graft.util.FastParquet.read(spark, s"$path/cells"),
       index.centroids, index.idCol, index.vecCol)
     index.boundsOpt.getOrElse(written.cellBounds())
       .coalesce(1).write.mode("overwrite").parquet(s"$path/bounds")
@@ -647,10 +647,10 @@ object VectorSearch {
     val bp = new org.apache.hadoop.fs.Path(s"$path/bounds")
     val bounds =
       if (bp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(bp))
-        Some(spark.read.parquet(s"$path/bounds"))
+        Some(graft.util.FastParquet.read(spark, s"$path/bounds"))
       else None
-    IvfIndex(spark.read.parquet(s"$path/cells"),
-      spark.read.parquet(s"$path/centroids"), idCol, vecCol, bounds)
+    IvfIndex(graft.util.FastParquet.read(spark, s"$path/cells"),
+      graft.util.FastParquet.read(spark, s"$path/centroids"), idCol, vecCol, bounds)
   }
 
   /**
@@ -686,7 +686,7 @@ object VectorSearch {
 
   /** The persisted PQ codes of a layout written by [[writePqCodes]]. */
   def loadPqCodes(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/pqcodes")
+    graft.util.FastParquet.read(spark, s"$path/pqcodes")
 
   /**
    * ADC candidate cut over persisted PQ codes: probe `nprobe` cells per
@@ -764,7 +764,7 @@ object VectorSearch {
 
   /** The persisted sign codes of a layout written by [[writeBin]]. */
   def loadBin(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/bincodes")
+    graft.util.FastParquet.read(spark, s"$path/bincodes")
 
   /**
    * Binary-quantization candidate cut (the RaBitQ serving front half):
@@ -863,7 +863,7 @@ object VectorSearch {
     * appended values clip). `assigned` must carry a `cell` column. */
   def appendSq8(assigned: DataFrame, vecCol: String, path: String): Unit = {
     val spark = assigned.sparkSession
-    val (mnLit, mxLit) = sq8BoundsLit(spark.read.parquet(s"$path/sq8bounds"))
+    val (mnLit, mxLit) = sq8BoundsLit(graft.util.FastParquet.read(spark, s"$path/sq8bounds"))
     assigned
       .withColumn("codes", sq8Codes(col(vecCol), mnLit, mxLit))
       .drop(vecCol)
@@ -885,14 +885,14 @@ object VectorSearch {
                           queryIdCol: String = "query_id",
                           queryVecCol: String = "query_vec",
                           scoreScale: Int = 4): DataFrame = {
-    val (mnLit, mxLit) = sq8BoundsLit(spark.read.parquet(s"$path/sq8bounds"))
+    val (mnLit, mxLit) = sq8BoundsLit(graft.util.FastParquet.read(spark, s"$path/sq8bounds"))
     val cwin = Window.partitionBy(col(queryIdCol))
       .orderBy(VectorFns.cosineSim(col(queryVecCol), col("centroid")).desc, col("cell").asc)
     val probed = queries.crossJoin(broadcast(centroids))
       .withColumn("crank", row_number().over(cwin))
       .filter(col("crank") <= nprobe)
       .drop("crank", "centroid")
-    spark.read.parquet(s"$path/sq8codes")
+    graft.util.FastParquet.read(spark, s"$path/sq8codes")
       .join(broadcast(probed), "cell")
       .withColumn("score", round(VectorFns.cosineSim(
         sq8Recon(col("codes"), mnLit, mxLit), col(queryVecCol)), scoreScale))

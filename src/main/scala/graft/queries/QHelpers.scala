@@ -29,10 +29,14 @@ object QHelpers {
     * the SAME column type and values.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // FastParquet memoizes the SCHEMA per (path, file listing) — the
+    // catalog role a metastore/table format plays at scale — so repeated
+    // table opens skip the one-task footer-inference job; rows are always
+    // re-read from the current files
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      tsNorm(spark.read.parquet(s"$dir/$name.parquet"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+      tsNorm(graft.util.FastParquet.read(spark, s"$dir/$name.parquet"))
+    } else graft.util.FastParquet.read(spark, s"$dir/$name.parquet")
   }
 
   /** Normalize an events-shaped `ts` column (legacy ns-as-long or native
