@@ -1542,8 +1542,9 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
               }
             }
             import spark.implicits._
-            merged.toDF("cell", "min_cos")
-              .coalesce(1).write.mode("overwrite").parquet(s"$ivfPath/bounds")
+            val mergedDf = merged.toDF("cell", "min_cos")
+            mergedDf.coalesce(1).write.mode("overwrite").parquet(s"$ivfPath/bounds")
+            graft.util.FastParquet.prime(spark, s"$ivfPath/bounds", mergedDf.schema)
             // an IVF_PQ layout also carries persisted codes — encode the
             // appended batch with the SAME seeded codebooks and append
             if (cfg.indexType == "IVF_PQ")
@@ -1675,7 +1676,10 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     if (cfg.partitionKey.nonEmpty)
       df.repartition(col(cfg.partitionKey)).write.mode(mode)
         .partitionBy(cfg.partitionKey).parquet(cfg.indexPath)
-    else df.write.mode(mode).parquet(cfg.indexPath)
+    else {
+      df.write.mode(mode).parquet(cfg.indexPath)
+      graft.util.FastParquet.prime(spark, cfg.indexPath, df.schema)
+    }
 
   /**
    * Forget documents (the delete side of the lifecycle; the reference can
@@ -1718,6 +1722,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
           // config lacks the tenant column writeIndexRows would partition
           // on (its migration is update(), never a delete side-effect)
           i2.write.mode("overwrite").parquet(cfg.indexPath)
+          graft.util.FastParquet.prime(spark, cfg.indexPath, i2.schema)
         }
         invalidateIvf()
         if (layoutCurrent) maintainLayoutAfterDelete(key, keyCol)
@@ -1790,6 +1795,7 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .filter(col("__del").isNull).drop("__del")
       .localCheckpoint(true) // pin BEFORE overwriting the path being read
     s2.write.mode("overwrite").parquet(cfg.storePath)
+    graft.util.FastParquet.prime(spark, cfg.storePath, s2.schema)
     Option(obs.get("removed")).map(_.asInstanceOf[Long]).getOrElse(0L)
   }
 
@@ -3047,8 +3053,11 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     posts.repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$lexPath/postings")
     dl.write.mode("overwrite").parquet(s"$lexPath/doclens")
-    dl.agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("t_toks"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$lexPath/stats")
+    graft.util.FastParquet.prime(spark, s"$lexPath/doclens", dl.schema)
+    val statsDf = dl.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("t_toks"))
+    statsDf.coalesce(1).write.mode("overwrite").parquet(s"$lexPath/stats")
+    graft.util.FastParquet.prime(spark, s"$lexPath/stats", statsDf.schema)
     // the rebuild overwrote every layout piece, so any half-applied extend
     // is gone with it — clear its marker BEFORE stamping
     lexMarkerFile.getFileSystem(spark.sparkContext.hadoopConfiguration)

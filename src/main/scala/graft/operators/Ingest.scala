@@ -101,9 +101,9 @@ object Ingest {
   def dedupAppend(incoming: DataFrame, storePath: String, keyCol: String,
                   partitionCol: Option[String] = None): Unit = {
     val spark = incoming.sparkSession
+    val existed = storeExists(spark, storePath)
     val novel =
-      if (storeExists(spark, storePath))
-        newRows(incoming, spark.read.parquet(storePath), keyCol)
+      if (existed) newRows(incoming, graft.util.FastParquet.read(spark, storePath), keyCol)
       else incoming
     partitionCol match {
       case Some(k) =>
@@ -111,7 +111,12 @@ object Ingest {
         // door check (Engine.validateTenantValues) — enforcing it here
         // would force a full-batch materialization on the hot write path
         novel.repartition(col(k)).write.mode("append").partitionBy(k).parquet(storePath)
-      case None => novel.write.mode("append").parquet(storePath)
+      case None =>
+        novel.write.mode("append").parquet(storePath)
+        // a CREATED flat store's read schema is the written one (nullable):
+        // record it so the first read skips the footer-inference job; an
+        // append to an existing store keeps the inference-derived memo
+        if (!existed) graft.util.FastParquet.prime(spark, storePath, novel.schema)
     }
   }
 }

@@ -627,6 +627,8 @@ object VectorSearch {
     index.cells.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    graft.util.FastParquet.prime(index.centroids.sparkSession,
+      s"$path/centroids", index.centroids.schema)
     // per-cell angular radii for range search — nlist rows, one offline
     // aggregation at build time so no serve-time call ever scans for them.
     // Derived from the just-WRITTEN cells (a parquet read), not the
@@ -635,8 +637,9 @@ object VectorSearch {
     val spark = index.cells.sparkSession
     val written = IvfIndex(graft.util.FastParquet.read(spark, s"$path/cells"),
       index.centroids, index.idCol, index.vecCol)
-    index.boundsOpt.getOrElse(written.cellBounds())
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/bounds")
+    val boundsDf = index.boundsOpt.getOrElse(written.cellBounds())
+    boundsDf.coalesce(1).write.mode("overwrite").parquet(s"$path/bounds")
+    graft.util.FastParquet.prime(spark, s"$path/bounds", boundsDf.schema)
   }
 
   /** Load a persisted IVF layout; `search` on it prunes cell partitions.
