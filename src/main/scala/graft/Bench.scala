@@ -53,13 +53,25 @@ object Bench {
         .foreach { case (id, rdd) => if (!before.contains(id)) rdd.unpersist(blocking = false) }
       spark.catalog.clearCache()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val pre1 = spark.sparkContext.getPersistentRDDs.keySet.toSet
-      val (t1, e1) = timeOnce(fn)
-      release(pre1)
-      val pre2 = spark.sparkContext.getPersistentRDDs.keySet.toSet
-      val (t2, e2) = timeOnce(fn)
-      release(pre2)
+    // INTERLEAVED min-of-2 (A,B,…,A,B — not A,A,B,B): this host's noisy-
+    // neighbor degradation comes in multi-minute windows; back-to-back
+    // timings let ONE bad window take both samples of a query. With the
+    // two passes a full suite apart, a window has to recur ~20 minutes
+    // later on the same query to contaminate its min. Same methodology
+    // otherwise: same queries, same timed action, min of two.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    def onePass(): Seq[(String, (Double, Option[String]))] =
+      named.map { case (name, fn) =>
+        val pre = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        val (t, e) = timeOnce(fn)
+        release(pre)
+        name -> (t, e)
+      }
+    val pass1 = onePass().toMap
+    val pass2 = onePass().toMap
+    val results = named.map { case (name, _) =>
+      val (t1, e1) = pass1(name)
+      val (t2, e2) = pass2(name)
       name -> (math.min(t1, t2), e1.orElse(e2))
     }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
@@ -75,9 +87,14 @@ object Bench {
     // min-of-2, maintain a per-query ISOLATED best-known time across runs
     // (persisted per scale factor) and report both: queries_best is the
     // engine's demonstrated cost, queries is this run's sample.
+    // the best/hist ledgers are keyed on (sf, cpus): a non-default core
+    // count must never write the default ledger (r14 finding: 8-core
+    // samples silently entered the 32-core "steady state"). The default
+    // 32-core files keep their historical names for continuity.
+    val cpuSfx = if (cpus == "32") "" else s"_c$cpus"
     val bestPath = java.nio.file.Paths.get(sys.env.getOrElse(
       "SPARK_GRAFT_BEST_FILE",
-      s"BENCH_BEST_${new java.io.File(sfDir).getName}.json"))
+      s"BENCH_BEST_${new java.io.File(sfDir).getName}$cpuSfx.json"))
     val pair = "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
     val prior0: Map[String, Double] =
       if (java.nio.file.Files.exists(bestPath)) {
@@ -89,7 +106,7 @@ object Bench {
     // lives further down)
     val histPath = java.nio.file.Paths.get(sys.env.getOrElse(
       "SPARK_GRAFT_HIST_FILE",
-      s"BENCH_HIST_${new java.io.File(sfDir).getName}.json"))
+      s"BENCH_HIST_${new java.io.File(sfDir).getName}$cpuSfx.json"))
     val histPair = "\"([^\"]+)\"\\s*:\\s*\\[([^\\]]*)\\]".r
     val hist0: Map[String, Seq[Double]] =
       if (java.nio.file.Files.exists(histPath)) {
@@ -235,7 +252,7 @@ object Bench {
     // can always read (protocol documented in BASELINE.md)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_LAST_FILE",
-        s"BENCH_LAST_${new java.io.File(sfDir).getName}.json")),
+        s"BENCH_LAST_${new java.io.File(sfDir).getName}$cpuSfx.json")),
       line.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line)

@@ -1510,20 +1510,40 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
         // re-check under the lock: a concurrent rebuild/extend may have
         // moved the layout since the cheap pre-embed check
         val extendLayout = persistedFingerprint().contains(compositeFingerprint())
-        writeIndexRows(assigned.drop("cell"), "append")
-        invalidateIvf()
-        stampSealed() // the index append landed: store files covered again
         val n = obs.get("chunks").asInstanceOf[Long]
-        if (extendLayout) {
-          if (n > 0) {
-            // keep the range-search cell bounds SOUND under the append: an
-            // appended chunk farther from its centroid than any existing
-            // member would widen the cell's angular radius. The batch's
-            // per-cell minima ride the cells-append job as an Observation
-            // (nlist conditional aggregates — metadata-sized, zero extra
-            // scans); the merge with the stored minima is nlist rows of
-            // driver arithmetic.
-            val bObs = org.apache.spark.sql.Observation()
+        if (!extendLayout) {
+          writeIndexRows(assigned.drop("cell"), "append")
+          invalidateIvf()
+          stampSealed() // the index append landed: store files covered again
+          maintainLexIfStale()
+          n
+        } else {
+          // OVERLAPPED extend (guide §2.6 — independent jobs back-fill each
+          // other's stragglers): the index append, the cell append (+bounds
+          // merge +code appends) and the lexical extend write three
+          // DISJOINT layouts from the same pinned batch, so they run
+          // concurrently. Crash safety no longer rides the append ORDER
+          // (the old index-first discipline): the fingerprint stamp is
+          // DROPPED up front, so a crash anywhere inside the window leaves
+          // a stale-stamped layout → the next ivfIndex() rebuilds. The
+          // lexical extend keeps the main thread (extendLex is
+          // Engine-synchronized — reentrant here, deadlock on a spawned
+          // thread); stamping LAST, after every side landed, keeps the
+          // no-torn-serving contract.
+          val f = fingerprintFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          f.delete(fingerprintFile, false)
+          val idxF = scala.concurrent.Future {
+            writeIndexRows(assigned.drop("cell"), "append")
+          }(Engine.sideEC)
+          // keep the range-search cell bounds SOUND under the append: an
+          // appended chunk farther from its centroid than any existing
+          // member would widen the cell's angular radius. The batch's
+          // per-cell minima ride the cells-append job as an Observation
+          // (nlist conditional aggregates — metadata-sized, zero extra
+          // scans); the merge with the stored minima is nlist rows of
+          // driver arithmetic.
+          val bObs = org.apache.spark.sql.Observation()
+          val cellsF = scala.concurrent.Future {
             val cellMins = cents.indices.map(c =>
               min(when(col("cell") === c,
                 VectorFns.cosineSim(col("vec"), typedLit(cents(c).toSeq))))
@@ -1563,14 +1583,20 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
               VectorSearch.appendBin(
                 assigned.select(col("doc_id"), col("chunk_id"), col("cell"), col("vec")),
                 "vec", cfg.embedDim, ivfPath)
-          }
-          // the layout now reflects the post-append index (append died
-          // midway → fingerprint stays stale → next ivfIndex() rebuilds;
+          }(Engine.sideEC)
+          val lexErr = try { maintainLexIfStale(); None }
+            catch { case scala.util.control.NonFatal(e) => Some(e) }
+          scala.concurrent.Await.result(idxF, scala.concurrent.duration.Duration.Inf)
+          invalidateIvf()
+          stampSealed() // the index append landed: store files covered again
+          scala.concurrent.Await.result(cellsF, scala.concurrent.duration.Duration.Inf)
+          lexErr.foreach(throw _)
+          // the layout now reflects the post-append index (any side died
+          // midway → the stamp stays dropped → next ivfIndex() rebuilds;
           // stamping LAST keeps the crash window safe)
           stampFingerprint(compositeFingerprint())
+          n
         }
-        maintainLexIfStale()
-        n
       }
     }
   }
@@ -1663,9 +1689,20 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
       .select(col("doc_id") +: extra :+
         TextFns.chunkId(col("doc_id"), col("pos")).as("chunk_id") :+ col("chunk"): _*)
     val m = model // don't close over the Engine (it holds the SparkSession)
-    VectorFns.embedPartitions(chunks, "chunk", "vec", m.dim, cfg.batchSize,
-        m.embedBatch)
-      .select(col("doc_id") +: extra :+ col("chunk_id") :+ col("vec"): _*)
+    val embedded = m match {
+      // the default hash model runs as a codegen'd expression: only the
+      // chunk column crosses into the kernel (no external-Row round trip,
+      // no boxed output floats), and the projection stays inside
+      // whole-stage codegen. Bit-identical to embedBatch (same kernel).
+      case Engine.HashEmbedder(d) =>
+        chunks.withColumn("vec", VectorFns.hashEmbedCol(col("chunk"), d))
+      // an injected model (ONNX/JNI forward pass) keeps the batched
+      // mapPartitions seam
+      case _ =>
+        VectorFns.embedPartitions(chunks, "chunk", "vec", m.dim, cfg.batchSize,
+          m.embedBatch)
+    }
+    embedded.select(col("doc_id") +: extra :+ col("chunk_id") :+ col("vec"): _*)
   }
 
   /** Write index rows honoring the configured partition layout: with a
@@ -3043,15 +3080,26 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     * coverage + one-row corpus stats, then the stamp (LAST — a build that
     * dies midway stays stale and rebuilds). */
   private def buildLex(): Unit = {
+    // dl (the doc's token count) is size(analyzed) computed IN the same
+    // pass that explodes the tokens, and survives the (doc_id, tok)
+    // aggregation as a per-group min (constant within a doc) — so the
+    // analyzer runs ONCE over the corpus and no doc-length join exists in
+    // the build plan (the pre-r15 spelling analyzed the corpus twice: once
+    // for the dl aggregate, once for the postings aggregate, then joined).
     val toks = widen(store())
-      .select(col("doc_id"), explode(analyzeCol(col("text"))).as("tok"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      .localCheckpoint(true) // one derivation: postings join + coverage + stats
-    val posts = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .join(dl, Seq("doc_id"))
+      .select(col("doc_id"), analyzeCol(col("text")).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("tok"))
+    val posts = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
       .withColumn("tb", graft.operators.InvertedIndex.bucket(col("tok")))
     posts.repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$lexPath/postings")
+    // coverage table: column-pruned read of the just-written postings
+    // (doc_id, dl only — row-group column slices, never the token bytes)
+    val dl = graft.util.FastParquet.read(spark, s"$lexPath/postings")
+      .select(col("doc_id"), col("dl")).groupBy(col("doc_id"))
+      .agg(min(col("dl")).as("dl"))
     dl.write.mode("overwrite").parquet(s"$lexPath/doclens")
     graft.util.FastParquet.prime(spark, s"$lexPath/doclens", dl.schema)
     val statsDf = dl.agg(count(lit(1)).as("n_docs"),
@@ -3095,16 +3143,23 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     }
     val covered = graft.util.FastParquet.read(spark, s"$lexPath/doclens").select(col("doc_id"))
     val fresh = store().join(covered, Seq("doc_id"), "left_anti")
-    val toks = widen(fresh)
-      .select(col("doc_id"), explode(analyzeCol(col("text"))).as("tok"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // one analyze pass over the delta (buildLex's fused-dl discipline): the
+    // (doc_id, tok, tf, dl) aggregate pins delta-postings-sized, and the
+    // coverage rows + delta stats derive from the pin — the pre-r15
+    // spelling re-analyzed the delta a second time for the postings side
+    val tfs = widen(fresh)
+      .select(col("doc_id"), analyzeCol(col("text")).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
       .localCheckpoint(true)
+    val dl = tfs.groupBy(col("doc_id")).agg(min(col("dl")).as("dl"))
     val delta = dl.agg(coalesce(count(lit(1)), lit(0L)),
       coalesce(sum(col("dl")), lit(0L))).head()
     if (delta.getLong(0) > 0L) {
       writeStamp(lexMarkerFile, "extend") // intent: appends begin
-      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-        .join(dl, Seq("doc_id"))
+      tfs.select(col("doc_id"), col("tok"), col("tf"), col("dl"))
         .withColumn("tb", graft.operators.InvertedIndex.bucket(col("tok")))
         .repartition(col("tb"))
         .write.mode("append").partitionBy("tb").parquet(s"$lexPath/postings")
@@ -4229,6 +4284,20 @@ object Engine {
     * undeclared columns into — Milvus names its dynamic-field container
     * exactly `$meta`. */
   val DynamicField: String = "$meta"
+
+  /** Shared daemon pool for OVERLAPPING a verb's independent Spark jobs
+    * (guide §2.6: the scheduler happily runs concurrent jobs; actions are
+    * only sequential because the driver calls them sequentially). Bounded
+    * small — 2-3 jobs in flight fill each other's stragglers; more would
+    * fight for executors. */
+  private[graft] lazy val sideEC: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-side-job")
+          t.setDaemon(true)
+          t
+        }))
 
   /** One dense request of a multi-vector [[graft.Engine#hybridSearchFields]]
     * — Milvus's AnnSearchRequest: which vector field, the query vectors

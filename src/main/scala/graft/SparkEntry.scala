@@ -25,12 +25,12 @@ object SparkEntry {
     val chunks = docs
       .select(col("doc_id"), posexplode(TextFns.chunk(col("text"), 128, 64)).as(Seq("pos", "chunk")))
       .select(col("doc_id"), TextFns.chunkId(col("doc_id"), col("pos")).as("chunk_id"), col("chunk"))
-    val embedded = chunks.withColumn("vec", VectorFns.hashEmbedUdf(dim)(col("chunk")))
+    val embedded = chunks.withColumn("vec", VectorFns.hashEmbedCol(col("chunk"), dim))
 
     // query side: one-row DataFrame through the same embedding
     import spark.implicits._
     val query = Seq("spark window join table").toDF("qtext")
-      .select(lit(0L).as("query_id"), VectorFns.hashEmbedUdf(dim)(col("qtext")).as("query_vec"))
+      .select(lit(0L).as("query_id"), VectorFns.hashEmbedCol(col("qtext"), dim).as("query_vec"))
 
     // score all chunks (broadcast the single query), best chunk per parent, k=4
     val scored = embedded.crossJoin(broadcast(query))

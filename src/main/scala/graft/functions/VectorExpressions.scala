@@ -1,7 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -58,6 +60,68 @@ abstract class VectorBinaryExpression extends BinaryExpression {
        |  throw new IllegalArgumentException("$prettyName: mismatched vector dimensions "
        |    + $n + " vs " + $y.numElements());
        |}""".stripMargin
+}
+
+/**
+ * Codegen'd deterministic hash embedding — the SAME kernel as
+ * [[VectorFns.hashEmbed]] (bit-identical output), run as a Catalyst
+ * expression instead of a mapPartitions/encoder pass: the old path paid a
+ * full external-Row round trip per row (deserialize every column, box every
+ * output float through `Row.fromSeq`); here only the text column is read
+ * (UTF8String) and the vector lands directly as an UnsafeArrayData primitive
+ * copy, inside whole-stage codegen. NULL text embeds to the zero vector —
+ * exactly what the UDF/mapPartitions spelling did — so the expression is
+ * never null (but stays DECLARED nullable so written layout schemas are
+ * byte-identical to the old path's).
+ */
+case class HashEmbed(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true // schema parity with the old column
+  override def prettyName: String = "hash_embed"
+
+  override def eval(input: InternalRow): Any =
+    VectorFns.hashEmbedData(
+      child.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val dimLit = dim.toString
+    ev.copy(code =
+      code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.VectorFns.hashEmbedData(
+            ${c.isNull} ? null : ${c.value}, $dimLit);
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Codegen'd nearest-centroid assignment — the routing rule of
+ * [[graft.operators.VectorSearch.assignCells]] (L2 argmin, first-wins ties)
+ * over a primitive `float[][]` centroid table carried in the plan
+ * (nlist×dim floats — metadata-sized). Replaces the Scala UDF whose
+ * Seq[Float] input boxed every element of every vector on every row.
+ */
+case class NearestCell(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_cell"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorFns.nearestCell(input.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorFns.nearestCell($c, $cents)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** cosine(a,b) = dot(a,b) / (|a|*|b|); 0.0 when either norm is 0. */

@@ -83,6 +83,58 @@ object VectorFns {
       (es: Seq[Expression]) => DotProduct(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("l2_dist",
       (es: Seq[Expression]) => L2Distance(es.head, es(1)), "built-in")
+    // hash_embed(text, dim-literal) — the codegen'd [[HashEmbed]]; the
+    // registry is the public Column↔Expression bridge (Spark 4 keeps the
+    // direct constructor private), so dim rides as a foldable literal
+    reg.createOrReplaceTempFunction("hash_embed",
+      (es: Seq[Expression]) => HashEmbed(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    // nearest_cell(vec, centroids-literal): the literal array<array<float>>
+    // collapses to a primitive float[][] at plan-build time
+    reg.createOrReplaceTempFunction("nearest_cell",
+      (es: Seq[Expression]) => {
+        val lit = es(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val cents = Array.tabulate(lit.numElements())(i => lit.getArray(i).toFloatArray)
+        NearestCell(es.head, cents)
+      }, "built-in")
+  }
+
+  /** Column form of the codegen'd [[HashEmbed]] expression — the engine's
+    * hot embed projection ([[graft.Engine]]'s chunkEmbed under the default
+    * hash model). Bit-identical to [[hashEmbedUdf]]. */
+  def hashEmbedCol(text: Column, dim: Int): Column = {
+    register(SparkSession.active)
+    call_function("hash_embed", text, lit(dim))
+  }
+
+  /** Column form of the codegen'd [[NearestCell]] assignment. */
+  def nearestCellCol(vec: Column, centroids: Array[Array[Float]]): Column = {
+    register(SparkSession.active)
+    call_function("nearest_cell", vec,
+      typedLit(centroids.map(_.toSeq).toSeq))
+  }
+
+  /** [[HashEmbed]]'s runtime kernel: UTF8String in, primitive float array
+    * out — zero boxing on either side. */
+  def hashEmbedData(s: org.apache.spark.unsafe.types.UTF8String,
+                    dim: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(hashEmbed(if (s == null) null else s.toString, dim))
+
+  /** [[NearestCell]]'s runtime kernel: L2 argmin over primitive arrays,
+    * first-wins ties — the exact rule of the Seq-based UDF it replaces. */
+  def nearestCell(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                  cs: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      val cv = cs(c)
+      while (i < cv.length) { val t = v.getFloat(i) - cv(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
   }
 
   // ------------------------------------------------------------- embedding V1

@@ -517,13 +517,19 @@ object VectorSearch {
     // partitioning/row order; the id tiebreak makes the set exact.
     // (DataFrame orderBy().limit() would NOT plan the same thing here:
     // above topKSortFallbackThreshold it falls back to a full global sort.)
-    val sampled = corpus
+    // internal-row extraction (queryExecution.toRdd), not .rdd: the
+    // external-Row path deserializes every column through the encoder and
+    // boxes every float of every vector just to throw most rows away
+    val proj = corpus
       .select(xxhash64(col(idCol).cast("string")).as("__h"),
-        col(idCol).cast("string").as("__id"), col(vecCol))
-      .rdd.map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2)))
+        col(idCol).cast("string").as("__id"),
+        col(vecCol).cast("array<float>").as("__v"))
+    val sampled = proj.queryExecution.toRdd
+      .map(r => (r.getLong(0), r.getUTF8String(1).toString,
+        r.getArray(2).toFloatArray))
       .takeOrdered(sampleSize)(Ordering.by(t => (t._1, t._2)))
       .sortBy(_._2)
-      .map(_._3.toArray)
+      .map(_._3)
     val centroids = lloyd(sampled, nlist, seed, iters = 10)
     // one assignment rule for build AND incremental append ([[assignCells]])
     // — a divergence here would corrupt the extended layout
@@ -588,23 +594,12 @@ object VectorSearch {
    * argmin — the same rule [[buildIvf]] assigns with), zero shuffles.
    */
   def assignCells(df: DataFrame, centroids: Array[Array[Float]],
-                  vecCol: String): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(centroids)
-    val assign = udf { v: Seq[Float] =>
-      val cs = bc.value
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var i = 0
-        val cv = cs(c)
-        while (i < cv.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    df.withColumn("cell", assign(col(vecCol)))
-  }
+                  vecCol: String): DataFrame =
+    // codegen'd primitive-array argmin (graft.functions.NearestCell) — the
+    // Scala-UDF spelling boxed every float of every vector per row; the
+    // cast keeps the old UDF's Seq[Float] coercion for double-typed inputs
+    df.withColumn("cell", graft.functions.VectorFns.nearestCellCol(
+      col(vecCol).cast("array<float>"), centroids))
 
   /** Driver-side centroid array of a (possibly loaded) IVF index, ordered by
     * cell id — nlist rows, metadata-sized. */
@@ -620,24 +615,50 @@ object VectorSearch {
    * tiny parquet.
    */
   def writeIvf(index: IvfIndex, path: String): Unit = {
+    val spark = index.cells.sparkSession
+    // per-cell angular radii for range search ([[IvfIndex.cellBounds]]'s
+    // min cosine per cell) RIDE THE CELLS WRITE as an Observation — nlist
+    // conditional aggregates, metadata-sized — instead of a second full
+    // pass over the written layout (the pre-r15 spelling re-read every
+    // cell file to aggregate the same number). Same fused-metadata shape
+    // as the updateIncremental extend path.
+    val obsOpt =
+      if (index.boundsOpt.isDefined) None
+      else Some((org.apache.spark.sql.Observation(),
+        collectCentroids(index.centroids)))
+    val cellsOut = obsOpt match {
+      case Some((obs, cents)) =>
+        val mins = cents.indices.map(c =>
+          min(when(col("cell") === c,
+            graft.functions.VectorFns.cosineSim(col(index.vecCol),
+              typedLit(cents(c).toSeq))))
+            .as(s"m$c"))
+        index.cells.observe(obs, mins.head, mins.tail: _*)
+      case None => index.cells
+    }
     // hash-cluster by cell before the partitioned write: without it every
     // scan task writes a file into every cell directory (tasks × nlist
     // small files); with it each cell's rows land in one task → one file
     // per cell (at real scale: repartition(n, cell) for n > nlist)
-    index.cells.repartition(col("cell"))
+    cellsOut.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    graft.util.FastParquet.prime(index.centroids.sparkSession,
+    graft.util.FastParquet.prime(spark,
       s"$path/centroids", index.centroids.schema)
-    // per-cell angular radii for range search — nlist rows, one offline
-    // aggregation at build time so no serve-time call ever scans for them.
-    // Derived from the just-WRITTEN cells (a parquet read), not the
-    // in-memory plan: the in-memory `cells` lineage would re-run the whole
-    // assignment pass a second time
-    val spark = index.cells.sparkSession
-    val written = IvfIndex(graft.util.FastParquet.read(spark, s"$path/cells"),
-      index.centroids, index.idCol, index.vecCol)
-    val boundsDf = index.boundsOpt.getOrElse(written.cellBounds())
+    val boundsDf = obsOpt match {
+      case Some((obs, cents)) =>
+        // explicit nullable schema — byte-identical to what the old
+        // groupBy-aggregate spelling wrote and inference reads back
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        cents.indices.foreach(c => Option(obs.get(s"m$c")).foreach(v =>
+          rows.add(org.apache.spark.sql.Row(c, v.asInstanceOf[Double]))))
+        spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("min_cos",
+            org.apache.spark.sql.types.DoubleType))))
+      case None => index.boundsOpt.get
+    }
     boundsDf.coalesce(1).write.mode("overwrite").parquet(s"$path/bounds")
     graft.util.FastParquet.prime(spark, s"$path/bounds", boundsDf.schema)
   }

@@ -253,11 +253,11 @@ object EngineQueries {
       val lex = bm25.orderBy(col("bm25_bp").desc, col("doc_id").asc).limit(100)
         .withColumn("lex_rank", row_number().over(lexW).cast("long"))
       val qdf = Seq(0).toDF("one")
-        .select(VectorFns.hashEmbedUdf(64)(lit(terms.mkString(" "))).as("qvec"))
+        .select(VectorFns.hashEmbedCol(lit(terms.mkString(" ")), 64).as("qvec"))
       val vecW = org.apache.spark.sql.expressions.Window
         .orderBy(col("cs").desc, col("doc_id").asc)
       val vec = docs
-        .select(col("doc_id"), VectorFns.hashEmbedUdf(64)(col("text")).as("vec"))
+        .select(col("doc_id"), VectorFns.hashEmbedCol(col("text"), 64).as("vec"))
         .crossJoin(broadcast(qdf))
         .select(col("doc_id"),
           round(VectorFns.cosineSim(col("vec"), col("qvec")), 4).as("cs"))
@@ -289,10 +289,10 @@ object EngineQueries {
         .select(col("doc_id"),
           posexplode(graft.functions.TextFns.chunk(col("text"), 128, 64))
             .as(Seq("pos", "chunk")))
-        .withColumn("vec", graft.functions.VectorFns.hashEmbedUdf(64)(col("chunk")))
+        .withColumn("vec", graft.functions.VectorFns.hashEmbedCol(col("chunk"), 64))
       val qdf = Seq("deep", "neural", "network", "training").zipWithIndex
         .map { case (tk, i) => (i.toLong, tk) }.toDF("qi", "qt")
-        .withColumn("qvec", graft.functions.VectorFns.hashEmbedUdf(64)(col("qt")))
+        .withColumn("qvec", graft.functions.VectorFns.hashEmbedCol(col("qt"), 64))
       chunks.crossJoin(broadcast(qdf))
         .select(col("doc_id"), col("qi"),
           round(graft.functions.VectorFns.cosineSim(col("vec"), col("qvec")), 4).as("c"))
@@ -814,9 +814,12 @@ object EngineQueries {
         .join(img, Seq("doc_id"))
       eng.ingest(docs)
       val e2 = new Engine(s, cfg)
-      val qt = docs.filter(col("doc_id") === 3)
+      // corpus-derived probes read back from the INGESTED store (floats
+      // round-trip parquet exactly) — re-deriving `docs` here would run
+      // the whole decode/digest pipeline once more per probe
+      val qt = e2.store().filter(col("doc_id") === 3)
         .select("text_vec").head().getSeq[Float](0)
-      val qi = docs.filter(col("doc_id") === 11)
+      val qi = e2.store().filter(col("doc_id") === 11)
         .select("img_vec").head().getSeq[Float](0)
       e2.hybridSearchFields(Seq(
         Engine.AnnFieldRequest("text_vec", Seq(qt), kPool = 50),
@@ -847,9 +850,10 @@ object EngineQueries {
         .join(img, Seq("doc_id"))
       eng.ingest(docs)
       val e2 = new Engine(s, cfg)
-      val qt = docs.filter(col("doc_id") === 3)
+      // probes from the ingested store — see q290
+      val qt = e2.store().filter(col("doc_id") === 3)
         .select("text_vec").head().getSeq[Float](0)
-      val qi = docs.filter(col("doc_id") === 11)
+      val qi = e2.store().filter(col("doc_id") === 11)
         .select("img_vec").head().getSeq[Float](0)
       e2.hybridSearchFieldsWeighted(Seq(
         Engine.AnnFieldRequest("text_vec", Seq(qt), kPool = 50),
@@ -884,9 +888,10 @@ object EngineQueries {
         .join(img, Seq("doc_id"))
       eng.ingest(docs)
       val e2 = new Engine(s, cfg)
-      val qt = docs.filter(col("doc_id") === 3)
+      // probes from the ingested store — see q290
+      val qt = e2.store().filter(col("doc_id") === 3)
         .select("text_vec").head().getSeq[Float](0)
-      val qi = docs.filter(col("doc_id") === 11)
+      val qi = e2.store().filter(col("doc_id") === 11)
         .select("img_vec").head().getSeq[Float](0)
       e2.hybridSearchFields(Seq(
         Engine.AnnFieldRequest("text_vec", Seq(qt), kPool = 50,
