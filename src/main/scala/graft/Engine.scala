@@ -3282,7 +3282,12 @@ class Engine(spark: SparkSession, val cfg: EngineConfig,
     val hintable = candN <= Engine.maxBroadcastIds
     val candTexts0 = store().select(col("doc_id"), col("text"))
       .join(if (hintable) broadcast(cand) else cand, Seq("doc_id"), "left_semi")
-    val candTexts = if (hintable) candTexts0.localCheckpoint(true) else candTexts0
+    // widen BEFORE the pin: the broadcast semi-join inherits the store
+    // scan's partitioning (a one-file snapshot = 1 partition) and the
+    // adjacency walk below is CPU-per-row — unwidened it verified the
+    // whole candidate sliver on one core (measured: a 4.3 s single-task
+    // stage at sf0.1)
+    val candTexts = if (hintable) widen(candTexts0).localCheckpoint(true) else candTexts0
     val verified = candTexts
       .withColumn("__t", analyzeCol(col("text")))
       .filter(size(col("__t")) >= k) // also keeps the sequence() bound valid

@@ -124,6 +124,61 @@ case class NearestCell(child: Expression, centroids: Array[Array[Float]])
     copy(child = newChild)
 }
 
+/**
+ * Codegen'd hashed word-n-gram shingle SET — the kernel of
+ * [[graft.operators.Dedup]]'s shingling (sha256-derived 60-bit hash per
+ * shingle, distinct, ascending), run as an expression instead of a Scala
+ * UDF whose Array[Long] output boxed every element through the catalyst
+ * converter (and whose `.distinct.sorted` boxed again internally). NULL
+ * text yields the empty set (the UDF's contract), so never null.
+ */
+case class HashedShingleSet(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // schema parity with the old column
+  override def prettyName: String = "shingle_set"
+
+  override def eval(input: InternalRow): Any =
+    graft.operators.Dedup.shingleSetKernel(
+      child.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val nLit = n.toString
+    ev.copy(code =
+      code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.operators.Dedup.shingleSetKernel(
+            ${c.isNull} ? null : ${c.value}, $nLit);
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd |A ∩ B| of two ascending-sorted distinct long arrays — the
+  * exact-verify merge scan of [[graft.operators.Dedup.setSimJoin]], minus
+  * the Seq[Long] UDF conversion that boxed every element of both sides on
+  * every candidate pair. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.operators.Dedup.sortedIntersectKernel(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.operators.Dedup.sortedIntersectKernel($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** cosine(a,b) = dot(a,b) / (|a|*|b|); 0.0 when either norm is 0. */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends VectorBinaryExpression {

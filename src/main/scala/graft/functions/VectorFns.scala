@@ -97,6 +97,12 @@ object VectorFns {
         val cents = Array.tabulate(lit.numElements())(i => lit.getArray(i).toFloatArray)
         NearestCell(es.head, cents)
       }, "built-in")
+    // dedup-family kernels (graft.operators.Dedup)
+    reg.createOrReplaceTempFunction("shingle_set",
+      (es: Seq[Expression]) => HashedShingleSet(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect",
+      (es: Seq[Expression]) => SortedIntersectCount(es.head, es(1)), "built-in")
   }
 
   /** Column form of the codegen'd [[HashEmbed]] expression — the engine's

@@ -142,44 +142,83 @@ object Dedup {
     // — the 1000x rung measured the build's shuffle decades at 9.7x, 18x,
     // 37x per 10x of corpus (wide partial rows ∝ partitions × docs), the
     // superlinear term this spelling removes.
-    src.select(col(idCol), explode(hashedShingleSetUdf(n)(col(textCol))).as("shingle"))
+    src.select(col(idCol), explode(shingleSetCol(col(textCol), n)).as("shingle"))
   }
 
   /** Per-doc hashed word n-gram shingles with SET semantics baked in:
     * distinct, ascending-sorted hashes (sha256-derived 64-bit per shingle)
-    * — the dedup and the order are per-row facts,
-    * so computing them inside the shingling map is free while the
-    * explode-then-distinct spelling pays a full shuffle for the same set. */
-  private def hashedShingleSetUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { text: String =>
-      if (text == null) Array.empty[Long]
-      else {
-        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-        if (toks.length < n) Array.empty[Long]
-        else {
-          val md = java.security.MessageDigest.getInstance("SHA-256")
-          Array.tabulate(toks.length - n + 1) { i =>
-            md.reset()
-            val d = md.digest(toks.slice(i, i + n).mkString(" ").getBytes("UTF-8"))
-            java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
-          }.distinct.sorted
-        }
+    * — the dedup and the order are per-row facts, so computing them inside
+    * the shingling map is free while the explode-then-distinct spelling
+    * pays a full shuffle for the same set. Served by the codegen'd
+    * [[graft.functions.HashedShingleSet]] expression (no boxed-long output
+    * conversion, per-thread digest reuse). */
+  private def shingleSetCol(text: Column, n: Int): Column = {
+    graft.functions.VectorFns.register(
+      org.apache.spark.sql.SparkSession.active)
+    org.apache.spark.sql.functions.call_function("shingle_set", text, lit(n))
+  }
+
+  private val shingleWs = java.util.regex.Pattern.compile("\\s+")
+  private val shingleSha = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
+  /** [[graft.functions.HashedShingleSet]]'s runtime kernel: UTF8String in,
+    * primitive sorted-distinct long[] out. Bit-identical to the old UDF
+    * (same tokenization, same `tok0 tok1 …` digest bytes, same >>> 4). */
+  def shingleSetKernel(s: org.apache.spark.unsafe.types.UTF8String,
+                       n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    if (s == null) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val toks = shingleWs.split(s.toString.trim).filter(_.nonEmpty)
+    if (toks.length < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val md = shingleSha.get()
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      var k = 0
+      while (k < n) {
+        if (k > 0) md.update(' '.toByte)
+        md.update(toks(i + k).getBytes("UTF-8"))
+        k += 1
       }
+      out(i) = java.nio.ByteBuffer.wrap(md.digest(), 0, 8).getLong >>> 4
+      i += 1
     }
+    // sorted distinct on primitives (the old `.distinct.sorted` boxed)
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (w == out.length) out else java.util.Arrays.copyOf(out, w))
+  }
 
   /** Exact |A ∩ B| of two ASCENDING-sorted distinct long arrays by merge
-    * scan — linear, unboxed, allocation-free. */
-  private val sortedIntersectUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (a: Seq[Long], b: Seq[Long]) =>
-      var i = 0; var j = 0; var n = 0L
-      while (i < a.length && j < b.length) {
-        val x = a(i); val y = b(j)
-        if (x == y) { n += 1; i += 1; j += 1 }
-        else if (x < y) i += 1
-        else j += 1
-      }
-      n
+    * scan — linear, unboxed, allocation-free
+    * ([[graft.functions.SortedIntersectCount]]'s kernel). */
+  def sortedIntersectKernel(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                            b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val la = a.numElements(); val lb = b.numElements()
+    var i = 0; var j = 0; var n = 0L
+    while (i < la && j < lb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
     }
+    n
+  }
+
+  private def sortedIntersectCol(a: Column, b: Column): Column = {
+    graft.functions.VectorFns.register(
+      org.apache.spark.sql.SparkSession.active)
+    org.apache.spark.sql.functions.call_function("sorted_intersect", a, b)
+  }
 
   /** [[familyHash]] with a plan-time seed (a, b folded to literals). */
   def familyHashAt(base: Column, seed: Int): Column = {
@@ -755,7 +794,7 @@ object Dedup {
     val src = if (df.rdd.getNumPartitions < np) df.repartition(np) else df
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sets = src
-      .select(col(idCol), hashedShingleSetUdf(shingleSize)(col(textCol)).as("ts"))
+      .select(col(idCol), shingleSetCol(col(textCol), shingleSize).as("ts"))
       .withColumn("sz", size(col("ts")).cast("long"))
       .filter(col("sz") > 0)
       .persist(lvl) // feeds the prefix explode AND both verify sides
@@ -807,7 +846,7 @@ object Dedup {
     val res = cand
       .join(sets.select(col(idCol).as("id_a"), col("ts").as("ts_a"), col("sz").as("sz_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("ts").as("ts_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("inter", sortedIntersectUdf(col("ts_a"), col("ts_b")))
+      .withColumn("inter", sortedIntersectCol(col("ts_a"), col("ts_b")))
       .filter(col("inter") * tDen >= (col("sz_a") + col("sz_b") - col("inter")) * tNum)
       .withColumn("jacc_bp", expr("(10000 * inter) DIV (sz_a + sz_b - inter)"))
       .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jacc_bp")
